@@ -1,13 +1,49 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 appears as a `queries`
+  * entry; where the semantics are ANSI-SQL-expressible, `oracleSql` carries
+  * the DuckDB-equivalent statement over the same parquet tables. Column
+  * names/aliases match between the two on purpose: the driver's comparator
+  * sorts columns by name before hashing values.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.aggByKey(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_by_key" -> ((s, dir) => Relational.aggByKey(s, dir)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * Determinism contract shared with the Spark side (SURVEY.md §7.5):
+    * double aggregates go through DECIMAL(18,6) (exact, order-independent)
+    * and back to DOUBLE; every statement ends in a total ORDER BY; NULL
+    * ordering is spelled out because Spark defaults NULLS FIRST on ASC
+    * while DuckDB defaults NULLS LAST.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_by_key" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         max(CAST(l_shipdate AS DATE)) AS last_updated,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |         max(l_quantity) AS max_qty,
+        |         CASE WHEN count(l_discount) > 0
+        |              THEN CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(l_discount)
+        |         END AS avg_disc,
+        |         count(*) AS data_points
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |SELECT *, CASE WHEN sum_qty > 0 THEN sum_price / sum_qty END AS price_per_qty
+        |FROM agg ORDER BY sum_price DESC, l_returnflag, l_linestatus""".stripMargin,
+  )
 }

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Determinism helpers for floating-point aggregates.
+  *
+  * `sum(double)` depends on partition/merge order, so the same query can
+  * hash differently run-to-run and engine-to-engine (SURVEY.md §7.5 #1).
+  * Summing an exact decimal instead makes the aggregate associative and
+  * order-independent; casting the exact result back to double is then a
+  * single deterministic rounding. The same trick is mirrored in the DuckDB
+  * oracle SQL (`CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)`).
+  *
+  * At 100 TB this matters beyond testing: deterministic aggregates make
+  * results reproducible across retries, speculative tasks, and cluster
+  * re-sizes. Decimal sums still get map-side partial aggregation and
+  * whole-stage codegen, so the cost is a constant per-row factor, not a
+  * plan change.
+  */
+object Stable {
+  /** Exact decimal image of a double column: 18 digits, 6 after the point. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+
+  /** Order-independent sum of a double column, returned as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Order-independent mean of a double column (null when no non-null rows,
+    * matching `avg`'s semantics). Division happens once, in IEEE double,
+    * identically in Spark and DuckDB.
+    */
+  def davg(c: Column): Column =
+    when(count(c) > 0, sum(dec(c)).cast(DoubleType) / count(c))
+}

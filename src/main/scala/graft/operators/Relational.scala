@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Stable._
+import graft.sources.Tables
+
+/** Relational operator surface, re-expressed over the testdata star schema.
+  *
+  * Each method is a pure `DataFrame` pipeline (scan → transform → agg →
+  * sort), the Spark-first equivalent of the reference transform stage
+  * (`/root/reference/src/transform/data_transformer.py`). All are lazy
+  * logical plans until the caller acts, so Catalyst sees the whole query:
+  * filters and projections reach the parquet scan, aggregates get map-side
+  * partial combine, and top-k compiles to TakeOrderedAndProject.
+  */
+object Relational {
+
+  /** T6+T7+T8 (data_transformer.py:219-252): grouped aggregation by a
+    * categorical key with max/sum/avg/count, post-aggregation derived
+    * ratio columns, and a global descending sort. Shuffles once on the
+    * group keys; partial aggregation runs map-side so the exchange carries
+    * one row per (key, partition), not per input row — the property that
+    * keeps this a non-bottleneck at 100 TB.
+    */
+  def aggByKey(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        max(to_date(col("l_shipdate"))).as("last_updated"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        max(col("l_quantity")).as("max_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("data_points"))
+      .withColumn("price_per_qty",
+        when(col("sum_qty") > 0, col("sum_price") / col("sum_qty")))
+      .orderBy(col("sum_price").desc, col("l_returnflag"), col("l_linestatus"))
+  }
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+
+Loads each <verify_out_dir>/<name>/ parquet (Spark output), runs the
+matching statement from oracle_sql.json in DuckDB over views named after
+the tables in <sfdir>, sorts columns by name, and compares values.
+"""
+import json, sys, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.reset_index(drop=True)
+
+
+def main(sfdir: str, outdir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output");  fails += 1;  continue
+        got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
+        try:
+            exp = norm(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}");  fails += 1;  continue
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+            fails += 1;  continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}");  fails += 1;  continue
+        bad = []
+        for c in got.columns:
+            g, e = got[c], exp[c]
+            if g.dtype.kind == "f" or e.dtype.kind == "f":
+                ok = np.isclose(g.astype(float), e.astype(float),
+                                rtol=0, atol=0, equal_nan=True)
+                exact = ok.all()
+            else:
+                gs, es = g.astype(str), e.astype(str)
+                exact = (gs.values == es.values).all()
+            if not exact:
+                bad.append(c)
+        if bad:
+            print(f"FAIL {name}: value mismatch in {bad}")
+            for c in bad[:3]:
+                m = ~(got[c].astype(str).values == exp[c].astype(str).values)
+                idx = np.where(m)[0][:3]
+                for i in idx:
+                    print(f"   row {i} col {c}: spark={got[c].iloc[i]!r} duckdb={exp[c].iloc[i]!r}")
+            fails += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
+    # dtypes report (schema match is part of the driver gate)
+    return fails
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
