@@ -19,6 +19,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_by_key" -> ((s, dir) => Relational.aggByKey(s, dir)),
+    "q_select_project" -> ((s, dir) => Relational.selectProject(s, dir)),
+    "q_cast_tolerant" -> ((s, dir) => Relational.castTolerant(s, dir)),
+    "q_derived_ratio" -> ((s, dir) => Relational.derivedRatio(s, dir)),
+    "q_dateparts" -> ((s, dir) => Relational.dateParts(s, dir)),
+    "q_guarded_rate" -> ((s, dir) => Relational.guardedRate(s, dir)),
+    "q_agg_by_date" -> ((s, dir) => Relational.aggByDate(s, dir)),
+    "q_moving_avg7" -> ((s, dir) => Relational.movingAvg7(s, dir)),
+    "q_isin_filter" -> ((s, dir) => Relational.isinFilter(s, dir)),
+    "q_filter_sort" -> ((s, dir) => Relational.filterSort(s, dir)),
+    "q_topk" -> ((s, dir) => Relational.topK(s, dir)),
+    "q_latest_notnull" -> ((s, dir) => Relational.latestNotNull(s, dir)),
+    "q_null_audit" -> ((s, dir) => Relational.nullAudit(s, dir)),
+    "q_scalar_global" -> ((s, dir) => Relational.scalarGlobal(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +58,70 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
         |SELECT *, CASE WHEN sum_qty > 0 THEN sum_price / sum_qty END AS price_per_qty
         |FROM agg ORDER BY sum_price DESC, l_returnflag, l_linestatus""".stripMargin,
+    "q_select_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |       l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_cast_tolerant" ->
+      """SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS o_custkey,
+        |       CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_derived_ratio" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |       CASE WHEN l_quantity > 0 THEN l_extendedprice / l_quantity END AS unit_price
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_dateparts" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(year(l_shipdate) AS INT) AS year,
+        |       CAST(month(l_shipdate) AS INT) AS month,
+        |       CAST(weekofyear(l_shipdate) AS INT) AS week
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_guarded_rate" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax, l_extendedprice,
+        |       CASE WHEN l_discount IS NOT NULL THEN l_discount * l_extendedprice END AS discount_rate,
+        |       CASE WHEN l_tax IS NOT NULL THEN l_tax / l_discount * 100 END AS tax_over_discount
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_agg_by_date" ->
+      """SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS daily_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS daily_price,
+        |       count(l_returnflag) AS items_reporting
+        |FROM lineitem GROUP BY 1 ORDER BY ship_date""".stripMargin,
+    "q_moving_avg7" ->
+      """WITH daily AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_date,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS dprice
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ship_date, CAST(dprice AS DOUBLE) AS daily_price,
+        |       CAST(sum(dprice) OVER w AS DOUBLE) / count(dprice) OVER w AS ma7_price
+        |FROM daily
+        |WINDOW w AS (ORDER BY ship_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY ship_date""".stripMargin,
+    "q_isin_filter" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_filter_sort" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |ORDER BY ts, event_id""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q_latest_notnull" ->
+      """SELECT event_id, ts, user_id, value
+        |FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+        |ORDER BY ts DESC, event_id LIMIT 1""".stripMargin,
+    "q_null_audit" ->
+      """SELECT count(*) AS n_rows,
+        |       count(*) - count(l_quantity) AS null_quantity,
+        |       count(*) - count(l_extendedprice) AS null_price,
+        |       count(*) - count(l_shipdate) AS null_shipdate,
+        |       count(*) - count(l_returnflag) AS null_returnflag
+        |FROM lineitem""".stripMargin,
+    "q_scalar_global" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 AS avg_discount_pct
+        |FROM lineitem""".stripMargin,
   )
 }

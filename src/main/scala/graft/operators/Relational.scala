@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 import graft.functions.Stable._
 import graft.sources.Tables
 
@@ -37,4 +39,162 @@ object Relational {
         when(col("sum_qty") > 0, col("sum_price") / col("sum_qty")))
       .orderBy(col("sum_price").desc, col("l_returnflag"), col("l_linestatus"))
   }
+
+  /** Q1 (dashboard.py:68-83): projection + rename + date normalization +
+    * global sort. The select list prunes the parquet scan to exactly these
+    * columns (check ReadSchema in explain).
+    */
+  def selectProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T2 (data_transformer.py:116-145): schema-tolerant numeric cast fold —
+    * cast each listed column to double iff present, silently skip the rest.
+    * `nonexistent_metric` below exercises the tolerance on purpose.
+    */
+  def castTolerant(spark: SparkSession, dir: String): DataFrame = {
+    val wanted = Seq("o_custkey", "o_totalprice", "nonexistent_metric")
+    val df = Tables.orders(spark, dir)
+    val cast = wanted.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d.withColumn(c, col(c).cast(DoubleType)) else d
+    }
+    cast.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** T3 (data_transformer.py:148-154): guarded derived ratio column — NULL
+    * unless the divisor is strictly positive (the reference's CFR shape).
+    */
+  def derivedRatio(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+      .withColumn("unit_price",
+        when(col("l_quantity") > 0, col("l_extendedprice") / col("l_quantity")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T4 (data_transformer.py:156-160): calendar-part extraction; `week` is
+    * ISO-8601 in both Spark and DuckDB.
+    */
+  def dateParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .withColumn("year", year(col("ship_date")))
+      .withColumn("month", month(col("ship_date")))
+      .withColumn("week", weekofyear(col("ship_date")))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T5 (data_transformer.py:199-213): rate derivation guarded on the
+    * NUMERATOR being non-null (reference quirk — the divisor is unguarded;
+    * Spark's non-ANSI x/0 => NULL is the safety net, replicated as-is).
+    */
+  def guardedRate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_discount"), col("l_tax"), col("l_extendedprice"))
+      .withColumn("discount_rate",
+        when(col("l_discount").isNotNull, col("l_discount") * col("l_extendedprice")))
+      .withColumn("tax_over_discount",
+        when(col("l_tax").isNotNull, col("l_tax") / col("l_discount") * 100))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** T9 (data_transformer.py:258-276): date-grain global aggregation;
+    * `count(col)` counts non-null rows like the reference's
+    * `count("location")`.
+    */
+  def aggByDate(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+      .agg(
+        dsum(col("l_quantity")).as("daily_qty"),
+        dsum(col("l_extendedprice")).as("daily_price"),
+        count(col("l_returnflag")).as("items_reporting"))
+      .orderBy(col("ship_date"))
+
+  /** T10+T11 (data_transformer.py:279-291): trailing 7-row moving average
+    * over the date-grain aggregate, then ascending sort. The window has no
+    * partitionBy — single-partition by design, safe ONLY because it runs on
+    * post-aggregation data (~1 row/day; SURVEY.md §7.5 #5). The running sum
+    * stays in exact decimal until one final cast so the result is
+    * order-independent.
+    */
+  def movingAvg7(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("ship_date"))
+      .agg(sum(dec(col("l_extendedprice"))).as("dprice"))
+    val w = Window.orderBy(col("ship_date")).rowsBetween(-6, 0)
+    daily
+      .withColumn("ma7_price",
+        sum(col("dprice")).over(w).cast(DoubleType) / count(col("dprice")).over(w))
+      .select(col("ship_date"), col("dprice").cast(DoubleType).as("daily_price"),
+        col("ma7_price"))
+      .orderBy(col("ship_date"))
+  }
+
+  /** T12 (data_transformer.py:297-317) / Q3: IN-list predicate filter. The
+    * literal IN-list is pushed into the parquet scan by Catalyst
+    * (PushedFilters: In(c_mktsegment, ...)).
+    */
+  def isinFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Q3/Q4 (dashboard.py:105-140): IN-list filter + chronological sort over
+    * the event stream table.
+    */
+  def filterSort(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("ts"), col("event_id"))
+
+  /** Q2/Q5 (dashboard.py:86-102, :187-189): top-k = sort + limit; Spark
+    * plans TakeOrderedAndProject (no global sort materialization — each
+    * partition keeps k rows, the driver merges). Tie-broken on the key so
+    * the result set is unique.
+    */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(50)
+
+  /** Q6 (dashboard.py:307-316): latest row with all metrics present —
+    * not-null conjunction, newest-first sort, limit 1.
+    */
+  def latestNotNull(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("user_id").isNotNull)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("ts").desc, col("event_id"))
+      .limit(1)
+
+  /** Q9 (debugdb.py:22-58): data-quality null audit — one row of per-column
+    * null counts, computed in a single pass (count(*) - count(col)).
+    */
+  def nullAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col("l_quantity"))).as("null_quantity"),
+        (count(lit(1)) - count(col("l_extendedprice"))).as("null_price"),
+        (count(lit(1)) - count(col("l_shipdate"))).as("null_shipdate"),
+        (count(lit(1)) - count(col("l_returnflag"))).as("null_returnflag"))
+
+  /** Q8 (dashboard.py:335-338): global scalar ratio across the whole table
+    * — one row, fully map-side-combinable aggregation.
+    */
+  def scalarGlobal(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .agg((dsum(col("l_extendedprice") * col("l_discount"))
+        / dsum(col("l_extendedprice")) * 100).as("avg_discount_pct"))
 }
