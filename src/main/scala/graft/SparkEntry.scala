@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Analytics, Joins, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,14 @@ object SparkEntry {
     "q_latest_notnull" -> ((s, dir) => Relational.latestNotNull(s, dir)),
     "q_null_audit" -> ((s, dir) => Relational.nullAudit(s, dir)),
     "q_scalar_global" -> ((s, dir) => Relational.scalarGlobal(s, dir)),
+    "q_join_star" -> ((s, dir) => Joins.starJoin(s, dir)),
+    "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
+    "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
+    "q_setops" -> ((s, dir) => Joins.setOps(s, dir)),
+    "q_window_rank" -> ((s, dir) => Analytics.windowRank(s, dir)),
+    "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
+    "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
+    "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -123,5 +131,69 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
         |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 AS avg_discount_pct
         |FROM lineitem""".stripMargin,
+    "q_join_star" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_setops" ->
+      """WITH u AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |e AS (
+        |  SELECT c_custkey FROM u
+        |  EXCEPT
+        |  SELECT c_custkey FROM customer WHERE c_nationkey = 0)
+        |SELECT c_custkey FROM e ORDER BY c_custkey""".stripMargin,
+    "q_window_rank" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER w AS INT) AS rn,
+        |         lag(o_totalprice, 1) OVER w AS prev_price
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+        |SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price
+        |FROM t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_events_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_event_gaps" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT user_id, event_id, ts,
+        |       epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 AS gap_sec,
+        |       CASE WHEN prev_ts IS NULL
+        |                 OR (epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000) > 1800
+        |            THEN 1 ELSE 0 END AS new_session
+        |FROM t ORDER BY user_id, ts, event_id""".stripMargin,
   )
 }

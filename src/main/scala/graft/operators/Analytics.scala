@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Stable._
+import graft.sources.Tables
+
+/** Analytic (windowed / multi-level) operators beyond the reference's one
+  * trailing-average frame (SURVEY.md §2.4 "Window functions").
+  *
+  * Unlike the reference's T10 (a deliberately single-partition window over
+  * post-aggregation data), every window here carries a partitionBy, so the
+  * work distributes across executors — the shape that survives 100 TB.
+  */
+object Analytics {
+
+  /** Top-3 orders per customer with ranking and the previous order's price:
+    * row_number + lag over a per-customer window. Partitioned window —
+    * shuffles once on o_custkey, then sorts within partitions.
+    */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        col("o_totalprice"), col("prev_price"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) —
+    * grand total, per-flag subtotals, and leaf groups in one shuffle.
+    * grouping_id disambiguates the NULLs that denote rolled-up levels.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Hour-grain event aggregation — the batch analog of the streaming
+    * windowed count (graft.streaming runs the same plan incrementally).
+    */
+  def eventsByHour(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization-style gap detection: per-user event deltas via lag,
+    * flagging gaps over 30 minutes — the gaps-and-islands building block.
+    */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("gap_sec",
+        col("ts").cast("long") - col("prev_ts").cast("long"))
+      .withColumn("new_session",
+        when(col("gap_sec").isNull || col("gap_sec") > 1800, 1).otherwise(0))
+      .select(col("user_id"), col("event_id"), col("ts"), col("gap_sec"),
+        col("new_session"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+}

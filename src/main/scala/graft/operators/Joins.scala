@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Stable._
+import graft.sources.Tables
+
+/** Join and set-operation surface over the testdata star schema.
+  *
+  * The reference has zero joins (SURVEY.md §2.4) — correlation happens
+  * visually in separate dashboard charts — but a complete engine exposes
+  * them, and they are where 100 TB plans live or die. Strategy here:
+  * dimension tables (region/nation, and customer at small SF) ride
+  * broadcast hash joins — no shuffle of the fact table on the dim key;
+  * the lineitem⋈orders fact-fact edge is a shuffle join on the natural
+  * key, which AQE can convert or skew-split at runtime.
+  */
+object Joins {
+
+  /** TPC-H Q5-shaped star join: revenue by nation for one region and a
+    * date window. Filters sit directly on the scans (pushed to parquet),
+    * dims are explicitly broadcast, and the aggregate runs map-side first.
+    */
+  def starJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join: customers with at least one finished order — the
+    * relational EXISTS. Semi joins carry only the left side through the
+    * plan (no row multiplication, no right columns).
+    */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join: customers with no urgent orders — NOT EXISTS. The
+    * right side is filtered before the join so the anti probe is minimal.
+    */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Set operations, all in DISTINCT semantics to match ANSI UNION/EXCEPT:
+    * (BUILDING customers ∪ high-balance customers) ∖ nation-0 customers.
+    */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val nation0 = c.filter(col("c_nationkey") === 0).select(col("c_custkey"))
+    building.union(rich).distinct().except(nation0)
+      .orderBy(col("c_custkey"))
+  }
+}
