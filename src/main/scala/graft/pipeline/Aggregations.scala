@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation stage: T6-T11 of the reference
+  * (`/root/reference/src/transform/data_transformer.py:219-291`).
+  */
+object Aggregations {
+
+  /** T6+T7+T8 (data_transformer.py:219-252): per-country aggregate with
+    * derived per-100k rates and a descending sort. Note
+    * `avg(case_fatality_rate)` is an average-of-ratios over non-NULL days,
+    * not deaths/cases — replicated exactly (SURVEY.md §7.5 #6).
+    */
+  def byCountry(df: DataFrame): DataFrame =
+    df.groupBy(col("location"), col("iso_code"))
+      .agg(
+        max(col("date")).as("last_updated"),
+        max(col("total_cases")).as("total_cases"),
+        sum(col("new_cases")).as("cumulative_new_cases"),
+        max(col("total_deaths")).as("total_deaths"),
+        sum(col("new_deaths")).as("cumulative_new_deaths"),
+        avg(col("case_fatality_rate")).as("avg_case_fatality_rate"),
+        max(col("population")).as("population"),
+        count(lit(1)).as("data_points"))
+      .withColumn("cases_per_100k",
+        col("total_cases") / col("population") * 100000)
+      .withColumn("deaths_per_100k",
+        col("total_deaths") / col("population") * 100000)
+      .orderBy(col("total_cases").desc)
+
+  /** T9 (data_transformer.py:258-276): date-grain global aggregate. Sums
+    * run over ALL rows including OWID pseudo-locations (World, continents)
+    * — the reference double-counts by design and we replicate, not fix
+    * (SURVEY.md §7.5 #8). `count(location)` counts non-null locations.
+    */
+  def byDate(df: DataFrame): DataFrame =
+    df.groupBy(col("date"))
+      .agg(
+        sum(col("new_cases")).as("global_new_cases"),
+        sum(col("new_deaths")).as("global_new_deaths"),
+        sum(col("total_cases")).as("global_total_cases"),
+        sum(col("total_deaths")).as("global_total_deaths"),
+        count(col("location")).as("countries_reporting"))
+
+  /** T10+T11 (data_transformer.py:279-291): trailing 7-row moving average
+    * over the daily aggregate, ascending date order. No partitionBy — the
+    * frame is global by design and safe only post-aggregation (~1 row per
+    * day); never apply this to raw data at scale (SURVEY.md §7.5 #5).
+    * No min-periods: the first 6 rows average over fewer than 7 values,
+    * exactly like the reference.
+    */
+  def withGlobalMovingAvg(daily: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("date")).rowsBetween(-6, 0)
+    daily
+      .withColumn("avg_new_cases_7day", avg(col("global_new_cases")).over(w))
+      .withColumn("avg_new_deaths_7day", avg(col("global_new_deaths")).over(w))
+      .orderBy(col("date"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** EP1 orchestration (`/root/reference/main.py:128-174` +
+  * `src/transform/data_transformer.py:346-425`): materialize the five
+  * derived datasets from the two CSV inputs.
+  *
+  * Differences from the reference, both deliberate:
+  *   - `covid.cache()` — the reference feeds covid_df into four separate
+  *     actions with no persist (its README claims caching that the code
+  *     never does; SURVEY.md §4), recomputing the full transform 4×.
+  *   - no pandas/SQLite hop — the serving store stays Parquet + temp
+  *     views, queried with Spark SQL.
+  *
+  * Preserved behaviors (SURVEY.md §2.5): truncate-and-reload idempotence
+  * (SaveMode.Overwrite), schema tolerance, and the fail-soft vaccination
+  * branch — a missing/broken vaccination input logs and continues; a
+  * missing covid input fails the run (main.py:90-98).
+  */
+object Pipeline {
+
+  val defaultCountries: Seq[String] = Seq(
+    "United States", "India", "Brazil", "France", "Germany",
+    "United Kingdom", "Italy", "Spain", "Russia", "Japan",
+    "South Korea", "China", "Canada", "Australia", "Mexico")
+
+  def readCovidCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(Schemas.covid).csv(path)
+
+  def readVaccinationsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").schema(Schemas.vaccinations).csv(path)
+
+  def saveParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Run the full transform stage; returns dataset name -> parquet path.
+    * @param vaccCsv optional — None or a failing read skips the branch.
+    */
+  def run(spark: SparkSession, covidCsv: String, vaccCsv: Option[String],
+      outDir: String,
+      countries: Seq[String] = defaultCountries): Map[String, String] = {
+    val covid = Transforms.transformCovid(readCovidCsv(spark, covidCsv)).cache()
+    try {
+      val out = scala.collection.mutable.Map[String, String]()
+      def save(name: String, df: DataFrame): Unit = {
+        val p = s"$outDir/$name"
+        saveParquet(df, p)
+        out(name) = p
+      }
+      save("covid_full", covid)
+      save("covid_by_country", Aggregations.byCountry(covid))
+      save("covid_by_date",
+        Aggregations.withGlobalMovingAvg(Aggregations.byDate(covid)))
+      save("covid_filtered", Transforms.filterCountries(covid, countries))
+      vaccCsv.foreach { p =>
+        // Fail-soft: the reference continues when vaccinations are absent
+        // (data_transformer.py:399-407).
+        try save("vaccinations",
+          Transforms.transformVaccinations(readVaccinationsCsv(spark, p)))
+        catch {
+          case e: Exception =>
+            System.err.println(s"[pipeline] vaccination branch skipped: ${e.getMessage}")
+        }
+      }
+      out.toMap
+    } finally covid.unpersist()
+  }
+}

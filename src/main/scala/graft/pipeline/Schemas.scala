@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.types._
+
+/** Explicit schemas for the OWID-shaped inputs.
+  *
+  * The reference infers CSV schemas at runtime
+  * (`/root/reference/src/transform/data_transformer.py:85-89`) and then
+  * corrects the inference with an allowlist of casts; its own tests use
+  * explicit StructTypes instead (`tests/test_transformer.py:83-96`). We
+  * take the tests' approach everywhere: explicit schema, one pass over the
+  * file (inferSchema costs an extra full scan — at 100 TB that is the
+  * whole job twice), deterministic types.
+  */
+object Schemas {
+  /** The 24 numeric covid columns cast at data_transformer.py:116-141. */
+  val covidNumericCols: Seq[String] = Seq(
+    "total_cases", "new_cases", "total_deaths", "new_deaths",
+    "total_cases_per_million", "new_cases_per_million",
+    "total_deaths_per_million", "new_deaths_per_million",
+    "reproduction_rate", "icu_patients", "hosp_patients",
+    "positive_rate", "tests_per_case", "total_tests", "new_tests",
+    "population", "population_density", "median_age",
+    "aged_65_older", "aged_70_older", "gdp_per_capita",
+    "cardiovasc_death_rate", "diabetes_prevalence", "life_expectancy")
+
+  /** The 9 numeric vaccination columns cast at data_transformer.py:182-192. */
+  val vaccNumericCols: Seq[String] = Seq(
+    "total_vaccinations", "people_vaccinated", "people_fully_vaccinated",
+    "total_boosters", "daily_vaccinations",
+    "daily_vaccinations_per_million", "total_vaccinations_per_hundred",
+    "people_vaccinated_per_hundred", "people_fully_vaccinated_per_hundred")
+
+  /** CSV-ingest schema: keys as string, `date` as string (parsed to
+    * DateType by Transforms.parseDate, mirroring T1), metrics as double.
+    */
+  val covid: StructType = StructType(
+    Seq(
+      StructField("iso_code", StringType),
+      StructField("continent", StringType),
+      StructField("location", StringType),
+      StructField("date", StringType)) ++
+      covidNumericCols.map(c => StructField(c, DoubleType)))
+
+  val vaccinations: StructType = StructType(
+    Seq(
+      StructField("location", StringType),
+      StructField("iso_code", StringType),
+      StructField("date", StringType)) ++
+      vaccNumericCols.map(c => StructField(c, DoubleType)))
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Spot checks of the testdata-backed operator surface at sf0.001 (the
+  * DuckDB oracle at sf0.01 is the authoritative gate; these are fast
+  * regression guards).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("aggByKey groups to the 3x2 flag/status grid with positive sums") {
+    val rows = Relational.aggByKey(spark, dir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 0))
+    // sorted by sum_price descending
+    val prices = rows.map(_.getAs[Double]("sum_price"))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("topK returns exactly 50 rows in descending price order") {
+    val rows = Relational.topK(spark, dir).collect()
+    assert(rows.length == 50)
+    val p = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(p.sameElements(p.sortBy(-_)))
+  }
+
+  test("movingAvg7 trailing frame: row 7 averages exactly days 1..7") {
+    val rows = Relational.movingAvg7(spark, dir).limit(7).collect()
+    val daily = rows.map(_.getAs[Double]("daily_price"))
+    val ma7 = rows.last.getAs[Double]("ma7_price")
+    assert(math.abs(ma7 - daily.sum / 7) < 1e-6)
+    // first row's frame is just itself (no min-periods)
+    assert(rows.head.getAs[Double]("ma7_price") == daily.head)
+  }
+
+  test("semi and anti joins partition the urgent-order customer space") {
+    val c = graft.sources.Tables.customer(spark, dir).count()
+    val anti = Joins.antiJoin(spark, dir).count()
+    val semiUrgent = {
+      import org.apache.spark.sql.functions.col
+      val cust = graft.sources.Tables.customer(spark, dir)
+      val o = graft.sources.Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_semi").count()
+    }
+    assert(anti + semiUrgent == c)
+  }
+
+  test("rollup emits leaf + subtotal + grand-total levels that reconcile") {
+    val rows = Analytics.rollupAgg(spark, dir).collect()
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val leaves = rows.filter(_.getAs[Long]("gid") == 0L)
+    assert(leaves.map(_.getAs[Long]("n_items")).sum ==
+      grand.head.getAs[Long]("n_items"))
+  }
+
+  test("event gaps: first event per user opens a session") {
+    val rows = Analytics.eventGaps(spark, dir).collect()
+    val firstPerUser = rows.groupBy(_.getAs[Long]("user_id"))
+      .values.map(_.minBy(_.getAs[java.sql.Timestamp]("ts").getTime))
+    assert(firstPerUser.forall(_.getAs[Int]("new_session") == 1))
+  }
+}

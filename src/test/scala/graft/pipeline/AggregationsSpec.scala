@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AggregationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  val schema = StructType(Seq(
+    StructField("date", DateType),
+    StructField("location", StringType),
+    StructField("iso_code", StringType),
+    StructField("total_cases", DoubleType),
+    StructField("new_cases", DoubleType),
+    StructField("total_deaths", DoubleType),
+    StructField("new_deaths", DoubleType),
+    StructField("case_fatality_rate", DoubleType),
+    StructField("population", DoubleType)))
+
+  def d(s: String) = java.sql.Date.valueOf(s)
+
+  def fixture = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row(d("2024-01-01"), "Brazil", "BRA", 100.0, 10.0, 1.0, 1.0, 1.0, 1000000.0),
+      Row(d("2024-01-02"), "Brazil", "BRA", 150.0, 50.0, 2.0, 1.0, null, 1000000.0),
+      Row(d("2024-01-01"), "Chile", "CHL", 10.0, 10.0, 1.0, 1.0, 10.0, 500000.0)),
+    schema)
+
+  test("byCountry: max/sum/avg/count semantics + per-100k derivations") {
+    val out = Aggregations.byCountry(fixture).collect()
+    assert(out.length == 2)
+    val brazil = out.find(_.getString(0) == "Brazil").get
+    assert(brazil.getAs[Double]("total_cases") == 150.0)
+    assert(brazil.getAs[Double]("cumulative_new_cases") == 60.0)
+    assert(brazil.getAs[Long]("data_points") == 2L)
+    // avg over non-NULL CFR days only (average-of-ratios, not deaths/cases)
+    assert(brazil.getAs[Double]("avg_case_fatality_rate") == 1.0)
+    assert(math.abs(brazil.getAs[Double]("cases_per_100k") - 15.0) < 1e-9)
+    assert(brazil.getAs[java.sql.Date]("last_updated") == d("2024-01-02"))
+    // descending total_cases: Brazil first
+    assert(out(0).getString(0) == "Brazil")
+  }
+
+  test("byDate: sums include every location (pseudo-locations too), count non-null") {
+    val out = Aggregations.byDate(fixture).orderBy("date").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("global_new_cases") == 20.0)
+    assert(out(0).getAs[Long]("countries_reporting") == 2L)
+    assert(out(1).getAs[Long]("countries_reporting") == 1L)
+  }
+
+  test("moving average: first rows average over fewer than 7 values (no min-periods)") {
+    val daily = Aggregations.byDate(fixture)
+    val out = Aggregations.withGlobalMovingAvg(daily).orderBy("date").collect()
+    assert(out(0).getAs[Double]("avg_new_cases_7day") == 20.0)       // 1-row frame
+    assert(out(1).getAs[Double]("avg_new_cases_7day") == 35.0)       // (20+50)/2
+  }
+}

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def writeCsv(dir: java.nio.file.Path, name: String, content: String): String = {
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  val covidCsv =
+    """iso_code,continent,location,date,total_cases,total_deaths,new_cases,new_deaths,population
+      |BRA,South America,Brazil,2024-01-01,1000,10,100,1,200000000
+      |BRA,South America,Brazil,2024-01-02,1100,12,100,2,200000000
+      |USA,North America,United States,2024-01-01,5000,50,500,5,330000000
+      |""".stripMargin
+
+  val vaccCsv =
+    """location,iso_code,date,total_vaccinations,people_vaccinated,people_fully_vaccinated
+      |Brazil,BRA,2024-01-01,1000,600,300
+      |""".stripMargin
+
+  test("full pipeline materializes the five datasets, idempotently") {
+    val dir = Files.createTempDirectory("graft_pipe")
+    val covid = writeCsv(dir, "covid.csv", covidCsv)
+    val vacc = writeCsv(dir, "vacc.csv", vaccCsv)
+    val out = Pipeline.run(spark, covid, Some(vacc), s"$dir/out",
+      countries = Seq("Brazil"))
+    assert(out.keySet == Set("covid_full", "covid_by_country",
+      "covid_by_date", "covid_filtered", "vaccinations"))
+    assert(spark.read.parquet(out("covid_full")).count() == 3)
+    assert(spark.read.parquet(out("covid_by_country")).count() == 2)
+    assert(spark.read.parquet(out("covid_by_date")).count() == 2)
+    assert(spark.read.parquet(out("covid_filtered")).count() == 2)
+    assert(spark.read.parquet(out("vaccinations")).count() == 1)
+    // truncate-and-reload idempotence: rerun must not duplicate rows
+    val out2 = Pipeline.run(spark, covid, Some(vacc), s"$dir/out",
+      countries = Seq("Brazil"))
+    assert(spark.read.parquet(out2("covid_full")).count() == 3)
+    // derived columns present
+    val full = spark.read.parquet(out("covid_full"))
+    assert(Seq("case_fatality_rate", "year", "month", "week")
+      .forall(full.columns.contains))
+    val vaccDf = spark.read.parquet(out("vaccinations"))
+    assert(vaccDf.head().getAs[Double]("vaccination_rate") == 60.0)
+    assert(vaccDf.head().getAs[Double]("full_vaccination_rate") == 50.0)
+  }
+
+  test("fail-soft vaccination branch: bad path logs and continues (main.py:90-98)") {
+    val dir = Files.createTempDirectory("graft_pipe2")
+    val covid = writeCsv(dir, "covid.csv", covidCsv)
+    val out = Pipeline.run(spark, covid, Some(s"$dir/does_not_exist.csv"),
+      s"$dir/out", countries = Seq("Brazil"))
+    assert(!out.contains("vaccinations"))
+    assert(out.contains("covid_full"))
+  }
+}

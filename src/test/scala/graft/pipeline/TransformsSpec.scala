@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TransformsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // A1 fixture (reference tests/test_transformer.py:83-97)
+  val covidSchema = StructType(Seq(
+    StructField("date", StringType),
+    StructField("location", StringType),
+    StructField("total_cases", DoubleType),
+    StructField("total_deaths", DoubleType),
+    StructField("iso_code", StringType)))
+
+  def covidFixture = spark.createDataFrame(
+    java.util.Arrays.asList(
+      Row("2024-01-01", "Brazil", 1000.0, 10.0, "BRA"),
+      Row("2024-01-02", "Brazil", null, 5.0, "BRA"),
+      Row("2024-01-03", "Brazil", 0.0, 5.0, "BRA"),
+      Row("2024-01-04", "Brazil", 500.0, null, "BRA")),
+    covidSchema)
+
+  test("CFR: (10/1000)*100 = 1.0 within 0.01 (reference test_transformer.py:107-111)") {
+    val out = Transforms.withCaseFatalityRate(covidFixture)
+      .filter("date = '2024-01-01'").select("case_fatality_rate").head()
+    assert(math.abs(out.getDouble(0) - 1.0) < 0.01)
+  }
+
+  test("CFR null edges: NULL cases -> NULL, 0 cases -> NULL, NULL deaths -> NULL") {
+    val rows = Transforms.withCaseFatalityRate(covidFixture)
+      .orderBy("date").select("case_fatality_rate").collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+    assert(rows(2).isNullAt(0))
+    assert(rows(3).isNullAt(0))
+  }
+
+  test("date parts exist and week is ISO (2024-01-01 is ISO week 1)") {
+    val out = Transforms.withDateParts(Transforms.parseDate(covidFixture))
+      .filter("location = 'Brazil'").orderBy("date").head()
+    assert(out.getAs[Int]("year") == 2024)
+    assert(out.getAs[Int]("month") == 1)
+    assert(out.getAs[Int]("week") == 1)
+  }
+
+  test("cast fold skips missing columns without error and casts present ones") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row("x", "42.5")),
+      StructType(Seq(StructField("location", StringType),
+        StructField("total_cases", StringType))))
+    val out = Transforms.castNumericIfPresent(df, Schemas.covidNumericCols)
+    assert(out.schema("total_cases").dataType == DoubleType)
+    assert(out.columns.toSet == Set("location", "total_cases"))
+    assert(out.head().getDouble(1) == 42.5)
+  }
+
+  test("vaccination rates guard on numerator; divisor NULL/0 -> NULL result") {
+    val schema = StructType(Seq(
+      StructField("people_vaccinated", DoubleType),
+      StructField("total_vaccinations", DoubleType),
+      StructField("people_fully_vaccinated", DoubleType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(50.0, 100.0, 25.0),   // 50% and 50%
+        Row(null, 100.0, 25.0),   // guard: NULL numerator -> NULL rate
+        Row(50.0, null, null),    // NULL divisor -> NULL (non-ANSI)
+        Row(50.0, 0.0, 25.0)),    // 0 divisor -> NULL (x/0 => NULL)
+      schema)
+    val out = Transforms.withVaccinationRates(df).collect()
+    assert(out(0).getAs[Double]("vaccination_rate") == 50.0)
+    assert(out(0).getAs[Double]("full_vaccination_rate") == 50.0)
+    assert(out(1).isNullAt(3))
+    assert(out(2).isNullAt(3))
+    assert(out(3).isNullAt(3))
+  }
+
+  test("country filter keeps exactly the allowlist (test_transformer.py:113-140)") {
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row("Brazil", 100.0), Row("United States", 200.0), Row("Germany", 300.0)),
+      StructType(Seq(StructField("location", StringType),
+        StructField("total_cases", DoubleType))))
+    val out = Transforms.filterCountries(df, Seq("Brazil", "United States"))
+    assert(out.count() == 2)
+    assert(out.select("location").collect().map(_.getString(0)).toSet ==
+      Set("Brazil", "United States"))
+  }
+}
