@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Joins, Relational}
+import graft.operators.{Analytics, Dedup, Joins, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,17 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
+    "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "q_text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
+    "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -195,5 +206,140 @@ object SparkEntry {
         |                 OR (epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000) > 1800
         |            THEN 1 ELSE 0 END AS new_session
         |FROM t ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id, lang, length(text) AS n_chars,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       CAST(len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+        |                            s -> length(s) > 0)) AS INT) AS n_subwords,
+        |       length(replace(text, ' ', '')) / len(string_split(text, ' ')) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) AS distinct_ratio,
+        |       len(list_filter(string_split(text, ' '),
+        |           t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |         / len(string_split(text, ' ')) AS stopword_ratio,
+        |       least(len(string_split(text, ' ')) / 100.0, 1.0)
+        |         * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT) AS s_en,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS INT) AS s_de,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','que','los','las','una','por'))) AS INT) AS s_es,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une','est','dans'))) AS INT) AS s_fr
+        |  FROM documents)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+        |       CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS content_md5,
+        |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Brute-force oracle for the LSH path: at the planted similarity
+    // (jaccard >= 0.9) banded-minhash recall is ~1-3e-8, so LSH output
+    // equals all-pairs output.
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         len(list_intersect(a.sh, b.sh))
+        |           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY da, db""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS len_bucket,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         len(list_intersect(a.sh, b.sh))
+        |           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |   AND a.doc_id < b.doc_id)
+        |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY da, db""".stripMargin,
+    // q_dedup_simhash: no oracle — xxhash64 has no DuckDB equivalent
+    //                  (driver records rows-only check).
+    "q_dedup_embedding" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+        |  FROM v),
+        |pairs AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |           / (a.nrm * b.nrm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT va, vb, cos FROM pairs WHERE cos >= 0.95 ORDER BY va, vb""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label,
+        |       list_sum(list_transform(range(1, len(qv)+1),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |FROM embeddings e, q
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q_ann_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
+        |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
+        |  LIMIT 4)
+        |SELECT a.vec_id, a.cid,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |FROM assigned a JOIN probe USING (cid), q
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
   )
 }

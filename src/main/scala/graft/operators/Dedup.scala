@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline: exact, MinHash
+  * LSH, SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every strategy is candidate-generation-first. Exact dedup
+  * is one hash aggregation; the near-dup paths compute per-document
+  * signatures in a narrow map stage, then shuffle only (band-key, doc)
+  * pairs — never all-pairs. The exact-similarity verify runs only on
+  * bucket-collision candidates, which is what keeps near-dedup feasible at
+  * 100 TB (all-pairs is O(n²); LSH is ~O(n · bands)).
+  */
+object Dedup {
+
+  /** Word k-shingles, deduplicated, as the document's similarity set. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array(text))
+  }
+
+  /** Exact dedup via hash aggregation on the normalized text: one shuffle
+    * on the content key, keeping the smallest doc_id as canonical.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val NumHashes = 64
+  private val Bands = 16 // x 4 rows/band
+
+  /** Per-document MinHash signature columns sig_0..sig_63: for each seed,
+    * the min of xxhash64(seed, shingle) over the shingle set. Computed
+    * per-row with higher-order functions — no explode, no shuffle.
+    */
+  private def withSignature(docs: DataFrame): DataFrame = {
+    val sigs = (0 until NumHashes).map { i =>
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"sig_$i")
+    }
+    docs.select(col("doc_id") +: col("sh") +: sigs: _*)
+  }
+
+  /** Candidate pairs from banded LSH: docs sharing any 4-row band bucket.
+    * Detection probability for Jaccard j is 1-(1-j^4)^16 — ≈1 above 0.85,
+    * steeply off below 0.6.
+    */
+  private def candidatePairs(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"sig_${4 * b + r}")): _*).as("h"))
+    }
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h")
+        && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-duplicate detection with an exact n-gram-Jaccard
+    * verify on the candidates. Output: (da, db, jaccard) pairs at or above
+    * the threshold. At the planted-duplicate similarity level (>=0.9) the
+    * LSH recall is ~1-3e-8, so the result equals the brute-force oracle.
+    */
+  def minhashNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val cands = candidatePairs(withSignature(docs))
+    val sa = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
+    val sb = docs.select(col("doc_id").as("db"), col("sh").as("shb"))
+    cands.join(sa, "da").join(sb, "db")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** N-gram Jaccard dedup without LSH: same verify metric, candidates
+    * blocked on the cheap (lang, token-count bucket) key — a deterministic
+    * blocking strategy for corpora where near-dups keep length and
+    * language. All-pairs only WITHIN a block.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
+        // so the oracle mirrors floor() on both sides
+        floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
+        shingles(col("text")).as("sh"))
+    val a = docs.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("da"), col("sh").as("sha"))
+    val b = docs.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("db"), col("sh").as("shb"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("da") < col("db"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb")))
+          / size(array_union(col("sha"), col("shb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** 64-bit SimHash over word unigrams: each token votes ±1 per bit of its
+    * xxhash64; the sign vector packs into one long. Near-dups then block on
+    * 16-bit quarters (hamming<=3 pairs must share a quarter). Per-row
+    * compute only — output is (doc_id, simhash, the 4 block keys).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val votes = aggregate(
+      tokens(col("text")),
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), j =>
+          when(call_function("shiftright", xxhash64(w), j)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    val packed = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), packed.as("simhash"))
+      .withColumn("q0", col("simhash").bitwiseAND(lit(0xFFFFL)))
+      .withColumn("q1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("q2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
+      .withColumn("q3", shiftright(col("simhash"), 48).bitwiseAND(lit(0xFFFFL)))
+      .orderBy(col("doc_id"))
+  }
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH over embeddings:
+    * fixed-seed generation so every run/plan produces identical buckets.
+    */
+  private[operators] val hyperplanes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(16, 64)(rnd.nextDouble() - 0.5)
+  }
+
+  /** Embedding-cosine near-duplicate detection: 16 sign bits from fixed
+    * hyperplanes, banded 4x4 for candidates, exact cosine verify. The
+    * threshold is high (0.95) — near-dup embeddings agree on almost every
+    * sign bit, so banded recall is ~1 there.
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame =
+    embeddingNearDupOn(Tables.embeddings(spark, dir), threshold)
+
+  /** Same, over any (vec_id, embedding array<float|double>) frame —
+    * unit-testable with planted duplicates.
+    */
+  def embeddingNearDupOn(emb: DataFrame, threshold: Double): DataFrame = {
+    val v = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val bits = (0 until 16).map { b =>
+      val plane = array(hyperplanes(b).map(lit): _*)
+      when(dot(col("v"), plane) > 0, 1).otherwise(0).as(s"bit_$b")
+    }
+    val withBits = v.select(col("vec_id") +: col("v") +: bits: _*)
+    val bandCols = (0 until 4).map { band =>
+      struct(lit(band).as("band"),
+        (0 until 4).map(r => col(s"bit_${4 * band + r}") * (1 << r))
+          .reduce(_ + _).as("h"))
+    }
+    val buckets = withBits.select(col("vec_id"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("vec_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val cands = buckets.as("a")
+      .join(buckets.as("b"), col("a.band") === col("b.band")
+        && col("a.h") === col("b.h") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .distinct()
+    val va = v.select(col("vec_id").as("va"), col("v").as("ea"))
+    val vb = v.select(col("vec_id").as("vb"), col("v").as("eb"))
+    cands.join(va, "va").join(vb, "vb")
+      .withColumn("cos", cosine(col("ea"), col("eb")))
+      .filter(col("cos") >= threshold)
+      .select(col("va"), col("vb"), col("cos"))
+      .orderBy(col("va"), col("vb"))
+  }
+}

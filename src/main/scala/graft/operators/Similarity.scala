@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table.
+  *
+  * Two tiers, mirroring a production ANN setup:
+  *   - brute-force cosine top-k — the exact baseline; a single broadcast
+  *     of the query vector and one narrow pass + TakeOrderedAndProject.
+  *     O(n·d) per query, the right answer up to ~10⁸ vectors/partitioned
+  *     scan, and the recall yardstick for everything else;
+  *   - IVF-style partitioned search — vectors pre-assigned to the nearest
+  *     of C centroids (here a deterministic codebook: the first 16
+  *     vectors); a query probes only the closest `nprobe` cells. At scale
+  *     the assignment becomes a bucketed/partitioned layout so a probe
+  *     reads only matching partitions.
+  */
+object Similarity {
+
+  /** Exact cosine top-k for the query vector (vec_id = queryId). */
+  def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(vecD(col("embedding")).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosine(vecD(col("embedding")), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-bucketed approximate top-k: assign every vector to its nearest
+    * centroid (min L2², ties to the lower centroid id), probe the
+    * `nprobe` cells nearest the query, exact cosine within them.
+    */
+  def annIvfTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+    // nearest-centroid assignment: one broadcast nested pass + argmin
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("dist", l2sq(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+
+    assigned.join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+}

