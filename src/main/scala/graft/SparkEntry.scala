@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Joins, Relational, Similarity, TextAnalysis}
+import graft.operators.{Analytics, Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -51,6 +51,8 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
+    "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -341,5 +343,18 @@ object SparkEntry {
         |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
         |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // q_media_frames: no oracle — FNV-1a frame hashes (64-bit wrap-around
+    //                 multiply) have no DuckDB equivalent; rows-only check.
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_type,
+        |       CAST(strlen(text) AS INT) AS byte_len,
+        |       CAST(64 + strlen(text) % 577 AS INT) AS width,
+        |       CAST(64 + (strlen(text) * 31) % 431 AS INT) AS height,
+        |       list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+        |         / strlen(text) AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

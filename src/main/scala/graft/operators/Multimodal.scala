@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, processed by typed batch
+  * functions.
+  *
+  * The actual codecs are NOT in this environment, so the decode step is a
+  * clearly-marked deterministic STUB (fake dimensions derived from the
+  * payload). Everything around it is real and tested: the binary column
+  * schema, the typed `Dataset` encoding, the `mapPartitions` batch shape
+  * (one iterator per partition — the JVM analog of a batched
+  * `mapInPandas`), frame sampling, and per-frame hashing. Swapping
+  * `decodeDims` for a real codec changes no plan shape.
+  *
+  * Scale: feature extraction is a narrow per-partition map over the blob
+  * column — no shuffle; the blob column never routes through a join or
+  * aggregate key.
+  */
+object Multimodal {
+
+  case class MediaRecord(doc_id: Long, media_type: String, blob: Array[Byte])
+  case class MediaFeatures(doc_id: Long, media_type: String, byte_len: Int,
+    width: Int, height: Int, mean_byte: Double, n_frames: Int,
+    frame_hashes: Seq[Long])
+
+  /** Binary media table: the documents' UTF-8 bytes stand in for encoded
+    * media payloads; media_type assignment is deterministic.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio")
+        .otherwise("video").as("media_type"),
+      col("text").cast("binary").as("blob"))
+
+  /** STUB decoder — deterministic fake dimensions in place of a real
+    * image/audio codec (not available in this container).
+    */
+  private[operators] def decodeDims(blob: Array[Byte]): (Int, Int) =
+    (64 + blob.length % 577, 64 + (blob.length * 31) % 431)
+
+  /** FNV-1a 64-bit over a byte range — dependency-free frame hash. */
+  private[operators] def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xff).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Typed batch feature extraction: decode-stub + per-byte stats + evenly
+    * spaced frame sampling with per-frame hashes, as `mapPartitions` over
+    * `Dataset[MediaRecord]`.
+    */
+  def extractFeatures(spark: SparkSession, dir: String,
+      nFrames: Int = 4): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+      it.map { r =>
+        val len = r.blob.length
+        val (w, h) = decodeDims(r.blob)
+        var sum = 0L
+        var i = 0
+        while (i < len) { sum += (r.blob(i) & 0xff); i += 1 }
+        val mean = if (len == 0) 0.0 else sum.toDouble / len
+        val frames = (0 until nFrames).map { f =>
+          fnv1a(r.blob, (len.toLong * f / nFrames).toInt,
+            (len.toLong * (f + 1) / nFrames).toInt)
+        }
+        MediaFeatures(r.doc_id, r.media_type, len, w, h, mean, nFrames, frames)
+      }
+    }
+  }
+
+  /** Metadata slice of the features — the oracle-checkable part (the
+    * payloads are ASCII text, so byte stats are SQL-reproducible).
+    */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(col("doc_id"), col("media_type"), col("byte_len"),
+        col("width"), col("height"), col("mean_byte"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sample output (hashes have no SQL equivalent — rows-only). */
+  def mediaFrames(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(spark, dir)
+      .select(col("doc_id"), posexplode(col("frame_hashes"))
+        .as(Seq("frame_idx", "frame_hash")))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Resize stub: metadata-only aspect-preserving downscale — the plan
+    * shape of a real resample without the codec.
+    */
+  def resizeMeta(features: Dataset[MediaFeatures], maxDim: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxDim) / greatest(col("width"), col("height")))
+    features.toDF()
+      .withColumn("out_width", floor(col("width") * scale).cast("int"))
+      .withColumn("out_height", floor(col("height") * scale).cast("int"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_width"), col("out_height"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is daily-batch only
+  * (SURVEY.md §2.4 "Streaming: None"), so this is engine capability beyond
+  * parity: the same event-table aggregations run incrementally.
+  *
+  * Both operators are written against unbounded input: watermarks bound
+  * state, aggregation state is per (window, type) — partitionable across
+  * executors — and the sessionizer keys state by user_id. Nothing here
+  * buffers a full stream partition in memory.
+  */
+object EventStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class Session(user_id: Long, started: Timestamp, ended: Timestamp,
+    n_events: Long, total_value: Double)
+
+  /** Hour-window counts with a watermark for late data — the incremental
+    * form of Analytics.eventsByHour. Works on a streaming OR batch frame
+    * (watermark is a no-op in batch).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit keyed state
+    * (flatMapGroupsWithState): a session closes when the next event is
+    * more than `gapSec` after the last one; closed sessions are emitted
+    * downstream. Batch-within-group events arrive unordered — sorted here;
+    * cross-batch order is the stream's responsibility (event-time
+    * processing with watermark in production).
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800)(
+      implicit enc: org.apache.spark.sql.Encoder[Session],
+      senc: org.apache.spark.sql.Encoder[Option[Session]]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Option[Session], Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Option[Session]]) =>
+          var cur = state.getOption.flatten
+          val out = scala.collection.mutable.ArrayBuffer[Session]()
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            cur match {
+              case Some(s) if e.ts.getTime - s.ended.getTime <= gapSec * 1000 =>
+                cur = Some(s.copy(ended = e.ts, n_events = s.n_events + 1,
+                  total_value = s.total_value + e.value))
+              case Some(s) =>
+                out += s
+                cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+              case None =>
+                cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+            }
+          }
+          state.update(cur)
+          out.iterator
+      }
+  }
+}

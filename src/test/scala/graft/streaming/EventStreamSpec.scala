@@ -1,0 +1,64 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import EventStream.{Event, Session}
+
+class EventStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("hourlyCounts over a memory stream matches the batch aggregation") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:55:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 3.0))
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+      assert(rows.length == 2)
+      val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+      assert(clicks.getAs[Long]("n_events") == 2)
+      assert(clicks.getAs[Double]("sum_value") == 3.0)
+      assert(clicks.getAs[Timestamp]("hour") == ts("2024-01-01 10:00:00"))
+    } finally q.stop()
+  }
+
+  test("sessionize emits a closed session once the gap is exceeded") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    // session 1: two events 10 min apart; then a 2h gap opens session 2
+    input.addData(
+      Event(1, ts("2024-01-01 09:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 09:10:00"), 7, "click", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 7, "view", 5.0))
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("sessions").as[Session].collect()
+      assert(rows.length == 1) // first session closed; second still open
+      assert(rows.head.n_events == 2)
+      assert(rows.head.total_value == 3.0)
+      assert(rows.head.started == ts("2024-01-01 09:00:00"))
+      assert(rows.head.ended == ts("2024-01-01 09:10:00"))
+    } finally q.stop()
+  }
+
+  test("hourlyCounts also runs as a plain batch plan (watermark is a no-op)") {
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val out = EventStream.hourlyCounts(events)
+    assert(out.count() > 0)
+  }
+}
