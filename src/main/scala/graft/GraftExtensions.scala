@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import graft.functions.{DotProduct, Hyperplanes, L2Sq, SignBands, WordShingles}
+
+/** Session plugin registering graft's native Catalyst expressions.
+  *
+  * Installed via the public extension point —
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — so the
+  * functions are available to `call_function`/SQL in any session (incl.
+  * spark-submit on a real cluster) without touching Spark internals.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def fn(name: String, arity: Int)(
+      build: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(build.getClass.getName, name),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        build(args)
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(fn("vec_dot", 2)(a => DotProduct(a(0), a(1))))
+    ext.injectFunction(fn("vec_l2sq", 2)(a => L2Sq(a(0), a(1))))
+    ext.injectFunction(fn("emb_sign_bands", 1)(a =>
+      SignBands(a(0), Hyperplanes.planes.map(_.toSeq).toSeq,
+        Hyperplanes.RowsPerBand)))
+    ext.injectFunction(fn("word_shingles", 2) { a =>
+      val k = a(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_shingles: k must be an integer literal, got $other")
+      }
+      WordShingles(a(0), k)
+    })
+  }
+}

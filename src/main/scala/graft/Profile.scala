@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.Dedup
+
+/** Dev-only stage profiler for the dedup operators at a given SF dir. */
+object Profile {
+  def t(name: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime(); val n = f
+    println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+  }
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    t("minhash_full")(Dedup.minhashNearDup(spark, dir).count())
+    t("ngram_full")(Dedup.ngramJaccardPairs(spark, dir).count())
+    t("embed_full")(Dedup.embeddingNearDup(spark, dir).count())
+    t("embed_again")(Dedup.embeddingNearDup(spark, dir).count())
+    spark.stop()
+  }
+}

@@ -10,6 +10,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       // Reference parity: PySpark 3.5 non-ANSI semantics (x/0 => NULL,
       // matching DuckDB's double division), not Spark 4's ANSI default.

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Graft's fixed sign-LSH codebook: deterministic pseudo-random
+  * hyperplanes (seed 42) so every run, plan, and cluster node produces
+  * identical buckets. 4 bands × 16 sign bits: wide bands keep clustered
+  * corpora from bucketing whole clusters together (see
+  * [[graft.operators.Dedup.embeddingNearDupOn]]).
+  */
+object Hyperplanes {
+  val RowsPerBand = 16
+  val Bands = 4
+  val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(Bands * RowsPerBand, 64)(rnd.nextDouble() - 0.5)
+  }
+}
+
+/** Banded sign-LSH kernel: project a vector onto `bands · rowsPerBand`
+  * fixed hyperplanes, take sign bits, pack each band's bits into one int
+  * bucket hash.
+  */
+object SignBandKernel {
+  def compute(v: ArrayData, planes: Array[Array[Double]], bands: Int,
+      rowsPerBand: Int): ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Int](bands)
+    var p = 0
+    var band = 0
+    while (band < bands) {
+      var h = 0
+      var r = 0
+      while (r < rowsPerBand) {
+        val plane = planes(p)
+        val n = math.min(d, plane.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+        if (s > 0) h |= 1 << r
+        r += 1
+        p += 1
+      }
+      out(band) = h
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `sign_bands(v)` over a fixed hyperplane codebook → `array<int>` of one
+  * bucket hash per band.
+  *
+  * One native expression instead of `bands · rowsPerBand` separate
+  * `when(vec_dot(v, plane_i) > 0, …)` columns: the unrolled formulation
+  * generated a huge whole-stage-codegen method that Janino recompiled for
+  * every join branch referencing it — compile time dwarfed execution on
+  * the LSH self-join. Here the generated code is a single kernel call and
+  * the plane matrix rides along as a codegen reference object.
+  *
+  * Assumes dense vectors (no null elements), the embedding-table contract.
+  */
+case class SignBands(child: Expression, planes: Seq[Seq[Double]],
+    rowsPerBand: Int) extends UnaryExpression {
+  require(planes.nonEmpty && planes.length % rowsPerBand == 0,
+    s"sign_bands: ${planes.length} planes not divisible into $rowsPerBand-row bands")
+
+  private val bands = planes.length / rowsPerBand
+  @transient private lazy val planeArr: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def prettyName: String = "sign_bands"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sign_bands requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignBandKernel.compute(input.asInstanceOf[ArrayData], planeArr, bands,
+      rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+      s"${ev.value} = graft.functions.SignBandKernel.compute($c, $ref, " +
+        s"$bands, $rowsPerBand);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignBands =
+    copy(child = newChild)
+}

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Codegen'd vector kernels for `array<double>` embedding columns.
+  *
+  * Spark's higher-order functions (`zip_with`/`aggregate`) are evaluated
+  * interpreted — each element trip goes through a lambda-variable
+  * indirection and boxes — which makes an O(n·d) similarity scan
+  * lambda-bound rather than CPU-bound. These expressions generate a tight
+  * Java loop over the underlying `ArrayData` inside whole-stage codegen,
+  * so a 64-dim dot product is 64 fused multiply-adds on unboxed doubles.
+  *
+  * Null semantics deliberately mirror the HOF formulation they replace
+  * (`aggregate(zip_with(a, b, _ * _), 0.0, _ + _)`): any null element or a
+  * length mismatch yields NULL (zip_with pads the shorter side with nulls
+  * and null propagates through the fold). Summation order is the same
+  * sequential left-to-right fold, so results are bit-identical to both the
+  * HOF version and DuckDB's `list_sum(list_transform(...))` oracle.
+  */
+abstract class VectorFoldExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  /** Java expression combining element values `x` and `y` into the
+    * accumulated term, e.g. `x * y`.
+    */
+  protected def termJava(x: String, y: String): String
+  protected def termEval(x: Double, y: Double): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += termEval(x.getDouble(i), y.getDouble(i))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${termJava(s"$a.getDouble($i)", s"$b.getDouble($i)")};
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+}
+
+/** `vec_dot(a, b)` = Σ aᵢ·bᵢ — sequential IEEE-double fold. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "vec_dot"
+  override protected def termJava(x: String, y: String): String = s"$x * $y"
+  override protected def termEval(x: Double, y: Double): Double = x * y
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_l2sq(a, b)` = Σ (aᵢ−bᵢ)² — squared L2, monotone in L2 so argmin /
+  * top-k ordering never needs the sqrt.
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends VectorFoldExpression {
+  override def prettyName: String = "vec_l2sq"
+  override protected def termJava(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
+  override protected def termEval(x: Double, y: Double): Double =
+    (x - y) * (x - y)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}

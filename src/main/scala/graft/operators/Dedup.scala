@@ -17,14 +17,14 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Word k-shingles, deduplicated, as the document's similarity set. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = split(text, " ")
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
-      .otherwise(array(text))
-  }
+  /** Word k-shingles, deduplicated, as the document's similarity set.
+    * Resolves to the native [[graft.functions.WordShingles]] kernel
+    * (registered by [[graft.GraftExtensions]]): the equivalent
+    * `array_distinct(transform(...concat_ws...))` higher-order chain runs
+    * interpreted and dominated dedup runtime.
+    */
+  def shingles(text: Column, k: Int = 3): Column =
+    call_function("word_shingles", text, lit(k))
 
   /** Exact dedup via hash aggregation on the normalized text: one shuffle
     * on the content key, keeping the smallest doc_id as canonical.
@@ -38,15 +38,24 @@ object Dedup {
   private val NumHashes = 64
   private val Bands = 16 // x 4 rows/band
 
-  /** Per-document MinHash signature columns sig_0..sig_63: for each seed,
-    * the min of xxhash64(seed, shingle) over the shingle set. Computed
-    * per-row with higher-order functions — no explode, no shuffle.
+  /** Per-document MinHash signature columns sig_0..sig_63 via
+    * Kirsch–Mitzenmacher double hashing: each shingle is string-hashed
+    * exactly twice (h1, h2 = xxhash64 with two seeds) and the i-th hash
+    * family member is h1 + i·h2 (wrap-around 64-bit arithmetic).
+    *
+    * Shape: explode shingles once, then ONE whole-stage-codegen hash
+    * aggregation computing all 64 mins with map-side partial aggregation —
+    * the shuffle carries only 64 longs per document per map partition.
+    * This replaces a per-row higher-order `transform` formulation that
+    * string-hashed every shingle 64 times in interpreted lambdas.
     */
-  private def withSignature(docs: DataFrame): DataFrame = {
-    val sigs = (0 until NumHashes).map { i =>
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s))).as(s"sig_$i")
-    }
-    docs.select(col("doc_id") +: col("sh") +: sigs: _*)
+  private def signatures(docs: DataFrame): DataFrame = {
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"),
+        xxhash64(col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
+    val mins = (0 until NumHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2")).as(s"sig_$i"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** Candidate pairs from banded LSH: docs sharing any 4-row band bucket.
@@ -78,7 +87,7 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val cands = candidatePairs(withSignature(docs))
+    val cands = candidatePairs(signatures(docs))
     val sa = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = docs.select(col("doc_id").as("db"), col("sh").as("shb"))
     cands.join(sa, "da").join(sb, "db")
@@ -93,7 +102,18 @@ object Dedup {
   /** N-gram Jaccard dedup without LSH: same verify metric, candidates
     * blocked on the cheap (lang, token-count bucket) key — a deterministic
     * blocking strategy for corpora where near-dups keep length and
-    * language. All-pairs only WITHIN a block.
+    * language.
+    *
+    * Scale shape: instead of materializing every within-block pair and
+    * intersecting two shingle arrays per pair (O(pairs · |sh|), the naive
+    * formulation), explode each document's distinct shingles once, hash
+    * them to 8-byte keys, and equi-join on (block, shingle-hash). The
+    * shuffle carries one long per shingle, join output exists only where a
+    * shingle is actually shared, and |∩| falls out of a codegen'd count
+    * aggregation; |∪| = |a| + |b| − |∩|. Pairs sharing zero shingles —
+    * almost all of them — are never formed. xxhash64 collisions could
+    * overcount |∩| with probability ~(shingles-per-block)²/2⁶⁴ ≈ 1e-9 —
+    * negligible and deterministic (same result every run/plan).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
@@ -103,15 +123,22 @@ object Dedup {
         // so the oracle mirrors floor() on both sides
         floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
         shingles(col("text")).as("sh"))
-    val a = docs.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("da"), col("sh").as("sha"))
-    val b = docs.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("db"), col("sh").as("shb"))
-    a.join(b, Seq("lang", "len_bucket"))
+      .withColumn("n_sh", size(col("sh")))
+    val ex = docs
+      .select(col("lang"), col("len_bucket"), col("doc_id"), col("n_sh"),
+        explode(col("sh")).as("s"))
+      .select(col("lang"), col("len_bucket"), col("doc_id"), col("n_sh"),
+        xxhash64(col("s")).as("h"))
+    val a = ex.select(col("lang"), col("len_bucket"), col("h"),
+      col("doc_id").as("da"), col("n_sh").as("na"))
+    val b = ex.select(col("lang"), col("len_bucket"), col("h"),
+      col("doc_id").as("db"), col("n_sh").as("nb"))
+    a.join(b, Seq("lang", "len_bucket", "h"))
       .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
       .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb")))
-          / size(array_union(col("sha"), col("shb"))))
+        col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
       .orderBy(col("da"), col("db"))
@@ -146,18 +173,16 @@ object Dedup {
 
   private def tokens(c: Column): Column = split(c, " ")
 
-  /** Deterministic pseudo-random hyperplanes for sign-LSH over embeddings:
-    * fixed-seed generation so every run/plan produces identical buckets.
-    */
-  private[operators] val hyperplanes: Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42)
-    Array.fill(16, 64)(rnd.nextDouble() - 0.5)
-  }
-
-  /** Embedding-cosine near-duplicate detection: 16 sign bits from fixed
-    * hyperplanes, banded 4x4 for candidates, exact cosine verify. The
-    * threshold is high (0.95) — near-dup embeddings agree on almost every
-    * sign bit, so banded recall is ~1 there.
+  /** Embedding-cosine near-duplicate detection: 64 sign bits from the
+    * fixed [[graft.functions.Hyperplanes]] codebook, banded 4x16 for
+    * candidates, exact cosine verify. The wide 16-bit bands matter on
+    * clustered corpora: same-cluster vectors at cos≈0.8 agree on ~80% of
+    * sign bits, so narrow bands bucket whole clusters together (candidate
+    * volume → cluster² / 2); at 16 bits a cos-0.8 pair collides with
+    * p≈0.026 per band while a true near-dup (cos≥0.99) still collides with
+    * p≈0.48 per band — ≥0.93 over 4 bands. Sign projection is ONE native
+    * `emb_sign_bands` call per row; the verify cosine is a codegen'd
+    * `vec_dot` loop.
     */
   def embeddingNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.95): DataFrame =
@@ -168,19 +193,9 @@ object Dedup {
     */
   def embeddingNearDupOn(emb: DataFrame, threshold: Double): DataFrame = {
     val v = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val bits = (0 until 16).map { b =>
-      val plane = array(hyperplanes(b).map(lit): _*)
-      when(dot(col("v"), plane) > 0, 1).otherwise(0).as(s"bit_$b")
-    }
-    val withBits = v.select(col("vec_id") +: col("v") +: bits: _*)
-    val bandCols = (0 until 4).map { band =>
-      struct(lit(band).as("band"),
-        (0 until 4).map(r => col(s"bit_${4 * band + r}") * (1 << r))
-          .reduce(_ + _).as("h"))
-    }
-    val buckets = withBits.select(col("vec_id"),
-        explode(array(bandCols: _*)).as("bk"))
-      .select(col("vec_id"), col("bk.band").as("band"), col("bk.h").as("h"))
+    val buckets = v.select(col("vec_id"),
+        posexplode(call_function("emb_sign_bands", col("v")))
+          .as(Seq("band", "h")))
     val cands = buckets.as("a")
       .join(buckets.as("b"), col("a.band") === col("b.band")
         && col("a.h") === col("b.h") && col("a.vec_id") < col("b.vec_id"))
