@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Analytics, Dedup, Joins, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Relational, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,17 @@ object SparkEntry {
     "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
     "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
     "q_setops" -> ((s, dir) => Joins.setOps(s, dir)),
+    "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
+    "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
+    "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
+    "q_distinct_agg" -> ((s, dir) => Aggregates.distinctAgg(s, dir)),
+    "q_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(s, dir)),
+    "q_percentile" -> ((s, dir) => Aggregates.percentileSummary(s, dir)),
+    "q_argmax" -> ((s, dir) => Aggregates.argmaxOrder(s, dir)),
+    "q_collect_sorted" -> ((s, dir) => Aggregates.ordersPerCustomer(s, dir)),
+    "q_sessions" -> ((s, dir) => Analytics.sessions(s, dir)),
+    "q_string_funs" -> ((s, dir) => Scalars.stringFuns(s, dir)),
+    "q_json_extract" -> ((s, dir) => Scalars.jsonExtract(s, dir)),
     "q_window_rank" -> ((s, dir) => Analytics.windowRank(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
@@ -177,6 +188,87 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_nationkey = 0)
         |SELECT c_custkey FROM e ORDER BY c_custkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT c.user_id, c.event_id, c.ts, p.ts AS purchase_ts
+        |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN l_linestatus = 'F'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "F",
+        |       CAST(sum(CASE WHEN l_linestatus = 'O'
+        |                     THEN CAST(l_quantity AS DECIMAL(18,6)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_suppkey) AS n_suppliers,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // q_approx_distinct: no oracle — HLL++ sketch has no DuckDB twin
+    //                    (rows-only check; spec bounds the relative error).
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_argmax" ->
+      """SELECT o_custkey, o_totalprice AS top_price, o_orderkey AS top_order
+        |FROM (SELECT o_custkey, o_totalprice, o_orderkey,
+        |             row_number() OVER (PARTITION BY o_custkey
+        |               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+    "q_collect_sorted" ->
+      """SELECT o_custkey,
+        |       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR (epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |n AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS start_ts, max(ts) AS end_ts,
+        |       max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000) AS duration_sec,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM n GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "q_string_funs" ->
+      """SELECT p_partkey,
+        |       upper(p_name) AS name_upper,
+        |       lower(p_brand) AS brand_lower,
+        |       CAST(length(p_name) AS INT) AS name_len,
+        |       substring(p_type, 1, 5) AS type_prefix,
+        |       p_brand || '#' || p_type AS brand_type,
+        |       replace(p_name, ' ', '_') AS name_snake
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type,
+        |       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_window_rank" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Stable._
+import graft.sources.Tables
+
+/** Aggregation surface beyond the reference's two hash-aggs (SURVEY.md
+  * §2.4 "Aggregations"): pivot, CUBE, distinct aggregates (exact + HLL
+  * sketch), percentiles, argmax, and ordered collect.
+  *
+  * Everything stays in `groupBy.agg` / relational form so Catalyst plans
+  * partial (map-side) aggregation and the shapes survive a 100 TB input:
+  * no collects, no single-partition funnels; the one intentionally global
+  * step in `percentileSummary` operates on grouped output, not raw rows.
+  */
+object Aggregates {
+
+  /** Pivot: quantity sums in a (returnflag × linestatus) grid. The pivot
+    * values are passed explicitly — at scale that skips the extra
+    * distinct-collect job Spark otherwise runs to discover them, and makes
+    * the output schema static for downstream code.
+    */
+  def pivotQty(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  /** CUBE over (status, priority): all four grouping levels in one
+    * shuffle, disambiguated by grouping_id — the multi-level rollup
+    * surface the dashboard would need for drill-downs.
+    */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Exact distinct aggregates per group: distinct suppliers and parts per
+    * return flag. Spark expands multi-distinct into a single Expand-based
+    * plan — still one pass over the fact table.
+    */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Sketch counterpart of [[distinctAgg]]: HyperLogLog++ distinct
+    * estimates. At 100 TB this is the default — fixed-size sketch state,
+    * mergeable across partitions, no Expand blow-up. No DuckDB oracle
+    * (different sketch), so the driver records a rows-only check; the spec
+    * asserts the estimates land within the configured relative error of
+    * the exact counts.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_suppkey"), 0.02).as("approx_suppliers"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Exact interpolated percentiles of order value per status (median and
+    * p90). Exact percentile sorts per group — fine grouped; at raw-table
+    * scale swap in `approx_percentile` (t-digest) the same way
+    * [[approxDistinct]] relieves [[distinctAgg]].
+    */
+  def percentileSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("median_price"),
+        expr("percentile(o_totalprice, 0.9)").as("p90_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Argmax without a window: the customer's single most expensive order
+    * via `max(struct(price, key))` — one hash aggregation, no per-group
+    * sort. Struct comparison is lexicographic, so ties on price break to
+    * the larger order key, deterministically.
+    */
+  def argmaxOrder(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("top"))
+      .select(col("o_custkey"), col("top.o_totalprice").as("top_price"),
+        col("top.o_orderkey").as("top_order"))
+      .orderBy(col("o_custkey"))
+
+  /** Ordered collect: each customer's order keys as a sorted CSV string.
+    * `collect_list` order is partition-dependent, so the sort happens
+    * inside the row (`sort_array`) — deterministic regardless of task
+    * scheduling — and the array serializes to a string for stable
+    * comparison.
+    */
+  def ordersPerCustomer(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(collect_list(col("o_orderkey")).as("keys"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"),
+        array_join(transform(sort_array(col("keys")), _.cast("string")), ",")
+          .as("order_keys"),
+        col("n_orders"))
+      .orderBy(col("o_custkey"))
+}

@@ -69,4 +69,30 @@ object Analytics {
         col("new_session"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
+
+  /** Full sessionization (gaps-and-islands): number sessions per user with
+    * a running sum over the [[eventGaps]] boundary flags, then aggregate
+    * per session — count, span, and value total. Two window passes and one
+    * aggregation, all partitioned by user_id: a single shuffle key reused
+    * end-to-end, no re-partitioning between steps.
+    */
+  def sessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          || col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"),
+        max(col("ts")).as("end_ts"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long")))
+          .as("duration_sec"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
 }

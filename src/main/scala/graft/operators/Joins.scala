@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.sources.Tables
@@ -73,5 +74,34 @@ object Joins {
     val nation0 = c.filter(col("c_nationkey") === 0).select(col("c_custkey"))
     building.union(rich).distinct().except(nation0)
       .orderBy(col("c_custkey"))
+  }
+
+  /** As-of join — an operator Spark lacks natively, composed from builtins
+    * (SURVEY.md §7.3 preference order (a)): every click event picks up the
+    * same user's most recent prior-or-equal purchase timestamp.
+    *
+    * Scale shape: UNION the two event roles, ONE shuffle on user_id, and a
+    * running `last(_, ignoreNulls)` frame — never a `ts >= p.ts` range
+    * join, whose candidate set degenerates to O(clicks × purchases) per
+    * user. Purchases sort before clicks at equal ts (`is_click` in the
+    * ordering key) so an exactly-simultaneous purchase is visible, which
+    * matches ASOF's `c.ts >= p.ts` contract.
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lit(1).as("is_click"), lit(null).cast("timestamp").as("p_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lit(0).as("is_click"), col("ts").as("p_ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_click"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("purchase_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_click") === 1)
+      .select(col("user_id"), col("event_id"), col("ts"), col("purchase_ts"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Scalar-function surface (SURVEY.md §2.4 "String fns" / "Array/map/json
+  * fns" — absent in the reference, exposed by the engine): string
+  * manipulation over `part`, JSON extraction over `events.props`.
+  * All builtins, fully inside whole-stage codegen.
+  */
+object Scalars {
+
+  /** String-function projection: case mapping, length, substring,
+    * multi-column concat, and replace — the label-formatting work the
+    * reference does in Python (dashboard.py:200-208) pushed down into the
+    * engine where it distributes.
+    */
+  def stringFuns(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        lower(col("p_brand")).as("brand_lower"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+      .orderBy(col("p_partkey"))
+
+  /** JSON extraction + aggregation: pull `k` out of the `props` JSON
+    * payload per event, then aggregate per event type. JSONPath evaluation
+    * happens once per row in the scan projection; the aggregate is exact
+    * integer arithmetic (no decimal guard needed).
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class AggregatesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("pivot emits one column per linestatus and F+O covers every row") {
+    val out = Aggregates.pivotQty(spark, dir)
+    assert(out.columns.toSet == Set("l_returnflag", "F", "O"))
+    assert(out.count() == 3) // A, N, R
+  }
+
+  test("cube produces all four grouping levels that reconcile to the total") {
+    val rows = Aggregates.cubeOrders(spark, dir).collect()
+    val gids = rows.map(_.getAs[Long]("gid")).toSet
+    assert(gids == Set(0L, 1L, 2L, 3L))
+    val grand = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(grand.length == 1)
+    val leafSum = rows.filter(_.getAs[Long]("gid") == 0L)
+      .map(_.getAs[Long]("n_orders")).sum
+    assert(leafSum == grand.head.getAs[Long]("n_orders"))
+  }
+
+  test("approx distinct tracks exact distinct within the 2% target (+slack)") {
+    val exact = Aggregates.distinctAgg(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_suppliers")).toMap
+    Aggregates.approxDistinct(spark, dir).collect().foreach { r =>
+      val est = r.getAs[Long]("approx_suppliers").toDouble
+      val ex = exact(r.getString(0)).toDouble
+      assert(math.abs(est - ex) / ex < 0.1,
+        s"approx $est vs exact $ex for ${r.getString(0)}")
+    }
+  }
+
+  test("argmax picks each customer's maximum order price") {
+    val top = Aggregates.argmaxOrder(spark, dir).collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("top_price")).toMap
+    val byMax = graft.sources.Tables.orders(spark, dir)
+      .groupBy("o_custkey").max("o_totalprice").collect()
+      .map(r => r.getAs[Long]("o_custkey") -> r.getAs[Double]("max(o_totalprice)")).toMap
+    assert(top == byMax)
+  }
+
+  test("asof join: purchase_ts is never after the click, null iff no prior purchase") {
+    val rows = Joins.asofJoin(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      val p = r.getAs[java.sql.Timestamp]("purchase_ts")
+      if (p != null) assert(!p.after(ts))
+    }
+  }
+
+  test("sessions: per-user event counts reconcile and durations are non-negative") {
+    val sess = Analytics.sessions(spark, dir).collect()
+    assert(sess.forall(_.getAs[Long]("duration_sec") >= 0))
+    val total = sess.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.events(spark, dir).count())
+  }
+
+  test("json extract aggregates k over every event type") {
+    val rows = Scalars.jsonExtract(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("sum_k") >= 0))
+    assert(rows.forall(r => r.getAs[Long]("n_with_k") > 0))
+  }
+}
