@@ -48,6 +48,10 @@ object SparkEntry {
     "q_string_funs" -> ((s, dir) => Scalars.stringFuns(s, dir)),
     "q_json_extract" -> ((s, dir) => Scalars.jsonExtract(s, dir)),
     "q_window_rank" -> ((s, dir) => Analytics.windowRank(s, dir)),
+    "q_window_range" -> ((s, dir) => Analytics.trailingHourValue(s, dir)),
+    "q_ntile" -> ((s, dir) => Analytics.priceQuartiles(s, dir)),
+    "q_explode_ngrams" -> ((s, dir) => Analytics.topNgrams(s, dir)),
+    "q_date_funs" -> ((s, dir) => Scalars.dateFuns(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
@@ -278,6 +282,47 @@ object SparkEntry {
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
         |SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price
         |FROM t WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, ts, value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+        |              (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_value
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_explode_ngrams" ->
+      """WITH sh AS (
+        |  SELECT lang,
+        |         unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+        |           THEN list_distinct(list_transform(
+        |                  range(1, len(string_split(text, ' ')) - 1),
+        |                  i -> string_split(text, ' ')[i] || ' ' ||
+        |                       string_split(text, ' ')[i+1] || ' ' ||
+        |                       string_split(text, ' ')[i+2]))
+        |           ELSE [text] END) AS shingle
+        |  FROM documents),
+        |f AS (SELECT lang, shingle, count(*) AS n_docs FROM sh GROUP BY lang, shingle),
+        |r AS (SELECT lang, shingle, n_docs,
+        |             CAST(row_number() OVER (PARTITION BY lang
+        |               ORDER BY n_docs DESC, shingle) AS INT) AS rk
+        |      FROM f)
+        |SELECT lang, rk, shingle, n_docs FROM r WHERE rk <= 3
+        |ORDER BY lang, rk""".stripMargin,
+    "q_date_funs" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date,
+        |       CAST(l_shipdate AS DATE) + 30 AS ship_plus30,
+        |       CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+        |       last_day(CAST(l_shipdate AS DATE)) AS month_end,
+        |       CAST(isodow(l_shipdate) AS INT) AS isodow,
+        |       CAST(quarter(l_shipdate) AS INT) AS qtr,
+        |       CAST(dayofyear(l_shipdate) AS INT) AS doy
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

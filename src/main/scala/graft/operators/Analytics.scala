@@ -95,4 +95,57 @@ object Analytics {
         dsum(col("value")).as("sum_value"))
       .orderBy(col("user_id"), col("session_id"))
   }
+
+  /** RANGE-framed window: per user, the value total over the trailing hour
+    * of events — frame bounds defined on the ordering VALUE (epoch
+    * seconds), not row offsets, so simultaneous events share a frame.
+    * The windowed sum runs on the exact-decimal image of `value`
+    * (graft.functions.Stable rationale) so the result is frame-order
+    * independent.
+    */
+  def trailingHourValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("hour_value",
+        sum(dec(col("value"))).over(w).cast("double"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("hour_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Distribution ranking: quartile bucket, percent_rank, and cume_dist of
+    * each order within its status class. The ordering key carries a
+    * tie-break (orderkey) so ntile assignment is deterministic.
+    */
+  def priceQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Array/explode surface: top-3 word trigrams per language by document
+    * frequency. Shingle sets come from the native `word_shingles` kernel;
+    * frequency ranking dedups inside each document first (set semantics),
+    * with a full deterministic tie-break (count desc, shingle asc).
+    */
+  def topNgrams(spark: SparkSession, dir: String, topN: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), Dedup.shingles(col("text")).as("sh"))
+      .select(col("lang"), explode(col("sh")).as("shingle"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_docs").desc, col("shingle"))
+    docs.groupBy(col("lang"), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topN)
+      .select(col("lang"), col("rk"), col("shingle"), col("n_docs"))
+      .orderBy(col("lang"), col("rk"))
+  }
 }

@@ -41,4 +41,23 @@ object Scalars {
         sum(col("k")).as("sum_k"),
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** Date-function projection over ship dates: offset arithmetic, month
+    * truncation, month-end, ISO weekday, quarter, day-of-year — the
+    * calendar toolkit the reference's T1/T4 only scratches.
+    * `weekday()+1` is used (not `dayofweek`) because its Monday-based
+    * numbering matches ISO `isodow` across engines.
+    */
+  def dateFuns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("ship_date"),
+        date_add(col("ship_date"), 30).as("ship_plus30"),
+        trunc(col("ship_date"), "month").as("ship_month"),
+        last_day(col("ship_date")).as("month_end"),
+        (weekday(col("ship_date")) + 1).as("isodow"),
+        quarter(col("ship_date")).as("qtr"),
+        dayofyear(col("ship_date")).as("doy"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
 }

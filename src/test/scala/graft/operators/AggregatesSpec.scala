@@ -61,6 +61,41 @@ class AggregatesSpec extends AnyFunSuite {
     assert(total == graft.sources.Tables.events(spark, dir).count())
   }
 
+  test("range window: hour_value covers at least the row's own value") {
+    val rows = Analytics.trailingHourValue(spark, dir)
+      .filter("value IS NOT NULL").limit(200).collect()
+    rows.foreach(r => assert(!r.isNullAt(r.fieldIndex("hour_value"))))
+  }
+
+  test("ntile assigns quartiles 1..4 and pct_rank/cume are within [0,1]") {
+    val rows = Analytics.priceQuartiles(spark, dir).collect()
+    assert(rows.forall(r => (1 to 4).contains(r.getAs[Int]("quartile"))))
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("pct_rank"); val c = r.getAs[Double]("cume")
+      p >= 0 && p <= 1 && c > 0 && c <= 1
+    })
+  }
+
+  test("top ngrams: at most 3 per language, ranked by doc frequency") {
+    val rows = Analytics.topNgrams(spark, dir).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    assert(perLang.values.forall(_.length <= 3))
+    perLang.values.foreach { g =>
+      val counts = g.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("n_docs"))
+      assert(counts.sameElements(counts.sortBy(-_: Long)))
+    }
+  }
+
+  test("date functions: isodow Monday-based in 1..7, month_end >= ship_date") {
+    val rows = Scalars.dateFuns(spark, dir).limit(500).collect()
+    assert(rows.forall(r => (1 to 7).contains(r.getAs[Int]("isodow"))))
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date]("ship_date")
+      val e = r.getAs[java.sql.Date]("month_end")
+      assert(!e.before(d))
+    }
+  }
+
   test("json extract aggregates k over every event type") {
     val rows = Scalars.jsonExtract(spark, dir).collect()
     assert(rows.length == 5)
