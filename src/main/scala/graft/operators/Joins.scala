@@ -104,4 +104,27 @@ object Joins {
       .select(col("user_id"), col("event_id"), col("ts"), col("purchase_ts"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
+
+  /** Salted inner equi-join for skewed keys — the manual fallback when AQE
+    * skew splitting isn't available (e.g. the skewed side feeds a
+    * co-partitioned downstream op, or the build side is too big to
+    * broadcast).
+    *
+    * The fact side gets a pseudo-random salt in [0, salts); the dimension
+    * side is replicated once per salt value (explode of a `sequence` —
+    * dim is small by assumption, so ×salts is cheap). Joining on
+    * (key, salt) splits each hot key's rows across `salts` reducers
+    * instead of funneling them into one. Result rows are identical to the
+    * unsalted join: every fact row still meets every matching dim row
+    * exactly once, whatever its salt.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salts: Int = 16): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val sf = fact.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val sd = dim.withColumn("_salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sf.join(sd, Seq(key, "_salt")).drop("_salt")
+  }
 }

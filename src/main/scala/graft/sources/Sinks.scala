@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Output layouts (reference S6/S9 generalized for scale).
+  *
+  * The reference writes flat parquet directories and relies on SQLite
+  * B-tree indexes on the serving side
+  * (/root/reference/src/load/data_loader.py:163-176). At 100 TB the
+  * equivalents are physical layout choices at write time:
+  *
+  *   - `parquet`: plain overwrite — truncate-and-reload semantics (S9's
+  *     DELETE+INSERT collapses into one atomic directory swap).
+  *   - `parquetPartitioned`: hive-style directory partitioning on a
+  *     low-cardinality key; equality/range predicates on that key prune
+  *     whole directories before any I/O (the engine's replacement for the
+  *     reference's `(location, date)` indexes).
+  *   - `bucketTable`: bucketed managed table; two tables bucketed the same
+  *     way join with NO exchange on either side — the co-located-join
+  *     layout for fact⋈fact edges that would otherwise shuffle 100 TB.
+  */
+object Sinks {
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Partition by one or more low-cardinality columns. Sort within
+    * partitions is left to the caller (`df.sortWithinPartitions`) when
+    * row-group min/max locality on a second key matters.
+    */
+  def parquetPartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table (requires a warehouse-backed
+    * catalog). `nBuckets` should be sized so a bucket fits executor
+    * memory at target scale.
+    */
+  def bucketTable(df: DataFrame, name: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(name)
+}

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.operators.Joins
+
+/** Physical-layout behaviors that carry the 100 TB story: partition
+  * pruning from hive-style layouts, shuffle-free bucketed joins, and
+  * result-equivalence of the salted skew join.
+  */
+class SinksSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("partitioned write prunes directories for an equality predicate") {
+    val out = Files.createTempDirectory("graft_part").toString
+    Sinks.parquetPartitioned(Tables.events(spark, dir), out, "event_type")
+    val clicks = spark.read.parquet(out).filter(col("event_type") === "click")
+    val plan = clicks.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"no partition filter in plan:\n$plan")
+    val expected = Tables.events(spark, dir)
+      .filter(col("event_type") === "click").count()
+    assert(clicks.count() == expected)
+  }
+
+  test("bucketed tables join without an exchange on either side") {
+    // isolated session: broadcast off so the co-located layout (not a
+    // small-table broadcast) is what removes the exchanges
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Sinks.bucketTable(Tables.orders(s2, dir), "b_orders", "o_orderkey", 4)
+      Sinks.bucketTable(
+        Tables.lineitem(s2, dir).select("l_orderkey", "l_extendedprice"),
+        "b_lineitem", "l_orderkey", 4)
+      val joined = s2.table("b_lineitem")
+        .join(s2.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      val expected = Tables.lineitem(s2, dir).count()
+      assert(joined.count() == expected)
+    } finally {
+      s2.sql("DROP TABLE IF EXISTS b_orders")
+      s2.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
+  test("salted join returns exactly the rows of the unsalted join") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val dim = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    val plain = li.join(dim, "l_orderkey")
+    val salted = Joins.saltedJoin(li, dim, "l_orderkey", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.select("l_orderkey", "l_quantity", "o_totalprice")
+      .exceptAll(plain.select("l_orderkey", "l_quantity", "o_totalprice"))
+      .isEmpty)
+  }
+}
