@@ -67,4 +67,16 @@ object EventStream {
           out.iterator
       }
   }
+
+  /** Streaming exact dedup — the incremental form of `Dedup.exact`: drop
+    * repeated keys with state bounded by the watermark
+    * (`dropDuplicatesWithinWatermark`), so a key's dedup state is
+    * reclaimed once it can no longer receive in-watermark duplicates.
+    * Unbounded-state `dropDuplicates` is the trap this avoids on an
+    * infinite stream.
+    */
+  def dedupeStream(events: DataFrame, keys: Seq[String] = Seq("event_id"),
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions
+import graft.pipeline.Transforms
+
+/** ScalaCheck-generated property tests (SURVEY.md §5): random NULL
+  * injection through the transform chain must never throw and must obey
+  * the reference's guard semantics; the native kernels must agree
+  * bit-for-bit with the declarative builtin formulations they replaced.
+  *
+  * Generation is seeded, so the suite is deterministic run-to-run.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    LazyList.iterate(Seed(seed))(_.next)
+      .map(s => g.pureApply(Gen.Parameters.default, s)).take(n)
+
+  private val optDouble: Gen[Option[Double]] = Gen.frequency(
+    3 -> Gen.const(None),
+    2 -> Gen.const(Some(0.0)),
+    5 -> Gen.choose(-1e9, 1e9).map(Some(_)))
+
+  test("CFR: never throws under random NULLs; NULL iff cases not > 0, " +
+    "else deaths/cases*100 (reference T3 guard)") {
+    val rows = sample(Gen.zip(optDouble, optDouble), 400, seed = 7L)
+      .zipWithIndex.map { case ((cases, deaths), i) =>
+        Row(i.toLong, cases.map(Double.box).orNull, deaths.map(Double.box).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("total_cases", DoubleType),
+      StructField("total_deaths", DoubleType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val out = Transforms.withCaseFatalityRate(df)
+      .select("id", "total_cases", "total_deaths", "case_fatality_rate")
+      .collect()
+    out.foreach { r =>
+      val cases = Option(r.getAs[java.lang.Double]("total_cases")).map(_.toDouble)
+      val deaths = Option(r.getAs[java.lang.Double]("total_deaths")).map(_.toDouble)
+      val cfr = Option(r.getAs[java.lang.Double]("case_fatality_rate")).map(_.toDouble)
+      (cases, deaths) match {
+        case (Some(c), Some(d)) if c > 0 =>
+          assert(cfr.contains(d / c * 100), s"row ${r.getLong(0)}")
+        case _ => assert(cfr.isEmpty, s"row ${r.getLong(0)} expected NULL CFR")
+      }
+    }
+  }
+
+  test("vaccination rates: numerator-guarded, divisor NULL/0 falls through " +
+    "to NULL (reference T5 quirk) — never throws") {
+    val rows = sample(Gen.zip(optDouble, optDouble, optDouble), 400, seed = 11L)
+      .zipWithIndex.map { case ((tv, pv, pf), i) =>
+        Row(i.toLong, tv.map(Double.box).orNull, pv.map(Double.box).orNull,
+          pf.map(Double.box).orNull)
+      }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("total_vaccinations", DoubleType),
+      StructField("people_vaccinated", DoubleType),
+      StructField("people_fully_vaccinated", DoubleType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val out = Transforms.withVaccinationRates(df).collect()
+    out.foreach { r =>
+      val pv = Option(r.getAs[java.lang.Double]("people_vaccinated"))
+      val rate = Option(r.getAs[java.lang.Double]("vaccination_rate"))
+      if (pv.isEmpty) assert(rate.isEmpty, "guard checks numerator only")
+    }
+  }
+
+  test("vec_dot / vec_l2sq match the zip_with+aggregate fold, including " +
+    "null elements and length mismatches") {
+    val vec: Gen[Seq[Option[Double]]] = for {
+      n <- Gen.choose(0, 8)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        1 -> Gen.const(None),
+        9 -> Gen.choose(-100.0, 100.0).map(Some(_))))
+    } yield xs
+    val rows = sample(Gen.zip(vec, vec), 300, seed = 13L)
+      .zipWithIndex.map { case ((a, b), i) =>
+        Row(i.toLong, a.map(_.map(Double.box).orNull),
+          b.map(_.map(Double.box).orNull))
+      }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    def fold(f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.Column) =
+      aggregate(zip_with(col("a"), col("b"), f), lit(0.0), (acc, v) => acc + v)
+    val out = df.select(
+      VectorFunctions.dot(col("a"), col("b")).as("native_dot"),
+      fold((x, y) => x * y).as("hof_dot"),
+      VectorFunctions.l2sq(col("a"), col("b")).as("native_l2"),
+      fold((x, y) => (x - y) * (x - y)).as("hof_l2")).collect()
+    out.foreach { r =>
+      assert(Option(r.get(r.fieldIndex("native_dot")))
+        == Option(r.get(r.fieldIndex("hof_dot"))), s"dot mismatch: $r")
+      assert(Option(r.get(r.fieldIndex("native_l2")))
+        == Option(r.get(r.fieldIndex("hof_l2"))), s"l2 mismatch: $r")
+    }
+  }
+
+  test("word_shingles matches the declarative array_distinct/transform " +
+    "formulation on random token streams") {
+    val word: Gen[String] = Gen.frequency(
+      8 -> Gen.choose(0, 30).map(i => s"w$i"),
+      1 -> Gen.const(""), // consecutive spaces
+      1 -> Gen.const("the"))
+    val text: Gen[String] = for {
+      n <- Gen.choose(0, 40)
+      ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val rows = sample(text, 300, seed = 17L)
+      .zipWithIndex.map { case (t, i) => Row(i.toLong, t) }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val k = 3
+    val w = split(col("text"), " ")
+    val declarative = when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(w, i + j + 1)): _*))))
+      .otherwise(array(col("text")))
+    val out = df.select(
+      graft.operators.Dedup.shingles(col("text"), k).as("native"),
+      declarative.as("hof")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+    }
+  }
+}

@@ -56,6 +56,28 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupeStream drops in-watermark duplicate keys across batches") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:01:00"), 1, "click", 1.0), // dup, same batch
+      Event(2, ts("2024-01-01 10:02:00"), 2, "view", 2.0))
+    val q = EventStream.dedupeStream(input.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      input.addData( // dup of event 1 in a later micro-batch, in-watermark
+        Event(1, ts("2024-01-01 10:03:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:04:00"), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect()
+        .map(_.getAs[Long]("event_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("hourlyCounts also runs as a plain batch plan (watermark is a no-op)") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val out = EventStream.hourlyCounts(events)
