@@ -14,6 +14,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Engine warm-up outside the measured loop: JIT/codegen paths and the
+    // parquet footers — not the measured queries themselves.
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    graft.sources.Tables.names.foreach(t =>
+      graft.sources.Tables.table(spark, sfDir, t).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

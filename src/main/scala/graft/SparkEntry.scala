@@ -52,6 +52,7 @@ object SparkEntry {
     "q_ntile" -> ((s, dir) => Analytics.priceQuartiles(s, dir)),
     "q_explode_ngrams" -> ((s, dir) => Analytics.topNgrams(s, dir)),
     "q_date_funs" -> ((s, dir) => Scalars.dateFuns(s, dir)),
+    "q_correlated" -> ((s, dir) => Scalars.aboveCustomerAvg(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
@@ -323,6 +324,14 @@ object SparkEntry {
         |       CAST(quarter(l_shipdate) AS INT) AS qtr,
         |       CAST(dayofyear(l_shipdate) AS INT) AS doy
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_correlated" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / count(*) * 1.2
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,

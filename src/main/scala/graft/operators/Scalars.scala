@@ -42,6 +42,25 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Correlated-subquery surface via `spark.sql` over the registered
+    * temp-view catalog (reference S11, `data_loader.py:406-416`): orders
+    * priced >20% above their customer's average. Catalyst decorrelates the
+    * subquery into an aggregate + join (SURVEY.md §4) — no per-row
+    * re-execution. The SQL text is identical on the DuckDB side, decimal
+    * path included, so the float threshold compare is engine-independent.
+    */
+  def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (
+        |  SELECT CAST(sum(CAST(i.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         / count(*) * 1.2
+        |  FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin)
+  }
+
   /** Date-function projection over ship dates: offset arithmetic, month
     * truncation, month-end, ISO weekday, quarter, day-of-year — the
     * calendar toolkit the reference's T1/T4 only scratches.
