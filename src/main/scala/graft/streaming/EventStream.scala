@@ -79,4 +79,28 @@ object EventStream {
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner join: clicks attributed to a purchase by the
+    * same user within the attribution window (purchase follows the click
+    * by at most `windowSec`). Both sides carry watermarks and the join
+    * condition bounds event-time distance, so each side's buffered state
+    * is finite and reclaimable — the requirements Structured Streaming
+    * imposes before it will run a stream-stream join at all.
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+      windowSec: Long = 3600, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
 }

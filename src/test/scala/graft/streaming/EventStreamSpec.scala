@@ -78,6 +78,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream click attribution joins within the window only") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0),
+      Event(2, ts("2024-01-01 10:00:00"), 2, "click", 0.0))
+    purchases.addData(
+      Event(10, ts("2024-01-01 10:30:00"), 1, "purchase", 9.99), // in window
+      Event(11, ts("2024-01-01 12:30:00"), 2, "purchase", 5.0))  // too late
+    val q = EventStream.clickAttribution(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("user_id") == 1)
+      assert(rows.head.getAs[Long]("purchase_id") == 10)
+      assert(rows.head.getAs[Double]("purchase_value") == 9.99)
+    } finally q.stop()
+  }
+
   test("hourlyCounts also runs as a plain batch plan (watermark is a no-op)") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val out = EventStream.hourlyCounts(events)
