@@ -1,0 +1,29 @@
+package graft.sources
+
+/** Fetch-with-retry semantics of the reference's HTTP source (S1,
+  * /root/reference/src/extract/data_extractor.py:35-91): up to `retries`
+  * attempts, exponential backoff of 2^attempt seconds between failures,
+  * and a `None` result (fail-soft) instead of an exception when every
+  * attempt fails — the behavior `main.py:90-98` relies on to keep the
+  * pipeline running when the vaccination source is down.
+  *
+  * The sleeper is injectable so tests assert the backoff schedule without
+  * wall-clock waits. This is a driver-side I/O utility, not a query
+  * operator — in this environment sources are local files and the scan op
+  * is `spark.read` (SURVEY.md §2.1 S1).
+  */
+object Retry {
+  def withBackoff[A](retries: Int = 3,
+      sleep: Long => Unit = ms => Thread.sleep(ms))(f: => A): Option[A] = {
+    var attempt = 0
+    while (attempt < retries) {
+      try return Some(f)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          if (attempt < retries - 1) sleep(1000L << attempt) // 2^attempt s
+          attempt += 1
+      }
+    }
+    None
+  }
+}

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's extractor tests
+  * (tests/test_extractor.py:47-84): success after one failure takes
+  * exactly two calls and one backoff sleep; total failure returns None
+  * after the full 1s, 2s schedule.
+  */
+class RetrySpec extends AnyFunSuite {
+
+  test("retry succeeds on attempt 2 with a single 1s backoff") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.withBackoff[Int](retries = 3, sleep = sleeps += _) {
+      calls += 1
+      if (calls < 2) sys.error("boom")
+      42
+    }
+    assert(out.contains(42))
+    assert(calls == 2)
+    assert(sleeps.toSeq == Seq(1000L))
+  }
+
+  test("retry exhausts to None with exponential 1s,2s schedule and no throw") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.withBackoff[Int](retries = 3, sleep = sleeps += _) {
+      calls += 1
+      sys.error("always down")
+    }
+    assert(out.isEmpty)
+    assert(calls == 3)
+    assert(sleeps.toSeq == Seq(1000L, 2000L))
+  }
+}
