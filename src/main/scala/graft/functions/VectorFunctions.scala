@@ -18,16 +18,20 @@ import org.apache.spark.sql.types.DoubleType
   * cast float->double up front; the fold then runs entirely in doubles.
   */
 object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
   /** Cast an array<float> column to array<double>. */
   def vecD(c: Column): Column = transform(c, _.cast(DoubleType))
 
   /** Sequential-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def dot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance (monotone in L2 — argmin-safe without the sqrt). */
-  def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+  def l2sq(a: Column, b: Column): Column =
+    column(L2Sq(expression(a), expression(b)))
 }

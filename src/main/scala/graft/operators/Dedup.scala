@@ -23,8 +23,11 @@ object Dedup {
     * `array_distinct(transform(...concat_ws...))` higher-order chain runs
     * interpreted and dominated dedup runtime.
     */
-  def shingles(text: Column, k: Int = 3): Column =
-    call_function("word_shingles", text, lit(k))
+  def shingles(text: Column, k: Int = 3): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.WordShingles(ColumnBridge.expression(text), k))
+  }
 
   /** Exact dedup via hash aggregation on the normalized text: one shuffle
     * on the content key, keeping the smallest doc_id as canonical.
@@ -192,10 +195,14 @@ object Dedup {
     * unit-testable with planted duplicates.
     */
   def embeddingNearDupOn(emb: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.functions.{Hyperplanes, SignBands}
     val v = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val signBands = ColumnBridge.column(SignBands(
+      ColumnBridge.expression(col("v")),
+      Hyperplanes.planes.map(_.toSeq).toSeq, Hyperplanes.RowsPerBand))
     val buckets = v.select(col("vec_id"),
-        posexplode(call_function("emb_sign_bands", col("v")))
-          .as(Seq("band", "h")))
+        posexplode(signBands).as(Seq("band", "h")))
     val cands = buckets.as("a")
       .join(buckets.as("b"), col("a.band") === col("b.band")
         && col("a.h") === col("b.h") && col("a.vec_id") < col("b.vec_id"))

@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge for graft's native expressions.
+  *
+  * Spark 4 removed the public `Column(expr)` constructor (the Column API
+  * is Connect-agnostic; classic expressions live behind
+  * `org.apache.spark.sql.classic`). This one-file subpackage of
+  * `org.apache.spark.sql` forwards to the classic converters so graft's
+  * Column-level API (`VectorFunctions.dot`, `Dedup.shingles`, …) works in
+  * ANY session — no dependency on `spark.sql.extensions` registration,
+  * which remains in place ([[graft.GraftExtensions]]) for the SQL-string
+  * surface (`SELECT vec_dot(...)`).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

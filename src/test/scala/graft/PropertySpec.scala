@@ -115,6 +115,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native functions are callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
+        |       size(word_shingles('a b c d', 3)) AS n_sh""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("word_shingles matches the declarative array_distinct/transform " +
     "formulation on random token streams") {
     val word: Gen[String] = Gen.frequency(
