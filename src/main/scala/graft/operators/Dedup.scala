@@ -119,7 +119,7 @@ object Dedup {
     * negligible and deterministic (same result every run/plan).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7, maxDf: Option[Long] = None): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
@@ -127,11 +127,23 @@ object Dedup {
         floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
         shingles(col("text")).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val ex = docs
+    val exploded = docs
       .select(col("lang"), col("len_bucket"), col("doc_id"), col("n_sh"),
         explode(col("sh")).as("s"))
       .select(col("lang"), col("len_bucket"), col("doc_id"), col("n_sh"),
         xxhash64(col("s")).as("h"))
+    // Stop-shingle cap for corpus scale: a shingle shared by df documents
+    // joins into C(df,2) pairs, so boilerplate n-grams (license headers,
+    // templates) quadratically dominate the join. Dropping shingles with
+    // df > maxDf bounds per-shingle join fan-out; exact-jaccard parity
+    // holds only with the cap off (the oracle-checked default).
+    val ex = maxDf match {
+      case None => exploded
+      case Some(cap) =>
+        val df = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select(col("h"))
+        exploded.join(broadcast(df), Seq("h"), "left_anti")
+    }
     val a = ex.select(col("lang"), col("len_bucket"), col("h"),
       col("doc_id").as("da"), col("n_sh").as("na"))
     val b = ex.select(col("lang"), col("len_bucket"), col("h"),

@@ -15,6 +15,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("da") < r.getAs[Long]("db")))
   }
 
+  test("ngram jaccard with a stop-shingle cap yields a subset of uncapped pairs") {
+    val full = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.ngramJaccardPairs(spark, dir, maxDf = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full))
+  }
+
   test("exact dedup keeps the smallest doc_id and total copies reconcile") {
     val out = Dedup.exact(spark, dir).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum
