@@ -64,6 +64,7 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),

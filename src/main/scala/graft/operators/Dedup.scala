@@ -160,25 +160,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word unigrams: each token votes ±1 per bit of its
-    * xxhash64; the sign vector packs into one long. Near-dups then block on
-    * 16-bit quarters (hamming<=3 pairs must share a quarter). Per-row
-    * compute only — output is (doc_id, simhash, the 4 block keys).
+    * xxhash64; the sign vector packs into one long — ONE native
+    * [[graft.functions.SimHash64]] kernel call per row (bit-identical to
+    * the `aggregate`/`zip_with` formulation it replaced, see
+    * `PropertySpec`). Near-dups block on 16-bit quarters: by pigeonhole,
+    * hamming≤3 pairs must agree on at least one of the 4 quarters.
+    * Output is (doc_id, simhash, the 4 block keys).
     */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val votes = aggregate(
-      tokens(col("text")),
-      array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)), j =>
-          when(call_function("shiftright", xxhash64(w), j)
-            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    val packed = aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), packed.as("simhash"))
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame — unit-testable. */
+  def simhashOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sh = ColumnBridge.column(
+      graft.functions.SimHash64(ColumnBridge.expression(col("text"))))
+    docs
+      .select(col("doc_id"), sh.as("simhash"))
       .withColumn("q0", col("simhash").bitwiseAND(lit(0xFFFFL)))
       .withColumn("q1", shiftright(col("simhash"), 16).bitwiseAND(lit(0xFFFFL)))
       .withColumn("q2", shiftright(col("simhash"), 32).bitwiseAND(lit(0xFFFFL)))
@@ -186,7 +184,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  private def tokens(c: Column): Column = split(c, " ")
+  /** SimHash near-duplicate pairs: candidates from the quarter blocks
+    * (complete for hamming ≤ 3 by pigeonhole over 4 quarters), verified
+    * with an exact popcount of the XOR — `bit_count`, a codegen'd
+    * builtin. Same candidate-generation-first shape as every other dedup
+    * path: the shuffle carries (quarter-key, doc) pairs, not documents.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashOn(Tables.documents(spark, dir))
+    val quarters = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
+        .as(Seq("q", "qh")))
+    val a = quarters.select(col("q"), col("qh"),
+      col("doc_id").as("da"), col("simhash").as("sha"))
+    val b = quarters.select(col("q"), col("qh"),
+      col("doc_id").as("db"), col("simhash").as("shb"))
+    a.join(b, Seq("q", "qh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
 
   /** Embedding-cosine near-duplicate detection: 64 sign bits from the
     * fixed [[graft.functions.Hyperplanes]] codebook, banded 4x16 for

@@ -115,6 +115,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("simhash64 kernel matches the aggregate/zip_with vote formulation") {
+    val word: Gen[String] = Gen.frequency(
+      8 -> Gen.choose(0, 30).map(i => s"tok$i"), 1 -> Gen.const(""))
+    val text: Gen[String] = for {
+      n <- Gen.choose(0, 30); ws <- Gen.listOfN(n, word)
+    } yield ws.mkString(" ")
+    val rows = sample(text, 150, seed = 23L)
+      .zipWithIndex.map { case (t, i) => Row(i.toLong, t) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val votes = aggregate(
+      split(col("text"), " "),
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)), j =>
+          when(call_function("shiftright", xxhash64(w), j)
+            .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
+        (a, v) => a + v))
+    val packed = aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v > 0, call_function("shiftleft", lit(1L), j))
+          .otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    val out = graft.operators.Dedup.simhashOn(df)
+      .join(df.select(col("doc_id"), packed.as("hof")), "doc_id")
+      .collect()
+    out.foreach(r => assert(
+      r.getAs[Long]("simhash") == r.getAs[Long]("hof"), s"doc ${r.getLong(0)}"))
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,

@@ -23,6 +23,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(capped.subsetOf(full))
   }
 
+  test("simhash near-dup pairs planted low-hamming docs, skips unrelated") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val t1 = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val t3 = (200 to 280).map(i => s"other$i").mkString(" ")
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, t1), Row(2L, t2), Row(3L, t3)), schema)
+    val sig = Dedup.simhashOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ham12 = java.lang.Long.bitCount(sig(1L) ^ sig(2L))
+    val ham13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(ham12 < ham13, s"near-dup hamming $ham12 should be < unrelated $ham13")
+    // pair detector over the real table path: symmetric, thresholded
+    val pairs = Dedup.simhashNearDup(spark, dir).collect()
+    assert(pairs.forall(r => r.getAs[Int]("hamming") <= 3))
+    assert(pairs.forall(r => r.getAs[Long]("da") < r.getAs[Long]("db")))
+  }
+
   test("exact dedup keeps the smallest doc_id and total copies reconcile") {
     val out = Dedup.exact(spark, dir).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum
