@@ -68,6 +68,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
+    "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
   )

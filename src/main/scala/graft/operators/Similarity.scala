@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Stable._
 import graft.functions.VectorFunctions._
 import graft.sources.Tables
 
@@ -56,6 +57,71 @@ object Similarity {
 
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+
+    assigned.join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Distributed Lloyd's k-means over embedding vectors, entirely in
+    * DataFrame ops — no collect, no MLlib dependency. Seeded with the
+    * first `k` vec_ids (deterministic); each iteration is one broadcast
+    * assignment pass plus an element-wise mean rebuilt from a
+    * (cell, dimension) aggregation. Means run on the exact-decimal path
+    * so the codebook is bit-stable across partitionings and retries.
+    * At 100 TB: iterations are linear scans with broadcast centroids —
+    * the standard scalable shape; `iters` is small because IVF only needs
+    * a reasonable partition of the space, not convergence.
+    */
+  def kmeansCodebook(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    var centroids = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    for (_ <- 0 until iters) {
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("dist", l2sq(col("v"), col("cv")))
+        .withColumn("rn", row_number().over(byDist))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg((dsum(col("x")) / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    centroids
+  }
+
+  /** IVF top-k over a k-means codebook — [[annIvfTopK]] with learned
+    * cells instead of the first-16 stand-in. Same probe shape; better
+    * cell balance on clustered corpora, hence better recall per probe.
+    */
+  def annKmeansTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = kmeansCodebook(emb)
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist"), col("cid"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .withColumn("dist", l2sq(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
       .orderBy(col("dist"), col("cid"))

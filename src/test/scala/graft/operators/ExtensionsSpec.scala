@@ -101,6 +101,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((exact & approx).size >= 5, s"recall too low: $exact vs $approx")
   }
 
+  test("kmeans IVF recall@20 vs brute force matches or beats the naive codebook") {
+    val brute = Similarity.cosineTopK(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val naive = Similarity.annIvfTopK(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val learned = Similarity.annKmeansTopK(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val rNaive = (brute intersect naive).size / brute.size.toDouble
+    val rLearned = (brute intersect learned).size / brute.size.toDouble
+    assert(rLearned >= 0.5, s"kmeans recall $rLearned too low")
+    assert(rLearned >= rNaive - 0.15,
+      s"kmeans recall $rLearned well below naive $rNaive")
+  }
+
   test("langId predicts a language for every doc, deterministic tie-break") {
     val out = TextAnalysis.langId(spark, dir).collect()
     assert(out.length == 500)
