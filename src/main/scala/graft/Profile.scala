@@ -23,6 +23,17 @@ object Profile {
     t("ngram_full")(Dedup.ngramJaccardPairs(spark, dir).count())
     t("embed_full")(Dedup.embeddingNearDup(spark, dir).count())
     t("embed_again")(Dedup.embeddingNearDup(spark, dir).count())
+
+    // 10x corpus stress (replicated docs with shifted ids): validates the
+    // candidate-generation scaling claims in SCALING.md on ~50k docs.
+    import org.apache.spark.sql.functions._
+    val base = graft.sources.Tables.documents(spark, dir)
+    val docs10 = (0 until 10).map(i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    t("minhash_10x")(Dedup.minhashNearDupOn(docs10, 0.7).count())
+    t("ngram_10x_df256")(
+      Dedup.ngramJaccardPairsOn(docs10, 0.7, maxDf = Some(256L)).count())
     spark.stop()
   }
 }

@@ -87,8 +87,12 @@ object Dedup {
     * LSH recall is ~1-3e-8, so the result equals the brute-force oracle.
     */
   def minhashNearDup(spark: SparkSession, dir: String,
-      threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      threshold: Double = 0.7): DataFrame =
+    minhashNearDupOn(Tables.documents(spark, dir), threshold)
+
+  /** Same, over any (doc_id, text) frame. */
+  def minhashNearDupOn(documents: DataFrame, threshold: Double): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), shingles(col("text")).as("sh"))
     val cands = candidatePairs(signatures(docs))
     val sa = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
@@ -119,8 +123,13 @@ object Dedup {
     * negligible and deterministic (same result every run/plan).
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
-      threshold: Double = 0.7, maxDf: Option[Long] = None): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      threshold: Double = 0.7, maxDf: Option[Long] = None): DataFrame =
+    ngramJaccardPairsOn(Tables.documents(spark, dir), threshold, maxDf)
+
+  /** Same, over any (doc_id, lang, text) frame. */
+  def ngramJaccardPairsOn(documents: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame = {
+    val docs = documents
       .select(col("doc_id"), col("lang"),
         // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
         // so the oracle mirrors floor() on both sides
