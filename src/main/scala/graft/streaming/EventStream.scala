@@ -103,4 +103,26 @@ object EventStream {
       .select(col("user_id"), col("click_id"), col("click_ts"),
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
+
+  /** Stream → warehouse sink via foreachBatch: each micro-batch of the
+    * (Update-mode) hourly aggregate overwrites only the hour partitions
+    * it touched — dynamic partition overwrite, so late updates replace a
+    * pane in place and re-running a batch is idempotent. This is the
+    * serving-table pattern the reference implements as SQLite
+    * truncate+reload (S9), minus the full-table rewrite.
+    *
+    * Returns the started query; the caller owns its lifecycle.
+    */
+  def hourlyToParquet(events: DataFrame, outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    hourlyCounts(events)
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.sparkSession.conf
+          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        batch.write.mode("overwrite").partitionBy("hour").parquet(outPath)
+      }
+      .start()
 }

@@ -101,6 +101,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink upserts touched hour partitions idempotently") {
+    implicit val sql = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_hourly").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 11:05:00"), 2, "view", 2.0))
+    val q = EventStream.hourlyToParquet(input.toDF(), out, ckpt)
+    try {
+      q.processAllAvailable()
+      // second batch updates hour 10 only; hour 11 pane must survive
+      input.addData(Event(3, ts("2024-01-01 10:20:00"), 3, "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(out)
+        .collect().map(r => (r.getAs[java.sql.Timestamp]("hour").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 11:00:00.0", "view", 1L)))
+    } finally q.stop()
+  }
+
   test("hourlyCounts also runs as a plain batch plan (watermark is a no-op)") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val out = EventStream.hourlyCounts(events)
