@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: a typo'd oracle key or a query that only
+  * fails at runtime would otherwise surface first in the driver's
+  * correctness report.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("every oracleSql key names a declared query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without a query: $missing")
+  }
+
+  test("flagship entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query executes and is non-degenerate on sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val df = fn(spark, dir)
+          val n = df.count()
+          // near-dup pair queries may legitimately be empty; all others
+          // must produce rows on the smoke corpus
+          val mayBeEmpty = Set("q_dedup_embedding", "q_simhash_pairs",
+            "q_dedup_minhash", "q_ngram_jaccard")
+          if (n == 0 && !mayBeEmpty(name)) Some(s"$name: 0 rows") else None
+        } catch {
+          case e: Throwable => Some(s"$name: ${e.getMessage.take(120)}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
