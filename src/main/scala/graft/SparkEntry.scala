@@ -32,6 +32,7 @@ object SparkEntry {
     "q_latest_notnull" -> ((s, dir) => Relational.latestNotNull(s, dir)),
     "q_null_audit" -> ((s, dir) => Relational.nullAudit(s, dir)),
     "q_scalar_global" -> ((s, dir) => Relational.scalarGlobal(s, dir)),
+    "q_profile" -> ((s, dir) => Relational.profileNumeric(s, dir)),
     "q_join_star" -> ((s, dir) => Joins.starJoin(s, dir)),
     "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
     "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
@@ -162,6 +163,21 @@ object SparkEntry {
       """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
         |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) * 100 AS avg_discount_pct
         |FROM lineitem""".stripMargin,
+    "q_profile" ->
+      """SELECT col AS "column", min_v, max_v, n_nonnull, n_null FROM (
+        |  SELECT 'l_quantity' AS col, min(l_quantity) AS min_v,
+        |         max(l_quantity) AS max_v, count(l_quantity) AS n_nonnull,
+        |         count(*) - count(l_quantity) AS n_null FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', min(l_extendedprice), max(l_extendedprice),
+        |         count(l_extendedprice), count(*) - count(l_extendedprice) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', min(l_discount), max(l_discount),
+        |         count(l_discount), count(*) - count(l_discount) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', min(l_tax), max(l_tax),
+        |         count(l_tax), count(*) - count(l_tax) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
     "q_join_star" ->
       """SELECT n_name,
         |       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -193,6 +193,31 @@ object Relational {
   /** Q8 (dashboard.py:335-338): global scalar ratio across the whole table
     * — one row, fully map-side-combinable aggregation.
     */
+  /** Column profile — the debugdb-style stats probe (Q9/T13) generalized:
+    * min / max / non-null count / null count per numeric column, computed
+    * in ONE aggregation pass (12 agg buffers), then unpivoted to a row
+    * per column. At 100 TB this is the profile shape to prefer over
+    * per-column jobs: one scan, partial aggregation, 4-row output.
+    */
+  def profileNumeric(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"cnt_$c"))
+    }
+    val one = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"min_$c").as("min_v"),
+        col(s"max_$c").as("max_v"), col(s"cnt_$c").as("n_nonnull"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_null"))
+    }
+    one.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column"), col("e.min_v"), col("e.max_v"),
+        col("e.n_nonnull"), col("e.n_null"))
+      .orderBy(col("column"))
+  }
+
   def scalarGlobal(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .agg((dsum(col("l_extendedprice") * col("l_discount"))
