@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP3 — the dashboard read path (SURVEY.md §2.3 Q1-Q9,
+  * /root/reference/src/visualization/dashboard.py). The reference serves
+  * these from SQLite + pandas; here the five materialized datasets
+  * register as temp views and the same nine query shapes run as Spark
+  * plans — so a dashboard reads from the engine directly, no row-store
+  * hop. All are serving-size queries: filters/sorts/limits over
+  * pre-aggregated data; the heavy lifting happened in the pipeline stage.
+  */
+class Serving(spark: SparkSession, paths: Map[String, String]) {
+
+  /** Register the materialized datasets under their serving names
+    * (data_loader.py:374-385's table mapping).
+    */
+  def register(): Unit = {
+    val naming = Map(
+      "covid_full" -> "covid_cases",
+      "covid_by_country" -> "aggregated_stats",
+      "covid_by_date" -> "global_daily_stats",
+      "vaccinations" -> "vaccinations")
+    naming.foreach { case (ds, view) =>
+      paths.get(ds).foreach(p =>
+        spark.read.parquet(p).createOrReplaceTempView(view))
+    }
+  }
+
+  /** Q1 (dashboard.py:68-83): global stats, newest first. */
+  def globalStats: DataFrame =
+    spark.table("global_daily_stats")
+      .select("date", "global_new_cases", "global_new_deaths",
+        "global_total_cases", "global_total_deaths",
+        "avg_new_cases_7day", "avg_new_deaths_7day")
+      .orderBy(col("date").desc)
+
+  /** Q2 (dashboard.py:86-102): top-50 countries by cases. */
+  def countryStats(limit: Int = 50): DataFrame =
+    spark.table("aggregated_stats")
+      .select("location", "iso_code", "total_cases", "total_deaths",
+        "cases_per_100k", "deaths_per_100k", "population")
+      .orderBy(col("total_cases").desc)
+      .limit(limit)
+
+  /** Q3 (dashboard.py:105-121): per-country timeline — parameterized via
+    * isin, not string interpolation (the reference builds this SQL by
+    * hand and is injectable; SURVEY.md §2.3).
+    */
+  def countryTimeline(countries: Seq[String]): DataFrame =
+    spark.table("covid_cases")
+      .filter(col("location").isin(countries: _*))
+      .select("location", "date", "new_cases", "new_deaths",
+        "total_cases", "total_deaths")
+      .orderBy(col("date"), col("location"))
+
+  /** Q4 (dashboard.py:124-140): vaccination timeline for countries. */
+  def vaccinationTimeline(countries: Seq[String]): DataFrame =
+    spark.table("vaccinations")
+      .filter(col("location").isin(countries: _*))
+      .select("location", "date", "total_vaccinations", "people_vaccinated",
+        "vaccination_rate", "full_vaccination_rate")
+      .orderBy(col("date"), col("location"))
+
+  /** Q5 (dashboard.py:187-189): client-side nlargest as an engine top-k. */
+  def topCountriesBy(metric: String, n: Int = 15): DataFrame =
+    spark.table("aggregated_stats")
+      .orderBy(col(metric).desc_nulls_last)
+      .limit(n)
+
+  /** Q6 (dashboard.py:307-316): latest row where both totals are known. */
+  def latestValidGlobal: DataFrame =
+    globalStats
+      .filter(col("global_total_cases").isNotNull
+        && col("global_total_deaths").isNotNull)
+      .limit(1)
+
+  /** Q7 (dashboard.py:359): last-N-days window, oldest first. */
+  def lastDays(n: Int = 30): DataFrame =
+    globalStats.limit(n).orderBy(col("date"))
+
+  /** Q8 (dashboard.py:335-338): global fatality-rate scalar. */
+  def fatalityRate: DataFrame =
+    latestValidGlobal.select(
+      (col("global_total_deaths") / col("global_total_cases") * 100)
+        .as("fatality_rate"))
+
+  /** Q9 (debugdb.py:22-58): catalog + row-count + null-audit diagnostics. */
+  def diagnostics: DataFrame = {
+    import spark.implicits._
+    val tables = Seq("covid_cases", "aggregated_stats", "global_daily_stats",
+      "vaccinations").filter(spark.catalog.tableExists)
+    tables.map { t =>
+      val df = spark.table(t)
+      val nullCases =
+        if (df.columns.contains("total_cases"))
+          df.filter(col("total_cases").isNull).count()
+        else -1L
+      (t, df.count(), nullCases)
+    }.toDF("table_name", "n_rows", "null_total_cases")
+      .orderBy(col("table_name"))
+  }
+}

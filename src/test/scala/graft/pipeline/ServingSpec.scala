@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** EP3 parity: the nine dashboard query shapes served straight from the
+  * pipeline's materialized datasets (no SQLite/pandas hop).
+  */
+class ServingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  lazy val serving: Serving = {
+    val dir = Files.createTempDirectory("graft_serving")
+    val covid = dir.resolve("covid.csv")
+    Files.writeString(covid,
+      """iso_code,continent,location,date,total_cases,total_deaths,new_cases,new_deaths,population
+        |BRA,South America,Brazil,2024-01-01,1000,10,100,1,200000000
+        |BRA,South America,Brazil,2024-01-02,1100,12,100,2,200000000
+        |USA,North America,United States,2024-01-01,5000,50,500,5,330000000
+        |USA,North America,United States,2024-01-02,,,,,330000000
+        |""".stripMargin)
+    val vacc = dir.resolve("vacc.csv")
+    Files.writeString(vacc,
+      """location,iso_code,date,total_vaccinations,people_vaccinated,people_fully_vaccinated
+        |Brazil,BRA,2024-01-01,1000,600,300
+        |""".stripMargin)
+    val paths = Pipeline.run(spark, covid.toString, Some(vacc.toString),
+      s"$dir/out", countries = Seq("Brazil"))
+    val s = new Serving(spark, paths)
+    s.register()
+    s
+  }
+
+  test("Q1 global stats: newest date first, moving-average columns present") {
+    val rows = serving.globalStats.collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[java.sql.Date]("date").toString == "2024-01-02")
+    assert(rows.head.schema.fieldNames.contains("avg_new_cases_7day"))
+  }
+
+  test("Q2 country stats: descending by total cases") {
+    val rows = serving.countryStats().collect()
+    assert(rows.map(_.getAs[String]("location")).toSeq
+      == Seq("United States", "Brazil"))
+  }
+
+  test("Q3 timeline filters to the requested countries only") {
+    val rows = serving.countryTimeline(Seq("Brazil")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("location") == "Brazil"))
+  }
+
+  test("Q4 vaccination timeline serves derived rates") {
+    val rows = serving.vaccinationTimeline(Seq("Brazil")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("vaccination_rate") == 60.0)
+  }
+
+  test("Q5 top-N by metric honors the metric ordering") {
+    val top = serving.topCountriesBy("total_deaths", 1).collect()
+    assert(top.head.getAs[String]("location") == "United States")
+  }
+
+  test("Q6/Q8: latest valid row skips the NULL-total day; fatality scalar") {
+    val latest = serving.latestValidGlobal.collect()
+    assert(latest.length == 1)
+    // 2024-01-02 has USA NULLs but Brazil still reports -> global sums
+    // non-null (sum ignores nulls); latest valid day is still 01-02
+    assert(latest.head.getAs[java.sql.Date]("date").toString == "2024-01-02")
+    val fr = serving.fatalityRate.collect().head.getAs[Double]("fatality_rate")
+    assert(fr > 0 && fr < 100)
+  }
+
+  test("Q7 last-days slice returns ascending dates") {
+    val rows = serving.lastDays(30).collect()
+    assert(rows.map(_.getAs[java.sql.Date]("date").toString).toSeq
+      == Seq("2024-01-01", "2024-01-02"))
+  }
+
+  test("Q9 diagnostics reports every serving table with row counts") {
+    val d = serving.diagnostics.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d == Map("covid_cases" -> 4L, "aggregated_stats" -> 2L,
+      "global_daily_stats" -> 2L, "vaccinations" -> 1L))
+  }
+}
