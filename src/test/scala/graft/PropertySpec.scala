@@ -148,6 +148,34 @@ class PropertySpec extends AnyFunSuite {
       r.getAs[Long]("simhash") == r.getAs[Long]("hof"), s"doc ${r.getLong(0)}"))
   }
 
+  test("emb_sign_bands kernel matches per-plane dot-product sign packing") {
+    import graft.functions.Hyperplanes
+    val vec: Gen[Seq[Double]] =
+      Gen.listOfN(64, Gen.choose(-1.0, 1.0)).map(_.toSeq)
+    val vecs = sample(vec, 60, seed = 29L)
+    val rows = vecs.zipWithIndex.map { case (v, i) =>
+      Row(i.toLong, v.map(Double.box))
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val got = df.selectExpr("vec_id", "emb_sign_bands(v) AS bands")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val expected = (0 until Hyperplanes.Bands).map { band =>
+        (0 until Hyperplanes.RowsPerBand).map { r =>
+          val plane = Hyperplanes.planes(band * Hyperplanes.RowsPerBand + r)
+          val dot = v.zip(plane).map { case (x, y) => x * y }.sum
+          if (dot > 0) 1 << r else 0
+        }.sum
+      }
+      assert(got(i.toLong) == expected, s"vec $i")
+    }
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
