@@ -28,9 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vec_dot", 2)(a => DotProduct(a(0), a(1))))
     ext.injectFunction(fn("vec_l2sq", 2)(a => L2Sq(a(0), a(1))))
     ext.injectFunction(fn("simhash64", 1)(a => SimHash64(a(0))))
-    ext.injectFunction(fn("emb_sign_bands", 1)(a =>
-      SignBands(a(0), Hyperplanes.planes.map(_.toSeq).toSeq,
-        Hyperplanes.RowsPerBand)))
+    ext.injectFunction(fn("emb_sign_bands", 1)(a => SignBands(a(0))))
     ext.injectFunction(fn("word_shingles", 2) { a =>
       val k = a(1) match {
         case Literal(v: Int, _) => v

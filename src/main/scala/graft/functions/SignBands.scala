@@ -52,26 +52,25 @@ object SignBandKernel {
   }
 }
 
-/** `sign_bands(v)` over a fixed hyperplane codebook → `array<int>` of one
-  * bucket hash per band.
+/** `sign_bands(v)` over the fixed [[Hyperplanes]] codebook → `array<int>`
+  * of one bucket hash per band.
   *
   * One native expression instead of `bands · rowsPerBand` separate
   * `when(vec_dot(v, plane_i) > 0, …)` columns: the unrolled formulation
   * generated a huge whole-stage-codegen method that Janino recompiled for
   * every join branch referencing it — compile time dwarfed execution on
-  * the LSH self-join. Here the generated code is a single kernel call and
-  * the plane matrix rides along as a codegen reference object.
+  * the LSH self-join. The expression carries NO plane data — the codebook
+  * is the process-wide [[Hyperplanes]] constant (deterministic seed), so
+  * plan canonicalization/equality/explain never touch 4096 doubles.
   *
   * Assumes dense vectors (no null elements), the embedding-table contract.
   */
-case class SignBands(child: Expression, planes: Seq[Seq[Double]],
-    rowsPerBand: Int) extends UnaryExpression {
-  require(planes.nonEmpty && planes.length % rowsPerBand == 0,
-    s"sign_bands: ${planes.length} planes not divisible into $rowsPerBand-row bands")
+case class SignBands(child: Expression) extends UnaryExpression {
 
-  private val bands = planes.length / rowsPerBand
+  private def rowsPerBand: Int = Hyperplanes.RowsPerBand
+  private def bands: Int = Hyperplanes.Bands
   @transient private lazy val planeArr: Array[Array[Double]] =
-    planes.map(_.toArray).toArray
+    Hyperplanes.planes
 
   override def prettyName: String = "sign_bands"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -16,6 +16,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * split keeps trailing empties (Spark `split` limit=-1 semantics),
   * shingles join with single spaces, first-occurrence order is preserved
   * (LinkedHashSet), and the short-document fallback returns the raw text.
+  *
+  * The `toString` round-trip is parity-safe even for invalid UTF-8:
+  * Spark's own `split` builtin delegates to `UTF8String.toString` +
+  * `java.util.regex` + `fromString`, applying the identical U+FFFD
+  * substitution (verified against the 4.1.2 bytecode).
   */
 object ShingleKernel {
   def compute(text: UTF8String, k: Int): ArrayData = {

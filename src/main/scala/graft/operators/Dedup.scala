@@ -38,10 +38,11 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
-  private val NumHashes = 64
-  private val Bands = 16 // x 4 rows/band
+  private val BandRows = 3
+  private val Bands = 21 // 63 hashes; see minhashNearDup for the r/b math
+  private val NumHashes = Bands * BandRows
 
-  /** Per-document MinHash signature columns sig_0..sig_63 via
+  /** Per-document MinHash signature columns sig_0..sig_62 via
     * Kirsch–Mitzenmacher double hashing: each shingle is string-hashed
     * exactly twice (h1, h2 = xxhash64 with two seeds) and the i-th hash
     * family member is h1 + i·h2 (wrap-around 64-bit arithmetic).
@@ -61,14 +62,17 @@ object Dedup {
     ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
-  /** Candidate pairs from banded LSH: docs sharing any 4-row band bucket.
-    * Detection probability for Jaccard j is 1-(1-j^4)^16 — ≈1 above 0.85,
-    * steeply off below 0.6.
+  /** Candidate pairs from banded LSH: docs sharing any 3-row band bucket.
+    * Detection probability for Jaccard j is 1-(1-j³)²¹: miss ≈ 1.5e-4 at
+    * j=0.7 (the verify threshold), ≈1e-12 at j=0.9 — r=3 bands trade a
+    * few more spurious candidates (cheap, the verify is exact) for
+    * near-total recall at the threshold itself, where 4-row bands leave a
+    * ~1% deterministic hole.
     */
   private def candidatePairs(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r => col(s"sig_${4 * b + r}")): _*).as("h"))
+        xxhash64((0 until BandRows).map(r => col(s"sig_${BandRows * b + r}")): _*).as("h"))
     }
     val buckets = sig.select(col("doc_id"),
         explode(array(bandCols: _*)).as("bk"))
@@ -83,8 +87,10 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate detection with an exact n-gram-Jaccard
     * verify on the candidates. Output: (da, db, jaccard) pairs at or above
-    * the threshold. At the planted-duplicate similarity level (>=0.9) the
-    * LSH recall is ~1-3e-8, so the result equals the brute-force oracle.
+    * the threshold. Recall at the 0.7 threshold is 1-(1-0.7³)²¹ ≈ 0.99985
+    * and ≈1-1e-12 at the planted-duplicate level (>=0.9), so the result
+    * equals the brute-force oracle on any corpus whose near-threshold
+    * pairs aren't pathologically dense.
     */
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
@@ -238,11 +244,10 @@ object Dedup {
     */
   def embeddingNearDupOn(emb: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    import graft.functions.{Hyperplanes, SignBands}
+    import graft.functions.SignBands
     val v = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val signBands = ColumnBridge.column(SignBands(
-      ColumnBridge.expression(col("v")),
-      Hyperplanes.planes.map(_.toSeq).toSeq, Hyperplanes.RowsPerBand))
+    val signBands =
+      ColumnBridge.column(SignBands(ColumnBridge.expression(col("v"))))
     val buckets = v.select(col("vec_id"),
         posexplode(signBands).as(Seq("band", "h")))
     val cands = buckets.as("a")

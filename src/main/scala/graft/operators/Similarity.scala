@@ -99,6 +99,10 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
+        // materialize the k-row frame each round: truncates the
+        // crossJoin+window lineage so iteration i+1 (and every downstream
+        // reference to the codebook) doesn't re-run iterations 1..i
+        .localCheckpoint(true)
     }
     centroids
   }

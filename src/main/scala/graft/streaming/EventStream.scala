@@ -39,32 +39,52 @@ object EventStream {
     * more than `gapSec` after the last one; closed sessions are emitted
     * downstream. Batch-within-group events arrive unordered — sorted here;
     * cross-batch order is the stream's responsibility (event-time
-    * processing with watermark in production).
+    * processing with watermark).
+    *
+    * State is BOUNDED: the input carries a watermark and every open
+    * session arms an event-time timeout at `ended + gapSec`. When the
+    * watermark passes it, the open session is emitted and its state
+    * removed — so idle/one-shot users don't leak state entries, and
+    * every session is eventually emitted even if its user never returns.
     */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800)(
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+      watermark: String = "10 minutes")(
       implicit enc: org.apache.spark.sql.Encoder[Session],
       senc: org.apache.spark.sql.Encoder[Option[Session]]): Dataset[Session] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[Option[Session], Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[Option[Session]]) =>
-          var cur = state.getOption.flatten
-          val out = scala.collection.mutable.ArrayBuffer[Session]()
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            cur match {
-              case Some(s) if e.ts.getTime - s.ended.getTime <= gapSec * 1000 =>
-                cur = Some(s.copy(ended = e.ts, n_events = s.n_events + 1,
-                  total_value = s.total_value + e.value))
-              case Some(s) =>
-                out += s
-                cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
-              case None =>
-                cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+          if (state.hasTimedOut) {
+            val expired = state.getOption.flatten
+            state.remove()
+            expired.iterator
+          } else {
+            var cur = state.getOption.flatten
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.ended.getTime <= gapSec * 1000 =>
+                  cur = Some(s.copy(ended = e.ts, n_events = s.n_events + 1,
+                    total_value = s.total_value + e.value))
+                case Some(s) =>
+                  out += s
+                  cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+                case None =>
+                  cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+              }
             }
+            state.update(cur)
+            cur.foreach { s =>
+              // never arm a timeout at/behind the watermark (illegal)
+              val at = math.max(s.ended.getTime + gapSec * 1000,
+                state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(at)
+            }
+            out.iterator
           }
-          state.update(cur)
-          out.iterator
       }
   }
 
@@ -105,11 +125,17 @@ object EventStream {
   }
 
   /** Stream → warehouse sink via foreachBatch: each micro-batch of the
-    * (Update-mode) hourly aggregate overwrites only the hour partitions
-    * it touched — dynamic partition overwrite, so late updates replace a
-    * pane in place and re-running a batch is idempotent. This is the
-    * serving-table pattern the reference implements as SQLite
-    * truncate+reload (S9), minus the full-table rewrite.
+    * (Update-mode) hourly aggregate overwrites only the panes it touched —
+    * dynamic partition overwrite, so late updates replace a pane in place
+    * and re-running a batch is idempotent. This is the serving-table
+    * pattern the reference implements as SQLite truncate+reload (S9),
+    * minus the full-table rewrite.
+    *
+    * The physical partitioning is (hour, event_type) — the SAME key as
+    * the aggregation groups, which is load-bearing: Update mode emits
+    * only changed groups, so overwrite granularity coarser than group
+    * granularity (e.g. hour alone) would silently drop an hour's
+    * unchanged event types whenever one type in that hour updates.
     *
     * Returns the started query; the caller owns its lifecycle.
     */
@@ -122,7 +148,8 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.sparkSession.conf
           .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        batch.write.mode("overwrite").partitionBy("hour").parquet(outPath)
+        batch.write.mode("overwrite")
+          .partitionBy("hour", "event_type").parquet(outPath)
       }
       .start()
 }

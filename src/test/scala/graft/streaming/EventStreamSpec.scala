@@ -53,6 +53,16 @@ class EventStreamSpec extends AnyFunSuite {
       assert(rows.head.total_value == 3.0)
       assert(rows.head.started == ts("2024-01-01 09:00:00"))
       assert(rows.head.ended == ts("2024-01-01 09:10:00"))
+      // another user's much-later event advances the watermark past the
+      // open session's gap deadline -> event-time timeout emits it and
+      // reclaims the state (bounded-state guarantee)
+      input.addData(Event(4, ts("2024-01-01 15:00:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("sessions").as[Session].collect()
+      assert(after.length == 2)
+      val expired = after.find(_.started == ts("2024-01-01 12:00:00")).get
+      assert(expired.user_id == 7 && expired.n_events == 1
+        && expired.total_value == 5.0)
     } finally q.stop()
   }
 
@@ -108,18 +118,21 @@ class EventStreamSpec extends AnyFunSuite {
     val input = MemoryStream[Event]
     input.addData(
       Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
-      Event(2, ts("2024-01-01 11:05:00"), 2, "view", 2.0))
+      Event(2, ts("2024-01-01 10:06:00"), 2, "view", 7.0), // same hour, other type
+      Event(3, ts("2024-01-01 11:05:00"), 2, "view", 2.0))
     val q = EventStream.hourlyToParquet(input.toDF(), out, ckpt)
     try {
       q.processAllAvailable()
-      // second batch updates hour 10 only; hour 11 pane must survive
-      input.addData(Event(3, ts("2024-01-01 10:20:00"), 3, "click", 5.0))
+      // second batch updates (hour 10, click) only; the (hour 10, view)
+      // and (hour 11, view) panes must survive the dynamic overwrite
+      input.addData(Event(4, ts("2024-01-01 10:20:00"), 3, "click", 5.0))
       q.processAllAvailable()
       val rows = spark.read.parquet(out)
         .collect().map(r => (r.getAs[java.sql.Timestamp]("hour").toString,
           r.getAs[String]("event_type"), r.getAs[Long]("n_events"))).toSet
       assert(rows == Set(
         ("2024-01-01 10:00:00.0", "click", 2L),
+        ("2024-01-01 10:00:00.0", "view", 1L),
         ("2024-01-01 11:00:00.0", "view", 1L)))
     } finally q.stop()
   }
