@@ -14,6 +14,12 @@ import graft.sources.Tables
   * pairs — never all-pairs. The exact-similarity verify runs only on
   * bucket-collision candidates, which is what keeps near-dedup feasible at
   * 100 TB (all-pairs is O(n²); LSH is ~O(n · bands)).
+  *
+  * Each operator evaluates its own lineage — the MinHash verify stage,
+  * for instance, re-derives the shingle sets for both join sides (the
+  * native kernel makes a pass cheap). When chaining several near-dup
+  * strategies over one corpus at scale, persist the shingled frame once
+  * and feed the `*On` variants instead of paying a scan per operator.
   */
 object Dedup {
 
