@@ -33,6 +33,8 @@ object SparkEntry {
     "q_null_audit" -> ((s, dir) => Relational.nullAudit(s, dir)),
     "q_scalar_global" -> ((s, dir) => Relational.scalarGlobal(s, dir)),
     "q_profile" -> ((s, dir) => Relational.profileNumeric(s, dir)),
+    "q_histogram" -> ((s, dir) => Aggregates.priceHistogram(s, dir)),
+    "q_corr" -> ((s, dir) => Aggregates.qtyPriceCorr(s, dir)),
     "q_join_star" -> ((s, dir) => Joins.starJoin(s, dir)),
     "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
     "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
@@ -284,8 +286,30 @@ object SparkEntry {
         |       CAST(length(p_name) AS INT) AS name_len,
         |       substring(p_type, 1, 5) AS type_prefix,
         |       p_brand || '#' || p_type AS brand_type,
-        |       replace(p_name, ' ', '_') AS name_snake
+        |       replace(p_name, ' ', '_') AS name_snake,
+        |       regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num
         |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 60000.0) + 1 AS BIGINT) AS bucket,
+        |       count(*) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_corr" ->
+      """WITH s AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))
+        |           * CAST(l_quantity AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))
+        |           * CAST(l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS syy,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(24,6))
+        |           * CAST(l_extendedprice AS DECIMAL(24,6))) AS VARCHAR) AS DOUBLE) AS sxy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL)
+        |SELECT n, (n * sxy - sx * sy)
+        |          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price
+        |FROM s""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type,
         |       count(CAST(json_extract_string(props, '$.k') AS INT)) AS n_with_k,

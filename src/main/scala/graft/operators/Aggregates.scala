@@ -95,6 +95,42 @@ object Aggregates {
         col("top.o_orderkey").as("top_order"))
       .orderBy(col("o_custkey"))
 
+  /** Value-distribution histogram: orders bucketed into equal-width bins
+    * (floor arithmetic, identical text in the oracle — DuckDB has no
+    * width_bucket) — one pass, one tiny aggregate; the distribution
+    * companion to [[Relational.profileNumeric]].
+    */
+  def priceHistogram(spark: SparkSession, dir: String,
+      bucketWidth: Double = 60000.0): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy((floor(col("o_totalprice") / bucketWidth) + 1).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
+  /** Pearson correlation of quantity vs. extended price, spelled out from
+    * exact decimal power sums rather than the `corr` aggregate: corr's
+    * internal running-moment merges are float-order-dependent and differ
+    * engine to engine, while five exact sums + one double-arithmetic
+    * formula are deterministic and bit-reproducible anywhere (the oracle
+    * runs the identical formula text).
+    */
+  def qtyPriceCorr(spark: SparkSession, dir: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+  }
+
   /** Ordered collect: each customer's order keys as a sorted CSV string.
     * `collect_list` order is partition-dependent, so the sort happens
     * inside the row (`sort_array`) — deterministic regardless of task

@@ -24,7 +24,8 @@ object Scalars {
         length(col("p_name")).as("name_len"),
         substring(col("p_type"), 1, 5).as("type_prefix"),
         concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
-        regexp_replace(col("p_name"), " ", "_").as("name_snake"))
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num"))
       .orderBy(col("p_partkey"))
 
   /** JSON extraction + aggregation: pull `k` out of the `props` JSON

@@ -96,6 +96,15 @@ class AggregatesSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram buckets partition the order count; corr is in [-1,1]") {
+    val hist = Aggregates.priceHistogram(spark, dir).collect()
+    val total = hist.map(_.getAs[Long]("n_orders")).sum
+    assert(total == graft.sources.Tables.orders(spark, dir).count())
+    val corr = Aggregates.qtyPriceCorr(spark, dir).collect().head
+      .getAs[Double]("corr_qty_price")
+    assert(corr >= -1.0 && corr <= 1.0)
+  }
+
   test("json extract aggregates k over every event type") {
     val rows = Scalars.jsonExtract(spark, dir).collect()
     assert(rows.length == 5)
