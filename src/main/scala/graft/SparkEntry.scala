@@ -39,6 +39,8 @@ object SparkEntry {
     "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
     "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
     "q_setops" -> ((s, dir) => Joins.setOps(s, dir)),
+    "q_intersect" -> ((s, dir) => Joins.intersectOp(s, dir)),
+    "q_null_funs" -> ((s, dir) => Scalars.nullFuns(s, dir)),
     "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
@@ -213,6 +215,18 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_nationkey = 0)
         |SELECT c_custkey FROM e ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_null_funs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       coalesce(l_discount, 0.0) AS discount_or_zero,
+        |       l_extendedprice / nullif(l_quantity, 0.0) AS unit_price_guarded,
+        |       greatest(l_discount, l_tax) AS max_rate,
+        |       least(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_asof_join" ->
       """WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')

@@ -76,6 +76,17 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** INTERSECT (distinct semantics): BUILDING customers who are also
+    * high-balance — completing the set-op triple with [[setOps]]'s
+    * UNION/EXCEPT.
+    */
+  def intersectOp(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      .intersect(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
   /** As-of join — an operator Spark lacks natively, composed from builtins
     * (SURVEY.md §7.3 preference order (a)): every click event picks up the
     * same user's most recent prior-or-equal purchase timestamp.

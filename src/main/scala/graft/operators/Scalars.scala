@@ -62,6 +62,21 @@ object Scalars {
         |ORDER BY o_custkey, o_orderkey""".stripMargin)
   }
 
+  /** NULL-handling function surface: coalesce defaults, NULLIF-guarded
+    * division (the idiomatic divide-by-zero guard, complementing the
+    * reference's explicit `when` guards), and greatest/least across
+    * columns with NULL propagation.
+    */
+  def nullFuns(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        coalesce(col("l_discount"), lit(0.0)).as("discount_or_zero"),
+        (col("l_extendedprice") / nullif(col("l_quantity"), lit(0.0)))
+          .as("unit_price_guarded"),
+        greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+        least(col("l_discount"), col("l_tax")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Date-function projection over ship dates: offset arithmetic, month
     * truncation, month-end, ISO weekday, quarter, day-of-year — the
     * calendar toolkit the reference's T1/T4 only scratches.
