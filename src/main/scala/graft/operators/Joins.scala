@@ -98,8 +98,11 @@ object Joins {
     * ordering key) so an exactly-simultaneous purchase is visible, which
     * matches ASOF's `c.ts >= p.ts` contract.
     */
-  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
+  def asofJoin(spark: SparkSession, dir: String): DataFrame =
+    asofJoinOn(Tables.events(spark, dir))
+
+  /** Same, over any (event_id, ts, user_id, event_type) frame. */
+  def asofJoinOn(ev: DataFrame): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"),
         lit(1).as("is_click"), lit(null).cast("timestamp").as("p_ts"))

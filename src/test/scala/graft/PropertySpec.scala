@@ -115,6 +115,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asof join matches a reference max-prior-purchase computation, " +
+    "including simultaneous-timestamp ties") {
+    val ev: Gen[(Long, Int, Boolean)] = for {
+      user <- Gen.choose(1L, 5L)
+      t <- Gen.choose(0, 20) // coarse grid -> frequent exact-ts ties
+      isClick <- Gen.oneOf(true, false)
+    } yield (user, t, isClick)
+    val evs = sample(ev, 300, seed = 31L).zipWithIndex.map {
+      case ((u, t, c), i) =>
+        (i.toLong, new java.sql.Timestamp(86400000L + t * 60000L), u,
+          if (c) "click" else "purchase", 1.0)
+    }
+    import spark.implicits._
+    val df = evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Joins.asofJoinOn(df).collect()
+      .map(r => r.getAs[Long]("event_id")
+        -> Option(r.getAs[java.sql.Timestamp]("purchase_ts"))).toMap
+    val purchases = evs.filter(_._4 == "purchase")
+    evs.filter(_._4 == "click").foreach { case (id, ts, u, _, _) =>
+      val expected = purchases
+        .filter(p => p._3 == u && !p._2.after(ts))
+        .map(_._2).sortBy(_.getTime).lastOption
+      assert(got(id) == expected, s"click $id")
+    }
+  }
+
   test("simhash64 kernel matches the aggregate/zip_with vote formulation") {
     val word: Gen[String] = Gen.frequency(
       8 -> Gen.choose(0, 30).map(i => s"tok$i"), 1 -> Gen.const(""))
