@@ -34,6 +34,13 @@ object Profile {
     t("minhash_10x")(Dedup.minhashNearDupOn(docs10, 0.7).count())
     t("ngram_10x_df256")(
       Dedup.ngramJaccardPairsOn(docs10, 0.7, maxDf = Some(256L)).count())
+    // identical replicated vectors MUST collide in every sign band, so
+    // the expected pair count is exactly n_vectors * C(10,2)
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val emb10 = (0 until 10).map(i =>
+        emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+    t("embed_10x")(Dedup.embeddingNearDupOn(emb10, 0.95).count())
     spark.stop()
   }
 }
