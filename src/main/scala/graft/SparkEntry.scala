@@ -55,6 +55,8 @@ object SparkEntry {
     "q_window_rank" -> ((s, dir) => Analytics.windowRank(s, dir)),
     "q_window_range" -> ((s, dir) => Analytics.trailingHourValue(s, dir)),
     "q_ntile" -> ((s, dir) => Analytics.priceQuartiles(s, dir)),
+    "q_first_last" -> ((s, dir) => Analytics.firstLastPerUser(s, dir)),
+    "q_cond_agg" -> ((s, dir) => Analytics.conditionalAgg(s, dir)),
     "q_explode_ngrams" -> ((s, dir) => Analytics.topNgrams(s, dir)),
     "q_date_funs" -> ((s, dir) => Scalars.dateFuns(s, dir)),
     "q_correlated" -> ((s, dir) => Scalars.aboveCustomerAvg(s, dir)),
@@ -353,6 +355,22 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin,
+    "q_first_last" ->
+      """SELECT user_id, event_id, ts, value,
+        |       first_value(value) OVER w AS first_value,
+        |       last_value(value) OVER w AS last_value,
+        |       nth_value(value, 2) OVER w AS second_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT user_id, count(*) AS n_events,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+        |       count(*) FILTER (WHERE value > 50) AS n_high_value,
+        |       CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_explode_ngrams" ->
       """WITH sh AS (
         |  SELECT lang,

@@ -130,6 +130,38 @@ object Analytics {
       .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Frame-boundary window functions: each event alongside its user's
+    * first and last event value (full-frame `ROWS BETWEEN UNBOUNDED
+    * PRECEDING AND UNBOUNDED FOLLOWING` — spelled out because the default
+    * frame stops at CURRENT ROW and silently changes last_value's
+    * meaning) plus the second event via nth_value.
+    */
+  def firstLastPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        first(col("value")).over(full).as("first_value"),
+        last(col("value")).over(full).as("last_value"),
+        nth_value(col("value"), 2).over(full).as("second_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** Conditional aggregation: per-type counts/sums gated by predicates
+    * inside one aggregate pass (count_if / sum(CASE) — no self-joins, no
+    * second scan).
+    */
+  def conditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_if(col("event_type") === "purchase").as("n_purchases"),
+        count_if(col("value") > 50).as("n_high_value"),
+        dsum(when(col("event_type") === "purchase", col("value")))
+          .as("purchase_value"))
+      .orderBy(col("user_id"))
+
   /** Array/explode surface: top-3 word trigrams per language by document
     * frequency. Shingle sets come from the native `word_shingles` kernel;
     * frequency ranking dedups inside each document first (set semantics),

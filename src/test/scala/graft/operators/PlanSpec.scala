@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Physical-plan regression guards for the scale-critical claims made in
+  * SCALING.md — a plan that silently degrades (lost broadcast, lost
+  * pushdown, global sort instead of top-k) should fail CI, not surface
+  * in a 100 TB run.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topK(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("star join broadcasts the dimensions and pushes the date filter") {
+    val p = plan(Joins.starJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"), p)
+  }
+
+  test("projection prunes the lineitem scan to the selected columns") {
+    val p = plan(Relational.selectProject(spark, dir))
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("l_orderkey") && read.contains("l_shipdate"))
+    assert(!read.contains("l_partkey") && !read.contains("l_tax"), read)
+  }
+
+  test("as-of join exchanges once on user_id (no range join)") {
+    val p = plan(Joins.asofJoin(spark, dir))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+}
