@@ -44,6 +44,7 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
+    "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
     "q_distinct_agg" -> ((s, dir) => Aggregates.distinctAgg(s, dir)),
     "q_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(s, dir)),
     "q_percentile" -> ((s, dir) => Aggregates.percentileSummary(s, dir)),
@@ -248,6 +249,13 @@ object SparkEntry {
         |       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_distinct_agg" ->
       """SELECT l_returnflag,
         |       count(DISTINCT l_suppkey) AS n_suppliers,

@@ -42,6 +42,22 @@ object Aggregates {
       .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** Arbitrary GROUPING SETS: per-flag totals and per-status totals from
+    * ONE scan/shuffle (no self-union of two groupBys); grouping_id tells
+    * the levels apart. Completes the multi-level family with
+    * [[Analytics.rollupAgg]] and [[cubeOrders]].
+    */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
   /** Exact distinct aggregates per group: distinct suppliers and parts per
     * return flag. Spark expands multi-distinct into a single Expand-based
     * plan — still one pass over the fact table.
