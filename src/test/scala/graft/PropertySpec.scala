@@ -141,6 +141,40 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngram jaccard explode-join equals brute-force pairwise jaccard " +
+    "on random overlapping corpora") {
+    val doc: Gen[String] = for {
+      n <- Gen.choose(3, 25)
+      // small vocab -> heavy cross-doc shingle overlap
+      ws <- Gen.listOfN(n, Gen.choose(0, 8).map(i => s"w$i"))
+    } yield ws.mkString(" ")
+    val texts = sample(doc, 40, seed = 37L)
+    import spark.implicits._
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "en", t) }
+      .toDF("doc_id", "lang", "text")
+    val got = graft.operators.Dedup
+      .ngramJaccardPairsOn(df, threshold = 0.3, maxDf = None)
+      .collect().map(r => (r.getLong(0), r.getLong(1))
+        -> r.getAs[Double]("jaccard")).toMap
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 3) Set(t)
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    def bucket(t: String): Long = t.split(" ", -1).length / 32
+    val expected = (for {
+      i <- texts.indices; j <- texts.indices if i < j
+      if bucket(texts(i)) == bucket(texts(j))
+      a = sh(texts(i)); b = sh(texts(j))
+      jac = (a intersect b).size.toDouble / (a union b).size
+      if jac >= 0.3
+    } yield (i.toLong, j.toLong) -> jac).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-12, s"$k") }
+  }
+
   test("simhash64 kernel matches the aggregate/zip_with vote formulation") {
     val word: Gen[String] = Gen.frequency(
       8 -> Gen.choose(0, 30).map(i => s"tok$i"), 1 -> Gen.const(""))
