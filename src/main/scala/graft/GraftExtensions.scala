@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DotProduct, Hyperplanes, L2Sq, SignBands, SimHash64, WordShingles}
+import graft.functions.{DotProduct, L2Sq, SignBands, SimHash64, WordShingles}
 
 /** Session plugin registering graft's native Catalyst expressions.
   *

@@ -137,7 +137,8 @@ object Aggregates {
     Tables.lineitem(spark, dir)
       .filter(col("l_quantity").isNotNull && col("l_extendedprice").isNotNull)
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        dsum(col("l_quantity")).as("sx"),
+        dsum(col("l_extendedprice")).as("sy"),
         sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
         sum(x * y).cast("double").as("sxy"))
       .select(col("n"),

@@ -54,10 +54,10 @@ object Dedup {
     * family member is h1 + i·h2 (wrap-around 64-bit arithmetic).
     *
     * Shape: explode shingles once, then ONE whole-stage-codegen hash
-    * aggregation computing all 64 mins with map-side partial aggregation —
-    * the shuffle carries only 64 longs per document per map partition.
+    * aggregation computing all 63 mins with map-side partial aggregation —
+    * the shuffle carries only 63 longs per document per map partition.
     * This replaces a per-row higher-order `transform` formulation that
-    * string-hashed every shingle 64 times in interpreted lambdas.
+    * string-hashed every shingle once per signature slot in interpreted lambdas.
     */
   private def signatures(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))

@@ -64,14 +64,33 @@ object EventStream {
           } else {
             var cur = state.getOption.flatten
             val out = scala.collection.mutable.ArrayBuffer[Session]()
-            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val gapMs = gapSec * 1000
+            // events older than the watermark are beyond the allowed
+            // lateness — flatMapGroupsWithState does not filter them for
+            // us the way aggregations do
+            val admitted = batch.filter(_.ts.getTime >= state.getCurrentWatermarkMs())
+            admitted.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
               cur match {
-                case Some(s) if e.ts.getTime - s.ended.getTime <= gapSec * 1000 =>
-                  cur = Some(s.copy(ended = e.ts, n_events = s.n_events + 1,
+                // merge when the event falls within `gap` of the session
+                // INTERVAL — a late-but-admitted event may precede
+                // `started`, so bounds extend with min/max rather than
+                // assuming forward-only arrival (ended must never move
+                // backward: gap measurement depends on it)
+                case Some(s)
+                    if e.ts.getTime >= s.started.getTime - gapMs
+                      && e.ts.getTime <= s.ended.getTime + gapMs =>
+                  cur = Some(s.copy(
+                    started = if (e.ts.before(s.started)) e.ts else s.started,
+                    ended = if (e.ts.after(s.ended)) e.ts else s.ended,
+                    n_events = s.n_events + 1,
                     total_value = s.total_value + e.value))
-                case Some(s) =>
+                case Some(s) if e.ts.after(s.ended) =>
                   out += s
                   cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+                case Some(s) =>
+                  // disjoint session strictly in the past: emit it
+                  // directly, keep the current one open
+                  out += Session(userId, e.ts, e.ts, 1, e.value)
                 case None =>
                   cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
               }
@@ -146,9 +165,10 @@ object EventStream {
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.sparkSession.conf
-          .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        // writer-scoped option, NOT a session-conf mutation: dynamic
+        // overwrite must apply to this sink only, no global side effect
         batch.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
           .partitionBy("hour", "event_type").parquet(outPath)
       }
       .start()
