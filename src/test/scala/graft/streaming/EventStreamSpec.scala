@@ -66,6 +66,30 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize merges a late-but-in-watermark event by extending bounds backward") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+    val q = EventStream.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // watermark is 09:50; a 09:55 event is late but admitted -> must
+      // extend the session's start backward, never move `ended` back
+      input.addData(Event(2, ts("2024-01-01 09:55:00"), 7, "click", 2.0))
+      q.processAllAvailable()
+      // distant event advances the watermark -> session times out, emits
+      input.addData(Event(3, ts("2024-01-01 15:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val s = spark.table("late_sessions").as[Session].collect()
+        .find(_.user_id == 7).get
+      assert(s.started == ts("2024-01-01 09:55:00"))
+      assert(s.ended == ts("2024-01-01 10:00:00"))
+      assert(s.n_events == 2 && s.total_value == 3.0)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops in-watermark duplicate keys across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
