@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The blessed session factory — one place for every setting the engine's
+  * semantics depend on, so a user switching from the reference gets a
+  * correctly configured session in one call (and Verify/Bench/tests can't
+  * drift apart):
+  *
+  *   - `graft.GraftExtensions` registers the native expressions for the
+  *     SQL surface;
+  *   - UTC session timezone pins date/timestamp functions (SURVEY §7.5 #3);
+  *   - ANSI off matches the PySpark 3.5 reference semantics (x/0 → NULL,
+  *     no overflow errors) rather than Spark 4's ANSI default;
+  *   - nanos-as-long lets the TIMESTAMP(NANOS) events table load
+  *     (truncated to micros in [[graft.sources.Tables.events]]).
+  *
+  * Cluster deployments use the same builder with a cluster master URL —
+  * nothing here is local-mode-specific except the defaults.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors)
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}
