@@ -38,6 +38,10 @@ object SparkEntry {
     "q_join_star" -> ((s, dir) => Joins.starJoin(s, dir)),
     "q_join_semi" -> ((s, dir) => Joins.semiJoin(s, dir)),
     "q_join_anti" -> ((s, dir) => Joins.antiJoin(s, dir)),
+    "q_join_left" -> ((s, dir) => Joins.leftJoinOrderCounts(s, dir)),
+    "q_join_full" -> ((s, dir) => Joins.fullOuterNationCounts(s, dir)),
+    "q_union_all" -> ((s, dir) => Joins.unionAllLedger(s, dir)),
+    "q_cumulative" -> ((s, dir) => Analytics.cumulativeSpend(s, dir)),
     "q_setops" -> ((s, dir) => Joins.setOps(s, dir)),
     "q_intersect" -> ((s, dir) => Joins.intersectOp(s, dir)),
     "q_null_funs" -> ((s, dir) => Scalars.nullFuns(s, dir)),
@@ -218,6 +222,35 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT c_custkey FROM customer WHERE c_nationkey = 0)
         |SELECT c_custkey FROM e ORDER BY c_custkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name,
+        |       count(o_orderkey) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q_join_full" ->
+      """WITH bc AS (SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        |            FROM customer GROUP BY 1),
+        |bs AS (SELECT s_nationkey, count(*) AS n_suppliers
+        |       FROM supplier GROUP BY 1)
+        |SELECT coalesce(nationkey, s_nationkey) AS nationkey,
+        |       coalesce(n_customers, 0) AS n_customers,
+        |       coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM bc FULL OUTER JOIN bs ON nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q_union_all" ->
+      """SELECT 'customer' AS side, c_custkey AS entity_id, c_acctbal AS balance
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supplier', s_suppkey, s_acctbal FROM supplier
+        |ORDER BY side, entity_id""".stripMargin,
+    "q_cumulative" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+        |              (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS spend_to_date
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q_intersect" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT

@@ -130,6 +130,22 @@ object Analytics {
       .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** Cumulative (running-total) window: each order with the customer's
+    * spend-to-date — unbounded-preceding frame on the exact-decimal path
+    * so the running sum is prefix-order exact, not float-drifty.
+    */
+  def cumulativeSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double")
+          .as("spend_to_date"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   /** Frame-boundary window functions: each event alongside its user's
     * first and last event value (full-frame `ROWS BETWEEN UNBOUNDED
     * PRECEDING AND UNBOUNDED FOLLOWING` — spelled out because the default

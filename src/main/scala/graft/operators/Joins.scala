@@ -76,6 +76,54 @@ object Joins {
       .orderBy(col("c_custkey"))
   }
 
+  /** Left outer join + aggregate: order counts per customer INCLUDING
+    * zero-order customers — the null-producing join the inner family
+    * can't express. count(o_orderkey) counts non-null keys, so unmatched
+    * customers report 0, not 1.
+    */
+  def leftJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Full outer join of two aggregates: per-nation customer counts vs.
+    * supplier counts, either side possibly absent (coalesced to the
+    * surviving key). The classic reconciliation-report shape.
+    */
+  def fullOuterNationCounts(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val bySupp = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    byCust.join(bySupp, col("nationkey") === col("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** UNION ALL (bag semantics — duplicates preserved, unlike [[setOps]]'
+    * distinct UNION): the combined account-event ledger of customer and
+    * supplier balances, tagged by origin.
+    */
+  def unionAllLedger(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("side"), col("c_custkey").as("entity_id"),
+        col("c_acctbal").as("balance"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("side"), col("s_suppkey").as("entity_id"),
+        col("s_acctbal").as("balance"))
+    c.unionAll(s).orderBy(col("side"), col("entity_id"))
+  }
+
   /** INTERSECT (distinct semantics): BUILDING customers who are also
     * high-balance — completing the set-op triple with [[setOps]]'s
     * UNION/EXCEPT.
