@@ -53,6 +53,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, dir) => Aggregates.approxDistinct(s, dir)),
     "q_percentile" -> ((s, dir) => Aggregates.percentileSummary(s, dir)),
     "q_argmax" -> ((s, dir) => Aggregates.argmaxOrder(s, dir)),
+    "q_weighted_mean" -> ((s, dir) => Aggregates.weightedDiscount(s, dir)),
     "q_collect_sorted" -> ((s, dir) => Aggregates.ordersPerCustomer(s, dir)),
     "q_sessions" -> ((s, dir) => Analytics.sessions(s, dir)),
     "q_string_funs" -> ((s, dir) => Scalars.stringFuns(s, dir)),
@@ -303,6 +304,15 @@ object SparkEntry {
         |       quantile_cont(o_totalprice, 0.9) AS p90_price,
         |       count(*) AS n_orders
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_weighted_mean" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_discount * l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS wavg_discount,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_argmax" ->
       """SELECT o_custkey, o_totalprice AS top_price, o_orderkey AS top_order
         |FROM (SELECT o_custkey, o_totalprice, o_orderkey,

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact-decimal weighted mean as a typed `Aggregator` — the engine's
+  * demonstration of the typed-UDAF extension point (SURVEY.md §2.4
+  * "UDF/UDAF": none needed for parity; this is engine capability).
+  *
+  * Buffer state is a pair of scale-6 BigDecimals (Spark encodes them as
+  * DecimalType — no Kryo, no opaque binary state), so partial buffers
+  * merge associatively and the result is order-independent, exactly like
+  * the `Stable.dsum` path it mirrors: each product is rounded to
+  * DECIMAL-scale-6 with HALF_UP (the same rounding Spark's double→decimal
+  * Cast applies), summed exactly, and divided once in IEEE double.
+  *
+  * Inputs must be pre-filtered non-null (primitive-double encoding);
+  * the weighted-mean query guards both columns.
+  */
+object WeightedMean
+    extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+
+  private def d6(v: Double): BigDecimal =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+
+  override def zero: (BigDecimal, BigDecimal) = (d6(0.0), d6(0.0))
+
+  /** a = (value, weight): accumulate (Σ value·weight, Σ weight). */
+  override def reduce(b: (BigDecimal, BigDecimal), a: (Double, Double))
+      : (BigDecimal, BigDecimal) =
+    (b._1 + d6(a._1 * a._2), b._2 + d6(a._2))
+
+  override def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal))
+      : (BigDecimal, BigDecimal) = (x._1 + y._1, x._2 + y._2)
+
+  override def finish(r: (BigDecimal, BigDecimal)): Double =
+    r._1.toDouble / r._2.toDouble
+
+  override def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
+    Encoders.product[(BigDecimal, BigDecimal)]
+
+  override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}

@@ -98,6 +98,23 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** Typed-Aggregator surface: revenue-weighted mean discount per return
+    * flag via [[graft.functions.WeightedMean]] (`functions.udaf` over a
+    * typed `Aggregator` with decimal buffer state — partial-aggregates
+    * and merges like any builtin). Inputs are pre-filtered non-null, the
+    * Aggregator's encoding contract.
+    */
+  def weightedDiscount(spark: SparkSession, dir: String): DataFrame = {
+    val wmean = udaf(graft.functions.WeightedMean)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_discount").isNotNull && col("l_extendedprice").isNotNull)
+      .groupBy(col("l_returnflag"))
+      .agg(wmean(col("l_discount"), col("l_extendedprice"))
+          .as("wavg_discount"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Argmax without a window: the customer's single most expensive order
     * via `max(struct(price, key))` — one hash aggregation, no per-group
     * sort. Struct comparison is lexicographic, so ties on price break to
