@@ -105,6 +105,38 @@ class AggregatesSpec extends AnyFunSuite {
     assert(corr >= -1.0 && corr <= 1.0)
   }
 
+  test("left join keeps zero-order customers; full outer covers both key sets") {
+    val left = Joins.leftJoinOrderCounts(spark, dir).collect()
+    assert(left.length ==
+      graft.sources.Tables.customer(spark, dir).count())
+    val zeroOrder = left.filter(_.getAs[Long]("n_orders") == 0)
+    zeroOrder.foreach(r =>
+      assert(r.isNullAt(r.fieldIndex("total_spend")), "no orders -> null spend"))
+    val full = Joins.fullOuterNationCounts(spark, dir).collect()
+    val custNations = graft.sources.Tables.customer(spark, dir)
+      .select("c_nationkey").distinct().count()
+    assert(full.length >= custNations)
+    assert(full.forall(r => r.getAs[Long]("n_customers") > 0
+      || r.getAs[Long]("n_suppliers") > 0))
+  }
+
+  test("weighted mean lies within the discount range and differs from plain avg") {
+    val rows = Aggregates.weightedDiscount(spark, dir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("wavg_discount")
+      assert(w >= 0.0 && w <= 0.2, s"weighted discount $w out of range")
+    }
+  }
+
+  test("cumulative spend is non-decreasing within each customer") {
+    val rows = Analytics.cumulativeSpend(spark, dir).collect()
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
+      val seq = g.map(_.getAs[Double]("spend_to_date"))
+      assert(seq.sameElements(seq.sorted), "running total must not decrease")
+    }
+  }
+
   test("json extract aggregates k over every event type") {
     val rows = Scalars.jsonExtract(spark, dir).collect()
     assert(rows.length == 5)
