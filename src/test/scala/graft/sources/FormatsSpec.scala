@@ -1,0 +1,51 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Source/sink format coverage beyond parquet (SURVEY.md §2.1 S5-S7):
+  * CSV, JSON lines, and ORC round-trips with explicit schemas — the
+  * format surface a reference user would expect from `spark.read`. Each
+  * read uses an explicit schema (no inference pass, the determinism
+  * choice the reference's own tests make).
+  */
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val sample = Tables.orders(spark, dir)
+    .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    .orderBy("o_orderkey").limit(200).cache()
+
+  private def assertRoundTrip(back: org.apache.spark.sql.DataFrame): Unit = {
+    assert(back.count() == 200)
+    assert(back.exceptAll(sample).isEmpty
+      && sample.exceptAll(back).isEmpty, "round-trip changed rows")
+  }
+
+  test("CSV round-trip with explicit schema (header, no inference)") {
+    val out = Files.createTempDirectory("graft_csv").toString + "/orders"
+    sample.write.option("header", "true").csv(out)
+    assertRoundTrip(
+      spark.read.option("header", "true").schema(sample.schema).csv(out))
+  }
+
+  test("JSON-lines round-trip with explicit schema") {
+    val out = Files.createTempDirectory("graft_json").toString + "/orders"
+    sample.write.json(out)
+    assertRoundTrip(spark.read.schema(sample.schema).json(out))
+  }
+
+  test("ORC round-trip preserves schema and supports predicate pushdown") {
+    val out = Files.createTempDirectory("graft_orc").toString + "/orders"
+    sample.write.orc(out)
+    val back = spark.read.orc(out)
+    assertRoundTrip(back)
+    val filtered = back.filter(col("o_orderkey") <= 100)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderkey), " +
+      "LessThanOrEqual(o_orderkey,100)]"), plan)
+  }
+}
