@@ -14,10 +14,16 @@ object Bench {
       graft.sources.Tables.table(spark, sfDir, t).count())
     // A failing query reports -1 (never a plausible elapsed time) so a
     // broken operator cannot hide inside a normal-looking total.
+    // Materialize through the noop sink, not count(): under a count,
+    // Catalyst prunes every unused projection and eliminates sorts, so
+    // projection/sort-heavy queries would time as near-metadata scans.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -1,17 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Print formatted plans for the named queries. Usage:
+  *   runMain graft.Explain [--dir <sfDir>] <query-key> [<query-key> ...]
+  * Uses [[GraftSession]] so the plans shown here come from exactly the
+  * session semantics Verify/Bench run under (ANSI off, nanos-as-long,
+  * UTC, extensions) — a hand-rolled builder here would silently drift.
+  */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val dir = "/root/testdata/sf0.01"
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val (dir, names) = args.toList match {
+      case "--dir" :: d :: rest => (d, rest)
+      case rest => ("/root/testdata/sf0.01", rest)
+    }
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (name <- args) {
+    for (name <- names) {
       println(s"==== $name ====")
       SparkEntry.queries(name)(spark, dir).explain("formatted")
     }

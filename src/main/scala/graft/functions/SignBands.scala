@@ -29,6 +29,13 @@ object SignBandKernel {
   def compute(v: ArrayData, planes: Array[Array[Double]], bands: Int,
       rowsPerBand: Int): ArrayData = {
     val d = v.numElements()
+    // Fail loudly on a dimension the codebook can't cover: silently
+    // projecting onto the first plane.length dims would degrade LSH
+    // recall with no visible error.
+    if (d > planes(0).length)
+      throw new IllegalArgumentException(
+        s"sign_bands: vector dim $d exceeds hyperplane codebook dim " +
+          s"${planes(0).length}; regenerate Hyperplanes for this embedding size")
     val out = new Array[Int](bands)
     var p = 0
     var band = 0
@@ -37,10 +44,9 @@ object SignBandKernel {
       var r = 0
       while (r < rowsPerBand) {
         val plane = planes(p)
-        val n = math.min(d, plane.length)
         var s = 0.0
         var i = 0
-        while (i < n) { s += v.getDouble(i) * plane(i); i += 1 }
+        while (i < d) { s += v.getDouble(i) * plane(i); i += 1 }
         if (s > 0) h |= 1 << r
         r += 1
         p += 1

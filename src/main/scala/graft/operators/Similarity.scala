@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.functions.VectorFunctions._
@@ -21,6 +20,27 @@ import graft.sources.Tables
   *     reads only matching partitions.
   */
 object Similarity {
+
+  /** Nearest-centroid assignment of every vector in `emb` (vec_id, v) to
+    * the broadcast `centroids` (cid, cv): min L2², ties to the lower cid.
+    *
+    * The argmin is a `min(struct(dist, cid, v))` hash aggregation, NOT a
+    * `row_number()` window: the aggregate gets map-side partial
+    * aggregation, so the C×n broadcast fan-out collapses back to one row
+    * per vector *before* the exchange — the shuffle moves n rows, not
+    * C·n. (With a window, the full fanned frame crosses the wire every
+    * call — the scale-limiter at 100× data.) The struct comparison is
+    * total per group: cid is unique within a vec_id group, so `v` — which
+    * is identical on every fanned row of the group — never decides.
+    */
+  private[operators] def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(l2sq(col("v"), col("cv")).as("dist"), col("cid"), col("v"))
+          .as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"), col("best.cid").as("cid"))
 
   /** Exact cosine top-k for the query vector (vec_id = queryId). */
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0,
@@ -46,14 +66,8 @@ object Similarity {
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-    // nearest-centroid assignment: one broadcast nested pass + argmin
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2sq(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    // nearest-centroid assignment: one broadcast nested pass + partial-agg argmin
+    val assigned = assignNearest(emb, centroids)
 
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"))
@@ -83,14 +97,8 @@ object Similarity {
   def kmeansCodebook(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
     var centroids = emb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
     for (_ <- 0 until iters) {
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("dist", l2sq(col("v"), col("cv")))
-        .withColumn("rn", row_number().over(byDist))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+      val assigned = assignNearest(emb, centroids)
       centroids = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos"))
@@ -118,13 +126,7 @@ object Similarity {
     val centroids = kmeansCodebook(emb)
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist"), col("cid"))
-    val assigned = emb.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2sq(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(byDist))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"))
+    val assigned = assignNearest(emb, centroids)
 
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
