@@ -62,45 +62,54 @@ object EventStream {
             state.remove()
             expired.iterator
           } else {
-            var cur = state.getOption.flatten
-            val out = scala.collection.mutable.ArrayBuffer[Session]()
             val gapMs = gapSec * 1000
             // events older than the watermark are beyond the allowed
             // lateness — flatMapGroupsWithState does not filter them for
             // us the way aggregations do
             val admitted = batch.filter(_.ts.getTime >= state.getCurrentWatermarkMs())
-            admitted.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            // Standard interval gap-merge over (stored open session ++
+            // admitted events), sorted by start. Treating the stored
+            // session as just another interval makes every case fall out
+            // of one rule — a late-but-admitted event extends bounds
+            // backward (min/max, `ended` never regresses), and two
+            // disjoint-past events within `gap` of each other merge into
+            // ONE emitted session instead of batch-order-dependent
+            // singletons. Only the time-latest interval stays open.
+            val items = (state.getOption.flatten.toSeq ++
+              admitted.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+                .map(e => Session(userId, e.ts, e.ts, 1, e.value)))
+              .sortBy(s => (s.started.getTime, s.ended.getTime))
+            val out = scala.collection.mutable.ArrayBuffer[Session]()
+            var cur: Option[Session] = None
+            items.foreach { s =>
               cur match {
-                // merge when the event falls within `gap` of the session
-                // INTERVAL — a late-but-admitted event may precede
-                // `started`, so bounds extend with min/max rather than
-                // assuming forward-only arrival (ended must never move
-                // backward: gap measurement depends on it)
-                case Some(s)
-                    if e.ts.getTime >= s.started.getTime - gapMs
-                      && e.ts.getTime <= s.ended.getTime + gapMs =>
-                  cur = Some(s.copy(
-                    started = if (e.ts.before(s.started)) e.ts else s.started,
-                    ended = if (e.ts.after(s.ended)) e.ts else s.ended,
-                    n_events = s.n_events + 1,
-                    total_value = s.total_value + e.value))
-                case Some(s) if e.ts.after(s.ended) =>
-                  out += s
-                  cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
-                case Some(s) =>
-                  // disjoint session strictly in the past: emit it
-                  // directly, keep the current one open
-                  out += Session(userId, e.ts, e.ts, 1, e.value)
+                // sorted by start, so merged start is o.started and the
+                // merge test only needs s.started vs o.ended + gap
+                case Some(o) if s.started.getTime <= o.ended.getTime + gapMs =>
+                  cur = Some(o.copy(
+                    ended = if (s.ended.after(o.ended)) s.ended else o.ended,
+                    n_events = o.n_events + s.n_events,
+                    total_value = o.total_value + s.total_value))
+                case Some(o) =>
+                  out += o
+                  cur = Some(s)
                 case None =>
-                  cur = Some(Session(userId, e.ts, e.ts, 1, e.value))
+                  cur = Some(s)
               }
             }
-            state.update(cur)
-            cur.foreach { s =>
-              // never arm a timeout at/behind the watermark (illegal)
-              val at = math.max(s.ended.getTime + gapSec * 1000,
-                state.getCurrentWatermarkMs() + 1)
-              state.setTimeoutTimestamp(at)
+            cur match {
+              case Some(s) =>
+                state.update(Some(s))
+                // never arm a timeout at/behind the watermark (illegal)
+                val at = math.max(s.ended.getTime + gapMs,
+                  state.getCurrentWatermarkMs() + 1)
+                state.setTimeoutTimestamp(at)
+              case None =>
+                // nothing open (whole batch was late-dropped, no prior
+                // session): leave NO state behind — an update(None) here
+                // would store an entry with no timeout armed, leaking it
+                // forever on an unbounded stream
+                if (state.exists) state.remove()
             }
             out.iterator
           }

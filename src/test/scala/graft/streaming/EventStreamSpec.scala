@@ -90,6 +90,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize gap-merges disjoint-past late events instead of emitting singletons") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    // gap 5 min; first event opens a session at 10:00, watermark -> 09:50
+    input.addData(Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0))
+    val q = EventStream.sessionize(input.toDS(), gapSec = 300)
+      .writeStream.format("memory").queryName("past_sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      // two admitted-but-disjoint-past events (>= watermark 09:50, but
+      // before started - gap = 09:55) within 5 min of each other: they
+      // must merge into ONE emitted session, not two singletons
+      input.addData(
+        Event(2, ts("2024-01-01 09:51:00"), 7, "click", 2.0),
+        Event(3, ts("2024-01-01 09:53:00"), 7, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("past_sessions").as[Session].collect()
+      assert(rows.length == 1)
+      assert(rows.head.started == ts("2024-01-01 09:51:00"))
+      assert(rows.head.ended == ts("2024-01-01 09:53:00"))
+      assert(rows.head.n_events == 2 && rows.head.total_value == 5.0)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops in-watermark duplicate keys across batches") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
