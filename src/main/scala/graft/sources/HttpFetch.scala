@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.io.InputStream
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.{Clock, LocalDate}
+import java.time.format.DateTimeFormatter
+
+/** Streamed HTTP download — the executable half of the reference's S1
+  * extract (/root/reference/src/extract/data_extractor.py:35-91):
+  * streamed GET with a request timeout, 8 KB chunked copy to a local
+  * file, wrapped in [[Retry.withBackoff]] for the up-to-3-attempts /
+  * exponential-backoff / fail-soft-None contract, and date-stamped
+  * filenames (`data_extractor.py:101`: `<name>_yyyyMMdd.csv`).
+  *
+  * Driver-side I/O: this lands raw files for `spark.read` to scan — at
+  * cluster scale the same role is played by distcp/object-store ingest,
+  * and everything downstream of the landed file is unchanged.
+  */
+object HttpFetch {
+
+  val ChunkBytes = 8192
+
+  /** `<stem>_yyyyMMdd<ext>` — the reference's date-stamped landing name. */
+  def dateStampedName(stem: String, ext: String,
+      clock: Clock = Clock.systemUTC()): String =
+    s"${stem}_${LocalDate.now(clock).format(DateTimeFormatter.BASIC_ISO_DATE)}$ext"
+
+  /** Download `url` to `destDir/filename`. Non-2xx → attempt fails.
+    * Writes to a temp file and moves into place, so a failed attempt
+    * never leaves a truncated landing file for the scan to pick up.
+    * Returns the landed path, or None after `retries` failures.
+    */
+  def download(url: String, destDir: Path, filename: String,
+      timeoutSec: Long = 60, retries: Int = 3,
+      sleep: Long => Unit = ms => Thread.sleep(ms)): Option[Path] = {
+    Files.createDirectories(destDir)
+    val dest = destDir.resolve(filename)
+    val client = HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+    Retry.withBackoff(retries, sleep) {
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(java.time.Duration.ofSeconds(timeoutSec))
+        .GET().build()
+      val resp: HttpResponse[InputStream] =
+        client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+      val body = resp.body()
+      try {
+        if (resp.statusCode() / 100 != 2)
+          throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
+        val tmp = Files.createTempFile(destDir, s".$filename.", ".part")
+        try {
+          val out = Files.newOutputStream(tmp)
+          try {
+            val buf = new Array[Byte](ChunkBytes)
+            var n = body.read(buf)
+            while (n >= 0) {
+              if (n > 0) out.write(buf, 0, n)
+              n = body.read(buf)
+            }
+          } finally out.close()
+          Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
+        } finally Files.deleteIfExists(tmp)
+        dest
+      } finally body.close()
+    }
+  }
+
+  /** The reference's named-endpoint convenience: fetch `url` into
+    * `rawDir/<stem>_yyyyMMdd<ext>` (data_extractor.py:95-123).
+    */
+  def downloadDated(url: String, rawDir: String, stem: String,
+      ext: String = ".csv", clock: Clock = Clock.systemUTC()): Option[Path] =
+    download(url, Paths.get(rawDir), dateStampedName(stem, ext, clock))
+}

@@ -1,0 +1,46 @@
+package graft.sources
+
+import java.util.Properties
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** JDBC serving sink — the 1:1 mapping of the reference's SQLite
+  * truncate-and-reload loader (/root/reference/src/load/data_loader.py:200-267:
+  * DELETE FROM table, then chunked INSERTs of 10 000 rows).
+  *
+  * In Spark that whole loop is one declarative write:
+  *   - `SaveMode.Overwrite` + `truncate=true` keeps the table (and its
+  *     indexes/grants) and empties it, exactly the reference's
+  *     DELETE-then-append contract — without `truncate` Spark would
+  *     DROP/CREATE and lose serving-side DDL;
+  *   - `batchsize` drives executor-side `addBatch`/`executeBatch`
+  *     chunking, the reference's `chunksize=10000` (:200);
+  *   - each partition writes its own connection in parallel — the
+  *     distributed upgrade over the reference's single-writer loop.
+  *     `coalesce` to bound writer concurrency when the serving DB can't
+  *     take one connection per partition.
+  *
+  * The URL is any JDBC endpoint (Postgres/MySQL on a cluster). Tests use
+  * embedded Derby, the one driver already on Spark's classpath — embedded
+  * engines are same-JVM only, fine under local[*], wrong on a real
+  * cluster; that's a property of the URL, not of this sink.
+  */
+object JdbcSink {
+
+  val DefaultBatchSize = 10000
+
+  /** Truncate-and-reload `df` into `table` at `url`. */
+  def truncateAndLoad(df: DataFrame, url: String, table: String,
+      batchSize: Int = DefaultBatchSize, maxWriters: Int = 0,
+      props: Properties = new Properties): Unit = {
+    val bounded = if (maxWriters > 0) df.coalesce(maxWriters) else df
+    bounded.write.mode(SaveMode.Overwrite)
+      .option("truncate", "true")
+      .option("batchsize", batchSize.toString)
+      .jdbc(url, table, props)
+  }
+
+  /** Read a serving table back (dashboard side of the contract). */
+  def read(spark: SparkSession, url: String, table: String,
+      props: Properties = new Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+}

@@ -1,0 +1,80 @@
+package graft.sources
+
+import java.net.InetSocketAddress
+import java.nio.file.Files
+import java.time.{Clock, Instant, ZoneOffset}
+import java.util.concurrent.atomic.AtomicInteger
+import com.sun.net.httpserver.HttpServer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S1 end-to-end against a local HTTP stub: streamed download, retry
+  * schedule, fail-soft None, date-stamped landing names.
+  */
+class HttpFetchSpec extends AnyFunSuite {
+
+  private def withServer(handler: (Int, com.sun.net.httpserver.HttpExchange) => Unit)(
+      body: String => Unit): Unit = {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val calls = new AtomicInteger(0)
+    server.createContext("/data.csv", ex => handler(calls.incrementAndGet(), ex))
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}/data.csv")
+    finally server.stop(0)
+  }
+
+  private val payload =
+    ("date,location,cases\n" + (1 to 3000).map(i => s"2024-01-01,L$i,$i\n").mkString)
+      .getBytes("UTF-8") // > one 8 KB chunk, exercises the streamed copy
+
+  test("downloads a multi-chunk body to the named file") {
+    withServer { (_, ex) =>
+      ex.sendResponseHeaders(200, payload.length.toLong)
+      ex.getResponseBody.write(payload)
+      ex.close()
+    } { url =>
+      val dir = Files.createTempDirectory("graft_http")
+      val got = HttpFetch.download(url, dir, "owid.csv", sleep = _ => ())
+      assert(got.isDefined)
+      assert(Files.readAllBytes(got.get).sameElements(payload))
+      assert(got.get.getFileName.toString == "owid.csv")
+    }
+  }
+
+  test("retries on 5xx with the 2^attempt backoff schedule, then succeeds") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    withServer { (n, ex) =>
+      if (n <= 2) { ex.sendResponseHeaders(500, -1); ex.close() }
+      else {
+        ex.sendResponseHeaders(200, payload.length.toLong)
+        ex.getResponseBody.write(payload)
+        ex.close()
+      }
+    } { url =>
+      val dir = Files.createTempDirectory("graft_http")
+      val got = HttpFetch.download(url, dir, "owid.csv", retries = 3,
+        sleep = sleeps += _)
+      assert(got.isDefined)
+      assert(Files.readAllBytes(got.get).sameElements(payload))
+      assert(sleeps.toSeq == Seq(1000L, 2000L)) // 2^0 s, 2^1 s
+    }
+  }
+
+  test("fail-soft: every attempt 5xx -> None, no partial landing file") {
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    withServer { (_, ex) => ex.sendResponseHeaders(503, -1); ex.close() } { url =>
+      val dir = Files.createTempDirectory("graft_http")
+      val got = HttpFetch.download(url, dir, "owid.csv", retries = 3,
+        sleep = sleeps += _)
+      assert(got.isEmpty)
+      assert(sleeps.toSeq == Seq(1000L, 2000L)) // no sleep after final failure
+      assert(!Files.exists(dir.resolve("owid.csv")))
+      assert(!Files.list(dir).iterator().hasNext) // temp .part cleaned up
+    }
+  }
+
+  test("date-stamped landing name matches the reference pattern") {
+    val clock = Clock.fixed(Instant.parse("2024-03-07T12:00:00Z"), ZoneOffset.UTC)
+    assert(HttpFetch.dateStampedName("owid_covid_data", ".csv", clock)
+      == "owid_covid_data_20240307.csv")
+  }
+}

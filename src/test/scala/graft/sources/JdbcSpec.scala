@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-trip the JDBC serving sink against embedded Derby (the one
+  * JDBC driver on Spark's classpath — stands in for the reference's
+  * SQLite file, /root/reference/src/load/data_loader.py:200-267).
+  */
+class JdbcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val url: String = {
+    val home = java.nio.file.Files.createTempDirectory("graft_derby")
+    // keep derby.log out of the repo working dir
+    System.setProperty("derby.system.home", home.toString)
+    s"jdbc:derby:$home/servingdb;create=true"
+  }
+
+  private def nationLike = Seq(
+    (0L, "ALGERIA", 0L), (1L, "ARGENTINA", 1L), (2L, "BRAZIL", 1L),
+    (3L, "CANADA", 1L), (4L, "EGYPT", 4L))
+    .toDF("n_nationkey", "n_name", "n_regionkey")
+
+  test("truncate-and-load round-trips and is idempotent on reload") {
+    val df = nationLike
+    JdbcSink.truncateAndLoad(df, url, "nation_serving", batchSize = 2)
+    val first = JdbcSink.read(spark, url, "nation_serving")
+      .orderBy("n_nationkey").collect()
+    assert(first.length == 5)
+    assert(first.head.getAs[String]("n_name") == "ALGERIA")
+
+    // reload must truncate, not append or drop: same 5 rows, not 10
+    JdbcSink.truncateAndLoad(df, url, "nation_serving", batchSize = 2)
+    val second = JdbcSink.read(spark, url, "nation_serving")
+      .orderBy("n_nationkey").collect()
+    assert(second.length == 5)
+    assert(first.map(_.toString).toSeq == second.map(_.toString).toSeq)
+  }
+
+  test("reload replaces stale rows (the reference's DELETE+INSERT contract)") {
+    val v1 = nationLike
+    JdbcSink.truncateAndLoad(v1, url, "nation_v", batchSize = 10000)
+    val v2 = nationLike.withColumn("n_regionkey",
+      org.apache.spark.sql.functions.lit(9L))
+    JdbcSink.truncateAndLoad(v2, url, "nation_v")
+    val back = JdbcSink.read(spark, url, "nation_v")
+    assert(back.count() == 5)
+    assert(back.select("n_regionkey").distinct().as[Long].collect()
+      .toSeq == Seq(9L))
+  }
+
+  test("maxWriters bounds connection fan-in without changing the rows") {
+    val df = spark.range(0, 1000).selectExpr("id", "id * 2 as v")
+      .repartition(16)
+    JdbcSink.truncateAndLoad(df, url, "wide_load", maxWriters = 2)
+    val back = JdbcSink.read(spark, url, "wide_load")
+    assert(back.count() == 1000)
+    assert(back.selectExpr("sum(v)").as[Long].head() == 999L * 1000L)
+  }
+}
