@@ -1,0 +1,30 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Regenerate the committed golden fixtures for the queries that have no
+  * DuckDB oracle (sketch/hash kernels with no SQL twin). They are
+  * deterministic by construction — fixed seeds, total orderings, exact
+  * decimal means — so their sf0.001 output is pinned as a regression
+  * gate (`GoldenSpec`). Run deliberately, review the diff, commit:
+  *   runMain graft.GoldenGen [sfDir] [outDir]
+  */
+object GoldenGen {
+  val keys: Seq[String] = Seq("q_dedup_simhash", "q_simhash_pairs",
+    "q_ann_kmeans", "q_approx_distinct", "q_media_frames")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = Paths.get(args.lift(1).getOrElse("src/test/resources/golden"))
+    Files.createDirectories(out)
+    val spark = GraftSession.builder("local[8]", 8).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    keys.foreach { k =>
+      val lines = SparkEntry.queries(k)(spark, dir).toJSON.collect()
+      Files.write(out.resolve(s"$k.jsonl"),
+        lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+      println(s"wrote $k: ${lines.length} rows")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pin the 5 no-oracle queries (sketch/hash kernels with no DuckDB twin)
+  * to committed golden outputs at sf0.001. They are deterministic by
+  * construction, so any drift is a regression, not noise — this is the
+  * missing half of the driver's correctness gate for rows-only entries.
+  * Regenerate deliberately with `runMain graft.GoldenGen` and review.
+  */
+class GoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def golden(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name.jsonl")
+    assert(in != null, s"missing golden fixture /golden/$name.jsonl")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  GoldenGen.keys.foreach { name =>
+    test(s"$name matches its committed sf0.001 golden output") {
+      val actual =
+        SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").toJSON.collect().toSeq
+      assert(actual == golden(name))
+    }
+  }
+}
