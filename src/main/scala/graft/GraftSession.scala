@@ -29,5 +29,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Runtime bloom-filter pruning for fact⋈fact shuffle joins
+      // (lineitem⋈orders): the filtered side's join keys are sketched and
+      // applied to the big side's scan before the exchange. Pinned on;
+      // the default size thresholds (10 MB creation / 10 GB application
+      // side) keep it out of toy-scale plans and engage it exactly in the
+      // 100 TB regime it exists for. Plan proof: PlanSpec's bloom test.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.ui.enabled", "false")
 }

@@ -18,8 +18,9 @@ import graft.sources.Tables
   * Each operator evaluates its own lineage — the MinHash verify stage,
   * for instance, re-derives the shingle sets for both join sides (the
   * native kernel makes a pass cheap). When chaining several near-dup
-  * strategies over one corpus at scale, persist the shingled frame once
-  * and feed the `*On` variants instead of paying a scan per operator.
+  * strategies over one corpus at scale, build [[shingled]] once (cached)
+  * and feed the `*FromShingled` variants instead of paying a source scan
+  * and a shingle kernel pass per operator.
   */
 object Dedup {
 
@@ -34,6 +35,22 @@ object Dedup {
     ColumnBridge.column(
       graft.functions.WordShingles(ColumnBridge.expression(text), k))
   }
+
+  /** The shared per-document similarity frame for chaining dedup
+    * strategies: (doc_id, lang, len_bucket, sh) — everything MinHash and
+    * n-gram Jaccard need, nothing else (text is dropped; at corpus scale
+    * it dwarfs the shingle sets). Returned CACHED (memory-and-disk):
+    * materialize once, run several `*FromShingled` strategies against it,
+    * then `unpersist()`. One source scan + one shingle-kernel pass total,
+    * instead of one per strategy.
+    */
+  def shingled(documents: DataFrame, k: Int = 3): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+        // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
+        // so the oracle mirrors floor() on both sides
+        floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
+        shingles(col("text"), k).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** Exact dedup via hash aggregation on the normalized text: one shuffle
     * on the content key, keeping the smallest doc_id as canonical.
@@ -103,9 +120,13 @@ object Dedup {
     minhashNearDupOn(Tables.documents(spark, dir), threshold)
 
   /** Same, over any (doc_id, text) frame. */
-  def minhashNearDupOn(documents: DataFrame, threshold: Double): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+  def minhashNearDupOn(documents: DataFrame, threshold: Double): DataFrame =
+    minhashFromShingled(
+      documents.select(col("doc_id"), shingles(col("text")).as("sh")),
+      threshold)
+
+  /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
+  def minhashFromShingled(docs: DataFrame, threshold: Double): DataFrame = {
     val cands = candidatePairs(signatures(docs))
     val sa = docs.select(col("doc_id").as("da"), col("sh").as("sha"))
     val sb = docs.select(col("doc_id").as("db"), col("sh").as("shb"))
@@ -140,14 +161,19 @@ object Dedup {
 
   /** Same, over any (doc_id, lang, text) frame. */
   def ngramJaccardPairsOn(documents: DataFrame, threshold: Double,
-      maxDf: Option[Long]): DataFrame = {
-    val docs = documents
-      .select(col("doc_id"), col("lang"),
+      maxDf: Option[Long]): DataFrame =
+    ngramJaccardFromShingled(
+      documents.select(col("doc_id"), col("lang"),
         // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
         // so the oracle mirrors floor() on both sides
         floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
-        shingles(col("text")).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
+        shingles(col("text")).as("sh")),
+      threshold, maxDf)
+
+  /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
+  def ngramJaccardFromShingled(shingledDocs: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame = {
+    val docs = shingledDocs.withColumn("n_sh", size(col("sh")))
     val exploded = docs
       .select(col("lang"), col("len_bucket"), col("doc_id"), col("n_sh"),
         explode(col("sh")).as("s"))
@@ -247,8 +273,19 @@ object Dedup {
 
   /** Same, over any (vec_id, embedding array<float|double>) frame —
     * unit-testable with planted duplicates.
+    *
+    * `multiProbe` additionally probes every 1-bit-flip neighbor of each
+    * band bucket, catching pairs whose band hashes differ in exactly one
+    * sign bit. Per 16-bit band the collision probability rises from p¹⁶
+    * to p¹⁶ + 16·p¹⁵(1−p) (p = per-bit sign agreement, 1 − θ/π) — at
+    * cos 0.9 that's 0.084 → 0.31 per band, ≈0.30 → ≈0.77 recall over 4
+    * bands — pushing useful recall below the 0.95 regime WITHOUT adding
+    * rows/bands for everyone. The probing is asymmetric (only the left
+    * side fans out ×17), so candidate volume grows linearly with probes,
+    * not quadratically the way wider buckets would on clustered corpora.
     */
-  def embeddingNearDupOn(emb: DataFrame, threshold: Double): DataFrame = {
+  def embeddingNearDupOn(emb: DataFrame, threshold: Double,
+      multiProbe: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     import graft.functions.SignBands
     val v = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
@@ -256,7 +293,15 @@ object Dedup {
       ColumnBridge.column(SignBands(ColumnBridge.expression(col("v"))))
     val buckets = v.select(col("vec_id"),
         posexplode(signBands).as(Seq("band", "h")))
-    val cands = buckets.as("a")
+    // probe side: the bucket itself plus (optionally) its 16 one-bit-flip
+    // neighbors; index side stays exact, so each ≤1-bit pair is found once
+    val probeKeys =
+      if (!multiProbe) buckets
+      else buckets.select(col("vec_id"), col("band"),
+        explode(array(col("h") +:
+          (0 until graft.functions.Hyperplanes.RowsPerBand)
+            .map(i => col("h").bitwiseXOR(lit(1 << i))): _*)).as("h"))
+    val cands = probeKeys.as("a")
       .join(buckets.as("b"), col("a.band") === col("b.band")
         && col("a.h") === col("b.h") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))

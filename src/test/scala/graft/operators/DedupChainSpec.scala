@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Chaining contract: `Dedup.shingled` is built once (cached) and both
+  * near-dup strategies consume the in-memory frame — one source scan and
+  * one shingle-kernel pass for the whole chain.
+  */
+class DedupChainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("chained strategies read the cached shingle frame, not the source") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val sh = Dedup.shingled(docs)
+    try {
+      sh.count() // materialize the cache once
+
+      val minhash = Dedup.minhashFromShingled(sh, 0.7)
+      val ngram = Dedup.ngramJaccardFromShingled(sh, 0.7, maxDf = None)
+      Seq("minhash" -> minhash, "ngram" -> ngram).foreach { case (name, q) =>
+        // every leaf of the optimized plan must be the cached relation —
+        // i.e. zero parquet re-scans anywhere in the chained query
+        val leaves = q.queryExecution.optimizedPlan.collectLeaves()
+        assert(leaves.nonEmpty && leaves.forall(
+          _.isInstanceOf[org.apache.spark.sql.execution.columnar.InMemoryRelation]),
+          s"$name has non-cache leaves: ${leaves.map(_.nodeName).mkString(",")}")
+      }
+
+      // same answers as the self-contained operators
+      val viaChain = minhash.collect().map(_.toString).toSeq
+      val direct = Dedup.minhashNearDupOn(docs, 0.7).collect()
+        .map(_.toString).toSeq
+      assert(viaChain == direct)
+      val ngChain = ngram.collect().map(_.toString).toSeq
+      val ngDirect = Dedup.ngramJaccardPairsOn(docs, 0.7, None).collect()
+        .map(_.toString).toSeq
+      assert(ngChain == ngDirect)
+    } finally sh.unpersist()
+  }
+}

@@ -69,6 +69,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(found.head.getAs[Double]("cos") > 0.999)
   }
 
+  test("multi-probe LSH lifts recall on planted cos-0.9 pairs over exact buckets") {
+    // 150 planted pairs at cos = 0.9 exactly: v = 0.9·u + sqrt(1-0.81)·w
+    // with u ⊥ w unit vectors. Fixed seed — deterministic recall.
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val a = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    val nPairs = 150
+    val rows = new java.util.ArrayList[Row]()
+    (0 until nPairs).foreach { i =>
+      val u = unit()
+      val w0 = unit()
+      val d = u.zip(w0).map { case (x, y) => x * y }.sum
+      val w1 = w0.zip(u).map { case (y, x) => y - d * x }
+      val wn = math.sqrt(w1.map(x => x * x).sum)
+      val w = w1.map(_ / wn)
+      val v = u.zip(w).map { case (x, y) => 0.9 * x + math.sqrt(1 - 0.81) * y }
+      rows.add(Row(2L * i, u.map(_.toFloat).toSeq))
+      rows.add(Row(2L * i + 1, v.map(_.toFloat).toSeq))
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val emb = spark.createDataFrame(rows, schema)
+    def recall(multiProbe: Boolean): Double = {
+      val found = Dedup.embeddingNearDupOn(emb, 0.85, multiProbe).collect()
+        .map(r => (r.getAs[Long]("va"), r.getAs[Long]("vb"))).toSet
+      (0 until nPairs).count(i => found((2L * i, 2L * i + 1))).toDouble / nPairs
+    }
+    val exact = recall(multiProbe = false)
+    val probed = recall(multiProbe = true)
+    // theory: ~0.30 exact, ~0.77 with 1-bit probes (16-bit bands, 4 bands)
+    assert(probed >= 0.65, s"multi-probe recall $probed below target")
+    assert(probed > exact + 0.2,
+      s"multi-probe recall $probed should clearly beat exact-bucket $exact")
+  }
+
   test("simhash: near-identical docs differ in few bits, share a block key") {
     val schema = StructType(Seq(StructField("doc_id", LongType),
       StructField("text", StringType)))

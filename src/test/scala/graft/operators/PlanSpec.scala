@@ -34,6 +34,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_partkey") && !read.contains("l_tax"), read)
   }
 
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.get(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally old.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("runtime bloom filter prunes lineitem⋈orders once scan sizes warrant it") {
+    // At toy scale the default thresholds (10 MB creation side / 10 GB
+    // application side) correctly keep the filter out; drop them to the
+    // values this fixture represents-at-scale and the optimizer must
+    // sketch the date-filtered orders keys and apply them to the lineitem
+    // side before its exchange.
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Joins.starJoin(spark, dir))
+      assert(p.contains("BloomFilterMightContain")
+        || p.toLowerCase.contains("bloomfilter"), p)
+    }
+    // and with production thresholds at toy scale: no bloom overhead
+    val p = plan(Joins.starJoin(spark, dir))
+    assert(!p.toLowerCase.contains("bloomfilter"), p)
+  }
+
   test("as-of join exchanges once on user_id (no range join)") {
     val p = plan(Joins.asofJoin(spark, dir))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
