@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Relational, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -73,6 +73,11 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
+    "q_sample_hash" -> ((s, dir) => Sampling.hashSample(s, dir)),
+    "q_stratified_cap" -> ((s, dir) => Sampling.stratifiedCap(s, dir)),
+    "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
+    "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
+    "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
@@ -521,6 +526,66 @@ object SparkEntry {
     // Brute-force oracle for the LSH path: at the planted similarity
     // (jaccard >= 0.9) banded-minhash recall is ~1-3e-8, so LSH output
     // equals all-pairs output.
+    "q_sample_hash" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 4) <= '28f5'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_stratified_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |SELECT source, doc_id, pick FROM ranked WHERE pick <= 50
+        |ORDER BY source, pick""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+    "q_outliers" ->
+      """WITH cuts AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.99) AS p99
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice, c.p99
+        |FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
+        |WHERE o.o_totalprice > c.p99
+        |ORDER BY o.o_orderstatus, o.o_orderkey""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |e AS (SELECT da AS a, db AS b FROM pairs
+        |      UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM e),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+        |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
+        |ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,

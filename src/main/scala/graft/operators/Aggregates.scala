@@ -98,6 +98,27 @@ object Aggregates {
         count(lit(1)).as("n_orders"))
       .orderBy(col("o_orderstatus"))
 
+  /** Quantile outlier filter: orders strictly above their status class's
+    * p99 price — the data-curation step that drops (or quarantines)
+    * distribution tails before training. Two-pass shape by design: a
+    * tiny per-group quantile aggregate (rows = #groups), broadcast back
+    * onto the fact scan — the second pass is a narrow filtered scan, so
+    * the cost at corpus scale is one aggregation plus one map, never a
+    * sort of the full data. Spark `percentile` is exact interpolated
+    * (matches DuckDB `quantile_cont` bit-for-bit), keeping the cut
+    * reproducible.
+    */
+  def priceOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cuts = o.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.99)").as("p99"))
+    o.join(broadcast(cuts), "o_orderstatus")
+      .filter(col("o_totalprice") > col("p99"))
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        col("p99"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** Typed-Aggregator surface: revenue-weighted mean discount per return
     * flag via [[graft.functions.WeightedMean]] (`functions.udaf` over a
     * typed `Aggregator` with decimal buffer state — partial-aggregates

@@ -206,6 +206,52 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the minhash near-dup graph, each node labeled with
+    * the smallest doc_id reachable from it (the canonical survivor).
+    * Pairs alone can't drive dedup — A≈B and B≈C must retire B AND C,
+    * which needs the transitive closure.
+    */
+  def dedupClusters(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    clustersFromPairs(
+      minhashNearDup(spark, dir, threshold).select(col("da"), col("db")))
+
+  /** Min-label propagation over an undirected edge list (da, db) → one
+    * (doc_id, cluster_id) row per node that appears in any pair.
+    *
+    * Each round every node takes the min of its own label and its
+    * neighbors' labels; a fixpoint is reached in O(component diameter)
+    * rounds — near-dup clusters are dense and shallow (a dup of a dup of
+    * X is usually also a direct dup of X), so this converges in a few
+    * rounds even at corpus scale, with per-round cost = one join + one
+    * min-aggregate on the edge list, all map-side-combinable.
+    * `localCheckpoint` truncates lineage per round (same rationale as
+    * [[Similarity.kmeansCodebook]]); the convergence check rides on the
+    * checkpoint materialization instead of a second pass.
+    */
+  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val viaNeighbor = edges.join(labels, edges("b") === labels("n"))
+        .select(edges("a").as("n"), col("lbl"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "n")
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+    }
+    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash over word unigrams: each token votes ±1 per bit of its
     * xxhash64; the sign vector packs into one long — ONE native
     * [[graft.functions.SimHash64]] kernel call per row (bit-identical to

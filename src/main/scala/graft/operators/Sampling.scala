@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Both operators key the sampling decision on a CONTENT hash (md5 of
+  * the row's stable key), never on `rand()`: the sample is reproducible
+  * across runs, clusters, partitionings, and retries — the property a
+  * training corpus needs so an epoch can be re-materialized bit-identically
+  * and an A/B data ablation stays frozen. Hex-string comparison keeps the
+  * whole predicate engine-portable (no hash-integer conventions shared
+  * with the oracle) and pushes to a narrow scan: no shuffle at all for
+  * Bernoulli sampling, one per-stratum shuffle for the cap.
+  */
+object Sampling {
+
+  /** Keyed Bernoulli sample of lineitem at rate ≈ thresholdHex/0x10000.
+    * A row is kept iff the first 4 md5 hex chars of its primary key are
+    * <= the threshold — a pure narrow filter (no shuffle, no state), so
+    * at 100 TB it runs at scan speed and composes with pushdown on any
+    * other predicate.
+    */
+  def hashSample(spark: SparkSession, dir: String,
+      thresholdHex: String = "28f5"): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("hk",
+        md5(concat_ws("-", col("l_orderkey"), col("l_linenumber")).cast("binary")))
+      .filter(substring(col("hk"), 1, 4) <= thresholdHex)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Per-stratum cap — the "at most k documents per source/domain" rule
+    * of web-scale corpus curation. Deterministic priority: md5(doc_id)
+    * orders each stratum pseudo-randomly but reproducibly; row_number
+    * (not rank) guarantees exactly-k. One shuffle on the stratum key; a
+    * skewed mega-domain is bounded by the cap itself — the window scans
+    * its partition once and everything past rank k drops.
+    */
+  def stratifiedCap(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= k)
+      .select(col("source"), col("doc_id"), col("pick"))
+      .orderBy(col("source"), col("pick"))
+  }
+}

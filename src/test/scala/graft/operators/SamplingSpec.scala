@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("hash sample hits ~16% rate, reproducibly") {
+    val total = graft.sources.Tables.lineitem(spark, dir).count()
+    val a = Sampling.hashSample(spark, dir).collect()
+    val rate = a.length.toDouble / total
+    assert(rate > 0.13 && rate < 0.19, s"sample rate $rate far from 0.16")
+    val b = Sampling.hashSample(spark, dir).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("stratified cap keeps at most k per stratum and is deterministic") {
+    val out = Sampling.stratifiedCap(spark, dir, k = 7)
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty)
+    assert(perSource.forall(_.getAs[Long]("count") <= 7))
+    val again = Sampling.stratifiedCap(spark, dir, k = 7).collect()
+    assert(out.collect().map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("clustersFromPairs resolves transitive chains to the min label") {
+    val schema = StructType(Seq(StructField("da", LongType),
+      StructField("db", LongType)))
+    // chain 1-2-3 (needs >1 propagation round), island 5-6
+    val pairs = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 2L), Row(2L, 3L), Row(5L, 6L)), schema)
+    val got = Dedup.clustersFromPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+  }
+}
