@@ -78,6 +78,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
@@ -586,6 +587,39 @@ object SparkEntry {
         |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
         |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
         |ORDER BY doc_id""".stripMargin,
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |e AS (SELECT da AS a, db AS b FROM pairs
+        |      UNION SELECT db, da FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS n FROM e),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+        |clusters AS (SELECT n AS doc_id, min(m) AS cluster_id
+        |             FROM reach GROUP BY n),
+        |j AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+        |      FROM clusters c JOIN documents d USING (doc_id)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |            ORDER BY n_chars DESC, doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM j)
+        |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_members
+        |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,

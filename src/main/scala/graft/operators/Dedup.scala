@@ -252,6 +252,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The last step of the dedup story: pick each cluster's SURVIVOR —
+    * the member with the most content (n_chars), ties to the smallest
+    * doc_id — plus the member count, so downstream curation can retire
+    * everything else. The argmax is a `min(struct(-n_chars, doc_id))`
+    * aggregation (map-side combinable), not a window: one shuffle whose
+    * rows are clusters, not members.
+    */
+  def canonicalPerCluster(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val clusters = dedupClusters(spark, dir, threshold)
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_chars")).as("neg_chars"), col("doc_id")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        (-col("best.neg_chars")).as("keep_chars"), col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** 64-bit SimHash over word unigrams: each token votes ±1 per bit of its
     * xxhash64; the sign vector packs into one long — ONE native
     * [[graft.functions.SimHash64]] kernel call per row (bit-identical to
