@@ -231,8 +231,12 @@ object Dedup {
     * checkpoint materialization instead of a second pass.
     */
   def clustersFromPairs(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    // materialize the pair list BEFORE mirroring it: the union references
+    // `pairs` twice, and without this the whole upstream candidate
+    // pipeline (LSH + verify) would run once per branch
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("da").as("a"), col("db").as("b"))
+      .union(p.select(col("db").as("a"), col("da").as("b")))
       .localCheckpoint(true)
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))

@@ -152,6 +152,19 @@ object EventStream {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Stream-static enrichment join: attach slowly-changing dimension
+    * attributes to a live stream. Stateless on the stream side — the
+    * static frame is (re)broadcast per micro-batch, so no watermark and
+    * no state store are involved, and a dimension refresh (new snapshot
+    * under the same path) is picked up on the next batch. The contrast
+    * with [[clickAttribution]] is deliberate: stream⋈static needs none
+    * of the stream⋈stream buffering machinery.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: String = "user_id", dimKey: String = "user_id"): DataFrame =
+    events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
+      .drop(dim(dimKey))
+
   /** Stream → warehouse sink via foreachBatch: each micro-batch of the
     * (Update-mode) hourly aggregate overwrites only the panes it touched —
     * dynamic partition overwrite, so late updates replace a pane in place

@@ -160,6 +160,25 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events with broadcast dim attributes") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 9, "click", 3.0)) // no dim row
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[String]("tier")).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 9L -> null))
+    } finally q.stop()
+  }
+
   test("foreachBatch sink upserts touched hour partitions idempotently") {
     implicit val sql = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_hourly").toString
