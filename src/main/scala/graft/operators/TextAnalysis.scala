@@ -95,18 +95,21 @@ object TextAnalysis {
     * the usual log formulation per term, so top-k per (tf, df) agrees.
     */
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df re-aggregates tf — its keys ARE the distinct (doc, term) pairs —
-    // so the corpus is exploded once, not twice, and the df input rows
-    // are already the post-combine aggregate, not raw tokens
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // df is a window count over the tf frame, whose keys ARE the distinct
+    // (doc, term) pairs — one corpus scan + explode total. (The naive
+    // tf⋈df join formulation re-scans and re-explodes the corpus for the
+    // df branch: column pruning makes the two aggregation subtrees differ,
+    // so exchange reuse never fires.)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w))

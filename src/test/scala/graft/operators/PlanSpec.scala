@@ -59,6 +59,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("bloomfilter"), p)
   }
 
+  test("tfidf explodes the corpus once: df via window, no second token pass") {
+    val p = plan(TextAnalysis.tfidfTop(spark, dir))
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    // tf/window branch + the corpus-count branch (zero-column scan) only
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("outlier filter broadcasts the per-group cuts onto the fact scan") {
+    val p = plan(Aggregates.priceOutliers(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hash sampling is a pure narrow filter: no exchange before the final sort") {
+    val p = plan(Sampling.hashSample(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, p) // only the ORDER BY range exchange
+  }
+
   test("as-of join exchanges once on user_id (no range join)") {
     val p = plan(Joins.asofJoin(spark, dir))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
