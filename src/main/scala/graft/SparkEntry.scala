@@ -101,6 +101,34 @@ object SparkEntry {
     * ordering is spelled out because Spark defaults NULLS FIRST on ASC
     * while DuckDB defaults NULLS LAST.
     */
+  /** Shared CTE chain for the dup-cluster oracles: brute-force jaccard
+    * pairs at 0.7 → undirected edges → recursive min-label closure. One
+    * definition keeps q_dedup_clusters and q_dedup_canonical verifying
+    * against the SAME graph — a threshold fix can't miss a twin.
+    */
+  private val dupClusterCtes: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(string_split(text, ' ')) >= 3
+      |              THEN list_distinct(list_transform(
+      |                     range(1, len(string_split(text, ' ')) - 1),
+      |                     i -> string_split(text, ' ')[i] || ' ' ||
+      |                          string_split(text, ' ')[i+1] || ' ' ||
+      |                          string_split(text, ' ')[i+2]))
+      |              ELSE [text] END AS sh
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.sh, b.sh))
+      |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+      |e AS (SELECT da AS a, db AS b FROM pairs
+      |      UNION SELECT db, da FROM pairs),
+      |nodes AS (SELECT DISTINCT a AS n FROM e),
+      |reach(n, m) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_by_key" ->
       """WITH agg AS (
@@ -564,51 +592,11 @@ object SparkEntry {
         |WHERE o.o_totalprice > c.p99
         |ORDER BY o.o_orderstatus, o.o_orderkey""".stripMargin,
     "q_dedup_clusters" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(string_split(text, ' ')) >= 3
-        |              THEN list_distinct(list_transform(
-        |                     range(1, len(string_split(text, ' ')) - 1),
-        |                     i -> string_split(text, ' ')[i] || ' ' ||
-        |                          string_split(text, ' ')[i+1] || ' ' ||
-        |                          string_split(text, ' ')[i+2]))
-        |              ELSE [text] END AS sh
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
-        |e AS (SELECT da AS a, db AS b FROM pairs
-        |      UNION SELECT db, da FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS n FROM e),
-        |reach(n, m) AS (
-        |  SELECT n, n FROM nodes
-        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+      s"""WITH RECURSIVE $dupClusterCtes
         |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n
         |ORDER BY doc_id""".stripMargin,
     "q_dedup_canonical" ->
-      """WITH RECURSIVE sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(string_split(text, ' ')) >= 3
-        |              THEN list_distinct(list_transform(
-        |                     range(1, len(string_split(text, ' ')) - 1),
-        |                     i -> string_split(text, ' ')[i] || ' ' ||
-        |                          string_split(text, ' ')[i+1] || ' ' ||
-        |                          string_split(text, ' ')[i+2]))
-        |              ELSE [text] END AS sh
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.sh, b.sh))
-        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
-        |e AS (SELECT da AS a, db AS b FROM pairs
-        |      UNION SELECT db, da FROM pairs),
-        |nodes AS (SELECT DISTINCT a AS n FROM e),
-        |reach(n, m) AS (
-        |  SELECT n, n FROM nodes
-        |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+      s"""WITH RECURSIVE $dupClusterCtes,
         |clusters AS (SELECT n AS doc_id, min(m) AS cluster_id
         |             FROM reach GROUP BY n),
         |j AS (SELECT c.cluster_id, c.doc_id, d.n_chars

@@ -45,12 +45,19 @@ object Dedup {
     * instead of one per strategy.
     */
   def shingled(documents: DataFrame, k: Int = 3): DataFrame =
-    documents.select(col("doc_id"), col("lang"),
-        // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
-        // so the oracle mirrors floor() on both sides
-        floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
-        shingles(col("text"), k).as("sh"))
+    shingleProjection(documents, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The one definition of the similarity projection, shared by the
+    * cached [[shingled]] frame and the self-contained operators — so the
+    * bucket width / shingle k can never drift between the two paths.
+    */
+  private def shingleProjection(documents: DataFrame, k: Int = 3): DataFrame =
+    documents.select(col("doc_id"), col("lang"),
+      // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
+      // so the oracle mirrors floor() on both sides
+      floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
+      shingles(col("text"), k).as("sh"))
 
   /** Exact dedup via hash aggregation on the normalized text: one shuffle
     * on the content key, keeping the smallest doc_id as canonical.
@@ -162,13 +169,7 @@ object Dedup {
   /** Same, over any (doc_id, lang, text) frame. */
   def ngramJaccardPairsOn(documents: DataFrame, threshold: Double,
       maxDf: Option[Long]): DataFrame =
-    ngramJaccardFromShingled(
-      documents.select(col("doc_id"), col("lang"),
-        // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
-        // so the oracle mirrors floor() on both sides
-        floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
-        shingles(col("text")).as("sh")),
-      threshold, maxDf)
+    ngramJaccardFromShingled(shingleProjection(documents), threshold, maxDf)
 
   /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
   def ngramJaccardFromShingled(shingledDocs: DataFrame, threshold: Double,

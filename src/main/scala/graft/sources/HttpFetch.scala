@@ -22,6 +22,18 @@ object HttpFetch {
 
   val ChunkBytes = 8192
 
+  // Watchdog for the streamed body copy: HttpRequest.timeout only bounds
+  // time-to-response-headers, so a server that stalls mid-body would
+  // otherwise block read() forever — outside the retry/fail-soft
+  // contract. Closing the stream from this timer unblocks the read with
+  // an IOException, which the retry loop then handles like any failure.
+  private lazy val watchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-http-watchdog")
+      t.setDaemon(true)
+      t
+    })
+
   /** `<stem>_yyyyMMdd<ext>` — the reference's date-stamped landing name. */
   def dateStampedName(stem: String, ext: String,
       clock: Clock = Clock.systemUTC()): String =
@@ -47,6 +59,10 @@ object HttpFetch {
       val resp: HttpResponse[InputStream] =
         client.send(req, HttpResponse.BodyHandlers.ofInputStream())
       val body = resp.body()
+      // deadline covers the whole body copy, not just the headers
+      val kill = watchdog.schedule(new Runnable {
+        def run(): Unit = body.close()
+      }, timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       try {
         if (resp.statusCode() / 100 != 2)
           throw new java.io.IOException(s"HTTP ${resp.statusCode()} for $url")
@@ -64,7 +80,10 @@ object HttpFetch {
           Files.move(tmp, dest, StandardCopyOption.REPLACE_EXISTING)
         } finally Files.deleteIfExists(tmp)
         dest
-      } finally body.close()
+      } finally {
+        kill.cancel(false)
+        body.close()
+      }
     }
   }
 

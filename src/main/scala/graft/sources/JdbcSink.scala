@@ -32,7 +32,11 @@ object JdbcSink {
   def truncateAndLoad(df: DataFrame, url: String, table: String,
       batchSize: Int = DefaultBatchSize, maxWriters: Int = 0,
       props: Properties = new Properties): Unit = {
-    val bounded = if (maxWriters > 0) df.coalesce(maxWriters) else df
+    // repartition, NOT coalesce: coalesce propagates its partition count
+    // up the plan, so it would throttle the whole upstream computation to
+    // maxWriters tasks — the shuffle barrier confines the bound to the
+    // writer stage, which is what "bounded connection fan-in" means
+    val bounded = if (maxWriters > 0) df.repartition(maxWriters) else df
     bounded.write.mode(SaveMode.Overwrite)
       .option("truncate", "true")
       .option("batchsize", batchSize.toString)

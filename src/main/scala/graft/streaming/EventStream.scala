@@ -75,10 +75,14 @@ object EventStream {
             // disjoint-past events within `gap` of each other merge into
             // ONE emitted session instead of batch-order-dependent
             // singletons. Only the time-latest interval stays open.
+            // one TOTAL sort: the trailing keys never affect which
+            // sessions form, but they pin the fold order of equal-start
+            // items so the double `total_value` sum is bit-deterministic
+            // (float addition is commutative but not associative)
             val items = (state.getOption.flatten.toSeq ++
-              admitted.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-                .map(e => Session(userId, e.ts, e.ts, 1, e.value)))
-              .sortBy(s => (s.started.getTime, s.ended.getTime))
+              admitted.map(e => Session(userId, e.ts, e.ts, 1, e.value)))
+              .sortBy(s => (s.started.getTime, s.ended.getTime,
+                s.n_events, s.total_value))
             val out = scala.collection.mutable.ArrayBuffer[Session]()
             var cur: Option[Session] = None
             items.foreach { s =>

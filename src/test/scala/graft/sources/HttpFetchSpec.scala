@@ -72,6 +72,25 @@ class HttpFetchSpec extends AnyFunSuite {
     }
   }
 
+  test("a mid-body stall trips the watchdog instead of hanging forever") {
+    withServer { (_, ex) =>
+      ex.sendResponseHeaders(200, (payload.length * 2).toLong)
+      ex.getResponseBody.write(payload) // half the promised body...
+      ex.getResponseBody.flush()
+      Thread.sleep(8000)                // ...then stall past the deadline
+      ex.close()
+    } { url =>
+      val dir = Files.createTempDirectory("graft_http")
+      val t0 = System.nanoTime()
+      val got = HttpFetch.download(url, dir, "owid.csv", timeoutSec = 1,
+        retries = 1, sleep = _ => ())
+      assert(got.isEmpty)
+      assert((System.nanoTime() - t0) / 1e9 < 6.0,
+        "download must fail at the deadline, not wait out the stall")
+      assert(!Files.exists(dir.resolve("owid.csv")))
+    }
+  }
+
   test("date-stamped landing name matches the reference pattern") {
     val clock = Clock.fixed(Instant.parse("2024-03-07T12:00:00Z"), ZoneOffset.UTC)
     assert(HttpFetch.dateStampedName("owid_covid_data", ".csv", clock)
