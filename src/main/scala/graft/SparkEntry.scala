@@ -75,6 +75,8 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_sample_hash" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q_stratified_cap" -> ((s, dir) => Sampling.stratifiedCap(s, dir)),
+    "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
+    "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
@@ -567,6 +569,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id, pick FROM ranked WHERE pick <= 50
         |ORDER BY source, pick""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH rates(source, thr) AS (
+        |  VALUES ('src0','ffff'), ('src1','cccc'), ('src2','7fff'), ('src3','3fff')),
+        |j AS (
+        |  SELECT d.source, d.doc_id,
+        |         substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hk,
+        |         coalesce(r.thr, '1fff') AS thr
+        |  FROM documents d LEFT JOIN rates r ON d.source = r.source)
+        |SELECT source, doc_id, hk, thr FROM j WHERE hk <= thr
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_token_pack" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         sum(len(string_split(text, ' '))) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT lang, doc_id, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+        |FROM t ORDER BY lang, doc_id""".stripMargin,
     "q_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -33,6 +33,51 @@ object Sampling {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
+  /** Weighted corpus mixture: per-source sampling rates (hex thresholds
+    * over the same md5-prefix decision as [[hashSample]]), defaulted for
+    * unlisted sources — the "upsample curated sources, downsample the
+    * crawl" knob of training-mix design. The rate table is a broadcast
+    * literal; the decision stays a narrow per-row filter, so re-weighting
+    * the mixture costs one re-scan and is reproducible run-to-run.
+    */
+  def mixtureSample(spark: SparkSession, dir: String,
+      rates: Seq[(String, String)] = Seq("src0" -> "ffff", "src1" -> "cccc",
+        "src2" -> "7fff", "src3" -> "3fff"),
+      defaultThr: String = "1fff"): DataFrame = {
+    import spark.implicits._
+    val rateDf = rates.toDF("source", "thr")
+    Tables.documents(spark, dir)
+      .join(broadcast(rateDf), Seq("source"), "left")
+      .withColumn("thr", coalesce(col("thr"), lit(defaultThr)))
+      .withColumn("hk",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+      .filter(col("hk") <= col("thr"))
+      .select(col("source"), col("doc_id"), col("hk"), col("thr"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** Token-budget packing: assign documents to fixed-budget training
+    * sequences by a running token count within each lang shard —
+    * `seq_id = floor(tokens_before_this_doc / budget)`. The cumulative
+    * sum is exact integer arithmetic over a PARTITIONED window (shards
+    * pack independently — the property that lets 1000 executors pack a
+    * corpus without a global order), and the assignment is a pure
+    * function of (lang, doc_id order), so epochs re-materialize
+    * identically.
+    */
+  def tokenPack(spark: SparkSession, dir: String, budget: Int = 512): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget)))
+      .select(col("lang"), col("doc_id"), col("n_tokens"), col("seq_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Per-stratum cap — the "at most k documents per source/domain" rule
     * of web-scale corpus curation. Deterministic priority: md5(doc_id)
     * orders each stratum pseudo-randomly but reproducibly; row_number

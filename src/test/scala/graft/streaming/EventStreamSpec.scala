@@ -205,6 +205,29 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pane sink recovers from checkpoint across a query restart, state intact") {
+    implicit val sql = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0))
+    val q1 = EventStream.hourlyToParquet(input.toDF(), out, ckpt)
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the SAME checkpoint: the new event lands in the
+    // same (hour, click) group, so the recovered aggregation state must
+    // produce n_events = 2 — not 1 (state lost) and not 3 (batch replayed)
+    input.addData(Event(2, ts("2024-01-01 10:20:00"), 2, "click", 5.0))
+    val q2 = EventStream.hourlyToParquet(input.toDF(), out, ckpt)
+    try {
+      q2.processAllAvailable()
+      val rows = spark.read.parquet(out).collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sum_value")))
+      assert(rows.toSeq == Seq(("click", 2L, 6.0)))
+    } finally q2.stop()
+  }
+
   test("hourlyCounts also runs as a plain batch plan (watermark is a no-op)") {
     val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
     val out = EventStream.hourlyCounts(events)
