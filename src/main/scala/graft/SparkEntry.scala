@@ -61,6 +61,7 @@ object SparkEntry {
     "q_window_rank" -> ((s, dir) => Analytics.windowRank(s, dir)),
     "q_window_range" -> ((s, dir) => Analytics.trailingHourValue(s, dir)),
     "q_ntile" -> ((s, dir) => Analytics.priceQuartiles(s, dir)),
+    "q_quartile_bucket" -> ((s, dir) => Analytics.quartileBuckets(s, dir)),
     "q_first_last" -> ((s, dir) => Analytics.firstLastPerUser(s, dir)),
     "q_cond_agg" -> ((s, dir) => Analytics.conditionalAgg(s, dir)),
     "q_explode_ngrams" -> ((s, dir) => Analytics.topNgrams(s, dir)),
@@ -569,6 +570,19 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id, pick FROM ranked WHERE pick <= 50
         |ORDER BY source, pick""".stripMargin,
+    "q_quartile_bucket" ->
+      """WITH cuts AS (
+        |  SELECT o_orderstatus,
+        |         quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.5) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus, o.o_orderkey, o.o_totalprice,
+        |       1 + CASE WHEN o.o_totalprice > c.q1 THEN 1 ELSE 0 END
+        |         + CASE WHEN o.o_totalprice > c.q2 THEN 1 ELSE 0 END
+        |         + CASE WHEN o.o_totalprice > c.q3 THEN 1 ELSE 0 END AS bucket
+        |FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
+        |ORDER BY o.o_orderstatus, o.o_orderkey""".stripMargin,
     "q_mixture_sample" ->
       """WITH rates(source, thr) AS (
         |  VALUES ('src0','ffff'), ('src1','cccc'), ('src2','7fff'), ('src3','3fff')),

@@ -130,6 +130,33 @@ object Analytics {
       .orderBy(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
   }
 
+  /** The SCALABLE quartile assignment: per-status p25/p50/p75 cuts from
+    * one tiny aggregate (rows = #statuses), broadcast back over a narrow
+    * comparison map — `bucket = 1 + #cuts below the price`. Contrast with
+    * [[priceQuartiles]]: `ntile(4)` needs a total sort of every status
+    * partition in one reducer (3 statuses → 3 reducers at any data
+    * size — the skew hazard), while this shape is a constant-size agg
+    * plus a map, at the price of boundary-tie semantics (ties at a cut
+    * all land in the same bucket; ntile splits them by rank to equalize
+    * bucket sizes). Cuts are exact interpolated percentiles, so the
+    * bucketing is deterministic and oracle-checkable.
+    */
+  def quartileBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cuts = o.groupBy(col("o_orderstatus"))
+      .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.5)").as("q2"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+    o.join(broadcast(cuts), "o_orderstatus")
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        (lit(1)
+          + when(col("o_totalprice") > col("q1"), 1).otherwise(0)
+          + when(col("o_totalprice") > col("q2"), 1).otherwise(0)
+          + when(col("o_totalprice") > col("q3"), 1).otherwise(0))
+          .as("bucket"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** Cumulative (running-total) window: each order with the customer's
     * spend-to-date — unbounded-preceding frame on the exact-decimal path
     * so the running sum is prefix-order exact, not float-drifty.
