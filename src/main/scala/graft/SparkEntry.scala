@@ -82,6 +82,7 @@ object SparkEntry {
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
+    "q_curation" -> ((s, dir) => graft.pipeline.TextCuration.run(s, dir)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
@@ -104,13 +105,14 @@ object SparkEntry {
     * ordering is spelled out because Spark defaults NULLS FIRST on ASC
     * while DuckDB defaults NULLS LAST.
     */
-  /** Shared CTE chain for the dup-cluster oracles: brute-force jaccard
-    * pairs at 0.7 → undirected edges → recursive min-label closure. One
-    * definition keeps q_dedup_clusters and q_dedup_canonical verifying
+  /** Shared CTE chain for the dup-cluster oracles, parameterized on the
+    * population relation: brute-force jaccard pairs at 0.7 → undirected
+    * edges → recursive min-label closure. One definition keeps
+    * q_dedup_clusters, q_dedup_canonical, and q_curation verifying
     * against the SAME graph — a threshold fix can't miss a twin.
     */
-  private val dupClusterCtes: String =
-    """sh AS (
+  private def clusterCtes(rel: String): String =
+    s"""sh AS (
       |  SELECT doc_id,
       |         CASE WHEN len(string_split(text, ' ')) >= 3
       |              THEN list_distinct(list_transform(
@@ -119,7 +121,7 @@ object SparkEntry {
       |                          string_split(text, ' ')[i+1] || ' ' ||
       |                          string_split(text, ' ')[i+2]))
       |              ELSE [text] END AS sh
-      |  FROM documents),
+      |  FROM $rel),
       |pairs AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -131,6 +133,7 @@ object SparkEntry {
       |reach(n, m) AS (
       |  SELECT n, n FROM nodes
       |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)""".stripMargin
+  private val dupClusterCtes: String = clusterCtes("documents")
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_by_key" ->
@@ -644,6 +647,47 @@ object SparkEntry {
         |  FROM j)
         |SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_members
         |FROM ranked WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "q_curation" ->
+      s"""WITH RECURSIVE qd AS (
+        |  SELECT doc_id, source, lang, text,
+        |         len(string_split(text, ' ')) AS n_tokens,
+        |         len(list_distinct(string_split(text, ' ')))
+        |           / len(string_split(text, ' ')) AS dr
+        |  FROM documents),
+        |quality AS (
+        |  SELECT * FROM qd
+        |  WHERE n_tokens BETWEEN 20 AND 2000 AND dr >= 0.3),
+        |${clusterCtes("quality")},
+        |clusters AS (SELECT n AS doc_id, min(m) AS cluster_id
+        |             FROM reach GROUP BY n),
+        |surv AS (
+        |  SELECT doc_id FROM (
+        |    SELECT c.doc_id, row_number() OVER (
+        |      PARTITION BY c.cluster_id
+        |      ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+        |    FROM clusters c JOIN quality q USING (doc_id))
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT * FROM quality
+        |  WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM clusters
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM surv))),
+        |capped AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, source, lang, n_tokens, row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |    FROM kept)
+        |  WHERE pick <= 50),
+        |packed AS (
+        |  SELECT doc_id, source, lang, n_tokens,
+        |         sum(n_tokens) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM capped)
+        |SELECT doc_id, source, lang, n_tokens,
+        |       CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS seq_id
+        |FROM packed ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" ->
       """WITH sh AS (
         |  SELECT doc_id,

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Sampling}
+import graft.sources.Tables
+
+/** End-to-end corpus curation — the documents-table counterpart of the
+  * reference-parity `Pipeline.run` (EP1): compose the individually
+  * oracle-checked curation operators into the standard training-data
+  * flow, with per-stage counts for auditability.
+  *
+  *   1. quality gate: token-count bounds + lexical-diversity floor
+  *      (narrow filter);
+  *   2. near-dup retirement: MinHash pairs → clusters → keep each
+  *      cluster's canonical survivor, drop the other members (anti-join);
+  *   3. per-source cap (deterministic md5 priority);
+  *   4. token-budget sequence packing of what remains.
+  *
+  * Every stage is deterministic, so the curated corpus — and each
+  * stage's drop set — re-materializes bit-identically. Stages run as one
+  * composed plan per output; `summary` re-derives the counts with
+  * aggregations rather than driver-side loops.
+  */
+object TextCuration {
+
+  case class Config(
+    minTokens: Int = 20,
+    maxTokens: Int = 2000,
+    minDistinctRatio: Double = 0.3,
+    dedupThreshold: Double = 0.7,
+    capPerSource: Int = 50,
+    packBudget: Int = 512)
+
+  /** The curated corpus: (doc_id, source, lang, n_tokens, seq_id), one
+    * row per surviving document, packed into training sequences.
+    */
+  def run(spark: SparkSession, dir: String,
+      cfg: Config = Config()): DataFrame = {
+    val kept = keptAfterCap(spark, dir, cfg)
+    // pack survivors within each lang shard (same shape as
+    // Sampling.tokenPack, over the curated frame)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    kept
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(cfg.packBudget)))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_tokens"),
+        col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-stage survivor counts: (stage, n_docs) in pipeline order —
+    * the audit trail a curation run ships with its corpus.
+    */
+  def summary(spark: SparkSession, dir: String,
+      cfg: Config = Config()): DataFrame = {
+    import spark.implicits._
+    val input = Tables.documents(spark, dir).count()
+    val quality = qualityGate(spark, dir, cfg).count()
+    val deduped = keptAfterDedup(spark, dir, cfg).count()
+    val capped = keptAfterCap(spark, dir, cfg).count()
+    Seq(("1_input", input), ("2_quality", quality), ("3_dedup", deduped),
+      ("4_cap", capped)).toDF("stage", "n_docs")
+  }
+
+  /** Stage 1: quality gate over (doc_id, source, lang, n_tokens). */
+  private[pipeline] def qualityGate(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t)).as("distinct_ratio"))
+      .filter(col("n_tokens") >= cfg.minTokens
+        && col("n_tokens") <= cfg.maxTokens
+        && col("distinct_ratio") >= cfg.minDistinctRatio)
+  }
+
+  /** Stage 2: retire every near-dup cluster member except its canonical
+    * survivor. Retired = clustered docs minus survivors; survivors are
+    * chosen by content length (ties to smallest doc_id) WITHIN the
+    * quality-surviving population, so a dropped low-quality doc can't
+    * win a cluster.
+    */
+  private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame = {
+    val quality = qualityGate(spark, dir, cfg)
+    val clusters = Dedup.clustersFromPairs(
+      Dedup.minhashNearDupOn(quality.select(col("doc_id"), col("text")),
+        cfg.dedupThreshold).select(col("da"), col("db")))
+    val survivors = clusters
+      .join(quality.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("n_tokens")).as("neg"), col("doc_id"))).as("best"))
+      .select(col("best.doc_id").as("doc_id"))
+    val retired = clusters.select(col("doc_id"))
+      .join(survivors, Seq("doc_id"), "left_anti")
+    quality.join(retired, Seq("doc_id"), "left_anti")
+  }
+
+  /** Stage 3: per-source cap with deterministic md5 priority. */
+  private[pipeline] def keptAfterCap(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+    keptAfterDedup(spark, dir, cfg)
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= cfg.capPerSource)
+      .drop("pick", "text", "distinct_ratio")
+  }
+}

@@ -1,0 +1,42 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class TextCurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  val cfg = TextCuration.Config()
+
+  test("stage counts shrink monotonically and audit the run") {
+    val stages = TextCuration.summary(spark, dir, cfg).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stages("1_input") >= stages("2_quality"))
+    assert(stages("2_quality") >= stages("3_dedup"))
+    assert(stages("3_dedup") >= stages("4_cap"))
+    assert(stages("4_cap") > 0)
+  }
+
+  test("no near-dup pair survives curation") {
+    import org.apache.spark.sql.functions.col
+    val kept = TextCuration.keptAfterDedup(spark, dir, cfg)
+      .select(col("doc_id"), col("text"))
+    val remaining = graft.operators.Dedup
+      .minhashNearDupOn(kept, cfg.dedupThreshold).count()
+    assert(remaining == 0, "curated corpus still contains a near-dup pair")
+  }
+
+  test("curated output is deterministic and packed within budget order") {
+    val a = TextCuration.run(spark, dir, cfg).collect()
+    val b = TextCuration.run(spark, dir, cfg).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // every source respects the cap
+    val perSource = a.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(perSource.values.forall(_ <= cfg.capPerSource))
+    // seq ids start at 0 per lang and never jump
+    a.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val seqs = rows.map(_.getAs[Long]("seq_id")).distinct.sorted
+      assert(seqs.head == 0L && seqs.zipWithIndex.forall { case (s, i) => s == i })
+    }
+  }
+}
