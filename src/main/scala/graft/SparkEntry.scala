@@ -79,10 +79,14 @@ object SparkEntry {
     "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
     "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
+    "q_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
     "q_curation" -> ((s, dir) => graft.pipeline.TextCuration.run(s, dir)),
+    "q_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    "q_contam_report" -> ((s, dir) => Dedup.contaminationReport(s, dir)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
@@ -134,6 +138,28 @@ object SparkEntry {
       |  SELECT n, n FROM nodes
       |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)""".stripMargin
   private val dupClusterCtes: String = clusterCtes("documents")
+
+  /** Shared CTE chain for the decontamination oracles: word 8-grams
+    * (short-doc fallback = whole text, mirroring the shingle kernel),
+    * eval split = doc_id % 20 == 0, hits = training (doc, 8-gram) rows
+    * whose 8-gram appears anywhere in the eval side. One definition keeps
+    * q_decontaminate and q_contam_report on the same overlap graph.
+    */
+  private val decontamCtes: String = {
+    val word = (j: Int) => s"string_split(text, ' ')[i+$j]"
+    val gram8 = (0 until 8).map(word).mkString(" || ' ' || ")
+    s"""sh8 AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(string_split(text, ' ')) >= 8
+      |              THEN list_distinct(list_transform(
+      |                     range(1, len(string_split(text, ' ')) - 6),
+      |                     i -> $gram8))
+      |              ELSE [text] END AS sh
+      |  FROM documents),
+      |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh8 WHERE doc_id % 20 = 0),
+      |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh8 WHERE doc_id % 20 <> 0),
+      |hits AS (SELECT tr.doc_id, tr.s FROM tr JOIN ev USING (s))""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_by_key" ->
@@ -555,9 +581,56 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_inverted_index" ->
+      """WITH g2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 2
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' '))),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1]))
+        |              ELSE [text] END AS g
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(g) AS term FROM g2),
+        |idx AS (
+        |  SELECT term, count(*) AS df,
+        |         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+        |           AS postings
+        |  FROM tok GROUP BY term)
+        |SELECT term, df, postings FROM idx
+        |WHERE df >= 2
+        |  AND df <= floor(0.5 * (SELECT count(*) FROM documents))
+        |ORDER BY term""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id, len(w) AS n_tokens,
+        |       CASE WHEN len(w) >= 2
+        |            THEN 1.0 - len(list_distinct(list_transform(
+        |                   range(1, len(w)),
+        |                   i -> w[i] || ' ' || w[i+1]))) / (len(w) - 1)
+        |            ELSE 0.0 END AS rep_bigram,
+        |       CASE WHEN len(w) >= 3
+        |            THEN 1.0 - len(list_distinct(list_transform(
+        |                   range(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |                 / (len(w) - 2)
+        |            ELSE 0.0 END AS rep_trigram
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH $decontamCtes
+        |SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |WHERE doc_id % 20 <> 0
+        |  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contam_report" ->
+      s"""WITH $decontamCtes
+        |SELECT doc_id, count(DISTINCT s) AS n_hits
+        |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Brute-force oracle for the LSH path: at the planted similarity
     // (jaccard >= 0.9) banded-minhash recall is ~1-3e-8, so LSH output
     // equals all-pairs output.

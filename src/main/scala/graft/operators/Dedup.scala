@@ -218,20 +218,35 @@ object Dedup {
     clustersFromPairs(
       minhashNearDup(spark, dir, threshold).select(col("da"), col("db")))
 
-  /** Min-label propagation over an undirected edge list (da, db) → one
-    * (doc_id, cluster_id) row per node that appears in any pair.
+  /** Min-label propagation WITH pointer doubling over an undirected edge
+    * list (da, db) → one (doc_id, cluster_id) row per node that appears
+    * in any pair.
     *
-    * Each round every node takes the min of its own label and its
-    * neighbors' labels; a fixpoint is reached in O(component diameter)
-    * rounds — near-dup clusters are dense and shallow (a dup of a dup of
-    * X is usually also a direct dup of X), so this converges in a few
-    * rounds even at corpus scale, with per-round cost = one join + one
-    * min-aggregate on the edge list, all map-side-combinable.
+    * Each round does two things: (1) neighbor hop — every node takes the
+    * min of its own label and its neighbors' labels; (2) pointer jump —
+    * every node then replaces its label with its LABEL'S label. Labels
+    * are always node ids (they start as own-id and only ever move down
+    * via min over node ids), so the jump is a self-join of the label
+    * frame. The hop alone converges in O(component diameter) rounds —
+    * fine for dense near-dup clusters, but an adversarial chain A≈B≈C≈…
+    * of length d would take d rounds. The jump halves the remaining
+    * label-to-root distance each round, so the fixpoint arrives in
+    * O(log d) rounds regardless of shape (the classic pointer-doubling
+    * argument; cf. Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"). Per-round cost: one edge join + one min-aggregate
+    * (map-side combinable) + one label self-join.
     * `localCheckpoint` truncates lineage per round (same rationale as
     * [[Similarity.kmeansCodebook]]); the convergence check rides on the
     * checkpoint materialization instead of a second pass.
     */
-  def clustersFromPairs(pairs: DataFrame): DataFrame = {
+  def clustersFromPairs(pairs: DataFrame): DataFrame =
+    clustersFromPairsCounted(pairs)._1
+
+  /** [[clustersFromPairs]] plus the number of rounds it took — exposed so
+    * specs can assert the O(log d) convergence bound on chain graphs.
+    */
+  private[graft] def clustersFromPairsCounted(
+      pairs: DataFrame): (DataFrame, Int) = {
     // materialize the pair list BEFORE mirroring it: the union references
     // `pairs` twice, and without this the whole upstream candidate
     // pipeline (LSH + verify) would run once per branch
@@ -243,18 +258,29 @@ object Dedup {
       .withColumn("lbl", col("n"))
       .localCheckpoint(true)
     var converged = false
+    var rounds = 0
     while (!converged) {
+      rounds += 1
       val viaNeighbor = edges.join(labels, edges("b") === labels("n"))
         .select(edges("a").as("n"), col("lbl"))
-      val next = labels.union(viaNeighbor)
+      val hopped = labels.union(viaNeighbor)
         .groupBy(col("n")).agg(min(col("lbl")).as("lbl"))
+      // pointer jump: lbl := label(lbl). Every label is a node id, so the
+      // inner join loses nothing; label(lbl) <= lbl by the monotone-min
+      // invariant, least() just spells the invariant out. The two uses of
+      // `hopped` are the same subplan → one exchange, reused.
+      val parents = hopped
+        .select(col("n").as("pn"), col("lbl").as("plbl"))
+      val next = hopped.join(parents, hopped("lbl") === parents("pn"))
+        .select(hopped("n").as("n"),
+          least(hopped("lbl"), col("plbl")).as("lbl"))
         .localCheckpoint(true)
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), "n")
         .filter(col("lbl") < col("prev")).isEmpty
       labels = next
     }
-    labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy(col("doc_id"))
+    (labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id")), rounds)
   }
 
   /** The last step of the dedup story: pick each cluster's SURVIVOR —
@@ -277,6 +303,76 @@ object Dedup {
       .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
         (-col("best.neg_chars")).as("keep_chars"), col("n_members"))
       .orderBy(col("cluster_id"))
+  }
+
+  /** Eval-set membership rule for the self-contained decontamination
+    * queries: every 20th doc_id plays the benchmark set, the rest the
+    * training corpus. Real deployments pass their own eval frame to
+    * [[decontaminateOn]].
+    */
+  private val EvalModulus = 20
+
+  /** Benchmark decontamination over the documents table: drop every
+    * training document that shares at least one word 8-gram with the
+    * (doc_id % 20 == 0) eval split. See [[decontaminateOn]].
+    */
+  def decontaminate(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminateOn(docs.filter(col("doc_id") % EvalModulus =!= 0),
+      docs.filter(col("doc_id") % EvalModulus === 0), k)
+  }
+
+  /** Test-set decontamination: remove from `corpus` every document that
+    * shares at least one word k-gram with any document in `evalSet` —
+    * the standard guard against benchmark leakage into training data
+    * (GPT-3-style 13-gram overlap; k is a parameter because the right
+    * length depends on document size).
+    *
+    * Scale design: the eval side is benchmarks — tiny next to a 100 TB
+    * corpus — so its distinct shingle hashes BROADCAST and the corpus
+    * side never shuffles: one narrow shingle pass, a broadcast semi-join
+    * on the exploded frame, and a broadcast anti-join back onto the
+    * corpus. Joining on xxhash64 instead of the shingle string keeps the
+    * broadcast small (8 bytes/shingle); a 64-bit collision falsely
+    * retires a clean document with probability ~2⁻⁶⁴ per shingle pair —
+    * the conservative failure direction for decontamination.
+    */
+  def decontaminateOn(corpus: DataFrame, evalSet: DataFrame,
+      k: Int = 8): DataFrame =
+    corpus
+      .join(contaminationHits(corpus, evalSet, k).select(col("doc_id"))
+        .distinct(), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each
+    * contaminated training document, n_hits = how many distinct eval
+    * k-grams it contains — the evidence row a curation run logs next to
+    * each retired document.
+    */
+  def contaminationReport(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    contaminationHits(docs.filter(col("doc_id") % EvalModulus =!= 0),
+        docs.filter(col("doc_id") % EvalModulus === 0), k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (doc_id, h) for every corpus shingle hash that appears in the eval
+    * set. Rows are distinct per (doc, shingle) by construction — the
+    * shingle kernel dedups within a document — so counting them counts
+    * distinct overlapping k-grams.
+    */
+  private def contaminationHits(corpus: DataFrame, evalSet: DataFrame,
+      k: Int): DataFrame = {
+    val evalSh = evalSet
+      .select(explode(shingles(col("text"), k)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+    corpus
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .join(broadcast(evalSh), Seq("h"), "left_semi")
   }
 
   /** 64-bit SimHash over word unigrams: each token votes ±1 per bit of its

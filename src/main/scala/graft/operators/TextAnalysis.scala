@@ -129,4 +129,58 @@ object TextAnalysis {
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
           .cast("binary")).as("normalized_md5"))
       .orderBy(col("doc_id"))
+
+  /** Inverted-index build: phrase term → (df, sorted posting list of
+    * doc_ids) — the search-index primitive over a corpus. Terms are word
+    * bigrams from the shingle kernel (already distinct per document):
+    * phrase terms discriminate where raw unigrams over a small working
+    * vocabulary are all stop-words.
+    *
+    * One explode + ONE shuffle: `collect_set` gets map-side partial
+    * aggregation, so the exchange carries per-partition term→id-set rows,
+    * not raw (doc, term) pairs. df bounds make this corpus-scale-safe:
+    * `minDf` drops the hapax tail (most of the vocabulary), and
+    * `maxDfFrac` drops stop-terms — whose posting lists would otherwise
+    * approach corpus cardinality and skew both the shuffle and the output
+    * row width (real index builds shard hot postings; a df cap is the
+    * single-table equivalent). Postings serialize as a comma-joined
+    * string so the oracle comparator sees a scalar.
+    */
+  def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 2,
+      maxDfFrac: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), 2)).as("term"))
+      .groupBy(col("term"))
+      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",")
+          .as("postings"),
+        size(collect_set(col("doc_id"))).cast("long").as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= minDf
+        && col("df") <= floor(col("n_docs") * maxDfFrac))
+      .select(col("term"), col("df"), col("postings"))
+      .orderBy(col("term"))
+  }
+
+  /** Repetition scoring — the "is this document a copy-paste loop"
+    * quality signal: share of repeated word bigrams/trigrams. A narrow
+    * map (the shingle kernel already dedups, so distinct-counts are one
+    * `size`); ratios are single int→double divisions, bit-reproducible
+    * for the oracle hash. Documents too short to form an n-gram score 0.
+    */
+  def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    def rep(k: Int) = {
+      val total = size(t) - (k - 1)
+      when(size(t) >= k,
+        lit(1.0) - size(Dedup.shingles(col("text"), k)) / total)
+        .otherwise(lit(0.0))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        rep(2).as("rep_bigram"), rep(3).as("rep_trigram"))
+      .orderBy(col("doc_id"))
+  }
 }

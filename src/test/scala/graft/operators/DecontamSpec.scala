@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class DecontamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("source", StringType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.map { case (id, t) =>
+        Row(id, t, "src", "en", t.length.toLong)
+      }).asJava, docSchema)
+
+  test("planted 8-gram overlap is retired, clean doc survives") {
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val eval = docs(100L -> evalDoc)
+    val corpus = docs(
+      // contains eval's words 2..9 verbatim → shares an 8-gram
+      1L -> ("intro phrase beta gamma delta epsilon zeta eta theta iota tail"),
+      // shares only a 7-word run (words 2..8) → no 8-gram overlap
+      2L -> ("intro phrase beta gamma delta epsilon zeta eta theta other tail"),
+      3L -> "completely unrelated words that never touch the benchmark at all")
+    val kept = Dedup.decontaminateOn(corpus, eval)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("short eval doc falls back to whole-text matching") {
+    val eval = docs(100L -> "tiny doc")
+    val corpus = docs(1L -> "tiny doc", 2L -> "tiny doc plus more")
+    // doc 1 has <8 words → its shingle set is [whole text], which the
+    // eval side also produced; doc 2's fallback string differs
+    val kept = Dedup.decontaminateOn(corpus, eval)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("kept + reported partitions the training split; reruns are clean") {
+    val train = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 =!= 0)
+    val kept = Dedup.decontaminate(spark, dir)
+    val reported = Dedup.contaminationReport(spark, dir)
+    assert(kept.count() + reported.count() == train.count())
+    assert(reported.count() > 0, "synthetic corpus should plant some overlap")
+    // decontaminating the already-clean output removes nothing more
+    val eval = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 20 === 0)
+    val again = Dedup.decontaminateOn(
+      train.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"), eval)
+    assert(again.count() == kept.count())
+  }
+}

@@ -77,6 +77,30 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p) // only the ORDER BY range exchange
   }
 
+  test("decontamination broadcasts the eval shingles; corpus never shuffles") {
+    val p = plan(Dedup.decontaminate(spark, dir))
+    // semi-join of exploded corpus vs eval hashes AND anti-join back onto
+    // the corpus must both be broadcast — the 100 TB side stays in place
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only shuffles: the two distinct()s on the SMALL sides (eval
+    // hashes, contaminated ids — both pre-broadcast) + the final ORDER BY
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("Exchange rangepartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("inverted index is one explode + one partial-agg shuffle") {
+    val p = plan(TextAnalysis.invertedIndex(spark, dir))
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    // partial collect_set before the exchange (ObjectHashAggregate x2)
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
+  test("repetition score is a narrow map: no exchange before the final sort") {
+    val p = plan(TextAnalysis.repetitionScore(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("as-of join exchanges once on user_id (no range join)") {
     val p = plan(Joins.asofJoin(spark, dir))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)

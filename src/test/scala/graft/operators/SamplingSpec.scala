@@ -37,4 +37,21 @@ class SamplingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
+
+  test("pointer doubling converges in O(log d) rounds on a chain") {
+    val schema = StructType(Seq(StructField("da", LongType),
+      StructField("db", LongType)))
+    // adversarial path graph 0-1-2-…-63: diameter 63, so pure
+    // neighbor-min propagation needs ~63 rounds; pointer doubling
+    // halves the label-to-root distance each round → ~log2(63)+slack
+    val chain = (0L until 63L).map(i => Row(i, i + 1))
+    val pairs = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(chain).asJava, schema)
+    val (clusters, rounds) = Dedup.clustersFromPairsCounted(pairs)
+    val got = clusters.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 64 && got.forall(_._2 == 0L),
+      "chain must collapse to one cluster rooted at 0")
+    assert(rounds <= 10,
+      s"expected O(log 63) ≈ 6-8 rounds incl. convergence check, got $rounds")
+  }
 }
