@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +81,8 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
+    "q_pii_scrub" -> ((s, dir) => Privacy.piiScrub(s, dir)),
+    "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
@@ -620,6 +622,44 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // Patterns are the Java∩RE2 subset in graft.operators.Privacy; the
+    // planted contact line is constructed identically on both engines so
+    // the hash exercises the real regexes (see Privacy.piiScrub scaladoc).
+    "q_pii_scrub" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || doc_id || '@mail' ||
+        |         (doc_id % 7) || '.com ip 10.' || (doc_id % 256) || '.' ||
+        |         ((doc_id * 7) % 256) || '.' || (doc_id % 100) ||
+        |         ' phone +1-555-' ||
+        |         lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |  len(regexp_extract_all(text,
+        |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}', '<PHONE>', 'g')) AS redacted_md5
+        |FROM planted ORDER BY doc_id""".stripMargin,
+    // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
+    // grid Spark's window() uses, so the two bucket starts per event are
+    // identical on both engines.
+    "q_events_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+        |w AS (
+        |  SELECT user_id, unnest([
+        |      time_bucket(INTERVAL '30 minutes', ts),
+        |      time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |    ]) AS win_start
+        |  FROM e)
+        |SELECT win_start, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1 ORDER BY win_start""".stripMargin,
     "q_decontaminate" ->
       s"""WITH $decontamCtes
         |SELECT doc_id, source, lang, n_chars

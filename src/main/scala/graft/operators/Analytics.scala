@@ -223,4 +223,26 @@ object Analytics {
       .select(col("lang"), col("rk"), col("shingle"), col("n_docs"))
       .orderBy(col("lang"), col("rk"))
   }
+
+  /** Sliding (hopping) window aggregation: 1-hour windows every 30
+    * minutes over the event stream — the batch twin of the streaming
+    * windowed count in [[graft.streaming.EventStream]], sharing Spark's
+    * `window()` semantics exactly (epoch-aligned starts, [start, end)
+    * bounds).
+    *
+    * Scale shape: `window(slide < size)` expands each row into
+    * size/slide = 2 window assignments BEFORE the aggregation, and both
+    * the count and the distinct-user count get map-side partial
+    * aggregation, so the exchange carries per-(window, partition)
+    * partials — amplification stays a constant 2×, independent of
+    * corpus size.
+    */
+  def eventsSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("win_start"), col("n_events"),
+        col("n_users"))
+      .orderBy(col("win_start"))
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** PII scrubbing — the privacy pass every training-data pipeline runs
+  * before text leaves curation: detect and redact e-mail addresses, IPv4
+  * addresses, and phone numbers, and report per-document counts as the
+  * audit trail.
+  *
+  * Scale design: detection and redaction are `regexp_count` /
+  * `regexp_replace` builtins — codegen'd, shuffle-free narrow maps, so the
+  * pass is embarrassingly parallel at 100 TB (the only wide stage in the
+  * query form is the deterministic final ORDER BY). Patterns deliberately
+  * stay inside the regex subset shared by Java's engine and RE2: no
+  * lookaround, no backreferences — so the same patterns run on Spark, on
+  * the DuckDB oracle, and on any downstream engine a user might audit
+  * with.
+  *
+  * The reference has no privacy stage (its data is aggregate case counts);
+  * this extends the §7.4 text-curation family the same way Dedup and
+  * TextAnalysis do.
+  */
+object Privacy {
+
+  /** RFC-5322-ish practical e-mail shape. Redact FIRST: an address also
+    * contains dotted digit runs a later pattern could half-match.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4, word-bounded at both ends. `\b` still holds
+    * against a dot, so the first four groups of a longer dotted run
+    * (e.g. a 5-part version string) match too; ruling that out needs
+    * lookarounds, which RE2 lacks — and over-redaction is the
+    * conservative failure direction for privacy, so the shared-subset
+    * pattern wins. Octet-range checking (≤255) is likewise left to
+    * consumers.
+    */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** International-prefix phone shape `+CC-…` with digit groups joined by
+    * `-`, ` ` or `.` (7–15 digits total per E.164).
+    */
+  val PhoneRe = "\\+\\d{1,3}[-. ]\\d{3}[-. ]\\d{3,10}"
+
+  /** Redacted text: e-mails, then IPs, then phones, each replaced by a
+    * typed placeholder token (kept as stable vocabulary so downstream
+    * tokenizers see one token, not an empty hole).
+    */
+  def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Generic form: per-row PII counts + redacted text for any frame with
+    * an id and a text column. Pure narrow projection — composes into
+    * [[graft.pipeline.TextCuration]]-style pipelines without adding a
+    * shuffle.
+    */
+  def scrubOn(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      redact(t).as("redacted"))
+  }
+
+  /** Query form over `documents`. The synthetic corpus is PII-free, so
+    * the query PLANTS deterministic doc_id-derived contact lines first
+    * (both engines construct the identical string), then scrubs — the
+    * oracle hash therefore exercises the real detection and redaction
+    * regexes on every row, not a no-op pass. Output carries the counts
+    * and an md5 of the redacted text (scalar-friendly for the
+    * comparator).
+    */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = Tables.documents(spark, dir).select(id,
+      concat(col("text"),
+        lit(" contact user"), id, lit("@mail"), id % 7,
+        lit(".com ip 10."), id % 256, lit("."), (id * 7) % 256,
+        lit("."), id % 100,
+        lit(" phone +1-555-"), lpad((id % 10000).cast("string"), 7, "0"))
+        .as("text"))
+    scrubOn(planted)
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+}

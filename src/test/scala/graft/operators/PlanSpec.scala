@@ -101,6 +101,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("pii scrub is a narrow map: no exchange before the final sort") {
+    val p = plan(graft.operators.Privacy.piiScrub(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("sliding windows expand rows but aggregate map-side first") {
+    val p = plan(Analytics.eventsSliding(spark, dir))
+    // the 2-windows-per-event assignment is an Expand/Generate BELOW a
+    // partial HashAggregate — the exchange carries per-window partials,
+    // never the fanned-out event rows
+    val expand = p.linesIterator.indexWhere(
+      l => l.contains("Expand") || l.contains("Generate"))
+    val partial = p.linesIterator.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("partial"))
+    assert(expand >= 0 && partial >= 0 && partial < expand, p)
+  }
+
   test("as-of join exchanges once on user_id (no range join)") {
     val p = plan(Joins.asofJoin(spark, dir))
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)

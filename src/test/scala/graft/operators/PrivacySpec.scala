@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+class PrivacySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def frame(rows: (Long, String)*) =
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (id, t) => Row(id, t) }).asJava, schema)
+
+  private def scrub(text: String): (Long, Long, Long, String) = {
+    val r = Privacy.scrubOn(frame(1L -> text)).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+  }
+
+  test("each PII kind is counted and redacted to its placeholder") {
+    val (e, i, p, red) = scrub(
+      "mail a.b+c@sub.example.org ip 192.168.0.1 tel +44-123-4567890 end")
+    assert((e, i, p) == (1L, 1L, 1L))
+    assert(red == "mail <EMAIL> ip <IP> tel <PHONE> end")
+  }
+
+  test("clean text is untouched, all counts zero") {
+    val t = "no personal data here just words and 42 plain numbers"
+    assert(scrub(t) == ((0L, 0L, 0L, t)))
+  }
+
+  test("email redaction runs first so its dotted digits never half-match") {
+    // the digit-dotted local part could tempt the IP pattern; redaction
+    // order (email -> ip -> phone) must leave exactly one placeholder
+    val (e, i, _, red) = scrub("x 1.2.3.4abc@d.com y")
+    assert(e == 1L && i == 0L && red == "x <EMAIL> y")
+  }
+
+  test("dotted version strings over-redact (the conservative direction)") {
+    // \b holds between a digit and a dot, so the first four groups of a
+    // 5-group version string match; lookarounds would fix it but RE2 (the
+    // oracle engine) has none — documented contract: over-redact
+    val (_, i, _, red) = scrub("version 1.2.3.4.5 stays")
+    assert(i == 1L && red == "version <IP>.5 stays")
+  }
+
+  test("multiple hits per document are all counted") {
+    val (e, i, p, red) =
+      scrub("a@b.co c@d.io 10.0.0.1 10.0.0.2 +1-555-1234567 +1 555 7654321")
+    assert((e, i, p) == (2L, 2L, 2L))
+    assert(!red.exists(_ == '@') && !red.contains("10.0"))
+  }
+
+  test("query form plants PII on every row and fully redacts it") {
+    val out = Privacy.piiScrub(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L
+      && r.getLong(3) == 1L))
+  }
+}
