@@ -52,6 +52,35 @@ object Multimodal {
     h
   }
 
+  /** Raw media-file ingestion via Spark's built-in `binaryFile` source:
+    * one row per file with (path, modificationTime, length, content),
+    * mapped onto the engine's MediaRecord shape — doc_id from the path
+    * hash (stable across re-ingests), media_type from the file
+    * extension, blob = the encoded payload.
+    *
+    * Scale notes: `pathGlobFilter` prunes at listing time (files that
+    * don't match are never opened), and the source splits the LISTING
+    * across the cluster while keeping each file whole in one row — the
+    * right contract for encoded media, which can't be byte-split. Files
+    * larger than `spark.sql.sources.binaryFile.maxLength` (2 GB default)
+    * fail loudly rather than truncate.
+    */
+  def fromBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame = {
+    val ext = lower(element_at(split(col("path"), "\\."), -1))
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+          .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+          .when(ext.isin("mp4", "mkv", "avi", "webm"), "video")
+          .otherwise("bin").as("media_type"),
+        col("content").as("blob"),
+        col("path"))
+  }
+
   /** Typed batch feature extraction: decode-stub + per-byte stats + evenly
     * spaced frame sampling with per-frame hashes, as `mapPartitions` over
     * `Dataset[MediaRecord]`.
@@ -59,7 +88,16 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, dir: String,
       nFrames: Int = 4): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir).as[MediaRecord].mapPartitions { it =>
+    extractFeaturesOn(mediaTable(spark, dir).as[MediaRecord], nFrames)
+  }
+
+  /** [[extractFeatures]] over any MediaRecord source — the same operator
+    * runs on the synthetic media table and on [[fromBinaryFiles]] output.
+    */
+  def extractFeaturesOn(records: Dataset[MediaRecord],
+      nFrames: Int = 4): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
       it.map { r =>
         val len = r.blob.length
         val (w, h) = decodeDims(r.blob)

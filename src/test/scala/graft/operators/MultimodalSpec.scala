@@ -1,0 +1,52 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** binaryFile ingestion → typed feature extraction, end to end on real
+  * files: the path a user with an on-disk media corpus takes into the
+  * multimodal operators.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val mediaDir: String = {
+    val d = Files.createTempDirectory("graft_media")
+    Files.write(d.resolve("a.jpg"), Array[Byte](1, 2, 3, 4, 5))
+    Files.write(d.resolve("b.wav"), Array.tabulate[Byte](300)(_.toByte))
+    Files.write(d.resolve("c.mp4"), Array[Byte](9, 8, 7))
+    Files.write(d.resolve("notes.txt"), "not media".getBytes("UTF-8"))
+    d.toString
+  }
+
+  test("binaryFile ingest maps extension to media_type and keeps payloads whole") {
+    val got = Multimodal.fromBinaryFiles(spark, mediaDir).collect()
+      .map(r => Paths.get(r.getString(3)).getFileName.toString ->
+        (r.getString(1), r.getAs[Array[Byte]](2).length)).toMap
+    assert(got == Map(
+      "a.jpg" -> ("image", 5), "b.wav" -> ("audio", 300),
+      "c.mp4" -> ("video", 3), "notes.txt" -> ("bin", 9)))
+  }
+
+  test("pathGlobFilter prunes non-matching files at listing time") {
+    val imgs = Multimodal.fromBinaryFiles(spark, mediaDir, "*.jpg")
+    assert(imgs.count() == 1)
+    assert(imgs.head().getString(1) == "image")
+  }
+
+  test("ingested files flow through the typed feature extractor") {
+    import spark.implicits._
+    val records = Multimodal.fromBinaryFiles(spark, mediaDir, "*.wav")
+      .select(col("doc_id"), col("media_type"), col("blob"))
+      .as[Multimodal.MediaRecord]
+    val f = Multimodal.extractFeaturesOn(records, nFrames = 4).collect().head
+    assert(f.media_type == "audio" && f.byte_len == 300 && f.n_frames == 4)
+    assert(f.frame_hashes.distinct.size == 4,
+      "evenly spaced frames over distinct byte ranges must hash distinctly")
+    // mean over bytes 0..255,0..43 interpreted unsigned
+    val expectedMean = Array.tabulate(300)(i => (i % 256)).sum.toDouble / 300
+    assert(math.abs(f.mean_byte - expectedMean) < 1e-9)
+  }
+}
