@@ -35,6 +35,20 @@ object Profile {
         emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
     t("embed_10x")(Dedup.embeddingNearDupOn(emb10, 0.95).count())
+
+    // Round-2 curation ops at the same 10x stress: broadcast-side
+    // decontamination, the inverted-index shuffle, connected components
+    // over the (much denser) replicated-dup pair graph, and the narrow
+    // PII pass.
+    t("decontam_10x")(Dedup.decontaminateOn(
+      docs10.filter(col("doc_id") % 20 =!= 0),
+      docs10.filter(col("doc_id") % 20 === 0)).count())
+    t("invindex_10x")(
+      graft.operators.TextAnalysis.invertedIndexOn(docs10).count())
+    t("clusters_10x")(Dedup.clustersFromPairs(
+      Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")))
+      .count())
+    t("pii_10x")(graft.operators.Privacy.scrubOn(docs10).count())
     spark.stop()
   }
 }

@@ -147,10 +147,14 @@ object TextAnalysis {
     * string so the oracle comparator sees a scalar.
     */
   def invertedIndex(spark: SparkSession, dir: String, minDf: Int = 2,
+      maxDfFrac: Double = 0.5): DataFrame =
+    invertedIndexOn(Tables.documents(spark, dir), minDf, maxDfFrac)
+
+  /** [[invertedIndex]] over any (doc_id, text) frame. */
+  def invertedIndexOn(docs: DataFrame, minDf: Int = 2,
       maxDfFrac: Double = 0.5): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 2)).as("term"))
       .groupBy(col("term"))
