@@ -770,7 +770,12 @@ object SparkEntry {
         |quality AS (
         |  SELECT * FROM qd
         |  WHERE n_tokens BETWEEN 20 AND 2000 AND dr >= 0.3),
-        |${clusterCtes("quality")},
+        |$decontamCtes,
+        |clean AS (
+        |  SELECT * FROM quality
+        |  WHERE doc_id % 20 <> 0
+        |    AND doc_id NOT IN (SELECT DISTINCT doc_id FROM hits)),
+        |${clusterCtes("clean")},
         |clusters AS (SELECT n AS doc_id, min(m) AS cluster_id
         |             FROM reach GROUP BY n),
         |surv AS (
@@ -778,10 +783,10 @@ object SparkEntry {
         |    SELECT c.doc_id, row_number() OVER (
         |      PARTITION BY c.cluster_id
         |      ORDER BY q.n_tokens DESC, c.doc_id) AS rn
-        |    FROM clusters c JOIN quality q USING (doc_id))
+        |    FROM clusters c JOIN clean q USING (doc_id))
         |  WHERE rn = 1),
         |kept AS (
-        |  SELECT * FROM quality
+        |  SELECT * FROM clean
         |  WHERE doc_id NOT IN (
         |    SELECT doc_id FROM clusters
         |    WHERE doc_id NOT IN (SELECT doc_id FROM surv))),

@@ -310,7 +310,7 @@ object Dedup {
     * training corpus. Real deployments pass their own eval frame to
     * [[decontaminateOn]].
     */
-  private val EvalModulus = 20
+  private[graft] val EvalModulus = 20
 
   /** Benchmark decontamination over the documents table: drop every
     * training document that shares at least one word 8-gram with the
@@ -320,6 +320,8 @@ object Dedup {
     val docs = Tables.documents(spark, dir)
     decontaminateOn(docs.filter(col("doc_id") % EvalModulus =!= 0),
       docs.filter(col("doc_id") % EvalModulus === 0), k)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** Test-set decontamination: remove from `corpus` every document that
@@ -335,15 +337,15 @@ object Dedup {
     * corpus. Joining on xxhash64 instead of the shingle string keeps the
     * broadcast small (8 bytes/shingle); a 64-bit collision falsely
     * retires a clean document with probability ~2⁻⁶⁴ per shingle pair —
-    * the conservative failure direction for decontamination.
+    * the conservative failure direction for decontamination. The corpus
+    * schema passes through unchanged, so the operator composes into
+    * curation pipelines ([[graft.pipeline.TextCuration]] stage 2).
     */
   def decontaminateOn(corpus: DataFrame, evalSet: DataFrame,
       k: Int = 8): DataFrame =
     corpus
       .join(contaminationHits(corpus, evalSet, k).select(col("doc_id"))
         .distinct(), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
-      .orderBy(col("doc_id"))
 
   /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each
     * contaminated training document, n_hits = how many distinct eval

@@ -12,10 +12,14 @@ import graft.sources.Tables
   *
   *   1. quality gate: token-count bounds + lexical-diversity floor
   *      (narrow filter);
-  *   2. near-dup retirement: MinHash pairs → clusters → keep each
+  *   2. benchmark decontamination: the eval split (doc_id % 20 == 0
+  *      stands in for the benchmark set) leaves the corpus, and any
+  *      training doc sharing a word 8-gram with it is retired
+  *      (broadcast anti-join — see [[graft.operators.Dedup.decontaminateOn]]);
+  *   3. near-dup retirement: MinHash pairs → clusters → keep each
   *      cluster's canonical survivor, drop the other members (anti-join);
-  *   3. per-source cap (deterministic md5 priority);
-  *   4. token-budget sequence packing of what remains.
+  *   4. per-source cap (deterministic md5 priority);
+  *   5. token-budget sequence packing of what remains.
   *
   * Every stage is deterministic, so the curated corpus — and each
   * stage's drop set — re-materializes bit-identically. Stages run as one
@@ -28,6 +32,7 @@ object TextCuration {
     minTokens: Int = 20,
     maxTokens: Int = 2000,
     minDistinctRatio: Double = 0.3,
+    decontamK: Int = 8,
     dedupThreshold: Double = 0.7,
     capPerSource: Int = 50,
     packBudget: Int = 512)
@@ -61,10 +66,11 @@ object TextCuration {
     import spark.implicits._
     val input = Tables.documents(spark, dir).count()
     val quality = qualityGate(spark, dir, cfg).count()
+    val clean = decontaminated(spark, dir, cfg).count()
     val deduped = keptAfterDedup(spark, dir, cfg).count()
     val capped = keptAfterCap(spark, dir, cfg).count()
-    Seq(("1_input", input), ("2_quality", quality), ("3_dedup", deduped),
-      ("4_cap", capped)).toDF("stage", "n_docs")
+    Seq(("1_input", input), ("2_quality", quality), ("3_decontam", clean),
+      ("4_dedup", deduped), ("5_cap", capped)).toDF("stage", "n_docs")
   }
 
   /** Stage 1: quality gate over (doc_id, source, lang, n_tokens). */
@@ -80,29 +86,45 @@ object TextCuration {
         && col("distinct_ratio") >= cfg.minDistinctRatio)
   }
 
-  /** Stage 2: retire every near-dup cluster member except its canonical
+  /** Stage 2: benchmark decontamination over the quality survivors. The
+    * eval split is carved from the RAW documents table (an eval doc that
+    * failed the quality gate still must not leak), training docs are the
+    * non-eval quality survivors, and overlap is word `decontamK`-gram
+    * membership.
+    */
+  private[pipeline] def decontaminated(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.decontaminateOn(
+      qualityGate(spark, dir, cfg)
+        .filter(col("doc_id") % Dedup.EvalModulus =!= 0),
+      docs.filter(col("doc_id") % Dedup.EvalModulus === 0),
+      cfg.decontamK)
+  }
+
+  /** Stage 3: retire every near-dup cluster member except its canonical
     * survivor. Retired = clustered docs minus survivors; survivors are
     * chosen by content length (ties to smallest doc_id) WITHIN the
-    * quality-surviving population, so a dropped low-quality doc can't
-    * win a cluster.
+    * decontaminated population, so a dropped low-quality or contaminated
+    * doc can't win a cluster.
     */
   private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
       cfg: Config): DataFrame = {
-    val quality = qualityGate(spark, dir, cfg)
+    val clean = decontaminated(spark, dir, cfg)
     val clusters = Dedup.clustersFromPairs(
-      Dedup.minhashNearDupOn(quality.select(col("doc_id"), col("text")),
+      Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
         cfg.dedupThreshold).select(col("da"), col("db")))
     val survivors = clusters
-      .join(quality.select(col("doc_id"), col("n_tokens")), "doc_id")
+      .join(clean.select(col("doc_id"), col("n_tokens")), "doc_id")
       .groupBy(col("cluster_id"))
       .agg(min(struct((-col("n_tokens")).as("neg"), col("doc_id"))).as("best"))
       .select(col("best.doc_id").as("doc_id"))
     val retired = clusters.select(col("doc_id"))
       .join(survivors, Seq("doc_id"), "left_anti")
-    quality.join(retired, Seq("doc_id"), "left_anti")
+    clean.join(retired, Seq("doc_id"), "left_anti")
   }
 
-  /** Stage 3: per-source cap with deterministic md5 priority. */
+  /** Stage 4: per-source cap with deterministic md5 priority. */
   private[pipeline] def keptAfterCap(spark: SparkSession, dir: String,
       cfg: Config): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

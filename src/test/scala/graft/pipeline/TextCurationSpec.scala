@@ -12,9 +12,11 @@ class TextCurationSpec extends AnyFunSuite {
     val stages = TextCuration.summary(spark, dir, cfg).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stages("1_input") >= stages("2_quality"))
-    assert(stages("2_quality") >= stages("3_dedup"))
-    assert(stages("3_dedup") >= stages("4_cap"))
-    assert(stages("4_cap") > 0)
+    assert(stages("2_quality") > stages("3_decontam"),
+      "eval split + planted overlap must retire documents")
+    assert(stages("3_decontam") >= stages("4_dedup"))
+    assert(stages("4_dedup") >= stages("5_cap"))
+    assert(stages("5_cap") > 0)
   }
 
   test("no near-dup pair survives curation") {
