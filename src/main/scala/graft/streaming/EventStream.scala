@@ -169,6 +169,37 @@ object EventStream {
     events.join(broadcast(dim), events(eventKey) === dim(dimKey), "left")
       .drop(dim(dimKey))
 
+  /** Streaming document curation gate: benchmark decontamination + PII
+    * redaction applied to a document STREAM against a static eval set —
+    * the ingest-time form of the batch pipeline's stages 2 and PII pass
+    * (a doc rejected here never lands in the corpus, instead of being
+    * retired by a later batch sweep).
+    *
+    * Statelessness is the design point: the eval set's distinct shingle
+    * hashes are aggregated into ONE static row (benchmarks are tiny next
+    * to the corpus — the same bytes a broadcast join would ship), the
+    * stream cross-joins that broadcast row per micro-batch, and the
+    * overlap test + redaction are narrow per-row expressions. No
+    * watermark, no state store, no stream-side aggregation — so the gate
+    * composes with any downstream sink mode, and an eval-set refresh is
+    * picked up the same way [[enrichWithDim]] picks up dimension
+    * snapshots.
+    */
+  def curateDocs(docs: DataFrame, evalSet: DataFrame, k: Int = 8): DataFrame = {
+    import graft.operators.{Dedup, Privacy}
+    val evalHashes = evalSet
+      .select(explode(Dedup.shingles(col("text"), k)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .agg(collect_set(col("h")).as("eval_hashes"))
+    docs
+      .withColumn("hs", transform(Dedup.shingles(col("text"), k),
+        s => xxhash64(s)))
+      .crossJoin(broadcast(evalHashes))
+      .filter(!arrays_overlap(col("hs"), col("eval_hashes")))
+      .select(col("doc_id"), Privacy.redact(col("text")).as("text"),
+        col("source"), col("lang"))
+  }
+
   /** Stream → warehouse sink via foreachBatch: each micro-batch of the
     * (Update-mode) hourly aggregate overwrites only the panes it touched —
     * dynamic partition overwrite, so late updates replace a pane in place

@@ -233,4 +233,30 @@ class EventStreamSpec extends AnyFunSuite {
     val out = EventStream.hourlyCounts(events)
     assert(out.count() > 0)
   }
+
+  test("streaming curation gate drops eval-overlap docs and redacts PII") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    input.addData(
+      // shares eval words 1..8 -> decontaminated away at ingest
+      (1L, "alpha beta gamma delta epsilon zeta eta theta trailer", "s", "en"),
+      // clean but carries PII -> kept, redacted
+      (2L, "totally unrelated words reach me at bob@mail.com today", "s", "en"))
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val q = EventStream.curateDocs(
+      input.toDF().toDF("doc_id", "text", "source", "lang"), evalSet)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      assert(rows.keySet == Set(2L), "overlapping doc must not land")
+      assert(rows(2L) == "totally unrelated words reach me at <EMAIL> today")
+      // stateless gate: no state store rows involved
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
