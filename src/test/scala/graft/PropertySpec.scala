@@ -278,4 +278,61 @@ class PropertySpec extends AnyFunSuite {
         s"shingle mismatch: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
     }
   }
+
+  test("pii scrub counts exactly the planted entities and redacts them all " +
+    "on random documents") {
+    import graft.operators.Privacy
+    val letters: Gen[String] = for {
+      n <- Gen.choose(3, 8)
+      cs <- Gen.listOfN(n, Gen.alphaLowerChar)
+    } yield cs.mkString
+    // letter-only locals/domains: a digit-leading local part could itself
+    // form a dotted quad and legitimately double-count as an IP
+    val email: Gen[String] = for {
+      l1 <- letters; l2 <- Gen.option(letters)
+      d <- letters; tld <- Gen.choose(2, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    } yield l2.fold(l1)(x => s"$l1.$x") + s"@$d.$tld"
+    val ip: Gen[String] =
+      Gen.listOfN(4, Gen.choose(0, 255)).map(_.mkString("."))
+    val phone: Gen[String] = for {
+      cc <- Gen.choose(1, 999)
+      sep <- Gen.oneOf("-", ".", " ")
+      mid <- Gen.choose(100, 999)
+      last <- Gen.choose(4, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.numChar).map(_.mkString))
+    } yield s"+$cc$sep$mid$sep$last"
+    val doc: Gen[(String, Int, Int, Int)] = for {
+      words <- Gen.choose(5, 15).flatMap(n => Gen.listOfN(n, letters))
+      es <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, email))
+      is <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, ip))
+      ps <- Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, phone))
+      // interleave entities between clean words at deterministic offsets
+      mixed = {
+        val ents = es ++ is ++ ps
+        val slots = words.padTo(ents.length, "pad")
+        slots.zipAll(ents, "", "").flatMap { case (w, e) =>
+          Seq(w, e).filter(_.nonEmpty) }
+      }
+    } yield (mixed.mkString(" "), es.length, is.length, ps.length)
+    val docs = sample(doc, 200, seed = 23L)
+    val rows = docs.zipWithIndex.map { case ((t, _, _, _), i) =>
+      Row(i.toLong, t) }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val out = Privacy.scrubOn(spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema))
+      .orderBy(col("doc_id")).collect()
+    out.zip(docs).foreach { case (r, (t, ne, ni, np)) =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((ne, ni, np)),
+        s"count mismatch on: $t")
+      val red = r.getString(4)
+      assert(!red.contains("@") && !red.exists(_ == '+'), s"residual PII: $red")
+      assert(!Privacy.Ipv4Re.r.findFirstIn(red).isDefined, s"residual ip: $red")
+      assert("<EMAIL>".r.findAllIn(red).size == ne
+        && "<IP>".r.findAllIn(red).size == ni
+        && "<PHONE>".r.findAllIn(red).size == np, red)
+    }
+  }
 }
