@@ -257,6 +257,16 @@ object Dedup {
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint(true)
+    // Convergence detection rides on the monotone-min invariant: labels
+    // only ever decrease, so the label sum strictly decreases on every
+    // non-fixpoint round and is unchanged exactly at the fixpoint. One
+    // narrow global aggregate over the just-checkpointed frame replaces
+    // a per-round shuffle join against the previous labels. DECIMAL(38,0)
+    // keeps the sum exact out to ~10²⁶ node-ids-times-rows — far past any
+    // corpus (int64 would overflow at ~10⁹ docs with 10¹²-range ids).
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
     while (!converged) {
@@ -275,8 +285,9 @@ object Dedup {
         .select(hopped("n").as("n"),
           least(hopped("lbl"), col("plbl")).as("lbl"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), "n")
-        .filter(col("lbl") < col("prev")).isEmpty
+      val s = lblSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
     }
     (labels.select(col("n").as("doc_id"), col("lbl").as("cluster_id"))
