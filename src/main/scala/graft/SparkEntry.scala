@@ -81,6 +81,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
+    "q_boilerplate" -> ((s, dir) => TextAnalysis.boilerplateShare(s, dir)),
     "q_pii_scrub" -> ((s, dir) => Privacy.piiScrub(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
@@ -603,6 +604,27 @@ object SparkEntry {
         |WHERE df >= 2
         |  AND df <= floor(0.5 * (SELECT count(*) FROM documents))
         |ORDER BY term""".stripMargin,
+    "q_boilerplate" -> {
+      val word = (j: Int) => s"string_split(text, ' ')[i+$j]"
+      val gram5 = (0 until 5).map(word).mkString(" || ' ' || ")
+      s"""WITH sh5 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 5
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 3),
+        |                     i -> $gram5))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |grams AS (SELECT doc_id, unnest(sh) AS g FROM sh5),
+        |dfs AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        |SELECT doc_id, count(*) AS n_grams,
+        |       CAST(sum(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_boiler,
+        |       CAST(sum(CASE WHEN df >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |         / count(*) AS boiler_ratio
+        |FROM grams JOIN dfs USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents)

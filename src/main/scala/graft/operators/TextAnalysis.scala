@@ -168,6 +168,34 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Cross-document boilerplate detection (the C4-style curation
+    * signal): the share of a document's word `k`-gram spans that occur
+    * in at least `minDf` documents corpus-wide — headers, footers, and
+    * license blocks score high; original prose scores ~0.
+    *
+    * Complements [[repetitionScore]] (within-doc repetition) and the
+    * Dedup family (whole-doc pairs): this flags PARTIAL, corpus-wide
+    * span reuse no pairwise threshold catches. Same one-pass shape as
+    * [[tfidfTop]]: one corpus explode, span df via a window over the
+    * exploded frame (shingles are distinct per doc, so the window count
+    * IS document frequency), then a per-doc re-aggregation — two
+    * shuffles total, both on keys that stay bounded (span hash, doc_id).
+    * The ratio is one int/int IEEE division — bit-reproducible for the
+    * oracle hash.
+    */
+  def boilerplateShare(spark: SparkSession, dir: String, k: Int = 5,
+      minDf: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("g"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio", col("n_boiler") / col("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Repetition scoring — the "is this document a copy-paste loop"
     * quality signal: share of repeated word bigrams/trigrams. A narrow
     * map (the shingle kernel already dedups, so distinct-counts are one

@@ -101,6 +101,12 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("boilerplate share explodes the corpus once: df via window") {
+    val p = plan(TextAnalysis.boilerplateShare(spark, dir))
+    assert("Generate".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Window"), p)
+  }
+
   test("pii scrub is a narrow map: no exchange before the final sort") {
     val p = plan(graft.operators.Privacy.piiScrub(spark, dir))
     assert("Exchange".r.findAllIn(p).size == 1, p)
