@@ -234,6 +234,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("file stream with AvailableNow drains existing files in rate-bounded batches") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    val data = spark.range(30).selectExpr("id", "id % 3 AS k")
+    // three single-file commits = three discoverable source files
+    (0 until 3).foreach(i => data.filter(col("id") % 3 === i)
+      .repartition(1).write.mode("append").parquet(dir))
+    val q = spark.readStream.schema("id LONG, k LONG")
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .writeStream.format("memory").queryName("filestream")
+      .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append).start()
+    try {
+      assert(q.awaitTermination(60000), "AvailableNow must self-terminate")
+      // every pre-existing file lands exactly once...
+      assert(spark.table("filestream").count() == 30)
+      // ...and the rate limit held: one file per micro-batch, no gulp
+      assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    } finally q.stop()
+  }
+
   test("streaming curation gate drops eval-overlap docs and redacts PII") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String)]
