@@ -84,6 +84,8 @@ object SparkEntry {
     "q_boilerplate" -> ((s, dir) => TextAnalysis.boilerplateShare(s, dir)),
     "q_pii_scrub" -> ((s, dir) => Privacy.piiScrub(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
+    "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
+    "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
@@ -671,6 +673,38 @@ object SparkEntry {
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)
+        |SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week,
+        |       CAST(floor(date_diff('day', CAST(f.first_ts AS DATE),
+        |           CAST(e.ts AS DATE)) / 7) AS BIGINT) AS week_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS s
+        |  FROM events),
+        |t2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts >= s
+        |                     AND ts <= s + INTERVAL 2 DAY THEN ts END)
+        |      OVER (PARTITION BY user_id) AS c
+        |  FROM t),
+        |t3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c
+        |                     AND ts <= c + INTERVAL 2 DAY THEN ts END)
+        |      OVER (PARTITION BY user_id) AS p
+        |  FROM t2),
+        |u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN p IS NOT NULL THEN 3 WHEN c IS NOT NULL THEN 2
+        |             WHEN s IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        |  FROM t3 GROUP BY user_id)
+        |SELECT stage, count(*) AS n_users
+        |FROM u GROUP BY stage ORDER BY stage""".stripMargin,
     "q_events_sliding" ->
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
         |w AS (

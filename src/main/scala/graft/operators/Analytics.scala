@@ -245,4 +245,57 @@ object Analytics {
       .select(col("w.start").as("win_start"), col("n_events"),
         col("n_users"))
       .orderBy(col("win_start"))
+
+  /** Cohort retention: users grouped by the ISO week of their first
+    * event, counted per whole-week offset of subsequent activity — the
+    * standard product-analytics retention triangle.
+    *
+    * Two shuffles, both on bounded keys: first-event per user (map-side
+    * combinable min), then the (cohort, offset) count-distinct. The
+    * week offset divides a day difference, not epoch seconds, so the
+    * result is timezone-stable under the pinned UTC session.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val first = e.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    e.join(first, "user_id")
+      .select(to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+        floor(datediff(to_date(col("ts")), to_date(col("first_ts"))) / 7)
+          .cast("long").as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Ordered conversion funnel signup → click → purchase: a user reaches
+    * stage n only via events in sequence (each stage's timestamp is the
+    * first qualifying event AT OR AFTER the previous stage's, within a
+    * per-step conversion window). All three stage timestamps come from
+    * conditional `min` windows over the same user partition — ONE
+    * exchange, no self-joins, and no per-user event buffering beyond the
+    * window sort, so the funnel scales with events, not events² per
+    * user.
+    */
+  def funnel(spark: SparkSession, dir: String,
+      convWindow: String = "INTERVAL 2 DAYS"): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val win = expr(convWindow)
+    Tables.events(spark, dir)
+      .withColumn("s",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("c",
+        min(when(col("event_type") === "click" && col("ts") >= col("s")
+          && col("ts") <= col("s") + win, col("ts"))).over(w))
+      .withColumn("p",
+        min(when(col("event_type") === "purchase" && col("ts") >= col("c")
+          && col("ts") <= col("c") + win, col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("p").isNotNull, 3)
+        .when(col("c").isNotNull, 2)
+        .when(col("s").isNotNull, 1).otherwise(0)).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
 }

@@ -101,6 +101,15 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("funnel computes all three stages over ONE user_id exchange") {
+    val p = plan(Analytics.funnel(spark, dir))
+    // three conditional-min windows + the per-user aggregate all share
+    // the user_id partitioning; only the stage rollup adds a second hash
+    // exchange, then the final ORDER BY ranges
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
   test("boilerplate share explodes the corpus once: df via window") {
     val p = plan(TextAnalysis.boilerplateShare(spark, dir))
     assert("Generate".r.findAllIn(p).size == 1, p)
