@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Dedup, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Dedup, Expectations, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -86,6 +86,7 @@ object SparkEntry {
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
+    "q_expectations" -> ((s, dir) => Expectations.lineitemExpectations(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
@@ -673,6 +674,29 @@ object SparkEntry {
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.
+    "q_expectations" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50,
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_ship,
+        |    CAST(sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'),
+        |      FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v_flag
+        |  FROM lineitem)
+        |SELECT 'discount_low' AS rule, n_rows, v_disc AS n_violations,
+        |       v_disc / n_rows AS violation_rate FROM m
+        |UNION ALL SELECT 'flag_domain', n_rows, v_flag, v_flag / n_rows FROM m
+        |UNION ALL SELECT 'price_positive', n_rows, v_price,
+        |       v_price / n_rows FROM m
+        |UNION ALL SELECT 'qty_range', n_rows, v_qty, v_qty / n_rows FROM m
+        |UNION ALL SELECT 'shipdate_not_null', n_rows, v_ship,
+        |       v_ship / n_rows FROM m
+        |ORDER BY rule""".stripMargin,
     "q_retention" ->
       """WITH f AS (
         |  SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id)

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Declarative data-quality expectations — the engine-side
+  * generalization of the reference's input validation (S4: empty-input
+  * guard, fail-soft branch): a rule set evaluated against a frame in
+  * ONE aggregation pass, reported as a per-rule violations table the
+  * pipeline can gate on or ship as an audit artifact.
+  *
+  * Scale shape: every rule compiles to a conditional sum inside a
+  * single global aggregate (map-side partial, no shuffle of data rows —
+  * the exchange carries one partial row per partition), then the
+  * per-rule rows are unpivoted from that one result row with `stack`.
+  * Adding a rule adds a column to the aggregate, not a pass over the
+  * data.
+  *
+  * NULL semantics: a row where the predicate evaluates to NULL COUNTS
+  * AS A VIOLATION (`NOT coalesce(pred, false)`) — an expectation you
+  * cannot prove is an expectation not met, the conservative reading.
+  */
+object Expectations {
+
+  /** One expectation: a name and a row-level predicate that should hold. */
+  final case class Rule(name: String, predicate: Column)
+
+  /** Evaluate `rules` against `df` in one pass →
+    * (rule, n_rows, n_violations, violation_rate), sorted by rule.
+    */
+  def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = rules.map(r =>
+      sum(when(!coalesce(r.predicate, lit(false)), 1L).otherwise(0L))
+        .as(s"v_${r.name}"))
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val pairs = rules
+      .map(r => s"'${r.name}', v_${r.name}").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${rules.size}, $pairs) AS (rule, n_violations)")
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") / col("n_rows")).as("violation_rate"))
+      .orderBy(col("rule"))
+  }
+
+  /** Query form: the standard integrity rules a lineitem feed ships
+    * with. Bounds are chosen so some rules PASS clean and some surface
+    * real violations on the test corpus — both report paths exercised.
+    */
+  def lineitemExpectations(spark: SparkSession, dir: String): DataFrame =
+    check(Tables.lineitem(spark, dir), Seq(
+      Rule("qty_range", col("l_quantity").between(1, 50)),
+      Rule("price_positive", col("l_extendedprice") > 0),
+      Rule("discount_low", col("l_discount") <= 0.05),
+      Rule("shipdate_not_null", col("l_shipdate").isNotNull),
+      Rule("flag_domain", col("l_returnflag").isin("A", "N", "R"))))
+}

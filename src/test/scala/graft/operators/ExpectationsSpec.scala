@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import Expectations.Rule
+
+class ExpectationsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("x", DoubleType)))
+
+  private lazy val df = spark.createDataFrame(
+    scala.jdk.CollectionConverters.SeqHasAsJava(Seq(
+      Row(1L, 1.0), Row(2L, 5.0), Row(3L, -2.0), Row(4L, null))).asJava,
+    schema)
+
+  test("violations count per rule in one pass; NULL predicate = violation") {
+    val got = Expectations.check(df, Seq(
+      Rule("x_positive", col("x") > 0),
+      Rule("x_small", col("x") < 3),
+      Rule("id_notnull", col("id").isNotNull)))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // x_positive: -2.0 fails, NULL counts as violation -> 2
+    assert(got("x_positive") == ((2L, 0.5)))
+    // x_small: 5.0 fails, NULL counts -> 2
+    assert(got("x_small") == ((2L, 0.5)))
+    assert(got("id_notnull") == ((0L, 0.0)))
+  }
+
+  test("plan is a single aggregate pass: no data-row shuffle") {
+    val p = Expectations.check(df, Seq(Rule("x_positive", col("x") > 0)))
+      .queryExecution.executedPlan.toString
+    // partial + final hash aggregate with a SinglePartition exchange of
+    // one partial row per partition; adding rules must not add passes
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+  }
+
+  test("duplicate rule names are rejected") {
+    assertThrows[IllegalArgumentException](
+      Expectations.check(df, Seq(
+        Rule("r", col("x") > 0), Rule("r", col("x") < 0))))
+  }
+
+  test("the lineitem rule set exercises both clean and violated rules") {
+    val got = Expectations
+      .lineitemExpectations(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("price_positive") == 0L && got("flag_domain") == 0L)
+    assert(got("discount_low") > 0L, "discount rule should surface violations")
+  }
+}
