@@ -254,9 +254,14 @@ object Dedup {
     val edges = p.select(col("da").as("a"), col("db").as("b"))
       .union(p.select(col("db").as("a"), col("da").as("b")))
       .localCheckpoint(true)
+    // LAZY local checkpoints inside the loop: the convergence-sum action
+    // below is then also the materializer, so each round costs ONE Spark
+    // job (compute + checkpoint + sum) instead of an eager-checkpoint job
+    // plus a check job. Lineage still truncates every round — the
+    // checkpoint lands when the sum's job finishes.
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Convergence detection rides on the monotone-min invariant: labels
     // only ever decrease, so the label sum strictly decreases on every
     // non-fixpoint round and is unchanged exactly at the fixpoint. One
@@ -284,7 +289,7 @@ object Dedup {
       val next = hopped.join(parents, hopped("lbl") === parents("pn"))
         .select(hopped("n").as("n"),
           least(hopped("lbl"), col("plbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
