@@ -85,6 +85,7 @@ object SparkEntry {
     "q_pii_scrub" -> ((s, dir) => Privacy.piiScrub(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
+    "q_status_periods" -> ((s, dir) => Analytics.statusPeriods(s, dir)),
     "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
     "q_expectations" -> ((s, dir) => Expectations.lineitemExpectations(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
@@ -706,6 +707,19 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_status_periods" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey)
+        |    - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |      ORDER BY o_orderdate, o_orderkey) AS grp
+        |  FROM orders)
+        |SELECT o_custkey, o_orderstatus, min(o_orderdate) AS from_date,
+        |       max(o_orderdate) AS to_date, count(*) AS n_orders
+        |FROM t GROUP BY o_custkey, o_orderstatus, grp
+        |ORDER BY o_custkey, from_date, to_date, o_orderstatus,
+        |         n_orders""".stripMargin,
     "q_funnel" ->
       """WITH t AS (
         |  SELECT user_id, event_type, ts,

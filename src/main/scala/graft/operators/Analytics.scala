@@ -246,6 +246,32 @@ object Analytics {
         col("n_users"))
       .orderBy(col("win_start"))
 
+  /** Status-change islands — the SCD2 period-building primitive: each
+    * customer's order history collapses into consecutive-status runs
+    * with validity bounds (from/to date, run length). The island id is
+    * the classic two-row_number difference (position overall minus
+    * position within status), constant exactly within a run; both
+    * windows share the customer partitioning, so the op costs one
+    * o_custkey exchange plus the aggregation — no self-joins, no
+    * per-customer iteration.
+    */
+  def statusPeriods(spark: SparkSession, dir: String): DataFrame = {
+    val w1 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w2 = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("grp", row_number().over(w1) - row_number().over(w2))
+      .groupBy(col("o_custkey"), col("o_orderstatus"), col("grp"))
+      .agg(min(col("o_orderdate")).as("from_date"),
+        max(col("o_orderdate")).as("to_date"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_custkey"), col("o_orderstatus"), col("from_date"),
+        col("to_date"), col("n_orders"))
+      .orderBy(col("o_custkey"), col("from_date"), col("to_date"),
+        col("o_orderstatus"), col("n_orders"))
+  }
+
   /** Cohort retention: users grouped by the ISO week of their first
     * event, counted per whole-week offset of subsequent activity — the
     * standard product-analytics retention triangle.

@@ -101,6 +101,11 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("status periods share one o_custkey exchange across both windows") {
+    val p = plan(Analytics.statusPeriods(spark, dir))
+    assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
+  }
+
   test("funnel computes all three stages over ONE user_id exchange") {
     val p = plan(Analytics.funnel(spark, dir))
     // three conditional-min windows + the per-user aggregate all share
