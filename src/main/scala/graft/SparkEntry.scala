@@ -659,19 +659,27 @@ object SparkEntry {
         |         ((doc_id * 7) % 256) || '.' || (doc_id % 100) ||
         |         ' phone +1-555-' ||
         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') AS text
-        |  FROM documents)
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id, text, regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |    '<EMAIL>', 'g') AS t1
+        |  FROM planted),
+        |r2 AS (
+        |  SELECT doc_id, text, t1, regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM r1)
         |SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(t1,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(t2,
         |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}')) AS n_phones,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}', '<PHONE>', 'g')) AS redacted_md5
-        |FROM planted ORDER BY doc_id""".stripMargin,
+        |  md5(regexp_replace(t2,
+        |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}', '<PHONE>', 'g'))
+        |    AS redacted_md5
+        |FROM r2 ORDER BY doc_id""".stripMargin,
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.

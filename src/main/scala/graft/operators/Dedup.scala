@@ -269,8 +269,12 @@ object Dedup {
     // a per-round shuffle join against the previous labels. DECIMAL(38,0)
     // keeps the sum exact out to ~10²⁶ node-ids-times-rows — far past any
     // corpus (int64 would overflow at ~10⁹ docs with 10¹²-range ids).
+    // ZERO fallback: on an empty pair list (clean corpus) the sum
+    // aggregate returns NULL; 0 == 0 then converges the loop on round 1
+    // and the operator yields an empty cluster frame instead of NPEing
     def lblSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = lblSum(labels)
     var converged = false
     var rounds = 0
@@ -359,9 +363,14 @@ object Dedup {
     */
   def decontaminateOn(corpus: DataFrame, evalSet: DataFrame,
       k: Int = 8): DataFrame =
+    // explicit broadcast: the contaminated-id set is bounded by the eval
+    // set's reach, and without the hint planner stats above the
+    // auto-broadcast threshold would flip this to a SortMergeJoin that
+    // shuffles the full corpus — the exact failure this operator exists
+    // to avoid
     corpus
-      .join(contaminationHits(corpus, evalSet, k).select(col("doc_id"))
-        .distinct(), Seq("doc_id"), "left_anti")
+      .join(broadcast(contaminationHits(corpus, evalSet, k)
+        .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
 
   /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each
     * contaminated training document, n_hits = how many distinct eval

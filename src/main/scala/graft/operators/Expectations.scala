@@ -33,6 +33,11 @@ object Expectations {
     require(rules.nonEmpty, "at least one rule")
     require(rules.map(_.name).distinct.size == rules.size,
       "rule names must be unique")
+    // names are interpolated into a selectExpr stack() — restrict them to
+    // bare identifiers so a space or quote can't break (or reshape) the
+    // generated SQL
+    rules.foreach(r => require(r.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"rule name must be a bare identifier: '${r.name}'"))
     val aggs = rules.map(r =>
       sum(when(!coalesce(r.predicate, lit(false)), 1L).otherwise(0L))
         .as(s"v_${r.name}"))

@@ -59,15 +59,26 @@ object Privacy {
     * an id and a text column. Pure narrow projection — composes into
     * [[graft.pipeline.TextCuration]]-style pipelines without adding a
     * shuffle.
+    *
+    * Counts are computed SEQUENTIALLY on the progressively redacted
+    * text — n_ips after e-mail redaction, n_phones after IP redaction —
+    * so each count equals the number of placeholders of that kind in
+    * the output even when patterns overlap (an address like
+    * `bob@10.1.2.3.net` is one e-mail, zero IPs: the dotted quad inside
+    * it was consumed by the e-mail redaction and never becomes an
+    * `<IP>` token). Audit rows therefore always reconcile against the
+    * redacted text.
     */
   def scrubOn(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
+    val afterEmail = regexp_replace(t, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
     df.select(col(idCol),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(t, lit(Ipv4Re)).cast("long").as("n_ips"),
-      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
-      redact(t).as("redacted"))
+      regexp_count(afterEmail, lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_count(afterIp, lit(PhoneRe)).cast("long").as("n_phones"),
+      regexp_replace(afterIp, PhoneRe, "<PHONE>").as("redacted"))
   }
 
   /** Query form over `documents`. The synthetic corpus is PII-free, so

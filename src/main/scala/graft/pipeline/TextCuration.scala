@@ -59,18 +59,29 @@ object TextCuration {
   }
 
   /** Per-stage survivor counts: (stage, n_docs) in pipeline order —
-    * the audit trail a curation run ships with its corpus.
+    * the audit trail a curation run ships with its corpus. Each stage
+    * frame is persisted before the next stage builds on it, so counting
+    * five stages costs one pipeline execution plus four cached reads —
+    * NOT a re-run of the upstream pipeline (and its iterative CC loop)
+    * per count.
     */
   def summary(spark: SparkSession, dir: String,
       cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val input = Tables.documents(spark, dir).count()
-    val quality = qualityGate(spark, dir, cfg).count()
-    val clean = decontaminated(spark, dir, cfg).count()
-    val deduped = keptAfterDedup(spark, dir, cfg).count()
-    val capped = keptAfterCap(spark, dir, cfg).count()
-    Seq(("1_input", input), ("2_quality", quality), ("3_decontam", clean),
-      ("4_dedup", deduped), ("5_cap", capped)).toDF("stage", "n_docs")
+    val qualityDf = qualityGate(spark, dir, cfg).persist()
+    val cleanDf = decontaminatedFrom(spark, dir, qualityDf, cfg).persist()
+    val dedupDf = keptAfterDedupFrom(cleanDf, cfg).persist()
+    try {
+      val input = Tables.documents(spark, dir).count()
+      val quality = qualityDf.count()
+      val clean = cleanDf.count()
+      val deduped = dedupDf.count()
+      val capped = keptAfterCapFrom(dedupDf, cfg).count()
+      Seq(("1_input", input), ("2_quality", quality), ("3_decontam", clean),
+        ("4_dedup", deduped), ("5_cap", capped)).toDF("stage", "n_docs")
+    } finally {
+      dedupDf.unpersist(); cleanDf.unpersist(); qualityDf.unpersist()
+    }
   }
 
   /** Stage 1: quality gate over (doc_id, source, lang, n_tokens). */
@@ -93,14 +104,16 @@ object TextCuration {
     * membership.
     */
   private[pipeline] def decontaminated(spark: SparkSession, dir: String,
-      cfg: Config): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+      cfg: Config): DataFrame =
+    decontaminatedFrom(spark, dir, qualityGate(spark, dir, cfg), cfg)
+
+  private def decontaminatedFrom(spark: SparkSession, dir: String,
+      quality: DataFrame, cfg: Config): DataFrame =
     Dedup.decontaminateOn(
-      qualityGate(spark, dir, cfg)
-        .filter(col("doc_id") % Dedup.EvalModulus =!= 0),
-      docs.filter(col("doc_id") % Dedup.EvalModulus === 0),
+      quality.filter(col("doc_id") % Dedup.EvalModulus =!= 0),
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % Dedup.EvalModulus === 0),
       cfg.decontamK)
-  }
 
   /** Stage 3: retire every near-dup cluster member except its canonical
     * survivor. Retired = clustered docs minus survivors; survivors are
@@ -109,8 +122,11 @@ object TextCuration {
     * doc can't win a cluster.
     */
   private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
+      cfg: Config): DataFrame =
+    keptAfterDedupFrom(decontaminated(spark, dir, cfg), cfg)
+
+  private def keptAfterDedupFrom(clean: DataFrame,
       cfg: Config): DataFrame = {
-    val clean = decontaminated(spark, dir, cfg)
     val clusters = Dedup.clustersFromPairs(
       Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
         cfg.dedupThreshold).select(col("da"), col("db")))
@@ -126,11 +142,14 @@ object TextCuration {
 
   /** Stage 4: per-source cap with deterministic md5 priority. */
   private[pipeline] def keptAfterCap(spark: SparkSession, dir: String,
-      cfg: Config): DataFrame = {
+      cfg: Config): DataFrame =
+    keptAfterCapFrom(keptAfterDedup(spark, dir, cfg), cfg)
+
+  private def keptAfterCapFrom(deduped: DataFrame, cfg: Config): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
-    keptAfterDedup(spark, dir, cfg)
+    deduped
       .withColumn("pick", row_number().over(w))
       .filter(col("pick") <= cfg.capPerSource)
       .drop("pick", "text", "distinct_ratio")

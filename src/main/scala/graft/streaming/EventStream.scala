@@ -195,7 +195,12 @@ object EventStream {
       .withColumn("hs", transform(Dedup.shingles(col("text"), k),
         s => xxhash64(s)))
       .crossJoin(broadcast(evalHashes))
-      .filter(!arrays_overlap(col("hs"), col("eval_hashes")))
+      // coalesce: a NULL-text doc has NULL shingles → NULL overlap, and
+      // a bare filter would silently drop it; the batch twin
+      // (Dedup.decontaminateOn) KEEPS such docs (explode of NULL yields
+      // no hit rows), so the gate must too
+      .filter(!coalesce(arrays_overlap(col("hs"), col("eval_hashes")),
+        lit(false)))
       .select(col("doc_id"), Privacy.redact(col("text")).as("text"),
         col("source"), col("lang"))
   }

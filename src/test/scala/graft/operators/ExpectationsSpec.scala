@@ -46,6 +46,12 @@ class ExpectationsSpec extends AnyFunSuite {
         Rule("r", col("x") > 0), Rule("r", col("x") < 0))))
   }
 
+  test("non-identifier rule names are rejected before SQL generation") {
+    for (bad <- Seq("qty range", "don't_null", "9lives", ""))
+      assertThrows[IllegalArgumentException](
+        Expectations.check(df, Seq(Rule(bad, col("x") > 0))))
+  }
+
   test("the lineitem rule set exercises both clean and violated rules") {
     val got = Expectations
       .lineitemExpectations(spark, "/root/testdata/sf0.001")

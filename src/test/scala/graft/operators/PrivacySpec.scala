@@ -48,6 +48,15 @@ class PrivacySpec extends AnyFunSuite {
     assert(i == 1L && red == "version <IP>.5 stays")
   }
 
+  test("counts reconcile with emitted placeholders when patterns overlap") {
+    // the dotted quad lives INSIDE the email and is consumed by the
+    // email redaction: sequential counting must report 0 IPs, matching
+    // the zero <IP> tokens in the output
+    val (e, i, _, red) = scrub("reach bob@10.1.2.3.net now")
+    assert(e == 1L && i == 0L)
+    assert(red == "reach <EMAIL> now")
+  }
+
   test("multiple hits per document are all counted") {
     val (e, i, p, red) =
       scrub("a@b.co c@d.io 10.0.0.1 10.0.0.2 +1-555-1234567 +1 555 7654321")

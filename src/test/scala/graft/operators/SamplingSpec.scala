@@ -38,6 +38,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("clusters from an EMPTY pair list yield an empty frame, no NPE") {
+    val schema = StructType(Seq(StructField("da", LongType),
+      StructField("db", LongType)))
+    val none = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    // a clean corpus (zero near-dup pairs) must flow through curation,
+    // not crash the convergence check on a NULL aggregate
+    assert(Dedup.clustersFromPairs(none).count() == 0)
+  }
+
   test("pointer doubling converges in O(log d) rounds on a chain") {
     val schema = StructType(Seq(StructField("da", LongType),
       StructField("db", LongType)))

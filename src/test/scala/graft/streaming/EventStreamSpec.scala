@@ -263,7 +263,9 @@ class EventStreamSpec extends AnyFunSuite {
       // shares eval words 1..8 -> decontaminated away at ingest
       (1L, "alpha beta gamma delta epsilon zeta eta theta trailer", "s", "en"),
       // clean but carries PII -> kept, redacted
-      (2L, "totally unrelated words reach me at bob@mail.com today", "s", "en"))
+      (2L, "totally unrelated words reach me at bob@mail.com today", "s", "en"),
+      // NULL text: the batch twin keeps such docs — so must the gate
+      (3L, null: String, "s", "en"))
     val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
     val q = EventStream.curateDocs(
       input.toDF().toDF("doc_id", "text", "source", "lang"), evalSet)
@@ -273,8 +275,9 @@ class EventStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
       val rows = spark.table("curated").collect()
         .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
-      assert(rows.keySet == Set(2L), "overlapping doc must not land")
+      assert(rows.keySet == Set(2L, 3L), "overlap dropped, null-text kept")
       assert(rows(2L) == "totally unrelated words reach me at <EMAIL> today")
+      assert(rows(3L) == null)
       // stateless gate: no state store rows involved
       assert(q.lastProgress == null
         || q.lastProgress.stateOperators.isEmpty)
