@@ -84,6 +84,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF index as a PHYSICAL LAYOUT: vectors written
+    * partitioned by their nearest-centroid cell. This is the 100 TB form
+    * of [[annIvfTopK]]'s in-memory assignment — the cell id becomes a
+    * directory, so a probe of `nprobe` cells READS only those
+    * directories and the other C−nprobe cells never leave disk.
+    */
+  def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    assignNearest(emb, centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** Probe a materialized [[writeIvfIndex]] layout. The probe-cell list
+    * joins the index on its PARTITION column with a broadcast build
+    * side, so Spark's dynamic partition pruning turns the join into a
+    * scan-time partition filter — the plan reads `nprobe` directories,
+    * not the index (plan-proved in `IvfIndexSpec`). Results are
+    * identical to the in-memory [[annIvfTopK]] by construction (same
+    * codebook, same tie-breaks).
+    */
+  def annIvfFromIndex(spark: SparkSession, indexPath: String, dir: String,
+      queryId: Long = 0, k: Int = 20, nprobe: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeCells = centroids.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      // partition-directory columns read back as INT; align the key type
+      .select(col("cid").cast("int").as("cid"))
+    spark.read.parquet(indexPath)
+      .join(broadcast(probeCells), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Distributed Lloyd's k-means over embedding vectors, entirely in
     * DataFrame ops — no collect, no MLlib dependency. Seeded with the
     * first `k` vec_ids (deterministic); each iteration is one broadcast

@@ -1,0 +1,42 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The IVF physical layout: cell-partitioned index directories whose
+  * probe prunes partitions at scan time — the at-scale answer SCALING.md
+  * gives for ANN, made executable.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val indexPath = {
+    val p = Files.createTempDirectory("graft_ivf").toString + "/index"
+    Similarity.writeIvfIndex(spark, dir, p)
+    p
+  }
+
+  test("index layout is one directory per cell") {
+    val cells = new java.io.File(indexPath).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cid="))
+    assert(cells.length == 16, cells.mkString(", "))
+  }
+
+  test("probing the layout returns exactly the in-memory IVF results") {
+    val fromIndex = Similarity.annIvfFromIndex(spark, indexPath, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inMemory = Similarity.annIvfTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromIndex == inMemory)
+  }
+
+  test("the probe prunes index partitions at scan time") {
+    val p = Similarity.annIvfFromIndex(spark, indexPath, dir)
+      .queryExecution.executedPlan.toString
+    // the broadcast probe-cell join must reach the scan as a dynamic
+    // partition filter: the C - nprobe unprobed directories are never read
+    assert(p.contains("dynamicpruning"), p)
+  }
+}
