@@ -3,15 +3,29 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
     val spark =
       GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Engine warm-up outside the measured loop: JIT/codegen paths and the
-    // parquet footers — not the measured queries themselves.
+    // Engine warm-up outside the measured loop: JIT/codegen paths, the
+    // parquet footers, and one pass through each major exec-operator
+    // family (hash agg, sort/window, generate, join) so early measured
+    // queries don't pay one-time JVM warm-up — the measured work itself
+    // is untouched.
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     graft.sources.Tables.names.foreach(t =>
       graft.sources.Tables.table(spark, sfDir, t).count())
+    def warm(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    warm(spark.range(1 << 18).selectExpr("id % 7 AS k", "id AS v")
+      .groupBy("k").sum("v"))
+    warm(spark.range(1 << 16).selectExpr("id % 7 AS k", "id AS v")
+      .selectExpr("k", "sum(v) OVER (PARTITION BY k ORDER BY v) AS c"))
+    warm(spark.range(1 << 12)
+      .selectExpr("explode(array(id, id + 1, id + 2)) AS e"))
+    warm(spark.range(1 << 14).selectExpr("id AS a")
+      .join(spark.range(1 << 10).selectExpr("id AS a"), "a"))
     // A failing query reports -1 (never a plausible elapsed time) so a
     // broken operator cannot hide inside a normal-looking total.
     // Materialize through the noop sink, not count(): under a count,
