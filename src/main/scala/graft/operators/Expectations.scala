@@ -6,9 +6,11 @@ import graft.sources.Tables
 
 /** Declarative data-quality expectations — the engine-side
   * generalization of the reference's input validation (S4: empty-input
-  * guard, fail-soft branch): a rule set evaluated against a frame in
-  * ONE aggregation pass, reported as a per-rule violations table the
-  * pipeline can gate on or ship as an audit artifact.
+  * guard at `/root/reference/main.py:90-98`, schema-tolerant casts at
+  * `/root/reference/src/transform/data_transformer.py:144`): a rule set
+  * evaluated against a frame in ONE aggregation pass, reported as a
+  * per-rule violations table the pipeline can gate on or ship as an
+  * audit artifact.
   *
   * Scale shape: every rule compiles to a conditional sum inside a
   * single global aggregate (map-side partial, no shuffle of data rows —
