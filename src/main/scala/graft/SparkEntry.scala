@@ -105,6 +105,7 @@ object SparkEntry {
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
+    "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1014,5 +1015,20 @@ object SparkEntry {
         |       list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
         |         / strlen(text) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // scale = least(1, maxDim/greatest(w,h)) then w*scale, per-op
+    // identical to resizeMeta: one division, one multiply, one floor —
+    // each IEEE-correctly-rounded, so the hash matches bit-for-bit
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(64 + strlen(text) % 577 AS INT) AS width,
+        |         CAST(64 + (strlen(text) * 31) % 431 AS INT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CAST(floor(width * least(1.0, 256.0 / greatest(width, height)))
+        |    AS INT) AS out_width,
+        |  CAST(floor(height * least(1.0, 256.0 / greatest(width, height)))
+        |    AS INT) AS out_height
+        |FROM m ORDER BY doc_id""".stripMargin,
   )
 }

@@ -130,6 +130,11 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_hash")))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Query form of [[resizeMeta]] over the synthetic media table. */
+  def mediaResize(spark: SparkSession, dir: String,
+      maxDim: Int = 256): DataFrame =
+    resizeMeta(extractFeatures(spark, dir), maxDim).orderBy(col("doc_id"))
+
   /** Resize stub: metadata-only aspect-preserving downscale — the plan
     * shape of a real resample without the codec.
     */
