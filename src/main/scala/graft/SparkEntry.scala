@@ -86,6 +86,7 @@ object SparkEntry {
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "q_status_periods" -> ((s, dir) => Analytics.statusPeriods(s, dir)),
+    "q_rfm" -> ((s, dir) => Aggregates.rfmSegments(s, dir)),
     "q_funnel" -> ((s, dir) => Analytics.funnel(s, dir)),
     "q_expectations" -> ((s, dir) => Expectations.lineitemExpectations(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
@@ -716,6 +717,42 @@ object SparkEntry {
         |       count(DISTINCT e.user_id) AS n_users
         |FROM events e JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin,
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', max(o_orderdate))
+        |      AS INT) AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS VARCHAR)
+        |      AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r1,
+        |         quantile_cont(recency_days, 0.5) AS r2,
+        |         quantile_cont(recency_days, 0.75) AS r3,
+        |         quantile_cont(frequency, 0.25) AS f1,
+        |         quantile_cont(frequency, 0.5) AS f2,
+        |         quantile_cont(frequency, 0.75) AS f3,
+        |         quantile_cont(monetary, 0.25) AS m1,
+        |         quantile_cont(monetary, 0.5) AS m2,
+        |         quantile_cont(monetary, 0.75) AS m3
+        |  FROM base),
+        |s AS (
+        |  SELECT o_custkey, recency_days, frequency, monetary,
+        |    1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+        |      + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS r_score,
+        |    1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+        |      + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS f_score,
+        |    1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+        |      + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS m_score
+        |  FROM base CROSS JOIN c)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM s ORDER BY o_custkey""".stripMargin,
     "q_status_periods" ->
       """WITH t AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate,

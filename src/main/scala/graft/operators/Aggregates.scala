@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
@@ -202,4 +202,41 @@ object Aggregates {
           .as("order_keys"),
         col("n_orders"))
       .orderBy(col("o_custkey"))
+
+  /** RFM customer segmentation: recency (days since epoch of the last
+    * order), frequency (order count), monetary (exact-decimal spend) per
+    * customer, each scored into quartiles against GLOBAL cuts, combined
+    * into the classic three-digit segment code.
+    *
+    * Scale shape mirrors [[graft.operators.Analytics.quartileBuckets]]:
+    * the cuts are ONE tiny aggregate over the per-customer frame (nine
+    * exact interpolated percentiles in one row), broadcast back over a
+    * narrow scoring map — no ntile, so no single-reducer sort of the
+    * customer universe at any size. Recency scores on a date image
+    * (days), not a timestamp, so the result is timezone-stable.
+    */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("o_orderdate")),
+          to_date(lit("1970-01-01"))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum(col("o_totalprice")).as("monetary"))
+    val cuts = base.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+    def score(x: Column, c: Column): Column =
+      lit(1) + (0 until 3).map(i =>
+        when(x > element_at(c, i + 1), 1).otherwise(0)).reduce(_ + _)
+    base.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        score(col("recency_days"), col("rc")).as("r_score"),
+        score(col("frequency"), col("fc")).as("f_score"),
+        score(col("monetary"), col("mc")).as("m_score"))
+      .withColumn("segment",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy(col("o_custkey"))
+  }
 }
