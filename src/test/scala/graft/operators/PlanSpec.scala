@@ -101,6 +101,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("rfm scores without a window: broadcast cuts, no ntile sort") {
+    val p = plan(Aggregates.rfmSegments(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("status periods share one o_custkey exchange across both windows") {
     val p = plan(Analytics.statusPeriods(spark, dir))
     assert("Exchange hashpartitioning\\(o_custkey".r.findAllIn(p).size == 1, p)
