@@ -46,6 +46,7 @@ object SparkEntry {
     "q_intersect" -> ((s, dir) => Joins.intersectOp(s, dir)),
     "q_null_funs" -> ((s, dir) => Scalars.nullFuns(s, dir)),
     "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
+    "q_range_join" -> ((s, dir) => Joins.rangeJoinAudit(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -345,6 +346,18 @@ object SparkEntry {
         |SELECT c.user_id, c.event_id, c.ts, p.ts AS purchase_ts
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT s_suppkey,
+        |         TIMESTAMP '1995-01-01' + ((s_suppkey * 37) % 2200) * INTERVAL 1 DAY AS w_start,
+        |         TIMESTAMP '1995-01-01' + ((s_suppkey * 37) % 2200 + 7 + s_suppkey % 21) * INTERVAL 1 DAY AS w_end
+        |  FROM supplier)
+        |SELECT w.s_suppkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN w
+        |  ON o_orderdate >= w.w_start AND o_orderdate < w.w_end
+        |GROUP BY w.s_suppkey ORDER BY w.s_suppkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN l_linestatus = 'F'

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
@@ -166,6 +166,78 @@ object Joins {
       .select(col("user_id"), col("event_id"), col("ts"), col("purchase_ts"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
+
+  /** Point-in-interval range join — the second member (with [[asofJoinOn]])
+    * of the temporal-join family Spark lacks natively (SURVEY.md §7.3
+    * preference order (a): composed from builtins).
+    *
+    * A naive `points.join(intervals, pt >= start && pt < end)` has no equi
+    * condition, so Spark plans BroadcastNestedLoopJoin: every point is
+    * compared against every interval — O(|P|·|I|) work and a full broadcast
+    * of one side, which stops working the moment the interval side outgrows
+    * the broadcast threshold. Bin blocking restores an equi key: slice time
+    * into fixed bins of `binDays`, tag each point with the single bin it
+    * falls in, explode each interval to every bin it overlaps, and
+    * equi-join on the bin before applying the exact range predicate as a
+    * residual filter. The join becomes a shuffle hash/sort-merge join that
+    * partitions by time — at 100 TB both sides shuffle once on `_bin` and
+    * each reducer sees only temporally-local data.
+    *
+    * Cost model: each interval is replicated `ceil(len/bin)+1` times, so
+    * pick `binDays` near the typical interval length — larger bins mean
+    * fewer replicas but more residual-filter false candidates, smaller
+    * bins the reverse. Pairs are emitted exactly once (a point owns exactly
+    * one bin), so no post-join dedup is needed.
+    *
+    * All bin arithmetic is exact long math on epoch micros; the interval
+    * end is exclusive (`start <= pt < end`).
+    */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      pointTs: String, startTs: String, endTs: String,
+      binDays: Int = 30): DataFrame = {
+    require(binDays >= 1, s"binDays must be >= 1, got $binDays")
+    val binMicros = binDays * 86400L * 1000000L
+    // unix_micros only accepts TIMESTAMP; testdata dates arrive as
+    // TIMESTAMP_NTZ. The cast reads NTZ in the session zone (pinned UTC
+    // by GraftSession), so binning is deterministic either way.
+    def micros(c: String): Column = unix_micros(col(c).cast("timestamp"))
+    val p = points.withColumn("_bin", floor(micros(pointTs) / binMicros))
+    // Last covered bin indexes the greatest micro strictly inside the
+    // interval (end is exclusive), so a boundary-aligned end adds no
+    // spurious replica.
+    val i = intervals.withColumn("_bin", explode(sequence(
+      floor(micros(startTs) / binMicros),
+      floor((micros(endTs) - 1) / binMicros))))
+    p.join(i, p("_bin") === i("_bin")
+        && col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
+      .drop("_bin")
+  }
+
+  /** Deterministic per-supplier audit windows over the order calendar:
+    * window k starts `(k*37) mod 2200` days after 1995-01-01 and lasts
+    * `7 + (k mod 21)` days. Pure integer arithmetic on both engines, so
+    * the DuckDB oracle derives the identical intervals.
+    */
+  def auditWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.supplier(spark, dir).select(
+      col("s_suppkey"),
+      expr("timestampadd(DAY, CAST((s_suppkey * 37) % 2200 AS INT), " +
+        "TIMESTAMP '1995-01-01 00:00:00')").as("w_start"),
+      expr("timestampadd(DAY, CAST((s_suppkey * 37) % 2200 + 7 + s_suppkey % 21 AS INT), " +
+        "TIMESTAMP '1995-01-01 00:00:00')").as("w_end"))
+
+  /** Orders landing inside each supplier's audit window, aggregated per
+    * window — the flagship [[rangeJoinBinned]] query. 30-day bins sit just
+    * above the longest window (27 days), so every interval explodes to at
+    * most 2 bins.
+    */
+  def rangeJoinAudit(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinBinned(Tables.orders(spark, dir), auditWindows(spark, dir),
+        "o_orderdate", "w_start", "w_end", binDays = 30)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("s_suppkey"))
 
   /** Salted inner equi-join for skewed keys — the manual fallback when AQE
     * skew splitting isn't available (e.g. the skewed side feeds a

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Correctness and plan-shape proofs for Joins.rangeJoinBinned: the binned
+  * equi-join must emit exactly the pairs the naive θ-join emits (once
+  * each), honor the half-open [start, end) contract at boundaries, and
+  * plan as a shuffled equi-join rather than BroadcastNestedLoopJoin.
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("binned range join emits exactly the naive theta-join pairs") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val w = Joins.auditWindows(spark, sf)
+    val binned = Joins
+      .rangeJoinBinned(orders, w, "o_orderdate", "w_start", "w_end", 30)
+      .select("o_orderkey", "s_suppkey")
+    val naive = orders.join(w,
+        col("o_orderdate") >= col("w_start")
+          && col("o_orderdate") < col("w_end"))
+      .select("o_orderkey", "s_suppkey")
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    assert(binned.count() > 0, "fixture must produce at least one pair")
+  }
+
+  test("half-open boundary semantics and multi-bin intervals") {
+    val points = Seq(
+      (1L, "2024-01-10 00:00:00"), // == start: included
+      (2L, "2024-03-05 00:00:00"), // interior, 2 bins past start
+      (3L, "2024-03-10 00:00:00"), // == end: excluded
+      (4L, "2024-01-09 23:59:59")  // just before start: excluded
+    ).toDF("pid", "s").select(col("pid"), col("s").cast("timestamp").as("pt"))
+    val iv = Seq((100L, "2024-01-10 00:00:00", "2024-03-10 00:00:00"))
+      .toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("start"),
+        col("b").cast("timestamp").as("end"))
+    // 7-day bins: the 60-day interval spans ~9 bins, points in distinct bins
+    val got = Joins.rangeJoinBinned(points, iv, "pt", "start", "end", 7)
+      .select("pid").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L))
+  }
+
+  test("bin-boundary-aligned exclusive end adds no spurious replica bin") {
+    // end exactly on a bin edge (day 30 with 30-day bins): the last
+    // covered bin must be bin 0, so a point in bin 1 never even becomes
+    // a candidate
+    val points = Seq((1L, "1970-01-31 00:00:00")).toDF("pid", "s")
+      .select(col("pid"), col("s").cast("timestamp").as("pt"))
+    val iv = Seq((9L, "1970-01-01 00:00:00", "1970-01-31 00:00:00"))
+      .toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("start"),
+        col("b").cast("timestamp").as("end"))
+    assert(Joins.rangeJoinBinned(points, iv, "pt", "start", "end", 30).isEmpty)
+  }
+
+  test("plans as an equi-join on the bin key, not BroadcastNestedLoopJoin") {
+    val orders = graft.sources.Tables.orders(spark, sf)
+    val w = Joins.auditWindows(spark, sf)
+    val naivePlan = orders.join(w,
+        col("o_orderdate") >= col("w_start")
+          && col("o_orderdate") < col("w_end"))
+      .queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin"),
+      "precondition: the theta-join really does degenerate to BNLJ")
+    val binnedPlan = Joins
+      .rangeJoinBinned(orders, w, "o_orderdate", "w_start", "w_end", 30)
+      .queryExecution.executedPlan.toString
+    assert(!binnedPlan.contains("BroadcastNestedLoopJoin"),
+      s"binned plan must not nested-loop:\n$binnedPlan")
+  }
+}
