@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Dedup, Expectations, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Cdc, Dedup, Expectations, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -47,6 +47,8 @@ object SparkEntry {
     "q_null_funs" -> ((s, dir) => Scalars.nullFuns(s, dir)),
     "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => Joins.rangeJoinAudit(s, dir)),
+    "q_merge_upsert" -> ((s, dir) => Cdc.mergeOrders(s, dir)),
+    "q_weighted_sample" -> ((s, dir) => Sampling.weightedSystematic(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -358,6 +360,22 @@ object SparkEntry {
         |FROM orders JOIN w
         |  ON o_orderdate >= w.w_start AND o_orderdate < w.w_end
         |GROUP BY w.s_suppkey ORDER BY w.s_suppkey""".stripMargin,
+    "q_merge_upsert" ->
+      """WITH dels AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
+        |ups AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |               o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        |        FROM orders WHERE o_orderkey % 50 = 7),
+        |ins AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |               o_totalprice, o_orderdate, o_orderpriority
+        |        FROM orders WHERE o_orderkey % 50 = 23),
+        |ck AS (SELECT o_orderkey FROM dels UNION ALL SELECT o_orderkey FROM ups
+        |       UNION ALL SELECT o_orderkey FROM ins)
+        |SELECT * FROM (
+        |  SELECT o.* FROM orders o LEFT JOIN ck ON o.o_orderkey = ck.o_orderkey
+        |  WHERE ck.o_orderkey IS NULL
+        |  UNION ALL SELECT * FROM ups
+        |  UNION ALL SELECT * FROM ins)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |       CAST(sum(CASE WHEN l_linestatus = 'F'
@@ -831,6 +849,20 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE substr(md5(l_orderkey || '-' || l_linenumber), 1, 4) <= '28f5'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum FROM c
+        |WHERE cum // 400 > (cum - n_tokens) // 400
+        |ORDER BY source, doc_id""".stripMargin,
     "q_stratified_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Change-data-capture maintenance: MERGE/upsert semantics composed from
+  * joins — the incremental upgrade of the reference's truncate-and-reload
+  * loads (`/root/reference/src/load/data_loader.py:200-267` rewrites every
+  * serving table wholesale each run; a CDC merge touches only changed
+  * keys).
+  *
+  * Scale shape: the textbook formulation is a FULL OUTER join of base and
+  * changes with per-column CASE — but full outer cannot broadcast, so the
+  * 100 TB base table pays a shuffle to apply a kilobyte of changes.
+  * Because change keys are unique, MERGE decomposes into
+  *
+  *   (base LEFT ANTI JOIN changeKeys) UNION ALL survivingChangeRows
+  *
+  * and LEFT ANTI **does** support broadcast: the base side streams through
+  * a BroadcastHashJoin probe with zero exchange, the only shuffle anywhere
+  * being the final write's own partitioning. This is the same
+  * copy-on-write shape Delta/Iceberg MERGE plans use under the hood.
+  */
+object Cdc {
+
+  /** Apply a change set to `base`. `changes` carries the base schema plus
+    * `opCol` ∈ {'U','D'}: 'U' rows replace-or-insert their key, 'D' rows
+    * delete it. Change keys must be unique — feed [[latestPerKey]] first
+    * when the feed has multiple events per key.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      opCol: String = "_op"): DataFrame = {
+    val changeKeys = changes.select(keys.map(col): _*)
+    val kept = base.join(broadcast(changeKeys), keys, "left_anti")
+    val upserts = changes.filter(col(opCol) === "U").drop(opCol)
+    kept.unionByName(upserts)
+  }
+
+  /** Collapse a multi-event change feed to one winner per key: greatest
+    * `seqCol` wins, via a map-side-combinable max(struct) — the shuffle
+    * carries one row per key, not the feed.
+    */
+  def latestPerKey(changes: DataFrame, keys: Seq[String],
+      seqCol: String): DataFrame = {
+    val payload = changes.columns.filterNot(keys.contains)
+    changes.groupBy(keys.map(col): _*)
+      .agg(max(struct((seqCol +: payload.filterNot(_ == seqCol)).map(col): _*))
+        .as("_w"))
+      .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
+  }
+
+  /** Deterministic change feed over orders, exercising all three MERGE
+    * verbs: keys ≡ 0 (mod 50) are deleted, keys ≡ 7 get a repriced
+    * update, keys ≡ 23 re-enter shifted by 10M as brand-new inserts.
+    * Integer-derived so the DuckDB oracle rebuilds the identical feed.
+    */
+  def orderChanges(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val dels = o.filter(col("o_orderkey") % 50 === 0)
+      .withColumn("_op", lit("D"))
+    val ups = o.filter(col("o_orderkey") % 50 === 7)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("_op", lit("U"))
+    val ins = o.filter(col("o_orderkey") % 50 === 23)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("_op", lit("U"))
+    dels.unionByName(ups).unionByName(ins)
+  }
+
+  /** The merged orders table after applying [[orderChanges]]. */
+  def mergeOrders(spark: SparkSession, dir: String): DataFrame =
+    mergeUpsert(Tables.orders(spark, dir), orderChanges(spark, dir),
+        Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+}

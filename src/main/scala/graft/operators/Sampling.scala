@@ -78,6 +78,39 @@ object Sampling {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Weighted (probability-proportional-to-size) systematic sample: walk
+    * each source's documents in deterministic pseudo-random order (md5
+    * priority, as [[stratifiedCap]]), accumulate exact integer token
+    * weight, and keep every document whose weight interval
+    * `(cum - w, cum]` crosses a multiple of `step` — so a document's
+    * selection chance is proportional to its token count, documents
+    * heavier than `step` are always kept, and one sample lands per `step`
+    * tokens of corpus. The classic PPS design, made reproducible and
+    * oracle-exact: no `rand()`, no `log`/`pow` (an A-Res/exponential-key
+    * reservoir needs libm, whose rounding differs across engines) — just
+    * integer cumsum and integer division.
+    *
+    * Scale shape: identical to [[tokenPack]] — one shuffle on the stratum
+    * key, a partitioned window per source (strata sample independently,
+    * so 1000 executors proceed without a global order), and the output is
+    * a pure function of (source, md5 order), so re-materialization is
+    * bit-identical across runs and cluster sizes.
+    */
+  def weightedSystematic(spark: SparkSession, dir: String,
+      step: Long = 400L): DataFrame = {
+    require(step >= 1, s"step must be >= 1, got $step")
+    val w = Window.partitionBy(col("source")).orderBy(col("hk"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hk"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .filter(expr(s"cum div ${step}L") > expr(s"(cum - n_tokens) div ${step}L"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Per-stratum cap — the "at most k documents per source/domain" rule
     * of web-scale corpus curation. Deterministic priority: md5(doc_id)
     * orders each stratum pseudo-randomly but reproducibly; row_number

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** MERGE semantics (update / delete / insert / untouched) for
+  * Cdc.mergeUpsert, latest-wins feed collapse, and the scale-defining
+  * plan property: applying changes never shuffles the base table.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def base = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "v")
+
+  private def changes = Seq(
+    (2L, "b2", 22.0, "U"), // update
+    (3L, "c", 30.0, "D"),  // delete
+    (9L, "z", 90.0, "U")   // insert
+  ).toDF("k", "name", "v", "_op")
+
+  test("update replaces, delete removes, insert appends, rest untouched") {
+    val got = Cdc.mergeUpsert(base, changes, Seq("k"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", 10.0), (2L, "b2", 22.0), (4L, "d", 40.0), (9L, "z", 90.0)))
+  }
+
+  test("latestPerKey collapses a multi-event feed, greatest seq wins") {
+    val feed = Seq(
+      (2L, 1L, "old", 1.0, "U"),
+      (2L, 3L, "new", 3.0, "U"),
+      (2L, 2L, "mid", 2.0, "D"),
+      (5L, 1L, "only", 5.0, "D")
+    ).toDF("k", "seq", "name", "v", "_op")
+    val got = Cdc.latestPerKey(feed, Seq("k"), "seq")
+      .orderBy("k").as[(Long, Long, String, Double, String)].collect().toSeq
+    assert(got == Seq((2L, 3L, "new", 3.0, "U"), (5L, 1L, "only", 5.0, "D")))
+  }
+
+  test("merge plan probes a broadcast anti-join: base side never shuffles") {
+    val plan = Cdc.mergeOrders(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti application of the change set:\n$plan")
+  }
+
+  test("merged orders: every deleted key gone, updated keys repriced once") {
+    val merged = Cdc.mergeOrders(spark, "/root/testdata/sf0.001").cache()
+    try {
+      assert(merged.filter(col("o_orderkey") % 50 === 0
+        && col("o_orderkey") < 10000000L).isEmpty)
+      val x = merged.filter(col("o_orderstatus") === "X").count()
+      val expected = graft.sources.Tables
+        .orders(spark, "/root/testdata/sf0.001")
+        .filter(col("o_orderkey") % 50 === 7).count()
+      assert(x == expected && x > 0)
+    } finally merged.unpersist()
+  }
+}

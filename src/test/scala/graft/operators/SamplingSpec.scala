@@ -27,6 +27,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("weighted systematic sample covers every step multiple exactly once; " +
+      "heavy docs always kept") {
+    import org.apache.spark.sql.functions._
+    val step = 80L
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val totals = docs.groupBy("source").agg(sum("w").as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val picked = Sampling.weightedSystematic(spark, dir, step)
+    // conservation: the step-multiples of (0, total] are covered exactly
+    // once across the picked rows' disjoint (cum-w, cum] intervals — the
+    // "one sample per step tokens" contract, exact, not approximate
+    val covered = picked
+      .withColumn("m", expr(s"cum div ${step}L - (cum - n_tokens) div ${step}L"))
+      .groupBy("source").agg(sum("m").as("m"), count(lit(1)).as("picks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    totals.foreach { case (src, tot) =>
+      val (m, picks) = covered.getOrElse(src, (0L, 0L))
+      assert(m == tot / step,
+        s"$src: intervals cover $m multiples, want ${tot / step} from $tot tokens")
+      assert(picks <= tot / step && picks > 0)
+    }
+    // a document heavier than step can't fail to straddle a boundary
+    val pickedIds = picked.select("doc_id").collect().map(_.getLong(0)).toSet
+    val heavy = docs.filter(col("w") >= step)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(heavy.nonEmpty && heavy.forall(pickedIds.contains))
+  }
+
   test("clustersFromPairs resolves transitive chains to the min label") {
     val schema = StructType(Seq(StructField("da", LongType),
       StructField("db", LongType)))
