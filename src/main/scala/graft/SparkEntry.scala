@@ -49,6 +49,8 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => Joins.rangeJoinAudit(s, dir)),
     "q_merge_upsert" -> ((s, dir) => Cdc.mergeOrders(s, dir)),
     "q_weighted_sample" -> ((s, dir) => Sampling.weightedSystematic(s, dir)),
+    "q_text_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
+    "q_tfidf_pairs" -> ((s, dir) => TextAnalysis.tfidfCosinePairs(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -621,6 +623,46 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf_pairs" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT count(*) AS n_docs FROM docs),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1])) AS term FROM docs),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM g GROUP BY 1, 2),
+        |d AS (SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM tf),
+        |w AS (SELECT doc_id, term, tf, df,
+        |             (SELECT n_docs FROM n) // df AS wt FROM d),
+        |norms AS (SELECT doc_id, CAST(sum(tf*tf*wt*wt) AS BIGINT) AS n2 FROM w GROUP BY 1),
+        |blk AS (SELECT DISTINCT term FROM d
+        |        WHERE df BETWEEN 2 AND greatest(2, (SELECT n_docs FROM n) // 100)),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |         FROM w a JOIN w b USING (term) JOIN blk USING (term)
+        |         WHERE a.doc_id < b.doc_id),
+        |dot AS (SELECT c.da, c.db, CAST(sum(a.tf*b.tf*a.wt*a.wt) AS BIGINT) AS dot
+        |        FROM cand c JOIN w a ON a.doc_id = c.da
+        |                    JOIN w b ON b.doc_id = c.db AND b.term = a.term
+        |        GROUP BY 1, 2)
+        |SELECT da, db, dot,
+        |       CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) AS cos_sim
+        |FROM dot JOIN norms na ON na.doc_id = da
+        |         JOIN norms nb ON nb.doc_id = db
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.5
+        |ORDER BY da, db""".stripMargin,
+    "q_text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(lower(text), '[^a-z0-9 \t\n]', ' ', 'g'),
+        |             '[0-9]+', '0', 'g'),
+        |           '[ \t\n]+', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |       CASE WHEN norm_text = '' THEN 0
+        |            ELSE CAST(len(string_split(norm_text, ' ')) AS INT) END
+        |         AS n_norm_tokens,
+        |       md5(norm_text) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     "q_inverted_index" ->
       """WITH g2 AS (
         |  SELECT doc_id,

@@ -119,6 +119,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Sparse TF-IDF cosine similarity pairs — the lexical near-dup verifier
+    * that complements MinHash/SimHash (which estimate set overlap; cosine
+    * weighs repeated and rare phrases). Exactly oracle-checkable by
+    * construction:
+    *
+    *  - Vectors live in word-BIGRAM space (unigram vocabularies collapse
+    *    to stop-words — every doc would block with every other).
+    *  - idf is the INTEGER `N div df` (like [[tfidfTop]]'s log-free idf,
+    *    division-free too): every dot product and squared norm is then an
+    *    exact integer sum — associative, order-independent under any
+    *    partitioning — and the only floating-point ops are one sqrt and
+    *    one divide, both IEEE-correctly-rounded on every engine.
+    *  - All-pairs never materializes: candidate pairs must share a RARE
+    *    bigram (2 <= df <= max(2, N/100)), the blocking step, so the
+    *    term self-join fans out by at most df_cap per posting; the full
+    *    cosine then runs only for candidates, against postings pruned to
+    *    candidate docs.
+    *
+    * Scale: one explode + one window for df; the blocking join's fan-out
+    * is bounded by the df cap (as [[Dedup]]'s shingle joins); candidate
+    * cosine is a join on (doc, term) over semi-pruned postings. Integer
+    * sums fit int64 while `tf²·(N/df)²·terms` < 2⁶³ — past that (corpus
+    * of ~10¹⁰ docs) lift the products to DECIMAL(38,0).
+    */
+  def tfidfCosinePairs(spark: SparkSession, dir: String,
+      minCos: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1), " +
+          "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .otherwise(array().cast("array<string>"))).as("term"))
+    val tf = bigrams.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val weighted = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(n))
+      .withColumn("wt", expr("n_docs div df"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("wt"),
+        col("n_docs"))
+    val norms = weighted.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf") * col("wt") * col("wt")).as("n2"))
+    // blocking: rare-bigram postings self-join, df-capped fan-out
+    val blocked = weighted.filter(col("df") >= 2
+      && col("df") <= greatest(lit(2), expr("n_docs div 100")))
+    val cand = blocked.select(col("doc_id").as("da"), col("term"))
+      .join(blocked.select(col("doc_id").as("db"), col("term")), "term")
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    // full cosine only for candidate docs: prune postings, then pair terms
+    val candDocs = cand.select(col("da").as("doc_id"))
+      .union(cand.select(col("db").as("doc_id"))).distinct()
+    val pruned = weighted.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val aSide = pruned.select(col("doc_id").as("da"), col("term"),
+      col("tf").as("tf_a"), col("wt"))
+    val bSide = pruned.select(col("doc_id").as("db"), col("term"),
+      col("tf").as("tf_b"))
+    val dot = broadcast(cand).join(aSide, "da").join(bSide, Seq("db", "term"))
+      .groupBy(col("da"), col("db"))
+      .agg(sum(col("tf_a") * col("tf_b") * col("wt") * col("wt")).as("dot"))
+    dot
+      .join(norms.select(col("doc_id").as("da"), col("n2").as("n2a")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("n2").as("n2b")), "db")
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("da"), col("db"), col("dot"), col("cos_sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Content fingerprints: raw and whitespace/case-normalized MD5 — the
     * exact-dedup keys. (64-bit xxhash64 variants feed Dedup.simhash.)
     */
@@ -128,6 +201,39 @@ object TextAnalysis {
         md5(col("text").cast("binary")).as("content_md5"),
         md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
           .cast("binary")).as("normalized_md5"))
+      .orderBy(col("doc_id"))
+
+  /** Full text canonicalization — the normalize-before-dedup pass every
+    * web-corpus pipeline runs ahead of exact/near dedup (lowercase, strip
+    * punctuation, canonicalize digit runs, collapse whitespace), emitting
+    * the normalized text plus its token count and hash. Two raw texts that
+    * differ only in case, punctuation, numbers, or spacing map to the same
+    * `norm_md5`, widening exact-dedup recall without touching the
+    * near-dup machinery.
+    *
+    * Everything is a codegen'd narrow map (regexp chains on the scan —
+    * no shuffle, runs at 100 TB scan speed), and the regex subset is
+    * Java∩RE2 (plain character classes, no lookarounds — the same
+    * portability rule as [[graft.operators.Privacy]]) so the oracle
+    * reproduces byte-identical output.
+    */
+  def normalizeTextOn(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lowered = lower(col(textCol))
+    val depunct = regexp_replace(lowered, "[^a-z0-9 \\t\\n]", " ")
+    val dedigit = regexp_replace(depunct, "[0-9]+", "0")
+    val squeezed = trim(regexp_replace(dedigit, "[ \\t\\n]+", " "))
+    docs.withColumn("norm_text", squeezed)
+      .withColumn("n_norm_tokens",
+        when(col("norm_text") === "", 0)
+          .otherwise(size(split(col("norm_text"), " "))))
+      .withColumn("norm_md5", md5(col("norm_text").cast("binary")))
+  }
+
+  /** [[normalizeTextOn]] over the documents table. */
+  def normalizeText(spark: SparkSession, dir: String): DataFrame =
+    normalizeTextOn(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("norm_text"), col("n_norm_tokens"),
+        col("norm_md5"))
       .orderBy(col("doc_id"))
 
   /** Inverted-index build: phrase term → (df, sorted posting list of

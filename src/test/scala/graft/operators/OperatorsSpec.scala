@@ -11,6 +11,34 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("normalizeText folds case/punct/digit/space variants to one hash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "Hello,  World! Call 555-1234."),
+      (2L, "hello world call 0 0"),      // canonical form of doc 1
+      (3L, "HELLO::world;;call 42 17"),  // different digits, same canon
+      (4L, "!!! ... ???"),               // pure punctuation -> empty
+      (5L, "unrelated text")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalizeTextOn(docs)
+      .select("doc_id", "norm_text", "n_norm_tokens", "norm_md5")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(1)._1 == "hello world call 0 0")
+    assert(out(1) == out(2), "raw and canonical text must normalize alike")
+    assert(out(2)._3 == out(3)._3, "digit runs must canonicalize alike")
+    assert(out(4)._1 == "" && out(4)._2 == 0)
+    assert(out(5)._3 != out(1)._3)
+    // idempotence: normalizing already-normalized text is the identity
+    val renorm = TextAnalysis.normalizeTextOn(
+        TextAnalysis.normalizeTextOn(docs)
+          .select(col("doc_id"), col("norm_text").as("text")))
+      .select("doc_id", "norm_md5").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert((1L to 5L).forall(id => renorm(id) == out(id)._3))
+  }
+
   test("aggByKey groups to the 3x2 flag/status grid with positive sums") {
     val rows = Relational.aggByKey(spark, dir).collect()
     assert(rows.length == 6)

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Brute-force verification of TextAnalysis.tfidfCosinePairs at sf0.001:
+  * recompute every blocked pair's integer-weighted cosine in plain Scala
+  * and require the operator to return exactly the blocked pairs at or
+  * above threshold, with bit-identical dot products.
+  */
+class TfidfPairsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+  private val minCos = 0.5
+
+  test("pairs and dot products match a brute-force recomputation") {
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nDocs = texts.size.toLong
+
+    def bigrams(t: String): Seq[String] = {
+      val w = t.split(" ", -1)
+      if (w.length < 2) Seq.empty
+      else w.sliding(2).map(p => p(0) + " " + p(1)).toSeq
+    }
+    val tf: Map[Long, Map[String, Long]] =
+      texts.map { case (id, t) =>
+        id -> bigrams(t).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      }
+    val df: Map[String, Long] = tf.values.flatMap(_.keys).toSeq
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wt: Map[String, Long] = df.map { case (t, d) => t -> nDocs / d }
+    val dfCap = math.max(2L, nDocs / 100)
+    val rare = df.collect { case (t, d) if d >= 2 && d <= dfCap => t }.toSet
+
+    def norm2(id: Long): Long =
+      tf(id).iterator.map { case (t, f) => f * f * wt(t) * wt(t) }.sum
+    // iterator, not Set.map: equal per-term products must not collapse
+    def dot(a: Long, b: Long): Long =
+      tf(a).keySet.intersect(tf(b).keySet).iterator
+        .map(t => tf(a)(t) * tf(b)(t) * wt(t) * wt(t)).sum
+
+    val ids = texts.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      if tf(i).keySet.intersect(tf(j).keySet).exists(rare.contains)
+      d = dot(i, j)
+      cos = d.toDouble / (math.sqrt(norm2(i).toDouble) * math.sqrt(norm2(j).toDouble))
+      if cos >= minCos
+    } yield (i, j) -> d).toMap
+
+    val got = TextAnalysis.tfidfCosinePairs(spark, dir, minCos)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    assert(got.keySet == expected.keySet,
+      s"missing=${expected.keySet -- got.keySet} extra=${got.keySet -- expected.keySet}")
+    assert(expected.nonEmpty, "fixture must produce at least one pair")
+    expected.foreach { case (pair, d) =>
+      assert(got(pair) == d, s"dot mismatch for $pair")
+    }
+  }
+}
