@@ -51,6 +51,8 @@ object SparkEntry {
     "q_weighted_sample" -> ((s, dir) => Sampling.weightedSystematic(s, dir)),
     "q_text_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
     "q_tfidf_pairs" -> ((s, dir) => TextAnalysis.tfidfCosinePairs(s, dir)),
+    "q_doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
+    "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -623,6 +625,32 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(lower(text), '[^a-z0-9 \t\n]', ' ', 'g'),
+        |             '[0-9]+', '0', 'g'),
+        |           '[ \t\n]+', ' ', 'g'))) AS norm_md5
+        |  FROM documents),
+        |batch AS (SELECT * FROM h WHERE doc_id % 10 = 7),
+        |corpus AS (SELECT * FROM h WHERE doc_id % 10 <> 7),
+        |selfd AS (SELECT norm_md5, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+        |SELECT doc_id, norm_md5 FROM selfd
+        |WHERE norm_md5 NOT IN (SELECT norm_md5 FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+    "q_doc_chunks" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0, (len(toks) - 1) // 30)) AS chunk_id
+        |      FROM docs)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |       array_to_string(toks[chunk_id*30 + 1 : least(chunk_id*30 + 40, len(toks))], ' ')
+        |         AS chunk_text,
+        |       CAST(least(chunk_id*30 + 40, len(toks)) - chunk_id*30 AS INT)
+        |         AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "q_tfidf_pairs" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |n AS (SELECT count(*) AS n_docs FROM docs),

@@ -68,6 +68,50 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("keep_id"))
 
+  /** Incremental exact dedup — the steady-state corpus-maintenance shape:
+    * admit a new batch only where its content is absent from the
+    * already-ingested corpus. Keys are [[TextAnalysis.normalizeTextOn]]
+    * hashes, so case/punctuation/digit/spacing variants of an existing
+    * doc are rejected too.
+    *
+    * Scale asymmetry is the whole design: the corpus is 100 TB, the
+    * batch is a day's crawl. Neither full side ever shuffles —
+    *
+    *  1. batch self-dedup: one hash-agg on the (small) batch;
+    *  2. collision probe: the corpus is scanned ONCE with the batch's
+    *     hash set broadcast as a left-semi probe (no corpus exchange,
+    *     no corpus state);
+    *  3. admission: batch anti-joins the (≤ batch-sized) collision set.
+    *
+    * The corpus-side probe output is bounded by the batch size, so the
+    * expensive side contributes a scan, never a shuffle — the same probe
+    * direction as [[decontaminateOn]].
+    */
+  def incrementalExact(corpus: DataFrame, batch: DataFrame): DataFrame = {
+    val key = (df: DataFrame) => TextAnalysis.normalizeTextOn(df)
+      .select(col("doc_id"), col("norm_md5"))
+    val batchKeyed = key(batch)
+    val selfDeduped = batchKeyed.groupBy(col("norm_md5"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val collided = key(corpus)
+      .join(broadcast(selfDeduped.select(col("norm_md5"))),
+        Seq("norm_md5"), "left_semi")
+      .select(col("norm_md5")).distinct()
+    selfDeduped.join(broadcast(collided), Seq("norm_md5"), "left_anti")
+      .select(col("doc_id"), col("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[incrementalExact]] over the documents table, with doc_id ≡ 7
+    * (mod 10) playing the incoming batch against the rest as corpus.
+    */
+  def incrementalExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalExact(
+      docs.filter(col("doc_id") % 10 =!= 7),
+      docs.filter(col("doc_id") % 10 === 7))
+  }
+
   private val BandRows = 3
   private val Bands = 21 // 63 hashes; see minhashNearDup for the r/b math
   private val NumHashes = Bands * BandRows

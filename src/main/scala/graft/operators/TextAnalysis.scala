@@ -119,6 +119,43 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  /** Overlapping token-window chunking — how long documents become
+    * training sequences (split at `maxTokens` with `overlap` carried into
+    * the next chunk so no context is lost at the seam). Chunk starts walk
+    * the token array at stride `maxTokens - overlap`; the last chunk may
+    * be short. Pure per-row array arithmetic: a narrow explode whose
+    * fan-out is ceil(tokens/stride) — no shuffle, no state, and the
+    * chunk set is a deterministic function of the text alone, so
+    * re-chunking a 100 TB corpus is scan-bound and reproducible.
+    * Complements [[graft.operators.Sampling.tokenPack]]: packing bins
+    * short docs up to a budget, chunking cuts long docs down to it.
+    */
+  def docChunks(spark: SparkSession, dir: String, maxTokens: Int = 40,
+      overlap: Int = 10): DataFrame =
+    docChunksOn(Tables.documents(spark, dir), maxTokens, overlap)
+
+  /** [[docChunks]] over any (doc_id, text) frame. */
+  def docChunksOn(docs: DataFrame, maxTokens: Int = 40,
+      overlap: Int = 10): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap max=$maxTokens")
+    val stride = maxTokens - overlap
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), expr(s"(size(toks) - 1) div $stride")))
+          .as("chunk_id"))
+      // `div` yields BIGINT; chunk ordinals are small — keep them INT
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("toks"),
+          col("chunk_id") * stride + 1, lit(maxTokens)), " ").as("chunk_text"),
+        (least(col("chunk_id") * stride + maxTokens, size(col("toks")))
+          - col("chunk_id") * stride).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Sparse TF-IDF cosine similarity pairs — the lexical near-dup verifier
     * that complements MinHash/SimHash (which estimate set overlap; cosine
     * weighs repeated and rare phrases). Exactly oracle-checkable by

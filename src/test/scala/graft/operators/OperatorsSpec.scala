@@ -11,6 +11,55 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("incrementalExact admits only content new to corpus AND batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "existing document two")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (107L, "the quick brown fox"),   // exact corpus dup -> rejected
+      (117L, "The QUICK,, brown fox!"),// normalized corpus dup -> rejected
+      (127L, "novel content here"),    // fresh -> admitted
+      (137L, "novel content here"),    // batch-internal dup -> dropped
+      (147L, "another new one")        // fresh -> admitted
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(corpus, batch)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(127L, 147L))
+    // the corpus side must be probed via broadcast semi-join — a corpus
+    // exchange would mean shuffling 100 TB to admit a day's batch
+    val plan = Dedup.incrementalExactDocs(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"corpus probe must broadcast the batch hash set:\n$plan")
+  }
+
+  test("docChunks: stride/overlap cover, seam-lossless, short docs intact") {
+    import spark.implicits._
+    val words = (1 to 75).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")), // 75 tokens -> chunks at 0,30,60
+      (2L, "a b c")              // short: single chunk, unchanged
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.docChunksOn(docs, maxTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getInt(3)))).toMap
+    assert(out.keySet == Set((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    assert(out((1L, 0))._1 == words.slice(0, 40).mkString(" "))
+    assert(out((1L, 1))._1 == words.slice(30, 70).mkString(" "))
+    assert(out((1L, 2))._1 == words.slice(60, 75).mkString(" "))
+    assert(out((1L, 2))._2 == 15, "tail chunk is short, not padded")
+    assert(out((2L, 0)) == (("a b c", 3)))
+    // seam-lossless: dropping each non-first chunk's overlap prefix and
+    // concatenating reconstructs the original token stream
+    val rebuilt = Seq(out((1L, 0))._1.split(" ").toSeq,
+      out((1L, 1))._1.split(" ").drop(10).toSeq,
+      out((1L, 2))._1.split(" ").drop(10).toSeq).flatten
+    assert(rebuilt == words)
+  }
+
   test("normalizeText folds case/punct/digit/space variants to one hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
