@@ -36,6 +36,19 @@ object Bench {
       .groupBy("k").agg(org.apache.spark.sql.functions.expr(
         "percentile(v, array(0.25, 0.5, 0.75))"),
         org.apache.spark.sql.functions.collect_list("v")))
+    // Generic warm-ups still miss per-query codegen: whichever queries
+    // run first in the measured loop absorb their own plans' first
+    // Janino compile + JIT (observed: the first two measured queries at
+    // 5-9x their steady state, whatever they are). Running the whole
+    // query set once, unmeasured, at the smallest scale factor compiles
+    // every plan shape for pennies — the measured pass then reflects
+    // steady-state operator cost, which is what the numbers are for.
+    val warmDir = new java.io.File(
+      new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory && warmDir.getPath != sfDir)
+      SparkEntry.queries.values.foreach { fn =>
+        try warm(fn(spark, warmDir.getPath)) catch { case _: Throwable => () }
+      }
     // A failing query reports -1 (never a plausible elapsed time) so a
     // broken operator cannot hide inside a normal-looking total.
     // Materialize through the noop sink, not count(): under a count,

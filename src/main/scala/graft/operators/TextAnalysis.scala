@@ -193,12 +193,17 @@ object TextAnalysis {
     val tf = bigrams.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
+    // Three consumers (norms, blocking, pruned postings) read this frame;
+    // localCheckpoint truncates the scan+explode+window lineage so the
+    // exploded corpus materializes once, not once per branch (the same
+    // multi-consumer rule as Dedup.shingled / clustersFromPairs).
     val weighted = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("wt", expr("n_docs div df"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("wt"),
         col("n_docs"))
+      .localCheckpoint(false)
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf") * col("wt") * col("wt")).as("n2"))
     // blocking: rare-bigram postings self-join, df-capped fan-out
@@ -208,6 +213,7 @@ object TextAnalysis {
       .join(blocked.select(col("doc_id").as("db"), col("term")), "term")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
+      .localCheckpoint(false) // consumed by candDocs AND the dot join
     // full cosine only for candidate docs: prune postings, then pair terms
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
