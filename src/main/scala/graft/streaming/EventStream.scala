@@ -220,6 +220,64 @@ object EventStream {
     *
     * Returns the started query; the caller owns its lifecycle.
     */
+  /** Streaming CDC apply: maintain a parquet serving table from a change
+    * feed — the streaming face of [[graft.operators.Cdc.mergeUpsert]] and
+    * the true incremental replacement for the reference's
+    * truncate-and-reload serving loads (S9): each micro-batch touches the
+    * changed keys, never rewrites unchanged history wholesale.
+    *
+    * Per micro-batch: (1) the feed collapses to one winner per key
+    * ([[graft.operators.Cdc.latestPerKey]]); (2) winners older than the
+    * table's stored sequence for that key are discarded — cross-batch
+    * late events can't regress a newer state; (3) the merge applies via
+    * the broadcast anti-join (base table never shuffles); (4) the result
+    * is EAGERLY localCheckpoint-ed before overwriting the table path —
+    * materializing it first is what makes read-then-overwrite-same-path
+    * safe (the lazy plan would otherwise still be reading the files the
+    * write deletes).
+    *
+    * Contract note, stated rather than hidden: deletes drop the row
+    * without leaving a tombstone, so an update arriving LATER with a
+    * seq between the deleted row's and the delete re-inserts. Feeds
+    * needing delete-wins semantics keep tombstone rows in the table.
+    *
+    * Returns the started query; the caller owns its lifecycle.
+    */
+  def cdcApplyToParquet(changes: DataFrame, tablePath: String,
+      checkpoint: String, keys: Seq[String], seqCol: String = "seq",
+      opCol: String = "_op"): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val tableCols = batch.columns.filterNot(_ == opCol)
+          // "table exists" = directory holding at least one part file; a
+          // bare empty directory would fail parquet schema inference
+          val dir = new java.io.File(tablePath)
+          val hasData = dir.isDirectory &&
+            Option(dir.listFiles).exists(_.exists(_.getName.startsWith("part-")))
+          val base =
+            if (hasData) spark.read.parquet(tablePath)
+            else batch.sparkSession.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              batch.drop(opCol).schema)
+          val latest = graft.operators.Cdc.latestPerKey(batch, keys, seqCol)
+          val baseSeq = base.select(
+            keys.map(col) :+ col(seqCol).as("_base_seq"): _*)
+          val eligible = latest.join(baseSeq, keys, "left")
+            .filter(col("_base_seq").isNull || col(seqCol) >= col("_base_seq"))
+            .drop("_base_seq")
+          val merged = graft.operators.Cdc
+            .mergeUpsert(base, eligible, keys, opCol)
+            .localCheckpoint(true)
+          merged.select(tableCols.map(col): _*)
+            .write.mode("overwrite").parquet(tablePath)
+        }
+      }
+      .start()
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

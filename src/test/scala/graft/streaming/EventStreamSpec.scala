@@ -205,6 +205,35 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc sink maintains a parquet table: upsert, stale-reject, delete") {
+    implicit val sql = spark.sqlContext
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_cdc").toString + "/serving"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ck").toString
+    val input = MemoryStream[(Long, Long, String, String)]
+    def snapshot() = spark.read.parquet(table).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+
+    input.addData((1L, 2L, "a1", "U"), (2L, 1L, "b1", "U"))
+    val q = EventStream.cdcApplyToParquet(
+      input.toDF().toDF("k", "seq", "v", "_op"), table, ckpt, Seq("k"))
+    try {
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> ((2L, "a1")), 2L -> ((1L, "b1"))))
+
+      input.addData(
+        (1L, 1L, "stale", "U"), // older than table seq 2 -> must NOT apply
+        (2L, 5L, "gone", "D"),  // delete k=2
+        (3L, 1L, "c1", "U"))    // fresh insert
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> ((2L, "a1")), 3L -> ((1L, "c1"))))
+
+      // an empty micro-batch (no new data) must leave the table intact
+      q.processAllAvailable()
+      assert(snapshot() == Map(1L -> ((2L, "a1")), 3L -> ((1L, "c1"))))
+    } finally q.stop()
+  }
+
   test("pane sink recovers from checkpoint across a query restart, state intact") {
     implicit val sql = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft_restart").toString
