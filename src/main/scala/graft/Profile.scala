@@ -49,6 +49,24 @@ object Profile {
       Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")))
       .count())
     t("pii_10x")(graft.operators.Privacy.scrubOn(docs10).count())
+
+    // Round-3 ops at the same 10x stress: the blocked TF-IDF cosine
+    // pairs (replicated dups densify both blocking and verification),
+    // normalization + chunking narrow maps, and incremental admission of
+    // a 5% batch against the replicated corpus.
+    t("tfidf_pairs_10x") {
+      // inline the docs10 frame through the same pipeline the Tables-
+      // backed entry uses (operator takes a dir, so recompose here)
+      import graft.operators.TextAnalysis
+      TextAnalysis.tfidfCosinePairsOn(docs10, 0.5).count()
+    }
+    t("normalize_10x")(
+      graft.operators.TextAnalysis.normalizeTextOn(docs10).count())
+    t("chunks_10x")(
+      graft.operators.TextAnalysis.docChunksOn(docs10).count())
+    t("incremental_10x")(Dedup.incrementalExact(
+      docs10.filter(col("doc_id") % 20 =!= 0),
+      docs10.filter(col("doc_id") % 20 === 0)).count())
     spark.stop()
   }
 }

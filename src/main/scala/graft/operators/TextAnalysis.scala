@@ -181,9 +181,12 @@ object TextAnalysis {
     * of ~10¹⁰ docs) lift the products to DECIMAL(38,0).
     */
   def tfidfCosinePairs(spark: SparkSession, dir: String,
-      minCos: Double = 0.5): DataFrame = {
+      minCos: Double = 0.5): DataFrame =
+    tfidfCosinePairsOn(Tables.documents(spark, dir), minCos)
+
+  /** [[tfidfCosinePairs]] over any (doc_id, text) frame. */
+  def tfidfCosinePairsOn(docs: DataFrame, minCos: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir)
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bigrams = toks.select(col("doc_id"),
       explode(when(size(col("toks")) >= 2,
