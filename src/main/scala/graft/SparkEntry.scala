@@ -53,6 +53,7 @@ object SparkEntry {
     "q_tfidf_pairs" -> ((s, dir) => TextAnalysis.tfidfCosinePairs(s, dir)),
     "q_doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
+    "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),

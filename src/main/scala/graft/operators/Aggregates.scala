@@ -85,6 +85,32 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable distinct-count rollup — the re-aggregation pattern
+    * [[approxDistinct]]'s scalar estimate can't give you: stage 1 builds
+    * an HLL SKETCH per fine-grained cell (status × order-year — the
+    * "daily partial" a 100 TB warehouse materializes incrementally);
+    * stage 2 answers the coarser question (distinct customers per
+    * status) by `hll_union_agg` over the stored sketches — WITHOUT
+    * rescanning the fact table. Sketch build and merge are register-max
+    * operations: associative, commutative, order-independent — the
+    * estimate is deterministic under any partitioning, retry, or merge
+    * tree, which is what makes sketches storable artifacts rather than
+    * query-local state. No DuckDB twin (datasketches binary format) —
+    * golden-pinned; the spec proves merge ≡ direct-build exactly.
+    */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val partials = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), year(col("o_orderdate")).as("o_year"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    partials.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_partials"),
+        sum(col("n_rows")).as("n_rows"),
+        hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("approx_customers"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Exact interpolated percentiles of order value per status (median and
     * p90). Exact percentile sorts per group — fine grouped; at raw-table
     * scale swap in `approx_percentile` (t-digest) the same way

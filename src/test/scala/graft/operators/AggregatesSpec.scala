@@ -7,6 +7,35 @@ class AggregatesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("hll rollup: merging year partials equals a direct one-pass sketch") {
+    import org.apache.spark.sql.functions._
+    val orders = graft.sources.Tables.orders(spark, dir)
+    // the mergeability contract: union-of-partials is EXACTLY the sketch
+    // a single pass over the same rows builds (register-max algebra), so
+    // rolling up stored sketches never rescans the fact table
+    val direct = orders.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey")))
+        .as("direct_estimate"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Aggregates.hllRollup(spark, dir)
+      .collect().map(r => r.getAs[String]("o_orderstatus") ->
+        ((r.getAs[Long]("approx_customers"), r.getAs[Long]("n_partials")))).toMap
+    assert(merged.keySet == direct.keySet && merged.nonEmpty)
+    merged.foreach { case (status, (est, nPartials)) =>
+      assert(est == direct(status),
+        s"$status: merged $est != direct ${direct(status)}")
+      assert(nPartials > 1, "fixture must actually merge multiple partials")
+    }
+    // and the estimate is an estimate OF the right quantity
+    val exact = orders.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    merged.foreach { case (status, (est, _)) =>
+      assert(math.abs(est - exact(status)).toDouble / exact(status) < 0.05,
+        s"$status: estimate $est vs exact ${exact(status)}")
+    }
+  }
+
   test("pivot emits one column per linestatus and F+O covers every row") {
     val out = Aggregates.pivotQty(spark, dir)
     assert(out.columns.toSet == Set("l_returnflag", "F", "O"))
