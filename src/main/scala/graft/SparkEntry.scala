@@ -54,6 +54,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
     "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
+    "q_zvalue" -> ((s, dir) => Scalars.zvalues(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -626,6 +627,22 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_zvalue" ->
+      """WITH a0 AS (
+        |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |         l_suppkey & 65535 AS xa, l_partkey & 65535 AS xb
+        |  FROM lineitem),
+        |a1 AS (SELECT * REPLACE ((xa | (xa << 8)) & 16711935 AS xa,
+        |                         (xb | (xb << 8)) & 16711935 AS xb) FROM a0),
+        |a2 AS (SELECT * REPLACE ((xa | (xa << 4)) & 252645135 AS xa,
+        |                         (xb | (xb << 4)) & 252645135 AS xb) FROM a1),
+        |a3 AS (SELECT * REPLACE ((xa | (xa << 2)) & 858993459 AS xa,
+        |                         (xb | (xb << 2)) & 858993459 AS xb) FROM a2),
+        |a4 AS (SELECT * REPLACE ((xa | (xa << 1)) & 1431655765 AS xa,
+        |                         (xb | (xb << 1)) & 1431655765 AS xb) FROM a3)
+        |SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |       xa | (xb << 1) AS zval
+        |FROM a4 ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_dedup_incremental" ->
       """WITH h AS (
         |  SELECT doc_id,

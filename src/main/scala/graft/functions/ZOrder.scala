@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) interleaving for multi-dimensional data layout.
+  *
+  * Sorting a table by `zValue(a, b)` clusters rows so that ANY rectangle
+  * in (a, b) space touches few row groups — parquet min/max stats then
+  * prune scans for predicates on EITHER or BOTH dimensions, where a
+  * lexicographic sort by (a, b) only ever prunes on the leading column.
+  * This is the layout trick behind lakehouse OPTIMIZE ZORDER, expressed
+  * here as a plain deterministic column + sorted write (see
+  * `graft.sources.Sinks.writeZOrdered`).
+  *
+  * The interleave uses the classic bit-spreading network (4 shift-or-mask
+  * rounds per operand for 16 bits) — pure integer builtins, whole-stage
+  * codegen'd, and bit-identical in any engine with 64-bit shifts, so the
+  * kernel itself is DuckDB-oracle-checkable.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `x` to the even bit positions of a long:
+    * bit i moves to bit 2i. Standard Morton spreading masks.
+    */
+  private def spread16(x: Column): Column = {
+    val m0 = lit(0xFFFFL)
+    val m1 = lit(0x00FF00FFL)
+    val m2 = lit(0x0F0F0F0FL)
+    val m3 = lit(0x33333333L)
+    val m4 = lit(0x55555555L)
+    val s0 = x.cast("long").bitwiseAND(m0)
+    val s1 = s0.bitwiseOR(shiftleft(s0, 8)).bitwiseAND(m1)
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(m2)
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(m3)
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(m4)
+  }
+
+  /** 32-bit Morton code of two non-negative dimensions (low 16 bits
+    * each): `a`'s bits land on even positions, `b`'s on odd.
+    */
+  def zValue(a: Column, b: Column): Column =
+    spread16(a).bitwiseOR(shiftleft(spread16(b), 1))
+}

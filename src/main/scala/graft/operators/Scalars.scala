@@ -43,6 +43,20 @@ object Scalars {
         max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** Morton z-values of (supplier, part) per line item — the layout key
+    * behind [[graft.sources.Sinks.writeZOrdered]], exposed as a query so
+    * the bit-interleave kernel itself is DuckDB-oracle-checked (the
+    * spreading network is pure 64-bit shift/mask arithmetic on both
+    * engines). Narrow codegen map, no shuffle.
+    */
+  def zvalues(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_suppkey"), col("l_partkey"),
+        graft.functions.ZOrder.zValue(col("l_suppkey"), col("l_partkey"))
+          .as("zval"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   /** Correlated-subquery surface via `spark.sql` over the registered
     * temp-view catalog (reference S11, `data_loader.py:406-416`): orders
     * priced >20% above their customer's average. Catalyst decorrelates the

@@ -42,4 +42,36 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(name)
+
+  /** Z-ordered layout: range-partition and sort by the Morton code of
+    * two dimensions (`graft.functions.ZOrder.zValue`) so every written
+    * file covers a compact RECTANGLE of (a, b) space — parquet min/max
+    * stats then prune scans for predicates on either dimension, which a
+    * lexicographic (a, b) sort only achieves for the leading one.
+    *
+    * Both dimensions are range-normalized onto the full 16-bit domain
+    * first (one cheap min/max agg — the same stats pass lakehouse
+    * OPTIMIZE ZORDER runs): raw interleaving is only balanced when both
+    * dims use similar bit-widths, otherwise the wider dim's high bits
+    * dominate the sort and the layout silently degenerates to a
+    * leading-column sort. The z column exists only to order the write;
+    * `nFiles` sizes files for the target row-group/stat granularity.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, nFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit, max, min}
+    val b = df.agg(min(col(colA)), max(col(colA)),
+      min(col(colB)), max(col(colB))).head
+    val (aMin, aMax, bMin, bMax) =
+      (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue,
+        b.getAs[Number](2).longValue, b.getAs[Number](3).longValue)
+    def norm(c: String, lo: Long, hi: Long) =
+      ((col(c) - lit(lo)) * 65535L / lit(math.max(1L, hi - lo))).cast("long")
+    df.withColumn("_z", graft.functions.ZOrder.zValue(
+        norm(colA, aMin, aMax), norm(colB, bMin, bMax)))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -50,6 +50,56 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("z-ordered layout: every file covers a tight rectangle in BOTH dims") {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+    val nFiles = 8
+
+    def perFileSpans(path: String): Seq[(Double, Double)] = {
+      val files = new java.io.File(path).listFiles
+        .filter(_.getName.startsWith("part-")).map(_.getPath).toSeq
+      assert(files.size > nFiles / 2, s"want multiple files, got ${files.size}")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(max(col("l_suppkey")) - min(col("l_suppkey")),
+            max(col("l_partkey")) - min(col("l_partkey")))
+          .head
+        (r.getLong(0).toDouble, r.getLong(1).toDouble)
+      }
+    }
+    def avg(xs: Seq[Double]) = xs.sum / xs.size
+    val Seq(globalSupp, globalPart) = {
+      val r = li.agg(max(col("l_suppkey")) - min(col("l_suppkey")),
+        max(col("l_partkey")) - min(col("l_partkey"))).head
+      Seq(r.getLong(0).toDouble, r.getLong(1).toDouble)
+    }
+
+    val zPath = Files.createTempDirectory("graft_z").toString + "/t"
+    Sinks.writeZOrdered(li, zPath, "l_suppkey", "l_partkey", nFiles)
+    val zSpans = perFileSpans(zPath)
+
+    // the comparison layout every warehouse has: lexicographic sort on
+    // the leading column — perfect for l_suppkey, useless for l_partkey
+    val lexPath = Files.createTempDirectory("graft_lex").toString + "/t"
+    li.repartitionByRange(nFiles, col("l_suppkey"))
+      .sortWithinPartitions(col("l_suppkey"))
+      .write.parquet(lexPath)
+    val lexSpans = perFileSpans(lexPath)
+
+    // z-order bounds BOTH dims well under their global span
+    assert(avg(zSpans.map(_._1)) < globalSupp * 0.6,
+      s"suppkey span ${avg(zSpans.map(_._1))} vs global $globalSupp")
+    assert(avg(zSpans.map(_._2)) < globalPart * 0.6,
+      s"partkey span ${avg(zSpans.map(_._2))} vs global $globalPart")
+    // the lex layout leaves the second dim unclustered (span ~ global),
+    // and z-order beats it on that dim by a wide margin
+    assert(avg(lexSpans.map(_._2)) > globalPart * 0.9)
+    assert(avg(zSpans.map(_._2)) < avg(lexSpans.map(_._2)) * 0.7)
+    // same rows, just reordered
+    assert(spark.read.parquet(zPath).exceptAll(li).isEmpty
+      && li.exceptAll(spark.read.parquet(zPath)).isEmpty)
+  }
+
   test("salted join returns exactly the rows of the unsalted join") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
     val dim = Tables.orders(spark, dir)
