@@ -55,6 +55,8 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
     "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
     "q_zvalue" -> ((s, dir) => Scalars.zvalues(s, dir)),
+    "q_date_spine" -> ((s, dir) => Analytics.dateSpine(s, dir)),
+    "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
     "q_grouping_sets" -> ((s, dir) => Aggregates.groupingSetsAgg(s, dir)),
@@ -627,6 +629,31 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_spine" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |  FROM orders GROUP BY 1),
+        |bounds AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+        |                  max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM bounds)
+        |SELECT spine.d, coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(sum_price, 0.0) AS sum_price
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin,
+    "q_share_total" ->
+      """WITH bs AS (
+        |  SELECT o_orderstatus,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS status_total
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS grand_total
+        |      FROM orders)
+        |SELECT o_orderkey, o.o_orderstatus, o_totalprice,
+        |       o_totalprice / status_total AS share_of_status,
+        |       o_totalprice / grand_total AS share_of_total
+        |FROM orders o JOIN bs ON o.o_orderstatus = bs.o_orderstatus, g
+        |ORDER BY o_orderkey""".stripMargin,
     "q_zvalue" ->
       """WITH a0 AS (
         |  SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,

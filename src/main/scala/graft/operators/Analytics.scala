@@ -45,6 +45,54 @@ object Analytics {
       .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** Calendar densification (gap filling): a generated day spine
+    * LEFT-joined to the daily aggregate so absent days surface as
+    * explicit zeros. The correctness prerequisite for any
+    * fixed-row-count window over calendar data — the reference's
+    * trailing-7-ROW moving average (T10,
+    * `/root/reference/src/transform/data_transformer.py:279-289`)
+    * silently averages 7 *reporting* days, not 7 calendar days, the
+    * moment dates go sparse; joining against the spine first makes the
+    * two coincide. The spine is O(days) — trivially broadcast at any
+    * fact scale, so densification never shuffles the aggregate.
+    */
+  def dateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+    val spine = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"),
+        max(to_date(col("o_orderdate"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 day"))).as("d"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+      .orderBy(col("d"))
+  }
+
+  /** Share-of-total contribution: each order's fraction of its status
+    * subtotal and of the grand total — ratio-to-report, in the form
+    * that scales: subtotals come from ONE map-side-combinable
+    * aggregation broadcast back over the fact scan, never from an
+    * `over ()` window (whose empty partitioning funnels the whole
+    * table through one task). Denominators ride the exact decimal path
+    * so every share is a deterministic single rounding.
+    */
+  def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byStatus = o.groupBy(col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("status_total"))
+    val grand = o.agg(dsum(col("o_totalprice")).as("grand_total"))
+    o.join(broadcast(byStatus), Seq("o_orderstatus"))
+      .crossJoin(broadcast(grand))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        (col("o_totalprice") / col("status_total")).as("share_of_status"),
+        (col("o_totalprice") / col("grand_total")).as("share_of_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Hour-grain event aggregation — the batch analog of the streaming
     * windowed count (graft.streaming runs the same plan incrementally).
     */

@@ -11,6 +11,40 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("dateSpine densifies the calendar: gaps become explicit zero days") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.dateSpine(spark, dir).cache()
+    try {
+      val n = out.count()
+      val bounds = out.agg(min("d"), max("d")).head
+      val expectedDays = java.time.temporal.ChronoUnit.DAYS.between(
+        bounds.getDate(0).toLocalDate, bounds.getDate(1).toLocalDate) + 1
+      assert(n == expectedDays, "one row per calendar day, no gaps")
+      assert(out.filter(col("n_orders") === 0).count() > 0,
+        "fixture must contain reporting gaps for the test to mean anything")
+      val totalOrders = graft.sources.Tables.orders(spark, dir).count()
+      assert(out.agg(sum("n_orders")).head.getLong(0) == totalOrders)
+    } finally out.unpersist()
+  }
+
+  test("shareOfTotal: shares sum to 1 per status and overall, no window") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.shareOfTotal(spark, dir).cache()
+    try {
+      val perStatus = out.groupBy("o_orderstatus")
+        .agg(sum("share_of_status").as("s")).collect()
+      perStatus.foreach(r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r.toString))
+      assert(math.abs(
+        out.agg(sum("share_of_total")).head.getDouble(0) - 1.0) < 1e-9)
+      // the scale contract: ratio-to-report via agg+broadcast join, not
+      // an unpartitioned window funneling the table through one task
+      val plan = Analytics.shareOfTotal(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"no window operator expected:\n$plan")
+    } finally out.unpersist()
+  }
+
   test("incrementalExact admits only content new to corpus AND batch") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
