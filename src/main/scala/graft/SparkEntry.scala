@@ -56,6 +56,8 @@ object SparkEntry {
     "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
     "q_zvalue" -> ((s, dir) => Scalars.zvalues(s, dir)),
     "q_date_spine" -> ((s, dir) => Analytics.dateSpine(s, dir)),
+    "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
+    "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
     "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
@@ -629,6 +631,33 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_table_diff" ->
+      """WITH dels0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
+        |ups0 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |                o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+        |         FROM orders WHERE o_orderkey % 50 = 7),
+        |ins0 AS (SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+        |                o_totalprice, o_orderdate, o_orderpriority
+        |         FROM orders WHERE o_orderkey % 50 = 23),
+        |ck AS (SELECT o_orderkey FROM dels0 UNION ALL SELECT o_orderkey FROM ups0
+        |       UNION ALL SELECT o_orderkey FROM ins0),
+        |newt AS (
+        |  SELECT o.* FROM orders o LEFT JOIN ck ON o.o_orderkey = ck.o_orderkey
+        |  WHERE ck.o_orderkey IS NULL
+        |  UNION ALL SELECT * FROM ups0
+        |  UNION ALL SELECT * FROM ins0),
+        |ups AS (SELECT * FROM newt EXCEPT ALL SELECT * FROM orders),
+        |dels AS (SELECT o.* FROM orders o LEFT JOIN newt n
+        |           ON o.o_orderkey = n.o_orderkey
+        |         WHERE n.o_orderkey IS NULL)
+        |SELECT *, 'U' AS _op FROM ups
+        |UNION ALL SELECT *, 'D' FROM dels
+        |ORDER BY _op, o_orderkey""".stripMargin,
+    "q_skew_report" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT l_suppkey, n_rows, CAST(n_rows AS DOUBLE) / total AS share
+        |FROM c, t ORDER BY n_rows DESC, l_suppkey LIMIT 10""".stripMargin,
     "q_date_spine" ->
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n_orders,

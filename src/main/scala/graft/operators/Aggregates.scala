@@ -85,6 +85,24 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 
+  /** Heavy-hitter / key-skew report: the top-k join-or-group keys by row
+    * count with their share of the table — the diagnostic that decides
+    * between a plain shuffle join, AQE skew splitting, and
+    * [[Joins.saltedJoin]] before burning a cluster-day discovering the
+    * answer empirically. One map-side-combinable count aggregation +
+    * TakeOrderedAndProject; the total rides along as a broadcast scalar.
+    */
+  def keySkewReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+    val total = li.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows").cast("double") / col("total"))
+      .select(col("l_suppkey"), col("n_rows"), col("share"))
+      .orderBy(col("n_rows").desc, col("l_suppkey"))
+      .limit(k)
+  }
+
   /** Mergeable distinct-count rollup — the re-aggregation pattern
     * [[approxDistinct]]'s scalar estimate can't give you: stage 1 builds
     * an HLL SKETCH per fine-grained cell (status × order-year — the

@@ -50,6 +50,35 @@ object Cdc {
       .select(keys.map(col) ++ payload.map(c => col(s"_w.$c").as(c)): _*)
   }
 
+  /** Table diff → change feed: the inverse of [[mergeUpsert]], and how a
+    * feed is produced when the source system only offers snapshots.
+    * Emits 'U' for every row of `newDf` not value-identical in `oldDf`
+    * (covers inserts and updates in one bag-compare) and 'D' for keys
+    * that vanished. Round-trip law, spec-proved:
+    * `mergeUpsert(old, diffToChanges(old, new)) ≡ new`.
+    *
+    * Scale: the full-row compare is one hash-shuffle of each snapshot
+    * (exceptAll; null-safe bag semantics). That is the honest floor for
+    * content diffing — at 100 TB, run it per pruned partition, or keep a
+    * row-hash column and diff on (key, hash) to shuffle bytes instead of
+    * rows.
+    */
+  def diffToChanges(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      opCol: String = "_op"): DataFrame = {
+    val upserts = newDf.exceptAll(oldDf).withColumn(opCol, lit("U"))
+    val deletes = oldDf.join(newDf.select(keys.map(col): _*), keys, "left_anti")
+      .withColumn(opCol, lit("D"))
+    upserts.unionByName(deletes)
+  }
+
+  /** [[diffToChanges]] between orders and its [[mergeOrders]] image —
+    * recovers exactly the applied feed (minus no-op rows).
+    */
+  def diffOrders(spark: SparkSession, dir: String): DataFrame =
+    diffToChanges(Tables.orders(spark, dir), mergeOrders(spark, dir),
+        Seq("o_orderkey"))
+      .orderBy(col("_op"), col("o_orderkey"))
+
   /** Deterministic change feed over orders, exercising all three MERGE
     * verbs: keys ≡ 0 (mod 50) are deleted, keys ≡ 7 get a repriced
     * update, keys ≡ 23 re-enter shifted by 10M as brand-new inserts.

@@ -48,6 +48,23 @@ class CdcSpec extends AnyFunSuite {
       s"expected broadcast left-anti application of the change set:\n$plan")
   }
 
+  test("diff/merge round-trip law: merge(old, diff(old,new)) == new") {
+    val old = graft.sources.Tables.orders(spark, "/root/testdata/sf0.001")
+    val neu = Cdc.mergeOrders(spark, "/root/testdata/sf0.001")
+      .localCheckpoint(true) // freeze; it's both the diff input and target
+    val feed = Cdc.diffToChanges(old, neu, Seq("o_orderkey"))
+    val rebuilt = Cdc.mergeUpsert(old, feed, Seq("o_orderkey"))
+    assert(rebuilt.exceptAll(neu).isEmpty && neu.exceptAll(rebuilt).isEmpty)
+    // the recovered feed carries exactly the synthetic change set: no
+    // no-op rows, every verb represented
+    val ops = feed.groupBy("_op").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDel = old.filter(col("o_orderkey") % 50 === 0).count()
+    val nUp = old.filter(col("o_orderkey") % 50 === 7).count()
+    val nIns = old.filter(col("o_orderkey") % 50 === 23).count()
+    assert(ops("D") == nDel && ops("U") == nUp + nIns)
+  }
+
   test("merged orders: every deleted key gone, updated keys repriced once") {
     val merged = Cdc.mergeOrders(spark, "/root/testdata/sf0.001").cache()
     try {
