@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Cdc, Dedup, Expectations, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,7 @@ object SparkEntry {
     "q_date_spine" -> ((s, dir) => Analytics.dateSpine(s, dir)),
     "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
     "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
+    "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
     "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
@@ -631,6 +632,51 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pagerank" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |e AS (SELECT da AS src, db AS dst FROM p
+        |      UNION SELECT db, da FROM p),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000000 // n AS r FROM nodes, nn),
+        |r1 AS (SELECT nodes.node,
+        |              (15 * 1000000000000000) // (100 * nn.n)
+        |              + coalesce(f.inflow, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS node, sum((rp.r * 85) // (100 * d.deg)) AS inflow
+        |         FROM e JOIN r0 rp ON e.src = rp.node JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nodes.node),
+        |r2 AS (SELECT nodes.node,
+        |              (15 * 1000000000000000) // (100 * nn.n)
+        |              + coalesce(f.inflow, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS node, sum((rp.r * 85) // (100 * d.deg)) AS inflow
+        |         FROM e JOIN r1 rp ON e.src = rp.node JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nodes.node),
+        |r3 AS (SELECT nodes.node,
+        |              (15 * 1000000000000000) // (100 * nn.n)
+        |              + coalesce(f.inflow, 0) AS r
+        |       FROM nodes CROSS JOIN nn LEFT JOIN (
+        |         SELECT e.dst AS node, sum((rp.r * 85) // (100 * d.deg)) AS inflow
+        |         FROM e JOIN r2 rp ON e.src = rp.node JOIN deg d ON d.src = e.src
+        |         GROUP BY e.dst) f ON f.node = nodes.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
+        |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin,
     "q_table_diff" ->
       """WITH dels0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
         |ups0 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

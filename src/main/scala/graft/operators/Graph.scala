@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge lists, sharing the design rules of
+  * [[Dedup.clustersFromPairs]] (pointer-doubling CC): no driver-side
+  * collect of graph data, lineage truncated per round, and no floating
+  * point anywhere in the iteration.
+  */
+object Graph {
+
+  /** Fixed-point unit: ranks are stored as integer multiples of 1e-15.
+    * 64-bit headroom: rank mass ≤ UNIT, so the largest intermediate
+    * (rank·85) is ≤ 8.5e16 ≪ 2⁶³.
+    */
+  val Unit: Long = 1000000000000000L
+
+  /** Damped PageRank over an UNDIRECTED pair list (each pair becomes two
+    * directed edges). Fixed iteration count — the budgeted-rounds
+    * contract of production PR jobs, which schedule N rounds rather
+    * than poll convergence.
+    *
+    * Determinism is total: ranks live in LONG fixed-point (1e-15 units)
+    * and every step is integer multiply/floor-divide/sum — associative,
+    * order-free, and expressible in ANSI SQL, so unlike a double (or
+    * even decimal) formulation the whole iteration is DuckDB-oracle-
+    * checkable and bit-identical at any parallelism. A double
+    * formulation's per-node inflow sum depends on executor merge order;
+    * Spark's decimal ops round mid-iteration at data-dependent scales.
+    * Floor rounding loses ≤ deg·1e-15 rank mass per node per round —
+    * irrelevant at ranking granularity.
+    *
+    * Scale shape per round: one shuffle keyed by edge destination for
+    * the inflow sum (map-side combined), one join back to the node
+    * list; `localCheckpoint` truncates the per-round lineage exactly as
+    * the CC loop does. Every node of an undirected graph has degree
+    * ≥ 1, so there is no dangling-mass correction term.
+    */
+  def pageRank(pairs: DataFrame, aCol: String, bCol: String,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .unionByName(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(false)
+    val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint(false)
+    val n = nodes.agg(count(lit(1)).as("n"))
+
+    var state = nodes.crossJoin(broadcast(n))
+      .select(col("node"), expr(s"${Unit}L div n").as("rank_fp"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(state.withColumnRenamed("node", "src"), "src")
+        .join(degs, "src")
+        .select(col("dst"),
+          expr("(rank_fp * 85L) div (100L * deg)").as("c"))
+      val inflow = contrib.groupBy(col("dst"))
+        .agg(sum(col("c")).as("inflow"))
+      state = nodes
+        .join(inflow.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          (expr(s"(15L * ${Unit}L) div (100L * n)")
+            + coalesce(col("inflow"), lit(0L))).as("rank_fp"))
+        .localCheckpoint(false)
+    }
+    state
+  }
+
+  /** PageRank centrality of the MinHash near-dup graph: which documents
+    * sit at the center of duplication families (template hubs) vs the
+    * periphery — a ranking signal for canonical selection beyond
+    * [[Dedup.canonicalPerCluster]]'s length argmax. Top-k by rank with
+    * deterministic tie-break; the DuckDB oracle rebuilds the pair graph
+    * brute-force (as `q_dedup_minhash`'s does) and chains the same
+    * three integer iterations.
+    */
+  def docPageRank(spark: SparkSession, dir: String, k: Int = 20,
+      threshold: Double = 0.7): DataFrame =
+    pageRank(Dedup.minhashNearDup(spark, dir, threshold)
+        .select(col("da"), col("db")), "da", "db")
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(k)
+}

@@ -43,6 +43,30 @@ object Sinks {
       .format("parquet")
       .saveAsTable(name)
 
+  /** Small-file compaction — the maintenance pass every long-lived
+    * 100 TB table needs: streaming sinks, per-batch CDC writes, and
+    * fine-grained partitioning all accrete kilobyte part files whose
+    * per-file open/footer/seek overhead eventually dominates scans.
+    * Rewrite the directory into `ceil(bytes / targetBytes)` files sized
+    * for the scan path (row-group ≈ file). The rewrite round-trips
+    * through an eager localCheckpoint so reading and overwriting the
+    * same path is safe (same rule as the streaming CDC sink).
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(path))
+    }
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(path)
+      .localCheckpoint(true)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Z-ordered layout: range-partition and sort by the Morton code of
     * two dimensions (`graft.functions.ZOrder.zValue`) so every written
     * file covers a compact RECTANGLE of (a, b) space — parquet min/max

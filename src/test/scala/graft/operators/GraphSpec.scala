@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Graph.pageRank against an exact fixed-point power iteration in plain
+  * Scala on a fixed fixture: the distributed integer formulation must
+  * reproduce the hand-rolled reference to the last unit, and rank mass
+  * must order hubs over leaves.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // star 1-{2,3,4} plus isolated pair 5-6: node 1 is the hub
+  private val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L))
+
+  private def exactPageRank(iters: Int): Map[Long, Long] = {
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> Graph.Unit / n).toMap
+    for (_ <- 1 to iters) {
+      r = nodes.map { v =>
+        // iterator, not keys.map: a key SET would collapse equal
+        // contributions from symmetric neighbors before the sum
+        val inflow = adj.filter(_._2.contains(v)).keysIterator
+          .map(u => (r(u) * 85L) / (100L * adj(u).size)).sum
+        v -> ((15L * Graph.Unit) / (100L * n) + inflow)
+      }.toMap
+    }
+    r
+  }
+
+  test("distributed fixed-point ranks equal the exact power iteration") {
+    val got = Graph.pageRank(pairs.toDF("da", "db"), "da", "db", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = exactPageRank(3)
+    assert(got == want, s"got $got want $want")
+    // structural sanity: the hub out-ranks its leaves, symmetric leaves tie
+    assert(got(1L) > got(2L) && got(2L) == got(3L) && got(3L) == got(4L))
+  }
+
+  test("ranks are reproducible across differing parallelism") {
+    val a = Graph.pageRank(pairs.toDF("da", "db"), "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(pairs.toDF("da", "db").repartition(7), "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+}

@@ -50,6 +50,20 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction collapses a many-small-files table, rows intact") {
+    val path = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    df.repartition(64).write.parquet(path) // the accreted-small-files state
+    def parts(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.startsWith("part-"))
+    assert(parts(path) == 64)
+    Sinks.compact(spark, path, targetBytes = 512L * 1024)
+    assert(parts(path) <= 4, s"still ${parts(path)} files after compaction")
+    val back = spark.read.parquet(path)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("z-ordered layout: every file covers a tight rectangle in BOTH dims") {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
