@@ -75,8 +75,10 @@ object Cdc {
     * recovers exactly the applied feed (minus no-op rows).
     */
   def diffOrders(spark: SparkSession, dir: String): DataFrame =
-    diffToChanges(Tables.orders(spark, dir), mergeOrders(spark, dir),
-        Seq("o_orderkey"))
+    // the merged image feeds both diff branches (bag-compare + key
+    // anti-join) — checkpoint so the merge computes once, not twice
+    diffToChanges(Tables.orders(spark, dir),
+        mergeOrders(spark, dir).localCheckpoint(false), Seq("o_orderkey"))
       .orderBy(col("_op"), col("o_orderkey"))
 
   /** Deterministic change feed over orders, exercising all three MERGE

@@ -54,8 +54,7 @@ object Graph {
 
     var state = nodes.crossJoin(broadcast(n))
       .select(col("node"), expr(s"${Unit}L div n").as("rank_fp"))
-      .localCheckpoint(false)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(state.withColumnRenamed("node", "src"), "src")
         .join(degs, "src")
@@ -69,7 +68,10 @@ object Graph {
         .select(col("node"),
           (expr(s"(15L * ${Unit}L) div (100L * n)")
             + coalesce(col("inflow"), lit(0L))).as("rank_fp"))
-        .localCheckpoint(false)
+      // state is consumed ONCE per round, so unlike edges/degs/nodes it
+      // needs no per-round checkpoint — only periodic lineage truncation
+      // when the budget is deep enough for plan growth to bite
+      if (i % 5 == 0) state = state.localCheckpoint(false)
     }
     state
   }
