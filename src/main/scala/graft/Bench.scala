@@ -47,7 +47,10 @@ object Bench {
       new java.io.File(sfDir).getParentFile, "sf0.001")
     if (warmDir.isDirectory && warmDir.getPath != sfDir)
       SparkEntry.queries.values.foreach { fn =>
-        try warm(fn(spark, warmDir.getPath)) catch { case _: Throwable => () }
+        // NonFatal only: an OOM/fatal during warm-up must abort the
+        // bench, not leave a corrupted JVM producing garbage timings
+        try warm(fn(spark, warmDir.getPath))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     // A failing query reports -1 (never a plausible elapsed time) so a
     // broken operator cannot hide inside a normal-looking total.

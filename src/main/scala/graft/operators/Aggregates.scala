@@ -93,9 +93,12 @@ object Aggregates {
     * TakeOrderedAndProject; the total rides along as a broadcast scalar.
     */
   def keySkewReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val counts = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
-    val total = li.agg(count(lit(1)).as("total"))
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
+      .localCheckpoint(false)
+    // total from the (tiny) per-key frame — a second full-table
+    // aggregation would double the scan I/O for the identical number
+    val total = counts.agg(sum(col("n_rows")).as("total"))
     counts.crossJoin(broadcast(total))
       .withColumn("share", col("n_rows").cast("double") / col("total"))
       .select(col("l_suppkey"), col("n_rows"), col("share"))

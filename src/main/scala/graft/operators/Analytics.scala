@@ -61,9 +61,11 @@ object Analytics {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
-    val spine = Tables.orders(spark, dir)
-      .agg(min(to_date(col("o_orderdate"))).as("lo"),
-        max(to_date(col("o_orderdate"))).as("hi"))
+      .localCheckpoint(false)
+    // bounds from the day-grain frame — same min/max as a second
+    // full-table scan, at day-count cost
+    val spine = daily
+      .agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"),
         expr("interval 1 day"))).as("d"))
     spine.join(daily, Seq("d"), "left")
@@ -82,9 +84,17 @@ object Analytics {
     */
   def shareOfTotal(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    val byStatus = o.groupBy(col("o_orderstatus"))
-      .agg(dsum(col("o_totalprice")).as("status_total"))
-    val grand = o.agg(dsum(col("o_totalprice")).as("grand_total"))
+    // ONE table scan: the grand total re-aggregates the per-status
+    // DECIMAL sums (exact, associative — identical to a direct decimal
+    // sum over the table) instead of scanning orders a second time;
+    // both only round to double at the end
+    val byStatusDec = o.groupBy(col("o_orderstatus"))
+      .agg(sum(dec(col("o_totalprice"))).as("st_dec"))
+      .localCheckpoint(false)
+    val byStatus = byStatusDec.select(col("o_orderstatus"),
+      col("st_dec").cast("double").as("status_total"))
+    val grand = byStatusDec
+      .agg(sum(col("st_dec")).cast("double").as("grand_total"))
     o.join(broadcast(byStatus), Seq("o_orderstatus"))
       .crossJoin(broadcast(grand))
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),

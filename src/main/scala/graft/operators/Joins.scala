@@ -204,10 +204,15 @@ object Joins {
     val p = points.withColumn("_bin", floor(micros(pointTs) / binMicros))
     // Last covered bin indexes the greatest micro strictly inside the
     // interval (end is exclusive), so a boundary-aligned end adds no
-    // spurious replica.
-    val i = intervals.withColumn("_bin", explode(sequence(
-      floor(micros(startTs) / binMicros),
-      floor((micros(endTs) - 1) / binMicros))))
+    // spurious replica. Empty/inverted intervals (end <= start) must
+    // contribute NOTHING: unguarded, sequence(a, b) with b < a counts
+    // DOWN, so malformed rows would replicate across the whole
+    // inverted span instead of vanishing.
+    val i = intervals.withColumn("_bin", explode(
+      when(col(endTs) > col(startTs), sequence(
+        floor(micros(startTs) / binMicros),
+        floor((micros(endTs) - 1) / binMicros)))
+        .otherwise(array().cast("array<bigint>"))))
     p.join(i, p("_bin") === i("_bin")
         && col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_bin")

@@ -310,9 +310,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(Dedup.shingles(col("text"), 2)).as("term"))
       .groupBy(col("term"))
-      .agg(array_join(sort_array(collect_set(col("doc_id"))), ",")
-          .as("postings"),
-        size(collect_set(col("doc_id"))).cast("long").as("df"))
+      // ONE collect_set per term — df and the serialized postings both
+      // derive from it post-agg, halving the ObjectHashAggregate buffer
+      // state (posting width is this operator's stated scale hazard)
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .select(col("term"), array_join(col("ids"), ",").as("postings"),
+        size(col("ids")).cast("long").as("df"))
       .crossJoin(broadcast(n))
       .filter(col("df") >= minDf
         && col("df") <= floor(col("n_docs") * maxDfFrac))

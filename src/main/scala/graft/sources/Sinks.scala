@@ -54,12 +54,14 @@ object Sinks {
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val bytes = {
-      def walk(f: java.io.File): Long =
-        if (f.isFile) f.length
-        else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
-      walk(new java.io.File(path))
-    }
+    // size via the Hadoop FileSystem (URI-form and remote paths would
+    // read 0 bytes through java.io.File, collapsing any table to one
+    // file), counting data files only — not _SUCCESS/.crc sidecars
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path)
       .localCheckpoint(true)

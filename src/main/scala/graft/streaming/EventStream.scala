@@ -253,11 +253,16 @@ object EventStream {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val tableCols = batch.columns.filterNot(_ == opCol)
-          // "table exists" = directory holding at least one part file; a
-          // bare empty directory would fail parquet schema inference
-          val dir = new java.io.File(tablePath)
-          val hasData = dir.isDirectory &&
-            Option(dir.listFiles).exists(_.exists(_.getName.startsWith("part-")))
+          // "table exists" = directory holding at least one part file (a
+          // bare empty directory would fail parquet schema inference).
+          // Resolved through the Hadoop FileSystem so URI-form and
+          // non-local paths (file://, hdfs://, s3a://) work — a
+          // java.io.File probe would silently report "missing" for
+          // those and overwrite the table with each batch's upserts.
+          val p = new org.apache.hadoop.fs.Path(tablePath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(p) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
           val base =
             if (hasData) spark.read.parquet(tablePath)
             else batch.sparkSession.createDataFrame(

@@ -59,6 +59,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(Joins.rangeJoinBinned(points, iv, "pt", "start", "end", 30).isEmpty)
   }
 
+  test("empty and inverted intervals contribute nothing, not a fan-out") {
+    val points = Seq((1L, "2024-01-05 00:00:00")).toDF("pid", "s")
+      .select(col("pid"), col("s").cast("timestamp").as("pt"))
+    val iv = Seq(
+      (1L, "2024-01-05 00:00:00", "2024-01-05 00:00:00"), // empty
+      (2L, "2024-06-01 00:00:00", "2023-01-01 00:00:00")  // inverted
+    ).toDF("iid", "a", "b")
+      .select(col("iid"), col("a").cast("timestamp").as("start"),
+        col("b").cast("timestamp").as("end"))
+    val joined = Joins.rangeJoinBinned(points, iv, "pt", "start", "end", 30)
+    assert(joined.isEmpty)
+    // and the malformed rows never even replicate into candidates: the
+    // exploded interval side is empty, not a descending bin walk
+    val replicas = iv.withColumn("_bin", explode(
+        when(col("end") > col("start"), sequence(lit(0L), lit(0L)))
+          .otherwise(array().cast("array<bigint>"))))
+    assert(replicas.isEmpty)
+  }
+
   test("plans as an equi-join on the bin key, not BroadcastNestedLoopJoin") {
     val orders = graft.sources.Tables.orders(spark, sf)
     val w = Joins.auditWindows(spark, sf)
