@@ -30,6 +30,21 @@ object Transforms {
     * total_cases is strictly positive (NULL cases and 0 cases both yield
     * NULL — `when` without `otherwise` defaults to NULL).
     */
+  /** Schema-drift-tolerant union: combine snapshots whose column sets
+    * evolved over time (a column added in March, another dropped in
+    * June), yielding the union of all columns with NULLs where a
+    * snapshot lacks one. The n-ary generalization of the reference's
+    * cast-if-present tolerance (S4/T2,
+    * `/root/reference/src/transform/data_transformer.py:144` skips
+    * missing columns instead of failing): history stays readable as one
+    * frame as the feed's schema moves. Pure plan surgery — each input
+    * contributes a projection, no shuffle.
+    */
+  def unionEvolved(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "unionEvolved needs at least one frame")
+    frames.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   def withCaseFatalityRate(df: DataFrame): DataFrame =
     df.withColumn("case_fatality_rate",
       when(col("total_cases") > 0,

@@ -156,6 +156,35 @@ object EventStream {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER stream-stream attribution: like [[clickAttribution]],
+    * but clicks that never convert inside the window are EMITTED with
+    * NULL purchase columns instead of vanishing — the shape conversion
+    * funnels actually need (the denominator is all clicks). Outer
+    * stream-stream joins are only well-defined because both sides are
+    * watermarked AND the join condition time-bounds the match window:
+    * the engine can then prove a buffered click has no possible future
+    * match and release it as a NULL row. The cost of that proof is
+    * latency — unmatched rows appear only once the watermark passes
+    * `click_ts + windowSec`, not at click time.
+    */
+  def clickAttributionOuter(clicks: DataFrame, purchases: DataFrame,
+      windowSec: Long = 3600, watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+    c.join(p,
+      col("user_id") === col("p_user_id")
+        && col("purchase_ts") >= col("click_ts")
+        && col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("purchase_value"))
+  }
+
   /** Stream-static enrichment join: attach slowly-changing dimension
     * attributes to a live stream. Stateless on the stream side — the
     * static frame is (re)broadcast per micro-batch, so no watermark and

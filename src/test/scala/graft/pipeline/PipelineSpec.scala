@@ -25,6 +25,19 @@ class PipelineSpec extends AnyFunSuite {
       |Brazil,BRA,2024-01-01,1000,600,300
       |""".stripMargin
 
+  test("unionEvolved spans schema drift: added/dropped columns go NULL") {
+    import spark.implicits._
+    val march = Seq((1L, "a", 10.0)).toDF("id", "name", "v")
+    val june = Seq((2L, "b", "extra")).toDF("id", "name", "note") // v dropped, note added
+    val out = Transforms.unionEvolved(Seq(march, june)).orderBy("id").collect()
+    assert(out.map(_.schema.fieldNames.toSet).head
+      == Set("id", "name", "v", "note"))
+    assert(out(0).getAs[String]("name") == "a"
+      && out(0).isNullAt(out(0).fieldIndex("note")))
+    assert(out(1).isNullAt(out(1).fieldIndex("v"))
+      && out(1).getAs[String]("note") == "extra")
+  }
+
   test("full pipeline materializes the five datasets, idempotently") {
     val dir = Files.createTempDirectory("graft_pipe")
     val covid = writeCsv(dir, "covid.csv", covidCsv)

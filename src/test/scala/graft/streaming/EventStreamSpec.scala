@@ -160,6 +160,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("outer attribution emits unconverted clicks as NULL rows after " +
+      "the watermark proves no match can come") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 0.0), // converts
+      Event(2, ts("2024-01-01 10:00:00"), 2, "click", 0.0)) // never does
+    purchases.addData(
+      Event(10, ts("2024-01-01 10:30:00"), 1, "purchase", 9.99))
+    val q = EventStream
+      .clickAttributionOuter(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val matched = spark.table("attrib_outer").collect()
+      assert(matched.length == 1 && matched.head.getAs[Long]("user_id") == 1,
+        "only the converting click can be emitted before expiry")
+
+      // advance BOTH watermarks far past click_ts + window + watermark:
+      // the engine can now prove click 2 is unmatchable and release it
+      clicks.addData(Event(3, ts("2024-01-01 15:00:00"), 9, "click", 0.0))
+      purchases.addData(
+        Event(11, ts("2024-01-01 15:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+      q.processAllAvailable() // state eviction lands one trigger later
+      val rows = spark.table("attrib_outer").collect()
+      val nullRow = rows.filter(_.getAs[Long]("user_id") == 2)
+      assert(nullRow.length == 1, s"want 1 NULL row, got ${rows.toSeq}")
+      assert(nullRow.head.isNullAt(nullRow.head.fieldIndex("purchase_id")))
+      assert(nullRow.head.isNullAt(
+        nullRow.head.fieldIndex("purchase_value")))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with broadcast dim attributes") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
