@@ -59,6 +59,8 @@ object SparkEntry {
     "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
     "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
     "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
+    "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
+    "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
@@ -632,6 +634,33 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_histogram_eqdepth" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+        |         quantile_cont(o_totalprice, 0.50) AS q2,
+        |         quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders)
+        |SELECT CASE WHEN o_totalprice <= q1 THEN 1
+        |            WHEN o_totalprice <= q2 THEN 2
+        |            WHEN o_totalprice <= q3 THEN 3
+        |            ELSE 4 END AS bin,
+        |       count(*) AS n_orders,
+        |       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders, cuts GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM t
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS src_total
+        |      FROM c GROUP BY 1)
+        |SELECT c.event_type, c.next_type, c.n,
+        |       CAST(c.n AS DOUBLE) / s.src_total AS p
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |ORDER BY c.event_type, c.next_type""".stripMargin,
     "q_pagerank" ->
       """WITH sh AS (
         |  SELECT doc_id,

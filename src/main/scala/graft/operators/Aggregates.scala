@@ -209,6 +209,33 @@ object Aggregates {
         dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("bucket"))
 
+  /** Equi-depth histogram — [[priceHistogram]]'s complement: bins hold
+    * ~equal ROW COUNTS with data-driven edges (the quartile cut points)
+    * instead of equal widths with data-driven counts. One exact
+    * percentile aggregation broadcasts three cuts back over the scan;
+    * same no-global-sort shape as `quartileBuckets`/`rfmSegments`.
+    * Exposes both the edges and the realized counts — the skew-aware
+    * summary an optimizer's column statistics are built from.
+    */
+  def priceHistogramEqDepth(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val cuts = o.agg(
+      expr("percentile(o_totalprice, 0.25)").as("q1"),
+      expr("percentile(o_totalprice, 0.50)").as("q2"),
+      expr("percentile(o_totalprice, 0.75)").as("q3"))
+    o.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        when(col("o_totalprice") <= col("q1"), 1)
+          .when(col("o_totalprice") <= col("q2"), 2)
+          .when(col("o_totalprice") <= col("q3"), 3)
+          .otherwise(4))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   /** Pearson correlation of quantity vs. extended price, spelled out from
     * exact decimal power sums rather than the `corr` aggregate: corr's
     * internal running-moment merges are float-order-dependent and differ

@@ -103,6 +103,33 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's time-ordered event stream, count (event_type → next type)
+    * pairs and their per-source probabilities — the path-analysis
+    * primitive behind "what do users do after a click". One `lead`
+    * window over the per-user exchange (the same single user_id shuffle
+    * as [[sessions]]/[[funnel]]); the probability denominators
+    * re-aggregate the tiny transition frame, not the event table.
+    * Integer counts divide once in IEEE double — deterministic on both
+    * engines.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val bySrc = trans.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("src_total"))
+    trans.join(broadcast(bySrc), Seq("event_type"))
+      .select(col("event_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("src_total")).as("p"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** Hour-grain event aggregation — the batch analog of the streaming
     * windowed count (graft.streaming runs the same plan incrementally).
     */

@@ -7,6 +7,21 @@ class AggregatesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("equi-depth histogram: four bins with near-equal counts that " +
+      "tile the value range") {
+    val rows = Aggregates.priceHistogramEqDepth(spark, dir).collect()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq == Seq(1, 2, 3, 4))
+    val counts = rows.map(_.getAs[Long]("n_orders"))
+    val total = counts.sum
+    counts.foreach(c => assert(
+      math.abs(c - total / 4.0) <= total * 0.02 + 1,
+      s"equi-depth bins should be ~N/4, got ${counts.toSeq}"))
+    // bins tile: each bin's hi < next bin's lo boundary ordering holds
+    val (los, his) = (rows.map(_.getAs[Double]("lo")),
+      rows.map(_.getAs[Double]("hi")))
+    (0 until 3).foreach(i => assert(his(i) <= los(i + 1)))
+  }
+
   test("hll rollup: merging year partials equals a direct one-pass sketch") {
     import org.apache.spark.sql.functions._
     val orders = graft.sources.Tables.orders(spark, dir)

@@ -11,6 +11,22 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("eventTransitions: probabilities normalize per source type and " +
+      "counts cover every consecutive pair") {
+    import org.apache.spark.sql.functions._
+    val out = Analytics.eventTransitions(spark, dir).cache()
+    try {
+      val perSrc = out.groupBy("event_type").agg(sum("p").as("s")).collect()
+      perSrc.foreach(r =>
+        assert(math.abs(r.getDouble(1) - 1.0) < 1e-9, r.toString))
+      val nPairs = out.agg(sum("n")).head.getLong(0)
+      val ev = graft.sources.Tables.events(spark, dir)
+      val expected = ev.count() -
+        ev.select("user_id").distinct().count() // each user loses 1 (no next)
+      assert(nPairs == expected)
+    } finally out.unpersist()
+  }
+
   test("dateSpine densifies the calendar: gaps become explicit zero days") {
     import org.apache.spark.sql.functions._
     val out = Analytics.dateSpine(spark, dir).cache()
