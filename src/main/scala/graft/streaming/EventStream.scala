@@ -156,6 +156,28 @@ object EventStream {
         col("purchase_id"), col("purchase_ts"), col("purchase_value"))
   }
 
+  /** Session aggregation via the BUILT-IN `session_window` — the
+    * declarative twin of both the [[sessionize]] state machine and the
+    * batch gap-island formulation (`Analytics.sessions`): one
+    * expression, runs identically as a batch plan or an incremental
+    * streaming aggregation with watermark-bounded state (Spark merges
+    * overlapping per-event windows internally; no custom state code).
+    *
+    * Boundary fine print: `session_window` extends each event's window
+    * to `ts + gap` half-open, so an event arriving EXACTLY `gap` after
+    * its predecessor starts a NEW session, where the island
+    * formulation's `diff > gap` keeps it — the two agree everywhere
+    * except that measure-zero boundary (parity spec-checked on real
+    * data).
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("w_start"),
+        col("w.end").as("w_end"), col("n_events"))
+
   /** LEFT OUTER stream-stream attribution: like [[clickAttribution]],
     * but clicks that never convert inside the window are EMITTED with
     * NULL purchase columns instead of vanishing — the shape conversion

@@ -196,6 +196,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window agg matches the batch gap-island sessionizer on " +
+      "real data, and runs incrementally") {
+    // parity in batch mode: same (user -> session-size multiset) as
+    // Analytics.sessions' island formulation at the same 30-min gap
+    val batch = graft.operators.Analytics
+      .sessions(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = EventStream.sessionWindowCounts(
+        graft.sources.Tables.events(spark, "/root/testdata/sf0.001"))
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list("n_events")).as("sizes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(declarative == batch)
+
+    // and the same expression runs as a streaming aggregation
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // same session
+      Event(3, ts("2024-01-01 12:00:00"), 1, "click", 1.0)) // new session
+    val q = EventStream.sessionWindowCounts(input.toDF())
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      input.addData(Event(4, ts("2024-01-02 00:00:00"), 2, "click", 1.0))
+      q.processAllAvailable() // watermark passes; sessions finalize
+      val rows = spark.table("sw").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+      assert(rows.toSet == Set((1L, 2L), (1L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with broadcast dim attributes") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[Event]
