@@ -279,6 +279,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("rangeJoinBinned equals the naive theta-join on random intervals, " +
+    "points, and bin widths (incl. empty/inverted intervals)") {
+    import graft.operators.Joins
+    val epoch = java.sql.Timestamp.valueOf("2020-01-01 00:00:00").getTime
+    def ts(offSec: Long) = new java.sql.Timestamp(epoch + offSec * 1000)
+    val genPoint = Gen.choose(0L, 400L * 86400)
+    // interval = (start, signed length): ~1/6 empty, ~1/6 inverted
+    val genInterval = Gen.zip(Gen.choose(0L, 400L * 86400),
+      Gen.frequency(4 -> Gen.choose(1L, 90L * 86400),
+        1 -> Gen.const(0L), 1 -> Gen.choose(-30L * 86400, -1L)))
+    for (seed <- Seq(11L, 23L); binDays <- Seq(1, 7, 30, 365)) {
+      val pts = sample(genPoint, 60, seed).zipWithIndex
+        .map { case (s, i) => Row(i.toLong, ts(s)) }
+      val ivs = sample(genInterval, 40, seed + 1).zipWithIndex
+        .map { case ((s, len), i) => Row(i.toLong, ts(s), ts(s + len)) }
+      import scala.jdk.CollectionConverters.SeqHasAsJava
+      val pDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](pts.asJava), StructType(Seq(
+          StructField("pid", LongType), StructField("pt", TimestampType))))
+      val iDf = spark.createDataFrame(
+        new java.util.ArrayList[Row](ivs.asJava), StructType(Seq(
+          StructField("iid", LongType), StructField("start", TimestampType),
+          StructField("end", TimestampType))))
+      val binned = Joins
+        .rangeJoinBinned(pDf, iDf, "pt", "start", "end", binDays)
+        .select("pid", "iid")
+      val naive = pDf.join(iDf,
+          col("pt") >= col("start") && col("pt") < col("end"))
+        .select("pid", "iid")
+      assert(binned.exceptAll(naive).isEmpty
+        && naive.exceptAll(binned).isEmpty,
+        s"mismatch at seed=$seed binDays=$binDays")
+    }
+  }
+
   test("pii scrub counts exactly the planted entities and redacts them all " +
     "on random documents") {
     import graft.operators.Privacy
