@@ -61,6 +61,8 @@ object SparkEntry {
     "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
+    "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
+    "q_wow_growth" -> ((s, dir) => Analytics.weeklyGrowth(s, dir)),
     "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
     "q_pivot" -> ((s, dir) => Aggregates.pivotQty(s, dir)),
     "q_cube" -> ((s, dir) => Aggregates.cubeOrders(s, dir)),
@@ -634,6 +636,24 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |e AS (SELECT CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY)) AS DATE)
+        |               AS win_end,
+        |             user_id
+        |      FROM ud)
+        |SELECT win_end, count(DISTINCT user_id) AS u7
+        |FROM e GROUP BY win_end ORDER BY win_end""".stripMargin,
+    "q_wow_growth" ->
+      """WITH wk AS (
+        |  SELECT date_trunc('week', o_orderdate) AS week_start,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT week_start, revenue,
+        |       lag(revenue) OVER (ORDER BY week_start) AS prev_revenue,
+        |       (revenue - lag(revenue) OVER (ORDER BY week_start))
+        |         / lag(revenue) OVER (ORDER BY week_start) * 100 AS pct_change
+        |FROM wk ORDER BY week_start""".stripMargin,
     "q_histogram_eqdepth" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(o_totalprice, 0.25) AS q1,

@@ -103,6 +103,42 @@ object Analytics {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Sliding-window DISTINCT users (trailing 7 days per day) — the DAU/
+    * WAU-style metric a plain windowed SUM can't give you (distinct
+    * doesn't decompose over panes). Shape: dedupe to user-day grain
+    * FIRST (the load-bearing move — the 7× window fan-out then
+    * replicates one row per user-day, not one per raw event), explode
+    * each user-day to the 7 window-ends it serves, and run one exact
+    * distinct aggregation keyed by window end. Bounded 7× expansion,
+    * no state machine, no quadratic self-join.
+    */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+      .select(explode(sequence(col("d"), date_add(col("d"), 6)))
+        .as("win_end"), col("user_id"))
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .orderBy(col("win_end"))
+
+  /** Week-over-week revenue growth: weekly sums (decimal path) with the
+    * previous week and percent change from a lag window — the
+    * post-aggregation single-partition window, legitimate at week
+    * cardinality exactly as the reference's T10 moving average is at
+    * day cardinality.
+    */
+  def weeklyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("week_start"))
+    Tables.orders(spark, dir)
+      .groupBy(date_trunc("week", col("o_orderdate")).as("week_start"))
+      .agg(dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("pct_change",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100)
+      .orderBy(col("week_start"))
+  }
+
   /** Event-type transition matrix (first-order Markov counts): for each
     * user's time-ordered event stream, count (event_type → next type)
     * pairs and their per-source probabilities — the path-analysis

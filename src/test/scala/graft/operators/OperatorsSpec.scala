@@ -27,6 +27,35 @@ class OperatorsSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("slidingDistinctUsers: brute-force 7-day distinct agrees per day") {
+    import org.apache.spark.sql.functions._
+    val ud = graft.sources.Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct().collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1))
+    val got = Analytics.slidingDistinctUsers(spark, dir).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    got.foreach { case (end, u7) =>
+      val want = ud.filter { case (d, _) =>
+        !d.isAfter(end) && !d.isBefore(end.minusDays(6))
+      }.map(_._2).distinct.length
+      assert(u7 == want, s"$end: got $u7 want $want")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("weeklyGrowth: pct change reconstructs from consecutive revenues") {
+    val rows = Analytics.weeklyGrowth(spark, dir).collect()
+    assert(rows.length > 10)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_revenue")))
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getDouble(cur.fieldIndex("prev_revenue"))
+        == prev.getDouble(prev.fieldIndex("revenue")))
+      val expect = (cur.getDouble(1) - prev.getDouble(1)) / prev.getDouble(1) * 100
+      assert(math.abs(cur.getDouble(cur.fieldIndex("pct_change")) - expect) < 1e-9)
+    }
+  }
+
   test("dateSpine densifies the calendar: gaps become explicit zero days") {
     import org.apache.spark.sql.functions._
     val out = Analytics.dateSpine(spark, dir).cache()
