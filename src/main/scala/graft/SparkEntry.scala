@@ -94,6 +94,9 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_sample_hash" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q_stratified_cap" -> ((s, dir) => Sampling.stratifiedCap(s, dir)),
+    "q_split_assign" -> ((s, dir) => Sampling.splitAssign(s, dir)),
+    "q_topk_per_key" -> ((s, dir) => Analytics.topKPerGroup(s, dir)),
+    "q_cms_topk" -> ((s, dir) => Aggregates.cmsTopkAudit(s, dir)),
     "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
     "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
@@ -115,6 +118,7 @@ object SparkEntry {
     "q_contam_report" -> ((s, dir) => Dedup.contaminationReport(s, dir)),
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
+    "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
@@ -1110,6 +1114,27 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id, pick FROM ranked WHERE pick <= 50
         |ORDER BY source, pick""".stripMargin,
+    "q_split_assign" ->
+      """SELECT doc_id, source,
+        |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk,
+        |       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= 'cccc'
+        |              THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= 'e665'
+        |              THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_topk_per_key" ->
+      """WITH ranked AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY l_suppkey, rk""".stripMargin,
+    // q_cms_topk: no oracle — the wrapping 64-bit fmix hash has no
+    //             DuckDB twin (BIGINT multiply overflow errors there);
+    //             golden-pinned + CountMinSpec invariants instead.
     "q_quartile_bucket" ->
       """WITH cuts AS (
         |  SELECT o_orderstatus,
@@ -1248,6 +1273,25 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY da, db""".stripMargin,
+    "q_minhash_join" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |         len(list_intersect(a.sh, b.sh))
+        |           / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7)
+        |SELECT batch_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY batch_id, corpus_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

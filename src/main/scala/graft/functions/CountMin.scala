@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: a fixed-size (`Depth`×`Width` counters) mergeable
+  * frequency summary. Unlike Misra-Gries-style heavy-hitter lists, the
+  * sketch update AND merge are pure counter additions — commutative and
+  * associative — so the built sketch is bit-identical under any
+  * partitioning, merge-tree shape, retry, or speculative re-execution.
+  * That order-independence is what makes it storable as a reusable
+  * artifact (per-partition partials rolled up later, exactly like
+  * [[graft.operators.Aggregates.hllRollup]]'s HLL sketches) rather than
+  * query-local state. Estimates are upper bounds: `est >= true`, with
+  * `est - true <= e·N/Width` per row w.h.p., and `min` over `Depth`
+  * independent rows drives the miss probability to `e^-Depth`.
+  *
+  * Cormode & Muthukrishnan, "An Improved Data Stream Summary: the
+  * Count-Min Sketch and its Applications" (J. Algorithms 55, 2005);
+  * mergeability per Agarwal et al., "Mergeable Summaries" (PODS 2012).
+  */
+object CountMin {
+  val Depth = 4
+  val Width = 1024
+
+  /** Fixed per-row seeds (splitmix64 increments) — pinned constants so a
+    * sketch built today merges with one built next year.
+    */
+  val Seeds: Array[Long] = Array(0x9e3779b97f4a7c15L, 0xbf58476d1ce4e5b9L,
+    0x94d049bb133111ebL, 0xd6e8feb86659fd93L)
+
+  /** 64-bit avalanche finalizer (Murmur3 fmix64). Implemented twice —
+    * here for the build-side JVM kernel and op-for-op in [[bucketCol]]
+    * for the estimate-side Column expression; Long overflow wraps
+    * identically in both (Java semantics = Spark non-ANSI long
+    * arithmetic), which `CountMinSpec` proves on hostile inputs.
+    */
+  def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L
+    z ^= z >>> 33
+    z
+  }
+
+  /** Counter column for item `x` in sketch row `row` (0-based). The top
+    * 31 bits of the mix leave `% Width` on a non-negative value.
+    */
+  def bucket(x: Long, row: Int): Int =
+    ((mix(x ^ Seeds(row)) >>> 33) % Width).toInt
+
+  /** Column mirror of [[bucket]] from codegen'd builtins only — so
+    * estimation is a whole-stage-codegen expression, not a UDF, and an
+    * engine that stores graft sketches can compute estimates in pure SQL.
+    */
+  def bucketCol(x: Column, row: Int): Column = {
+    def xorShift33(c: Column): Column = c.bitwiseXOR(shiftrightunsigned(c, 33))
+    val a = xorShift33(x.bitwiseXOR(lit(Seeds(row)))) * lit(0xff51afd7ed558ccdL)
+    val b = xorShift33(a) * lit(0xc4ceb9fe1a85ec53L)
+    (shiftrightunsigned(xorShift33(b), 33) % Width).cast("int")
+  }
+
+  /** Point-frequency estimate of `item` from a built `sketch` column
+    * (`array<bigint>` of `Depth·Width` counters): min over the item's
+    * `Depth` counters. `element_at` is 1-based.
+    */
+  def estimate(sketch: Column, item: Column): Column =
+    least((0 until Depth).map(row =>
+      element_at(sketch, lit(row * Width + 1) + bucketCol(item, row))): _*)
+}
+
+/** Build aggregator: `Long` items → flat `Depth·Width` counter array.
+  * Buffer mutated in place (object-hash aggregation keeps it on the JVM
+  * heap between rows; encoding happens only at partial-output/shuffle).
+  */
+object CountMinBuild extends Aggregator[Long, Array[Long], Array[Long]] {
+  import CountMin._
+  override def zero: Array[Long] = new Array[Long](Depth * Width)
+  override def reduce(b: Array[Long], x: Long): Array[Long] = {
+    var row = 0
+    while (row < Depth) { b(row * Width + bucket(x, row)) += 1L; row += 1 }
+    b
+  }
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+/** Merge aggregator: roll stored sketches up to a coarser grain by
+  * elementwise addition — re-aggregation without rescanning the items,
+  * the same two-stage shape as `hll_union_agg` over HLL partials.
+  */
+object CountMinMerge extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+  import CountMin._
+  override def zero: Array[Long] = new Array[Long](Depth * Width)
+  override def reduce(b: Array[Long], a: Array[Long]): Array[Long] = {
+    require(a.length == b.length,
+      s"count-min merge: sketch size ${a.length} != ${b.length} (Depth/Width drift)")
+    var i = 0
+    while (i < b.length) { b(i) += a(i); i += 1 }
+    b
+  }
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < x.length) { x(i) += y(i); i += 1 }
+    x
+  }
+  override def finish(b: Array[Long]): Array[Long] = b
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}

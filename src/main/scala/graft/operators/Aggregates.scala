@@ -313,4 +313,38 @@ object Aggregates {
         col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy(col("o_custkey"))
   }
+
+  /** Count-Min frequency sketch over part keys, two-stage like
+    * [[hllRollup]]: stage 1 builds a mergeable sketch per returnflag cell
+    * (the incrementally-materialized partial); stage 2 rolls the stored
+    * partials up to one corpus sketch by pure counter addition — no
+    * second scan of the fact table. The output audits the sketch against
+    * ground truth: the exact top-k keys with their estimates and
+    * overcounts (always ≥ 0 — CM never undercounts; `CountMinSpec`
+    * proves the merge law, the overestimate invariant, and the
+    * JVM-kernel ≡ Column-expression hash parity). No DuckDB twin for the
+    * wrapping 64-bit mix — golden-pinned.
+    *
+    * At 100 TB: the sketch is 32 KB per cell regardless of key
+    * cardinality, the build is one map-side-combinable aggregation, and
+    * the estimate join touches only the k candidate rows — the
+    * "approximate frequencies without a 10-billion-key exact groupBy"
+    * path; exact counts here exist purely as the audit column.
+    */
+  def cmsTopkAudit(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import graft.functions.{CountMin, CountMinBuild, CountMinMerge}
+    val cmsBuild = udaf(CountMinBuild)
+    val cmsMerge = udaf(CountMinMerge)
+    val li = Tables.lineitem(spark, dir)
+    val partials = li.groupBy(col("l_returnflag"))
+      .agg(cmsBuild(col("l_partkey")).as("sk"))
+    val global = partials.agg(cmsMerge(col("sk")).as("sk"))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey")).limit(k)
+    top.crossJoin(broadcast(global))
+      .select(col("l_partkey"), col("n_exact"),
+        CountMin.estimate(col("sk"), col("l_partkey")).as("n_est"))
+      .withColumn("overcount", col("n_est") - col("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey"))
+  }
 }

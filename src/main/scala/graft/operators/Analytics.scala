@@ -445,4 +445,29 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("stage"))
   }
+
+  /** Per-group top-k: each supplier's k highest-value line items, fully
+    * tie-broken (price desc, then key) so rank assignment is total.
+    *
+    * Declared as the classic `row_number() <= k` filter on purpose:
+    * Spark 4's `InferWindowGroupLimit` rewrites exactly this pattern
+    * into a `WindowGroupLimit` that runs in Partial mode BEFORE the
+    * exchange — every map task forwards at most k rows per group it
+    * sees, so the shuffle carries O(groups·k·tasks) rows instead of the
+    * whole table, and no reducer ever sorts a full group. That plan
+    * shape (partial group-limit → exchange → final group-limit →
+    * window) is pinned by `PlanSpec`; a hand-rolled per-partition-heap
+    * implementation would duplicate what the optimizer already proves.
+    */
+  def topKPerGroup(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("l_suppkey"), col("rk"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_suppkey"), col("rk"))
+  }
 }

@@ -111,6 +111,28 @@ object Sampling {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** Deterministic train/val/test assignment — the split every training
+    * corpus needs frozen before anything else touches it. A document's
+    * split is a pure function of its id (md5-prefix interval: ≈80% /
+    * ≈10% / ≈10%), so membership never depends on row order,
+    * partitioning, or cluster size; adding documents later never moves
+    * an existing one across splits (the leakage disaster rand()-based
+    * splitting invites); and the val/test sets stay fixed across every
+    * ablation. Narrow per-row map — at 100 TB it's a scan-speed column,
+    * usually fused into the first materialization.
+    */
+  def splitAssign(spark: SparkSession, dir: String,
+      trainHi: String = "cccc", valHi: String = "e665"): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("hk",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+      .withColumn("split",
+        when(col("hk") <= trainHi, "train")
+          .when(col("hk") <= valHi, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("hk"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Per-stratum cap — the "at most k documents per source/domain" rule
     * of web-scale corpus curation. Deterministic priority: md5(doc_id)
     * orders each stratum pseudo-randomly but reproducibly; row_number

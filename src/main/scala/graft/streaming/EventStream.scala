@@ -334,6 +334,52 @@ object EventStream {
       }
       .start()
 
+  /** Incremental Count-Min maintenance: keep a running frequency sketch
+    * of a stream's `itemCol` as a stored parquet artifact. Per
+    * micro-batch: build the BATCH's sketch (one map-side-combinable
+    * aggregation over just the new rows), add it counter-for-counter
+    * onto the stored sketch, overwrite. Because build and merge are pure
+    * counter additions, the maintained sketch after any number of
+    * micro-batches is bit-identical to a from-scratch build over the
+    * full history (spec-proved) — history is never rescanned, and the
+    * artifact stays 32 KB no matter how many distinct items the stream
+    * has carried. The streaming complement of
+    * [[graft.operators.Aggregates.cmsTopkAudit]]'s batch rollup, and the
+    * sketch-sized alternative to keeping exact per-key counts in the
+    * state store when the key universe is unbounded.
+    *
+    * Same eager-localCheckpoint-before-overwrite discipline as
+    * [[cdcApplyToParquet]] (the merged plan reads the files the write
+    * replaces). Returns the started query; the caller owns its lifecycle.
+    */
+  def cmsMaintain(events: DataFrame, itemCol: String, sketchPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.functions.{CountMinBuild, CountMinMerge}
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val cmsBuild = udaf(CountMinBuild)
+          val cmsMerge = udaf(CountMinMerge)
+          val batchSk = batch.agg(cmsBuild(col(itemCol)).as("sk"))
+          val p = new org.apache.hadoop.fs.Path(sketchPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val hasData = fs.exists(p) &&
+            fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+          val merged =
+            if (hasData)
+              spark.read.parquet(sketchPath).unionAll(batchSk)
+                .agg(cmsMerge(col("sk")).as("sk"))
+            else batchSk
+          merged.localCheckpoint(true)
+            .write.mode("overwrite").parquet(sketchPath)
+        }
+      }
+      .start()
+  }
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

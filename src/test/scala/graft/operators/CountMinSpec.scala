@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.{CountMin, CountMinBuild, CountMinMerge}
+
+/** Count-Min sketch invariants (`functions/CountMin.scala`):
+  *   1. merge law — sketches built per group, merged, equal the sketch
+  *      built directly over the union (EXACT array equality: the sketch
+  *      is pure counter addition, so mergeability is not approximate);
+  *   2. overestimate — `est >= true` for EVERY key, and the total error
+  *      stays within the deterministic worst case on this fixed data;
+  *   3. kernel parity — the JVM build-side `bucket` and the Column
+  *      estimate-side `bucketCol` agree on hostile 64-bit inputs
+  *      (overflow-wrapping multiplies must match op-for-op).
+  */
+class CountMinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val cmsBuild = udaf(CountMinBuild)
+  private lazy val cmsMerge = udaf(CountMinMerge)
+
+  test("merged per-group sketches equal the directly-built global sketch") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val merged = li.groupBy(col("l_returnflag"))
+      .agg(cmsBuild(col("l_partkey")).as("sk"))
+      .agg(cmsMerge(col("sk")).as("sk"))
+      .head().getSeq[Long](0)
+    val direct = li.agg(cmsBuild(col("l_partkey")).as("sk"))
+      .head().getSeq[Long](0)
+    assert(merged == direct)
+  }
+
+  test("estimates never undercount any key, and row sums equal N") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val global = li.agg(cmsBuild(col("l_partkey")).as("sk"))
+    val audit = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(global))
+      .select(col("l_partkey"), col("n"),
+        CountMin.estimate(col("sk"), col("l_partkey")).as("est"))
+      .collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r =>
+      assert(r.getLong(2) >= r.getLong(1), s"undercount at $r"))
+    // every sketch row holds each of the N updates exactly once
+    val n = li.count()
+    val sk = global.head().getSeq[Long](0)
+    (0 until CountMin.Depth).foreach { row =>
+      val rowSum = sk.slice(row * CountMin.Width, (row + 1) * CountMin.Width).sum
+      assert(rowSum == n, s"row $row sums to $rowSum, expected $n")
+    }
+    // deterministic data ⇒ deterministic worst case; the theoretical
+    // e·N/Width per-row bound (~16 at sf0.001) leaves generous headroom
+    val maxOver = audit.map(r => r.getLong(2) - r.getLong(1)).max
+    assert(maxOver <= math.ceil(math.E * n / CountMin.Width).toLong * 2,
+      s"max overcount $maxOver beyond 2x the e*N/W bound")
+  }
+
+  test("JVM bucket kernel matches the Column bucket expression") {
+    import spark.implicits._
+    val hostile = Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue,
+      0x9e3779b97f4a7c15L, -42L, 424242424242L)
+    val df = hostile.toDF("x")
+    (0 until CountMin.Depth).foreach { row =>
+      val sparkSide = df.select(CountMin.bucketCol(col("x"), row))
+        .as[Int].collect().toSeq
+      val jvmSide = hostile.map(CountMin.bucket(_, row))
+      assert(sparkSide == jvmSide, s"row $row hash drift")
+    }
+  }
+}

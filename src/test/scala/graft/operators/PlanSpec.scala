@@ -34,6 +34,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!read.contains("l_partkey") && !read.contains("l_tax"), read)
   }
 
+  test("per-group top-k plans a partial WindowGroupLimit before the exchange") {
+    val p = plan(Analytics.topKPerGroup(spark, dir))
+    // InferWindowGroupLimit must rewrite the row_number()<=k filter into
+    // map-side (Partial) + reduce-side (Final) group limits: the shuffle
+    // then carries at most k rows per group per map task, never the full
+    // table — the property that makes per-group top-k viable at 100 TB.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final")), p)
+  }
+
   private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.get(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }

@@ -358,6 +358,31 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintained stream sketch equals a from-scratch build over full history") {
+    import org.apache.spark.sql.functions.{col, udaf}
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[Event]
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val sketchDir = java.nio.file.Files.createTempDirectory("graft_cms").toString + "/sk"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cms_ck").toString
+    val batch1 = (1 to 40).map(i => Event(i, t0, i % 7, "click", 1.0))
+    val batch2 = (41 to 90).map(i => Event(i, t0, i % 11, "click", 1.0))
+    val q = EventStream.cmsMaintain(input.toDF(), "user_id", sketchDir, ckpt)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val maintained = spark.read.parquet(sketchDir).head().getSeq[Long](0)
+      val cmsBuild = udaf(graft.functions.CountMinBuild)
+      val direct = (batch1 ++ batch2).toDF()
+        .agg(cmsBuild(col("user_id")).as("sk"))
+        .head().getSeq[Long](0)
+      assert(maintained == direct,
+        "incrementally-merged sketch must be bit-identical to direct build")
+    } finally q.stop()
+  }
+
   test("streaming curation gate drops eval-overlap docs and redacts PII") {
     implicit val sql = spark.sqlContext
     val input = MemoryStream[(Long, String, String, String)]
