@@ -67,6 +67,23 @@ object Profile {
     t("incremental_10x")(Dedup.incrementalExact(
       docs10.filter(col("doc_id") % 20 =!= 0),
       docs10.filter(col("doc_id") % 20 === 0)).count())
+
+    // Round-3b ops at 10x: fuzzy cross-corpus admission (every batch doc
+    // has 9+ replicated near-dups in the corpus — worst-case candidate
+    // density), and the Count-Min build over the 10x fact table (sketch
+    // size is constant; only the scan grows).
+    t("minhash_join_10x")(Dedup.minhashJoinOn(
+      docs10.filter(col("doc_id") % 20 === 0),
+      docs10.filter(col("doc_id") % 20 =!= 0), 0.7).count())
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val li10 = (0 until 10).map(i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
+      .reduce(_ unionByName _)
+    t("cms_build_10x") {
+      val cmsBuild = org.apache.spark.sql.functions.udaf(
+        graft.functions.CountMinBuild)
+      li10.agg(cmsBuild(col("l_partkey")).as("sk")).count()
+    }
     spark.stop()
   }
 }

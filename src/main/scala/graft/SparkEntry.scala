@@ -90,6 +90,9 @@ object SparkEntry {
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "q_quality_logit" -> ((s, dir) => TextAnalysis.qualityLogit(s, dir)),
+    "q_embed_centroid" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    "q_embed_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(s, dir)),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_sample_hash" -> ((s, dir) => Sampling.hashSample(s, dir)),
@@ -621,6 +624,41 @@ object SparkEntry {
         |       least(len(string_split(text, ' ')) / 100.0, 1.0)
         |         * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_logit" ->
+      """SELECT doc_id,
+        |       -2.0 + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * 3.0
+        |            + (len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |               / len(string_split(text, ' '))) * 1.5
+        |            + least(len(string_split(text, ' ')) / 100.0, 1.0) AS logit,
+        |       (-2.0 + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * 3.0
+        |            + (len(list_filter(string_split(text, ' '),
+        |                t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |               / len(string_split(text, ' '))) * 1.5
+        |            + least(len(string_split(text, ' ')) / 100.0, 1.0)) > 0 AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i))
+        |SELECT label, pos,
+        |       CASE WHEN count(x) > 0
+        |            THEN CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x) END AS dim_mean,
+        |       count(*) AS n_vecs
+        |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_embed_quantize" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM v)
+        |SELECT vec_id, nrm,
+        |       list_transform(v, x -> CAST(greatest(-127, least(127,
+        |         floor(x / nrm * 127))) AS INT)) AS qv
+        |FROM n ORDER BY vec_id""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (
         |  SELECT doc_id, lang,

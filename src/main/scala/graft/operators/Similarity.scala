@@ -185,4 +185,42 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Per-label per-dimension embedding centroid — the class-prototype
+    * aggregation behind semantic dedup cell seeding, drift monitoring,
+    * and nearest-class-mean labeling. Shape: posexplode to
+    * (label, pos, value) rows, then ONE map-side-combinable aggregation
+    * on (label, pos) — the shuffle carries labels·dims partial rows per
+    * map task, never vectors. Means run on the exact DECIMAL(18,6) image
+    * (`Stable.davg`), so the centroid is order-independent under any
+    * partitioning — which is what lets the same centroid be rebuilt
+    * bit-identically from daily partials at 100 TB.
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(vecD(col("embedding"))).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(davg(col("x")).as("dim_mean"), count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Unit-normalize + symmetric int8 quantization of the embedding
+    * column — the 4× storage/bandwidth compression step an embedding
+    * corpus pays before ANN serving. Pure narrow map (scan-speed at any
+    * corpus size, no shuffle before the deterministic output sort);
+    * `floor(x/‖v‖·127)` clamped to [-127, 127] is exact integer output
+    * from IEEE-deterministic inputs, so the quantized corpus — unlike a
+    * float pipeline — is bit-identical across engines (oracle-checked)
+    * and re-materializations.
+    */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecD(col("embedding"))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), v.as("v"), norm(v).as("nrm"))
+      .select(col("vec_id"), col("nrm"),
+        transform(col("v"), x =>
+          greatest(lit(-127), least(lit(127),
+            floor(x / col("nrm") * 127).cast("int"))))
+          .as("qv"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -58,6 +58,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality gate: a fixed-weight linear classifier over the
+    * [[qualityScore]] features — the engine-side shape of the
+    * fastText-style quality filters production corpora run at ingest
+    * (the model trains offline; serving is a dot product over cheap
+    * features). Emits the raw logit, not a sigmoid: the monotone
+    * transform changes no keep/drop decision, and staying inside exact
+    * IEEE add/multiply keeps the score hash-matching the oracle (libm
+    * `exp` rounding differs across engines). Narrow scan-speed map; retraining
+    * swaps the weight literals without changing the plan.
+    */
+  def qualityLogit(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        (size(array_distinct(t)) / size(t)).as("distinct_ratio"),
+        (hits(t, stopEn) / size(t)).as("stopword_ratio"))
+      .withColumn("logit",
+        lit(-2.0) + col("distinct_ratio") * 3.0
+          + col("stopword_ratio") * 1.5
+          + least(col("n_tokens") / 100.0, lit(1.0)))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Language ID by stopword-hit voting (n-gram heuristic): score each
     * candidate language by its stopword count; deterministic priority
     * order breaks ties; zero hits everywhere => "und" (undetermined).
