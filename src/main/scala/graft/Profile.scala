@@ -20,20 +20,27 @@ object Profile {
 
     // 10x corpus stress (replicated docs with shifted ids): validates the
     // candidate-generation scaling claims in SCALING.md on ~50k docs.
+    // Replication is a crossJoin with a 10-row replica frame — ONE scan
+    // branch, so whole-stage codegen compiles each operator once. The
+    // earlier union-of-10-literal-shifted-branches formulation made
+    // Janino compile 10 near-identical methods per stage (each branch's
+    // distinct literal defeats the codegen cache) and inflated the
+    // cheap-operator timings by multiples of their real work.
     import org.apache.spark.sql.functions._
     val base = graft.sources.Tables.documents(spark, dir)
-    val docs10 = (0 until 10).map(i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
-      .reduce(_ unionByName _)
+    def rep10(df: org.apache.spark.sql.DataFrame, idCol: String,
+        shift: Long): org.apache.spark.sql.DataFrame =
+      df.crossJoin(spark.range(10).toDF("rep"))
+        .withColumn(idCol, col(idCol) + col("rep") * lit(shift))
+        .drop("rep")
+    val docs10 = rep10(base, "doc_id", 10000000L)
     t("minhash_10x")(Dedup.minhashNearDupOn(docs10, 0.7).count())
     t("ngram_10x_df256")(
       Dedup.ngramJaccardPairsOn(docs10, 0.7, maxDf = Some(256L)).count())
     // identical replicated vectors MUST collide in every sign band, so
     // the expected pair count is exactly n_vectors * C(10,2)
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val emb10 = (0 until 10).map(i =>
-        emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
-      .reduce(_ unionByName _)
+    val emb10 = rep10(emb, "vec_id", 10000000L)
     t("embed_10x")(Dedup.embeddingNearDupOn(emb10, 0.95).count())
 
     // Round-2 curation ops at the same 10x stress: broadcast-side
@@ -75,10 +82,8 @@ object Profile {
     t("minhash_join_10x")(Dedup.minhashJoinOn(
       docs10.filter(col("doc_id") % 20 === 0),
       docs10.filter(col("doc_id") % 20 =!= 0), 0.7).count())
-    val li = graft.sources.Tables.lineitem(spark, dir)
-    val li10 = (0 until 10).map(i =>
-        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L)))
-      .reduce(_ unionByName _)
+    val li10 = rep10(graft.sources.Tables.lineitem(spark, dir),
+      "l_orderkey", 100000000L)
     t("cms_build_10x") {
       val cmsBuild = org.apache.spark.sql.functions.udaf(
         graft.functions.CountMinBuild)
