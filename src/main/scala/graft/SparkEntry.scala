@@ -657,7 +657,7 @@ object SparkEntry {
         |  FROM v)
         |SELECT vec_id, nrm,
         |       list_transform(v, x -> CAST(greatest(-127, least(127,
-        |         floor(x / nrm * 127))) AS INT)) AS qv
+        |         floor(x / nullif(nrm, 0) * 127))) AS INT)) AS qv
         |FROM n ORDER BY vec_id""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (
@@ -854,7 +854,8 @@ object SparkEntry {
     "q_doc_chunks" ->
       """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |s AS (SELECT doc_id, toks,
-        |             unnest(generate_series(0, (len(toks) - 1) // 30)) AS chunk_id
+        |             unnest(generate_series(0,
+        |               greatest(0, (len(toks) - 40 + 29) // 30))) AS chunk_id
         |      FROM docs)
         |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
         |       array_to_string(toks[chunk_id*30 + 1 : least(chunk_id*30 + 40, len(toks))], ' ')

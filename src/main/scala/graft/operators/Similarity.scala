@@ -216,10 +216,14 @@ object Similarity {
     val v = vecD(col("embedding"))
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), v.as("v"), norm(v).as("nrm"))
+      // nullif guards the all-zero vector: x/0 is NaN, and NaN ordering
+      // differs between engines (Spark floor(NaN)→0 vs DuckDB
+      // least-is-NaN→127) — NULL elements propagate identically instead,
+      // marking the degenerate row rather than silently mis-quantizing it
       .select(col("vec_id"), col("nrm"),
         transform(col("v"), x =>
           greatest(lit(-127), least(lit(127),
-            floor(x / col("nrm") * 127).cast("int"))))
+            floor(x / nullif(col("nrm"), lit(0.0)) * 127).cast("int"))))
           .as("qv"))
       .orderBy(col("vec_id"))
   }

@@ -167,8 +167,16 @@ object TextAnalysis {
     val stride = maxTokens - overlap
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // last chunk ordinal = smallest i with i·stride + maxTokens ≥ n,
+      // NOT (n-1) div stride: the latter emits one extra tail chunk
+      // whenever n lands inside the final overlap window, and that chunk
+      // is a pure subset of its predecessor — duplicated training
+      // content. greatest(0, …) also absorbs the negative-numerator
+      // band (n ≤ maxTokens), where Spark's truncating `div` and the
+      // oracle's flooring `//` would otherwise disagree.
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), expr(s"(size(toks) - 1) div $stride")))
+        explode(sequence(lit(0), greatest(lit(0),
+          expr(s"(size(toks) - $maxTokens + $stride - 1) div $stride"))))
           .as("chunk_id"))
       // `div` yields BIGINT; chunk ordinals are small — keep them INT
       .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
@@ -245,12 +253,18 @@ object TextAnalysis {
     // full cosine only for candidate docs: prune postings, then pair terms
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
-    val pruned = weighted.join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // No broadcast HINT on the candidate frames: their size scales with
+    // corpus size × dup density, so a forced broadcast would pin an
+    // unbounded collect on the driver at exactly the scale this operator
+    // claims to survive. Unhinted, the planner broadcasts while the
+    // frames are small (AQE sees the checkpointed sizes) and falls back
+    // to a shuffle join when they aren't.
+    val pruned = weighted.join(candDocs, Seq("doc_id"), "left_semi")
     val aSide = pruned.select(col("doc_id").as("da"), col("term"),
       col("tf").as("tf_a"), col("wt"))
     val bSide = pruned.select(col("doc_id").as("db"), col("term"),
       col("tf").as("tf_b"))
-    val dot = broadcast(cand).join(aSide, "da").join(bSide, Seq("db", "term"))
+    val dot = cand.join(aSide, "da").join(bSide, Seq("db", "term"))
       .groupBy(col("da"), col("db"))
       .agg(sum(col("tf_a") * col("tf_b") * col("wt") * col("wt")).as("dot"))
     dot

@@ -52,16 +52,38 @@ object Sinks {
     * through an eager localCheckpoint so reading and overwriting the
     * same path is safe (same rule as the streaming CDC sink).
     */
-  def compact(spark: SparkSession, path: String,
-      targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    // size via the Hadoop FileSystem (URI-form and remote paths would
-    // read 0 bytes through java.io.File, collapsing any table to one
-    // file), counting data files only — not _SUCCESS/.crc sidecars
+  /** Top-level `part-*` data files at `path`, resolved through the
+    * Hadoop FileSystem (a `java.io.File` probe reads nothing for
+    * URI-form or remote paths) — not `_SUCCESS`/`.crc` sidecars, not
+    * partition subdirectories. Shared by [[compact]] and the streaming
+    * maintain-a-table sinks so "does this table exist / how big is it"
+    * can never drift between them.
+    */
+  private[graft] def partFileStatuses(spark: SparkSession, path: String)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(p)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map(_.getLen).sum
+    if (!fs.exists(p)) Array.empty
+    else fs.listStatus(p).filter(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+  }
+
+  /** True iff `path` holds a non-empty FLAT parquet table. */
+  private[graft] def hasPartFiles(spark: SparkSession, path: String): Boolean =
+    partFileStatuses(spark, path).nonEmpty
+
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val files = partFileStatuses(spark, path)
+    // A hive-partitioned table lists as date=…/ subdirectories with NO
+    // top-level part files: rewriting it through a flat overwrite would
+    // silently destroy the partition layout (and every scan's pruning).
+    // Refuse loudly — partitioned tables compact per partition directory.
+    require(files.nonEmpty,
+      s"compact: no top-level part files under $path — either the table " +
+        "is empty or it is hive-partitioned (subdirectories); compact " +
+        "partitioned tables one partition directory at a time")
+    val bytes = files.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path)
       .localCheckpoint(true)
@@ -91,8 +113,16 @@ object Sinks {
     val (aMin, aMax, bMin, bMax) =
       (b.getAs[Number](0).longValue, b.getAs[Number](1).longValue,
         b.getAs[Number](2).longValue, b.getAs[Number](3).longValue)
-    def norm(c: String, lo: Long, hi: Long) =
-      ((col(c) - lit(lo)) * 65535L / lit(math.max(1L, hi - lo))).cast("long")
+    // Normalize in DOUBLE: the integer form ((c-lo)*65535/span) wraps
+    // for spans past ~2^47 (and hi-lo itself wraps on mixed-sign
+    // domains like full-range hashes), silently garbling every z-value.
+    // Doubles are exact to 2^53 and the target is 16 bits — lossless
+    // where it matters, overflow-free everywhere.
+    def norm(c: String, lo: Long, hi: Long) = {
+      val span = math.max(1.0, hi.toDouble - lo.toDouble)
+      ((col(c).cast("double") - lit(lo.toDouble)) * (65535.0 / span))
+        .cast("long")
+    }
     df.withColumn("_z", graft.functions.ZOrder.zValue(
         norm(colA, aMin, aMax), norm(colB, bMin, bMax)))
       .repartitionByRange(nFiles, col("_z"))

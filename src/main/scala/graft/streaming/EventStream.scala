@@ -305,17 +305,14 @@ object EventStream {
           val spark = batch.sparkSession
           val tableCols = batch.columns.filterNot(_ == opCol)
           // "table exists" = directory holding at least one part file (a
-          // bare empty directory would fail parquet schema inference).
-          // Resolved through the Hadoop FileSystem so URI-form and
-          // non-local paths (file://, hdfs://, s3a://) work — a
-          // java.io.File probe would silently report "missing" for
-          // those and overwrite the table with each batch's upserts.
-          val p = new org.apache.hadoop.fs.Path(tablePath)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hasData = fs.exists(p) &&
-            fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
+          // bare empty directory would fail parquet schema inference);
+          // probed through the shared Hadoop-FS helper
+          // (graft.sources.Sinks) so URI-form and non-local paths
+          // (file://, hdfs://, s3a://) behave the same here as in the
+          // compaction pass.
           val base =
-            if (hasData) spark.read.parquet(tablePath)
+            if (graft.sources.Sinks.hasPartFiles(spark, tablePath))
+              spark.read.parquet(tablePath)
             else batch.sparkSession.createDataFrame(
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               batch.drop(opCol).schema)
@@ -350,7 +347,14 @@ object EventStream {
     *
     * Same eager-localCheckpoint-before-overwrite discipline as
     * [[cdcApplyToParquet]] (the merged plan reads the files the write
-    * replaces). Returns the started query; the caller owns its lifecycle.
+    * replaces). Counter addition is NOT idempotent, so the stored
+    * artifact carries the id of the last batch merged into it:
+    * foreachBatch is at-least-once, and on the redelivery a crash
+    * between the sketch overwrite and the checkpoint commit produces,
+    * the `batchId <= stored` guard skips the already-applied counts
+    * instead of double-adding them — the analogue of the CDC sink's
+    * seq >= stored-seq replay filter. Returns the started query; the
+    * caller owns its lifecycle.
     */
   def cmsMaintain(events: DataFrame, itemCol: String, sketchPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -358,23 +362,28 @@ object EventStream {
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val cmsBuild = udaf(CountMinBuild)
           val cmsMerge = udaf(CountMinMerge)
           val batchSk = batch.agg(cmsBuild(col(itemCol)).as("sk"))
-          val p = new org.apache.hadoop.fs.Path(sketchPath)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val hasData = fs.exists(p) &&
-            fs.listStatus(p).exists(_.getPath.getName.startsWith("part-"))
-          val merged =
-            if (hasData)
-              spark.read.parquet(sketchPath).unionAll(batchSk)
-                .agg(cmsMerge(col("sk")).as("sk"))
-            else batchSk
-          merged.localCheckpoint(true)
-            .write.mode("overwrite").parquet(sketchPath)
+            .withColumn("batch_id", lit(batchId))
+          val stored =
+            if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
+              Some(spark.read.parquet(sketchPath).localCheckpoint(true))
+            else None
+          val alreadyApplied = stored.exists(
+            _.select(max(col("batch_id"))).head.getLong(0) >= batchId)
+          if (!alreadyApplied) {
+            val merged = stored match {
+              case Some(s) => s.unionAll(batchSk)
+                .agg(cmsMerge(col("sk")).as("sk"), max(col("batch_id")).as("batch_id"))
+              case None => batchSk
+            }
+            merged.localCheckpoint(true)
+              .write.mode("overwrite").parquet(sketchPath)
+          }
         }
       }
       .start()

@@ -64,6 +64,19 @@ class SinksSpec extends AnyFunSuite {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("compaction refuses a hive-partitioned table instead of flattening it") {
+    val path = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_returnflag", "l_quantity")
+      .write.partitionBy("l_returnflag").parquet(path)
+    // flat rewrite would silently destroy the partition directories (and
+    // every scan's pruning) — the guard must fire, and the layout survive
+    val e = intercept[IllegalArgumentException](Sinks.compact(spark, path))
+    assert(e.getMessage.contains("partition"))
+    assert(new java.io.File(path).listFiles
+      .exists(f => f.isDirectory && f.getName.startsWith("l_returnflag=")))
+  }
+
   test("z-ordered layout: every file covers a tight rectangle in BOTH dims") {
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")

@@ -381,6 +381,21 @@ class EventStreamSpec extends AnyFunSuite {
       assert(maintained == direct,
         "incrementally-merged sketch must be bit-identical to direct build")
     } finally q.stop()
+    // Replay guard: a fresh checkpoint re-delivers the whole stream from
+    // batch 0 (foreachBatch is at-least-once); counter addition is not
+    // idempotent, so without the stored batch_id gate the counts would
+    // double. The sketch must come through unchanged.
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_cms_ck2").toString
+    val q2 = EventStream.cmsMaintain(input.toDF(), "user_id", sketchDir, ckpt2)
+    try {
+      q2.processAllAvailable()
+      val cmsBuild = udaf(graft.functions.CountMinBuild)
+      val direct = (batch1 ++ batch2).toDF()
+        .agg(cmsBuild(col("user_id")).as("sk")).head().getSeq[Long](0)
+      val afterReplay = spark.read.parquet(sketchDir).head().getSeq[Long](0)
+      assert(afterReplay == direct,
+        "replayed batches must not double-count into the stored sketch")
+    } finally q2.stop()
   }
 
   test("streaming curation gate drops eval-overlap docs and redacts PII") {
