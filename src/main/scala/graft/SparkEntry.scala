@@ -91,6 +91,7 @@ object SparkEntry {
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_quality_logit" -> ((s, dir) => TextAnalysis.qualityLogit(s, dir)),
+    "q_corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(s, dir)),
     "q_embed_centroid" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "q_embed_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(s, dir)),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -637,6 +638,29 @@ object SparkEntry {
         |               / len(string_split(text, ' '))) * 1.5
         |            + least(len(string_split(text, ' ')) / 100.0, 1.0)) > 0 AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_corpus_drift" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 = 0 AS in_a,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT term,
+        |         sum(CASE WHEN in_a THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |         sum(CASE WHEN in_a THEN 0 ELSE 1 END)::BIGINT AS n_b
+        |  FROM w GROUP BY term),
+        |t AS (SELECT sum(n_a)::BIGINT AS t_a, sum(n_b)::BIGINT AS t_b FROM c),
+        |top AS (
+        |  SELECT term, n_a, n_b FROM c
+        |  ORDER BY n_a + n_b DESC, term LIMIT 50),
+        |e AS (
+        |  SELECT term, n_a, n_b,
+        |         (n_a + n_b) * (t_a / (t_a + t_b)) AS e_a,
+        |         (n_a + n_b) * (t_b / (t_a + t_b)) AS e_b
+        |  FROM top, t)
+        |SELECT term, n_a, n_b,
+        |       (n_a - e_a) * (n_a - e_a) / e_a
+        |         + (n_b - e_b) * (n_b - e_b) / e_b AS chi2
+        |FROM e ORDER BY term""".stripMargin,
     "q_embed_centroid" ->
       """WITH e AS (
         |  SELECT label, CAST(i - 1 AS INT) AS pos,

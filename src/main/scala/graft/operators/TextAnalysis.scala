@@ -409,4 +409,42 @@ object TextAnalysis {
         rep(2).as("rep_bigram"), rep(3).as("rep_trigram"))
       .orderBy(col("doc_id"))
   }
+
+  /** Corpus drift monitor: two-sample χ² over the top-k term frequencies
+    * of two corpus snapshots (here the even/odd doc_id split standing in
+    * for yesterday/today) — the data-quality alarm that catches a
+    * crawler regression or a source-mix shift BEFORE a model trains on
+    * it. Per shared term: observed counts vs expectation under the
+    * pooled distribution; large contributions name the drifting terms,
+    * their sum is the alarm scalar.
+    *
+    * Scale shape: one explode + one map-side-combinable count
+    * aggregation (the same exchange [[tfidfTop]] rides), a k-row
+    * TakeOrdered for the reporting vocabulary, totals broadcast from the
+    * tiny term frame. Counts are exact integers; χ² arithmetic is a
+    * fixed-order IEEE expression — oracle-exact, and cheap enough to run
+    * per ingest batch at any corpus size.
+    */
+  def corpusDrift(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("term"))
+    val counts = words.groupBy(col("term"))
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val totals = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
+    counts
+      .orderBy((col("n_a") + col("n_b")).desc, col("term"))
+      .limit(k)
+      .crossJoin(broadcast(totals))
+      .withColumn("e_a",
+        (col("n_a") + col("n_b")) * (col("t_a") / (col("t_a") + col("t_b"))))
+      .withColumn("e_b",
+        (col("n_a") + col("n_b")) * (col("t_b") / (col("t_a") + col("t_b"))))
+      .withColumn("chi2",
+        (col("n_a") - col("e_a")) * (col("n_a") - col("e_a")) / col("e_a")
+          + (col("n_b") - col("e_b")) * (col("n_b") - col("e_b")) / col("e_b"))
+      .select(col("term"), col("n_a"), col("n_b"), col("chi2"))
+      .orderBy(col("term"))
+  }
 }
