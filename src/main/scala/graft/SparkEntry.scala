@@ -133,6 +133,7 @@ object SparkEntry {
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
     "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
+    "q_media_patches" -> ((s, dir) => Multimodal.patchGrid(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1458,5 +1459,28 @@ object SparkEntry {
         |  CAST(floor(height * least(1.0, 256.0 / greatest(width, height)))
         |    AS INT) AS out_height
         |FROM m ORDER BY doc_id""".stripMargin,
+    "q_media_patches" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(64 + strlen(text) % 577 AS INT) AS width,
+        |         CAST(64 + (strlen(text) * 31) % 431 AS INT) AS height
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CAST(floor(width * least(1.0, 256.0 / greatest(width, height)))
+        |      AS INT) AS out_width,
+        |    CAST(floor(height * least(1.0, 256.0 / greatest(width, height)))
+        |      AS INT) AS out_height
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, out_width, out_height,
+        |         CAST((out_width + 15) // 16 AS INT) AS grid_w,
+        |         CAST((out_height + 15) // 16 AS INT) AS grid_h
+        |  FROM r)
+        |SELECT doc_id, out_width, out_height, grid_w, grid_h,
+        |       grid_w * grid_h AS n_patches,
+        |       grid_w * 16 - out_width AS pad_w,
+        |       grid_h * 16 - out_height AS pad_h
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }

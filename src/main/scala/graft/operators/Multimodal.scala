@@ -135,6 +135,28 @@ object Multimodal {
       maxDim: Int = 256): DataFrame =
     resizeMeta(extractFeatures(spark, dir), maxDim).orderBy(col("doc_id"))
 
+  /** ViT-style patch-grid planning over the resized dimensions: how many
+    * `patch`×`patch` tiles each image yields, and the right/bottom
+    * padding the tiler must add to reach whole-patch bounds — the
+    * sequence-length budgeting input a vision-training pipeline needs
+    * BEFORE decoding anything (a media corpus plans its packing from
+    * metadata alone; the codec runs later, only on admitted items —
+    * the image-side analog of [[graft.operators.Sampling.tokenPack]]'s
+    * token budgeting). Integer ceil-division arithmetic on metadata
+    * columns: narrow, shuffle-free, oracle-exact.
+    */
+  def patchGrid(spark: SparkSession, dir: String, maxDim: Int = 256,
+      patch: Int = 16): DataFrame =
+    resizeMeta(extractFeatures(spark, dir), maxDim)
+      .withColumn("grid_w", expr(s"(out_width + $patch - 1) div $patch").cast("int"))
+      .withColumn("grid_h", expr(s"(out_height + $patch - 1) div $patch").cast("int"))
+      .select(col("doc_id"), col("out_width"), col("out_height"),
+        col("grid_w"), col("grid_h"),
+        (col("grid_w") * col("grid_h")).as("n_patches"),
+        (col("grid_w") * patch - col("out_width")).as("pad_w"),
+        (col("grid_h") * patch - col("out_height")).as("pad_h"))
+      .orderBy(col("doc_id"))
+
   /** Resize stub: metadata-only aspect-preserving downscale — the plan
     * shape of a real resample without the codec.
     */
