@@ -125,8 +125,14 @@ object TextCuration {
       cfg: Config): DataFrame =
     keptAfterDedupFrom(decontaminated(spark, dir, cfg), cfg)
 
-  private def keptAfterDedupFrom(clean: DataFrame,
+  private def keptAfterDedupFrom(cleanIn: DataFrame,
       cfg: Config): DataFrame = {
+    // The decontaminated frame feeds THREE consumers (the minhash
+    // pipeline, the survivor-quality join, and the final anti-join);
+    // without a checkpoint each one re-runs the whole quality+decontam
+    // chain — three corpus scans where one suffices. Lazy localCheckpoint:
+    // the first consumer's action materializes it, the rest read blocks.
+    val clean = cleanIn.localCheckpoint(false)
     val clusters = Dedup.clustersFromPairs(
       Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
         cfg.dedupThreshold).select(col("da"), col("db")))
