@@ -139,6 +139,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rebuilt == words)
   }
 
+  test("docChunks properties across the final-overlap band: cover, no subsets") {
+    import spark.implicits._
+    // every length band matters: <= max, == max, inside the tail overlap
+    // window (the band that once produced a chunk wholly contained in its
+    // predecessor), just past it, and multiples
+    val lengths = Seq(1, 29, 30, 31, 35, 40, 41, 60, 61, 69, 70, 71, 75, 100)
+    val docs = lengths.map(n =>
+      (n.toLong, (1 to n).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val (max, ov, stride) = (40, 10, 30)
+    val out = TextAnalysis.docChunksOn(docs, max, ov).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    lengths.foreach { n =>
+      val chunks = out(n.toLong)
+      val spans = chunks.map { r =>
+        val start = r.getInt(1) * stride
+        (start, start + r.getString(2).split(" ").length)
+      }
+      // full coverage, in order, ending exactly at n
+      assert(spans.head._1 == 0 && spans.last._2 == n, s"n=$n spans=$spans")
+      spans.sliding(2).foreach {
+        case Array((_, e1), (s2, e2)) =>
+          assert(s2 <= e1, s"n=$n gap between chunks")
+          assert(e2 > e1, s"n=$n chunk contained in predecessor")
+        case _ =>
+      }
+      // token counts column agrees with the actual chunk text
+      chunks.foreach(r =>
+        assert(r.getInt(3) == r.getString(2).split(" ").length, s"n=$n"))
+    }
+  }
+
   test("normalizeText folds case/punct/digit/space variants to one hash") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
