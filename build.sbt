@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through unprefixed: sbt's default
+// LoggedOutput prepends "[info] " to every line, which breaks any
+// consumer that parses the Bench/Verify JSON lines off stdout (the
+// driver's bench artifact recorded parsed:null in rounds 1-2 because
+// the one JSON line arrived as "[info] {...}").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

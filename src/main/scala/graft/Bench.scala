@@ -81,6 +81,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Key order is deliberate: "queries" first, headline fields LAST.
+    // The driver records only the log TAIL, so if the (long) per-query
+    // map ever pushes the line past the capture window it is the FRONT
+    // that truncates — the headline "metric"/"value"/"sf" fields at the
+    // end survive any tail cut that keeps the line's closing bytes.
+    println(s"""{"queries":$qs,"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
   }
 }
