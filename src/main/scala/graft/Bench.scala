@@ -89,8 +89,13 @@ object Bench {
       "q_dateparts", "q_guarded_rate", "q_isin_filter", "q_filter_sort",
       "q_topk", "q_latest_notnull", "q_null_audit", "q_scalar_global",
       "q_profile", "q_correlated")
-    val parity = results.collect {
-      case (k, v) if paritySet(k) && v >= 0 => v }.sum
+    // -1 (the per-query failure sentinel) if ANY parity query failed:
+    // a sum over the survivors would silently understate the subset's
+    // runtime exactly when a parity operator is broken
+    val parity =
+      if (paritySet.forall(k => results.get(k).exists(_ >= 0)))
+        results.collect { case (k, v) if paritySet(k) => v }.sum
+      else -1.0
     spark.stop()
     // Key order is deliberate: "queries" first, headline fields LAST.
     // The driver records only the log TAIL, so if the (long) per-query

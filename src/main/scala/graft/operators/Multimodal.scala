@@ -130,10 +130,18 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_hash")))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** The one extractFeatures→resizeMeta composition shared by
+    * [[mediaResize]] and [[patchGrid]], so out_width/out_height can
+    * never drift between the two query surfaces.
+    */
+  private def resized(spark: SparkSession, dir: String,
+      maxDim: Int): DataFrame =
+    resizeMeta(extractFeatures(spark, dir), maxDim)
+
   /** Query form of [[resizeMeta]] over the synthetic media table. */
   def mediaResize(spark: SparkSession, dir: String,
       maxDim: Int = 256): DataFrame =
-    resizeMeta(extractFeatures(spark, dir), maxDim).orderBy(col("doc_id"))
+    resized(spark, dir, maxDim).orderBy(col("doc_id"))
 
   /** ViT-style patch-grid planning over the resized dimensions: how many
     * `patch`×`patch` tiles each image yields, and the right/bottom
@@ -147,7 +155,7 @@ object Multimodal {
     */
   def patchGrid(spark: SparkSession, dir: String, maxDim: Int = 256,
       patch: Int = 16): DataFrame =
-    resizeMeta(extractFeatures(spark, dir), maxDim)
+    resized(spark, dir, maxDim)
       .withColumn("grid_w", expr(s"(out_width + $patch - 1) div $patch").cast("int"))
       .withColumn("grid_h", expr(s"(out_height + $patch - 1) div $patch").cast("int"))
       .select(col("doc_id"), col("out_width"), col("out_height"),

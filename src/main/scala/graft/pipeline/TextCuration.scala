@@ -123,16 +123,19 @@ object TextCuration {
     */
   private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
       cfg: Config): DataFrame =
-    keptAfterDedupFrom(decontaminated(spark, dir, cfg), cfg)
+    keptAfterDedupFrom(
+      decontaminated(spark, dir, cfg).localCheckpoint(false), cfg)
 
-  private def keptAfterDedupFrom(cleanIn: DataFrame,
+  /** Callers pass a MATERIALIZED frame (persisted or checkpointed):
+    * `clean` feeds three consumers here (the minhash pipeline, the
+    * survivor-quality join, the final anti-join), so an unmaterialized
+    * input re-runs the whole quality+decontam chain three times — three
+    * corpus scans where one suffices. [[keptAfterDedup]] checkpoints for
+    * the composed path; [[summary]] passes its persisted stage frame —
+    * exactly one storage layer either way.
+    */
+  private def keptAfterDedupFrom(clean: DataFrame,
       cfg: Config): DataFrame = {
-    // The decontaminated frame feeds THREE consumers (the minhash
-    // pipeline, the survivor-quality join, and the final anti-join);
-    // without a checkpoint each one re-runs the whole quality+decontam
-    // chain — three corpus scans where one suffices. Lazy localCheckpoint:
-    // the first consumer's action materializes it, the rest read blocks.
-    val clean = cleanIn.localCheckpoint(false)
     val clusters = Dedup.clustersFromPairs(
       Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
         cfg.dedupThreshold).select(col("da"), col("db")))
