@@ -102,6 +102,7 @@ object SparkEntry {
     "q_topk_per_key" -> ((s, dir) => Analytics.topKPerGroup(s, dir)),
     "q_cms_topk" -> ((s, dir) => Aggregates.cmsTopkAudit(s, dir)),
     "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
+    "q_temperature_mix" -> ((s, dir) => Sampling.temperatureCap(s, dir)),
     "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
     "q_tfidf" -> ((s, dir) => TextAnalysis.tfidfTop(s, dir)),
     "q_inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
@@ -1178,6 +1179,25 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, doc_id, pick FROM ranked WHERE pick <= 50
         |ORDER BY source, pick""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH sizes AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(sqrt(n_docs) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS tot_sqrt FROM sizes),
+        |caps AS (
+        |  SELECT source, n_docs,
+        |         CAST(ceil(200 * sqrt(n_docs) / tot_sqrt) AS INT) AS k_s
+        |  FROM sizes, tot),
+        |ranked AS (
+        |  SELECT source, doc_id,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |SELECT r.source, r.doc_id, r.pick, c.n_docs, c.k_s
+        |FROM ranked r JOIN caps c ON r.source = c.source
+        |WHERE r.pick <= c.k_s
+        |ORDER BY r.source, r.pick""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, source,
         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk,

@@ -133,6 +133,43 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("hk"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Temperature-balanced mixture cap: allocate a global budget of
+    * `budget` documents across sources proportional to √(source size) —
+    * the α = 0.5 temperature rule multilingual/multi-source corpora use
+    * to keep huge sources from drowning small ones without discarding
+    * the size signal entirely ("unsupervised cross-lingual
+    * representation learning at scale"-style sampling, exponentiated
+    * size weighting). Each source then keeps its top-`k_s` documents by
+    * the usual md5 priority. Everything is oracle-exact: √ is correctly
+    * rounded IEEE, the normalizing sum runs on the DECIMAL(18,6) image
+    * (order-independent), and the final cap is integer `ceil`.
+    *
+    * Scale shape: one tiny per-source aggregate (rows = #sources)
+    * broadcast back over the [[stratifiedCap]] machinery — one stratum
+    * shuffle, no global sort, mega-source cost bounded by its own cap.
+    */
+  def temperatureCap(spark: SparkSession, dir: String,
+      budget: Int = 200): DataFrame = {
+    val sizes = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val tot = sizes.agg(
+      graft.functions.Stable.dsum(sqrt(col("n_docs"))).as("tot_sqrt"))
+    val caps = sizes.crossJoin(broadcast(tot))
+      .withColumn("k_s",
+        ceil(lit(budget) * sqrt(col("n_docs")) / col("tot_sqrt")).cast("int"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("hk", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("pick", row_number().over(w))
+      .join(broadcast(caps.select(col("source"), col("n_docs"), col("k_s"))),
+        "source")
+      .filter(col("pick") <= col("k_s"))
+      .select(col("source"), col("doc_id"), col("pick"), col("n_docs"),
+        col("k_s"))
+      .orderBy(col("source"), col("pick"))
+  }
+
   /** Per-stratum cap — the "at most k documents per source/domain" rule
     * of web-scale corpus curation. Deterministic priority: md5(doc_id)
     * orders each stratum pseudo-randomly but reproducibly; row_number
