@@ -90,6 +90,35 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p) // only the ORDER BY range exchange
   }
 
+  test("quality logit and embedding quantization are narrow scan-speed maps") {
+    for (df <- Seq(TextAnalysis.qualityLogit(spark, dir),
+        Similarity.quantizeEmbeddings(spark, dir))) {
+      val p = plan(df)
+      assert("Exchange".r.findAllIn(p).size == 1, p) // only the ORDER BY
+      assert(!p.contains("Join"), p)
+    }
+  }
+
+  test("split assignment is a narrow map over the documents scan") {
+    val p = plan(Sampling.splitAssign(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("corpus drift: one count shuffle, TakeOrdered vocabulary, broadcast totals") {
+    val p = plan(TextAnalysis.corpusDrift(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k vocab, no global sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("temperature cap broadcasts the per-source caps onto the stratum window") {
+    val p = plan(Sampling.temperatureCap(spark, dir))
+    // the caps frame (rows = #sources) must come in as a broadcast, never
+    // a shuffle join against the document universe
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("decontamination broadcasts the eval shingles; corpus never shuffles") {
     val p = plan(Dedup.decontaminate(spark, dir))
     // semi-join of exploded corpus vs eval hashes AND anti-join back onto
