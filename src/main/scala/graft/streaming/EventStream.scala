@@ -353,8 +353,12 @@ object EventStream {
     * between the sketch overwrite and the checkpoint commit produces,
     * the `batchId <= stored` guard skips the already-applied counts
     * instead of double-adding them — the analogue of the CDC sink's
-    * seq >= stored-seq replay filter. Returns the started query; the
-    * caller owns its lifecycle.
+    * seq >= stored-seq replay filter. Contract fine print: batch ids are
+    * monotone within one checkpoint lineage, so restarts must reuse the
+    * checkpoint dir; pointing a FRESH checkpoint at an existing sketch
+    * reads as replay (ids restart at 0) and is deliberately ignored —
+    * rebuild into a fresh sketch path instead. Returns the started
+    * query; the caller owns its lifecycle.
     */
   def cmsMaintain(events: DataFrame, itemCol: String, sketchPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
