@@ -92,6 +92,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_quality_logit" -> ((s, dir) => TextAnalysis.qualityLogit(s, dir)),
     "q_corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(s, dir)),
+    "q_token_gini" -> ((s, dir) => TextAnalysis.tokenGini(s, dir)),
+    "q_vocab_overlap" -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
     "q_embed_centroid" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     "q_embed_quantize" -> ((s, dir) => Similarity.quantizeEmbeddings(s, dir)),
     "q_text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -640,6 +642,39 @@ object SparkEntry {
         |               / len(string_split(text, ' '))) * 1.5
         |            + least(len(string_split(text, ' ')) / 100.0, 1.0)) > 0 AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_gini" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, x,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |           ORDER BY x, doc_id) AS BIGINT) AS i
+        |  FROM d),
+        |a AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |         sum(x)::BIGINT AS total_tokens,
+        |         sum(i * x)::BIGINT AS rank_weighted
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, total_tokens,
+        |       (2 * rank_weighted - (n_docs + 1) * total_tokens)
+        |         / (n_docs * total_tokens) AS gini
+        |FROM a ORDER BY source""".stripMargin,
+    "q_vocab_overlap" ->
+      """WITH w AS (
+        |  SELECT doc_id % 2 = 0 AS in_a,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (
+        |  SELECT term,
+        |         max(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+        |  FROM w GROUP BY term)
+        |SELECT sum(a)::BIGINT AS v_a, sum(b)::BIGINT AS v_b,
+        |       sum(a * b)::BIGINT AS v_common,
+        |       sum(a * b) / (sum(a) + sum(b) - sum(a * b)) AS jaccard
+        |FROM t""".stripMargin,
     "q_corpus_drift" ->
       """WITH w AS (
         |  SELECT doc_id % 2 = 0 AS in_a,

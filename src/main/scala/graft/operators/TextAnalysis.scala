@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -408,6 +409,54 @@ object TextAnalysis {
       .select(col("doc_id"), size(t).as("n_tokens"),
         rep(2).as("rep_bigram"), rep(3).as("rep_trigram"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Token-count concentration per source (Gini coefficient) — the
+    * diversity metric corpus QA tracks per domain: 0 = every document
+    * contributes equally, →1 = a few giant documents carry the source
+    * (a length-concentration smell that skews packing and sampling).
+    * Computed from the rank formulation `(2·Σi·xᵢ − (n+1)·Σxᵢ)/(n·Σxᵢ)`
+    * over ascending token counts: every sum is exact integer arithmetic
+    * (one ranked window + one aggregation per stratum — the
+    * [[graft.operators.Sampling.stratifiedCap]] shuffle shape), and the
+    * single final division is deterministic IEEE — oracle-exact.
+    */
+  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("x"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("rank_weighted"))
+      .withColumn("gini",
+        (lit(2) * col("rank_weighted") - (col("n_docs") + 1) * col("total_tokens"))
+          / (col("n_docs") * col("total_tokens")))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("gini"))
+      .orderBy(col("source"))
+  }
+
+  /** Vocabulary overlap between two corpus snapshots (even/odd doc_id
+    * split): distinct-term counts per side, shared-term count, and their
+    * Jaccard — the cheap companion to [[corpusDrift]] (drift weighs
+    * frequency shifts; overlap catches wholesale vocabulary replacement,
+    * e.g. a language-mix regression). Two distinct-aggregations and one
+    * count — all exact, one row out.
+    */
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val terms = Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("term"))
+    terms
+      .groupBy(col("term"))
+      .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+      .agg(sum(col("a")).as("v_a"), sum(col("b")).as("v_b"),
+        sum(col("a") * col("b")).as("v_common"))
+      .withColumn("jaccard",
+        col("v_common") / (col("v_a") + col("v_b") - col("v_common")))
   }
 
   /** Corpus drift monitor: two-sample χ² over the top-k term frequencies
