@@ -140,7 +140,10 @@ object Sampling {
     * the size signal entirely ("unsupervised cross-lingual
     * representation learning at scale"-style sampling, exponentiated
     * size weighting). Each source then keeps its top-`k_s` documents by
-    * the usual md5 priority. Everything is oracle-exact: √ is correctly
+    * the usual md5 priority. Per-source `ceil` rounding means the
+    * admitted total can exceed `budget` by up to #sources − 1 rows —
+    * the usual allocation trade (floor would undershoot and starve
+    * 1-doc sources). Everything is oracle-exact: √ is correctly
     * rounded IEEE, the normalizing sum runs on the DECIMAL(18,6) image
     * (order-independent), and the final cap is integer `ceil`.
     *

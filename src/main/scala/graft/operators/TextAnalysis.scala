@@ -422,8 +422,11 @@ object TextAnalysis {
     * single final division is deterministic IEEE — oracle-exact.
     */
   def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+    // asc_nulls_last spelled out: Spark defaults NULLS FIRST ascending,
+    // DuckDB NULLS LAST — a NULL-text doc would silently shift every
+    // rank (and the gini) between the engines under the defaults
     val w = Window.partitionBy(col("source"))
-      .orderBy(col("x"), col("doc_id"))
+      .orderBy(col("x").asc_nulls_last, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("x"))
@@ -438,18 +441,25 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** The one definition of the snapshot split + tokenization shared by
+    * [[vocabOverlap]] and [[corpusDrift]] — the two metrics are only
+    * comparable while they tokenize and split identically, so the frame
+    * they both read lives in one place.
+    */
+  private def snapshotTerms(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select((col("doc_id") % 2 === 0).as("in_a"),
+        explode(split(col("text"), " ")).as("term"))
+
   /** Vocabulary overlap between two corpus snapshots (even/odd doc_id
     * split): distinct-term counts per side, shared-term count, and their
     * Jaccard — the cheap companion to [[corpusDrift]] (drift weighs
     * frequency shifts; overlap catches wholesale vocabulary replacement,
-    * e.g. a language-mix regression). Two distinct-aggregations and one
-    * count — all exact, one row out.
+    * e.g. a language-mix regression). One per-term membership
+    * aggregation plus one global sum — all exact, one row out.
     */
-  def vocabOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val terms = Tables.documents(spark, dir)
-      .select((col("doc_id") % 2 === 0).as("in_a"),
-        explode(split(col("text"), " ")).as("term"))
-    terms
+  def vocabOverlap(spark: SparkSession, dir: String): DataFrame =
+    snapshotTerms(spark, dir)
       .groupBy(col("term"))
       .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
         max(when(!col("in_a"), 1).otherwise(0)).as("b"))
@@ -457,7 +467,6 @@ object TextAnalysis {
         sum(col("a") * col("b")).as("v_common"))
       .withColumn("jaccard",
         col("v_common") / (col("v_a") + col("v_b") - col("v_common")))
-  }
 
   /** Corpus drift monitor: two-sample χ² over the top-k term frequencies
     * of two corpus snapshots (here the even/odd doc_id split standing in
@@ -475,10 +484,7 @@ object TextAnalysis {
     * per ingest batch at any corpus size.
     */
   def corpusDrift(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select((col("doc_id") % 2 === 0).as("in_a"),
-        explode(split(col("text"), " ")).as("term"))
-    val counts = words.groupBy(col("term"))
+    val counts = snapshotTerms(spark, dir).groupBy(col("term"))
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
     val totals = counts.agg(sum(col("n_a")).as("t_a"), sum(col("n_b")).as("t_b"))
