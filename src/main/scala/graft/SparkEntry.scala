@@ -129,7 +129,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
-    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
@@ -717,8 +717,11 @@ object SparkEntry {
         |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
         |  FROM v)
         |SELECT vec_id, nrm,
-        |       list_transform(v, x -> CAST(greatest(-127, least(127,
-        |         floor(x / nullif(nrm, 0) * 127))) AS INT)) AS qv
+        |       CASE WHEN nrm = 0 THEN NULL
+        |            ELSE array_to_string(list_transform(v, x ->
+        |              CAST(CAST(greatest(-127, least(127,
+        |                floor(x / nrm * 127))) AS INT) AS VARCHAR)), ',')
+        |       END AS qv
         |FROM n ORDER BY vec_id""".stripMargin,
     "q_text_langid" ->
       """WITH s AS (
@@ -1392,6 +1395,12 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY da, db""".stripMargin,
+    // q_minhash_join: probabilistic oracle — the Spark side emits only
+    // LSH band-collision candidates while this twin is an exact
+    // cross-join Jaccard, so Spark can legitimately miss a pair the
+    // oracle finds (~1.5e-4 per pair at j = 0.7). It is deterministic on
+    // the fixed testdata; a data regeneration or threshold change can
+    // flip hash_match without a code bug (same caveat as q_cms_topk).
     "q_minhash_join" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -1434,14 +1443,29 @@ object SparkEntry {
         |ORDER BY da, db""".stripMargin,
     // q_dedup_simhash: no oracle — xxhash64 has no DuckDB equivalent
     //                  (driver records rows-only check).
+    // q_dedup_embedding: Spark side is LSH-candidate-based, oracle is
+    // exact all-pairs — a probabilistic oracle (see
+    // Dedup.embeddingNearDupPlanted's caveat; per-planted-pair miss
+    // probability < 1e-12 and the data is fixed, so it is deterministic
+    // in practice). Planted rows (vec_id % 25 == 0, first component
+    // ×1.01, re-keyed +1,000,000) exist on BOTH engines so the ≥0.95
+    // result is non-empty and the recall path is oracle-exercised.
     "q_dedup_embedding" ->
-      """WITH v AS (
+      """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(range(1, len(v)+1),
+        |           i -> CASE WHEN i = 1 THEN v[i] * CAST(1.01 AS DOUBLE)
+        |                     ELSE v[i] END)
+        |  FROM base WHERE vec_id % 25 = 0),
         |n AS (
         |  SELECT vec_id, v,
         |         sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
-        |  FROM v),
+        |  FROM aug),
         |pairs AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb,
         |         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))

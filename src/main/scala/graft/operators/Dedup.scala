@@ -566,6 +566,34 @@ object Dedup {
       threshold: Double = 0.95): DataFrame =
     embeddingNearDupOn(Tables.embeddings(spark, dir), threshold)
 
+  /** [[embeddingNearDup]] with deterministic planted near-dups: every
+    * 25th vector is unioned back in under vec_id + 1,000,000 with its
+    * first component scaled by 1.01 (cosine to its source ≈ 1 − 1e-5).
+    * The natural corpus has no pair above cos ≈ 0.48, so without the
+    * plants the ≥0.95 result is empty and the oracle would verify only
+    * the zero-row case; the plants exercise the full LSH recall path on
+    * both engines.
+    *
+    * Probabilistic-oracle caveat (same class as q_minhash_join): the
+    * Spark side is LSH-candidate-based while the DuckDB twin is exact
+    * all-pairs, so a planted pair the multi-probe bands miss would flip
+    * the row/hash match without a code bug. At cos ≈ 1 − 1e-5 the
+    * per-pair miss probability is < 1e-12 (p_bit ≈ 0.9986, four 16-bit
+    * bands + 1-bit probes), and the data is fixed, so the comparison is
+    * deterministic in practice.
+    */
+  def embeddingNearDupPlanted(spark: SparkSession, dir: String,
+      threshold: Double = 0.95): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("embedding"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x * lit(1.01)).otherwise(x)).as("embedding"))
+    embeddingNearDupOn(base.unionByName(planted), threshold,
+      multiProbe = true)
+  }
+
   /** Same, over any (vec_id, embedding array<float|double>) frame —
     * unit-testable with planted duplicates.
     *

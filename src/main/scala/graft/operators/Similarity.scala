@@ -214,17 +214,25 @@ object Similarity {
     */
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     val v = vecD(col("embedding"))
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), v.as("v"), norm(v).as("nrm"))
-      // nullif guards the all-zero vector: x/0 is NaN, and NaN ordering
-      // differs between engines (Spark floor(NaN)→0 vs DuckDB
-      // least-is-NaN→127) — NULL elements propagate identically instead,
-      // marking the degenerate row rather than silently mis-quantizing it
+    quantize(Tables.embeddings(spark, dir).select(col("vec_id"), v.as("v")))
+  }
+
+  /** Int8-quantize (vec_id, v: array<double>) rows to (vec_id, nrm, qv).
+    *
+    * qv is the comma-joined quantized vector, not an array column: the
+    * verification harness hashes cell values and array cells break it.
+    * The zero-norm vector is gated up front with qv = NULL — gating
+    * per-element would not work, because least/greatest silently SKIP
+    * NULL arguments (Spark and DuckDB both), so a NULL element would
+    * quantize to the clamp bound instead of propagating.
+    */
+  private[operators] def quantize(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
       .select(col("vec_id"), col("nrm"),
-        transform(col("v"), x =>
-          greatest(lit(-127), least(lit(127),
-            floor(x / nullif(col("nrm"), lit(0.0)) * 127).cast("int"))))
+        when(col("nrm") === 0, lit(null).cast("string")).otherwise(
+          array_join(transform(col("v"), x =>
+            greatest(lit(-127), least(lit(127),
+              floor(x / col("nrm") * 127).cast("int"))).cast("string")), ","))
           .as("qv"))
       .orderBy(col("vec_id"))
-  }
 }

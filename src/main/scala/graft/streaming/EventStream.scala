@@ -377,8 +377,13 @@ object EventStream {
             if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
               Some(spark.read.parquet(sketchPath).localCheckpoint(true))
             else None
-          val alreadyApplied = stored.exists(
-            _.select(max(col("batch_id"))).head.getLong(0) >= batchId)
+          // max() over zero rows is NULL (an interrupted overwrite can
+          // leave part files with no rows) — read it boxed and treat
+          // null as "no sketch yet" so the restart rebuilds instead of
+          // throwing NPE on every retry
+          val alreadyApplied = stored.exists(s =>
+            Option(s.select(max(col("batch_id"))).head.get(0))
+              .exists(_.asInstanceOf[Long] >= batchId))
           if (!alreadyApplied) {
             val merged = stored match {
               case Some(s) => s.unionAll(batchSk)

@@ -30,6 +30,18 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall(nprobe = 16) == 1.0)
   }
 
+  test("quantization clamps to [-127,127] and NULLs the zero-norm vector") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(3.0, 4.0)),       // nrm 5 -> floor(0.6*127)=76, floor(0.8*127)=101
+      (1L, Seq(0.0, 0.0)),       // zero norm -> qv NULL, not all-127
+      (2L, Seq(-1.0, 0.0))       // floor(-127.0) = -127 stays in range
+    ).toDF("vec_id", "v")
+    val out = Similarity.quantize(emb).collect()
+    assert(out.map(r => (r.getLong(0), r.getAs[String]("qv"))).toSeq ==
+      Seq((0L, "76,101"), (1L, null), (2L, "-127,0")))
+  }
+
   test("recall grows monotonically with nprobe and the default is usable") {
     val r1 = recall(nprobe = 1)
     val r4 = recall(nprobe = 4)
