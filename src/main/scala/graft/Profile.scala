@@ -82,6 +82,18 @@ object Profile {
     t("minhash_join_10x")(Dedup.minhashJoinOn(
       docs10.filter(col("doc_id") % 20 === 0),
       docs10.filter(col("doc_id") % 20 =!= 0), 0.7).count())
+
+    // Round-3 analytics/pipeline ops at 10x: the composed 5-stage
+    // curation (its CC loop sees the much denser replicated-dup graph),
+    // PageRank over that same dense pair graph, and the per-source
+    // token-Gini stratum shuffle.
+    t("curation_10x")(
+      graft.pipeline.TextCuration.runOn(docs10).count())
+    t("pagerank_10x")(graft.operators.Graph.pageRank(
+      Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")),
+      "da", "db").count())
+    t("token_gini_10x")(
+      graft.operators.TextAnalysis.tokenGiniOn(docs10).count())
     val li10 = rep10(graft.sources.Tables.lineitem(spark, dir),
       "l_orderkey", 100000000L)
     t("cms_build_10x") {

@@ -54,6 +54,7 @@ object SparkEntry {
     "q_doc_chunks" -> ((s, dir) => TextAnalysis.docChunks(s, dir)),
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
     "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
+    "q_hll_exact" -> ((s, dir) => Aggregates.hllRollupExact(s, dir)),
     "q_zvalue" -> ((s, dir) => Scalars.zvalues(s, dir)),
     "q_date_spine" -> ((s, dir) => Analytics.dateSpine(s, dir)),
     "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
@@ -103,6 +104,7 @@ object SparkEntry {
     "q_split_assign" -> ((s, dir) => Sampling.splitAssign(s, dir)),
     "q_topk_per_key" -> ((s, dir) => Analytics.topKPerGroup(s, dir)),
     "q_cms_topk" -> ((s, dir) => Aggregates.cmsTopkAudit(s, dir)),
+    "q_cms_exact" -> ((s, dir) => Aggregates.cmsTopkExact(s, dir)),
     "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
     "q_temperature_mix" -> ((s, dir) => Sampling.temperatureCap(s, dir)),
     "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
@@ -1223,10 +1225,19 @@ object SparkEntry {
         |tot AS (
         |  SELECT CAST(sum(CAST(sqrt(n_docs) AS DECIMAL(18,6))) AS DOUBLE)
         |    AS tot_sqrt FROM sizes),
+        |raw AS (
+        |  SELECT source, n_docs,
+        |         CAST(floor(200 * sqrt(n_docs) / tot_sqrt) AS INT) AS fl,
+        |         200 * sqrt(n_docs) / tot_sqrt
+        |           - floor(200 * sqrt(n_docs) / tot_sqrt) AS frac
+        |  FROM sizes, tot),
+        |fsum AS (SELECT sum(fl) AS fl_tot FROM raw),
         |caps AS (
         |  SELECT source, n_docs,
-        |         CAST(ceil(200 * sqrt(n_docs) / tot_sqrt) AS INT) AS k_s
-        |  FROM sizes, tot),
+        |         CAST(fl + CASE WHEN row_number()
+        |             OVER (ORDER BY frac DESC, source) <= 200 - fl_tot
+        |           THEN 1 ELSE 0 END AS INT) AS k_s
+        |  FROM raw, fsum),
         |ranked AS (
         |  SELECT source, doc_id,
         |         row_number() OVER (PARTITION BY source
@@ -1257,6 +1268,19 @@ object SparkEntry {
     // q_cms_topk: no oracle — the wrapping 64-bit fmix hash has no
     //             DuckDB twin (BIGINT multiply overflow errors there);
     //             golden-pinned + CountMinSpec invariants instead.
+    //             Its exact-audit half IS oracle-checked as q_cms_exact.
+    "q_cms_exact" ->
+      """SELECT l_partkey, count(*) AS n_exact
+        |FROM lineitem GROUP BY l_partkey
+        |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
+    // q_hll_rollup: no oracle — the DataSketches HLL binary has no DuckDB
+    //               twin; golden-pinned. Its exact-distinct ground truth
+    //               IS oracle-checked as q_hll_exact.
+    "q_hll_exact" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       count(DISTINCT o_custkey) AS exact_customers
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "q_quartile_bucket" ->
       """WITH cuts AS (
         |  SELECT o_orderstatus,

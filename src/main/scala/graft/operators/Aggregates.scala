@@ -347,4 +347,26 @@ object Aggregates {
       .withColumn("overcount", col("n_est") - col("n_exact"))
       .orderBy(col("n_exact").desc, col("l_partkey"))
   }
+
+  /** Exact half of [[cmsTopkAudit]], split out so it is oracle-checkable:
+    * the top-k part keys by exact count. The sketch estimate columns have
+    * no SQL twin and stay golden-pinned in q_cms_topk; this query puts the
+    * ground-truth side under the DuckDB hash gate.
+    */
+  def cmsTopkExact(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    Tables.lineitem(spark, dir).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey")).limit(k)
+
+  /** Exact half of [[hllRollup]], split out so it is oracle-checkable:
+    * per-status exact distinct customers and row counts. The rollup keeps
+    * the mergeable-sketch path for 100 TB (a `count(DISTINCT)` shuffles
+    * every key; the sketch moves 32 KB per cell) — this is the
+    * ground-truth image the estimate is audited against at test SF.
+    */
+  def hllRollupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_custkey")).as("exact_customers"))
+      .orderBy(col("o_orderstatus"))
 }

@@ -8,13 +8,15 @@ import graft.sources.Tables
   * `binary` columns with typed metadata, processed by typed batch
   * functions.
   *
-  * The actual codecs are NOT in this environment, so the decode step is a
-  * clearly-marked deterministic STUB (fake dimensions derived from the
-  * payload). Everything around it is real and tested: the binary column
+  * Dimension decode is real for the formats a dependency-free JVM parser
+  * can handle (BMP and the PNM P1–P6 family — see [[decodeDims]]); for
+  * formats whose codecs are not in this environment (JPEG etc.) it falls
+  * back to a clearly-marked deterministic stand-in derived from the
+  * payload. Everything around it is real and tested: the binary column
   * schema, the typed `Dataset` encoding, the `mapPartitions` batch shape
   * (one iterator per partition — the JVM analog of a batched
-  * `mapInPandas`), frame sampling, and per-frame hashing. Swapping
-  * `decodeDims` for a real codec changes no plan shape.
+  * `mapInPandas`), frame sampling, and per-frame hashing. Swapping in
+  * further codecs changes no plan shape.
   *
   * Scale: feature extraction is a narrow per-partition map over the blob
   * column — no shuffle; the blob column never routes through a join or
@@ -38,11 +40,64 @@ object Multimodal {
         .otherwise("video").as("media_type"),
       col("text").cast("binary").as("blob"))
 
-  /** STUB decoder — deterministic fake dimensions in place of a real
-    * image/audio codec (not available in this container).
+  /** Decode (width, height) from the payload header for the formats a
+    * dependency-free JVM parser can handle — BMP (both the 12-byte
+    * BITMAPCOREHEADER and the 40+-byte BITMAPINFOHEADER families) and
+    * the PNM text/binary family (P1–P6: PBM/PGM/PPM, ASCII dims with
+    * `#` comments) — falling back to the deterministic stand-in for
+    * payloads whose codecs are not in this environment (JPEG etc.).
+    * The fallback is clearly fake (derived from byte length) but
+    * stable, keeping the plumbing testable end to end.
     */
   private[operators] def decodeDims(blob: Array[Byte]): (Int, Int) =
-    (64 + blob.length % 577, 64 + (blob.length * 31) % 431)
+    decodeBmp(blob).orElse(decodePnm(blob)).getOrElse(
+      (64 + blob.length % 577, 64 + (blob.length * 31) % 431))
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+
+  /** BMP header parse: "BM" magic, then the DIB header size at offset 14
+    * selects the dimension encoding — 16-bit in BITMAPCOREHEADER (size
+    * 12), 32-bit signed in the BITMAPINFOHEADER family (size ≥ 40, where
+    * negative height means top-down row order, so |height|).
+    */
+  private[operators] def decodeBmp(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 26 || b(0) != 'B' || b(1) != 'M') None
+    else leInt(b, 14) match {
+      case 12 => Some((leShort(b, 18), leShort(b, 20)))
+      case sz if sz >= 40 => Some((leInt(b, 18), math.abs(leInt(b, 22))))
+      case _ => None
+    }
+  }
+
+  /** PNM header parse: "P1".."P6" magic, then width and height as ASCII
+    * integers separated by whitespace, with `#`-to-end-of-line comments
+    * allowed anywhere whitespace is.
+    */
+  private[operators] def decodePnm(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 2 || b(0) != 'P' || b(1) < '1' || b(1) > '6') None
+    else {
+      var i = 2
+      def nextInt(): Option[Int] = {
+        var skipping = true
+        while (skipping && i < b.length) {
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else if (b(i).toChar.isWhitespace) i += 1
+          else skipping = false
+        }
+        val start = i
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') i += 1
+        if (i > start && i - start <= 9)
+          Some(new String(b, start, i - start, "US-ASCII").toInt)
+        else None
+      }
+      for (w <- nextInt(); h <- nextInt()) yield (w, h)
+    }
+  }
 
   /** FNV-1a 64-bit over a byte range — dependency-free frame hash. */
   private[operators] def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
@@ -73,7 +128,8 @@ object Multimodal {
       .load(path)
       .select(
         xxhash64(col("path")).as("doc_id"),
-        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp"), "image")
+        when(ext.isin("jpg", "jpeg", "png", "gif", "bmp", "ppm", "pgm",
+            "pbm"), "image")
           .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
           .when(ext.isin("mp4", "mkv", "avi", "webm"), "video")
           .otherwise("bin").as("media_type"),

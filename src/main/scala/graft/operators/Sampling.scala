@@ -140,16 +140,23 @@ object Sampling {
     * the size signal entirely ("unsupervised cross-lingual
     * representation learning at scale"-style sampling, exponentiated
     * size weighting). Each source then keeps its top-`k_s` documents by
-    * the usual md5 priority. Per-source `ceil` rounding means the
-    * admitted total can exceed `budget` by up to #sources − 1 rows —
-    * the usual allocation trade (floor would undershoot and starve
-    * 1-doc sources). Everything is oracle-exact: √ is correctly
-    * rounded IEEE, the normalizing sum runs on the DECIMAL(18,6) image
-    * (order-independent), and the final cap is integer `ceil`.
+    * the usual md5 priority.
+    *
+    * Caps use largest-remainder rounding: floor every share, then hand
+    * the residual `budget − Σfloor` (< #sources) out one row each to the
+    * largest fractional parts, ties to the lexicographically first
+    * source. Unlike per-source `ceil` (which overshoots by up to
+    * #sources − 1), Σ k_s == budget exactly — the admitted total equals
+    * the budget whenever every source can fill its cap. Everything is
+    * oracle-exact: √ is correctly rounded IEEE, the normalizing sum runs
+    * on the DECIMAL(18,6) image (order-independent), and the remainder
+    * ranking is a total order on (frac DESC, source).
     *
     * Scale shape: one tiny per-source aggregate (rows = #sources)
     * broadcast back over the [[stratifiedCap]] machinery — one stratum
     * shuffle, no global sort, mega-source cost bounded by its own cap.
+    * The two windows used to allocate the residual run on the caps
+    * frame (rows = #sources), never the corpus.
     */
   def temperatureCap(spark: SparkSession, dir: String,
       budget: Int = 200): DataFrame = {
@@ -157,9 +164,17 @@ object Sampling {
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val tot = sizes.agg(
       graft.functions.Stable.dsum(sqrt(col("n_docs"))).as("tot_sqrt"))
-    val caps = sizes.crossJoin(broadcast(tot))
-      .withColumn("k_s",
-        ceil(lit(budget) * sqrt(col("n_docs")) / col("tot_sqrt")).cast("int"))
+    val raw = sizes.crossJoin(broadcast(tot))
+      .withColumn("raw", lit(budget) * sqrt(col("n_docs")) / col("tot_sqrt"))
+      .withColumn("fl", floor(col("raw")).cast("int"))
+      .withColumn("frac", col("raw") - floor(col("raw")))
+    val flTot = raw.agg(sum(col("fl")).as("fl_tot"))
+    val caps = raw.crossJoin(broadcast(flTot))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("frac").desc, col("source"))))
+      .withColumn("k_s", (col("fl") +
+        when(col("rk") <= lit(budget.toLong) - col("fl_tot"), 1)
+          .otherwise(0)).cast("int"))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("hk"), col("doc_id"))
     Tables.documents(spark, dir)

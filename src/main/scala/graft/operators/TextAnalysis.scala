@@ -421,13 +421,16 @@ object TextAnalysis {
     * [[graft.operators.Sampling.stratifiedCap]] shuffle shape), and the
     * single final division is deterministic IEEE — oracle-exact.
     */
-  def tokenGini(spark: SparkSession, dir: String): DataFrame = {
+  def tokenGini(spark: SparkSession, dir: String): DataFrame =
+    tokenGiniOn(Tables.documents(spark, dir))
+
+  def tokenGiniOn(docs: DataFrame): DataFrame = {
     // asc_nulls_last spelled out: Spark defaults NULLS FIRST ascending,
     // DuckDB NULLS LAST — a NULL-text doc would silently shift every
     // rank (and the gini) between the engines under the defaults
     val w = Window.partitionBy(col("source"))
       .orderBy(col("x").asc_nulls_last, col("doc_id"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("x"))
       .withColumn("i", row_number().over(w).cast("long"))

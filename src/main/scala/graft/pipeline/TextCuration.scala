@@ -41,8 +41,14 @@ object TextCuration {
     * row per surviving document, packed into training sequences.
     */
   def run(spark: SparkSession, dir: String,
-      cfg: Config = Config()): DataFrame = {
-    val kept = keptAfterCap(spark, dir, cfg)
+      cfg: Config = Config()): DataFrame =
+    runOn(Tables.documents(spark, dir), cfg)
+
+  /** [[run]] over any documents-shaped frame — the same pipeline runs on
+    * the table fixture and on the Profile stress corpus.
+    */
+  def runOn(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val kept = keptAfterCapFrom(keptAfterDedupOn(docs, cfg), cfg)
     // pack survivors within each lang shard (same shape as
     // Sampling.tokenPack, over the curated frame)
     val w = org.apache.spark.sql.expressions.Window
@@ -68,11 +74,12 @@ object TextCuration {
   def summary(spark: SparkSession, dir: String,
       cfg: Config = Config()): DataFrame = {
     import spark.implicits._
-    val qualityDf = qualityGate(spark, dir, cfg).persist()
-    val cleanDf = decontaminatedFrom(spark, dir, qualityDf, cfg).persist()
+    val docs = Tables.documents(spark, dir)
+    val qualityDf = qualityGateOn(docs, cfg).persist()
+    val cleanDf = decontaminatedOn(docs, qualityDf, cfg).persist()
     val dedupDf = keptAfterDedupFrom(cleanDf, cfg).persist()
     try {
-      val input = Tables.documents(spark, dir).count()
+      val input = docs.count()
       val quality = qualityDf.count()
       val clean = cleanDf.count()
       val deduped = dedupDf.count()
@@ -86,9 +93,12 @@ object TextCuration {
 
   /** Stage 1: quality gate over (doc_id, source, lang, n_tokens). */
   private[pipeline] def qualityGate(spark: SparkSession, dir: String,
-      cfg: Config): DataFrame = {
+      cfg: Config): DataFrame =
+    qualityGateOn(Tables.documents(spark, dir), cfg)
+
+  private def qualityGateOn(docs: DataFrame, cfg: Config): DataFrame = {
     val t = split(col("text"), " ")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"), col("lang"), col("text"),
         size(t).as("n_tokens"),
         (size(array_distinct(t)) / size(t)).as("distinct_ratio"))
@@ -104,15 +114,16 @@ object TextCuration {
     * membership.
     */
   private[pipeline] def decontaminated(spark: SparkSession, dir: String,
-      cfg: Config): DataFrame =
-    decontaminatedFrom(spark, dir, qualityGate(spark, dir, cfg), cfg)
+      cfg: Config): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    decontaminatedOn(docs, qualityGateOn(docs, cfg), cfg)
+  }
 
-  private def decontaminatedFrom(spark: SparkSession, dir: String,
+  private def decontaminatedOn(docs: DataFrame,
       quality: DataFrame, cfg: Config): DataFrame =
     Dedup.decontaminateOn(
       quality.filter(col("doc_id") % Dedup.EvalModulus =!= 0),
-      Tables.documents(spark, dir)
-        .filter(col("doc_id") % Dedup.EvalModulus === 0),
+      docs.filter(col("doc_id") % Dedup.EvalModulus === 0),
       cfg.decontamK)
 
   /** Stage 3: retire every near-dup cluster member except its canonical
@@ -123,8 +134,12 @@ object TextCuration {
     */
   private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
       cfg: Config): DataFrame =
+    keptAfterDedupOn(Tables.documents(spark, dir), cfg)
+
+  private def keptAfterDedupOn(docs: DataFrame, cfg: Config): DataFrame =
     keptAfterDedupFrom(
-      decontaminated(spark, dir, cfg).localCheckpoint(false), cfg)
+      decontaminatedOn(docs, qualityGateOn(docs, cfg), cfg)
+        .localCheckpoint(false), cfg)
 
   /** Callers pass a MATERIALIZED frame (persisted or checkpointed):
     * `clean` feeds three consumers here (the minhash pipeline, the

@@ -12,12 +12,35 @@ import graft.TestSpark
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  /** A minimal binary PPM (P6): 3×2 RGB, header with a comment line. */
+  private def ppmBytes(w: Int = 3, h: Int = 2): Array[Byte] = {
+    val header = s"P6\n# synthetic test image\n$w $h\n255\n"
+    header.getBytes("US-ASCII") ++ Array.fill[Byte](w * h * 3)(42)
+  }
+
+  /** A minimal BITMAPINFOHEADER BMP: w×h 24-bit, rows padded to 4 bytes. */
+  private def bmpBytes(w: Int = 5, h: Int = 4): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val pixelBytes = rowBytes * h
+    val buf = java.nio.ByteBuffer.allocate(54 + pixelBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putInt(0).putInt(54)                 // reserved, pixel offset
+      .putInt(40).putInt(w).putInt(h)       // DIB size, width, height
+      .putShort(1).putShort(24)             // planes, bpp
+      .putInt(0).putInt(pixelBytes)         // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.array()                             // pixels stay zeroed
+  }
+
   private lazy val mediaDir: String = {
     val d = Files.createTempDirectory("graft_media")
     Files.write(d.resolve("a.jpg"), Array[Byte](1, 2, 3, 4, 5))
     Files.write(d.resolve("b.wav"), Array.tabulate[Byte](300)(_.toByte))
     Files.write(d.resolve("c.mp4"), Array[Byte](9, 8, 7))
     Files.write(d.resolve("notes.txt"), "not media".getBytes("UTF-8"))
+    Files.write(d.resolve("img.ppm"), ppmBytes())
+    Files.write(d.resolve("img.bmp"), bmpBytes())
     d.toString
   }
 
@@ -27,13 +50,48 @@ class MultimodalSpec extends AnyFunSuite {
         (r.getString(1), r.getAs[Array[Byte]](2).length)).toMap
     assert(got == Map(
       "a.jpg" -> ("image", 5), "b.wav" -> ("audio", 300),
-      "c.mp4" -> ("video", 3), "notes.txt" -> ("bin", 9)))
+      "c.mp4" -> ("video", 3), "notes.txt" -> ("bin", 9),
+      "img.ppm" -> ("image", ppmBytes().length),
+      "img.bmp" -> ("image", bmpBytes().length)))
   }
 
   test("pathGlobFilter prunes non-matching files at listing time") {
     val imgs = Multimodal.fromBinaryFiles(spark, mediaDir, "*.jpg")
     assert(imgs.count() == 1)
     assert(imgs.head().getString(1) == "image")
+  }
+
+  test("PPM and BMP headers decode to real dimensions end to end") {
+    import spark.implicits._
+    val records = Multimodal.fromBinaryFiles(spark, mediaDir, "img.*")
+      .select(col("doc_id"), col("media_type"), col("blob"), col("path"))
+    val byPath = records.collect().map(r =>
+      Paths.get(r.getString(3)).getFileName.toString -> r.getLong(0)).toMap
+    val dims = Multimodal.extractFeaturesOn(
+        records.drop("path").as[Multimodal.MediaRecord])
+      .collect().map(f => f.doc_id -> (f.width, f.height)).toMap
+    assert(dims(byPath("img.ppm")) == ((3, 2)))
+    assert(dims(byPath("img.bmp")) == ((5, 4)))
+  }
+
+  test("header decoders handle comments, core headers, and reject junk") {
+    // PGM (P5) with dims split across lines and multiple comments
+    val pgm = "P5\n#c1\n 17\n#c2\n29\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](17 * 29)(7)
+    assert(Multimodal.decodePnm(pgm).contains((17, 29)))
+    // BITMAPCOREHEADER: 16-bit dims at offsets 18/20
+    val core = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+      .putInt(12).putShort(640).putShort(480).array()
+    assert(Multimodal.decodeBmp(core).contains((640, 480)))
+    // text payloads (the synthetic media table) must NOT decode: the
+    // deterministic fallback stays in effect for them
+    val text = "Plain document text".getBytes("UTF-8")
+    assert(Multimodal.decodeBmp(text).isEmpty)
+    assert(Multimodal.decodePnm(text).isEmpty)
+    assert(Multimodal.decodeDims(text) ==
+      ((64 + text.length % 577, 64 + (text.length * 31) % 431)))
   }
 
   test("ingested files flow through the typed feature extractor") {

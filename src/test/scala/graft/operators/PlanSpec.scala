@@ -192,4 +192,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
   }
+
+  test("composed curation reads the documents table a bounded number of times") {
+    // TextCuration.keptAfterDedupFrom's contract: the quality+decontam
+    // chain is checkpointed before feeding its three dedup-stage
+    // consumers, so the downstream plan scans the checkpoint RDD, NOT the
+    // documents parquet. The file scans that remain are the chain itself:
+    // the quality-gate scan, the eval-split scan, and the decontamination
+    // anti-join's re-read of its train side — a fixed count, independent
+    // of how many consumers the dedup stage adds. An unmaterialized chain
+    // would multiply quality+decontam (and its joins) per consumer and
+    // this count would jump.
+    val p = plan(graft.pipeline.TextCuration.run(spark, dir))
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 4, s"documents scanned $docScans times:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      "expected the checkpointed decontam frame in the plan:\n" + p)
+  }
 }

@@ -27,6 +27,15 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("temperature cap admits exactly the budget (largest-remainder caps)") {
+    // every source at sf0.001 has far more docs than its cap, so the
+    // admitted total must hit the budget exactly — no ceil overshoot
+    for (budget <- Seq(37, 100, 200)) {
+      val out = Sampling.temperatureCap(spark, dir, budget = budget)
+      assert(out.count() == budget, s"budget $budget")
+    }
+  }
+
   test("weighted systematic sample covers every step multiple exactly once; " +
       "heavy docs always kept") {
     import org.apache.spark.sql.functions._
