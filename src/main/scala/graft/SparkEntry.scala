@@ -92,6 +92,12 @@ object SparkEntry {
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "q_quality_logit" -> ((s, dir) => TextAnalysis.qualityLogit(s, dir)),
+    "q_gopher_rules" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+    "q_top_ngram" -> ((s, dir) => TextAnalysis.topNgramShare(s, dir)),
+    "q_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir)),
+    "q_score_calibrate" -> ((s, dir) => TextAnalysis.calibrateScores(s, dir)),
+    "q_domain_mix" -> ((s, dir) => Sampling.domainMixWeights(s, dir)),
+    "q_ann_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(s, dir)),
     "q_token_gini" -> ((s, dir) => TextAnalysis.tokenGini(s, dir)),
     "q_vocab_overlap" -> ((s, dir) => TextAnalysis.vocabOverlap(s, dir)),
@@ -644,6 +650,113 @@ object SparkEntry {
         |               / len(string_split(text, ' '))) * 1.5
         |            + least(len(string_split(text, ' ')) / 100.0, 1.0)) > 0 AS keep
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |    (length(text) - len(string_split(text,' ')) + 1)
+        |      / len(string_split(text,' ')) AS mean_word_len,
+        |    len(list_distinct(string_split(text,' ')))
+        |      / len(string_split(text,' ')) AS distinct_ratio,
+        |    CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT)
+        |      + CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS INT)
+        |      + CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','que','los','las','una','por'))) AS INT)
+        |      + CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une','est','dans'))) AS INT) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, mean_word_len, stop_hits,
+        |       n_tokens >= 20 AND n_tokens <= 2000 AS ok_len,
+        |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+        |       distinct_ratio >= 0.3 AS ok_diversity,
+        |       stop_hits >= 2 AS ok_stop,
+        |       (n_tokens >= 20 AND n_tokens <= 2000)
+        |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |         AND distinct_ratio >= 0.3 AND stop_hits >= 2 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_top_ngram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        |cnts AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+        |best AS (
+        |  SELECT doc_id, bg AS top_bigram, cnt,
+        |         row_number() OVER (PARTITION BY doc_id
+        |           ORDER BY cnt DESC, bg) AS rn
+        |  FROM cnts)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS INT) AS n_tokens, b.top_bigram,
+        |       COALESCE(b.cnt, 0) AS top_count,
+        |       COALESCE(2.0 * b.cnt / len(tk.t), 0.0) AS top_share
+        |FROM tk LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+        |  ON tk.doc_id = b.doc_id
+        |ORDER BY tk.doc_id""".stripMargin,
+    "q_token_rarity" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY term),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total_tokens FROM tf),
+        |agg AS (
+        |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         CAST(sum(t.tf) AS BIGINT) AS freq_sum
+        |  FROM ex e JOIN tf t ON e.term = t.term GROUP BY e.doc_id)
+        |SELECT doc_id, n_tokens, freq_sum,
+        |       freq_sum / (n_tokens * total_tokens) AS commonness
+        |FROM agg, tot ORDER BY doc_id""".stripMargin,
+    "q_score_calibrate" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         -2.0 + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * 3.0
+        |              + (len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |                 / len(string_split(text, ' '))) * 1.5
+        |              + least(len(string_split(text, ' ')) / 100.0, 1.0) AS logit
+        |  FROM documents)
+        |SELECT doc_id, source, logit,
+        |       percent_rank() OVER (PARTITION BY source
+        |         ORDER BY logit, doc_id) AS pctl
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH sizes AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (
+        |  SELECT CAST(sum(CAST(sqrt(n_tokens) AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS tot_sqrt FROM sizes)
+        |SELECT source, n_docs, n_tokens, sqrt(n_tokens) / tot_sqrt AS weight
+        |FROM sizes, tot ORDER BY source""".stripMargin,
+    "q_ann_negatives" ->
+      """WITH e AS (
+        |  SELECT label, CAST(i - 1 AS INT) AS pos,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (
+        |  SELECT label, pos,
+        |         CASE WHEN count(x) > 0
+        |              THEN CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x) END AS dim_mean
+        |  FROM e GROUP BY label, pos),
+        |cv AS (
+        |  SELECT label AS anchor_label, list(dim_mean ORDER BY pos) AS cv
+        |  FROM c GROUP BY label),
+        |scored AS (
+        |  SELECT cv.anchor_label, v.vec_id, v.label,
+        |         list_sum(list_transform(range(1, len(cv.cv)+1),
+        |           i -> CAST(v.embedding[i] AS DOUBLE) * cv.cv[i]))
+        |         / (sqrt(list_sum(list_transform(range(1, len(v.embedding)+1),
+        |              i -> CAST(v.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(range(1, len(cv.cv)+1),
+        |              i -> cv.cv[i]*cv.cv[i])))) AS cos
+        |  FROM embeddings v, cv
+        |  WHERE v.label <> cv.anchor_label),
+        |ranked AS (
+        |  SELECT anchor_label, vec_id, label, cos,
+        |         row_number() OVER (PARTITION BY anchor_label
+        |           ORDER BY cos DESC, vec_id) AS rank
+        |  FROM scored)
+        |SELECT anchor_label, CAST(rank AS INT) AS rank, vec_id, label, cos
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY anchor_label, rank""".stripMargin,
     "q_token_gini" ->
       """WITH d AS (
         |  SELECT source, doc_id,

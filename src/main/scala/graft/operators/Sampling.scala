@@ -205,4 +205,28 @@ object Sampling {
       .select(col("source"), col("doc_id"), col("pick"))
       .orderBy(col("source"), col("pick"))
   }
+
+  /** Domain mixing weights from token mass (DoReMi-lite): per-source
+    * token totals exponentiated by α = 0.5, normalized to a sampling
+    * distribution — the per-DOMAIN analog of [[temperatureCap]]'s
+    * per-document caps, and the number a training loader consumes
+    * directly ("sample source s with probability w_s"). Token totals
+    * are exact integer sums; √ is correctly-rounded IEEE; the
+    * normalizer runs on the DECIMAL(18,6) image (order-independent);
+    * each weight is one final division. Shape: one token-count
+    * aggregation (map-side combinable) + a broadcast scalar — no
+    * second corpus pass, no window.
+    */
+  def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val tot = sizes.agg(
+      graft.functions.Stable.dsum(sqrt(col("n_tokens"))).as("tot_sqrt"))
+    sizes.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (sqrt(col("n_tokens")) / col("tot_sqrt")).as("weight"))
+      .orderBy(col("source"))
+  }
 }

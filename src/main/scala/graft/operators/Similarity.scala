@@ -203,6 +203,43 @@ object Similarity {
       .agg(davg(col("x")).as("dim_mean"), count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Contrastive hard-negative mining: for every label, the `k` vectors
+    * from OTHER labels most cosine-similar to that label's centroid —
+    * the negatives a contrastive/embedding training run actually learns
+    * from (easy negatives contribute ~zero gradient). Centroids reuse
+    * the [[labelCentroids]] exact DECIMAL(18,6) per-dimension mean, so
+    * the anchor is bit-stable across engines; candidate scoring is the
+    * codegen'd dot kernel.
+    *
+    * Shape: centroids are #labels·d rows (tiny) — rebuilt to arrays and
+    * broadcast; the corpus side is one narrow pass producing
+    * #labels·n scored rows, cut to k per label by a per-label window.
+    * At 100 TB the centroid probe prunes through the IVF layout first
+    * ([[annIvfFromIndex]]) so the fanned frame is #labels·candidates,
+    * not #labels·n.
+    */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val cents = labelCentroids(spark, dir)
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("dim_mean")))),
+        s => s.getField("dim_mean")).as("cv"))
+      .select(col("label").as("anchor_label"), col("cv"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), vecD(col("embedding")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_label"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb.crossJoin(broadcast(cents))
+      .filter(col("label") =!= col("anchor_label"))
+      .select(col("anchor_label"), col("vec_id"), col("label"),
+        cosine(col("v"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("anchor_label"), col("rank"), col("vec_id"), col("label"),
+        col("cos"))
+      .orderBy(col("anchor_label"), col("rank"))
+  }
+
   /** Unit-normalize + symmetric int8 quantization of the embedding
     * column — the 4× storage/bandwidth compression step an embedding
     * corpus pays before ANN serving. Pure narrow map (scan-speed at any

@@ -505,4 +505,123 @@ object TextAnalysis {
       .select(col("term"), col("n_a"), col("n_b"), col("chi2"))
       .orderBy(col("term"))
   }
+
+  /** Gopher-style rule-based quality gate (Rae et al. 2021, appendix A
+    * filter set, bounds adapted to this corpus): per-rule boolean flags
+    * plus the composite verdict, so a curation run reports WHICH rule
+    * retired each document, not just how many fell. Rules: token-count
+    * window, mean-word-length window, lexical-diversity floor, and a
+    * minimum stopword presence (any supported language). All signals
+    * are integer-derived with single IEEE divisions — oracle-exact —
+    * and the whole gate is a narrow scan-speed map + final sort.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        // single-space tokens: chars = Σlen + (n−1), so the mean word
+        // length is one subtraction + one division of exact integers
+        ((length(col("text")) - size(t) + 1) / size(t)).as("mean_word_len"),
+        (size(array_distinct(t)) / size(t)).as("distinct_ratio"),
+        (hits(t, stopEn) + hits(t, stopDe) + hits(t, stopEs)
+          + hits(t, stopFr)).as("stop_hits"))
+      .withColumn("ok_len", col("n_tokens") >= 20 && col("n_tokens") <= 2000)
+      .withColumn("ok_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("ok_diversity", col("distinct_ratio") >= 0.3)
+      .withColumn("ok_stop", col("stop_hits") >= 2)
+      .withColumn("keep", col("ok_len") && col("ok_word_len")
+        && col("ok_diversity") && col("ok_stop"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("stop_hits"), col("ok_len"), col("ok_word_len"),
+        col("ok_diversity"), col("ok_stop"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** RefinedWeb-style top-n-gram concentration (Penedo et al. 2023): the
+    * share of each document's tokens covered by its single most frequent
+    * bigram — spam whose mass hides in ONE repeated phrase, which
+    * whole-document distinct ratios dilute away. One explode + per-doc
+    * bigram count + a map-side-combinable `min(struct)` argmax (largest
+    * count, ties to the lexicographically first bigram), then a left
+    * join back onto the corpus so bigram-less (<2-token) docs surface
+    * with share 0 rather than vanishing. share = (2·count)/n_tokens is
+    * one division of exact integers.
+    */
+  def topNgramShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"), size(t).as("n_tokens"))
+    val bigrams = docs
+      .filter(col("n_tokens") >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat_ws(" ", element_at(col("t"), i),
+          element_at(col("t"), i + 1)))).as("bg"))
+    val best = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("bg"))).as("best"))
+      .select(col("doc_id"), col("best.bg").as("top_bigram"),
+        (-col("best.neg")).as("top_count"))
+    docs.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_bigram"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(lit(2.0) * col("top_count") / col("n_tokens"), lit(0.0))
+          .as("top_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus-frequency commonness score — the libm-free stand-in for a
+    * unigram-LM perplexity gate (a real LM score needs `ln`, whose last
+    * ulp differs between engines; the monotone ranking signal survives
+    * without it). Per document: Σ corpus-count(token), and commonness =
+    * freq_sum / (n_tokens · total_tokens) — the mean corpus frequency of
+    * the document's tokens as ONE division of exact integers. Low
+    * commonness ⇒ rare/garbled vocabulary; high ⇒ boilerplate built
+    * from the corpus's most common words.
+    *
+    * Shape: one explode, one term-count aggregation (vocab-sized — ≪
+    * corpus, broadcastable; left unhinted so AQE decides, as tfidf
+    * does), one per-doc aggregation. No all-pairs, no global sort
+    * before the deterministic output sort.
+    */
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = exploded.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total_tokens"))
+    exploded.join(tf, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("freq_sum"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("freq_sum"),
+        (col("freq_sum") / (col("n_tokens") * col("total_tokens")))
+          .as("commonness"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source percentile calibration of the quality score: raw logits
+    * are not comparable across sources (each domain has its own length
+    * and vocabulary profile), so curation thresholds set on the pooled
+    * distribution over- or under-prune entire domains. percent_rank
+    * within source maps every score onto [0,1] per domain — "keep the
+    * top 60% of every source" becomes one global threshold. The rank is
+    * exact ((rank−1)/(n−1), doc_id tie-break ⇒ no ties), so the output
+    * is oracle-exact; the shuffle is one stratum window, the
+    * [[graft.operators.Sampling.stratifiedCap]] shape.
+    */
+  def calibrateScores(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens(col("text"))
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        (lit(-2.0) + (size(array_distinct(t)) / size(t)) * 3.0
+          + (hits(t, stopEn) / size(t)) * 1.5
+          + least(size(t) / 100.0, lit(1.0))).as("logit"))
+    scored.withColumn("pctl", percent_rank().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("logit"), col("doc_id"))))
+      .select(col("doc_id"), col("source"), col("logit"), col("pctl"))
+      .orderBy(col("doc_id"))
+  }
 }

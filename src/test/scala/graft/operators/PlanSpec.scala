@@ -193,6 +193,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("gopher rules gate is a narrow scan-speed map") {
+    val p = plan(TextAnalysis.gopherRules(spark, dir))
+    assert("Exchange".r.findAllIn(p).size == 1, p) // only the ORDER BY
+    assert(!p.contains("Join"), p)
+  }
+
+  test("top-ngram share aggregates the exploded bigrams map-side first") {
+    val p = plan(TextAnalysis.topNgramShare(spark, dir))
+    // the per-(doc,bigram) count must partial-aggregate below its
+    // exchange: the shuffle carries counted bigrams, not the raw explode
+    val gen = p.linesIterator.indexWhere(_.contains("Generate"))
+    val partial = p.linesIterator.indexWhere(
+      l => l.contains("HashAggregate") && l.contains("partial_count"))
+    assert(gen >= 0 && partial >= 0 && partial < gen, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("domain mix weights: one aggregation + broadcast scalar, no window") {
+    val p = plan(Sampling.domainMixWeights(spark, dir))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hard negatives broadcast the centroids onto the corpus pass") {
+    val p = plan(Similarity.hardNegatives(spark, dir))
+    // the #labels*d centroid frame joins in as a broadcast; the corpus
+    // side must never shuffle before the per-label top-k window
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p) // rank<=k prunes map-side
+  }
+
   test("composed curation reads the documents table a bounded number of times") {
     // TextCuration.keptAfterDedupFrom's contract: the quality+decontam
     // chain is checkpointed before feeding its three dedup-stage
