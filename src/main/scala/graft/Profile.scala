@@ -94,6 +94,40 @@ object Profile {
       "da", "db").count())
     t("token_gini_10x")(
       graft.operators.TextAnalysis.tokenGiniOn(docs10).count())
+
+    // Round-4 ops at 10x: the two new explode-heavy text signals. Both
+    // take a docs frame through the same Tables-backed pipeline the
+    // query entries use (recompose inline — operators take a dir).
+    t("top_ngram_10x") {
+      import org.apache.spark.sql.functions._
+      val t = split(col("text"), " ")
+      val docs = docs10.select(col("doc_id"), t.as("t"), size(t).as("n_tokens"))
+      val best = docs.filter(col("n_tokens") >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1)))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("bg"))).as("best"))
+      docs.join(best, Seq("doc_id"), "left").count()
+    }
+    t("token_rarity_10x") {
+      import org.apache.spark.sql.functions._
+      val ex = docs10.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("term"))
+      val tfq = ex.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      ex.join(tfq, "term").groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("freq_sum"))
+        .count()
+    }
+    t("compress_ratio_10x") {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.graft.ColumnBridge
+      val dz = ColumnBridge.column(graft.functions.DeflateSize(
+        ColumnBridge.expression(col("text"))))
+      docs10.select(col("doc_id"), dz.as("deflate_len")).count()
+    }
     val li10 = rep10(graft.sources.Tables.lineitem(spark, dir),
       "l_orderkey", 100000000L)
     t("cms_build_10x") {

@@ -96,6 +96,7 @@ object SparkEntry {
     "q_top_ngram" -> ((s, dir) => TextAnalysis.topNgramShare(s, dir)),
     "q_token_rarity" -> ((s, dir) => TextAnalysis.tokenRarity(s, dir)),
     "q_score_calibrate" -> ((s, dir) => TextAnalysis.calibrateScores(s, dir)),
+    "q_compress_ratio" -> ((s, dir) => TextAnalysis.compressionRatio(s, dir)),
     "q_domain_mix" -> ((s, dir) => Sampling.domainMixWeights(s, dir)),
     "q_ann_negatives" -> ((s, dir) => Similarity.hardNegatives(s, dir)),
     "q_corpus_drift" -> ((s, dir) => TextAnalysis.corpusDrift(s, dir)),
@@ -716,6 +717,9 @@ object SparkEntry {
         |       percent_rank() OVER (PARTITION BY source
         |         ORDER BY logit, doc_id) AS pctl
         |FROM s ORDER BY doc_id""".stripMargin,
+    // q_compress_ratio: no oracle — no SQL engine exposes deflate;
+    //                    golden-pinned (GoldenGen.keys) + DeflateSpec
+    //                    ordering/determinism invariants.
     "q_domain_mix" ->
       """WITH sizes AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

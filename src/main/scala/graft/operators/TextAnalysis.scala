@@ -601,6 +601,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Compression-ratio quality signal: deflated size over raw size per
+    * document, via the native [[graft.functions.DeflateSize]] kernel
+    * (one codegen'd call per row — narrow, scan-speed). Low ratio =
+    * long-range repetition (spam/generated boilerplate) that fixed-k
+    * n-gram signals miss; high ratio = near-random text. No SQL engine
+    * exposes deflate, so this query is golden-pinned (rows-only at the
+    * driver gate), with ordering/determinism invariants spec-proved.
+    */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val dz = ColumnBridge.column(
+      graft.functions.DeflateSize(ColumnBridge.expression(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        dz.as("deflate_len"))
+      .withColumn("ratio", col("deflate_len") / col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source percentile calibration of the quality score: raw logits
     * are not comparable across sources (each domain has its own length
     * and vocabulary profile), so curation thresholds set on the pooled
