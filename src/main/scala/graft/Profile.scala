@@ -110,7 +110,10 @@ object Profile {
         .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("doc_id"))
         .agg(min(struct((-col("cnt")).as("neg"), col("bg"))).as("best"))
-      docs.join(best, Seq("doc_id"), "left").count()
+      // count(best.bg) forces the explode+agg+join; a bare count() lets
+      // Catalyst eliminate the provably-unique left join entirely
+      docs.join(best, Seq("doc_id"), "left")
+        .agg(count(col("best.bg"))).head.getLong(0)
     }
     t("token_rarity_10x") {
       import org.apache.spark.sql.functions._
@@ -126,7 +129,9 @@ object Profile {
       import org.apache.spark.sql.graft.ColumnBridge
       val dz = ColumnBridge.column(graft.functions.DeflateSize(
         ColumnBridge.expression(col("text"))))
-      docs10.select(col("doc_id"), dz.as("deflate_len")).count()
+      // sum forces the deflate kernel on every row (count() prunes it)
+      docs10.select(dz.as("deflate_len"))
+        .agg(sum(col("deflate_len"))).head.getLong(0)
     }
     val li10 = rep10(graft.sources.Tables.lineitem(spark, dir),
       "l_orderkey", 100000000L)
