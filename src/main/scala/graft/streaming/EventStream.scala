@@ -398,6 +398,35 @@ object EventStream {
       .start()
   }
 
+  /** Streaming fuzzy admission against a materialized
+    * [[graft.operators.Dedup.writeMinhashIndex]] corpus index: each
+    * micro-batch is MinHash-probed against the stored band keys, docs
+    * with a stored near-dup (jaccard ≥ threshold) are dropped, and
+    * survivors append to `outPath`. foreachBatch keeps the gate
+    * stateless on the stream side — the corpus lives in the index
+    * files, shared by every executor and refreshed by rewriting the
+    * index, never by growing a state store (a state-store formulation
+    * would pin the corpus's shingle sets in executor memory; the probe
+    * touches only colliding band buckets instead).
+    */
+  def nearDupGate(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dups = graft.operators.Dedup
+            .minhashJoinFromIndex(spark, batch, indexPath, threshold)
+            .select(col("batch_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

@@ -1,0 +1,64 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Materialized MinHash admission index: the on-disk twin of
+  * [[Dedup.minhashJoinOn]]'s corpus side. Results must be identical to
+  * the in-memory path, and the probe plan must never re-shingle or
+  * re-sign the stored corpus — that single property is what makes the
+  * index worth writing at 100 TB.
+  */
+class MinhashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.sources.Tables.documents(spark, dir)
+  private lazy val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+  // the natural batch split plus exact copies of three corpus docs under
+  // shifted ids — guarantees jaccard-1.0 matches so the equality check
+  // is never vacuous
+  private lazy val batch = docs.filter(col("doc_id") % 10 === 7)
+    .unionByName(corpus.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  private lazy val indexPath: String = {
+    val p = Files.createTempDirectory("graft_mhidx").toString
+    Dedup.writeMinhashIndex(corpus, p)
+    p
+  }
+
+  test("index probe equals the in-memory fuzzy join exactly, non-vacuously") {
+    val direct = Dedup.minhashJoinOn(batch, corpus, 0.7)
+      .collect().map(_.toString).toSeq
+    val probed = Dedup.minhashJoinFromIndex(spark, batch, indexPath, 0.7)
+      .collect().map(_.toString).toSeq
+    assert(probed == direct)
+    assert(probed.size >= 3, "planted exact copies must match their sources")
+  }
+
+  test("probe plan reads the corpus from the index, never from documents") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansOf(df: org.apache.spark.sql.DataFrame, frag: String): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation
+            if fs.location.rootPaths.exists(_.toString.contains(frag)) => 1
+          case _ => 0
+        }
+      }.sum
+    val probe = Dedup.minhashJoinFromIndex(spark, batch, indexPath, 0.7)
+    val direct = Dedup.minhashJoinOn(batch, corpus, 0.7)
+    // the probe's documents scans are the live batch side only; the
+    // in-memory path additionally scans documents for the corpus's
+    // signature and verify passes, so swapping in the index must
+    // strictly reduce the count — if it doesn't, the corpus is being
+    // recomputed from source instead of served from the stored frames
+    assert(scansOf(probe, "documents") < scansOf(direct, "documents"),
+      s"probe ${scansOf(probe, "documents")} vs direct ${scansOf(direct, "documents")}")
+    // both index frames come off disk
+    assert(scansOf(probe, "bands") >= 1 && scansOf(probe, "shingles") >= 1)
+  }
+}

@@ -426,4 +426,34 @@ class EventStreamSpec extends AnyFunSuite {
         || q.lastProgress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming near-dup gate drops indexed near-dups, admits novel docs") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_ndgate")
+    val idxDir = base.resolve("idx").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.operators.Dedup.writeMinhashIndex(
+      docs.filter(col("doc_id") % 10 =!= 7), idxDir)
+    val copyText = docs.filter(col("doc_id") === 0)
+      .head.getAs[String]("text")
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1000001L, copyText), // exact copy of an indexed doc -> dropped
+      (1000002L, "entirely novel words nobody wrote before zxq wvu paq"))
+    val q = EventStream.nearDupGate(
+      input.toDF().toDF("doc_id", "text"), idxDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1000002L),
+        "stored near-dup must be gated out, novel doc admitted")
+      // stateless on the stream side: corpus state lives in the index
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
 }
