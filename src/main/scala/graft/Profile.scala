@@ -140,6 +140,25 @@ object Profile {
         graft.functions.CountMinBuild)
       li10.agg(cmsBuild(col("l_partkey")).as("sk")).count()
     }
+
+    // Round-4b ops at 10x: duplicated-span coverage (replication drives
+    // every trigram's df to >= 10 — worst case for the df join), bounded
+    // edit-distance pairs (each block's membership x10 -> candidate
+    // pairs x100, every replica pair hits the DP's dist-0 fast path),
+    // SemDeDup on the replicated embedding corpus (identical replicas
+    // concentrate into the same cells), and the DSIR token-bucket pass.
+    t("dup_span_10x")(Dedup.dupSpanCoverageOn(docs10).count())
+    t("edit_pairs_10x")(
+      Dedup.editDistancePairsOn(docs10, maxEdits = 400, minSim = 0.6)
+        .count())
+    t("semdedup_10x") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.semDedupOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v")))
+        .count()
+    }
+    t("dsir_10x")(
+      graft.operators.Sampling.importanceWeightsOn(docs10, "en").count())
     spark.stop()
   }
 }

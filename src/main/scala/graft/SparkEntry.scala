@@ -136,6 +136,10 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
+    "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
+    "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    "q_dsir_weight" -> ((s, dir) => Sampling.importanceWeights(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
@@ -1582,6 +1586,98 @@ object SparkEntry {
         |   AND a.doc_id < b.doc_id)
         |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY da, db""".stripMargin,
+    // q_dup_span: Spark keys the df count on xxhash64(shingle) (8-byte
+    // shuffle rows); the oracle counts on the raw trigram — equal unless
+    // a 64-bit collision lands inside the corpus (~1e-9, deterministic).
+    "q_dup_span" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+        |           THEN list_distinct(list_transform(
+        |                  range(1, len(string_split(text, ' ')) - 1),
+        |                  i -> string_split(text, ' ')[i] || ' ' ||
+        |                       string_split(text, ' ')[i+1] || ' ' ||
+        |                       string_split(text, ' ')[i+2]))
+        |           ELSE [text] END) AS s
+        |  FROM documents),
+        |freq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY s)
+        |SELECT sh.doc_id, count(*) AS n_shingles,
+        |       count(CASE WHEN freq.dfreq >= 2 THEN 1 END) AS n_dup,
+        |       count(CASE WHEN freq.dfreq >= 2 THEN 1 END) / count(*) AS dup_frac
+        |FROM sh JOIN freq USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // q_edit_pairs: the oracle's unthresholded levenshtein equals the
+    // Spark side's early-abandon kernel on every KEPT row (dist <= 400
+    // by the shared filter), so the -1 sentinel never reaches a compare.
+    "q_edit_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS len_bucket,
+        |         text
+        |  FROM documents)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist,
+        |       1.0 - levenshtein(a.text, b.text)
+        |             / greatest(length(a.text), length(b.text)) AS sim
+        |FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        | AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.text, b.text) <= 400
+        |  AND 1.0 - levenshtein(a.text, b.text)
+        |            / greatest(length(a.text), length(b.text)) >= 0.6
+        |ORDER BY da, db""".stripMargin,
+    "q_dsir_weight" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS b
+        |  FROM (SELECT doc_id, lang,
+        |               unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |stats AS (
+        |  SELECT b, count(*) AS c_all,
+        |         count(CASE WHEN lang = 'en' THEN 1 END) AS c_tgt
+        |  FROM toks GROUP BY b)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       (sum(c_tgt) + count(*)) / (sum(c_all) + count(*)) AS affinity
+        |FROM toks JOIN stats USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q_semdedup: same planted-copy augmentation and codebook as
+    // q_dedup_embedding / q_ann_ivf; leader-per-cell reproduced via
+    // row_number, cosine via the sequential list folds.
+    "q_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |aug AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         list_transform(range(1, len(v)+1),
+        |           i -> CASE WHEN i = 1 THEN v[i] * CAST(1.01 AS DOUBLE)
+        |                     ELSE v[i] END)
+        |  FROM base WHERE vec_id % 25 = 0 OR vec_id < 16),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT a.vec_id, a.v, c.cid,
+        |         list_sum(list_transform(range(1, len(a.v)+1),
+        |           i -> (a.v[i]-c.cv[i])*(a.v[i]-c.cv[i]))) AS dist
+        |  FROM aug a, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |leaders AS (
+        |  SELECT cid, vec_id AS leader_id, v AS lv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+        |    FROM assigned) WHERE rn = 1),
+        |scored AS (
+        |  SELECT a.vec_id, a.cid,
+        |         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*l.lv[i]))
+        |         / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |            * sqrt(list_sum(list_transform(range(1, len(l.lv)+1), i -> l.lv[i]*l.lv[i])))) AS cos_leader,
+        |         a.vec_id = l.leader_id AS is_leader
+        |  FROM assigned a JOIN leaders l USING (cid))
+        |SELECT vec_id, cid, cos_leader,
+        |       (is_leader OR cos_leader < 0.95) AS keep
+        |FROM scored ORDER BY vec_id""".stripMargin,
     // q_dedup_simhash: no oracle — xxhash64 has no DuckDB equivalent
     //                  (driver records rows-only check).
     // q_dedup_embedding: Spark side is LSH-candidate-based, oracle is

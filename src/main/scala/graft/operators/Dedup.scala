@@ -361,6 +361,87 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better", §4 "dup fraction"): per document,
+    * the fraction of its distinct word trigrams that also occur in at
+    * least one OTHER document — the per-doc signal that drives span-level
+    * (rather than whole-doc) dedup decisions and boilerplate audits.
+    *
+    * Scale shape: one shingle-kernel pass + explode, one map-side
+    * combinable document-frequency count keyed on the 8-byte xxhash64 of
+    * the shingle (¼ the shuffle width of the raw trigram string), one
+    * equi-join back, one per-doc aggregation. Everything is linear in
+    * total shingle count — no pair formation, unlike the Jaccard path —
+    * so boilerplate-heavy corpora cost the same as clean ones. The
+    * 64-bit key admits the same ~1e-9 deterministic collision odds the
+    * Jaccard path documents; a collision here could overcount one doc's
+    * df by 1.
+    */
+  def dupSpanCoverage(spark: SparkSession, dir: String): DataFrame =
+    dupSpanCoverageOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame. */
+  def dupSpanCoverageOn(documents: DataFrame): DataFrame = {
+    val sh = documents
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+    // shingles() dedups within a doc, so count(*) per h == document
+    // frequency (docs containing the trigram)
+    val df = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh.join(df, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 2, 1)).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (col("n_dup") / col("n_shingles")).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bounded edit-distance near-dup pairs: within the same deterministic
+    * (lang, token-count bucket) block as the Jaccard path, emit pairs
+    * whose Levenshtein distance is ≤ `maxEdits` AND whose
+    * length-normalized similarity 1 − dist/max(len) is ≥ `minSim` — the
+    * character-level verify that catches small in-place edits (typo
+    * fixes, date stamps) that token-level Jaccard scores identically.
+    *
+    * Scale shape: the block join bounds candidate pairs exactly as the
+    * Jaccard path does; the per-pair DP runs through Spark's
+    * THRESHOLDED kernel (`levenshtein(l, r, k)`), which early-abandons
+    * at distance > `maxEdits` — O(maxEdits·len) per pair, not O(len²),
+    * and returns −1 for abandoned pairs so the filter never sees an
+    * unbounded computation. Kept rows satisfy dist ≤ maxEdits, where the
+    * thresholded distance equals the exact one.
+    */
+  def editDistancePairs(spark: SparkSession, dir: String,
+      maxEdits: Int = 400, minSim: Double = 0.6): DataFrame =
+    editDistancePairsOn(Tables.documents(spark, dir), maxEdits, minSim)
+
+  /** Same, over any (doc_id, lang, text) frame. */
+  def editDistancePairsOn(documents: DataFrame, maxEdits: Int,
+      minSim: Double): DataFrame = {
+    val d = documents.select(col("doc_id"), col("lang"),
+      floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
+      col("text"))
+    val a = d.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("da"), col("text").as("ta"))
+    val b = d.select(col("lang"), col("len_bucket"),
+      col("doc_id").as("db"), col("text").as("tb"))
+    a.join(b, Seq("lang", "len_bucket"))
+      .filter(col("da") < col("db"))
+      // |len(a) − len(b)| ≤ dist always, so this free pre-filter discards
+      // length-mismatched candidates before any DP cell is touched —
+      // result-neutral (kept rows all have dist ≤ maxEdits)
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdits)
+      .select(col("da"), col("db"),
+        levenshtein(col("ta"), col("tb"), maxEdits).as("dist"),
+        greatest(length(col("ta")), length(col("tb"))).as("mx"))
+      .filter(col("dist") >= 0 &&
+        lit(1.0) - col("dist") / col("mx") >= minSim)
+      .select(col("da"), col("db"), col("dist"),
+        (lit(1.0) - col("dist") / col("mx")).as("sim"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
     * components over the minhash near-dup graph, each node labeled with
     * the smallest doc_id reachable from it (the canonical survivor).

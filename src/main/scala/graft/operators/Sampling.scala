@@ -217,6 +217,54 @@ object Sampling {
     * aggregation (map-side combinable) + a broadcast scalar — no
     * second corpus pass, no window.
     */
+  /** Hashed-feature importance weights (DSIR, Xie et al. 2023): score
+    * every document by how much its token distribution resembles a
+    * target slice (here `lang = targetLang`) relative to the whole
+    * corpus — the signal DSIR resamples raw data with to match a
+    * high-quality target domain.
+    *
+    * Tokens hash into 256 buckets via an md5 prefix (content hash — the
+    * cross-engine convention every sampler here uses), add-one smoothed.
+    * The paper's weight is the log-likelihood ratio Σ log p_t(b)/p_b(b);
+    * this operator emits the arithmetic-mean form
+    * `(Σ c_t[b] + n) / (Σ c_all[b] + n)` instead, which orders documents
+    * by the same target-affinity signal while staying in EXACT integer
+    * arithmetic until one final division — a libm log would have to
+    * hash-match DuckDB's bit-for-bit (SURVEY.md §7.5 forbids relying on
+    * that). The constant N_all/N_t normalizer is rank-irrelevant and
+    * dropped.
+    *
+    * Scale shape: one tokenize+explode, one 256-row bucket-stats
+    * aggregation (map-side combinable, broadcast back), one per-doc
+    * aggregation — two narrow passes over token volume and a single
+    * doc_id shuffle. No corpus self-join, no window.
+    */
+  def importanceWeights(spark: SparkSession, dir: String,
+      targetLang: String = "en"): DataFrame =
+    importanceWeightsOn(Tables.documents(spark, dir), targetLang)
+
+  /** Same, over any (doc_id, lang, text) frame. */
+  def importanceWeightsOn(documents: DataFrame,
+      targetLang: String): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("tok").cast("binary")), 1, 2).as("b"))
+    val stats = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("c_all"),
+      count(when(col("lang") === targetLang, 1)).as("c_tgt"))
+    toks.join(broadcast(stats), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("c_tgt")).as("tgt_mass"),
+        sum(col("c_all")).as("all_mass"))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("tgt_mass") + col("n_tokens"))
+          / (col("all_mass") + col("n_tokens"))).as("affinity"))
+      .orderBy(col("doc_id"))
+  }
+
   def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.documents(spark, dir)
       .groupBy(col("source"))

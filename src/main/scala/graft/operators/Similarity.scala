@@ -254,6 +254,63 @@ object Similarity {
     quantize(Tables.embeddings(spark, dir).select(col("vec_id"), v.as("v")))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup inside embedding-space
+    * cells. Vectors are assigned to the deterministic IVF codebook (the
+    * first `c` vectors, same cells as [[annIvfTopK]]); inside each cell
+    * the lowest-vec_id member is the retained representative and any
+    * other member whose cosine to it is ≥ `threshold` is marked drop —
+    * catching paraphrase/re-encode duplicates that share no n-grams and
+    * so pass every lexical dedup stage.
+    *
+    * This is the leader-clustering variant of the paper's
+    * keep-one-per-near-dup-group policy: each member compares to ONE
+    * leader, not to every cell sibling, so the per-cell cost is O(|cell|)
+    * — at 100 TB cell population is bounded by choosing the codebook size
+    * ∝ corpus size (the paper uses k ≈ n/10⁴), and the whole operator is
+    * the IVF assignment (broadcast codebook, map-side-combined argmin)
+    * plus one broadcast join of ≤k leaders. No pairwise stage exists
+    * anywhere.
+    *
+    * Like [[graft.operators.Dedup.embeddingNearDupPlanted]], the corpus
+    * is augmented with deterministically perturbed copies (vec_id % 25
+    * plus every codebook vector, first component ×1.01, re-keyed
+    * +1,000,000) so the testdata — whose max organic pairwise cosine is
+    * 0.479 — exercises the drop path in EVERY cell on both engines: each
+    * codebook vector is its cell's lowest-id member, so its planted copy
+    * lands in the same cell at cos ≈ 1 and must be marked drop.
+    */
+  def semDedup(spark: SparkSession, dir: String, c: Int = 16,
+      threshold: Double = 0.95): DataFrame =
+    semDedupOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")), c, threshold)
+
+  /** Same, over any (vec_id, v: array<double>) frame. */
+  def semDedupOn(base: DataFrame, c: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
+    val planted = base.filter(col("vec_id") % 25 === 0 || col("vec_id") < c)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("v"), (x, i) =>
+          when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
+    val centroids = base.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = assignNearest(base.unionByName(planted), centroids)
+    // cell leader = min vec_id; min(struct) keeps the argmin map-side
+    // combinable (same shape as the ANN argmin), and vec_id is unique so
+    // the carried vector never decides the comparison
+    val leaders = assigned.groupBy(col("cid"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("l"))
+      .select(col("cid"), col("l.vec_id").as("leader_id"),
+        col("l.v").as("lv"))
+    assigned.join(broadcast(leaders), "cid")
+      .select(col("vec_id"), col("cid"),
+        cosine(col("v"), col("lv")).as("cos_leader"),
+        (col("vec_id") === col("leader_id")).as("is_leader"))
+      .withColumn("keep",
+        col("is_leader") || col("cos_leader") < threshold)
+      .select(col("vec_id"), col("cid"), col("cos_leader"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Int8-quantize (vec_id, v: array<double>) rows to (vec_id, nrm, qv).
     *
     * qv is the comma-joined quantized vector, not an array column: the

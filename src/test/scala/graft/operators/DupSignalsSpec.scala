@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-4 near-dup / curation-signal operators: duplicated-span
+  * coverage, bounded edit-distance pairs, SemDeDup cells, and DSIR
+  * importance weights.
+  */
+class DupSignalsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+  import spark.implicits._
+
+  test("dup-span coverage: full duplicates score 1.0, unique docs 0.0, " +
+      "partial overlap in between") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact dup of 1
+      (3L, "zeta eta theta iota kappa"), // unique
+      (4L, "alpha beta gamma something else entirely") // shares 1 trigram
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverageOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((3L, 3L)), "dup doc: all 3 trigrams shared")
+    assert(out(2L) == ((3L, 3L)))
+    assert(out(3L) == ((3L, 0L)), "unique doc: nothing shared")
+    assert(out(4L) == ((4L, 1L)), "only 'alpha beta gamma' is shared")
+  }
+
+  test("dup-span coverage handles sub-trigram docs via the whole-text " +
+      "fallback shingle") {
+    val docs = Seq((1L, "one two"), (2L, "one two"), (3L, "three"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverageOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 0L)
+  }
+
+  test("edit-distance pairs: small in-place edit found with exact " +
+      "distance; unrelated same-block docs filtered by minSim") {
+    val base = ("w " * 40).trim // 40 tokens -> len_bucket 1
+    val docs = Seq(
+      (1L, "en", base + " apple banana"),
+      (2L, "en", base + " apple banzns"), // 2 substituted chars
+      (3L, "en", ("q " * 40).trim + " zzzzz yyyyy") // same block, far away
+    ).toDF("doc_id", "lang", "text")
+    val out = Dedup.editDistancePairsOn(docs, maxEdits = 400, minSim = 0.6)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(out.head.getInt(2) == 2, "levenshtein distance of the edit")
+  }
+
+  test("edit-distance pairs: early-abandon threshold suppresses pairs " +
+      "beyond maxEdits even when minSim would admit them") {
+    val a = ("x " * 300).trim
+    val b = ("y " * 300).trim // dist 300 > 5, sim 0.5 < 0.6 anyway
+    val docs = Seq((1L, "en", a), (2L, "en", b)).toDF("doc_id", "lang", "text")
+    assert(Dedup.editDistancePairsOn(docs, maxEdits = 5, minSim = 0.0)
+      .collect().isEmpty)
+  }
+
+  test("semdedup: every planted codebook copy is dropped in its own " +
+      "cell; all organic vectors are kept; deterministic") {
+    val out = Similarity.semDedup(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // planted copies of the 16 codebook vectors: same cell as their
+    // original (which is that cell's leader), cos ~ 1 -> dropped
+    for (cid <- 0L until 16L) {
+      val (cell, cos, keep) = byId(1000000L + cid)
+      assert(cell == cid, s"copy of centroid $cid stays in its cell")
+      assert(cos > 0.999, s"copy of centroid $cid at cos ~ 1")
+      assert(!keep, s"copy of centroid $cid must be dropped")
+    }
+    // organic corpus: max pairwise cosine 0.479 << 0.95 -> all kept
+    assert(out.filter(_.getLong(0) < 1000000L).forall(_.getBoolean(3)))
+    val again = Similarity.semDedup(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("dsir importance weights: affinity bounded in (0, 1]; target-" +
+      "language docs average strictly higher than the rest") {
+    val out = Sampling.importanceWeights(spark, dir, targetLang = "en")
+    val withLang = out.join(
+      graft.sources.Tables.documents(spark, dir).select("doc_id", "lang"),
+      "doc_id")
+    val rows = withLang.select(col("lang"), col("affinity")).collect()
+    assert(rows.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1))
+    val (en, rest) = rows.partition(_.getString(0) == "en")
+    def mean(xs: Array[Double]) = xs.sum / xs.length
+    assert(mean(en.map(_.getDouble(1))) > mean(rest.map(_.getDouble(1))),
+      "en docs must look more target-like than non-en docs")
+  }
+}

@@ -245,4 +245,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Scan ExistingRDD"),
       "expected the checkpointed decontam frame in the plan:\n" + p)
   }
+
+  test("dup-span coverage never forms pairs: no join wider than the " +
+      "shingle-hash equi-join, all aggs partial") {
+    val p = plan(Dedup.dupSpanCoverage(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // df-count and per-doc aggregations both map-side combine
+    assert("partial_count".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("edit-distance pairs join only inside (lang, len_bucket) blocks — " +
+      "never an unblocked nested-loop theta join") {
+    val p = plan(Dedup.editDistancePairs(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("semdedup: codebook and leaders both arrive as broadcasts; the " +
+      "argmin collapses map-side before the exchange") {
+    val p = plan(Similarity.semDedup(spark, dir))
+    // the only allowed nested-loop is the C-row codebook broadcast; the
+    // leader join (<= C rows) must be a broadcast hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_min"), p) // map-side argmin, shuffle moves n rows
+  }
+
+  test("dsir weights: 256-row bucket stats broadcast back onto the " +
+      "token stream, never a shuffle join against it") {
+    val p = plan(Sampling.importanceWeights(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
 }
