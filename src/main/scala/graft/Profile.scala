@@ -148,9 +148,11 @@ object Profile {
     // SemDeDup on the replicated embedding corpus (identical replicas
     // concentrate into the same cells), and the DSIR token-bucket pass.
     t("dup_span_10x")(Dedup.dupSpanCoverageOn(docs10).count())
-    t("edit_pairs_10x")(
-      Dedup.editDistancePairsOn(docs10, maxEdits = 400, minSim = 0.6)
-        .count())
+    // replicas share 100% of trigrams, so every replica pair passes the
+    // candidate gate and DP-verifies at dist 0 — worst-case density
+    t("edit_pairs_10x")(Dedup.editDistancePairsOn(docs10).count())
+    t("containment_10x")(
+      Dedup.containmentPairsOn(docs10, 0.9, maxDf = Some(256L)).count())
     t("semdedup_10x") {
       import graft.functions.VectorFunctions.vecD
       graft.operators.Similarity.semDedupOn(

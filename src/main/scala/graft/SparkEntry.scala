@@ -137,9 +137,11 @@ object SparkEntry {
     "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     "q_dsir_weight" -> ((s, dir) => Sampling.importanceWeights(s, dir)),
+    "q_curriculum" -> ((s, dir) => Sampling.curriculumPack(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
@@ -1605,26 +1607,84 @@ object SparkEntry {
         |       count(CASE WHEN freq.dfreq >= 2 THEN 1 END) / count(*) AS dup_frac
         |FROM sh JOIN freq USING (s)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
-    // q_edit_pairs: the oracle's unthresholded levenshtein equals the
-    // Spark side's early-abandon kernel on every KEPT row (dist <= 400
-    // by the shared filter), so the -1 sentinel never reaches a compare.
-    "q_edit_pairs" ->
+    "q_containment" ->
       """WITH d AS (
         |  SELECT doc_id, lang,
         |         CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS len_bucket,
-        |         text
-        |  FROM documents)
-        |SELECT a.doc_id AS da, b.doc_id AS db,
-        |       CAST(levenshtein(a.text, b.text) AS INT) AS dist,
-        |       1.0 - levenshtein(a.text, b.text)
-        |             / greatest(length(a.text), length(b.text)) AS sim
-        |FROM d a JOIN d b
-        |  ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-        | AND a.doc_id < b.doc_id
-        |WHERE levenshtein(a.text, b.text) <= 400
-        |  AND 1.0 - levenshtein(a.text, b.text)
-        |            / greatest(length(a.text), length(b.text)) >= 0.6
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |         len(list_intersect(a.sh, b.sh))
+        |           / least(len(a.sh), len(b.sh)) AS containment
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |   AND a.doc_id < b.doc_id)
+        |SELECT da, db, containment FROM pairs WHERE containment >= 0.9
         |ORDER BY da, db""".stripMargin,
+    // q_edit_pairs: the oracle's unthresholded levenshtein equals the
+    // Spark side's early-abandon kernel on every KEPT row (dist <= 64
+    // by the shared filter), so the -1 sentinel never reaches a compare;
+    // the >= 0.5 shared-trigram candidate gate is part of the operator
+    // definition and identical on both sides.
+    "q_edit_pairs" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |         CAST(floor(len(string_split(text, ' ')) / 32.0) AS BIGINT) AS len_bucket,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.text AS ta, b.text AS tb
+        |  FROM d a JOIN d b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+        |   AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / least(len(a.sh), len(b.sh)) >= 0.5)
+        |SELECT da, db, CAST(levenshtein(ta, tb) AS INT) AS dist,
+        |       1.0 - levenshtein(ta, tb)
+        |             / greatest(length(ta), length(tb)) AS sim
+        |FROM cand
+        |WHERE levenshtein(ta, tb) <= 64
+        |  AND 1.0 - levenshtein(ta, tb)
+        |            / greatest(length(ta), length(tb)) >= 0.6
+        |ORDER BY da, db""".stripMargin,
+    "q_curriculum" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |         -2.0 + (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * 3.0
+        |              + (len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |                 / len(string_split(text, ' '))) * 1.5
+        |              + least(len(string_split(text, ' ')) / 100.0, 1.0) AS logit
+        |  FROM documents),
+        |cal AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         percent_rank() OVER (PARTITION BY source
+        |           ORDER BY logit, doc_id) AS pctl
+        |  FROM s),
+        |ph AS (
+        |  SELECT doc_id, source, n_tokens, pctl,
+        |         CAST(least(3, floor((1.0 - pctl) * 4)) AS INT) AS phase
+        |  FROM cal)
+        |SELECT doc_id, source, phase, n_tokens,
+        |       CAST(floor((sum(n_tokens) OVER (
+        |         PARTITION BY source, phase ORDER BY pctl DESC, doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         - n_tokens) / 512.0) AS BIGINT) AS seq_id
+        |FROM ph ORDER BY doc_id""".stripMargin,
     "q_dsir_weight" ->
       """WITH toks AS (
         |  SELECT doc_id, lang, substr(md5(t), 1, 2) AS b

@@ -327,6 +327,20 @@ object Dedup {
 
   /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
   def ngramJaccardFromShingled(shingledDocs: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame =
+    blockedCommonCounts(shingledDocs, maxDf)
+      .withColumn("jaccard",
+        col("common") / (col("na") + col("nb") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+
+  /** The shared (da, db, na, nb, common) frame behind the set-overlap
+    * pair metrics (Jaccard, containment): within-block shingle-hash
+    * equi-join + one count aggregation. One definition keeps every
+    * metric consuming the SAME candidates and intersection counts.
+    */
+  private def blockedCommonCounts(shingledDocs: DataFrame,
       maxDf: Option[Long]): DataFrame = {
     val docs = shingledDocs.withColumn("n_sh", size(col("sh")))
     val exploded = docs
@@ -354,12 +368,35 @@ object Dedup {
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard",
-        col("common") / (col("na") + col("nb") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
+
+  /** Near-containment pairs: |A∩B| / min(|A|,|B|) ≥ `threshold` over the
+    * same blocked candidates as the Jaccard path. Containment is the
+    * metric that catches QUOTE-EXPANSION near-dups — a document whose
+    * text is another doc plus commentary scores low on Jaccard (the
+    * union is large) but ~1.0 on containment, so a Jaccard-only dedup
+    * keeps shipping the duplicated core. Same scale shape as
+    * [[ngramJaccardFromShingled]] (shared candidate frame).
+    */
+  def containmentPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.9, maxDf: Option[Long] = None): DataFrame =
+    containmentFromShingled(
+      shingleProjection(Tables.documents(spark, dir)), threshold, maxDf)
+
+  /** Same, over any (doc_id, lang, text) frame. */
+  def containmentPairsOn(documents: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame =
+    containmentFromShingled(shingleProjection(documents), threshold, maxDf)
+
+  /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
+  def containmentFromShingled(shingledDocs: DataFrame, threshold: Double,
+      maxDf: Option[Long]): DataFrame =
+    blockedCommonCounts(shingledDocs, maxDf)
+      .withColumn("containment",
+        col("common") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("containment"))
+      .orderBy(col("da"), col("db"))
 
   /** Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", §4 "dup fraction"): per document,
@@ -397,41 +434,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Bounded edit-distance near-dup pairs: within the same deterministic
-    * (lang, token-count bucket) block as the Jaccard path, emit pairs
-    * whose Levenshtein distance is ≤ `maxEdits` AND whose
-    * length-normalized similarity 1 − dist/max(len) is ≥ `minSim` — the
-    * character-level verify that catches small in-place edits (typo
-    * fixes, date stamps) that token-level Jaccard scores identically.
+  /** Bounded edit-distance near-dup pairs, candidate-generation-first:
+    * candidates are same-(lang, len-bucket) pairs sharing ≥ `minShared`
+    * of the smaller doc's distinct trigrams (the [[blockedCommonCounts]]
+    * frame — pairs sharing nothing are never formed), and only those
+    * run the per-pair DP. The DP is Spark's THRESHOLDED kernel
+    * (`levenshtein(l, r, k)`), which early-abandons at distance >
+    * `maxEdits` — O(maxEdits·len) per pair, not O(len²) — and returns
+    * −1 for abandoned pairs, so kept rows (dist ≤ maxEdits, normalized
+    * similarity ≥ `minSim`) carry the EXACT distance. The
+    * character-level verify catches small in-place edits (typo fixes,
+    * date stamps) that token-level Jaccard scores identically.
     *
-    * Scale shape: the block join bounds candidate pairs exactly as the
-    * Jaccard path does; the per-pair DP runs through Spark's
-    * THRESHOLDED kernel (`levenshtein(l, r, k)`), which early-abandons
-    * at distance > `maxEdits` — O(maxEdits·len) per pair, not O(len²),
-    * and returns −1 for abandoned pairs so the filter never sees an
-    * unbounded computation. Kept rows satisfy dist ≤ maxEdits, where the
-    * thresholded distance equals the exact one.
+    * The shingle gate is part of the operator's DEFINITION (the oracle
+    * applies the same gate, so both engines compute identical results);
+    * semantically it costs nothing real — a pair within `maxEdits`
+    * character edits shares nearly all trigrams, while an all-pairs DP
+    * inside blocks is the quadratic trap every other operator here
+    * avoids (measured: the ungated formulation ran minutes at 50k docs;
+    * this one is bounded by true-near-dup density).
     */
   def editDistancePairs(spark: SparkSession, dir: String,
-      maxEdits: Int = 400, minSim: Double = 0.6): DataFrame =
-    editDistancePairsOn(Tables.documents(spark, dir), maxEdits, minSim)
+      maxEdits: Int = 64, minShared: Double = 0.5,
+      minSim: Double = 0.6): DataFrame =
+    editDistancePairsOn(Tables.documents(spark, dir), maxEdits, minShared,
+      minSim)
 
   /** Same, over any (doc_id, lang, text) frame. */
-  def editDistancePairsOn(documents: DataFrame, maxEdits: Int,
-      minSim: Double): DataFrame = {
-    val d = documents.select(col("doc_id"), col("lang"),
-      floor(size(split(col("text"), " ")) / 32).as("len_bucket"),
-      col("text"))
-    val a = d.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("da"), col("text").as("ta"))
-    val b = d.select(col("lang"), col("len_bucket"),
-      col("doc_id").as("db"), col("text").as("tb"))
-    a.join(b, Seq("lang", "len_bucket"))
-      .filter(col("da") < col("db"))
-      // |len(a) − len(b)| ≤ dist always, so this free pre-filter discards
-      // length-mismatched candidates before any DP cell is touched —
-      // result-neutral (kept rows all have dist ≤ maxEdits)
-      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxEdits)
+  def editDistancePairsOn(documents: DataFrame, maxEdits: Int = 64,
+      minShared: Double = 0.5, minSim: Double = 0.6): DataFrame = {
+    val cand = blockedCommonCounts(shingleProjection(documents), None)
+      .filter(col("common") / least(col("na"), col("nb")) >= minShared)
+      .select(col("da"), col("db"))
+    val ta = documents.select(col("doc_id").as("da"), col("text").as("ta"))
+    val tb = documents.select(col("doc_id").as("db"), col("text").as("tb"))
+    cand.join(ta, "da").join(tb, "db")
       .select(col("da"), col("db"),
         levenshtein(col("ta"), col("tb"), maxEdits).as("dist"),
         greatest(length(col("ta")), length(col("tb"))).as("mx"))
@@ -606,6 +643,50 @@ object Dedup {
     corpus
       .join(broadcast(contaminationHits(corpus, evalSet, k)
         .select(col("doc_id")).distinct()), Seq("doc_id"), "left_anti")
+
+  /** [[decontaminateOn]] for eval/blocklist sets too large to broadcast
+    * as an exact hash set: the eval shingle hashes aggregate into ONE
+    * Bloom-filter artifact via Spark's own `BloomFilterAggregate` — the
+    * same machinery `InjectRuntimeFilter` ships to executors — and the
+    * corpus scan is gated by a constant `might_contain` predicate on
+    * that artifact.
+    *
+    * Scale contract vs the exact path: the exact set broadcasts 8 bytes
+    * per DISTINCT eval shingle (at 10⁹ eval shingles, an 8 GB broadcast
+    * — dead); the Bloom artifact is `numBits/8` bytes REGARDLESS of eval
+    * size (default 8 bits/item ≈ 2% FP at capacity), and the corpus-side
+    * gate stays a narrow scan predicate. Error direction is safe for
+    * decontamination: no false negatives ever (every truly contaminated
+    * doc is retired — spec-proved superset of the exact path), while a
+    * false positive retires a clean document — the conservative loss.
+    * The artifact is driver-held like the Count-Min sketch
+    * ([[graft.streaming.EventStream]] cmsMaintain): one bounded-size
+    * `head()`, not a data collect.
+    */
+  def decontaminateBloomOn(corpus: DataFrame, evalSet: DataFrame,
+      k: Int = 8, expectedItems: Long = 4000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    val evalH = evalSet
+      .select(explode(shingles(col("text"), k)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+    val bf = evalH.agg(column(
+        new BloomFilterAggregate(expression(col("h")), expectedItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    // empty eval set -> aggregate yields NULL, nothing can be
+    // contaminated (same null-means-absent treatment as cmsMaintain)
+    if (bf == null) return corpus
+    val contaminated = corpus
+      .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .filter(column(BloomFilterMightContain(
+        Literal(bf, BinaryType), expression(col("h")))))
+      .select(col("doc_id")).distinct()
+    corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
 
   /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each
     * contaminated training document, n_hits = how many distinct eval

@@ -217,6 +217,38 @@ object Sampling {
     * aggregation (map-side combinable) + a broadcast scalar — no
     * second corpus pass, no window.
     */
+  /** Curriculum packing: the training-loader artifact that serves a
+    * quality-ordered curriculum. Documents are phased by calibrated
+    * quality quartile (phase 0 = each source's top quartile by
+    * [[graft.operators.TextAnalysis.calibratedOn]]'s percent_rank — so
+    * "top" means top OF ITS SOURCE, not of the pooled corpus), then
+    * packed into `budget`-token sequence bins in best-first order within
+    * each (source, phase) stratum. A loader that walks phase 0 bins,
+    * then 1, 2, 3 replays the classic quality curriculum; the reverse
+    * walk is anti-curriculum.
+    *
+    * Scale shape: both windows (percent_rank, packing cumsum) partition
+    * by source / (source, phase) — strata pack independently across
+    * executors, no global sort anywhere. Output is a pure function of
+    * (source, logit, doc_id), so re-materialization is bit-identical.
+    */
+  def curriculumPack(spark: SparkSession, dir: String,
+      budget: Int = 512): DataFrame = {
+    val cal = graft.operators.TextAnalysis
+      .calibratedOn(Tables.documents(spark, dir))
+      .withColumn("phase",
+        least(lit(3), floor((lit(1.0) - col("pctl")) * 4)).cast("int"))
+    val w = Window.partitionBy(col("source"), col("phase"))
+      .orderBy(col("pctl").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cal.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget)))
+      .select(col("doc_id"), col("source"), col("phase"),
+        col("n_tokens"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hashed-feature importance weights (DSIR, Xie et al. 2023): score
     * every document by how much its token distribution resembles a
     * target slice (here `lang = targetLang`) relative to the whole

@@ -630,17 +630,24 @@ object TextAnalysis {
     * is oracle-exact; the shuffle is one stratum window, the
     * [[graft.operators.Sampling.stratifiedCap]] shape.
     */
-  def calibrateScores(spark: SparkSession, dir: String): DataFrame = {
+  def calibrateScores(spark: SparkSession, dir: String): DataFrame =
+    calibratedOn(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), col("logit"), col("pctl"))
+      .orderBy(col("doc_id"))
+
+  /** The unordered calibration frame (doc_id, source, n_tokens, logit,
+    * pctl) — shared by [[calibrateScores]] and the curriculum packer so
+    * the score definition can never drift between them.
+    */
+  def calibratedOn(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val scored = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
+    documents
+      .select(col("doc_id"), col("source"), size(t).as("n_tokens"),
         (lit(-2.0) + (size(array_distinct(t)) / size(t)) * 3.0
           + (hits(t, stopEn) / size(t)) * 1.5
           + least(size(t) / 100.0, lit(1.0))).as("logit"))
-    scored.withColumn("pctl", percent_rank().over(
+      .withColumn("pctl", percent_rank().over(
         Window.partitionBy(col("source"))
           .orderBy(col("logit"), col("doc_id"))))
-      .select(col("doc_id"), col("source"), col("logit"), col("pctl"))
-      .orderBy(col("doc_id"))
   }
 }

@@ -61,4 +61,35 @@ class DecontamSpec extends AnyFunSuite {
       train.join(kept.select("doc_id"), Seq("doc_id"), "left_semi"), eval)
     assert(again.count() == kept.count())
   }
+
+  test("bloom decontamination never misses: its survivors are a subset " +
+      "of the exact path's, and the planted overlap is retired") {
+    import org.apache.spark.sql.functions._
+    val all = graft.sources.Tables.documents(spark, dir)
+    val eval = all.filter(col("doc_id") % 20 === 0)
+    val train = all.filter(col("doc_id") % 20 =!= 0)
+    val exactKept = Dedup.decontaminateOn(train, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomKept = Dedup.decontaminateBloomOn(train, eval)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // no false negatives: every doc the exact path retires, bloom
+    // retires too (bloom survivors ⊆ exact survivors)
+    assert(bloomKept.subsetOf(exactKept),
+      s"bloom kept ${bloomKept.diff(exactKept)} that exact retired")
+    // false positives are bounded: at 8 bits/item the FP rate is ~2%,
+    // so on this corpus the extra retirements stay a small fraction
+    val extra = exactKept.size - bloomKept.size
+    assert(extra <= exactKept.size / 10,
+      s"$extra extra bloom retirements out of ${exactKept.size}")
+    // schema passes through unchanged, like the exact operator
+    assert(Dedup.decontaminateBloomOn(train, eval).columns.toSeq ==
+      train.columns.toSeq)
+  }
+
+  test("bloom decontamination with an empty eval set is the identity") {
+    import org.apache.spark.sql.functions._
+    val train = graft.sources.Tables.documents(spark, dir)
+    val empty = train.filter(lit(false))
+    assert(Dedup.decontaminateBloomOn(train, empty).count() == train.count())
+  }
 }

@@ -39,26 +39,40 @@ class DupSignalsSpec extends AnyFunSuite {
   }
 
   test("edit-distance pairs: small in-place edit found with exact " +
-      "distance; unrelated same-block docs filtered by minSim") {
+      "distance; docs sharing no trigrams are never DP'd") {
     val base = ("w " * 40).trim // 40 tokens -> len_bucket 1
     val docs = Seq(
       (1L, "en", base + " apple banana"),
       (2L, "en", base + " apple banzns"), // 2 substituted chars
-      (3L, "en", ("q " * 40).trim + " zzzzz yyyyy") // same block, far away
+      (3L, "en", ("q " * 40).trim + " zzzzz yyyyy") // same block, disjoint
     ).toDF("doc_id", "lang", "text")
-    val out = Dedup.editDistancePairsOn(docs, maxEdits = 400, minSim = 0.6)
-      .collect()
+    val out = Dedup.editDistancePairsOn(docs).collect()
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(out.head.getInt(2) == 2, "levenshtein distance of the edit")
   }
 
-  test("edit-distance pairs: early-abandon threshold suppresses pairs " +
-      "beyond maxEdits even when minSim would admit them") {
-    val a = ("x " * 300).trim
-    val b = ("y " * 300).trim // dist 300 > 5, sim 0.5 < 0.6 anyway
+  test("edit-distance pairs: early-abandon threshold suppresses a pair " +
+      "that passes the shingle gate but exceeds maxEdits") {
+    val a = ("ww " * 40).trim // 40 tokens, len_bucket 1, 119 chars
+    val b = ("ww " * 63).trim // 63 tokens, SAME bucket, dist = 69 > 64
     val docs = Seq((1L, "en", a), (2L, "en", b)).toDF("doc_id", "lang", "text")
-    assert(Dedup.editDistancePairsOn(docs, maxEdits = 5, minSim = 0.0)
-      .collect().isEmpty)
+    // gate: both shingle sets are {"ww ww ww"} -> shared 1.0; DP abandons
+    assert(Dedup.editDistancePairsOn(docs, minSim = 0.0).collect().isEmpty)
+  }
+
+  test("containment catches a quote-expansion doc that Jaccard misses") {
+    val core = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
+    val expanded = core + " " + ("filler commentary words here and more " * 4).trim
+    // same lang; lengths chosen to share the len_bucket-32 block
+    val docs = Seq((1L, "en", core), (2L, "en", expanded))
+      .toDF("doc_id", "lang", "text")
+    val cont = Dedup.containmentFromShingled(
+      graft.operators.Dedup.shingled(docs), 0.9, None).collect()
+    assert(cont.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)), "core's shingles are all inside the expansion")
+    assert(cont.head.getDouble(2) > 0.95)
+    val jac = Dedup.ngramJaccardPairsOn(docs, 0.7, None).collect()
+    assert(jac.isEmpty, "Jaccard must miss it — the union is diluted")
   }
 
   test("semdedup: every planted codebook copy is dropped in its own " +

@@ -27,6 +27,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("curriculum pack: four phases, per-source quartile sizes, and no " +
+      "bin overflows its token budget (except single oversized docs)") {
+    import org.apache.spark.sql.functions._
+    val budget = 512
+    val out = Sampling.curriculumPack(spark, dir, budget = budget)
+    val rows = out.collect()
+    assert(rows.map(_.getInt(2)).toSet == Set(0, 1, 2, 3))
+    // quartiles: within each source, phase sizes differ by at most 1+1
+    // (percent_rank boundary docs can tip either side of a cut)
+    val bySource = rows.groupBy(_.getString(1))
+    for ((src, rs) <- bySource) {
+      val sizes = rs.groupBy(_.getInt(2)).view.mapValues(_.length)
+      assert(sizes.values.max - sizes.values.min <= 2,
+        s"$src phase sizes $sizes not quartile-balanced")
+    }
+    // a bin's token total stays within budget + one doc (the packer
+    // closes a bin only once the cumsum passes the boundary)
+    for (((_, _, _), rs) <- rows.groupBy(r =>
+        (r.getString(1), r.getInt(2), r.getLong(4)))) {
+      val tot = rs.map(_.getInt(3).toLong).sum
+      val maxDoc = rs.map(_.getInt(3).toLong).max
+      assert(tot < budget + maxDoc, s"bin total $tot, max doc $maxDoc")
+    }
+    val again = Sampling.curriculumPack(spark, dir, budget = budget).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("temperature cap admits exactly the budget (largest-remainder caps)") {
     // every source at sf0.001 has far more docs than its cap, so the
     // admitted total must hit the budget exactly — no ceil overshoot
