@@ -137,6 +137,7 @@ object SparkEntry {
     "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
+    "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
@@ -1607,6 +1608,40 @@ object SparkEntry {
         |       count(CASE WHEN freq.dfreq >= 2 THEN 1 END) / count(*) AS dup_frac
         |FROM sh JOIN freq USING (s)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+    // q_span_removal: keep-first duplicated-span removal; the oracle keys
+    // gram stats on the raw trigram where Spark uses xxhash64 (same
+    // ~1e-9 deterministic collision caveat as q_dup_span).
+    "q_span_removal" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(arr) - 1, 1)),
+        |           i -> {'start': i - 1,
+        |                 'gram': arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]})) AS u
+        |  FROM d),
+        |g2 AS (SELECT doc_id, CAST(u.start AS INT) AS start, u.gram AS gram FROM g),
+        |stats AS (SELECT gram, count(DISTINCT doc_id) AS df,
+        |                 min(doc_id) AS mind
+        |          FROM g2 GROUP BY gram),
+        |cov AS (
+        |  SELECT DISTINCT g2.doc_id, start + o AS pos
+        |  FROM g2 JOIN stats USING (gram), range(0, 3) t(o)
+        |  WHERE df >= 2 AND mind < g2.doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(arr) + 1),
+        |           i -> {'pos': i - 1, 'tok': arr[i]})) AS u
+        |  FROM d),
+        |t2 AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM toks),
+        |kept AS (SELECT t2.doc_id, t2.pos, t2.tok FROM t2
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+        |       CAST(len(arr) - coalesce(a.n_kept, 0) AS INT) AS n_dropped
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_containment" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -434,6 +434,68 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicated-span REMOVAL — the acting counterpart of
+    * [[dupSpanCoverage]] (Lee et al. 2021's ExactSubstr policy, word
+    * k-grams standing in for the suffix-array substrings): drop from each
+    * document every token position covered by a k-gram that (a) occurs in
+    * at least `minDf` distinct documents and (b) first occurs (by min
+    * doc_id) in an EARLIER document. The earliest holder keeps its copy,
+    * so every duplicated span survives exactly once in the corpus and
+    * later documents keep only their novel text. Within-document repeats
+    * are untouched (that is [[graft.operators.TextAnalysis.repetitionScore]]'s
+    * domain). Output: (doc_id, clean_text, n_kept, n_dropped).
+    *
+    * Scale shape: one narrow positional-gram explode, one map-side
+    * combinable (df, min_doc) aggregation on the 8-byte gram hash, one
+    * equi-join back, and a covered-position aggregation whose volume is
+    * bounded by DUPLICATED gram occurrences only — clean corpora shuffle
+    * almost nothing in the final stage. Reassembly is a narrow
+    * higher-order filter over the original token array joined with its
+    * doc's covered-position set; no global sort, no pair formation.
+    * Keep-first is decided by min(doc_id) — deterministic under any
+    * partitioning, retries, or AQE re-plans. Not idempotent by design:
+    * removal creates new token adjacencies, so a second pass can find new
+    * corpus-wide k-grams (same as the reference policy).
+    */
+  def removeDupSpans(spark: SparkSession, dir: String, k: Int = 3,
+      minDf: Int = 2): DataFrame =
+    removeDupSpansOn(Tables.documents(spark, dir), k, minDf)
+
+  /** Same, over any (doc_id, text) frame. */
+  def removeDupSpansOn(documents: DataFrame, k: Int = 3,
+      minDf: Int = 2): DataFrame = {
+    val d = documents.select(col("doc_id"),
+      split(col("text"), " ").as("arr"))
+    // positional k-grams (doc_id, start, h): docs shorter than k
+    // contribute none and fall through the left join unchanged
+    val grams = d.filter(size(col("arr")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("arr")) - k),
+        i => struct(i.as("start"),
+          xxhash64(concat_ws(" ", slice(col("arr"), i + 1, lit(k))))
+            .as("h")))).as("g"))
+      .select(col("doc_id"), col("g.start"), col("g.h"))
+    val stats = grams.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("mind"))
+    // covered positions, only for losing occurrences of duplicated grams
+    val cov = grams.join(stats, "h")
+      .filter(col("df") >= minDf && col("mind") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    d.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("arr"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', filter(arr, (t, i) -> NOT array_contains(cov, i)))")
+          .as("clean_text"),
+        (size(col("arr")) - size(col("cov"))).as("n_kept"),
+        size(col("cov")).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bounded edit-distance near-dup pairs, candidate-generation-first:
     * candidates are same-(lang, len-bucket) pairs sharing ≥ `minShared`
     * of the smaller doc's distinct trigrams (the [[blockedCommonCounts]]

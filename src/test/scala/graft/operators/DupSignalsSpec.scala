@@ -60,6 +60,25 @@ class DupSignalsSpec extends AnyFunSuite {
     assert(Dedup.editDistancePairsOn(docs, minSim = 0.0).collect().isEmpty)
   }
 
+  test("span removal: the later doc loses exactly the shared span, the " +
+      "first holder keeps it, and sub-k docs pass through untouched") {
+    val span = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, s"one two three $span four five six"),
+      (2L, s"red blue $span green yellow purple"),
+      (3L, "tiny doc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(out(1L) == ((s"one two three $span four five six", 11, 0)),
+      "min-doc_id holder keeps its copy whole")
+    assert(out(2L) == (("red blue green yellow purple", 5, 5)),
+      "exactly the 5 span tokens are dropped — boundary grams are unique " +
+        "context and never match")
+    assert(out(3L) == (("tiny doc", 2, 0)), "no grams below k tokens")
+  }
+
   test("containment catches a quote-expansion doc that Jaccard misses") {
     val core = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
     val expanded = core + " " + ("filler commentary words here and more " * 4).trim

@@ -280,4 +280,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("partial_count"), p)
   }
+
+  test("span removal never forms pairs: gram stats and covered positions " +
+      "are equi-joined and aggregated with map-side partials") {
+    val p = plan(Dedup.removeDupSpans(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // (df, min_doc) stats and the covered-position collect both partial
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_min"), p)
+  }
 }
