@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
+    "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
@@ -1642,6 +1643,57 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
         |       CAST(len(arr) - coalesce(a.n_kept, 0) AS INT) AS n_dropped
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q_doc_signals: the wide attributes row re-states the per-signal
+    // oracle expressions (same literals, same op order — IEEE-exact).
+    "q_doc_signals" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, lang, source,
+        |         length(text) AS n_chars,
+        |         CAST(len(w) AS INT) AS n_tokens,
+        |         len(list_distinct(w)) / len(w) AS distinct_ratio,
+        |         len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+        |           / len(w) AS stopword_ratio,
+        |         CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT) AS s_en,
+        |         CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS INT) AS s_de,
+        |         CAST(len(list_filter(w, t -> t IN ('el','la','que','los','las','una','por'))) AS INT) AS s_es,
+        |         CAST(len(list_filter(w, t -> t IN ('le','les','des','et','une','est','dans'))) AS INT) AS s_fr,
+        |         CASE WHEN len(w) >= 3
+        |              THEN 1.0 - len(list_distinct(list_transform(
+        |                     range(1, len(w) - 1),
+        |                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+        |                   / (len(w) - 2)
+        |              ELSE 0.0 END AS rep_trigram
+        |  FROM base),
+        |n2 AS (
+        |  SELECT *, -2.0 + distinct_ratio * 3.0 + stopword_ratio * 1.5
+        |            + least(n_tokens / 100.0, 1.0) AS logit
+        |  FROM n),
+        |sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(string_split(text, ' ')) >= 3
+        |           THEN list_distinct(list_transform(
+        |                  range(1, len(string_split(text, ' ')) - 1),
+        |                  i -> string_split(text, ' ')[i] || ' ' ||
+        |                       string_split(text, ' ')[i+1] || ' ' ||
+        |                       string_split(text, ' ')[i+2]))
+        |           ELSE [text] END) AS s
+        |  FROM documents),
+        |freq AS (SELECT s, count(*) AS dfreq FROM sh GROUP BY s),
+        |dup AS (
+        |  SELECT sh.doc_id,
+        |         count(CASE WHEN freq.dfreq >= 2 THEN 1 END) / count(*) AS dup_frac
+        |  FROM sh JOIN freq USING (s) GROUP BY sh.doc_id)
+        |SELECT n2.doc_id, lang, source, n_chars, n_tokens, distinct_ratio,
+        |       stopword_ratio, rep_trigram, logit, logit > 0 AS keep,
+        |       CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |            WHEN s_es >= s_fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred,
+        |       dup.dup_frac
+        |FROM n2 JOIN dup USING (doc_id) ORDER BY n2.doc_id""".stripMargin,
     "q_containment" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -411,6 +411,61 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The per-document ATTRIBUTES pass — every cheap curation signal in
+    * one wide row (the Dolma-attributes analogue: signals are computed
+    * once, materialized, and every downstream gate/mix/report consumes
+    * the stored row instead of re-deriving its own). Emits token stats,
+    * quality ratios, the fixed-weight quality logit + keep verdict, the
+    * stopword-vote language prediction, trigram repetition, and the
+    * corpus-duplication fraction, keyed by doc_id.
+    *
+    * Scale shape: all narrow signals come from ONE shared projection
+    * over one documents scan (the signal definitions are the exact
+    * expressions of [[tokenStats]]/[[qualityLogit]]/[[langId]]/
+    * [[repetitionScore]] — same literals, same op order, so the wide row
+    * hash-matches the per-signal queries); the only aggregate-backed
+    * signal, [[graft.operators.Dedup.dupSpanCoverageOn]]'s dup_frac,
+    * joins back on doc_id from its own linear-shuffle frame. Two source
+    * scans total (plan-proved leaf bound), no pair formation anywhere.
+    */
+  def docSignals(spark: SparkSession, dir: String): DataFrame =
+    docSignalsOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, lang, source, text) frame. */
+  def docSignalsOn(documents: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val narrow = documents.select(
+      col("doc_id"), col("lang"), col("source"),
+      length(col("text")).as("n_chars"),
+      size(t).as("n_tokens"),
+      (size(array_distinct(t)) / size(t)).as("distinct_ratio"),
+      (hits(t, stopEn) / size(t)).as("stopword_ratio"),
+      hits(t, stopEn).as("s_en"), hits(t, stopDe).as("s_de"),
+      hits(t, stopEs).as("s_es"), hits(t, stopFr).as("s_fr"),
+      when(size(t) >= 3,
+        lit(1.0) - size(graft.operators.Dedup.shingles(col("text"), 3))
+          / (size(t) - 2))
+        .otherwise(lit(0.0)).as("rep_trigram"))
+      .withColumn("logit",
+        lit(-2.0) + col("distinct_ratio") * 3.0
+          + col("stopword_ratio") * 1.5
+          + least(col("n_tokens") / 100.0, lit(1.0)))
+      .withColumn("keep", col("logit") > 0)
+      .withColumn("lang_pred",
+        when(col("s_en") === 0 && col("s_de") === 0
+          && col("s_es") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .drop("s_en", "s_de", "s_es", "s_fr")
+    narrow
+      .join(graft.operators.Dedup.dupSpanCoverageOn(documents)
+        .select(col("doc_id"), col("dup_frac")), Seq("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-count concentration per source (Gini coefficient) — the
     * diversity metric corpus QA tracks per domain: 0 = every document
     * contributes equally, →1 = a few giant documents carry the source

@@ -11,6 +11,28 @@ class OperatorsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val dir = "/root/testdata/sf0.001"
 
+  test("doc signals equal the standalone signal operators row-for-row") {
+    import org.apache.spark.sql.functions._
+    val ds = TextAnalysis.docSignals(spark, dir)
+    val logit = TextAnalysis.qualityLogit(spark, dir)
+      .select(col("doc_id"), col("logit").as("l2"), col("keep").as("k2"))
+    val lang = TextAnalysis.langId(spark, dir)
+      .select(col("doc_id"), col("lang_pred").as("lp2"))
+    val rep = TextAnalysis.repetitionScore(spark, dir)
+      .select(col("doc_id"), col("rep_trigram").as("r2"))
+    val dup = Dedup.dupSpanCoverage(spark, dir)
+      .select(col("doc_id"), col("dup_frac").as("d2"))
+    val j = ds.join(logit, "doc_id").join(lang, "doc_id")
+      .join(rep, "doc_id").join(dup, "doc_id")
+    assert(j.count() == ds.count(), "every doc carries every signal")
+    // bit-exact: the wide row restates the same expressions, so even the
+    // IEEE doubles must agree exactly — any drift is a definition fork
+    assert(j.filter(col("logit") =!= col("l2")
+      || col("keep") =!= col("k2") || col("lang_pred") =!= col("lp2")
+      || col("rep_trigram") =!= col("r2")
+      || col("dup_frac") =!= col("d2")).count() == 0)
+  }
+
   test("eventTransitions: probabilities normalize per source type and " +
       "counts cover every consecutive pair") {
     import org.apache.spark.sql.functions._

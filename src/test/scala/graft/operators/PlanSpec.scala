@@ -281,6 +281,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("doc signals: all narrow signals share ONE documents scan; the " +
+      "only extra leaves are dup_frac's two (shingle df + join-back)") {
+    val p = plan(TextAnalysis.docSignals(spark, dir))
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    // 1 narrow-signal scan + 2 inside dupSpanCoverage; a definition fork
+    // that re-scans per signal would push this up immediately
+    assert(docScans <= 3, s"documents scanned $docScans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("span removal never forms pairs: gram stats and covered positions " +
       "are equi-joined and aggregated with map-side partials") {
     val p = plan(Dedup.removeDupSpans(spark, dir))
