@@ -139,6 +139,9 @@ object SparkEntry {
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
+    // golden-pinned (GoldenSpec): the PQ codebook is iterative float
+    // k-means — no SQL twin; determinism from decimal means + tie-breaks
+    "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),

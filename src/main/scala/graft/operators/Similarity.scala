@@ -186,6 +186,122 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-vector subvector rows (vec_id, sub, sv): vector `v` split into
+    * `m` contiguous `dsub`-dim slices — the unit product quantization
+    * trains and codes on. Narrow explode; m·n rows.
+    */
+  private[operators] def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+    emb.select(col("vec_id"), explode(transform(
+      sequence(lit(0), lit(m - 1)),
+      s => struct(s.as("sub"),
+        slice(col("v"), s * dsub + 1, lit(dsub)).as("sv")))).as("u"))
+      .select(col("vec_id"), col("u.sub"), col("u.sv"))
+
+  /** Nearest-centroid assignment per (vector, subspace) against a
+    * broadcast (sub, cid, cv) codebook — [[assignNearest]] generalized to
+    * run EVERY subspace's assignment in one frame: the equi-join on `sub`
+    * fans each subvector out to its own ksub candidates only, and the
+    * map-side `min(struct)` argmin collapses the fan-out before the
+    * exchange (the shuffle carries m·n rows, never m·n·ksub).
+    */
+  private[operators] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+    subs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid"),
+          col("sv")).as("cand"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.cid").as("cid"),
+        col("best.sv").as("sv"))
+
+  /** Joint per-subspace Lloyd's: one distributed iteration trains ALL
+    * `m` subspace codebooks together — assignment is [[pqAssign]], the
+    * recompute is one (sub, cid, pos) decimal-mean aggregation. Seeded
+    * like [[kmeansCodebook]] with the first-ksub vectors' subvectors.
+    */
+  def pqCodebook(subs: DataFrame, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    var cb = subs.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+    for (_ <- 0 until iters) {
+      cb = pqAssign(subs, cb)
+        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg((dsum(col("x")) / count(lit(1))).as("mu"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("cv"))
+        .localCheckpoint(true)
+    }
+    cb
+  }
+
+  /** The stored PQ artifact: (vec_id, codes) with codes(sub) = the
+    * subspace-`sub` centroid id — m small ints replacing dims doubles
+    * (64-dim float64 → 8 codes ≈ 64× smaller), the representation that
+    * serves billion-vector corpora from memory.
+    */
+  def pqCodes(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("cid")))),
+        s => s.getField("cid")).as("codes"))
+
+  /** Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    * for Nearest Neighbor Search") by asymmetric distance computation:
+    * the query builds the exact m·ksub subspace-distance lookup table,
+    * and every corpus vector's approximate L2² is the SUM of the m table
+    * entries its codes select — the corpus scan does code→table lookups
+    * only, no vector arithmetic. Here the lookup is a broadcast hash
+    * join of the (sub, cid) assignment rows against the m·ksub-row
+    * table, followed by one map-side-combinable per-vector sum on the
+    * DECIMAL image (order-stable, so the output is golden-pinnable
+    * despite the float k-means codebook having no SQL twin).
+    *
+    * Scale shape: training and coding are linear broadcast passes; the
+    * per-query cost is one narrow scan of the m·n code rows + a sum
+    * — at 100 TB the codes frame is the only thing scanned per query,
+    * ~1% the bytes of the raw vectors, and cells/codes can further prune
+    * via the [[annIvfTopK]] coarse quantizer on top (IVF-PQ). With
+    * `rerank` > 1 the ADC pass only SHORTLISTS rerank·k candidates and
+    * the exact distance re-reads full vectors for those k·rerank ids
+    * alone (broadcast semi-join) — the standard two-stage serving shape
+    * that buys back quantization recall for an O(k) exact pass.
+    */
+  def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val subs = subVectors(emb, m, dim / m)
+    val cb = pqCodebook(subs, ksub)
+    val assigned = pqAssign(subs, cb)
+    val q = subs.filter(col("vec_id") === queryId)
+      .select(col("sub"), col("sv").as("qsv"))
+    val lut = cb.join(q, "sub")
+      .select(col("sub"), col("cid"), l2sq(col("cv"), col("qsv")).as("d"))
+    val adc = assigned.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(dsum(col("d")).as("adist"))
+    if (rerank <= 1)
+      adc.orderBy(col("adist"), col("vec_id")).limit(k)
+    else {
+      // production shape: the cheap ADC scan shortlists rerank·k
+      // candidates; only those re-read their full vectors for the exact
+      // distance — the scan stays code-only, the exact pass is O(k)
+      val shortlist = adc.orderBy(col("adist"), col("vec_id"))
+        .limit(k * rerank).select(col("vec_id"))
+      val qv = emb.filter(col("vec_id") === queryId)
+        .select(col("v").as("qv"))
+      emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), l2sq(col("v"), col("qv")).as("adist"))
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(k)
+    }
+  }
+
   /** Per-label per-dimension embedding centroid — the class-prototype
     * aggregation behind semantic dedup cell seeding, drift monitoring,
     * and nearest-class-mean labeling. Shape: posexplode to

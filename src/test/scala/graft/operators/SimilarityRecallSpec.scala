@@ -42,6 +42,38 @@ class SimilarityRecallSpec extends AnyFunSuite {
       Seq((0L, "76,101"), (1L, null), (2L, "-127,0")))
   }
 
+  test("PQ/ADC: summed table distances recover most of the exact L2 " +
+      "top-k, and every vector codes to m valid centroid ids") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val exactL2 = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    val adcOnly = Similarity.pqTopK(spark, dir, k = k, rerank = 1)
+      .collect().map(_.getLong(0)).toSet
+    val reranked = Similarity.pqTopK(spark, dir, k = k).collect()
+      .map(_.getLong(0)).toSet
+    val recAdc = adcOnly.intersect(exactL2).size.toDouble / k
+    val rec = reranked.intersect(exactL2).size.toDouble / k
+    info(s"PQ recall@$k: ADC-only = $recAdc, +exact rerank×4 = $rec")
+    assert(rec >= recAdc, "re-ranking can only help")
+    assert(rec >= 0.8, s"PQ reranked recall@$k = $rec")
+    assert(reranked.contains(0L), "the query itself is at distance 0")
+
+    val subs = Similarity.subVectors(emb, 8, 8)
+    val codes = Similarity.pqCodes(
+      Similarity.pqAssign(subs, Similarity.pqCodebook(subs))).collect()
+    assert(codes.length == emb.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length == 8 && cs.forall(c => c >= 0 && c < 16), r)
+    }
+  }
+
   test("recall grows monotonically with nprobe and the default is usable") {
     val r1 = recall(nprobe = 1)
     val r4 = recall(nprobe = 4)
