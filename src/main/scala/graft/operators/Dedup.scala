@@ -727,27 +727,45 @@ object Dedup {
     */
   def decontaminateBloomOn(corpus: DataFrame, evalSet: DataFrame,
       k: Int = 8, expectedItems: Long = 4000000L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
-    import org.apache.spark.sql.types.BinaryType
-    val evalH = evalSet
-      .select(explode(shingles(col("text"), k)).as("s"))
-      .select(xxhash64(col("s")).as("h"))
-    val bf = evalH.agg(column(
-        new BloomFilterAggregate(expression(col("h")), expectedItems)
-          .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bf = evalBloom(evalSet, k, expectedItems)
     // empty eval set -> aggregate yields NULL, nothing can be
     // contaminated (same null-means-absent treatment as cmsMaintain)
     if (bf == null) return corpus
     val contaminated = corpus
       .select(col("doc_id"), explode(shingles(col("text"), k)).as("s"))
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .filter(column(BloomFilterMightContain(
-        Literal(bf, BinaryType), expression(col("h")))))
+      .filter(mightContain(bf, col("h")))
       .select(col("doc_id")).distinct()
     corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+  }
+
+  /** The driver-held Bloom artifact over an eval set's shingle hashes —
+    * shared by [[decontaminateBloomOn]] and the streaming ingest gate
+    * ([[graft.streaming.EventStream]] curateDocsBloom) so the two paths
+    * can never disagree on shingling or capacity. NULL for an empty
+    * eval set.
+    */
+  private[graft] def evalBloom(evalSet: DataFrame, k: Int,
+      expectedItems: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    evalSet
+      .select(explode(shingles(col("text"), k)).as("s"))
+      .select(xxhash64(col("s")).as("h"))
+      .agg(column(
+        new BloomFilterAggregate(expression(col("h")), expectedItems)
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
+
+  /** `might_contain(bf, h)` as a Column — the constant-artifact scan
+    * predicate both Bloom decontamination paths gate on.
+    */
+  private[graft] def mightContain(bf: Array[Byte], h: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+    column(BloomFilterMightContain(Literal(bf, BinaryType), expression(h)))
   }
 
   /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each

@@ -256,6 +256,32 @@ object EventStream {
         col("source"), col("lang"))
   }
 
+  /** [[curateDocs]] with the Bloom-artifact eval set — the ingest gate
+    * for eval/blocklist sets too large to ship as an exact hash array
+    * (the streaming face of
+    * [[graft.operators.Dedup.decontaminateBloomOn]], built on the SAME
+    * shared artifact builder so the two paths cannot drift). The filter
+    * is a constant `might_contain` predicate folded into each
+    * micro-batch's narrow scan: numBits/8 bytes regardless of eval
+    * size, still stateless, still no watermark. Error direction matches
+    * the batch twin: a false positive drops a clean doc at ingest (it
+    * can be re-admitted after an artifact rebuild); a truly
+    * contaminated doc is NEVER admitted.
+    */
+  def curateDocsBloom(docs: DataFrame, evalSet: DataFrame, k: Int = 8,
+      expectedItems: Long = 4000000L): DataFrame = {
+    import graft.operators.{Dedup, Privacy}
+    val bf = Dedup.evalBloom(evalSet, k, expectedItems)
+    val clean =
+      if (bf == null) docs
+      else docs.filter(!coalesce(
+        exists(transform(Dedup.shingles(col("text"), k), s => xxhash64(s)),
+          h => Dedup.mightContain(bf, h)),
+        lit(false)))
+    clean.select(col("doc_id"), Privacy.redact(col("text")).as("text"),
+      col("source"), col("lang"))
+  }
+
   /** Stream → warehouse sink via foreachBatch: each micro-batch of the
     * (Update-mode) hourly aggregate overwrites only the panes it touched —
     * dynamic partition overwrite, so late updates replace a pane in place

@@ -427,6 +427,34 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloom curation gate matches the exact gate on this stream: " +
+      "overlap dropped at ingest, clean + null-text docs admitted") {
+    implicit val sql = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota"
+    input.addData(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta trailer", "s", "en"),
+      (2L, "totally unrelated words reach me at bob@mail.com today", "s", "en"),
+      (3L, null: String, "s", "en"))
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val q = EventStream.curateDocsBloom(
+      input.toDF().toDF("doc_id", "text", "source", "lang"), evalSet)
+      .writeStream.format("memory").queryName("curated_bloom")
+      .outputMode(OutputMode.Append).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curated_bloom").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      // no false negatives: the contaminated doc can never be admitted;
+      // on this fixture there are no false positives either, so the
+      // output equals the exact gate's
+      assert(rows.keySet == Set(2L, 3L), "overlap dropped, null-text kept")
+      assert(rows(2L) == "totally unrelated words reach me at <EMAIL> today")
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate drops indexed near-dups, admits novel docs") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions.col
