@@ -138,6 +138,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
+    "q_contam_frac" -> ((s, dir) => Dedup.contaminationFraction(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
@@ -1646,6 +1647,27 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
         |       CAST(len(arr) - coalesce(a.n_kept, 0) AS INT) AS n_dropped
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q_contam_frac" ->
+      """WITH sh8 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 8
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 6),
+        |                     i -> string_split(text, ' ')[i+0] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' || string_split(text, ' ')[i+4] || ' ' || string_split(text, ' ')[i+5] || ' ' || string_split(text, ' ')[i+6] || ' ' || string_split(text, ' ')[i+7]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |ev AS (SELECT DISTINCT unnest(sh) AS s FROM sh8 WHERE doc_id % 20 = 0),
+        |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh8 WHERE doc_id % 20 <> 0),
+        |hits AS (SELECT tr.doc_id, CAST(count(*) AS INT) AS n_hits
+        |         FROM tr JOIN ev USING (s) GROUP BY tr.doc_id),
+        |base AS (SELECT doc_id, CAST(len(sh) AS INT) AS n_shingles
+        |         FROM sh8 WHERE doc_id % 20 <> 0)
+        |SELECT base.doc_id, n_shingles,
+        |       coalesce(n_hits, 0) AS n_hits,
+        |       coalesce(n_hits, 0) / n_shingles AS hit_frac,
+        |       coalesce(n_hits, 0) / n_shingles > 0.5 AS retired
+        |FROM base LEFT JOIN hits USING (doc_id)
+        |ORDER BY base.doc_id""".stripMargin,
     // q_doc_signals: the wide attributes row re-states the per-signal
     // oracle expressions (same literals, same op order — IEEE-exact).
     "q_doc_signals" ->

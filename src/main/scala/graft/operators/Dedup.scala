@@ -768,6 +768,36 @@ object Dedup {
     column(BloomFilterMightContain(Literal(bf, BinaryType), expression(h)))
   }
 
+  /** Fractional decontamination: retire a training doc only when more
+    * than `tau` of its distinct k-grams appear in the eval set — the
+    * overlap-share policy production pipelines commonly run (any-hit
+    * [[decontaminateOn]] is the conservative τ=0 extreme; the share
+    * tolerates incidental phrase collisions while still catching real
+    * eval copies). Emits the full audit row (n_shingles, n_hits,
+    * hit_frac, retired) for EVERY training doc instead of silently
+    * filtering — the same frame serves the gate and its evidence log.
+    *
+    * Scale shape identical to [[contaminationReport]]: eval shingles
+    * broadcast once, the corpus never shuffles; the per-doc counts are
+    * one map-side-combinable aggregation plus a doc_id join back.
+    */
+  def contaminationFraction(spark: SparkSession, dir: String, k: Int = 8,
+      tau: Double = 0.5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val train = docs.filter(col("doc_id") % EvalModulus =!= 0)
+    val hits = contaminationHits(train,
+        docs.filter(col("doc_id") % EvalModulus === 0), k)
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_hits"))
+    train
+      .select(col("doc_id"), size(shingles(col("text"), k)).as("n_shingles"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0)).as("n_hits"))
+      .withColumn("hit_frac", col("n_hits") / col("n_shingles"))
+      .withColumn("retired", col("hit_frac") > tau)
+      .orderBy(col("doc_id"))
+  }
+
   /** The audit twin of [[decontaminate]]: (doc_id, n_hits) for each
     * contaminated training document, n_hits = how many distinct eval
     * k-grams it contains — the evidence row a curation run logs next to

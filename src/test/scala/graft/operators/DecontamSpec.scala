@@ -86,6 +86,26 @@ class DecontamSpec extends AnyFunSuite {
       train.columns.toSeq)
   }
 
+  test("fractional decontamination nests inside the any-hit gate and " +
+      "its audit agrees with the exact survivor set") {
+    import org.apache.spark.sql.functions._
+    val frac = Dedup.contaminationFraction(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    // audit internal consistency
+    frac.values.foreach { case (n, h, f, ret) =>
+      assert(h >= 0 && h <= n && f == h.toDouble / n && ret == (f > 0.5))
+    }
+    // tau-retired docs are a subset of any-hit-retired docs
+    val anyHitKept = Dedup.decontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    frac.foreach { case (id, (_, h, _, ret)) =>
+      if (ret) assert(h > 0 && !anyHitKept.contains(id))
+      if (anyHitKept.contains(id)) assert(h == 0,
+        s"any-hit survivor $id must have zero eval overlap")
+    }
+  }
+
   test("bloom decontamination with an empty eval set is the identity") {
     import org.apache.spark.sql.functions._
     val train = graft.sources.Tables.documents(spark, dir)
