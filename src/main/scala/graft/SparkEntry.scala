@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Bpe, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +143,10 @@ object SparkEntry {
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    // golden-pinned: iterative driver-loop training has no SQL twin;
+    // determinism from integer pair counts + total-order argmax
+    "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
+    "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Distributed byte-pair-encoding vocabulary training (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units")
+  * — the tokenizer-building step of an LLM data pipeline, run on the
+  * engine instead of a single-node script.
+  *
+  * Scale design: merges never cross word boundaries, so training runs on
+  * the WORD-FREQUENCY DICTIONARY, not the corpus — one map-side
+  * combinable (word, count) aggregation compresses 100 TB of text to a
+  * Heaps-law-bounded vocab (millions of rows, not trillions), and every
+  * merge iteration after that is a small job over the dict:
+  * one adjacent-pair explode + integer count aggregation, one 1-row
+  * argmax (driver-held, artifact-sized — the same bounded `head()`
+  * pattern as the Count-Min/Bloom artifacts), and one narrow
+  * higher-order fold applying the merge greedily left-to-right per word.
+  * `localCheckpoint` truncates the per-iteration lineage exactly like
+  * [[Similarity.kmeansCodebook]].
+  *
+  * Determinism: pair counts are exact integer sums; the argmax
+  * tie-breaks on (count DESC, left, right) — a total order — so the
+  * learned merge table is bit-identical across partitionings and runs
+  * (golden-pinned; iterative driver-loop training has no SQL twin).
+  */
+object Bpe {
+
+  /** (syms, cnt): each distinct word as its character-symbol array,
+    * weighted by corpus frequency. The one corpus-sized shuffle.
+    */
+  private[operators] def wordDict(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("w"), "").as("syms"), col("cnt"))
+
+  /** Adjacent-symbol pair counts over the dict, weighted by word count.
+    * Every adjacent POSITION counts (overlapping repeats included) —
+    * the convention reference BPE implementations use.
+    */
+  private[operators] def pairCounts(dict: DataFrame): DataFrame =
+    dict
+      .select(explode(when(size(col("syms")) >= 2,
+        transform(sequence(lit(0), size(col("syms")) - 2),
+          i => struct(element_at(col("syms"), i + 1).as("l"),
+            element_at(col("syms"), i + 2).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>")))
+        .as("p"), col("cnt"))
+      .groupBy(col("p.l"), col("p.r"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /** Apply one merge (a, b) → ab to every word, greedily left-to-right
+    * (after a merge the new symbol differs from `a`, so overlapping
+    * occurrences resolve exactly as the sequential algorithm does:
+    * "aaa" under (a,a) becomes ["aa","a"]). A narrow fold per word.
+    */
+  private[operators] def mergeStep(dict: DataFrame, a: String,
+      b: String): DataFrame =
+    dict.select(
+      aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) => when(size(acc) > 0
+            && element_at(acc, -1) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(element_at(acc, -1), x))))
+          .otherwise(concat(acc, array(x)))).as("syms"),
+      col("cnt"))
+
+  /** Train `nMerges` BPE merges over the documents table. Output: the
+    * learned merge table (rank, left, right, merged, pair_count) — the
+    * tokenizer artifact a loader ships. Stops early if the dict runs
+    * out of pairs (fully merged).
+    */
+  def bpeTrain(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    bpeTrainOn(spark, Tables.documents(spark, dir), nMerges)
+
+  /** Same, over any (text) frame. */
+  def bpeTrainOn(spark: SparkSession, documents: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    trainCore(documents, nMerges)._1
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** The training loop, returning the merge list AND the final merged
+    * dict (so segmentation stats don't re-train or re-fold).
+    */
+  private def trainCore(documents: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    var dict = wordDict(documents).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 0 until nMerges if !exhausted) {
+      val top = pairCounts(dict)
+        .orderBy(col("pc").desc, col("l"), col("r")).head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pc) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, a, b, a + b, pc))
+        dict = mergeStep(dict, a, b).localCheckpoint(true)
+      }
+    }
+    (merges.toSeq, dict)
+  }
+
+  /** Segment the corpus with the learned merges and report the
+    * compression they buy: (n_words, n_symbols, symbols_per_word) —
+    * the acceptance metric tokenizer training tracks. The final merged
+    * dict from training is aggregated directly (weighted by word
+    * count); the corpus is never re-read per merge.
+    */
+  def bpeSegmentStats(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    trainCore(Tables.documents(spark, dir), nMerges)._2
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(size(col("syms")).cast("long") * col("cnt")).as("n_symbols"))
+      .select(col("n_words"), col("n_symbols"),
+        (col("n_symbols") / col("n_words")).as("symbols_per_word"))
+}

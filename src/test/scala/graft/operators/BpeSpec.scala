@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import scala.collection.mutable
+
+/** BPE training against a sequential reference implementation: the
+  * distributed pair-count/argmax/fold loop must reproduce the classic
+  * algorithm's merge table exactly (same tie-breaks, same greedy
+  * left-to-right overlap resolution).
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mergeList(syms: List[String], a: String,
+      b: String): List[String] = {
+    val out = mutable.ListBuffer.empty[String]
+    for (x <- syms) {
+      if (out.nonEmpty && out.last == a && x == b)
+        out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toList
+  }
+
+  private def refTrain(words: Map[String, Long],
+      n: Int): Seq[(String, String, Long)] = {
+    var dict: Map[List[String], Long] =
+      words.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until n if !done) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, c) <- dict; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += c
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((a, b, cnt))
+        dict = dict.map { case (syms, c) => (mergeList(syms, a, b), c) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("distributed merges equal the sequential reference on the " +
+      "classic low/lower/newest fixture") {
+    val docs = Seq((1L, "low low low lower lowest"),
+      (2L, "new newer newest low")).toDF("doc_id", "text")
+    val got = Bpe.bpeTrainOn(spark, docs, 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val want = refTrain(Map("low" -> 4L, "lower" -> 1L, "lowest" -> 1L,
+      "new" -> 1L, "newer" -> 1L, "newest" -> 1L), 8)
+    assert(got == want)
+    // merged column is the concatenation, ranks are 0..n-1 in order
+    val full = Bpe.bpeTrainOn(spark, docs, 8).collect()
+    assert(full.map(_.getInt(0)).toSeq == full.indices.toSeq)
+    full.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+  }
+
+  test("overlapping repeats resolve greedily left-to-right: aaa -> [aa, a]") {
+    val docs = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = Bpe.bpeTrainOn(spark, docs, 3).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    // pass 1: (a,a) at positions 0-1 and 1-2 -> count 2, word -> [aa, a]
+    // pass 2: (aa,a) -> count 1, word -> [aaa]; then no pairs remain
+    assert(got == Seq(("a", "a", 2L), ("aa", "a", 1L)))
+  }
+
+  test("training exhausts cleanly and segment stats show compression") {
+    val dir = "/root/testdata/sf0.001"
+    val none = Bpe.bpeSegmentStats(spark, dir, nMerges = 0).head()
+    val some = Bpe.bpeSegmentStats(spark, dir, nMerges = 20).head()
+    assert(none.getLong(0) == some.getLong(0), "word count is invariant")
+    assert(some.getLong(1) < none.getLong(1),
+      "20 merges must shrink the symbol stream")
+    assert(some.getDouble(2) >= 1.0,
+      "can never go below one symbol per word")
+  }
+}
