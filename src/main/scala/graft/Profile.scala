@@ -161,6 +161,32 @@ object Profile {
     }
     t("dsir_10x")(
       graft.operators.Sampling.importanceWeightsOn(docs10, "en").count())
+
+    // Round-4c ops at 10x: span removal (replication drives every
+    // gram's df to >= 10, so all 9 non-min replicas drop ~ALL their
+    // positions — the covered-position shuffle at its worst case), the
+    // wide attributes row, PQ train+code over the replicated embedding
+    // corpus, and BPE training (the dict is replication-INVARIANT —
+    // same words, 10x counts — so this measures the corpus shuffle).
+    // aggregate over the computed columns, not count(): the reassembly
+    // left join is row-preserving on a unique key, so a bare count lets
+    // Catalyst eliminate the whole covered-position branch
+    t("span_removal_10x")(Dedup.removeDupSpansOn(docs10)
+      .agg(sum(col("n_dropped") + length(col("clean_text"))))
+      .head.getLong(0))
+    t("doc_signals_10x")(graft.operators.TextAnalysis.docSignalsOn(docs10)
+      .agg(sum(col("logit") + col("dup_frac") + col("rep_trigram")))
+      .head.getDouble(0).toLong)
+    t("pq_codes_10x") {
+      import graft.functions.VectorFunctions.vecD
+      val e = emb10.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val subs = graft.operators.Similarity.subVectors(e, 16, 4)
+      graft.operators.Similarity.pqCodes(graft.operators.Similarity
+        .pqAssign(subs, graft.operators.Similarity.pqCodebook(subs)))
+        .count()
+    }
+    t("bpe_train_10x")(
+      graft.operators.Bpe.bpeTrainOn(spark, docs10, 20).count())
     spark.stop()
   }
 }

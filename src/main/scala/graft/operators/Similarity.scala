@@ -190,7 +190,7 @@ object Similarity {
     * `m` contiguous `dsub`-dim slices — the unit product quantization
     * trains and codes on. Narrow explode; m·n rows.
     */
-  private[operators] def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
+  private[graft] def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
     emb.select(col("vec_id"), explode(transform(
       sequence(lit(0), lit(m - 1)),
       s => struct(s.as("sub"),
@@ -204,7 +204,7 @@ object Similarity {
     * map-side `min(struct)` argmin collapses the fan-out before the
     * exchange (the shuffle carries m·n rows, never m·n·ksub).
     */
-  private[operators] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
+  private[graft] def pqAssign(subs: DataFrame, cb: DataFrame): DataFrame =
     subs.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("sub"),
         struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid"),
