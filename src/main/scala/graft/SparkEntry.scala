@@ -147,6 +147,7 @@ object SparkEntry {
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
+    "q_bpe_tokens" -> ((s, dir) => Bpe.bpeTokenize(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),

@@ -28,15 +28,17 @@ import graft.sources.Tables
   */
 object Bpe {
 
-  /** (syms, cnt): each distinct word as its character-symbol array,
-    * weighted by corpus frequency. The one corpus-sized shuffle.
+  /** (w, syms, cnt): each distinct word, its character-symbol array, and
+    * its corpus frequency. The one corpus-sized shuffle; `w` rides along
+    * so the final segmented dict can join back onto the corpus as a
+    * word → subwords lookup ([[bpeTokenize]]).
     */
   private[operators] def wordDict(documents: DataFrame): DataFrame =
     documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .select(split(col("w"), "").as("syms"), col("cnt"))
+      .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
 
   /** Adjacent-symbol pair counts over the dict, weighted by word count.
     * Every adjacent POSITION counts (overlapping repeats included) —
@@ -60,14 +62,13 @@ object Bpe {
     */
   private[operators] def mergeStep(dict: DataFrame, a: String,
       b: String): DataFrame =
-    dict.select(
+    dict.withColumn("syms",
       aggregate(col("syms"), array().cast("array<string>"),
         (acc, x) => when(size(acc) > 0
             && element_at(acc, -1) === lit(a) && x === lit(b),
           concat(slice(acc, lit(1), size(acc) - 1),
             array(concat(element_at(acc, -1), x))))
-          .otherwise(concat(acc, array(x)))).as("syms"),
-      col("cnt"))
+          .otherwise(concat(acc, array(x)))))
 
   /** Train `nMerges` BPE merges over the documents table. Output: the
     * learned merge table (rank, left, right, merged, pair_count) — the
@@ -123,4 +124,27 @@ object Bpe {
         sum(size(col("syms")).cast("long") * col("cnt")).as("n_symbols"))
       .select(col("n_words"), col("n_symbols"),
         (col("n_symbols") / col("n_words")).as("symbols_per_word"))
+
+  /** Per-document BPE tokenization — the serving half of the artifact:
+    * the final segmented dict is a word → subwords LOOKUP TABLE, so
+    * tokenizing the corpus is one token explode + one equi-join on the
+    * word (AQE broadcasts the dict when it fits; Heaps' law keeps it
+    * sublinear in the corpus) + one per-doc aggregation. The fold that
+    * applies merges runs over dict WORDS exactly once during training —
+    * never per corpus occurrence, never per document.
+    * Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word).
+    */
+  def bpeTokenize(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dict = trainCore(docs, nMerges)._2
+      .select(col("w"), size(col("syms")).as("n_sub"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(dict, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_bpe_tokens"))
+      .withColumn("tokens_per_word", col("n_bpe_tokens") / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -79,4 +79,16 @@ class BpeSpec extends AnyFunSuite {
     assert(some.getDouble(2) >= 1.0,
       "can never go below one symbol per word")
   }
+
+  test("per-doc tokenization reconciles exactly with the dict-level stats") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stats = Bpe.bpeSegmentStats(spark, dir, nMerges = 20).head()
+    val perDoc = Bpe.bpeTokenize(spark, dir, nMerges = 20)
+      .agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head()
+    assert(perDoc.getLong(0) == stats.getLong(0),
+      "word totals agree between the corpus join and the weighted dict")
+    assert(perDoc.getLong(1) == stats.getLong(1),
+      "BPE token totals agree — the lookup join loses nothing")
+  }
 }
