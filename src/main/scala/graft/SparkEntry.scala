@@ -143,6 +143,7 @@ object SparkEntry {
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
+    "q_ivfpq" -> ((s, dir) => Similarity.ivfPqTopK(s, dir)),
     // golden-pinned: iterative driver-loop training has no SQL twin;
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),

@@ -219,9 +219,16 @@ object Similarity {
     * recompute is one (sub, cid, pos) decimal-mean aggregation. Seeded
     * like [[kmeansCodebook]] with the first-ksub vectors' subvectors.
     */
-  def pqCodebook(subs: DataFrame, ksub: Int = 16, iters: Int = 2): DataFrame = {
-    var cb = subs.filter(col("vec_id") < ksub)
-      .select(col("sub"), col("vec_id").as("cid"), col("sv").as("cv"))
+  def pqCodebook(subs: DataFrame, ksub: Int = 16, iters: Int = 2,
+      seedFrom: Long = 0L): DataFrame = {
+    // seedFrom matters when training on RESIDUALS: the coarse
+    // centroids' own residuals are all-zero, so seeding from them
+    // collapses every subspace codebook to one effective centroid —
+    // IVF-PQ seeds past the coarse-centroid id range instead
+    var cb = subs
+      .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + ksub)
+      .select(col("sub"), (col("vec_id") - seedFrom).as("cid"),
+        col("sv").as("cv"))
     for (_ <- 0 until iters) {
       cb = pqAssign(subs, cb)
         .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
@@ -300,6 +307,87 @@ object Similarity {
         .orderBy(col("adist"), col("vec_id"))
         .limit(k)
     }
+  }
+
+  /** IVF-PQ (the composition the billion-vector engines serve): the
+    * coarse quantizer assigns every vector to a cell and the PQ
+    * codebook encodes the RESIDUAL v − cell_centroid (residuals
+    * concentrate near 0, so the same ksub centroids quantize them far
+    * better than raw vectors). A query probes `nprobe` cells; within
+    * each, ADC runs against the cell-specific residual query
+    * (q − cell_centroid) via a per-cell lookup table — m·ksub·nprobe
+    * rows, still broadcast-sized — and the exact re-rank recovers the
+    * tail. Cells NOT probed contribute zero scan cost: materialized,
+    * the codes live partitioned by cell exactly like [[writeIvfIndex]],
+    * so the per-query read is the probed cells' code rows only (the
+    * lazy per-cell coding below computes exactly what that layout would
+    * read).
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64, rerank: Int = 4): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val coarse = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = assignNearest(emb, coarse)
+    // corpus-wide residuals train the PQ codebook (the stored artifact)
+    val residuals = assigned.join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+    val cb = pqCodebook(
+      subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
+      ksub, seedFrom = 16L)
+
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeCells = coarse.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"), col("cv"))
+
+    // per-cell query residual -> per-cell LUT (nprobe·m·ksub rows)
+    val qsubs = probeCells.crossJoin(broadcast(q))
+      .select(col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
+      .select(col("cell"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("sub"),
+          slice(col("qr"), s * dsub + 1, lit(dsub)).as("qsv")))).as("u"))
+      .select(col("cell"), col("u.sub"), col("u.qsv"))
+    val lut = cb.join(qsubs, "sub")
+      .select(col("cell"), col("sub"), col("cid"),
+        l2sq(col("cv"), col("qsv")).as("d"))
+
+    // code ONLY the probed cells' residuals — what a cell-partitioned
+    // code layout would read
+    val cellSubs = residuals
+      .join(broadcast(probeCells.select(col("cell"))), "cell")
+      .select(col("vec_id"), col("cell"), explode(transform(
+        sequence(lit(0), lit(m - 1)),
+        s => struct(s.as("sub"),
+          slice(col("r"), s * dsub + 1, lit(dsub)).as("sv")))).as("u"))
+      .select(col("vec_id"), col("cell"), col("u.sub"), col("u.sv"))
+    val cellCodes = cellSubs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        col("best.cid").as("cid"))
+
+    val adc = cellCodes.join(broadcast(lut), Seq("cell", "sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(dsum(col("d")).as("adist"))
+    val shortlist = adc.orderBy(col("adist"), col("vec_id"))
+      .limit(k * rerank).select(col("vec_id"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
   }
 
   /** Per-label per-dimension embedding centroid — the class-prototype

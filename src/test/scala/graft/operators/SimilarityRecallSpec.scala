@@ -74,6 +74,28 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ: probing all cells approaches exact search; the default " +
+      "probe keeps usable recall at a fraction of the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions._
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val q = emb.filter(col("vec_id") === 0L).select(col("v").as("qv"))
+    val exactL2 = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    def rec(nprobe: Int): Double =
+      Similarity.ivfPqTopK(spark, dir, k = k, nprobe = nprobe).collect()
+        .map(_.getLong(0)).toSet.intersect(exactL2).size.toDouble / k
+    val rAll = rec(16)
+    val rDefault = rec(4)
+    info(s"IVF-PQ recall@$k: nprobe=16 -> $rAll, nprobe=4 -> $rDefault")
+    assert(rAll >= 0.9,
+      "with every cell probed, residual-PQ + rerank must be near-exact")
+    assert(rDefault >= 0.5, s"default-probe recall degraded to $rDefault")
+  }
+
   test("recall grows monotonically with nprobe and the default is usable") {
     val r1 = recall(nprobe = 1)
     val r4 = recall(nprobe = 4)
