@@ -98,32 +98,15 @@ object Profile {
     // Round-4 ops at 10x: the two new explode-heavy text signals. Both
     // take a docs frame through the same Tables-backed pipeline the
     // query entries use (recompose inline — operators take a dir).
-    t("top_ngram_10x") {
-      import org.apache.spark.sql.functions._
-      val t = split(col("text"), " ")
-      val docs = docs10.select(col("doc_id"), t.as("t"), size(t).as("n_tokens"))
-      val best = docs.filter(col("n_tokens") >= 2)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i),
-            element_at(col("t"), i + 1)))).as("bg"))
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("doc_id"))
-        .agg(min(struct((-col("cnt")).as("neg"), col("bg"))).as("best"))
-      // count(best.bg) forces the explode+agg+join; a bare count() lets
-      // Catalyst eliminate the provably-unique left join entirely
-      docs.join(best, Seq("doc_id"), "left")
-        .agg(count(col("best.bg"))).head.getLong(0)
-    }
-    t("token_rarity_10x") {
-      import org.apache.spark.sql.functions._
-      val ex = docs10.select(col("doc_id"),
-        explode(split(col("text"), " ")).as("term"))
-      val tfq = ex.groupBy(col("term")).agg(count(lit(1)).as("tf"))
-      ex.join(tfq, "term").groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("tf")).as("freq_sum"))
-        .count()
-    }
+    // the SHIPPED operators via their *On entry points (an inline
+    // re-derivation here could silently drift from what SCALING.md
+    // claims to measure); aggregates force the full plan as above
+    t("top_ngram_10x")(
+      graft.operators.TextAnalysis.topNgramShareOn(docs10)
+        .agg(count(col("top_bigram"))).head.getLong(0))
+    t("token_rarity_10x")(
+      graft.operators.TextAnalysis.tokenRarityOn(docs10)
+        .agg(sum(col("freq_sum"))).head.getLong(0))
     t("compress_ratio_10x") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graft.ColumnBridge

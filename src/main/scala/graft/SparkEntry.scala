@@ -775,7 +775,7 @@ object SparkEntry {
         |  SELECT anchor_label, vec_id, label, cos,
         |         row_number() OVER (PARTITION BY anchor_label
         |           ORDER BY cos DESC, vec_id) AS rank
-        |  FROM scored)
+        |  FROM scored WHERE NOT isnan(cos))
         |SELECT anchor_label, CAST(rank AS INT) AS rank, vec_id, label, cos
         |FROM ranked WHERE rank <= 3
         |ORDER BY anchor_label, rank""".stripMargin,

@@ -23,18 +23,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * kernel are golden-pinned rather than oracle-checked.
   */
 object DeflateKernel {
+  // one native zlib stream + scratch buffer per executor THREAD,
+  // reset() between rows: constructing/ending a Deflater is a JNI
+  // init/teardown with native malloc/free, which on short documents
+  // costs more than the compression itself — per-row allocation would
+  // quietly break the "scan-speed narrow map" contract (same pooling
+  // Spark's own compression codecs use). reset() restores the exact
+  // initial stream state, so output lengths are unchanged.
+  private val deflaters = new ThreadLocal[Deflater] {
+    override def initialValue(): Deflater = new Deflater(6, /* nowrap = */ true)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Deflated byte length of the UTF-8 bytes of `text`, level 6. */
   def deflatedSize(text: UTF8String): Int = {
     val raw = text.getBytes
-    val d = new Deflater(6, /* nowrap = */ true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = buffers.get()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }
 

@@ -139,11 +139,19 @@ object Bpe {
     val docs = Tables.documents(spark, dir)
     val dict = trainCore(docs, nMerges)._2
       .select(col("w"), size(col("syms")).as("n_sub"))
-    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val joined = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(dict, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_sub")).as("n_bpe_tokens"))
+    // re-attach docs whose tokens all missed the dict (empty/whitespace
+    // text): every per-doc operator emits a row per doc — this one too;
+    // 0/0 division is NULL, marking "nothing to tokenize" explicitly
+    docs.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
       .withColumn("tokens_per_word", col("n_bpe_tokens") / col("n_words"))
       .orderBy(col("doc_id"))
   }

@@ -789,7 +789,13 @@ object Dedup {
         docs.filter(col("doc_id") % EvalModulus === 0), k)
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("n_hits"))
     train
-      .select(col("doc_id"), size(shingles(col("text"), k)).as("n_shingles"))
+      // NULL text: the shingle kernel yields NULL (size would too), but
+      // the oracle's CASE falls through to the [text] fallback = [NULL],
+      // one shingle that can never match an eval gram — mirror that so
+      // the audit row exists for every doc with retired=false, not NULL
+      .select(col("doc_id"),
+        when(col("text").isNull, lit(1))
+          .otherwise(size(shingles(col("text"), k))).as("n_shingles"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_shingles"),
         coalesce(col("n_hits"), lit(0)).as("n_hits"))

@@ -186,16 +186,20 @@ object Similarity {
       .limit(k)
   }
 
-  /** Per-vector subvector rows (vec_id, sub, sv): vector `v` split into
+  /** Per-vector subvector rows (…, sub, sv): the `v` column split into
     * `m` contiguous `dsub`-dim slices — the unit product quantization
-    * trains and codes on. Narrow explode; m·n rows.
+    * trains and codes on; every other column (vec_id, a cell id, …)
+    * rides through, so the one definition serves plain PQ, the IVF-PQ
+    * per-cell paths, and the query side. Narrow explode; m·n rows.
     */
-  private[graft] def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame =
-    emb.select(col("vec_id"), explode(transform(
+  private[graft] def subVectors(emb: DataFrame, m: Int, dsub: Int): DataFrame = {
+    val keep = emb.columns.filter(_ != "v").map(col).toSeq
+    emb.select(keep :+ explode(transform(
       sequence(lit(0), lit(m - 1)),
       s => struct(s.as("sub"),
-        slice(col("v"), s * dsub + 1, lit(dsub)).as("sv")))).as("u"))
-      .select(col("vec_id"), col("u.sub"), col("u.sv"))
+        slice(col("v"), s * dsub + 1, lit(dsub)).as("sv")))).as("u"): _*)
+      .select(keep :+ col("u.sub") :+ col("u.sv"): _*)
+  }
 
   /** Nearest-centroid assignment per (vector, subspace) against a
     * broadcast (sub, cid, cv) codebook — [[assignNearest]] generalized to
@@ -349,27 +353,19 @@ object Similarity {
       .select(col("cid").as("cell"), col("cv"))
 
     // per-cell query residual -> per-cell LUT (nprobe·m·ksub rows)
-    val qsubs = probeCells.crossJoin(broadcast(q))
+    val qsubs = subVectors(probeCells.crossJoin(broadcast(q))
       .select(col("cell"),
-        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("qr"))
-      .select(col("cell"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        s => struct(s.as("sub"),
-          slice(col("qr"), s * dsub + 1, lit(dsub)).as("qsv")))).as("u"))
-      .select(col("cell"), col("u.sub"), col("u.qsv"))
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v")), m, dsub)
+      .select(col("cell"), col("sub"), col("sv").as("qsv"))
     val lut = cb.join(qsubs, "sub")
       .select(col("cell"), col("sub"), col("cid"),
         l2sq(col("cv"), col("qsv")).as("d"))
 
     // code ONLY the probed cells' residuals — what a cell-partitioned
     // code layout would read
-    val cellSubs = residuals
+    val cellSubs = subVectors(residuals
       .join(broadcast(probeCells.select(col("cell"))), "cell")
-      .select(col("vec_id"), col("cell"), explode(transform(
-        sequence(lit(0), lit(m - 1)),
-        s => struct(s.as("sub"),
-          slice(col("r"), s * dsub + 1, lit(dsub)).as("sv")))).as("u"))
-      .select(col("vec_id"), col("cell"), col("u.sub"), col("u.sv"))
+      .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
     val cellCodes = cellSubs.join(broadcast(cb), "sub")
       .select(col("vec_id"), col("cell"), col("sub"),
         struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
@@ -437,6 +433,10 @@ object Similarity {
       .filter(col("label") =!= col("anchor_label"))
       .select(col("anchor_label"), col("vec_id"), col("label"),
         cosine(col("v"), col("cv")).as("cos"))
+      // a zero-norm vector's cosine is NaN, and Spark sorts NaN ABOVE
+      // +Inf in a DESC window — it would outrank every real negative;
+      // drop degenerates before ranking (oracle twin filters identically)
+      .filter(!isnan(col("cos")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("anchor_label"), col("rank"), col("vec_id"), col("label"),
@@ -483,21 +483,34 @@ object Similarity {
     * codebook vector is its cell's lowest-id member, so its planted copy
     * lands in the same cell at cos ≈ 1 and must be marked drop.
     */
+  /** The q_semdedup QUERY: [[semDedupOn]] over the embeddings table
+    * augmented with deterministically perturbed near-copies (vec_id +
+    * 1,000,000; first dimension × 1.01) so the testdata — whose max
+    * organic pairwise cosine is ~0.48 — actually exercises the ≥ 0.95
+    * drop path on both engines. The planting is part of THIS query's
+    * definition (the DuckDB oracle builds the same augmented frame);
+    * production corpora call [[semDedupOn]], which plants nothing.
+    */
   def semDedup(spark: SparkSession, dir: String, c: Int = 16,
-      threshold: Double = 0.95): DataFrame =
-    semDedupOn(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v")), c, threshold)
-
-  /** Same, over any (vec_id, v: array<double>) frame. */
-  def semDedupOn(base: DataFrame, c: Int = 16,
       threshold: Double = 0.95): DataFrame = {
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val planted = base.filter(col("vec_id") % 25 === 0 || col("vec_id") < c)
       .select((col("vec_id") + lit(1000000L)).as("vec_id"),
         transform(col("v"), (x, i) =>
           when(i === 0, x * lit(1.01)).otherwise(x)).as("v"))
+    semDedupOn(base.unionByName(planted), c, threshold)
+  }
+
+  /** Semantic dedup over any (vec_id, v: array<double>) frame: IVF-cell
+    * leaders keep, members at cosine ≥ `threshold` to their cell leader
+    * drop. Centroids are the first `c` vec_ids' vectors.
+    */
+  def semDedupOn(base: DataFrame, c: Int = 16,
+      threshold: Double = 0.95): DataFrame = {
     val centroids = base.filter(col("vec_id") < c)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val assigned = assignNearest(base.unionByName(planted), centroids)
+    val assigned = assignNearest(base, centroids)
     // cell leader = min vec_id; min(struct) keeps the argmin map-side
     // combinable (same shape as the ANN argmin), and vec_id is unique so
     // the carried vector never decides the comparison
@@ -507,10 +520,15 @@ object Similarity {
         col("l.v").as("lv"))
     assigned.join(broadcast(leaders), "cid")
       .select(col("vec_id"), col("cid"),
-        cosine(col("v"), col("lv")).as("cos_leader"),
+        // a zero-norm member (or leader) makes cosine 0/0 = NaN; NULL it
+        // so the keep rule below can treat "unjudgeable" explicitly
+        nanvl(cosine(col("v"), col("lv")), lit(null).cast("double"))
+          .as("cos_leader"),
         (col("vec_id") === col("leader_id")).as("is_leader"))
-      .withColumn("keep",
-        col("is_leader") || col("cos_leader") < threshold)
+      // degenerate (NULL-cosine) members are KEPT: a vector with no
+      // defined similarity cannot be judged a near-copy of the leader
+      .withColumn("keep", col("is_leader")
+        || coalesce(col("cos_leader") < threshold, lit(true)))
       .select(col("vec_id"), col("cid"), col("cos_leader"), col("keep"))
       .orderBy(col("vec_id"))
   }

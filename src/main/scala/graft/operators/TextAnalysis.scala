@@ -603,9 +603,15 @@ object TextAnalysis {
     * with share 0 rather than vanishing. share = (2·count)/n_tokens is
     * one division of exact integers.
     */
-  def topNgramShare(spark: SparkSession, dir: String): DataFrame = {
+  def topNgramShare(spark: SparkSession, dir: String): DataFrame =
+    topNgramShareOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame — also the profiled path, so
+    * scaling numbers always measure the shipped operator.
+    */
+  def topNgramShareOn(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    val docs = Tables.documents(spark, dir)
+    val docs = documents
       .select(col("doc_id"), t.as("t"), size(t).as("n_tokens"))
     val bigrams = docs
       .filter(col("n_tokens") >= 2)
@@ -641,8 +647,12 @@ object TextAnalysis {
     * does), one per-doc aggregation. No all-pairs, no global sort
     * before the deterministic output sort.
     */
-  def tokenRarity(spark: SparkSession, dir: String): DataFrame = {
-    val exploded = Tables.documents(spark, dir)
+  def tokenRarity(spark: SparkSession, dir: String): DataFrame =
+    tokenRarityOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame — also the profiled path. */
+  def tokenRarityOn(documents: DataFrame): DataFrame = {
+    val exploded = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = exploded.groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total_tokens"))

@@ -441,14 +441,23 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val dups = graft.operators.Dedup
             .minhashJoinFromIndex(spark, batch, indexPath, threshold)
             .select(col("batch_id").as("doc_id")).distinct()
+          // survivors land in an ingest_batch=<id> partition under
+          // DYNAMIC overwrite, not a bare append: foreachBatch is
+          // at-least-once, and a replayed batch must rewrite its own
+          // partition instead of appending its survivors a second time
+          // (the dedup gate emitting duplicates on retry would be the
+          // one unacceptable failure mode here)
           batch.join(dups, Seq("doc_id"), "left_anti")
-            .write.mode("append").parquet(outPath)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
         }
       }
       .start()
