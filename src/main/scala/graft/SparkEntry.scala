@@ -140,6 +140,7 @@ object SparkEntry {
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
     "q_contam_frac" -> ((s, dir) => Dedup.contaminationFraction(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
+    "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -1674,6 +1675,24 @@ object SparkEntry {
         |       coalesce(n_hits, 0) / n_shingles > 0.5 AS retired
         |FROM base LEFT JOIN hits USING (doc_id)
         |ORDER BY base.doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> {'a': w[i], 'b': w[i+1]})) AS p
+        |  FROM t WHERE len(w) >= 2),
+        |b2 AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
+        |cb AS (SELECT a, b, count(*) AS cab FROM b2 GROUP BY a, b),
+        |cp AS (SELECT a, count(*) AS ca FROM b2 GROUP BY a),
+        |sc AS (SELECT doc_id, CAST(cab AS DOUBLE) / ca AS p
+        |       FROM b2 JOIN cb USING (a, b) JOIN cp USING (a)),
+        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
+        |               CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+        |                 / count(*) AS mean_cond_p
+        |        FROM sc GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // q_doc_signals: the wide attributes row re-states the per-signal
     // oracle expressions (same literals, same op order — IEEE-exact).
     "q_doc_signals" ->

@@ -633,6 +633,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram conditional-probability score — one level above
+    * [[tokenRarity]]'s unigram commonness and still libm-free: per
+    * document, the mean over its bigram occurrences of the corpus MLE
+    * p(b|a) = C(a,b) / Σ_b' C(a,b') (prefix-normalized, so conditionals
+    * per prefix sum to exactly 1). Low mean ⇒ token transitions the
+    * corpus has rarely seen (garbled or shuffled text that unigram
+    * frequency scores as normal); high ⇒ formulaic continuation. The
+    * mean runs on the DECIMAL image ([[graft.functions.Stable.davg]]),
+    * one IEEE division per bigram — oracle-exact, no `ln`.
+    *
+    * Shape: one positional-bigram explode, two Heaps-bounded count
+    * aggregations (bigram and prefix tables — ≪ corpus; joins left
+    * unhinted so AQE decides), one per-doc mean. Docs without bigrams
+    * keep their row with an explicit NULL score.
+    */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmOn(Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame. */
+  def bigramLmOn(documents: DataFrame): DataFrame = {
+    import graft.functions.Stable.davg
+    val t = tokens(col("text"))
+    val bg = documents.filter(size(t) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("a"),
+          element_at(t, i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a"), col("p.b"))
+    val cb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val cp = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val perDoc = bg.join(cb, Seq("a", "b")).join(cp, Seq("a"))
+      .select(col("doc_id"), (col("cab") / col("ca")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), davg(col("p")).as("mean_cond_p"))
+    documents.select(col("doc_id"), size(t).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("mean_cond_p"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus-frequency commonness score — the libm-free stand-in for a
     * unigram-LM perplexity gate (a real LM score needs `ln`, whose last
     * ulp differs between engines; the monotone ranking signal survives

@@ -33,6 +33,22 @@ class OperatorsSpec extends AnyFunSuite {
       || col("dup_frac") =!= col("d2")).count() == 0)
   }
 
+  test("bigram LM: exact corpus-MLE conditionals; predictable text " +
+      "outscores a rare transition; no-bigram docs keep a NULL row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y x y x y"), // C(x,y)=3 of prefix-x 4; C(y,x)=2 of prefix-y 2
+      (2L, "x z"),         // C(x,z)=1 of prefix-x 4 -> 0.25
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmOn(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(3) == (0.75 * 3 + 1.0 * 2) / 5)
+    assert(out(2L).getDouble(3) == 0.25)
+    assert(out(3L).getLong(2) == 0L && out(3L).isNullAt(3))
+  }
+
   test("eventTransitions: probabilities normalize per source type and " +
       "counts cover every consecutive pair") {
     import org.apache.spark.sql.functions._
