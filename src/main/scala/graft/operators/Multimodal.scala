@@ -50,8 +50,25 @@ object Multimodal {
     * stable, keeping the plumbing testable end to end.
     */
   private[operators] def decodeDims(blob: Array[Byte]): (Int, Int) =
-    decodeBmp(blob).orElse(decodePnm(blob)).getOrElse(
-      (64 + blob.length % 577, 64 + (blob.length * 31) % 431))
+    decodeBmp(blob).orElse(decodePng(blob)).orElse(decodePnm(blob))
+      .getOrElse(
+        (64 + blob.length % 577, 64 + (blob.length * 31) % 431))
+
+  /** PNG header parse: the fixed 8-byte signature, then the IHDR chunk
+    * is REQUIRED to come first (PNG spec §5.6), so width/height sit at
+    * fixed offsets 16/20 as big-endian 32-bit ints. No codec needed —
+    * dimensions live entirely in the uncompressed header.
+    */
+  private[operators] def decodePng(b: Array[Byte]): Option[(Int, Int)] = {
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    def beInt(off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+    if (b.length < 24 || sig.indices.exists(i => (b(i) & 0xff) != sig(i)))
+      None
+    else if (new String(b, 12, 4, "US-ASCII") != "IHDR") None
+    else Some((beInt(16), beInt(20)))
+  }
 
   private def leInt(b: Array[Byte], off: Int): Int =
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |

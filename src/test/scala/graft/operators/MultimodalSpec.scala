@@ -92,6 +92,18 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePnm(text).isEmpty)
     assert(Multimodal.decodeDims(text) ==
       ((64 + text.length % 577, 64 + (text.length * 31) % 431)))
+    // a real (if minimal) PNG: signature + IHDR with BE dims 321x65537
+    val png = java.nio.ByteBuffer.allocate(24)
+      .put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte))
+      .putInt(13).put("IHDR".getBytes("US-ASCII"))
+      .putInt(321).putInt(65537).array()
+    assert(Multimodal.decodePng(png).contains((321, 65537)))
+    assert(Multimodal.decodeDims(png) == ((321, 65537)))
+    // truncated signature or a non-IHDR first chunk must not decode
+    assert(Multimodal.decodePng(png.take(20)).isEmpty)
+    val bad = png.clone(); bad(12) = 'X'.toByte
+    assert(Multimodal.decodePng(bad).isEmpty)
   }
 
   test("ingested files flow through the typed feature extractor") {
