@@ -150,6 +150,7 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
     "q_bpe_tokens" -> ((s, dir) => Bpe.bpeTokenize(s, dir)),
+    "q_bpe_ids" -> ((s, dir) => Bpe.bpeIds(s, dir)),
     "q_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "q_edit_pairs" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     "q_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),

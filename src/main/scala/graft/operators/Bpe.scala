@@ -125,6 +125,53 @@ object Bpe {
       .select(col("n_words"), col("n_symbols"),
         (col("n_symbols") / col("n_words")).as("symbols_per_word"))
 
+  /** The full loader artifact: per-document BPE input-id sequences.
+    * Vocabulary ids are deterministic — base (length-1) symbols sorted
+    * ascending take 0..C−1, merged symbols take C+rank — and each
+    * document's ids are its words' subword ids in word order, emitted
+    * comma-joined (the harness hashes cell values; array cells break
+    * it — the q_embed_quantize lesson). Same join shape as
+    * [[bpeTokenize]]: the fold ran once per dict word at training; here
+    * the corpus pays one explode + one lookup join + one ordered
+    * per-doc reassembly. Round-trip (ids → symbols == text minus
+    * spaces) is spec-proved for every fixture doc.
+    */
+  def bpeIds(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (merges, dict) = trainCore(docs, nMerges)
+    // base chars come from the ORIGINAL words (dict.w), not the merged
+    // symbol arrays: a character fully absorbed into merges would be
+    // missing from the final syms and every id after it would shift
+    val chars = dict
+      .select(explode(split(col("w"), "")).as("sym")).distinct()
+      .select(col("sym"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sym"))) - 1).cast("long").as("id"))
+    val nBase = chars.count()
+    import spark.implicits._
+    val mergedSyms = merges.map(m => (m._4, nBase + m._1))
+      .toDF("sym", "id")
+    val vocab = chars.unionByName(mergedSyms)
+    val wordIds = dict
+      .select(col("w"), posexplode(col("syms")).as(Seq("pos", "sym")))
+      .join(vocab, "sym")
+      .groupBy(col("w"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
+        s => s.getField("id")).as("ids"))
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("wpos", "w")))
+      .join(wordIds, "w")
+      .groupBy(col("doc_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wpos"), col("ids")))),
+        s => s.getField("ids"))).as("ids"))
+      .select(col("doc_id"), size(col("ids")).as("n_ids"),
+        array_join(col("ids"), ",").as("input_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document BPE tokenization — the serving half of the artifact:
     * the final segmented dict is a word → subwords LOOKUP TABLE, so
     * tokenizing the corpus is one token explode + one equi-join on the

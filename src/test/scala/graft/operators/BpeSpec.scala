@@ -80,6 +80,34 @@ class BpeSpec extends AnyFunSuite {
       "can never go below one symbol per word")
   }
 
+  test("BPE ids round-trip: decoding every doc's id sequence " +
+      "reconstructs its exact text (minus the word separators)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // rebuild the id table by its published rule: base chars sorted
+    // ascending take 0..C-1, merged symbols take C+rank
+    val baseChars = texts.values.flatMap(_.split(" "))
+      .filter(_.nonEmpty).flatMap(_.toCharArray).toSeq
+      .distinct.sorted.map(_.toString)
+    val merges = Bpe.bpeTrain(spark, dir, nMerges = 20).collect()
+    val vocab: Map[Long, String] =
+      baseChars.zipWithIndex.map { case (c, i) => i.toLong -> c }.toMap ++
+        merges.map(r => (baseChars.size + r.getInt(0)).toLong ->
+          r.getString(3)).toMap
+    val out = Bpe.bpeIds(spark, dir, nMerges = 20).collect()
+    assert(out.length == texts.size, "one id row per document")
+    out.foreach { r =>
+      val decoded = r.getString(2).split(",")
+        .map(id => vocab(id.toLong)).mkString
+      assert(decoded == texts(r.getLong(0)).replace(" ", ""),
+        s"doc ${r.getLong(0)} does not round-trip")
+      assert(r.getInt(1) == r.getString(2).split(",").length)
+    }
+  }
+
   test("per-doc tokenization reconciles exactly with the dict-level stats") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
