@@ -1682,15 +1682,16 @@ object SparkEntry {
         |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
         |           i -> {'a': w[i], 'b': w[i+1]})) AS p
         |  FROM t WHERE len(w) >= 2),
-        |b2 AS (SELECT doc_id, p.a AS a, p.b AS b FROM bg),
-        |cb AS (SELECT a, b, count(*) AS cab FROM b2 GROUP BY a, b),
-        |cp AS (SELECT a, count(*) AS ca FROM b2 GROUP BY a),
-        |sc AS (SELECT doc_id, CAST(cab AS DOUBLE) / ca AS p
-        |       FROM b2 JOIN cb USING (a, b) JOIN cp USING (a)),
-        |agg AS (SELECT doc_id, count(*) AS n_bigrams,
-        |               CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
-        |                 / count(*) AS mean_cond_p
-        |        FROM sc GROUP BY doc_id)
+        |db AS (SELECT doc_id, p.a AS a, p.b AS b, count(*) AS kab
+        |       FROM bg GROUP BY doc_id, p.a, p.b),
+        |cb AS (SELECT a, b, sum(kab) AS cab FROM db GROUP BY a, b),
+        |cp AS (SELECT a, sum(cab) AS ca FROM cb GROUP BY a),
+        |agg AS (SELECT doc_id, CAST(sum(kab) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(CAST(CAST(cab AS DOUBLE) / ca
+        |                       AS DECIMAL(18,6)) * kab) AS DOUBLE)
+        |                 / sum(kab) AS mean_cond_p
+        |        FROM db JOIN cb USING (a, b) JOIN cp USING (a)
+        |        GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
         |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,

@@ -643,30 +643,41 @@ object TextAnalysis {
     * mean runs on the DECIMAL image ([[graft.functions.Stable.davg]]),
     * one IEEE division per bigram — oracle-exact, no `ln`.
     *
-    * Shape: one positional-bigram explode, two Heaps-bounded count
-    * aggregations (bigram and prefix tables — ≪ corpus; joins left
-    * unhinted so AQE decides), one per-doc mean. Docs without bigrams
-    * keep their row with an explicit NULL score.
+    * Shape: ONE positional-bigram explode, collapsed immediately to the
+    * (doc, bigram, multiplicity) frame; the corpus bigram table, the
+    * prefix table, and the per-doc weighted mean all derive from that
+    * aggregate — the corpus is never re-exploded per branch (the
+    * re-scan trap [[tfidfTop]]'s df branch documents). All derived
+    * frames are Heaps-bounded ≪ corpus; joins left unhinted so AQE
+    * decides. Docs without bigrams keep their row with an explicit
+    * NULL score.
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmOn(Tables.documents(spark, dir))
 
   /** Same, over any (doc_id, text) frame. */
   def bigramLmOn(documents: DataFrame): DataFrame = {
-    import graft.functions.Stable.davg
+    import graft.functions.Stable.dec
     val t = tokens(col("text"))
-    val bg = documents.filter(size(t) >= 2)
+    // (doc, a, b, kab): each doc's bigram multiset, one explode total
+    val db = documents.filter(size(t) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("a"),
           element_at(t, i + 1).as("b")))).as("p"))
-      .select(col("doc_id"), col("p.a"), col("p.b"))
-    val cb = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
-    val cp = bg.groupBy(col("a")).agg(count(lit(1)).as("ca"))
-    val perDoc = bg.join(cb, Seq("a", "b")).join(cp, Seq("a"))
-      .select(col("doc_id"), (col("cab") / col("ca")).as("p"))
+      .groupBy(col("doc_id"), col("p.a"), col("p.b"))
+      .agg(count(lit(1)).as("kab"))
+    val cb = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
+    val cp = cb.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    // weighted mean over occurrences: Σ kab·dec(p) / Σ kab — identical
+    // to the per-occurrence decimal mean (kab integer × exact decimal)
+    val perDoc = db.join(cb, Seq("a", "b")).join(cp, Seq("a"))
+      .select(col("doc_id"), col("kab"),
+        (dec(col("cab") / col("ca")) * col("kab")).as("wp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), davg(col("p")).as("mean_cond_p"))
+      .agg(sum(col("kab")).as("n_bigrams"),
+        (sum(col("wp")).cast("double") / sum(col("kab")))
+          .as("mean_cond_p"))
     documents.select(col("doc_id"), size(t).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),

@@ -292,6 +292,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("bigram LM: one corpus explode only — count, prefix, and scoring " +
+      "frames all derive from the collapsed (doc, bigram) aggregate") {
+    val p = plan(TextAnalysis.bigramLm(spark, dir))
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    // the (doc,a,b,kab) frame + the final doc_id spine — a third scan
+    // would mean a branch re-exploding the corpus (the tfidf df trap)
+    assert(docScans <= 2, s"documents scanned $docScans times:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
+
   test("span removal never forms pairs: gram stats and covered positions " +
       "are equi-joined and aggregated with map-side partials") {
     val p = plan(Dedup.removeDupSpans(spark, dir))
