@@ -1684,14 +1684,15 @@ object SparkEntry {
         |  FROM t WHERE len(w) >= 2),
         |db AS (SELECT doc_id, p.a AS a, p.b AS b, count(*) AS kab
         |       FROM bg GROUP BY doc_id, p.a, p.b),
-        |cb AS (SELECT a, b, sum(kab) AS cab FROM db GROUP BY a, b),
-        |cp AS (SELECT a, sum(cab) AS ca FROM cb GROUP BY a),
+        |win AS (SELECT doc_id, kab,
+        |               sum(kab) OVER (PARTITION BY a, b) AS cab,
+        |               sum(kab) OVER (PARTITION BY a) AS ca
+        |        FROM db),
         |agg AS (SELECT doc_id, CAST(sum(kab) AS BIGINT) AS n_bigrams,
         |               CAST(sum(CAST(CAST(cab AS DOUBLE) / ca
         |                       AS DECIMAL(18,6)) * kab) AS DOUBLE)
         |                 / sum(kab) AS mean_cond_p
-        |        FROM db JOIN cb USING (a, b) JOIN cp USING (a)
-        |        GROUP BY doc_id)
+        |        FROM win GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
         |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,

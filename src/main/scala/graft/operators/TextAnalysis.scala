@@ -667,11 +667,17 @@ object TextAnalysis {
           element_at(t, i + 1).as("b")))).as("p"))
       .groupBy(col("doc_id"), col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("kab"))
-    val cb = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
-    val cp = cb.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    // corpus bigram count and prefix count as WINDOW sums over the
+    // collapsed frame — a groupBy-then-join formulation re-computes the
+    // whole scan+explode+agg subtree per derived branch (plan subtrees
+    // don't dedupe), which quadrupled the corpus scans here
+    val wAB = Window.partitionBy(col("a"), col("b"))
+    val wA = Window.partitionBy(col("a"))
     // weighted mean over occurrences: Σ kab·dec(p) / Σ kab — identical
     // to the per-occurrence decimal mean (kab integer × exact decimal)
-    val perDoc = db.join(cb, Seq("a", "b")).join(cp, Seq("a"))
+    val perDoc = db
+      .withColumn("cab", sum(col("kab")).over(wAB))
+      .withColumn("ca", sum(col("kab")).over(wA))
       .select(col("doc_id"), col("kab"),
         (dec(col("cab") / col("ca")) * col("kab")).as("wp"))
       .groupBy(col("doc_id"))
