@@ -99,6 +99,27 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
+  /** Incrementally admit a batch of vectors into a materialized
+    * [[writeIvfIndex]] layout: assign each new vector to its nearest
+    * cell under the SAME frozen codebook and append to that cell's
+    * directory — partition-scoped appends, no rewrite of existing rows,
+    * no touch of unaffected cells. This is the steady-state index
+    * lifecycle (the MinHash admission index's fuzzy-join twin): rebuild
+    * only when codebook drift degrades cell balance, append otherwise.
+    * Probe results after an append are identical to a full rebuild over
+    * the union (spec-proved) because assignment is a pure function of
+    * (vector, codebook).
+    */
+  def appendToIvfIndex(spark: SparkSession, dir: String, batch: DataFrame,
+      path: String): Unit = {
+    val centroids = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    assignNearest(batch, centroids)
+      .write.mode("append").partitionBy("cid").parquet(path)
+  }
+
   /** Probe a materialized [[writeIvfIndex]] layout. The probe-cell list
     * joins the index on its PARTITION column with a broadcast build
     * side, so Spark's dynamic partition pruning turns the join into a

@@ -1,8 +1,11 @@
 package graft.operators
 
 import java.nio.file.Files
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
+import graft.functions.VectorFunctions._
+import graft.sources.Tables
 
 /** The IVF physical layout: cell-partitioned index directories whose
   * probe prunes partitions at scan time — the at-scale answer SCALING.md
@@ -30,6 +33,23 @@ class IvfIndexSpec extends AnyFunSuite {
     val inMemory = Similarity.annIvfTopK(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(fromIndex == inMemory)
+  }
+
+  test("incremental append equals a full rebuild over the union") {
+    val p = Files.createTempDirectory("graft_ivf_inc").toString + "/index"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // base layout from the even half only, then admit the odd half as a batch
+    Similarity.assignNearest(emb.filter(col("vec_id") % 2 === 0), centroids)
+      .write.mode("overwrite").partitionBy("cid").parquet(p)
+    Similarity.appendToIvfIndex(spark, dir, emb.filter(col("vec_id") % 2 === 1), p)
+    val appended = Similarity.annIvfFromIndex(spark, p, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val rebuilt = Similarity.annIvfFromIndex(spark, indexPath, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(appended == rebuilt)
   }
 
   test("the probe prunes index partitions at scan time") {
