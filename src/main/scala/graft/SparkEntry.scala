@@ -60,6 +60,7 @@ object SparkEntry {
     "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
     "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
     "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
+    "q_triangles" -> ((s, dir) => Graph.docTriangles(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -971,6 +972,38 @@ object SparkEntry {
         |         GROUP BY e.dst) f ON f.node = nodes.node)
         |SELECT node, CAST(r AS BIGINT) AS rank_fp FROM r3
         |ORDER BY rank_fp DESC, node LIMIT 20""".stripMargin,
+    "q_triangles" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |und AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |          SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY 1),
+        |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |       FROM und e1 JOIN und e2 ON e1.b = e2.a
+        |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tc AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |          SELECT x AS node FROM tr UNION ALL SELECT y FROM tr
+        |          UNION ALL SELECT z FROM tr)
+        |       GROUP BY 1)
+        |SELECT deg.node, deg.deg, coalesce(tc.tri, 0) AS tri,
+        |       CASE WHEN deg.deg >= 2
+        |            THEN coalesce(tc.tri, 0) * 2.0 / (deg.deg * (deg.deg - 1))
+        |            ELSE 0.0 END AS lcc
+        |FROM deg LEFT JOIN tc ON deg.node = tc.node
+        |ORDER BY deg.node""".stripMargin,
     "q_table_diff" ->
       """WITH dels0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
         |ups0 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

@@ -76,6 +76,60 @@ object Graph {
     state
   }
 
+  /** Per-node triangle count and local clustering coefficient over an
+    * undirected pair list — the community-structure probe of the dup
+    * graph: a template family whose members all match each other (a
+    * near-clique, lcc → 1) is one reformatted document, while a hub
+    * whose neighbors DON'T match each other (lcc → 0) is a boilerplate
+    * attractor stitching unrelated documents together. The two need
+    * different curation treatment (keep-one vs strip-the-boilerplate),
+    * and degree alone cannot tell them apart.
+    *
+    * Shape: pairs are canonicalized to a<b, so each triangle {x<y<z} is
+    * found exactly once by the two-hop join e1(x,y)⋈e2(y,z) closed by
+    * e3(x,z) — three equi-join shuffles on node keys, no enumeration of
+    * non-edges. Per-node counts come from exploding each triangle to
+    * its three corners and one map-side-combinable count. At 100 TB the
+    * standard refinement is orienting edges by (degree, id) instead of
+    * id alone, which bounds wedge fan-out per node by O(√|E|) on skewed
+    * graphs (the compact-forward algorithm); the triangle SET is
+    * identical either way, so the id-oriented form stays the oracle
+    * twin. The lcc denominator deg·(deg−1)/2 uses the true undirected
+    * degree, counted separately from the oriented edge list.
+    */
+  def triangleStats(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val tri = und.select(col("a").as("x"), col("b").as("y"))
+      .join(und.select(col("a").as("y"), col("b").as("z")), "y")
+      .join(und.select(col("a").as("x"), col("b").as("z")), Seq("x", "z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(tri, Seq("node"), "left")
+      .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("lcc",
+        when(col("deg") >= 2,
+          col("tri") * 2.0 / (col("deg") * (col("deg") - 1))).otherwise(0.0))
+      .orderBy(col("node"))
+  }
+
+  /** Triangle/clustering profile of the MinHash near-dup graph (same
+    * exact-verified pair list as [[docPageRank]], so the DuckDB oracle
+    * rebuilds it brute-force and closes triangles with the same
+    * id-ordered triple join).
+    */
+  def docTriangles(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    triangleStats(Dedup.minhashNearDup(spark, dir, threshold)
+      .select(col("da"), col("db")), "da", "db")
+
   /** PageRank centrality of the MinHash near-dup graph: which documents
     * sit at the center of duplication families (template hubs) vs the
     * periphery — a ranking signal for canonical selection beyond

@@ -49,4 +49,25 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  test("triangle counts and clustering coefficients on a known graph") {
+    // triangle 1-2-3 plus pendant 3-4: node 3 is in one triangle but has
+    // an unclosed wedge through 4, so its lcc drops to 1/3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val got = Graph.triangleStats(tri.toDF("da", "db"), "da", "db")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)),
+      3L -> ((3L, 1L, 1.0 / 3)), 4L -> ((1L, 0L, 0.0))), got.toString)
+  }
+
+  test("triangle stats canonicalize duplicated and reversed pairs") {
+    // the same triangle reported in mixed orientations with repeats must
+    // count once — the dedup-pair feeds can emit either orientation
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 1L))
+    val got = Graph.triangleStats(messy.toDF("da", "db"), "da", "db")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), got.toString)
+  }
 }
