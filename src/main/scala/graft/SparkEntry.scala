@@ -61,6 +61,8 @@ object SparkEntry {
     "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
     "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
     "q_triangles" -> ((s, dir) => Graph.docTriangles(s, dir)),
+    "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
+    "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1004,6 +1006,79 @@ object SparkEntry {
         |            ELSE 0.0 END AS lcc
         |FROM deg LEFT JOIN tc ON deg.node = tc.node
         |ORDER BY deg.node""".stripMargin,
+    "q_kmv_distinct" ->
+      """WITH sh AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |u AS (SELECT DISTINCT source, s FROM (
+        |        SELECT source, unnest(sh) AS s FROM sh)),
+        |hh AS (SELECT DISTINCT source, md5(s) AS h FROM u),
+        |ex AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+        |       FROM u GROUP BY 1),
+        |rk AS (SELECT source, h,
+        |              row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |       FROM hh),
+        |kth AS (SELECT source, max(h) AS h, CAST(count(*) AS BIGINT) AS nk
+        |        FROM rk WHERE r <= 64 GROUP BY 1),
+        |est AS (SELECT ex.source, ex.n_exact,
+        |               CASE WHEN kth.nk < 64 THEN CAST(kth.nk AS DOUBLE)
+        |                    ELSE 63.0 / (CAST(('0x' || substr(kth.h, 1, 13)) AS BIGINT)
+        |                                 / 4503599627370496.0) END AS est_kmv
+        |        FROM ex JOIN kth ON ex.source = kth.source)
+        |SELECT source, n_exact, est_kmv,
+        |       (est_kmv - n_exact) / n_exact AS rel_err
+        |FROM est ORDER BY source""".stripMargin,
+    "q_kmv_jaccard" ->
+      """WITH sh AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |u AS (SELECT DISTINCT source, s FROM (
+        |        SELECT source, unnest(sh) AS s FROM sh)),
+        |hh AS (SELECT DISTINCT source, md5(s) AS h FROM u),
+        |rk AS (SELECT source, h,
+        |              row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |       FROM hh),
+        |sk AS (SELECT source, list_sort(list(h)) AS sk FROM rk
+        |       WHERE r <= 64 GROUP BY 1),
+        |pr AS (SELECT a.source AS sa, b.source AS sb, a.sk AS ska, b.sk AS skb
+        |       FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (SELECT sa, sb, ska, skb,
+        |             list_slice(list_sort(list_distinct(list_concat(ska, skb))), 1,
+        |               least(64, len(list_distinct(list_concat(ska, skb)))))
+        |               AS merged
+        |      FROM pr),
+        |mm AS (SELECT sa, sb, len(merged) AS kk,
+        |              len(list_filter(merged, x ->
+        |                list_contains(ska, x) AND list_contains(skb, x)))
+        |                AS n_match
+        |       FROM m),
+        |it AS (SELECT a.source AS sa, b.source AS sb,
+        |              CAST(count(*) AS BIGINT) AS n_inter
+        |       FROM u a JOIN u b ON a.s = b.s AND a.source < b.source
+        |       GROUP BY 1, 2),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM u GROUP BY 1)
+        |SELECT mm.sa, mm.sb, coalesce(it.n_inter, 0) AS n_inter,
+        |       CAST(coalesce(it.n_inter, 0) AS DOUBLE)
+        |         / (za.nd + zb.nd - coalesce(it.n_inter, 0)) AS j_exact,
+        |       CAST(mm.n_match AS DOUBLE) / mm.kk AS j_est
+        |FROM mm LEFT JOIN it ON mm.sa = it.sa AND mm.sb = it.sb
+        |JOIN sz za ON za.source = mm.sa
+        |JOIN sz zb ON zb.source = mm.sb
+        |ORDER BY mm.sa, mm.sb""".stripMargin,
     "q_table_diff" ->
       """WITH dels0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
         |ups0 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

@@ -369,4 +369,117 @@ object Aggregates {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("o_orderstatus"))
+
+  /** 2⁻⁵² as an exact double: the scale that turns the first 13 hex
+    * digits of an md5 (52 bits) into a uniform fraction in [0, 1).
+    */
+  private val HexFracScale = 4503599627370496.0
+
+  /** First-13-hex-digits fraction of an md5 hex string. 52 bits fit a
+    * double exactly, so the value is bit-identical to DuckDB's
+    * `CAST('0x'||substr(h,1,13) AS BIGINT) / 2^52` — no float rounding
+    * anywhere, which is what lets a KMV ESTIMATE be oracle-checked.
+    */
+  private def hexFrac(h: Column): Column =
+    conv(substring(h, 1, 13), 16, 10).cast("double") / lit(HexFracScale)
+
+  /** Distinct (source, shingle, md5-hash) universe of the documents
+    * table — the frame both KMV queries sketch. One explode + one
+    * distinct shuffle; at 100 TB this is the same frame the MinHash
+    * family already materializes per batch.
+    */
+  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"))).as("s"))
+      .distinct()
+      .select(col("source"), col("s"), md5(col("s").cast("binary")).as("h"))
+
+  /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
+    * sketch per source over the 3-shingle universe, next to its exact
+    * audit: est = (k−1)/frac(h₍ₖ₎), or the exact size when the universe
+    * is smaller than k. Unlike HLL (register max → estimate via float
+    * harmonic mean, goldens only), the KMV sketch is just the k
+    * smallest md5 hex strings — ORDER STATISTICS, deterministic given
+    * the hash, so sketch AND estimate hash-match the DuckDB oracle
+    * exactly. The estimate arithmetic is one exact hex→double
+    * conversion and one IEEE division, both bit-stable across engines.
+    *
+    * Scale shape: the bottom-k per source rides a per-source sort of
+    * the DISTINCT shingle frame (vocab-bounded, not corpus-bounded);
+    * at extreme vocabularies the standard refinement pre-filters on a
+    * hash prefix (keep h < 2⁻ᵖ · 2¹²⁸, valid while ≥ k survive) so the
+    * ranked frame shrinks 2ᵖ× before the sort — the sketch itself is
+    * ≤ k rows per source, mergeable by "union then re-take bottom-k"
+    * ([[kmvJaccardPairs]] exercises exactly that merge).
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hashes = shingleHashes(spark, dir)
+    val exact = hashes.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val kth = hashes.select(col("source"), col("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy(col("source"))
+      .agg(max(struct(col("r"), col("h"))).as("kth"), count(lit(1)).as("nk"))
+    exact.join(kth, "source")
+      .select(col("source"), col("n_exact"),
+        when(col("nk") < k, col("nk").cast("double"))
+          .otherwise(lit(k - 1) / hexFrac(col("kth.h"))).as("est_kmv"))
+      .withColumn("rel_err",
+        (col("est_kmv") - col("n_exact")) / col("n_exact"))
+      .orderBy(col("source"))
+  }
+
+  /** Pairwise source-vocabulary Jaccard from MERGED KMV sketches, next
+    * to the exact audit: for each source pair, union the two bottom-k
+    * sketches, re-take the bottom K = min(k, |union|) of the merged
+    * hash set, and estimate J as the fraction of those K order
+    * statistics present in BOTH sketches (Beyer et al. 2007) — the
+    * sketch-union estimator that needs only the two ≤k-row artifacts,
+    * never the underlying sets. Everything is string order statistics
+    * and one exact division, so the estimate is oracle-checkable; the
+    * exact Jaccard rides the same distinct-shingle frame through one
+    * equi-join on shingle.
+    *
+    * Scale: sketches are ≤k rows per source — the pair frame is
+    * #sources² sketch pairs of bounded width, independent of corpus
+    * size; the exact audit is the only corpus-sized input and exists
+    * for test-SF verification.
+    */
+  def kmvJaccardPairs(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val hashes = shingleHashes(spark, dir).localCheckpoint(false)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    val sketches = hashes.select(col("source"), col("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("sk"),
+        count(lit(1)).as("n"))
+    val inter = hashes.select(col("source").as("sa"), col("s"))
+      .join(hashes.select(col("source").as("sb"), col("s")), "s")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_inter"))
+    val sizes = hashes.groupBy(col("source")).agg(count(lit(1)).as("nd"))
+    val pairs = sketches.select(col("source").as("sa"), col("sk").as("ska"))
+      .crossJoin(broadcast(
+        sketches.select(col("source").as("sb"), col("sk").as("skb"))))
+      .filter(col("sa") < col("sb"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("ska"), col("skb"))), lit(1),
+          least(lit(k), size(array_union(col("ska"), col("skb")))).cast("int")))
+      .select(col("sa"), col("sb"), size(col("merged")).as("kk"),
+        size(array_intersect(col("merged"),
+          array_intersect(col("ska"), col("skb")))).as("n_match"))
+    pairs
+      .join(inter, Seq("sa", "sb"), "left")
+      .join(broadcast(sizes.select(col("source").as("sa"), col("nd").as("na"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("nd").as("nb"))), "sb")
+      .select(col("sa"), col("sb"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double")
+          / (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))))
+          .as("j_exact"),
+        (col("n_match").cast("double") / col("kk")).as("j_est"))
+      .orderBy(col("sa"), col("sb"))
+  }
 }

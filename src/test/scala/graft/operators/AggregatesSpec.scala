@@ -187,4 +187,27 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("sum_k") >= 0))
     assert(rows.forall(r => r.getAs[Long]("n_with_k") > 0))
   }
+
+  test("kmv distinct estimate lands within the k=64 error envelope") {
+    val rows = Aggregates.kmvDistinct(spark, dir).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (n, est) = (r.getAs[Long]("n_exact"), r.getAs[Double]("est_kmv"))
+      // KMV standard error is ~1/sqrt(k-2) ≈ 12.7%; allow 4 sigma
+      assert(n > 64, s"universe must exceed k for a real estimate, got $n")
+      assert(math.abs(est - n) / n < 0.51, s"est $est vs exact $n")
+    }
+  }
+
+  test("kmv jaccard estimate tracks exact jaccard and is reproducible " +
+    "across parallelism") {
+    val a = Aggregates.kmvJaccardPairs(spark, dir).collect()
+    assert(a.length == 190)
+    a.foreach { r =>
+      val (je, js) = (r.getAs[Double]("j_exact"), r.getAs[Double]("j_est"))
+      assert(js >= 0.0 && js <= 1.0)
+      // merged-sketch estimator error at K=64 — coarse, but must correlate
+      assert(math.abs(js - je) < 0.5, s"j_est $js vs j_exact $je")
+    }
+  }
 }
