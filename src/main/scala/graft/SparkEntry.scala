@@ -63,6 +63,7 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) => Graph.docTriangles(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
+    "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1006,6 +1007,27 @@ object SparkEntry {
         |            ELSE 0.0 END AS lcc
         |FROM deg LEFT JOIN tc ON deg.node = tc.node
         |ORDER BY deg.node""".stripMargin,
+    "q_cusum_drift" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |         SUM(CAST(value AS DECIMAL(18,6))) AS daily
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, d, daily,
+        |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |             SUM(daily) OVER (PARTITION BY event_type) AS total
+        |      FROM daily),
+        |c AS (SELECT *, SUM(daily * n - total) OVER (
+        |        PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM t),
+        |s AS (SELECT *, cum - min(cum) OVER (
+        |        PARTITION BY event_type ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS stat
+        |      FROM c)
+        |SELECT event_type, d, CAST(daily AS DOUBLE) AS daily,
+        |       CAST(stat AS DOUBLE) / n AS cusum,
+        |       stat > total * 5 AS alarm
+        |FROM s ORDER BY event_type, d""".stripMargin,
     "q_kmv_distinct" ->
       """WITH sh AS (
         |  SELECT source, doc_id,

@@ -470,4 +470,51 @@ object Analytics {
         col("l_linenumber"), col("l_extendedprice"))
       .orderBy(col("l_suppkey"), col("rk"))
   }
+
+  /** One-sided CUSUM (Page 1954) drift detection over a keyed daily
+    * series — the monitor that catches a slow upward shift in a pipeline
+    * metric (ingest volume, mean quality score, dedup rate) that any
+    * fixed per-day threshold misses, because no single day is anomalous.
+    *
+    * The classic recursion S_i = max(0, S_{i-1} + x_i − μ) is sequential,
+    * so it is re-expressed as the algebraically identical
+    * `cumsum(dev) − running_min(cumsum(dev))` — two frames over ONE
+    * per-key ordered window, no recursion, no UDF. Everything stays
+    * rational: deviations are scaled by n (dev = n·xᵢ − Σx, all exact
+    * DECIMAL), so no float mean is ever subtracted and no float is ever
+    * accumulated — window sums of decimals are order-exact on both
+    * engines, which is what makes a cumulative float statistic
+    * hash-checkable at all. The alarm `stat > mult·Σx` (drift above
+    * `mult` daily means, in the same scaled units) is a pure decimal
+    * comparison; the reported `cusum` column divides back to value units
+    * once, in IEEE double, at output.
+    *
+    * Scale: one shuffle on the series key; windows sort each key's
+    * few-thousand daily rows, never raw events — the pre-aggregation
+    * does the volume reduction.
+    */
+  def cusumOn(daily: DataFrame, keyCol: String, dateCol: String,
+      valCol: String, mult: Int = 5): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("total", sum(col(valCol)).over(wAll))
+      .withColumn("cum", sum(col(valCol) * col("n") - col("total")).over(wOrd))
+      .withColumn("stat", col("cum") - min(col("cum")).over(wOrd))
+      .select(col(keyCol), col(dateCol),
+        col(valCol).cast("double").as("daily"),
+        (col("stat").cast("double") / col("n")).as("cusum"),
+        (col("stat") > col("total") * mult).as("alarm"))
+      .orderBy(col(keyCol), col(dateCol))
+  }
+
+  /** CUSUM drift of daily event value per event type. */
+  def eventCusum(spark: SparkSession, dir: String, mult: Int = 5): DataFrame =
+    cusumOn(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(dec(col("value"))).as("daily")),
+      "event_type", "d", "daily", mult)
 }

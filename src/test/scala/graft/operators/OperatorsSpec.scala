@@ -327,4 +327,39 @@ class OperatorsSpec extends AnyFunSuite {
       .values.map(_.minBy(_.getAs[java.sql.Timestamp]("ts").getTime))
     assert(firstPerUser.forall(_.getAs[Int]("new_session") == 1))
   }
+
+  test("cusum fires on a planted level shift and only after it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 60 flat days at 10, then 40 days shifted to 14: the per-day excess
+    // is small vs the global mean but accumulates past the 5-daily-means
+    // alarm line well inside the shifted regime
+    val daily = (1 to 100).map { i =>
+      ("m", java.sql.Date.valueOf(f"2024-01-01").toLocalDate.plusDays(i)
+        .toString, if (i <= 60) 10.0 else 14.0)
+    }.toDF("k", "ds", "v")
+      .select(col("k"), to_date(col("ds")).as("d"),
+        col("v").cast("decimal(18,6)").as("v"))
+    val rows = Analytics.cusumOn(daily, "k", "d", "v")
+      .collect().map(r => (r.getDate(1).toString, r.getDouble(3),
+        r.getBoolean(4)))
+    val alarms = rows.filter(_._3).map(_._1)
+    assert(alarms.nonEmpty, "shift must eventually alarm")
+    assert(alarms.min > "2024-03-01", s"no alarm inside the flat regime: ${alarms.min}")
+    // the statistic is non-negative everywhere and ~0 through the flat run
+    assert(rows.forall(_._2 >= 0.0))
+    assert(rows.take(55).forall(!_._3))
+  }
+
+  test("cusum statistic is identical across repartitionings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val daily = (1 to 50).map(i => ("a", i, 1.0 + (i % 7)))
+      .toDF("k", "i", "v")
+      .select(col("k"), col("i"), col("v").cast("decimal(18,6)").as("v"))
+    val a = Analytics.cusumOn(daily, "k", "i", "v").collect().toSeq
+    val b = Analytics.cusumOn(daily.repartition(13), "k", "i", "v")
+      .collect().toSeq
+    assert(a == b)
+  }
 }
