@@ -64,6 +64,7 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
+    "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1007,6 +1008,29 @@ object SparkEntry {
         |            ELSE 0.0 END AS lcc
         |FROM deg LEFT JOIN tc ON deg.node = tc.node
         |ORDER BY deg.node""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / count(*) AS avgdl
+        |       FROM documents),
+        |qtf AS (SELECT * FROM tf
+        |        WHERE term IN ('hash', 'join', 'vector', 'stream')),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+        |s AS (SELECT qtf.doc_id,
+        |             (((n_docs - df) + 0.5) / (df + 0.5))
+        |               * ((tf * (1.2 + 1.0))
+        |                 / (tf + (1.2 * ((1.0 - 0.75)
+        |                   + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))) AS tscore
+        |      FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN sc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |FROM s GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_cusum_drift" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

@@ -160,6 +160,66 @@ object TextAnalysis {
       overlap: Int = 10): DataFrame =
     docChunksOn(Tables.documents(spark, dir), maxTokens, overlap)
 
+  /** BM25 document retrieval (Robertson–Spärck Jones probabilistic
+    * relevance, the Okapi weighting) for a fixed term query — the
+    * lexical-retrieval half of a RAG/eval stack, next to the embedding
+    * ANN family. Keeps BM25's two defining behaviors — tf saturation
+    * (k1) and document-length normalization (b, dl/avgdl) — but swaps
+    * `ln((N−df+0.5)/(df+0.5))` for the RATIO itself: ln() differs across
+    * libm implementations in the last ulp, while the ratio is one
+    * integer subtraction and one IEEE division, bit-identical on every
+    * engine — the same log-free monotone trade [[tfidfTop]] documents.
+    * (Per-term monotone ⇒ same per-term ranking; the cross-term sum
+    * weights rare terms more steeply than log-idf, which is the
+    * documented semantic of this variant, not an approximation error.)
+    * The per-document sum over matched query terms rides the exact
+    * DECIMAL(18,6) image, so the total is order-independent and the
+    * whole ranking hash-checks against ANSI SQL.
+    *
+    * Shape: one corpus scan + explode builds the (doc, term) tf frame;
+    * dl reduces from tf, df from the query-filtered tf — aggregations
+    * all map-side combinable, scalars (N, avgdl) broadcast. The
+    * query-term filter lands BEFORE the scoring join, so the scored
+    * frame is |query|·docs_matching, not the corpus. At serving scale
+    * the tf frame is the materialized inverted index
+    * ([[invertedIndex]]) and the same expression scores postings.
+    */
+  def bm25TopK(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25On(Tables.documents(spark, dir), query, k, k1, b)
+
+  /** [[bm25TopK]] over any (doc_id, text) frame. */
+  def bm25On(docs: DataFrame,
+      query: Seq[String],
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+    val qtf = tf.filter(col("term").isInCollection(query))
+    val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    qtf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(scalars))
+      // parenthesized identically in the DuckDB twin: every intermediate
+      // is the same IEEE op on the same operands, hence the same bits
+      .withColumn("tscore",
+        (((col("n_docs") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+          * ((col("tf") * lit(k1 + 1.0))
+            / (col("tf") + (lit(k1) * ((lit(1.0) - lit(b))
+              + (lit(b) * (col("dl").cast("double") / col("avgdl"))))))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        graft.functions.Stable.dsum(col("tscore")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** [[docChunks]] over any (doc_id, text) frame. */
   def docChunksOn(docs: DataFrame, maxTokens: Int = 40,
       overlap: Int = 10): DataFrame = {

@@ -328,6 +328,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(firstPerUser.forall(_.getAs[Int]("new_session") == 1))
   }
 
+  test("bm25 ranks by coverage, saturates tf, and normalizes by length") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join"),                       // both terms, short
+      (2L, "hash join pad pad pad pad pad pad"), // both terms, long
+      (3L, "hash pad"),                        // one term
+      (4L, "hash hash hash hash hash hash pad pad"), // heavy tf, one term
+      (5L, "pad pad")                          // no terms
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25On(docs, Seq("hash", "join"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val rank = got.map(_._1)
+    val score = got.toMap
+    assert(!score.contains(5L), "doc with no query terms must not appear")
+    // two-term docs beat one-term docs; among two-term docs the shorter wins
+    assert(rank.take(2).toSet == Set(1L, 2L) && rank.head == 1L, rank.mkString(","))
+    // tf saturation: six repeats of one term stay below two distinct terms
+    assert(score(4L) < score(2L), s"${score(4L)} vs ${score(2L)}")
+    assert(score(4L) > score(3L), "more tf of a matched term still helps")
+  }
+
   test("cusum fires on a planted level shift and only after it") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
