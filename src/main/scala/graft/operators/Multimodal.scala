@@ -42,15 +42,17 @@ object Multimodal {
 
   /** Decode (width, height) from the payload header for the formats a
     * dependency-free JVM parser can handle — BMP (both the 12-byte
-    * BITMAPCOREHEADER and the 40+-byte BITMAPINFOHEADER families) and
-    * the PNM text/binary family (P1–P6: PBM/PGM/PPM, ASCII dims with
-    * `#` comments) — falling back to the deterministic stand-in for
-    * payloads whose codecs are not in this environment (JPEG etc.).
-    * The fallback is clearly fake (derived from byte length) but
-    * stable, keeping the plumbing testable end to end.
+    * BITMAPCOREHEADER and the 40+-byte BITMAPINFOHEADER families), PNG
+    * (IHDR), GIF (logical screen descriptor), JPEG (SOF marker walk),
+    * and the PNM text/binary family (P1–P6: PBM/PGM/PPM, ASCII dims
+    * with `#` comments) — falling back to the deterministic stand-in
+    * for payloads that are none of these (raw video frames etc.). The
+    * fallback is clearly fake (derived from byte length) but stable,
+    * keeping the plumbing testable end to end.
     */
   private[operators] def decodeDims(blob: Array[Byte]): (Int, Int) =
-    decodeBmp(blob).orElse(decodePng(blob)).orElse(decodePnm(blob))
+    decodeBmp(blob).orElse(decodePng(blob)).orElse(decodeGif(blob))
+      .orElse(decodeJpeg(blob)).orElse(decodePnm(blob))
       .getOrElse(
         (64 + blob.length % 577, 64 + (blob.length * 31) % 431))
 
@@ -113,6 +115,51 @@ object Multimodal {
         else None
       }
       for (w <- nextInt(); h <- nextInt()) yield (w, h)
+    }
+  }
+
+  /** GIF header parse: "GIF87a"/"GIF89a" magic, then the logical screen
+    * descriptor's width/height as little-endian 16-bit at offsets 6/8.
+    */
+  private[operators] def decodeGif(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 10) None
+    else {
+      val magic = new String(b, 0, 6, "US-ASCII")
+      if (magic == "GIF87a" || magic == "GIF89a")
+        Some((leShort(b, 6), leShort(b, 8)))
+      else None
+    }
+  }
+
+  /** JPEG header parse: SOI then a marker-segment walk to the first
+    * start-of-frame (SOF0–SOF15 minus DHT/JPG/DAC, covering baseline and
+    * progressive), whose payload carries height/width as big-endian
+    * 16-bit after the 1-byte sample precision. Fill bytes (repeated FF)
+    * and standalone markers (TEM, RST0–7) have no length field and are
+    * skipped; the walk stops at start-of-scan or end-of-image — entropy-
+    * coded data never needs decoding, so dimensions cost a few dozen
+    * header bytes even on a multi-megabyte payload.
+    */
+  private[operators] def decodeJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    def u8(i: Int): Int = b(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (b.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) None
+    else {
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(i) != 0xff) return None // desynced: not a marker boundary
+        var j = i
+        while (j + 1 < b.length && u8(j + 1) == 0xff) j += 1 // fill bytes
+        val m = u8(j + 1)
+        if ((m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          return if (j + 8 < b.length) Some((be16(j + 7), be16(j + 5)))
+          else None
+        } else if (m == 0xda || m == 0xd9) return None // SOS/EOI: no SOF seen
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i = j + 2
+        else if (j + 3 < b.length) i = j + 2 + be16(j + 2)
+        else return None
+      }
+      None
     }
   }
 

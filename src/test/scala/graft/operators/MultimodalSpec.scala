@@ -106,6 +106,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(bad).isEmpty)
   }
 
+  test("GIF and JPEG headers decode through the marker/descriptor walk") {
+    // GIF89a logical screen 800x600 (LE16 at offsets 6/8)
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x20, 0x03, 0x58, 0x02, 0, 0, 0)
+    assert(Multimodal.decodeGif(gif).contains((800, 600)))
+    assert(Multimodal.decodeDims(gif) == ((800, 600)))
+    assert(Multimodal.decodeGif("GIF88a junk junk".getBytes).isEmpty)
+
+    // minimal baseline JPEG: SOI, APP0 (16 bytes), DQT skipped, then
+    // SOF0 with precision 8, height 123, width 456
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        ((payload.length + 2) >> 8).toByte, ((payload.length + 2) & 0xff).toByte
+      ) ++ payload
+    val sof = Array[Byte](8, 0, 123, (456 >> 8).toByte, (456 & 0xff).toByte, 3)
+    val jpeg = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xe0, "JFIF".getBytes ++ Array.fill[Byte](10)(0)) ++
+      seg(0xdb, Array.fill[Byte](65)(1)) ++
+      seg(0xc0, sof)
+    assert(Multimodal.decodeJpeg(jpeg).contains((456, 123)))
+    assert(Multimodal.decodeDims(jpeg) == ((456, 123)))
+    // progressive SOF2 is accepted too; DHT (C4) is correctly skipped
+    val prog = Array(0xff.toByte, 0xd8.toByte) ++
+      seg(0xc4, Array.fill[Byte](5)(0)) ++ seg(0xc2, sof)
+    assert(Multimodal.decodeJpeg(prog).contains((456, 123)))
+    // SOS before any SOF, truncation, and desync all reject
+    val nosof = Array(0xff.toByte, 0xd8.toByte) ++ seg(0xda, Array[Byte](1))
+    assert(Multimodal.decodeJpeg(nosof).isEmpty)
+    assert(Multimodal.decodeJpeg(jpeg.take(8)).isEmpty)
+    assert(Multimodal.decodeJpeg("not a jpeg at all".getBytes).isEmpty)
+  }
+
   test("ingested files flow through the typed feature extractor") {
     import spark.implicits._
     val records = Multimodal.fromBinaryFiles(spark, mediaDir, "*.wav")
