@@ -193,9 +193,14 @@ object TextAnalysis {
   def bm25On(docs: DataFrame,
       query: Seq[String],
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // four consumers branch off tf (dl, total-token scalar, query filter)
+    // — checkpoint so the corpus is scanned and exploded ONCE, not per
+    // branch (column pruning differentiates the subtrees, so exchange
+    // reuse alone never fires)
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))

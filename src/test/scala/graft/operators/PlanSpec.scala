@@ -313,4 +313,36 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
     assert(p.contains("partial_min"), p)
   }
+
+  test("triangle closure is pure equi-joins: no pair enumeration operator") {
+    val p = plan(Graph.docTriangles(spark, dir))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("bm25 scans the corpus once and serves top-k without a global sort") {
+    val p = plan(TextAnalysis.bm25TopK(spark, dir))
+    // tf is checkpointed: dl / scalar / query-filter branches reuse it,
+    // so only the n_docs count branch touches parquet again
+    assert("Scan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p) // df + scalars broadcast
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("kmv bottom-k plans a partial WindowGroupLimit: the sketch shuffle " +
+      "carries at most k rows per source per map task") {
+    val p = plan(Aggregates.kmvDistinct(spark, dir))
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Final")), p)
+  }
+
+  test("cusum is one aggregation and one window exchange plus the output " +
+      "sort — the scaled-deviation windows share the series-key partitioning") {
+    val p = plan(Analytics.eventCusum(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
