@@ -120,6 +120,80 @@ object EventStream {
       }
   }
 
+  /** One emitted CUSUM point per finalized day per series key. */
+  case class DriftPoint(event_type: String, day: java.sql.Date,
+    daily: Double, stat: Double, alarm: Boolean)
+
+  /** CUSUM state: the running level and the not-yet-final day sums, both
+    * in 1e-6 fixed-point.
+    */
+  case class DriftState(s: Long, open: Map[Long, Long])
+
+  /** Streaming CUSUM drift monitor — the online form of
+    * [[graft.operators.Analytics.cusumOn]]: per series key, accumulate
+    * each UTC day's value total while the day is open, and when the
+    * watermark closes a day fold it into the classic recursion
+    * S ← max(0, S + (x − μ − slack)), alarming once S > h. The batch
+    * operator centers on the realized series mean (it sees the whole
+    * series); the monitor uses the CALIBRATED reference μ — exactly how
+    * the two are deployed: batch to learn the baseline, stream to watch
+    * new days against it.
+    *
+    * Everything in state is 1e-6 fixed-point LONGS — per-event rounding
+    * then integer sums, the streaming image of the DECIMAL(18,6)
+    * discipline — so day totals are independent of batch arrival order
+    * and the recursion is bit-deterministic under any micro-batching,
+    * including replays. Late events beyond the watermark drop (their
+    * day is already emitted); in-watermark stragglers land in their
+    * day bucket regardless of arrival order.
+    *
+    * State is bounded two ways: open-day buckets per key ≤ the
+    * watermark horizon in days (closed days leave the map), and the
+    * long-lived residue is one (level, empty-map) entry per series key
+    * — series keys are a bounded metric dimension (event types,
+    * sources), not user-scale. An event-time timeout at the earliest
+    * open day's end finalizes days for keys that go quiet, so a burst
+    * followed by silence still emits its days once the watermark
+    * passes.
+    */
+  def cusumMonitor(events: Dataset[Event], mu: Double, slack: Double = 0.0,
+      h: Double = 5.0, watermark: String = "1 day"): Dataset[DriftPoint] = {
+    import events.sparkSession.implicits._
+    val muS = math.round(mu * 1e6)
+    val slackS = math.round(slack * 1e6)
+    val hS = math.round(h * 1e6)
+    val dayMs = 86400000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[DriftState, DriftPoint](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, batch: Iterator[Event], state: GroupState[DriftState]) =>
+          val st0 = state.getOption.getOrElse(DriftState(0L, Map.empty))
+          val wm = state.getCurrentWatermarkMs()
+          // on timeout the batch iterator is empty, so one code path
+          // serves both wake-up reasons
+          val open = batch.filter(_.ts.getTime >= wm)
+            .foldLeft(st0.open) { (m, e) =>
+              val d = Math.floorDiv(e.ts.getTime, dayMs)
+              m.updated(d, m.getOrElse(d, 0L) + math.round(e.value * 1e6))
+            }
+          val (done, still) = open.partition { case (d, _) =>
+            (d + 1) * dayMs <= wm
+          }
+          var s = st0.s
+          val out = done.toSeq.sortBy(_._1).map { case (d, v) =>
+            s = math.max(0L, s + (v - muS - slackS))
+            DriftPoint(key, new java.sql.Date(d * dayMs),
+              v / 1e6, s / 1e6, s > hS)
+          }
+          state.update(DriftState(s, still))
+          if (still.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max((still.keys.min + 1) * dayMs, wm + 1))
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup — the incremental form of `Dedup.exact`: drop
     * repeated keys with state bounded by the watermark
     * (`dropDuplicatesWithinWatermark`), so a key's dedup state is
