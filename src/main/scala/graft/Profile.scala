@@ -170,6 +170,35 @@ object Profile {
     }
     t("bpe_train_10x")(
       graft.operators.Bpe.bpeTrainOn(spark, docs10, 20).count())
+
+    // Round-4d ops at 10x: triangle closure over the replicated-dup
+    // graph (each dup family becomes a ~10x clique — the wedge join at
+    // its densest), the KMV sketch pair (replication leaves the DISTINCT
+    // shingle universe unchanged, so this measures the pre-sketch
+    // distinct shuffle at 10x input), BM25 over the 10x corpus, and the
+    // CUSUM window chain over a 10x event volume (pre-agg absorbs the
+    // volume; the window sees the same series length).
+    t("triangles_10x")(graft.operators.Graph.triangleStats(
+      Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")),
+      "da", "db").agg(sum(col("tri"))).head.getLong(0))
+    t("kmv_distinct_10x")(
+      graft.operators.Aggregates.kmvDistinctOn(docs10)
+        .agg(sum(col("n_exact"))).head.getLong(0))
+    t("kmv_jaccard_10x")(
+      graft.operators.Aggregates.kmvJaccardPairsOn(docs10).count())
+    t("bm25_10x")(
+      graft.operators.TextAnalysis.bm25On(docs10,
+        Seq("hash", "join", "vector", "stream")).count())
+    val ev10 = rep10(graft.sources.Tables.events(spark, dir),
+      "event_id", 100000000L)
+    t("cusum_10x") {
+      import graft.functions.Stable.dec
+      graft.operators.Analytics.cusumOn(
+        ev10.groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(sum(dec(col("value"))).as("daily")),
+        "event_type", "d", "daily")
+        .agg(sum(col("cusum"))).head.getDouble(0).toLong
+    }
     spark.stop()
   }
 }

@@ -388,8 +388,8 @@ object Aggregates {
     * distinct shuffle; at 100 TB this is the same frame the MinHash
     * family already materializes per batch.
     */
-  private def shingleHashes(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  private def shingleHashes(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"), explode(Dedup.shingles(col("text"))).as("s"))
       .distinct()
       .select(col("source"), col("s"), md5(col("s").cast("binary")).as("h"))
@@ -412,8 +412,12 @@ object Aggregates {
     * ≤ k rows per source, mergeable by "union then re-take bottom-k"
     * ([[kmvJaccardPairs]] exercises exactly that merge).
     */
-  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    val hashes = shingleHashes(spark, dir)
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvDistinctOn(Tables.documents(spark, dir), k)
+
+  /** [[kmvDistinct]] over any (source, text) frame. */
+  def kmvDistinctOn(docs: DataFrame, k: Int = 64): DataFrame = {
+    val hashes = shingleHashes(docs)
     val exact = hashes.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
     val kth = hashes.select(col("source"), col("h")).distinct()
@@ -446,8 +450,12 @@ object Aggregates {
     * size; the exact audit is the only corpus-sized input and exists
     * for test-SF verification.
     */
-  def kmvJaccardPairs(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
-    val hashes = shingleHashes(spark, dir).localCheckpoint(false)
+  def kmvJaccardPairs(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    kmvJaccardPairsOn(Tables.documents(spark, dir), k)
+
+  /** [[kmvJaccardPairs]] over any (source, text) frame. */
+  def kmvJaccardPairsOn(docs: DataFrame, k: Int = 64): DataFrame = {
+    val hashes = shingleHashes(docs).localCheckpoint(false)
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
     val sketches = hashes.select(col("source"), col("h")).distinct()
       .withColumn("r", row_number().over(w))
