@@ -388,11 +388,36 @@ object Aggregates {
     * distinct shuffle; at 100 TB this is the same frame the MinHash
     * family already materializes per batch.
     */
-  private def shingleHashes(docs: DataFrame): DataFrame =
+  private[graft] def shingleHashes(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(Dedup.shingles(col("text"))).as("s"))
       .distinct()
       .select(col("source"), col("s"), md5(col("s").cast("binary")).as("h"))
+
+  /** The bare KMV sketch of a (source, text) frame: the ≤k smallest
+    * distinct shingle hashes per source — the mergeable artifact
+    * ([[kmvDistinct]] reports estimates from it; the streaming
+    * maintainer unions and re-takes it per batch, exact by the order-
+    * statistic merge law bottomₖ(bottomₖ(A) ∪ bottomₖ(B)) = bottomₖ(A∪B)).
+    */
+  private[graft] def kmvSketchOn(docs: DataFrame, k: Int = 64): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("h"))
+    shingleHashes(docs).select(col("source"), col("h")).distinct()
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  /** Distinct estimate from a stored (source, h) KMV sketch — the same
+    * estimator as [[kmvDistinct]], reading only the ≤k-row artifact.
+    */
+  private[graft] def kmvEstimateFromSketch(sketch: DataFrame, k: Int = 64): DataFrame =
+    sketch.groupBy(col("source"))
+      .agg(max(col("h")).as("kth"), count(lit(1)).as("nk"))
+      .select(col("source"),
+        when(col("nk") < k, col("nk").cast("double"))
+          .otherwise(lit(k - 1) / hexFrac(col("kth"))).as("est_kmv"))
+      .orderBy(col("source"))
 
   /** KMV (k-minimum-values, Bar-Yossef et al. 2002) distinct-count
     * sketch per source over the 3-shingle universe, next to its exact

@@ -498,6 +498,58 @@ object EventStream {
       .start()
   }
 
+  /** Incremental KMV vocabulary-sketch maintenance — the order-statistic
+    * sibling of [[cmsMaintain]]: each micro-batch's per-source bottom-k
+    * shingle hashes are unioned with the stored sketch and the bottom-k
+    * re-taken, which by the merge law
+    * bottomₖ(bottomₖ(A) ∪ bottomₖ(B)) = bottomₖ(A ∪ B) keeps the stored
+    * artifact EXACTLY equal to a from-scratch sketch of everything ever
+    * streamed (spec-proved) — so distinct-universe estimates over an
+    * unbounded ingest stream cost one ≤k-rows-per-source parquet read,
+    * never a corpus rescan. Same replay guard and restart contract as
+    * the Count-Min maintainer: the stored max batch_id rejects
+    * replayed batches; a hash seen in both keeps its earliest batch_id
+    * so the artifact is byte-stable under replay.
+    */
+  def kmvMaintain(docs: DataFrame, sketchPath: String, checkpoint: String,
+      k: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Aggregates
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchSk = Aggregates.kmvSketchOn(batch, k)
+            .withColumn("batch_id", lit(batchId))
+          val stored =
+            if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
+              Some(spark.read.parquet(sketchPath).localCheckpoint(true))
+            else None
+          val alreadyApplied = stored.exists(s =>
+            Option(s.select(max(col("batch_id"))).head.get(0))
+              .exists(_.asInstanceOf[Long] >= batchId))
+          if (!alreadyApplied) {
+            val merged = stored match {
+              case Some(s) =>
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("source")).orderBy(col("h"))
+                s.unionByName(batchSk)
+                  .groupBy(col("source"), col("h"))
+                  .agg(min(col("batch_id")).as("batch_id"))
+                  .withColumn("r", row_number().over(w))
+                  .filter(col("r") <= k)
+                  .select(col("source"), col("h"), col("batch_id"))
+              case None => batchSk
+            }
+            merged.localCheckpoint(true)
+              .write.mode("overwrite").parquet(sketchPath)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming fuzzy admission against a materialized
     * [[graft.operators.Dedup.writeMinhashIndex]] corpus index: each
     * micro-batch is MinHash-probed against the stored band keys, docs

@@ -485,6 +485,49 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("kmvMaintain: the stored sketch equals a from-scratch sketch of " +
+    "everything streamed, and so does its estimate") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Aggregates
+    val sketchDir = java.nio.file.Files
+      .createTempDirectory("graft_kmv").toString + "/sk"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_kmv_ck").toString
+    // >64 distinct shingles per source so the bottom-k actually trims
+    def doc(src: String, lo: Int, hi: Int) =
+      (src, (lo to hi).map(i => s"tok$i").mkString(" "))
+    val batch1 = Seq(doc("sa", 1, 80), doc("sb", 1, 40))
+    val batch2 = Seq(doc("sa", 60, 150), doc("sb", 30, 70))
+    val input = MemoryStream[(String, String)]
+    val q = EventStream.kmvMaintain(
+      input.toDF().toDF("source", "text"), sketchDir, ckpt)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val all = (batch1 ++ batch2).toDF("source", "text")
+      val maintained = spark.read.parquet(sketchDir)
+        .select("source", "h").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val direct = Aggregates.kmvSketchOn(all).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(maintained == direct,
+        "merged bottom-k must equal the from-scratch bottom-k")
+      val estM = Aggregates
+        .kmvEstimateFromSketch(spark.read.parquet(sketchDir)).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val estD = Aggregates.kmvDistinctOn(all).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("est_kmv")).toMap
+      assert(estM == estD, s"$estM vs $estD")
+      // sa's universe (~149 shingles) exceeds k=64: the artifact must be
+      // trimmed to k rows, not accumulate
+      val perSource = spark.read.parquet(sketchDir).groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perSource("sa") == 64L, perSource.toString)
+    } finally q.stop()
+  }
+
   test("cusumMonitor finalizes days behind the watermark and runs the " +
     "max-reset recursion with the calibrated mean") {
     implicit val sql = spark.sqlContext
