@@ -65,6 +65,7 @@ object SparkEntry {
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
+    "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1538,6 +1539,22 @@ object SparkEntry {
         |FROM ranked r JOIN caps c ON r.source = c.source
         |WHERE r.pick <= c.k_s
         |ORDER BY r.source, r.pick""".stripMargin,
+    "q_split_leakfree" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+        |SELECT d.doc_id, d.source,
+        |       coalesce(cl.cluster_id, d.doc_id) AS cluster_id,
+        |       substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id) AS VARCHAR)),
+        |              1, 4) AS hk,
+        |       CASE WHEN substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id)
+        |                               AS VARCHAR)), 1, 4) <= 'cccc'
+        |              THEN 'train'
+        |            WHEN substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id)
+        |                               AS VARCHAR)), 1, 4) <= 'e665'
+        |              THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "q_split_assign" ->
       """SELECT doc_id, source,
         |       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hk,

@@ -133,6 +133,40 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("hk"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** Leakage-free train/val/test split: hash the doc's NEAR-DUP CLUSTER
+    * id, not its own id. Per-document hashing ([[splitAssign]]) puts two
+    * near-copies of the same page on opposite sides of the split with
+    * probability 2·p·(1−p) — and then "held-out" evaluation scores
+    * memorization. Keying the md5 interval on
+    * [[graft.operators.Dedup.dedupClusters]]' min-label cluster id
+    * sends every member of a duplication family to the SAME side by
+    * construction; singleton docs (no near-dup) fall back to their own
+    * id, which IS their cluster id under the min-label convention.
+    *
+    * Scale: the cluster frame comes from the LSH candidate path (never
+    * all-pairs) and joins back on doc_id — one equi-join over the pair
+    * members only; the fallback keeps the non-member majority narrow.
+    * Same md5-interval function as [[splitAssign]], so ratios and
+    * growth-stability carry over cluster-wise.
+    */
+  def splitAssignLeakFree(spark: SparkSession, dir: String,
+      trainHi: String = "cccc", valHi: String = "e665",
+      threshold: Double = 0.7): DataFrame = {
+    val clusters = graft.operators.Dedup.dedupClusters(spark, dir, threshold)
+    Tables.documents(spark, dir)
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("hk",
+        substring(md5(col("cluster_id").cast("string").cast("binary")), 1, 4))
+      .withColumn("split",
+        when(col("hk") <= trainHi, "train")
+          .when(col("hk") <= valHi, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("source"), col("cluster_id"), col("hk"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-balanced mixture cap: allocate a global budget of
     * `budget` documents across sources proportional to √(source size) —
     * the α = 0.5 temperature rule multilingual/multi-source corpora use

@@ -130,4 +130,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(rounds <= 10,
       s"expected O(log 63) ≈ 6-8 rounds incl. convergence check, got $rounds")
   }
+
+  test("leak-free split: every near-dup pair lands on one side; singletons " +
+    "match the per-doc split exactly") {
+    import org.apache.spark.sql.functions._
+    val split = Sampling.splitAssignLeakFree(spark, dir)
+    val byDoc = split.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    val pairs = Dedup.minhashNearDup(spark, dir)
+      .select(col("da"), col("db")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a)._2 == byDoc(b)._2, s"pair ($a,$b) straddles the split")
+      assert(byDoc(a)._1 == byDoc(b)._1)
+    }
+    // docs outside every pair keep their own id as cluster id, so their
+    // assignment is IDENTICAL to the per-doc splitter — upgrading to the
+    // leak-free splitter only ever moves duplication-family members
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val perDoc = Sampling.splitAssign(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    byDoc.filterNot(kv => paired(kv._1)).foreach { case (d, (cid, s)) =>
+      assert(cid == d && s == perDoc(d))
+    }
+  }
 }
