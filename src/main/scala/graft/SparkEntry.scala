@@ -154,6 +154,7 @@ object SparkEntry {
     // golden-pinned: iterative driver-loop training has no SQL twin;
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
+    "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
     "q_bpe_tokens" -> ((s, dir) => Bpe.bpeTokenize(s, dir)),
     "q_bpe_ids" -> ((s, dir) => Bpe.bpeIds(s, dir)),

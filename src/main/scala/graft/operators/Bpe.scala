@@ -111,6 +111,69 @@ object Bpe {
     (merges.toSeq, dict)
   }
 
+  /** Per-symbol occurrence counts over the dict (weighted by word
+    * count) — the unigram denominators of the WordPiece likelihood
+    * score. Same shuffle shape as [[pairCounts]]: one explode + one
+    * integer aggregation over the dict, never the corpus.
+    */
+  private[operators] def symCounts(dict: DataFrame): DataFrame =
+    dict.select(explode(col("syms")).as("s"), col("cnt"))
+      .groupBy(col("s")).agg(sum(col("cnt")).as("sc"))
+
+  /** WordPiece vocabulary training (Schuster & Nakajima 2012): the same
+    * merge loop as [[bpeTrainOn]] but each round merges the pair
+    * maximizing the LIKELIHOOD gain score c(ab)/(c(a)·c(b)) instead of
+    * the raw pair count — frequency normalized by its parts, so a pair
+    * of rare symbols that almost always co-occur beats a frequent pair
+    * of ubiquitous symbols (the spec pins a fixture where the two
+    * algorithms provably diverge on merge one). Shares [[wordDict]],
+    * [[pairCounts]], and the greedy [[mergeStep]] fold — one extra
+    * dict-sized symbol-count aggregation per round is the entire cost
+    * delta, so the 100 TB story is unchanged: corpus → dict once, then
+    * dict-sized iterations.
+    *
+    * The score is computed in double from exact integer counts —
+    * deterministic under any partitioning (the inputs are exact, the
+    * expression is fixed); tie-break (score DESC, l, r) totalizes the
+    * argmax. Golden-pinned like BPE: iterative driver-loop training has
+    * no SQL twin.
+    */
+  def wordpieceTrain(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    wordpieceTrainOn(spark, Tables.documents(spark, dir), nMerges)
+
+  /** Same, over any (text) frame. */
+  def wordpieceTrainOn(spark: SparkSession, documents: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    var dict = wordDict(documents).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Double)]
+    var exhausted = false
+    for (rank <- 0 until nMerges if !exhausted) {
+      val sc = symCounts(dict)
+      val top = pairCounts(dict)
+        .join(sc.select(col("s").as("l"), col("sc").as("lc")), "l")
+        .join(sc.select(col("s").as("r"), col("sc").as("rc")), "r")
+        .withColumn("score", col("pc").cast("double")
+          / (col("lc").cast("double") * col("rc").cast("double")))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .select(col("l"), col("r"), col("pc"), col("score"))
+        .head(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val t = top(0)
+        merges += ((rank, t.getString(0), t.getString(1),
+          t.getString(0) + t.getString(1), t.getLong(2), t.getDouble(3)))
+        dict = mergeStep(dict, t.getString(0), t.getString(1))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+      .toDF("rank", "left", "right", "merged", "pair_count", "score")
+      .orderBy(col("rank"))
+  }
+
   /** Segment the corpus with the learned merges and report the
     * compression they buy: (n_words, n_symbols, symbols_per_word) —
     * the acceptance metric tokenizer training tracks. The final merged

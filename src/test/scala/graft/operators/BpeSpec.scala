@@ -119,4 +119,63 @@ class BpeSpec extends AnyFunSuite {
     assert(perDoc.getLong(1) == stats.getLong(1),
       "BPE token totals agree — the lookup join loses nothing")
   }
+
+  private def refWordpiece(words: Map[String, Long],
+      n: Int): Seq[(String, String, Long)] = {
+    var dict: Map[List[String], Long] =
+      words.map { case (w, c) => (w.map(_.toString).toList, c) }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    for (_ <- 0 until n if !done) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      val sc = mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((syms, c) <- dict) {
+        for (s <- syms) sc(s) += c
+        for (i <- 0 until syms.length - 1) pc((syms(i), syms(i + 1))) += c
+      }
+      if (pc.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = pc.toSeq.minBy { case ((l, r), c) =>
+          (-c.toDouble / (sc(l).toDouble * sc(r).toDouble), l, r)
+        }
+        out += ((a, b, cnt))
+        dict = dict.map { case (syms, c) => (mergeList(syms, a, b), c) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("wordpiece diverges from BPE where likelihood says so, and matches " +
+      "the sequential reference merge-for-merge") {
+    // (a,b) is the most FREQUENT pair (10) but a and b are ubiquitous
+    // (60 each); (x,y) occurs only 3 times but x,y appear nowhere else:
+    // score(a,b)=10/3600 << score(x,y)=3/9. BPE must take (a,b) first,
+    // WordPiece (x,y).
+    val words = Map("ab" -> 10L, "a" -> 50L, "b" -> 50L, "xy" -> 3L)
+    val docs = Seq((1L, words.flatMap { case (w, c) =>
+      Seq.fill(c.toInt)(w) }.mkString(" "))).toDF("doc_id", "text")
+    val bpeFirst = Bpe.bpeTrainOn(spark, docs, 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).head
+    val wpFirst = Bpe.wordpieceTrainOn(spark, docs, 1).collect()
+      .map(r => (r.getString(1), r.getString(2))).head
+    assert(bpeFirst == (("a", "b")), bpeFirst.toString)
+    assert(wpFirst == (("x", "y")), wpFirst.toString)
+
+    val got = Bpe.wordpieceTrainOn(spark, docs, 4).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got == refWordpiece(words, 4), got.toString)
+  }
+
+  test("wordpiece on the fixture corpus: deterministic across reruns, " +
+      "scores non-negative, merged = left+right") {
+    val dir = "/root/testdata/sf0.001"
+    val a = Bpe.wordpieceTrain(spark, dir, 10).collect()
+    val b = Bpe.wordpieceTrain(spark, dir, 10).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 10)
+    a.foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
 }
