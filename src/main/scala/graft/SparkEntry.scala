@@ -155,6 +155,8 @@ object SparkEntry {
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
+    // golden-pinned: iterative float linear algebra has no SQL twin
+    "q_embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
     "q_bpe_tokens" -> ((s, dir) => Bpe.bpeTokenize(s, dir)),
     "q_bpe_ids" -> ((s, dir) => Bpe.bpeIds(s, dir)),

@@ -554,6 +554,70 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** Top principal component of the embedding corpus — the variance-
+    * structure probe behind embedding-drift monitoring (a re-encode or
+    * domain shift shows up as a rotated/shrunk top component long before
+    * downstream metrics move) and the classic pre-ANN dimensionality
+    * check (how much of the energy one direction carries).
+    *
+    * Distributed part: the d×d second-moment matrix via two chained
+    * posexplodes and ONE map-side-combinable (i, j) aggregation on the
+    * exact DECIMAL image — the shuffle carries d² partial rows per map
+    * task, never vectors. Driver part: the d×d covariance (artifact-
+    * sized, same bounded-`head()` pattern as the BPE argmax) runs a
+    * fixed-iteration power method from the deterministic e₀ seed;
+    * IEEE-deterministic given the exact moments, with the sign fixed by
+    * making the largest-|loading| entry positive (ties → lowest pos).
+    * Golden-pinned: iterative float linear algebra has no SQL twin.
+    *
+    * At 100 TB the explode shape (d² generated rows per vector) trades
+    * for per-partition Gram accumulation (`mapPartitions` + BLAS over
+    * each partition, then one d²-row merge) — same shuffle, fewer row
+    * objects; the declarative form is kept here because it pins the
+    * exact-decimal determinism the golden relies on.
+    */
+  def pcaTopComponent(spark: SparkSession, dir: String,
+      iters: Int = 100): DataFrame = {
+    import graft.functions.Stable.{davg, dsum}
+    val x = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .localCheckpoint(false)
+    val xi = x.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+    val moments = xi
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy(col("i"), col("j"))
+      .agg(dsum(col("xi") * col("xj")).as("sxx"), count(lit(1)).as("n"))
+    val means = xi.groupBy(col("i")).agg(davg(col("xi")).as("m"))
+    val cells = moments
+      .join(means.select(col("i"), col("m").as("mi")), "i")
+      .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
+      .select(col("i"), col("j"),
+        (col("sxx") / col("n") - col("mi") * col("mj")).as("c"))
+      .collect()
+    val d = cells.map(_.getAs[Int]("i")).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    cells.foreach(r =>
+      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    var w = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val cw = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * w(j)).sum)
+      val nrm = math.sqrt(cw.map(a => a * a).sum)
+      w = if (nrm == 0) cw else cw.map(_ / nrm)
+    }
+    val eig = (0 until d).map(i =>
+      (0 until d).map(j => w(i) * cov(i)(j) * w(j)).sum).sum
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val flipAt = w.indices.minBy(i => (-math.abs(w(i)), i))
+    val signed = if (w(flipAt) < 0) w.map(-_) else w
+    import spark.implicits._
+    means.collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("m")))
+      .sortBy(_._1)
+      .map { case (i, m) => (i, m, signed(i), eig, eig / trace) }.toSeq
+      .toDF("pos", "dim_mean", "loading", "eigenvalue", "explained_frac")
+      .orderBy(col("pos"))
+  }
+
   /** Int8-quantize (vec_id, v: array<double>) rows to (vec_id, nrm, qv).
     *
     * qv is the comma-joined quantized vector, not an array column: the
