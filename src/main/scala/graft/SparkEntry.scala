@@ -61,6 +61,8 @@ object SparkEntry {
     "q_skew_report" -> ((s, dir) => Aggregates.keySkewReport(s, dir)),
     "q_pagerank" -> ((s, dir) => Graph.docPageRank(s, dir)),
     "q_triangles" -> ((s, dir) => Graph.docTriangles(s, dir)),
+    "q_graph_assort" -> ((s, dir) => Graph.docAssortativity(s, dir)),
+    "q_graph_bfs" -> ((s, dir) => Graph.docBfsDepths(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
@@ -1129,6 +1131,30 @@ object SparkEntry {
         |JOIN sz za ON za.source = mm.sa
         |JOIN sz zb ON zb.source = mm.sb
         |ORDER BY mm.sa, mm.sb""".stripMargin,
+    "q_graph_assort" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+        |j AS (SELECT d1.deg AS ds, d2.deg AS dd
+        |      FROM e JOIN deg d1 ON e.a = d1.a JOIN deg d2 ON e.b = d2.a),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             sum(CAST(ds AS DECIMAL(38,0))) AS sx,
+        |             sum(CAST(ds * ds AS DECIMAL(38,0))) AS sxx,
+        |             sum(CAST(ds * dd AS DECIMAL(38,0))) AS sxy
+        |      FROM j)
+        |SELECT n, CAST(n * sxy - sx * sx AS DOUBLE)
+        |            / CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM s""".stripMargin,
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |bfs(n, d) AS (
+        |  SELECT doc_id, 0 FROM cl WHERE doc_id = cluster_id
+        |  UNION
+        |  SELECT e.b, bfs.d + 1 FROM bfs JOIN e ON bfs.n = e.a
+        |  WHERE bfs.d < 32)
+        |SELECT cl.doc_id, cl.cluster_id, CAST(min(bfs.d) AS BIGINT) AS dist
+        |FROM cl JOIN bfs ON cl.doc_id = bfs.n
+        |GROUP BY 1, 2 ORDER BY cl.doc_id""".stripMargin,
     "q_table_diff" ->
       """WITH dels0 AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 50 = 0),
         |ups0 AS (SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,

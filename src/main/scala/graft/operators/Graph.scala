@@ -130,6 +130,102 @@ object Graph {
     triangleStats(Dedup.minhashNearDup(spark, dir, threshold)
       .select(col("da"), col("db")), "da", "db")
 
+  /** Degree assortativity of an undirected pair list: the Pearson
+    * correlation of endpoint degrees over the directed edge list (both
+    * orientations, the standard convention) — one scalar separating
+    * hub-and-spoke duplication (boilerplate attractors linking low-degree
+    * docs, r < 0) from clique-of-clones structure (members of equal
+    * degree linking each other, r > 0). Same exact-power-sum Pearson as
+    * `Aggregates.qtyPriceCorr`: every sum is an integer on the
+    * DECIMAL(38,0) image (degrees are integers; 128-bit-safe at any
+    * graph size — a raw BIGINT sum of deg² can overflow at web scale),
+    * then one deterministic double evaluation at the end — so the
+    * statistic hash-matches ANSI SQL exactly.
+    */
+  def degreeAssortativity(pairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = pairs
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+        greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val edges = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    edges
+      .join(deg.select(col("a"), col("deg").as("ds")), "a")
+      .join(deg.select(col("a").as("b"), col("deg").as("dd")), "b")
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("ds"))).as("sx"),
+        sum(d38(col("ds") * col("ds"))).as("sxx"),
+        sum(d38(col("ds") * col("dd"))).as("sxy"))
+      // by symmetry of the doubled edge list, Sy = Sx and Syy = Sxx
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sx")).cast("double") /
+          ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+          .as("assortativity"))
+  }
+
+  /** Degree assortativity of the MinHash near-dup graph. */
+  def docAssortativity(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    degreeAssortativity(Dedup.minhashNearDup(spark, dir, threshold)
+      .select(col("da"), col("db")), "da", "db")
+
+  /** Hop distance from every node to its cluster's CANONICAL member (the
+    * min-label node — the same root [[Dedup.clustersFromPairs]] elects):
+    * distance 0 is the canonical itself, 1 its direct near-dups, 2+ the
+    * transitive tail that matched nothing the canonical matched. The
+    * depth profile tells template families (star around one canonical,
+    * all depth 1) from drift chains (A≈B≈C≈D with A≉D, depth grows) —
+    * which decides whether keep-one-per-cluster is safe or loses
+    * genuinely distinct tail content.
+    *
+    * Iterative min-distance relaxation: each round every node takes
+    * min(own, neighbor+1) — one equi-join + map-side-combinable min per
+    * round, lineage lazily checkpointed, early-stop when a round changes
+    * nothing (the convergence action doubles as the materializer, one
+    * job per round). Rounds = graph diameter ≤ the cluster diameter the
+    * CC loop already bounds. The DuckDB twin bounds its recursive CTE at
+    * depth 32 — dup-family diameters are single digits; a deeper graph
+    * would diverge from the oracle, loudly.
+    */
+  def bfsDepths(pairs: DataFrame): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val und = p.select(col("da").as("a"), col("db").as("b"))
+      .union(p.select(col("db").as("a"), col("da").as("b")))
+      .distinct().localCheckpoint(true)
+    var state = Dedup.clustersFromPairs(p)
+      .select(col("doc_id").as("node"), col("cluster_id"),
+        when(col("doc_id") === col("cluster_id"), 0L).as("dist"))
+      .localCheckpoint(false)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 64) {
+      val viaNeighbor = und
+        .join(state.select(col("node").as("a"), col("dist").as("sd")), "a")
+        .filter(col("sd").isNotNull)
+        .groupBy(col("b")).agg(min(col("sd") + 1).as("nd"))
+      val next = state
+        .join(viaNeighbor.withColumnRenamed("b", "node"), Seq("node"), "left")
+        .select(col("node"), col("cluster_id"),
+          least(col("dist"), col("nd")).as("dist"),
+          (!(col("dist") <=> least(col("dist"), col("nd")))).as("chg"))
+        .localCheckpoint(false)
+      changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0)
+      state = next.drop("chg")
+      rounds += 1
+    }
+    state.select(col("node").as("doc_id"), col("cluster_id"), col("dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BFS depth profile of the MinHash near-dup graph. */
+  def docBfsDepths(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    bfsDepths(Dedup.minhashNearDup(spark, dir, threshold)
+      .select(col("da"), col("db")))
+
   /** PageRank centrality of the MinHash near-dup graph: which documents
     * sit at the center of duplication families (template hubs) vs the
     * periphery — a ranking signal for canonical selection beyond
