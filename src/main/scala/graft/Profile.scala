@@ -199,6 +199,17 @@ object Profile {
         "event_type", "d", "daily")
         .agg(sum(col("cusum"))).head.getDouble(0).toLong
     }
+
+    // Round-4e ops at 10x: WordPiece training (dict is replication-
+    // invariant like BPE — this measures the corpus shuffle + the extra
+    // per-round symbol-count agg) and BFS relaxation over the replicated
+    // clique families (every family is a dense 10x clique: depth-1
+    // convergence, maximal per-round join fan-in).
+    t("wordpiece_10x")(
+      graft.operators.Bpe.wordpieceTrainOn(spark, docs10, 10).count())
+    t("bfs_10x")(graft.operators.Graph.bfsDepths(
+      Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")))
+      .agg(sum(col("dist"))).head.getLong(0))
     spark.stop()
   }
 }
