@@ -68,6 +68,7 @@ object SparkEntry {
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
+    "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1037,6 +1038,33 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_gate_sweep" ->
+      """WITH lg AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |         -2.0 + (len(list_distinct(string_split(text, ' ')))
+        |                   / len(string_split(text, ' '))) * 3.0
+        |              + (len(list_filter(string_split(text, ' '),
+        |                  t -> t IN ('the','a','of','and','to','in','is',
+        |                             'on','for','with')))
+        |                 / len(string_split(text, ' '))) * 1.5
+        |              + least(len(string_split(text, ' ')) / 100.0, 1.0)
+        |           AS logit
+        |  FROM documents),
+        |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+        |       FROM lg),
+        |th AS (SELECT unnest(generate_series(-20, 10)) AS t),
+        |j AS (SELECT t / 10.0 AS thr,
+        |             CAST(count(CASE WHEN logit > t / 10.0 THEN 1 END)
+        |                  AS BIGINT) AS n_kept,
+        |             CAST(coalesce(sum(CASE WHEN logit > t / 10.0
+        |                                    THEN n_tokens END), 0)
+        |                  AS BIGINT) AS tokens_kept
+        |      FROM lg CROSS JOIN th GROUP BY 1)
+        |SELECT thr, n_kept, tokens_kept,
+        |       CAST(n_kept AS DOUBLE) / n_docs AS doc_frac,
+        |       CAST(tokens_kept AS DOUBLE) / n_tokens_total AS token_frac
+        |FROM j CROSS JOIN tt ORDER BY thr""".stripMargin,
     "q_cusum_drift" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS d,

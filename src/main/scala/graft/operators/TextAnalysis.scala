@@ -84,6 +84,42 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-gate threshold sweep — the tuning curve for
+    * [[qualityLogit]]'s cut: for every threshold in [lo/10, hi/10] step
+    * 0.1, how many documents and tokens survive `logit > t`, absolute
+    * and as corpus fractions. This is the artifact a curation run tunes
+    * against ("we keep 82% of tokens at t=0; t=0.3 drops us to 61%") —
+    * without it the gate constant is folklore. ONE pass: the per-doc
+    * logit frame cross-joins the broadcast 31-row threshold spine and
+    * every (thr) group aggregates map-side; totals ride a broadcast
+    * scalar. The fan-out is #docs·#thresholds counted rows, never
+    * materialized wide — at 100 TB this is a scan plus a 31-row result.
+    */
+  def gateSweep(spark: SparkSession, dir: String, lo: Int = -20,
+      hi: Int = 10): DataFrame = {
+    val t = tokens(col("text"))
+    val lg = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        (lit(-2.0) + (size(array_distinct(t)) / size(t)) * 3.0
+          + (hits(t, stopEn) / size(t)) * 1.5
+          + least(size(t) / 100.0, lit(1.0))).as("logit"))
+    val totals = lg.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens_total"))
+    val thresholds = spark.range(lo, hi + 1)
+      .select((col("id") / 10.0).as("thr"))
+    lg.crossJoin(broadcast(thresholds))
+      .groupBy(col("thr"))
+      .agg(count(when(col("logit") > col("thr"), 1)).as("n_kept"),
+        coalesce(sum(when(col("logit") > col("thr"), col("n_tokens"))),
+          lit(0L)).as("tokens_kept"))
+      .crossJoin(broadcast(totals))
+      .select(col("thr"), col("n_kept"), col("tokens_kept"),
+        (col("n_kept").cast("double") / col("n_docs")).as("doc_frac"),
+        (col("tokens_kept").cast("double") / col("n_tokens_total"))
+          .as("token_frac"))
+      .orderBy(col("thr"))
+  }
+
   /** Language ID by stopword-hit voting (n-gram heuristic): score each
     * candidate language by its stopword count; deterministic priority
     * order breaks ties; zero hits everywhere => "und" (undetermined).

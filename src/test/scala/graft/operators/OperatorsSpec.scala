@@ -328,6 +328,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(firstPerUser.forall(_.getAs[Int]("new_session") == 1))
   }
 
+  test("gate sweep: survival is monotone non-increasing in the threshold " +
+    "and reconciles with the logit gate at t=0") {
+    import org.apache.spark.sql.functions._
+    val sweep = TextAnalysis.gateSweep(spark, dir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(sweep.length == 31)
+    sweep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2 && b._3 <= a._3, s"non-monotone at thr ${b._1}")
+    }
+    assert(sweep.forall(r => r._4 >= 0 && r._4 <= 1 && r._5 >= 0 && r._5 <= 1))
+    // the t=0 row must equal what the shipped logit gate keeps
+    val keptAtZero = TextAnalysis.qualityLogit(spark, dir)
+      .filter(col("keep")).count()
+    val zeroRow = sweep.find(r => math.abs(r._1) < 1e-12).get
+    assert(zeroRow._2 == keptAtZero, s"${zeroRow._2} vs $keptAtZero")
+  }
+
   test("pca top component is a unit-norm near-eigenvector of the true " +
     "covariance with the dominant rayleigh quotient") {
     import org.apache.spark.sql.functions._
