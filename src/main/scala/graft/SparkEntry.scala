@@ -69,6 +69,7 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
+    "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1038,6 +1039,42 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_overlap_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, ts,
+        |         CASE WHEN prev_ts IS NULL
+        |                   OR (epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM g),
+        |n AS (
+        |  SELECT user_id, ts,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM s),
+        |sess AS (SELECT user_id, session_id, min(ts) AS start_ts,
+        |                max(ts) + INTERVAL 1 SECOND AS sess_end
+        |         FROM n GROUP BY 1, 2),
+        |win AS (SELECT r.t AS win_id,
+        |               TIMESTAMP '2024-01-01 00:00:00'
+        |                 + (r.t * 11) * INTERVAL 1 HOUR AS m_start,
+        |               TIMESTAMP '2024-01-01 00:00:00'
+        |                 + (r.t * 11 + 1 + r.t % 4) * INTERVAL 1 HOUR AS m_end
+        |        FROM range(60) r(t)),
+        |ov AS (SELECT win.win_id, sess.user_id
+        |       FROM sess JOIN win
+        |         ON sess.start_ts < win.m_end AND win.m_start < sess.sess_end),
+        |agg AS (SELECT win_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |        FROM ov GROUP BY 1)
+        |SELECT win.win_id, win.m_start,
+        |       coalesce(agg.n_sessions, 0) AS n_sessions,
+        |       coalesce(agg.n_users, 0) AS n_users
+        |FROM win LEFT JOIN agg ON win.win_id = agg.win_id
+        |ORDER BY win.win_id""".stripMargin,
     "q_gate_sweep" ->
       """WITH lg AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

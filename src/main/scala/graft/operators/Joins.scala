@@ -244,6 +244,77 @@ object Joins {
         dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("s_suppkey"))
 
+  /** Interval-OVERLAP join ([s1,e1) ∩ [s2,e2) ≠ ∅) — the two-sided
+    * sibling of [[rangeJoinBinned]]'s point-in-interval: sessions ×
+    * maintenance windows, placements × flights, IP-range × IP-range.
+    * Both sides replicate across the time bins they cover and meet in
+    * an equi-join on the bin, so the plan is a hash join keyed by bin —
+    * never BroadcastNestedLoopJoin over the raw inequality pair. A pair
+    * overlapping several shared bins would duplicate; the third
+    * conjunct pins each qualifying pair to exactly ONE bin — the bin
+    * containing the overlap's start, `floor(max(s1,s2)/bin)` — so no
+    * distinct pass is needed afterwards. Empty/inverted intervals
+    * replicate to nothing (the sequence guard), contributing no rows.
+    * Bin width trades replication (long intervals span more bins)
+    * against join selectivity, exactly as in the point form.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      ls: String, le: String, rs: String, re: String,
+      binHours: Int = 24): DataFrame = {
+    require(binHours >= 1, s"binHours must be >= 1, got $binHours")
+    val binMicros = binHours * 3600L * 1000000L
+    def micros(c: String): Column = unix_micros(col(c).cast("timestamp"))
+    def binned(df: DataFrame, s: String, e: String, out: String) =
+      df.withColumn(out, explode(
+        when(col(e) > col(s), sequence(
+          floor(micros(s) / binMicros),
+          floor((micros(e) - 1) / binMicros)))
+          .otherwise(array().cast("array<bigint>"))))
+    binned(left, ls, le, "_binl")
+      .join(binned(right, rs, re, "_binr"),
+        col("_binl") === col("_binr")
+          && col(ls) < col(re) && col(rs) < col(le)
+          && col("_binl") ===
+            floor(greatest(micros(ls), micros(rs)) / binMicros))
+      .drop("_binl", "_binr")
+  }
+
+  /** Deterministic maintenance windows over the event month: window k
+    * starts k·11 hours after 2024-01-01 and lasts 1 + (k mod 4) hours —
+    * pure integer arithmetic, so the DuckDB oracle derives identical
+    * intervals (the [[auditWindows]] convention).
+    */
+  def maintenanceWindows(spark: SparkSession, n: Int = 60): DataFrame =
+    spark.range(n).select(
+      col("id").as("win_id"),
+      expr("timestampadd(HOUR, CAST(id * 11 AS INT), " +
+        "TIMESTAMP '2024-01-01 00:00:00')").as("m_start"),
+      expr("timestampadd(HOUR, CAST(id * 11 + 1 + id % 4 AS INT), " +
+        "TIMESTAMP '2024-01-01 00:00:00')").as("m_end"))
+
+  /** Sessions impacted per maintenance window — the flagship
+    * [[intervalOverlapJoin]] query: user sessions (closed intervals made
+    * half-open by one trailing second, so single-event sessions still
+    * have extent) overlap-joined to the window calendar, counted per
+    * window; windows nothing overlapped report zero via the spine join.
+    */
+  def sessionMaintenanceImpact(spark: SparkSession, dir: String): DataFrame = {
+    val sess = Analytics.sessions(spark, dir)
+      .select(col("user_id"), col("session_id"), col("start_ts"),
+        expr("timestampadd(SECOND, 1, end_ts)").as("sess_end"))
+    val wins = maintenanceWindows(spark)
+    val hits = intervalOverlapJoin(sess, wins,
+        "start_ts", "sess_end", "m_start", "m_end", binHours = 24)
+      .groupBy(col("win_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+    wins.join(hits, Seq("win_id"), "left")
+      .select(col("win_id"), col("m_start"),
+        coalesce(col("n_sessions"), lit(0L)).as("n_sessions"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("win_id"))
+  }
+
   /** Salted inner equi-join for skewed keys — the manual fallback when AQE
     * skew splitting isn't available (e.g. the skewed side feeds a
     * co-partitioned downstream op, or the build side is too big to

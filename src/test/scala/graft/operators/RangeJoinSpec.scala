@@ -93,4 +93,49 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!binnedPlan.contains("BroadcastNestedLoopJoin"),
       s"binned plan must not nested-loop:\n$binnedPlan")
   }
+
+  test("interval overlap join equals the naive theta-join, once per pair, " +
+    "across bin boundaries") {
+    // intervals engineered around the 24h bin edges: same-bin overlap,
+    // cross-bin overlap, touching endpoints (NO overlap under half-open),
+    // containment, and an inverted interval that must vanish
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val l = Seq(
+      (1L, t("2024-01-01 06:00:00"), t("2024-01-01 09:00:00")),
+      (2L, t("2024-01-01 22:00:00"), t("2024-01-02 02:00:00")),
+      (3L, t("2024-01-03 10:00:00"), t("2024-01-03 10:00:01")),
+      (4L, t("2024-01-05 00:00:00"), t("2024-01-04 00:00:00"))
+    ).toDF("lid", "ls", "le")
+    val r = Seq(
+      (10L, t("2024-01-01 08:00:00"), t("2024-01-01 23:00:00")),
+      (11L, t("2024-01-02 01:00:00"), t("2024-01-02 05:00:00")),
+      (12L, t("2024-01-01 09:00:00"), t("2024-01-01 10:00:00")),
+      (13L, t("2024-01-02 00:00:00"), t("2024-01-06 00:00:00"))
+    ).toDF("rid", "rs", "re")
+    val got = Joins.intervalOverlapJoin(l, r, "ls", "le", "rs", "re", 24)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    // the raw theta predicate is satisfied by the inverted interval too
+    // (ls < re && rs < le says nothing about le > ls) — empty intervals
+    // contributing nothing is the operator's CONTRACT, so the reference
+    // applies the same validity guard
+    val naive = l.filter(col("le") > col("ls"))
+      .join(r.filter(col("re") > col("rs")),
+        col("ls") < col("re") && col("rs") < col("le"))
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq,
+      s"got ${got.toSeq} want ${naive.toSeq}")
+    assert(got.length == got.distinct.length, "no pair may duplicate")
+    // interval 1 touches 12 at 09:00 — half-open means NO overlap;
+    // interval 2 crosses midnight and must meet 10, 11, and 13 once each
+    assert(!got.contains((1L, 12L)))
+    assert(got.count(_._1 == 2L) == 3)
+    assert(!got.exists(_._1 == 4L), "inverted interval must vanish")
+  }
+
+  test("overlap join plans as a bin equi-join, never a nested loop") {
+    val p = Joins.sessionMaintenanceImpact(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
