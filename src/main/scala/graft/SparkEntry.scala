@@ -70,6 +70,7 @@ object SparkEntry {
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
     "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
+    "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1039,6 +1040,21 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_twap" ->
+      """WITH d AS (
+        |  SELECT user_id, value,
+        |         epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+        |             ORDER BY ts, event_id)) // 1000000
+        |           - epoch_us(ts) // 1000000 AS dur
+        |  FROM events),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |             CAST(sum(dur) AS BIGINT) AS total_sec,
+        |             CAST(sum(CAST(value * dur AS DECIMAL(18,6))) AS DOUBLE)
+        |               AS vd
+        |      FROM d WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, total_sec,
+        |       CASE WHEN total_sec > 0 THEN vd / total_sec END AS twap
+        |FROM a ORDER BY user_id""".stripMargin,
     "q_overlap_join" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts,

@@ -471,6 +471,38 @@ object Analytics {
       .orderBy(col("l_suppkey"), col("rk"))
   }
 
+  /** Per-user TIME-weighted average value — each reading weighted by how
+    * long it was current (until the next event), the semantically right
+    * mean for state-like signals sampled at irregular times (a price, a
+    * queue depth, a session quality score), where the plain `avg`
+    * over-weights bursts. One lead window on the shared user_id
+    * exchange; durations are integer epoch-second diffs; the weighted
+    * sum rides the DECIMAL image of value·duration so the per-user
+    * total is order-independent and the division happens once. The last
+    * event of each user carries no duration (nothing succeeded it) and
+    * is excluded — the standard open-interval convention.
+    */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame =
+    timeWeightedAvgOn(Tables.events(spark, dir))
+
+  /** [[timeWeightedAvg]] over any (user_id, event_id, ts, value) frame. */
+  def timeWeightedAvgOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur",
+        col("next_ts").cast("long") - col("ts").cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur")).as("total_sec"),
+        sum(dec(col("value") * col("dur"))).cast("double").as("vd"))
+      .select(col("user_id"), col("n_intervals"), col("total_sec"),
+        when(col("total_sec") > 0, col("vd") / col("total_sec")).as("twap"))
+      .orderBy(col("user_id"))
+  }
+
   /** One-sided CUSUM (Page 1954) drift detection over a keyed daily
     * series — the monitor that catches a slow upward shift in a pipeline
     * metric (ingest volume, mean quality score, dedup rate) that any

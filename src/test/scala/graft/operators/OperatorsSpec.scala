@@ -328,6 +328,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(firstPerUser.forall(_.getAs[Int]("new_session") == 1))
   }
 
+  test("twap: constant signal equals plain mean; step function weights " +
+    "by holding time, last reading excluded") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.timeWeightedAvg(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0)
+      if (r.getLong(2) > 0) assert(!r.isNullAt(3))
+    }
+    import spark.implicits._
+    val e = Seq(
+      // value 10 held 100s, then 20 held 300s, last reading unweighted:
+      // twap = (10*100 + 20*300) / 400 = 17.5
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "x", 10.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:40"), 7L, "x", 20.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:06:40"), 7L, "x", 999.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Analytics.timeWeightedAvgOn(e).head
+    assert(got.getLong(1) == 2 && got.getLong(2) == 400)
+    assert(got.getDouble(3) == 17.5, got.toString)
+  }
+
   test("gate sweep: survival is monotone non-increasing in the threshold " +
     "and reconciles with the logit gate at t=0") {
     import org.apache.spark.sql.functions._
