@@ -160,6 +160,7 @@ object SparkEntry {
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
+    "q_wordpiece_stats" -> ((s, dir) => Bpe.wordpieceSegmentStats(s, dir)),
     // golden-pinned: iterative float linear algebra has no SQL twin
     "q_embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),

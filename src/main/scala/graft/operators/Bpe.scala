@@ -146,6 +146,16 @@ object Bpe {
   def wordpieceTrainOn(spark: SparkSession, documents: DataFrame,
       nMerges: Int): DataFrame = {
     import spark.implicits._
+    wordpieceCore(documents, nMerges)._1
+      .toDF("rank", "left", "right", "merged", "pair_count", "score")
+      .orderBy(col("rank"))
+  }
+
+  /** The WordPiece loop, returning merges AND the final segmented dict
+    * (mirror of [[trainCore]]).
+    */
+  private def wordpieceCore(documents: DataFrame, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long, Double)], DataFrame) = {
     var dict = wordDict(documents).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Double)]
@@ -169,10 +179,22 @@ object Bpe {
           .localCheckpoint(true)
       }
     }
-    merges.toSeq
-      .toDF("rank", "left", "right", "merged", "pair_count", "score")
-      .orderBy(col("rank"))
+    (merges.toSeq, dict)
   }
+
+  /** [[bpeSegmentStats]]'s WordPiece twin: the compression the
+    * likelihood-ordered merges buy at the same merge budget — the
+    * head-to-head a tokenizer bake-off reads (BPE optimizes corpus
+    * frequency directly, so it usually compresses more per merge;
+    * WordPiece spends merges on cohesive rare units).
+    */
+  def wordpieceSegmentStats(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame =
+    wordpieceCore(Tables.documents(spark, dir), nMerges)._2
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(size(col("syms")).cast("long") * col("cnt")).as("n_symbols"))
+      .select(col("n_words"), col("n_symbols"),
+        (col("n_symbols") / col("n_words")).as("symbols_per_word"))
 
   /** Segment the corpus with the learned merges and report the
     * compression they buy: (n_words, n_symbols, symbols_per_word) —

@@ -178,4 +178,17 @@ class BpeSpec extends AnyFunSuite {
       assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
     }
   }
+
+  test("wordpiece segment stats compress, and BPE compresses at least as " +
+      "hard at the same merge budget") {
+    val dir = "/root/testdata/sf0.001"
+    val wp = Bpe.wordpieceSegmentStats(spark, dir, nMerges = 20).head()
+    val bpe = Bpe.bpeSegmentStats(spark, dir, nMerges = 20).head()
+    assert(wp.getLong(0) == bpe.getLong(0), "word count is invariant")
+    assert(wp.getDouble(2) >= 1.0)
+    // BPE's argmax IS the symbol-reduction argmax (each merge removes
+    // pair_count symbols), so per merge budget it can't compress less
+    assert(bpe.getLong(1) <= wp.getLong(1),
+      s"bpe ${bpe.getLong(1)} vs wordpiece ${wp.getLong(1)}")
+  }
 }
