@@ -407,6 +407,90 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the IVF-PQ serving artifact: residual PQ codes for the
+    * WHOLE corpus written partitioned by coarse cell (`codes/cell=…/`,
+    * m rows of (vec_id, sub, cid) per vector), alongside the two
+    * broadcast-sized frames a probe needs — the coarse centroids and
+    * the residual codebook. This is the billion-vector layout: the raw
+    * vectors stay in the embeddings table (touched only by the exact
+    * re-rank, via id semi-join); a probe READS only the probed cells'
+    * code directories (dynamic partition pruning, the
+    * [[annIvfFromIndex]] mechanism) and the two small frames.
+    */
+  def writeIvfPqIndex(spark: SparkSession, dir: String, path: String,
+      m: Int = 16, ksub: Int = 16, dim: Int = 64): Unit = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val coarse = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val residuals = assignNearest(emb, coarse).join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .localCheckpoint(false)
+    val cb = pqCodebook(
+      subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
+      ksub, seedFrom = 16L)
+    val codes = subVectors(residuals
+        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        col("best.cid").as("cid"))
+    codes.write.mode("overwrite").partitionBy("cell")
+      .parquet(path + "/codes")
+    cb.write.mode("overwrite").parquet(path + "/codebook")
+    coarse.write.mode("overwrite").parquet(path + "/coarse")
+  }
+
+  /** Probe a [[writeIvfPqIndex]] layout: per-probed-cell residual LUTs
+    * from the stored codebook, ADC over ONLY the probed cells' code
+    * directories, exact re-rank over the shortlist's raw vectors.
+    * Results are identical to the in-memory [[ivfPqTopK]] by
+    * construction (same codebook recipe, same tie-breaks) — spec-proved
+    * — because coding all cells up front and pruning at read time
+    * commutes with coding only the probed cells.
+    */
+  def ivfPqFromIndex(spark: SparkSession, indexPath: String, dir: String,
+      queryId: Long = 0, k: Int = 20, nprobe: Int = 4, m: Int = 16,
+      dim: Int = 64, rerank: Int = 4): DataFrame = {
+    val dsub = dim / m
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val coarse = spark.read.parquet(indexPath + "/coarse")
+    val cb = spark.read.parquet(indexPath + "/codebook")
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeCells = coarse.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("cell"), col("cv"))
+    val qsubs = subVectors(probeCells.crossJoin(broadcast(q))
+      .select(col("cell"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v")), m, dsub)
+      .select(col("cell"), col("sub"), col("sv").as("qsv"))
+    val lut = cb.join(qsubs, "sub")
+      .select(col("cell"), col("sub"), col("cid"),
+        l2sq(col("cv"), col("qsv")).as("d"))
+    // partition-directory column reads back as INT; align the key type
+    val adc = spark.read.parquet(indexPath + "/codes")
+      .join(broadcast(lut.withColumn("cell", col("cell").cast("int"))),
+        Seq("cell", "sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(dsum(col("d")).as("adist"))
+    val shortlist = adc.orderBy(col("adist"), col("vec_id"))
+      .limit(k * rerank).select(col("vec_id"))
+    emb.join(broadcast(shortlist), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Per-label per-dimension embedding centroid — the class-prototype
     * aggregation behind semantic dedup cell seeding, drift monitoring,
     * and nearest-class-mean labeling. Shape: posexplode to

@@ -52,6 +52,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(appended == rebuilt)
   }
 
+  test("ivf-pq layout: stored-code probe equals the in-memory search and " +
+    "prunes code partitions at scan time") {
+    val p = Files.createTempDirectory("graft_ivfpq").toString + "/index"
+    Similarity.writeIvfPqIndex(spark, dir, p)
+    val cells = new java.io.File(p + "/codes").listFiles()
+      .filter(_.isDirectory).count(_.getName.startsWith("cell="))
+    assert(cells == 16, s"one code directory per coarse cell, got $cells")
+    val fromIndex = Similarity.ivfPqFromIndex(spark, p, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = Similarity.ivfPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromIndex == inMemory)
+    val plan = Similarity.ivfPqFromIndex(spark, p, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+  }
+
   test("the probe prunes index partitions at scan time") {
     val p = Similarity.annIvfFromIndex(spark, indexPath, dir)
       .queryExecution.executedPlan.toString
