@@ -71,6 +71,7 @@ object SparkEntry {
     "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
     "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
     "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
+    "q_doc_diversity" -> ((s, dir) => TextAnalysis.docDiversity(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1041,6 +1042,20 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_doc_diversity" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |             CAST(count(*) AS BIGINT) AS n_distinct,
+        |             CAST(sum(tf * tf) AS BIGINT) AS sq
+        |      FROM tf GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |       1.0 - CAST(sq AS DOUBLE) / CAST(n_tokens * n_tokens AS DOUBLE)
+        |         AS gini_diversity
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_twap" ->
       """WITH d AS (
         |  SELECT user_id, value,

@@ -498,6 +498,30 @@ object TextAnalysis {
     * `size`); ratios are single int→double divisions, bit-reproducible
     * for the oracle hash. Documents too short to form an n-gram score 0.
     */
+  /** Per-document lexical diversity as GINI IMPURITY of the token
+    * distribution, 1 − Σ(tfᵢ/n)² — the log-free stand-in for Shannon
+    * entropy (same ordering on the distributions that matter, but pure
+    * rational arithmetic, so exactly oracle-checkable where entropy's
+    * ln() is not). 0 = one token repeated, → 1 = all tokens distinct;
+    * complements [[repetitionScore]] (which sees only ADJACENT repeats)
+    * by catching scattered token-loop spam. Shape: one explode + one
+    * (doc, token) count + one per-doc sum of integer squares — every
+    * aggregation map-side combinable, one shuffle each.
+    */
+  def docDiversity(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("tf") * col("tf")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (lit(1.0) - col("sq").cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"))
+          .as("gini_diversity"))
+      .orderBy(col("doc_id"))
+
   def repetitionScore(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens(col("text"))
     def rep(k: Int) = {
