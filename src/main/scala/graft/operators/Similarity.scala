@@ -666,12 +666,23 @@ object Similarity {
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .localCheckpoint(false)
-    val xi = x.select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-    val moments = xi
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy(col("i"), col("j"))
-      .agg(dsum(col("xi") * col("xj")).as("sxx"), count(lit(1)).as("n"))
-    val means = xi.groupBy(col("i")).agg(davg(col("xi")).as("m"))
+    // UPPER-TRIANGLE products only, emitted as skinny (i, j, xi·xj)
+    // structs from ONE generator — half the d² fan-out, and no copy of
+    // the 64-wide array rides along (the chained-posexplode form carried
+    // `v` into every of the n·d intermediate rows and benched 2.5×
+    // slower); the symmetric half is mirrored after the aggregation,
+    // driver-side, on the d²/2-row artifact
+    val prods = x.select(explode(flatten(transform(
+        sequence(lit(0), size(col("v")) - 1), i =>
+          transform(sequence(i, size(col("v")) - 1), j =>
+            struct(i.as("i"), j.as("j"),
+              (element_at(col("v"), i + 1) * element_at(col("v"), j + 1))
+                .as("p")))))).as("c"))
+      .select(col("c.i"), col("c.j"), col("c.p"))
+    val moments = prods.groupBy(col("i"), col("j"))
+      .agg(dsum(col("p")).as("sxx"), count(lit(1)).as("n"))
+    val means = x.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i")).agg(davg(col("xi")).as("m"))
     val cells = moments
       .join(means.select(col("i"), col("m").as("mi")), "i")
       .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
@@ -680,8 +691,11 @@ object Similarity {
       .collect()
     val d = cells.map(_.getAs[Int]("i")).max + 1
     val cov = Array.ofDim[Double](d, d)
-    cells.foreach(r =>
-      cov(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c"))
+    cells.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      cov(i)(j) = r.getAs[Double]("c")
+      cov(j)(i) = r.getAs[Double]("c")
+    }
     var w = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
       val cw = Array.tabulate(d)(i =>
