@@ -163,6 +163,60 @@ object Multimodal {
     }
   }
 
+  /** Audio header metadata from a RIFF/WAVE payload: walk the chunk list
+    * to `fmt ` (format code, channels, sample rate, bits) and `data`
+    * (payload size → frame count → duration). Pure header arithmetic —
+    * no codec, no sample decode — so audio metadata extraction at corpus
+    * scale is a few dozen bytes per file, like the image dimension
+    * parsers. Returns (format, channels, sample_rate, bits, n_frames,
+    * duration_ms); None for non-WAV payloads or truncated headers.
+    */
+  private[operators] def decodeWav(b: Array[Byte])
+      : Option[(Int, Int, Int, Int, Long, Long)] = {
+    def tag(off: Int) = if (off + 4 <= b.length)
+      new String(b, off, 4, "US-ASCII") else ""
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
+    else {
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None
+      var dataLen: Option[Long] = None
+      while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
+        val id = tag(i)
+        val sz = leInt(b, i + 4).toLong & 0xffffffffL
+        if (id == "fmt " && i + 24 <= b.length)
+          fmt = Some((leShort(b, i + 8), leShort(b, i + 10),
+            leInt(b, i + 12), leShort(b, i + 22)))
+        else if (id == "data") dataLen = Some(sz)
+        // chunks are word-aligned: odd sizes carry a pad byte
+        i += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      for ((code, ch, rate, bits) <- fmt; dl <- dataLen
+           if ch > 0 && rate > 0 && bits > 0) yield {
+        val frameBytes = ch.toLong * (bits / 8).max(1)
+        val frames = dl / frameBytes
+        (code, ch, rate, bits, frames, frames * 1000L / rate)
+      }
+    }
+  }
+
+  /** Audio metadata table over ingested media records: one row per
+    * payload [[decodeWav]] recognizes (format code, channels, sample
+    * rate, bit depth, frame count, duration). Same typed narrow-map
+    * batch shape as [[extractFeaturesOn]] — header bytes only, so the
+    * per-file cost is independent of payload size; non-WAV records
+    * simply emit nothing (compressed codecs aren't in this
+    * environment — their parsers slot in beside decodeWav exactly like
+    * the image family's).
+    */
+  def audioMeta(records: Dataset[MediaRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.flatMap(r => decodeWav(r.blob).map {
+      case (code, ch, rate, bits, frames, ms) =>
+        (r.doc_id, code, ch, rate, bits, frames, ms)
+    }).toDF("doc_id", "format_code", "channels", "sample_rate",
+      "bits_per_sample", "n_audio_frames", "duration_ms")
+  }
+
   /** FNV-1a 64-bit over a byte range — dependency-free frame hash. */
   private[operators] def fnv1a(bytes: Array[Byte], from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L

@@ -106,6 +106,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodePng(bad).isEmpty)
   }
 
+  test("WAV header decodes format/rate/duration from the chunk walk") {
+    // minimal PCM WAV: RIFF + fmt (16 bytes, mono 8kHz 16-bit) + an odd-
+    // size junk chunk (forces the word-align pad) + data of 16000 frames
+    val bb = java.nio.ByteBuffer.allocate(44 + 10 + 32000 + 9)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    bb.put("junk".getBytes).putInt(1).put(0.toByte).put(0.toByte) // pad
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes).putInt(32000).put(Array.fill[Byte](32000)(3))
+    val wav = bb.array()
+    val got = Multimodal.decodeWav(wav)
+    assert(got.contains((1, 1, 8000, 16, 16000L, 2000L)), got.toString)
+    // non-WAV and truncated payloads reject
+    assert(Multimodal.decodeWav("RIFFxxxxAVI LIST".getBytes ++
+      Array.fill[Byte](40)(0)).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
+
+    // end to end: ingest a real WAV next to a junk .wav — audioMeta
+    // emits exactly the decodable one
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft_audio")
+    Files.write(d.resolve("real.wav"), wav)
+    Files.write(d.resolve("junk.wav"), Array.tabulate[Byte](64)(_.toByte))
+    val meta = Multimodal.audioMeta(
+      Multimodal.fromBinaryFiles(spark, d.toString, "*.wav")
+        .select(col("doc_id"), col("media_type"), col("blob"))
+        .as[Multimodal.MediaRecord]).collect()
+    assert(meta.length == 1)
+    assert(meta.head.getAs[Int]("sample_rate") == 8000
+      && meta.head.getAs[Long]("duration_ms") == 2000L)
+  }
+
   test("GIF and JPEG headers decode through the marker/descriptor walk") {
     // GIF89a logical screen 800x600 (LE16 at offsets 6/8)
     val gif = "GIF89a".getBytes("US-ASCII") ++
