@@ -345,4 +345,26 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 3, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("gate sweep scans the corpus at most twice (logits + totals); the " +
+      "threshold spine joins only as a broadcast") {
+    val p = plan(TextAnalysis.gateSweep(spark, dir))
+    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the 31-row spine fan-out must ride a BROADCAST nested loop —
+    // an unbroadcast one would ship the corpus to every spine row
+    assert(!"(?<!Broadcast)NestedLoopJoin".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("twap is one window exchange plus the output sort, no join at all") {
+    val p = plan(Analytics.timeWeightedAvg(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("doc diversity: two combinable aggregations and the output sort") {
+    val p = plan(TextAnalysis.docDiversity(spark, dir))
+    assert("Exchange".r.findAllIn(p).size <= 3, p)
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+  }
 }
