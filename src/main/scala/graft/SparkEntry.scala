@@ -162,6 +162,7 @@ object SparkEntry {
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
     "q_wordpiece_stats" -> ((s, dir) => Bpe.wordpieceSegmentStats(s, dir)),
+    "q_wordpiece_tokens" -> ((s, dir) => Bpe.wordpieceTokenize(s, dir)),
     // golden-pinned: iterative float linear algebra has no SQL twin
     "q_embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),

@@ -196,6 +196,30 @@ object Bpe {
       .select(col("n_words"), col("n_symbols"),
         (col("n_symbols") / col("n_words")).as("symbols_per_word"))
 
+  /** Per-document WordPiece tokenization — [[bpeTokenize]]'s twin over
+    * the likelihood-trained dict: the same word → subwords lookup join
+    * (the merge fold ran once per dict word at training), reporting
+    * (doc_id, n_words, n_wp_tokens, tokens_per_word).
+    */
+  def wordpieceTokenize(spark: SparkSession, dir: String,
+      nMerges: Int = 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dict = wordpieceCore(docs, nMerges)._2
+      .select(col("w"), size(col("syms")).as("n_sub"))
+    val joined = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(dict, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).as("n_wp_tokens"))
+    docs.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_wp_tokens"), lit(0L)).as("n_wp_tokens"))
+      .withColumn("tokens_per_word", col("n_wp_tokens") / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Segment the corpus with the learned merges and report the
     * compression they buy: (n_words, n_symbols, symbols_per_word) —
     * the acceptance metric tokenizer training tracks. The final merged

@@ -191,4 +191,14 @@ class BpeSpec extends AnyFunSuite {
     assert(bpe.getLong(1) <= wp.getLong(1),
       s"bpe ${bpe.getLong(1)} vs wordpiece ${wp.getLong(1)}")
   }
+
+  test("wordpiece per-doc tokenization reconciles with the dict stats") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val stats = Bpe.wordpieceSegmentStats(spark, dir, nMerges = 20).head()
+    val perDoc = Bpe.wordpieceTokenize(spark, dir, nMerges = 20)
+      .agg(sum(col("n_words")), sum(col("n_wp_tokens"))).head()
+    assert(perDoc.getLong(0) == stats.getLong(0))
+    assert(perDoc.getLong(1) == stats.getLong(1))
+  }
 }
