@@ -72,6 +72,7 @@ object SparkEntry {
     "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
     "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
     "q_doc_diversity" -> ((s, dir) => TextAnalysis.docDiversity(s, dir)),
+    "q_subsample_ci" -> ((s, dir) => Aggregates.subsampleCI(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1043,6 +1044,34 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_subsample_ci" ->
+      """WITH sp AS (SELECT r.t AS rep FROM range(32) r(t)),
+        |mh AS (SELECT rep,
+        |              CASE WHEN count(l_quantity) > 0
+        |                   THEN CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |                             AS DOUBLE) / count(l_quantity) END AS m
+        |       FROM lineitem CROSS JOIN sp
+        |       WHERE substr(md5(l_orderkey || '-' || l_linenumber
+        |                        || '-' || rep), 1, 1) < '8'
+        |       GROUP BY rep),
+        |ful AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |               CASE WHEN count(l_quantity) > 0
+        |                    THEN CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+        |                              AS DOUBLE) / count(l_quantity) END
+        |                 AS mean_full
+        |        FROM lineitem),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS n_reps,
+        |              CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS sm,
+        |              CAST(sum(CAST(m AS DECIMAL(18,6))
+        |                       * CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS smm
+        |       FROM mh)
+        |SELECT n, mean_full, n_reps,
+        |       sqrt(((smm - ((sm * sm) / n_reps)) / (n_reps - 1)) / 2.0) AS se,
+        |       mean_full - 1.96 * sqrt(((smm - ((sm * sm) / n_reps))
+        |                                / (n_reps - 1)) / 2.0) AS ci_lo,
+        |       mean_full + 1.96 * sqrt(((smm - ((sm * sm) / n_reps))
+        |                                / (n_reps - 1)) / 2.0) AS ci_hi
+        |FROM mm CROSS JOIN ful""".stripMargin,
     "q_doc_diversity" ->
       """WITH tf AS (
         |  SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS tf

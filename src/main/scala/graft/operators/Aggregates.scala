@@ -370,6 +370,48 @@ object Aggregates {
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("o_orderstatus"))
 
+  /** Deterministic subsampling error bars for a corpus mean — the
+    * missing piece under every corpus metric this engine reports: is
+    * 0.82 ± 0.001 or ± 0.05? Classic half-sampling (delete-half
+    * jackknife): `reps` replicates each keep every row whose
+    * md5(key, rep) first hex digit < '8' (an independent deterministic
+    * half per replicate — no rand(), so the whole estimate is
+    * hash-reproducible and oracle-checkable, unlike any RNG bootstrap);
+    * the spread of replicate means estimates the sampling error of the
+    * full mean: Var(mean_full) = σ²/n = Var(half-mean)/2, so
+    * se = sd(replica means)/√2 and the 95% band is ±1.96·se.
+    *
+    * Shape: the replicate spine (reps rows) broadcasts onto one corpus
+    * scan; per-replicate means are map-side-combinable decimal sums
+    * (reps·groups partials per task); the final moment pass runs over
+    * `reps` rows. One scan, one tiny aggregation — error bars at 100 TB
+    * cost one extra pass regardless of reps.
+    */
+  def subsampleCI(spark: SparkSession, dir: String,
+      reps: Int = 32): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val spine = spark.range(reps).select(col("id").as("rep"))
+    val means = li.crossJoin(broadcast(spine))
+      .filter(substring(md5(concat_ws("-", col("l_orderkey"),
+        col("l_linenumber"), col("rep")).cast("binary")), 1, 1) < "8")
+      .groupBy(col("rep"))
+      .agg(davg(col("l_quantity")).as("m"))
+    val full = li.agg(count(lit(1)).as("n"),
+      davg(col("l_quantity")).as("mean_full"))
+    means
+      .agg(count(lit(1)).as("n_reps"),
+        dsum(col("m")).as("sm"),
+        sum(dec(col("m")) * dec(col("m"))).cast("double").as("smm"))
+      .crossJoin(broadcast(full))
+      .select(col("n"), col("mean_full"), col("n_reps"),
+        sqrt(((col("smm") - col("sm") * col("sm") / col("n_reps"))
+          / (col("n_reps") - 1)) / 2.0).as("se"))
+      .select(col("n"), col("mean_full"), col("n_reps"), col("se"),
+        (col("mean_full") - lit(1.96) * col("se")).as("ci_lo"),
+        (col("mean_full") + lit(1.96) * col("se")).as("ci_hi"))
+  }
+
   /** 2⁻⁵² as an exact double: the scale that turns the first 13 hex
     * digits of an md5 (52 bits) into a uniform fraction in [0, 1).
     */

@@ -188,6 +188,22 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_with_k") > 0))
   }
 
+  test("subsample CI: the half-sample se tracks the analytic sd/sqrt(n) " +
+    "and the band brackets the mean") {
+    import org.apache.spark.sql.functions._
+    val r = Aggregates.subsampleCI(spark, dir).head()
+    val (n, mean, se) = (r.getLong(0), r.getDouble(1), r.getDouble(3))
+    assert(r.getLong(2) == 32)
+    assert(se > 0 && r.getDouble(4) < mean && mean < r.getDouble(5))
+    // analytic comparison: se should approximate sd/sqrt(n); with 32
+    // replicates the spread of the estimate itself is ~25%, allow 2x
+    val sd = graft.sources.Tables.lineitem(spark, dir)
+      .agg(stddev_samp(col("l_quantity"))).head().getDouble(0)
+    val analytic = sd / math.sqrt(n.toDouble)
+    assert(se > analytic / 2 && se < analytic * 2,
+      s"se $se vs analytic $analytic")
+  }
+
   test("kmv distinct estimate lands within the k=64 error envelope") {
     val rows = Aggregates.kmvDistinct(spark, dir).collect()
     assert(rows.length == 20)
