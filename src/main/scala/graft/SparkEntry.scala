@@ -73,6 +73,7 @@ object SparkEntry {
     "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
     "q_doc_diversity" -> ((s, dir) => TextAnalysis.docDiversity(s, dir)),
     "q_subsample_ci" -> ((s, dir) => Aggregates.subsampleCI(s, dir)),
+    "q_weighted_median" -> ((s, dir) => Aggregates.weightedMedian(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
@@ -1044,6 +1045,23 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_weighted_median" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |         CAST(l_quantity AS DECIMAL(18,6)) AS qw
+        |  FROM lineitem),
+        |c AS (SELECT *,
+        |             sum(qw) OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |             sum(qw) OVER (PARTITION BY l_returnflag) AS total,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |               ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |      FROM t)
+        |SELECT l_returnflag, CAST(max(total) AS DOUBLE) AS total_weight,
+        |       arg_min(l_extendedprice, rn) AS weighted_median_price
+        |FROM c WHERE cw * 2 >= total
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_subsample_ci" ->
       """WITH sp AS (SELECT r.t AS rep FROM range(32) r(t)),
         |mh AS (SELECT rep,

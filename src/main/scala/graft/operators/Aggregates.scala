@@ -370,6 +370,38 @@ object Aggregates {
         countDistinct(col("o_custkey")).as("exact_customers"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact WEIGHTED median per group — the order statistic where half
+    * the WEIGHT (not half the rows) lies on each side: the median price
+    * per returnflag weighted by quantity, the median quality score
+    * weighted by token count. The unweighted `percentile` family cannot
+    * express this. One ordered window per group: cumulative weight on
+    * the DECIMAL image (order-exact), the answer is the first row whose
+    * doubled running weight reaches the group total — found with a
+    * map-side-combinable `min(struct(rn, …))` over the qualifying rows,
+    * not a second sort. Total order (value, then keys) makes the
+    * crossing row unique, so the result is hash-checkable.
+    */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), dec(col("l_quantity")).as("qw"))
+      .withColumn("cw", sum(col("qw")).over(cum))
+      .withColumn("total", sum(col("qw")).over(all))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("cw") * 2 >= col("total"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("rn"), col("l_extendedprice"))).as("best"),
+        max(col("total")).as("tw"))
+      .select(col("l_returnflag"),
+        col("tw").cast("double").as("total_weight"),
+        col("best.l_extendedprice").as("weighted_median_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Deterministic subsampling error bars for a corpus mean — the
     * missing piece under every corpus metric this engine reports: is
     * 0.82 ± 0.001 or ± 0.05? Classic half-sampling (delete-half

@@ -188,6 +188,28 @@ class AggregatesSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("n_with_k") > 0))
   }
 
+  test("weighted median: the crossing value matches a driver-side " +
+    "weighted-order-statistic reference per group") {
+    import org.apache.spark.sql.functions._
+    val got = Aggregates.weightedMedian(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val raw = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getInt(4)))
+    val want = raw.groupBy(_._1).map { case (flag, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._4, r._5))
+      val total = sorted.map(r => BigDecimal(r._3).setScale(6)).sum
+      var cum = BigDecimal(0)
+      flag -> sorted.find { r =>
+        cum += BigDecimal(r._3).setScale(6); cum * 2 >= total
+      }.get._2
+    }
+    assert(got == want, s"$got vs $want")
+  }
+
   test("subsample CI: the half-sample se tracks the analytic sd/sqrt(n) " +
     "and the band brackets the mean") {
     import org.apache.spark.sql.functions._
