@@ -159,18 +159,26 @@ object TextAnalysis {
   def tfidfTop(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
-    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
+    // Collapsed (doc, term, tf) postings, checkpointed ONCE (the bm25On
+    // shape): the df branch and the scoring join both read the
+    // materialized frame, so the corpus is scanned+exploded once — and
+    // df is a map-side-combinable groupBy, never a window. A
+    // `count().over(Window.partitionBy(term))` df co-locates every
+    // posting of a term in ONE task: at 10⁹ docs the "the" partition is
+    // a single-task sort of O(corpus) rows, and AQE skew handling splits
+    // join/rebalance partitions, not window partitions.
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // df is a window count over the tf frame, whose keys ARE the distinct
-    // (doc, term) pairs — one corpus scan + explode total. (The naive
-    // tf⋈df join formulation re-scans and re-explodes the corpus for the
-    // df branch: column pruning makes the two aggregation subtrees differ,
-    // so exchange reuse never fires.)
+      .localCheckpoint(false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+    // df join left unhinted: vocab-sized, AQE broadcasts while it fits
+    // and skew-splits the shuffle when it doesn't
+    tf.join(df, "term")
       .crossJoin(broadcast(n))
       .withColumn("score",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
@@ -321,22 +329,28 @@ object TextAnalysis {
 
   /** [[tfidfCosinePairs]] over any (doc_id, text) frame. */
   def tfidfCosinePairsOn(docs: DataFrame, minCos: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
     val bigrams = toks.select(col("doc_id"),
       explode(when(size(col("toks")) >= 2,
         expr("transform(sequence(1, size(toks) - 1), " +
           "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
         .otherwise(array().cast("array<string>"))).as("term"))
+    // Collapsed postings checkpointed first, so the df aggregation and
+    // the weighting join both read the materialized frame — one corpus
+    // scan+explode total, and df is a map-side-combinable groupBy, not a
+    // per-term window (a hot bigram's window partition would single-task
+    // O(corpus) rows at web scale; see [[tfidfTop]]).
     val tf = bigrams.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // Three consumers (norms, blocking, pruned postings) read this frame;
-    // localCheckpoint truncates the scan+explode+window lineage so the
-    // exploded corpus materializes once, not once per branch (the same
-    // multi-consumer rule as Dedup.shingled / clustersFromPairs).
+    // localCheckpoint truncates the join lineage so the weighted postings
+    // materialize once, not once per branch (the same multi-consumer
+    // rule as Dedup.shingled / clustersFromPairs).
     val weighted = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(df, "term") // vocab-sized; unhinted — AQE picks broadcast/skew
       .crossJoin(broadcast(n))
       .withColumn("wt", expr("n_docs div df"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("wt"),
@@ -472,22 +486,33 @@ object TextAnalysis {
     * Complements [[repetitionScore]] (within-doc repetition) and the
     * Dedup family (whole-doc pairs): this flags PARTIAL, corpus-wide
     * span reuse no pairwise threshold catches. Same one-pass shape as
-    * [[tfidfTop]]: one corpus explode, span df via a window over the
-    * exploded frame (shingles are distinct per doc, so the window count
-    * IS document frequency), then a per-doc re-aggregation — two
-    * shuffles total, both on keys that stay bounded (span hash, doc_id).
-    * The ratio is one int/int IEEE division — bit-reproducible for the
-    * oracle hash.
+    * [[tfidfTop]]: the exploded span frame is checkpointed once
+    * (shingles are distinct per doc, so a per-span count IS document
+    * frequency), span df comes from a map-side-combinable
+    * `groupBy(g).count()`, and per-doc totals re-aggregate the same
+    * frame. The boilerplate membership test is a LEFT-SEMI join against
+    * the df≥minDf span set — high-df spans are precisely the ones this
+    * query exists to find, so a `Window.partitionBy(g)` df would
+    * single-task exactly the hottest keys at corpus scale; the semi
+    * join is AQE-skew-splittable and the hot-span side is
+    * boilerplate-vocabulary-sized. The ratio is one int/int IEEE
+    * division — bit-reproducible for the oracle hash.
     */
   def boilerplateShare(spark: SparkSession, dir: String, k: Int = 5,
       minDf: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
+    val spans = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("g"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+      .localCheckpoint(false)
+    val hot = spans.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("g"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    val boiler = spans.join(hot, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(boiler, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
       .withColumn("boiler_ratio", col("n_boiler") / col("n_grams"))
       .orderBy(col("doc_id"))
   }
@@ -792,17 +817,24 @@ object TextAnalysis {
           element_at(t, i + 1).as("b")))).as("p"))
       .groupBy(col("doc_id"), col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("kab"))
-    // corpus bigram count and prefix count as WINDOW sums over the
-    // collapsed frame — a groupBy-then-join formulation re-computes the
-    // whole scan+explode+agg subtree per derived branch (plan subtrees
-    // don't dedupe), which quadrupled the corpus scans here
-    val wAB = Window.partitionBy(col("a"), col("b"))
-    val wA = Window.partitionBy(col("a"))
+      .localCheckpoint(false)
+    // Corpus bigram count and prefix count via map-side-combinable
+    // groupBy sums over the CHECKPOINTED collapsed frame, joined back.
+    // The checkpoint is what makes the join formulation one-scan (plan
+    // subtrees don't dedupe, so unmaterialized branches would each
+    // re-explode the corpus); a `sum().over(Window.partitionBy(a))`
+    // prefix total would instead co-locate every "the …" bigram row in
+    // ONE task at web scale — the hot-prefix single-task trap. Both
+    // stat frames are Heaps-bounded vocab tables; ca derives from cab
+    // (never re-reads db), and the joins are unhinted so AQE picks
+    // broadcast or skew-split.
+    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     // weighted mean over occurrences: Σ kab·dec(p) / Σ kab — identical
     // to the per-occurrence decimal mean (kab integer × exact decimal)
     val perDoc = db
-      .withColumn("cab", sum(col("kab")).over(wAB))
-      .withColumn("ca", sum(col("kab")).over(wA))
+      .join(cab, Seq("a", "b"))
+      .join(ca, Seq("a"))
       .select(col("doc_id"), col("kab"),
         (dec(col("cab") / col("ca")) * col("kab")).as("wp"))
       .groupBy(col("doc_id"))

@@ -72,11 +72,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("bloomfilter"), p)
   }
 
-  test("tfidf explodes the corpus once: df via window, no second token pass") {
-    val p = plan(TextAnalysis.tfidfTop(spark, dir))
-    assert("Generate".r.findAllIn(p).size == 1, p)
-    // tf/window branch + the corpus-count branch (zero-column scan) only
-    assert("Scan parquet".r.findAllIn(p).size <= 2, p)
+  test("tfidf: postings checkpointed, df via groupBy+join — only the " +
+      "corpus-count branch re-touches parquet, and no window keys on term") {
+    val df = TextAnalysis.tfidfTop(spark, dir)
+    val p = plan(df)
+    // tf is checkpointed: the df branch and the scoring join read the
+    // materialized RDD, so the n_docs count is the only parquet re-scan
+    assert("Scan parquet".r.findAllIn(p).size <= 1, p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assertWindowsKeyOnlyOnDocId(df)
+  }
+
+  /** The hot-key window guard (round-4 verdict, systemic defect #1): a
+    * window partitioned on a term/span/prefix key co-locates every row
+    * carrying that key in ONE task — a single-task sort of O(corpus)
+    * rows for "the" at web scale, and AQE skew handling splits join and
+    * rebalance partitions, never window partitions. Per-document windows
+    * are fine (bounded by document length), so the assertion is: every
+    * Window node in the optimized plan partitions by doc_id alone.
+    */
+  private def assertWindowsKeyOnlyOnDocId(
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    wins.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).distinct
+      assert(keys == Seq("doc_id"),
+        s"window partitioned on ${keys.mkString(",")} — hot-key single-task " +
+          s"risk at corpus scale:\n${df.queryExecution.optimizedPlan}")
+    }
   }
 
   test("outlier filter broadcasts the per-group cuts onto the fact scan") {
@@ -164,10 +188,18 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
   }
 
-  test("boilerplate share explodes the corpus once: df via window") {
-    val p = plan(TextAnalysis.boilerplateShare(spark, dir))
-    assert("Generate".r.findAllIn(p).size == 1, p)
-    assert(p.contains("Window"), p)
+  test("boilerplate share: checkpointed spans, semi-join membership, " +
+      "df via groupBy — no window at all, no parquet re-scan") {
+    val df = TextAnalysis.boilerplateShare(spark, dir)
+    val p = plan(df)
+    // spans are checkpointed: df, per-doc totals, and the semi join all
+    // read the materialized RDD; the documents parquet never re-scans
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("Window"), p)
+    // hot-span membership must be a (skew-splittable) semi join
+    assert(p.contains("LeftSemi"), p)
+    assertWindowsKeyOnlyOnDocId(df)
   }
 
   test("pii scrub is a narrow map: no exchange before the final sort") {
@@ -293,15 +325,29 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("bigram LM: one corpus explode only — count, prefix, and scoring " +
-      "frames all derive from the collapsed (doc, bigram) aggregate") {
-    val p = plan(TextAnalysis.bigramLm(spark, dir))
+      "frames all derive from the checkpointed (doc, bigram) aggregate, " +
+      "and no window keys on a bigram/prefix") {
+    val df = TextAnalysis.bigramLm(spark, dir)
+    val p = plan(df)
     val docScans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("documents"))
-    // the (doc,a,b,kab) frame + the final doc_id spine — a third scan
-    // would mean a branch re-exploding the corpus (the tfidf df trap)
-    assert(docScans <= 2, s"documents scanned $docScans times:\n$p")
+    // the final doc_id spine only — the (doc,a,b,kab) frame is a
+    // checkpointed RDD, and a second parquet scan would mean a branch
+    // re-exploding the corpus (the tfidf df trap)
+    assert(docScans <= 1, s"documents scanned $docScans times:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assertWindowsKeyOnlyOnDocId(df)
+  }
+
+  test("tfidf cosine pairs: no window keys on a term — df rides the " +
+      "checkpointed postings via groupBy+join") {
+    val df = TextAnalysis.tfidfCosinePairs(spark, dir)
+    assertWindowsKeyOnlyOnDocId(df)
+    val p = plan(df)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("span removal never forms pairs: gram stats and covered positions " +
