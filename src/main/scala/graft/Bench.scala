@@ -87,12 +87,15 @@ object Bench {
       val vs = reps.map(_(n))
       n -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.size / 2))
     }.toMap
-    // one scalar for run-to-run noise: sum over queries of (max - min);
-    // per-query spreads would double the line and risk the tail capture
-    val spread = SparkEntry.queries.keys.map { n =>
+    // per-query run-to-run noise (max - min over the passes) plus its
+    // sum: regression triage needs to know WHICH medians are
+    // trustworthy — a 6 s median with a 9 s spread is noise, not a
+    // regression
+    val spreads: Map[String, Double] = SparkEntry.queries.keys.map { n =>
       val vs = reps.map(_(n)).filter(_ >= 0)
-      if (vs.isEmpty) 0.0 else vs.max - vs.min
-    }.sum
+      n -> (if (vs.isEmpty) 0.0 else vs.max - vs.min)
+    }.toMap
+    val spread = spreads.values.sum
     // Millisecond resolution keeps the whole line under ~2.5 KB at ~100
     // queries: the driver captures only the tail of the run log, and a
     // full-precision line once grew past that window, truncating the
@@ -119,11 +122,14 @@ object Bench {
         results.collect { case (k, v) if paritySet(k) => v }.sum
       else -1.0
     spark.stop()
-    // Key order is deliberate: "queries" first, headline fields LAST.
-    // The driver records only the log TAIL, so if the (long) per-query
-    // map ever pushes the line past the capture window it is the FRONT
-    // that truncates — the headline "metric"/"value"/"sf" fields at the
-    // end survive any tail cut that keeps the line's closing bytes.
-    println(s"""{"queries":$qs,"runs":$runs,"spread_sec":${fmt(spread)},"parity_sec":${fmt(parity)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
+    // Key order is deliberate: most-expendable detail first, headline
+    // fields LAST. The driver records only the log TAIL, so if the line
+    // ever outgrows the capture window it is the FRONT that truncates —
+    // per-query spreads go first (diagnostic), then the per-query
+    // medians, and the headline "metric"/"value"/"sf" fields at the end
+    // survive any tail cut that keeps the line's closing bytes.
+    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"spreads":$sp,"queries":$qs,"runs":$runs,"spread_sec":${fmt(spread)},"parity_sec":${fmt(parity)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
   }
 }

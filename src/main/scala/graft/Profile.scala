@@ -5,6 +5,20 @@ import graft.operators.Dedup
 
 /** Dev-only stage profiler for the dedup operators at a given SF dir. */
 object Profile {
+  /** Null-safe scalar probe: `sum` over an empty/all-NULL frame is NULL
+    * and `head.getLong` would NPE — an empty stratum must read as 0, not
+    * kill the profile run.
+    */
+  implicit class ScalarDF(private val df: org.apache.spark.sql.DataFrame) {
+    def scalarLong: Long = {
+      val r = df.limit(1).collect()
+      if (r.isEmpty || r(0).isNullAt(0)) 0L else r(0).getLong(0)
+    }
+    def scalarDouble: Double = {
+      val r = df.limit(1).collect()
+      if (r.isEmpty || r(0).isNullAt(0)) 0.0 else r(0).getDouble(0)
+    }
+  }
   def t(name: String)(f: => Long): Unit = {
     val t0 = System.nanoTime(); val n = f
     println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
@@ -103,10 +117,10 @@ object Profile {
     // claims to measure); aggregates force the full plan as above
     t("top_ngram_10x")(
       graft.operators.TextAnalysis.topNgramShareOn(docs10)
-        .agg(count(col("top_bigram"))).head.getLong(0))
+        .agg(count(col("top_bigram"))).scalarLong)
     t("token_rarity_10x")(
       graft.operators.TextAnalysis.tokenRarityOn(docs10)
-        .agg(sum(col("freq_sum"))).head.getLong(0))
+        .agg(sum(col("freq_sum"))).scalarLong)
     t("compress_ratio_10x") {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.graft.ColumnBridge
@@ -114,7 +128,7 @@ object Profile {
         ColumnBridge.expression(col("text"))))
       // sum forces the deflate kernel on every row (count() prunes it)
       docs10.select(dz.as("deflate_len"))
-        .agg(sum(col("deflate_len"))).head.getLong(0)
+        .agg(sum(col("deflate_len"))).scalarLong
     }
     val li10 = rep10(graft.sources.Tables.lineitem(spark, dir),
       "l_orderkey", 100000000L)
@@ -156,10 +170,10 @@ object Profile {
     // Catalyst eliminate the whole covered-position branch
     t("span_removal_10x")(Dedup.removeDupSpansOn(docs10)
       .agg(sum(col("n_dropped") + length(col("clean_text"))))
-      .head.getLong(0))
+      .scalarLong)
     t("doc_signals_10x")(graft.operators.TextAnalysis.docSignalsOn(docs10)
       .agg(sum(col("logit") + col("dup_frac") + col("rep_trigram")))
-      .head.getDouble(0).toLong)
+      .scalarDouble.toLong)
     t("pq_codes_10x") {
       import graft.functions.VectorFunctions.vecD
       val e = emb10.select(col("vec_id"), vecD(col("embedding")).as("v"))
@@ -180,10 +194,10 @@ object Profile {
     // volume; the window sees the same series length).
     t("triangles_10x")(graft.operators.Graph.triangleStats(
       Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")),
-      "da", "db").agg(sum(col("tri"))).head.getLong(0))
+      "da", "db").agg(sum(col("tri"))).scalarLong)
     t("kmv_distinct_10x")(
       graft.operators.Aggregates.kmvDistinctOn(docs10)
-        .agg(sum(col("n_exact"))).head.getLong(0))
+        .agg(sum(col("n_exact"))).scalarLong)
     t("kmv_jaccard_10x")(
       graft.operators.Aggregates.kmvJaccardPairsOn(docs10).count())
     t("bm25_10x")(
@@ -197,7 +211,7 @@ object Profile {
         ev10.groupBy(col("event_type"), to_date(col("ts")).as("d"))
           .agg(sum(dec(col("value"))).as("daily")),
         "event_type", "d", "daily")
-        .agg(sum(col("cusum"))).head.getDouble(0).toLong
+        .agg(sum(col("cusum"))).scalarDouble.toLong
     }
 
     // Round-4e ops at 10x: WordPiece training (dict is replication-
@@ -209,7 +223,7 @@ object Profile {
       graft.operators.Bpe.wordpieceTrainOn(spark, docs10, 10).count())
     t("bfs_10x")(graft.operators.Graph.bfsDepths(
       Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")))
-      .agg(sum(col("dist"))).head.getLong(0))
+      .agg(sum(col("dist"))).scalarLong)
     spark.stop()
   }
 }

@@ -1063,14 +1063,17 @@ object SparkEntry {
         |FROM c WHERE cw * 2 >= total
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_subsample_ci" ->
-      """WITH sp AS (SELECT r.t AS rep FROM range(32) r(t)),
+      """WITH b AS (SELECT l_quantity,
+        |                  CAST('0x' || substr(md5(l_orderkey || '-'
+        |                       || l_linenumber), 1, 8) AS BIGINT) AS v
+        |           FROM lineitem),
+        |sp AS (SELECT r.t AS rep FROM range(32) r(t)),
         |mh AS (SELECT rep,
         |              CASE WHEN count(l_quantity) > 0
         |                   THEN CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
         |                             AS DOUBLE) / count(l_quantity) END AS m
-        |       FROM lineitem CROSS JOIN sp
-        |       WHERE substr(md5(l_orderkey || '-' || l_linenumber
-        |                        || '-' || rep), 1, 1) < '8'
+        |       FROM b CROSS JOIN sp
+        |       WHERE ((v >> rep) & 1) = 1
         |       GROUP BY rep),
         |ful AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |               CASE WHEN count(l_quantity) > 0
@@ -2221,7 +2224,7 @@ object SparkEntry {
         |         a.vec_id = l.leader_id AS is_leader
         |  FROM assigned a JOIN leaders l USING (cid))
         |SELECT vec_id, cid, cos_leader,
-        |       (is_leader OR cos_leader < 0.95) AS keep
+        |       (is_leader OR coalesce(cos_leader < 0.95, TRUE)) AS keep
         |FROM scored ORDER BY vec_id""".stripMargin,
     // q_dedup_simhash: no oracle — xxhash64 has no DuckDB equivalent
     //                  (driver records rows-only check).

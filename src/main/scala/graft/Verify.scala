@@ -18,11 +18,13 @@ object Verify {
     val selected = SparkEntry.queries.filter {
       case (name, _) => only.forall(_.contains(name))
     }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage).take(400)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +43,24 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Loud failure channel: a thrown query must surface as a red row, not a
+    // silently-missing key. Two markers: (1) failed_queries.json with the
+    // name → truncated message map; (2) a one-row sentinel parquet per
+    // failed query (column `__error`) so the driver's compare records a
+    // schema/row mismatch instead of dropping the key.
+    val failJson = failed
+      .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failJson)
+    if (failed.nonEmpty) {
+      import spark.implicits._
+      failed.foreach { case (name, msg) =>
+        try Seq(msg).toDF("__error").coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case _: Throwable => () }
+      }
+      System.err.println(
+        s"[verify] FAILED ${failed.size}: ${failed.map(_._1).mkString(",")}")
+    }
     spark.stop()
   }
 }

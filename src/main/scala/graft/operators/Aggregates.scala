@@ -405,37 +405,47 @@ object Aggregates {
   /** Deterministic subsampling error bars for a corpus mean — the
     * missing piece under every corpus metric this engine reports: is
     * 0.82 ± 0.001 or ± 0.05? Classic half-sampling (delete-half
-    * jackknife): `reps` replicates each keep every row whose
-    * md5(key, rep) first hex digit < '8' (an independent deterministic
-    * half per replicate — no rand(), so the whole estimate is
+    * jackknife): replicate `r` keeps every row whose bit `r` of
+    * md5(key) is set — 32 independent deterministic halves from ONE
+    * digest per row (no rand(), so the whole estimate is
     * hash-reproducible and oracle-checkable, unlike any RNG bootstrap);
     * the spread of replicate means estimates the sampling error of the
     * full mean: Var(mean_full) = σ²/n = Var(half-mean)/2, so
     * se = sd(replica means)/√2 and the 95% band is ±1.96·se.
     *
-    * Shape: the replicate spine (reps rows) broadcasts onto one corpus
-    * scan; per-replicate means are map-side-combinable decimal sums
-    * (reps·groups partials per task); the final moment pass runs over
-    * `reps` rows. One scan, one tiny aggregation — error bars at 100 TB
-    * cost one extra pass regardless of reps.
+    * Shape: ONE corpus scan, one md5 per ROW (key only — not per
+    * (row, rep) pair), the `reps` replicate memberships decoded as
+    * distinct bits of the single 128-bit digest, and `reps` conditional
+    * decimal sums in a single map-side-combinable aggregation. No
+    * crossJoin expansion: hashing volume is |fact|, not reps·|fact|.
+    * The final moment pass runs over `reps` values of a one-row frame.
+    * Error bars at 100 TB cost one extra column per pass regardless of
+    * reps.
     */
   def subsampleCI(spark: SparkSession, dir: String,
       reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 32,
+      "memberships decode from the first 8 hex digits (32 bits)")
     val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-    val spine = spark.range(reps).select(col("id").as("rep"))
-    val means = li.crossJoin(broadcast(spine))
-      .filter(substring(md5(concat_ws("-", col("l_orderkey"),
-        col("l_linenumber"), col("rep")).cast("binary")), 1, 1) < "8")
-      .groupBy(col("rep"))
-      .agg(davg(col("l_quantity")).as("m"))
-    val full = li.agg(count(lit(1)).as("n"),
-      davg(col("l_quantity")).as("mean_full"))
-    means
-      .agg(count(lit(1)).as("n_reps"),
+      .select(col("l_quantity"),
+        conv(substring(md5(concat_ws("-", col("l_orderkey"),
+          col("l_linenumber")).cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("v"))
+    def memb(r: Int): Column =
+      shiftright(col("v"), r).bitwiseAND(lit(1L)) === 1
+    val condAggs = (0 until reps).flatMap { r =>
+      Seq(sum(when(memb(r), dec(col("l_quantity")))).as(s"s$r"),
+        count(when(memb(r), col("l_quantity"))).as(s"c$r"))
+    } ++ Seq(count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_full"))
+    val one = li.agg(condAggs.head, condAggs.tail: _*)
+    val ms = (0 until reps).map(r =>
+      when(col(s"c$r") > 0, col(s"s$r").cast("double") / col(s"c$r")))
+    one
+      .select(col("n"), col("mean_full"), explode(array(ms: _*)).as("m"))
+      .groupBy(col("n"), col("mean_full"))
+      .agg(count(col("m")).as("n_reps"),
         dsum(col("m")).as("sm"),
         sum(dec(col("m")) * dec(col("m"))).cast("double").as("smm"))
-      .crossJoin(broadcast(full))
       .select(col("n"), col("mean_full"), col("n_reps"),
         sqrt(((col("smm") - col("sm") * col("sm") / col("n_reps"))
           / (col("n_reps") - 1)) / 2.0).as("se"))

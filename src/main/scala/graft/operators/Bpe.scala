@@ -28,6 +28,39 @@ import graft.sources.Tables
   */
 object Bpe {
 
+  /** Session-scoped tokenizer-artifact memo: the trained merge table +
+    * segmented dict per (application, table dir, merge budget, algo).
+    * Training is an ARTIFACT-PRODUCING corpus job — a serving query that
+    * re-runs it per call is the single-node anti-pattern this engine
+    * exists to kill — so every dir-based entry point below trains at most
+    * once per session and serves every later call from the checkpointed
+    * dict (the in-process analogue of [[writeBpeDict]]'s on-disk layout;
+    * both serve the identical frames, spec-proved). The dict is
+    * Heaps-law-bounded (distinct words, not corpus tokens), so the
+    * retained blocks are artifact-sized.
+    */
+  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Int, String), AnyRef]()
+
+  private def cachedArtifact[T <: AnyRef](spark: SparkSession, dir: String,
+      nMerges: Int, algo: String)(train: => T): T =
+    artifactCache.computeIfAbsent(
+      (spark.sparkContext.applicationId, dir, nMerges, algo),
+      _ => train).asInstanceOf[T]
+
+  private def bpeArtifact(spark: SparkSession, dir: String, nMerges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) =
+    cachedArtifact(spark, dir, nMerges, "bpe") {
+      trainCore(Tables.documents(spark, dir), nMerges)
+    }
+
+  private def wordpieceArtifact(spark: SparkSession, dir: String,
+      nMerges: Int)
+      : (Seq[(Int, String, String, String, Long, Double)], DataFrame) =
+    cachedArtifact(spark, dir, nMerges, "wordpiece") {
+      wordpieceCore(Tables.documents(spark, dir), nMerges)
+    }
+
   /** (w, syms, cnt): each distinct word, its character-symbol array, and
     * its corpus frequency. The one corpus-sized shuffle; `w` rides along
     * so the final segmented dict can join back onto the corpus as a
@@ -76,8 +109,12 @@ object Bpe {
     * out of pairs (fully merged).
     */
   def bpeTrain(spark: SparkSession, dir: String,
-      nMerges: Int = 20): DataFrame =
-    bpeTrainOn(spark, Tables.documents(spark, dir), nMerges)
+      nMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    bpeArtifact(spark, dir, nMerges)._1
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
 
   /** Same, over any (text) frame. */
   def bpeTrainOn(spark: SparkSession, documents: DataFrame,
@@ -139,8 +176,12 @@ object Bpe {
     * no SQL twin.
     */
   def wordpieceTrain(spark: SparkSession, dir: String,
-      nMerges: Int = 20): DataFrame =
-    wordpieceTrainOn(spark, Tables.documents(spark, dir), nMerges)
+      nMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    wordpieceArtifact(spark, dir, nMerges)._1
+      .toDF("rank", "left", "right", "merged", "pair_count", "score")
+      .orderBy(col("rank"))
+  }
 
   /** Same, over any (text) frame. */
   def wordpieceTrainOn(spark: SparkSession, documents: DataFrame,
@@ -190,7 +231,7 @@ object Bpe {
     */
   def wordpieceSegmentStats(spark: SparkSession, dir: String,
       nMerges: Int = 20): DataFrame =
-    wordpieceCore(Tables.documents(spark, dir), nMerges)._2
+    wordpieceArtifact(spark, dir, nMerges)._2
       .agg(sum(col("cnt")).as("n_words"),
         sum(size(col("syms")).cast("long") * col("cnt")).as("n_symbols"))
       .select(col("n_words"), col("n_symbols"),
@@ -202,23 +243,9 @@ object Bpe {
     * (doc_id, n_words, n_wp_tokens, tokens_per_word).
     */
   def wordpieceTokenize(spark: SparkSession, dir: String,
-      nMerges: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val dict = wordpieceCore(docs, nMerges)._2
-      .select(col("w"), size(col("syms")).as("n_sub"))
-    val joined = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(dict, "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as("n_wp_tokens"))
-    docs.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_wp_tokens"), lit(0L)).as("n_wp_tokens"))
-      .withColumn("tokens_per_word", col("n_wp_tokens") / col("n_words"))
-      .orderBy(col("doc_id"))
-  }
+      nMerges: Int = 20): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      wordpieceArtifact(spark, dir, nMerges)._2, "n_wp_tokens")
 
   /** Segment the corpus with the learned merges and report the
     * compression they buy: (n_words, n_symbols, symbols_per_word) —
@@ -228,7 +255,7 @@ object Bpe {
     */
   def bpeSegmentStats(spark: SparkSession, dir: String,
       nMerges: Int = 20): DataFrame =
-    trainCore(Tables.documents(spark, dir), nMerges)._2
+    bpeArtifact(spark, dir, nMerges)._2
       .agg(sum(col("cnt")).as("n_words"),
         sum(size(col("syms")).cast("long") * col("cnt")).as("n_symbols"))
       .select(col("n_words"), col("n_symbols"),
@@ -248,10 +275,25 @@ object Bpe {
   def bpeIds(spark: SparkSession, dir: String,
       nMerges: Int = 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val (merges, dict) = trainCore(docs, nMerges)
-    // base chars come from the ORIGINAL words (dict.w), not the merged
-    // symbol arrays: a character fully absorbed into merges would be
-    // missing from the final syms and every id after it would shift
+    val (merges, dict) = bpeArtifact(spark, dir, nMerges)
+    idsWithVocab(docs, dict, bpeVocab(spark, merges, dict))
+  }
+
+  /** The deterministic (sym, id) vocabulary of a trained BPE artifact:
+    * base (length-1) symbols sorted ascending take 0..C−1, merged
+    * symbols take C+rank. Base chars come from the ORIGINAL words
+    * (dict.w), not the merged symbol arrays: a character fully absorbed
+    * into merges would be missing from the final syms and every id
+    * after it would shift.
+    *
+    * Distinct merges can produce the SAME string — (ab, c) and (a, bc)
+    * both yield "abc" — and a duplicated sym would fan out the id
+    * lookup join; each sym keeps its EARLIEST id (min), so the vocab is
+    * a function and the join stays 1:1.
+    */
+  private[operators] def bpeVocab(spark: SparkSession,
+      merges: Seq[(Int, String, String, String, Long)],
+      dict: DataFrame): DataFrame = {
     val chars = dict
       .select(explode(split(col("w"), "")).as("sym")).distinct()
       .select(col("sym"),
@@ -261,7 +303,16 @@ object Bpe {
     import spark.implicits._
     val mergedSyms = merges.map(m => (m._4, nBase + m._1))
       .toDF("sym", "id")
-    val vocab = chars.unionByName(mergedSyms)
+    chars.unionByName(mergedSyms)
+      .groupBy(col("sym")).agg(min(col("id")).as("id"))
+  }
+
+  /** The id-serving join: per-dict-word id sequences from the vocab
+    * (fold ran once at training; here it's a posexplode + lookup join),
+    * then one corpus explode + equi-join + ordered per-doc reassembly.
+    */
+  private def idsWithVocab(docs: DataFrame, dict: DataFrame,
+      vocab: DataFrame): DataFrame = {
     val wordIds = dict
       .select(col("w"), posexplode(col("syms")).as(Seq("pos", "sym")))
       .join(vocab, "sym")
@@ -281,6 +332,64 @@ object Bpe {
       .orderBy(col("doc_id"))
   }
 
+  /** Materialize the BPE tokenizer artifact — the on-disk layout a
+    * loader ships and a serving cluster mounts (the [[Similarity
+    * .writeIvfPqIndex]] pattern applied to tokenization): `merges/`
+    * (rank, left, right, merged, pair_count), `dict/` (w, syms, cnt —
+    * the word → subwords lookup), `vocab/` (sym, id). Serving never
+    * re-trains: [[bpeTokenizeFromDict]] / [[bpeIdsFromDict]] read these
+    * frames and pay only the explode+join serving cost.
+    */
+  def writeBpeDict(spark: SparkSession, dir: String, path: String,
+      nMerges: Int = 20): Unit = {
+    import spark.implicits._
+    val (merges, dict) = bpeArtifact(spark, dir, nMerges)
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    dict.write.mode("overwrite").parquet(path + "/dict")
+    bpeVocab(spark, merges, dict)
+      .coalesce(1).write.mode("overwrite").parquet(path + "/vocab")
+  }
+
+  /** Serve per-document tokenization from a stored [[writeBpeDict]]
+    * artifact: identical output to [[bpeTokenize]] by construction
+    * (same serving join over the same dict frame — spec-proved), with
+    * ZERO training jobs in the plan.
+    */
+  def bpeTokenizeFromDict(spark: SparkSession, indexPath: String,
+      dir: String): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      spark.read.parquet(indexPath + "/dict"), "n_bpe_tokens")
+
+  /** Serve per-document input-id sequences from a stored artifact —
+    * [[bpeIds]]'s zero-training twin.
+    */
+  def bpeIdsFromDict(spark: SparkSession, indexPath: String,
+      dir: String): DataFrame =
+    idsWithVocab(Tables.documents(spark, dir),
+      spark.read.parquet(indexPath + "/dict"),
+      spark.read.parquet(indexPath + "/vocab"))
+
+  /** WordPiece twin of [[writeBpeDict]]: `merges/` (with the likelihood
+    * score column), `dict/`.
+    */
+  def writeWordpieceDict(spark: SparkSession, dir: String, path: String,
+      nMerges: Int = 20): Unit = {
+    import spark.implicits._
+    val (merges, dict) = wordpieceArtifact(spark, dir, nMerges)
+    merges.toDF("rank", "left", "right", "merged", "pair_count", "score")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/merges")
+    dict.write.mode("overwrite").parquet(path + "/dict")
+  }
+
+  /** Serve WordPiece tokenization from a stored [[writeWordpieceDict]]
+    * artifact — identical to [[wordpieceTokenize]] by construction.
+    */
+  def wordpieceTokenizeFromDict(spark: SparkSession, indexPath: String,
+      dir: String): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      spark.read.parquet(indexPath + "/dict"), "n_wp_tokens")
+
   /** Per-document BPE tokenization — the serving half of the artifact:
     * the final segmented dict is a word → subwords LOOKUP TABLE, so
     * tokenizing the corpus is one token explode + one equi-join on the
@@ -291,24 +400,32 @@ object Bpe {
     * Output: (doc_id, n_words, n_bpe_tokens, tokens_per_word).
     */
   def bpeTokenize(spark: SparkSession, dir: String,
-      nMerges: Int = 20): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val dict = trainCore(docs, nMerges)._2
-      .select(col("w"), size(col("syms")).as("n_sub"))
+      nMerges: Int = 20): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      bpeArtifact(spark, dir, nMerges)._2, "n_bpe_tokens")
+
+  /** The serving join both tokenizers share: one token explode, one
+    * equi-join on the word against the (w, syms) dict frame (AQE
+    * broadcasts it when it fits; Heaps' law keeps it sublinear in the
+    * corpus), one per-doc aggregation. Docs whose tokens all miss the
+    * dict (empty/whitespace text) re-attach with 0 counts — every
+    * per-doc operator emits a row per doc; 0/0 division is NULL,
+    * marking "nothing to tokenize" explicitly.
+    */
+  private def tokenizeWithDict(docs: DataFrame, dictFrame: DataFrame,
+      tokCol: String): DataFrame = {
+    val dict = dictFrame.select(col("w"), size(col("syms")).as("n_sub"))
     val joined = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .join(dict, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as("n_bpe_tokens"))
-    // re-attach docs whose tokens all missed the dict (empty/whitespace
-    // text): every per-doc operator emits a row per doc — this one too;
-    // 0/0 division is NULL, marking "nothing to tokenize" explicitly
+        sum(col("n_sub")).as(tokCol))
     docs.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
-      .withColumn("tokens_per_word", col("n_bpe_tokens") / col("n_words"))
+        coalesce(col(tokCol), lit(0L)).as(tokCol))
+      .withColumn("tokens_per_word", col(tokCol) / col("n_words"))
       .orderBy(col("doc_id"))
   }
 }

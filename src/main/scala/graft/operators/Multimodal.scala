@@ -177,18 +177,28 @@ object Multimodal {
       new String(b, off, 4, "US-ASCII") else ""
     if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") None
     else {
-      var i = 12
+      // Offsets advance in LONG arithmetic: a corrupt/hostile 32-bit
+      // chunk size near 0xFFFFFFFF would wrap an Int accumulator
+      // negative — a stuck or backwards walk is an executor hang on a
+      // single bad file, the one failure mode a 100 TB ingest can't
+      // absorb. With Long offsets, `next = i + 8 + sz + pad` is
+      // strictly increasing (sz ≥ 0), so the walk always terminates.
+      var i = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None
       var dataLen: Option[Long] = None
       while (i + 8 <= b.length && (fmt.isEmpty || dataLen.isEmpty)) {
-        val id = tag(i)
-        val sz = leInt(b, i + 4).toLong & 0xffffffffL
+        val o = i.toInt
+        val id = tag(o)
+        val sz = leInt(b, o + 4).toLong & 0xffffffffL
         if (id == "fmt " && i + 24 <= b.length)
-          fmt = Some((leShort(b, i + 8), leShort(b, i + 10),
-            leInt(b, i + 12), leShort(b, i + 22)))
-        else if (id == "data") dataLen = Some(sz)
+          fmt = Some((leShort(b, o + 8), leShort(b, o + 10),
+            leInt(b, o + 12), leShort(b, o + 22)))
+        // clamp a declared size past EOF to the bytes actually present,
+        // so a corrupt length yields a truncated-file duration, not a
+        // fantasy one
+        else if (id == "data") dataLen = Some(sz.min(b.length - i - 8))
         // chunks are word-aligned: odd sizes carry a pad byte
-        i += 8 + sz.toInt + (sz.toInt & 1)
+        i += 8L + sz + (sz & 1L)
       }
       for ((code, ch, rate, bits) <- fmt; dl <- dataLen
            if ch > 0 && rate > 0 && bits > 0) yield {

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table registry over a testdata scale-factor directory.
   *
@@ -30,18 +30,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 has
-    * no native type for. With `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (set by Verify/Bench/tests) the column arrives as epoch-nanos LongType;
-    * truncate to microseconds — the same floor DuckDB applies — and restore
-    * TimestampType. `ts div 1000` is integer division, exact for the
-    * positive epochs in play.
+  /** `events.ts` has shipped in two parquet encodings across testdata
+    * generations, and both need normalizing to a session-zoned
+    * TimestampType so downstream epoch math (`cast(ts as long)`) analyzes:
+    *
+    *   - TIMESTAMP(NANOS): Spark 4 has no native nanos type. With
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (set by Verify/Bench/
+    *     tests) the column arrives as epoch-nanos LongType; truncate to
+    *     microseconds — the same floor DuckDB applies — and restore
+    *     TimestampType. `ts div 1000` is integer division, exact for the
+    *     positive epochs in play.
+    *   - timestamp[us] without `isAdjustedToUTC`: Spark 4 reads it as
+    *     TIMESTAMP_NTZ, and `cast(ntz as bigint)` is an analysis error.
+    *     Cast to TimestampType — the session timezone is pinned to UTC, so
+    *     the wall-clock fields are reinterpreted 1:1 and DuckDB's
+    *     epoch math over the same file agrees.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = table(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
@@ -51,5 +62,8 @@ object Tables {
     * (`/root/reference/src/load/data_loader.py:406-416`).
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

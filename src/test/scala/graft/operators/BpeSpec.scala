@@ -201,4 +201,42 @@ class BpeSpec extends AnyFunSuite {
     assert(perDoc.getLong(0) == stats.getLong(0))
     assert(perDoc.getLong(1) == stats.getLong(1))
   }
+
+  test("stored tokenizer artifact serves byte-identical results to the " +
+    "in-query path, with zero training jobs in the serving plan") {
+    val dir = "/root/testdata/sf0.001"
+    val p = java.nio.file.Files.createTempDirectory("bpe_dict_").toString
+    Bpe.writeBpeDict(spark, dir, p, nMerges = 20)
+    Bpe.writeWordpieceDict(spark, dir, p + "/wp", nMerges = 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    assert(rows(Bpe.bpeTokenizeFromDict(spark, p, dir))
+      == rows(Bpe.bpeTokenize(spark, dir, 20)))
+    assert(rows(Bpe.bpeIdsFromDict(spark, p, dir))
+      == rows(Bpe.bpeIds(spark, dir, 20)))
+    assert(rows(Bpe.wordpieceTokenizeFromDict(spark, p + "/wp", dir))
+      == rows(Bpe.wordpieceTokenize(spark, dir, 20)))
+    // the serving plan reads parquet leaves only — no iterative training
+    // stage can hide in a leaf-count-bounded plan
+    val leaves = Bpe.bpeTokenizeFromDict(spark, p, dir)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size <= 3, s"expected scan-only plan, got $leaves")
+  }
+
+  test("colliding merge strings keep vocabulary ids unique (earliest wins)") {
+    import org.apache.spark.sql.functions._
+    // (ab, c) and (a, bc) both produce "abc"; the vocab must stay a
+    // function sym -> id or the id lookup join fans out
+    val dict = Seq(("abc", Seq("abc"), 3L), ("ab", Seq("ab"), 2L))
+      .toDF("w", "syms", "cnt")
+    val merges = Seq(
+      (0, "a", "b", "ab", 5L), (1, "b", "c", "bc", 4L),
+      (2, "ab", "c", "abc", 3L), (3, "a", "bc", "abc", 2L))
+    val vocab = Bpe.bpeVocab(spark, merges, dict).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(vocab.map(_._1).distinct.length == vocab.length)
+    val nBase = 3 // a, b, c
+    assert(vocab.toMap.apply("abc") == nBase + 2,
+      "earliest merge rank must own the colliding string")
+  }
 }

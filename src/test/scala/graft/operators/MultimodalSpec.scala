@@ -125,6 +125,26 @@ class MultimodalSpec extends AnyFunSuite {
       Array.fill[Byte](40)(0)).isEmpty)
     assert(Multimodal.decodeWav(wav.take(30)).isEmpty)
 
+    // hostile chunk sizes must TERMINATE (no executor hang): 0xFFFFFFFF
+    // would wrap an Int accumulator negative and stall the walk forever
+    val hostile = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hostile.put("RIFF".getBytes).putInt(56).put("WAVE".getBytes)
+    hostile.put("junk".getBytes).putInt(0xffffffff)
+    assert(Multimodal.decodeWav(hostile.array()).isEmpty)
+    // a data chunk whose declared size runs past EOF clamps to the
+    // bytes actually present instead of inventing frames
+    val clamp = java.nio.ByteBuffer.allocate(44 + 400)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    clamp.put("RIFF".getBytes).putInt(0).put("WAVE".getBytes)
+    clamp.put("fmt ".getBytes).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    clamp.put("data".getBytes).putInt(Int.MaxValue)
+      .put(Array.fill[Byte](400)(3))
+    assert(Multimodal.decodeWav(clamp.array())
+      .contains((1, 1, 8000, 16, 200L, 25L)))
+
     // end to end: ingest a real WAV next to a junk .wav — audioMeta
     // emits exactly the decodable one
     import org.apache.spark.sql.functions.col
