@@ -224,6 +224,30 @@ object Profile {
     t("bfs_10x")(graft.operators.Graph.bfsDepths(
       Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")))
       .agg(sum(col("dist"))).scalarLong)
+
+    // Round-6 ops at 10x: the one-pass subsample CI (hashing volume is
+    // now |fact|, independent of reps — this pins that claim on a 6M-row
+    // fact), the weight-balanced weighted median (per-flag cumulative
+    // window at 10x partition size), IVF-PQ search over the replicated
+    // embedding corpus (probed-cell coding means replication only grows
+    // the probed cells' row count), and degree assortativity over the
+    // dense replicated-dup clique graph (per-edge degree join at maximal
+    // fan-in).
+    t("subsample_ci_10x")(
+      graft.operators.Aggregates.subsampleCIOn(li10)
+        .agg(sum(col("n"))).scalarLong)
+    t("weighted_median_10x")(
+      graft.operators.Aggregates.weightedMedianOn(li10)
+        .agg(sum(col("weighted_median_price"))).scalarDouble.toLong)
+    t("ivfpq_10x") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.ivfPqTopKOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v")))
+        .count()
+    }
+    t("assort_10x")(graft.operators.Graph.degreeAssortativity(
+      Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")),
+      "da", "db").count())
     spark.stop()
   }
 }

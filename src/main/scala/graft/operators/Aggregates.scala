@@ -381,12 +381,16 @@ object Aggregates {
     * not a second sort. Total order (value, then keys) makes the
     * crossing row unique, so the result is hash-checkable.
     */
-  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame =
+    weightedMedianOn(Tables.lineitem(spark, dir))
+
+  /** Same, over any lineitem-shaped frame. */
+  def weightedMedianOn(li: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(spark, dir)
+    li
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice"), dec(col("l_quantity")).as("qw"))
       .withColumn("cw", sum(col("qw")).over(cum))
@@ -423,23 +427,38 @@ object Aggregates {
     * reps.
     */
   def subsampleCI(spark: SparkSession, dir: String,
-      reps: Int = 32): DataFrame = {
+      reps: Int = 32): DataFrame =
+    subsampleCIOn(Tables.lineitem(spark, dir), reps)
+
+  /** Same, over any lineitem-shaped frame. */
+  def subsampleCIOn(lineitem: DataFrame, reps: Int = 32): DataFrame = {
     require(reps >= 2 && reps <= 32,
       "memberships decode from the first 8 hex digits (32 bits)")
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_quantity"),
+    // Replicate sums run in LONG micro-units (quantity × 10⁶, exact for
+    // the scale-6 decimal image): 32 conditional LONG sums codegen to
+    // plain integer adds, where 32 DECIMAL(18,6) sums promote to the
+    // non-compact accumulator and dominate the scan. The served value
+    // is bit-identical to the decimal path while Σ < 2⁵³ (the long is
+    // exact, and IEEE division by 10⁶ correctly rounds the same exact
+    // rational the decimal cast would); past 2⁵³ aggregate micro-units
+    // (≈ corpus quantity sums beyond 9·10⁹) the last ulp may differ —
+    // an error bar does not care.
+    val li = lineitem
+      .select((dec(col("l_quantity")) * lit(1000000)).cast("long").as("qm"),
+        col("l_quantity"),
         conv(substring(md5(concat_ws("-", col("l_orderkey"),
           col("l_linenumber")).cast("binary")), 1, 8), 16, 10)
           .cast("long").as("v"))
     def memb(r: Int): Column =
       shiftright(col("v"), r).bitwiseAND(lit(1L)) === 1
     val condAggs = (0 until reps).flatMap { r =>
-      Seq(sum(when(memb(r), dec(col("l_quantity")))).as(s"s$r"),
-        count(when(memb(r), col("l_quantity"))).as(s"c$r"))
+      Seq(sum(when(memb(r), col("qm"))).as(s"s$r"),
+        count(when(memb(r), col("qm"))).as(s"c$r"))
     } ++ Seq(count(lit(1)).as("n"), davg(col("l_quantity")).as("mean_full"))
     val one = li.agg(condAggs.head, condAggs.tail: _*)
     val ms = (0 until reps).map(r =>
-      when(col(s"c$r") > 0, col(s"s$r").cast("double") / col(s"c$r")))
+      when(col(s"c$r") > 0,
+        col(s"s$r").cast("double") / lit(1e6) / col(s"c$r")))
     one
       .select(col("n"), col("mean_full"), explode(array(ms: _*)).as("m"))
       .groupBy(col("n"), col("mean_full"))

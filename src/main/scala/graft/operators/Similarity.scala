@@ -350,11 +350,17 @@ object Similarity {
     */
   def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
+      dim: Int = 64, rerank: Int = 4): DataFrame =
+    ivfPqTopKOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      queryId, k, nprobe, m, ksub, dim, rerank)
+
+  /** Same, over any (vec_id, v: array<double>) frame. */
+  def ivfPqTopKOn(emb: DataFrame, queryId: Long = 0,
+      k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
       dim: Int = 64, rerank: Int = 4): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val coarse = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val assigned = assignNearest(emb, coarse)

@@ -13,6 +13,19 @@ import graft.sources.Tables
   * functions / regexp), so each operator is a narrow, shuffle-free map over
   * the corpus — embarrassingly parallel at 100 TB; the only wide stage in
   * this file is a final ORDER BY for deterministic output.
+  *
+  * Multi-consumer frames here use `localCheckpoint(false)`: lazy
+  * materialization into UNREPLICATED executor-local blocks with the
+  * lineage truncated. The trade-off is deliberate and worth naming once
+  * for the whole file: losing an executor (or a dynamic-allocation
+  * decommission) makes those blocks unrecoverable and FAILS the job
+  * instead of recomputing — acceptable for the bounded batch jobs these
+  * operators run in (a retry restarts one job, no partial state), but a
+  * long multi-stage run on a preemptible/dynamic cluster should swap the
+  * pattern for `persist(MEMORY_AND_DISK_2)` (replicated, recomputable)
+  * or a reliable `checkpoint()` to cluster storage. The cost ranking —
+  * one materialization vs one corpus re-scan per extra consumer — is
+  * unchanged either way.
   */
 object TextAnalysis {
 
@@ -348,7 +361,13 @@ object TextAnalysis {
     // Three consumers (norms, blocking, pruned postings) read this frame;
     // localCheckpoint truncates the join lineage so the weighted postings
     // materialize once, not once per branch (the same multi-consumer
-    // rule as Dedup.shingled / clustersFromPairs).
+    // rule as Dedup.shingled / clustersFromPairs). NOTE: tf's checkpoint
+    // above stays resident too, so two near-posting-sized frames occupy
+    // the block managers simultaneously — roughly double the footprint
+    // of the single-checkpoint operators; size executor storage memory
+    // for 2× postings when running this at full corpus scale (freeing
+    // tf's blocks eagerly would require an action between the two
+    // checkpoints, i.e. a full extra pass — dearer than the memory).
     val weighted = tf
       .join(df, "term") // vocab-sized; unhinted — AQE picks broadcast/skew
       .crossJoin(broadcast(n))

@@ -103,6 +103,20 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("subsample CI is one-pass: no join/cross-product/expand, one scan") {
+    val df = Aggregates.subsampleCI(spark, dir)
+    val p = plan(df)
+    // the r5 shape crossJoined a 32-row replicate spine onto the fact —
+    // reps× the hashing volume; the one-pass rewrite must keep every
+    // replicate membership inside a single aggregation over ONE scan
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoop"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+    assert(joins.isEmpty, s"expected join-free plan:\n$joins")
+  }
+
   test("outlier filter broadcasts the per-group cuts onto the fact scan") {
     val p = plan(Aggregates.priceOutliers(spark, dir))
     assert(p.contains("BroadcastHashJoin"), p)

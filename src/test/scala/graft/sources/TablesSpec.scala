@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.TestSpark
+
+/** Source-normalization guards for `Tables.events`: the testdata
+  * generator has shipped `ts` as parquet TIMESTAMP(NANOS) (read as
+  * epoch-nanos LongType under `nanosAsLong`), as timestamp[us] without
+  * `isAdjustedToUTC` (read as TIMESTAMP_NTZ), and as plain UTC
+  * timestamp — and a generator change between rounds once broke every
+  * downstream epoch cast. Whatever the encoding, the frame the engine
+  * sees must expose ONE type: session-zoned TimestampType, safe for
+  * `cast(ts as long)` epoch math.
+  */
+class TablesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def writeEvents(dir: java.io.File,
+      tsCol: org.apache.spark.sql.Column): Unit = {
+    import spark.implicits._
+    Seq((1L, 10L, "click", 1.5), (2L, 11L, "view", 2.5))
+      .toDF("event_id", "user_id", "event_type", "value")
+      .withColumn("ts", tsCol)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").getPath)
+  }
+
+  private def tmpDir(): java.io.File =
+    java.nio.file.Files.createTempDirectory("tables_events_").toFile
+
+  test("NTZ-encoded ts normalizes to session TimestampType with the " +
+    "same wall clock, and epoch casts analyze") {
+    val d = tmpDir()
+    writeEvents(d, to_timestamp(lit("2024-03-05 12:34:56"))
+      .cast(TimestampNTZType))
+    // precondition: the raw read really is NTZ (otherwise this spec
+    // guards nothing)
+    val raw = spark.read.parquet(new java.io.File(d, "events.parquet").getPath)
+    assert(raw.schema("ts").dataType == TimestampNTZType)
+    val ev = Tables.events(spark, d.getPath)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // UTC session: wall clock is preserved 1:1
+    val got = ev.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    assert(got == Seq("2024-03-05 12:34:56"))
+    // the exact expression family that broke: epoch seconds via cast
+    assert(ev.select(col("ts").cast("long")).distinct().head.getLong(0)
+      == java.time.Instant.parse("2024-03-05T12:34:56Z").getEpochSecond)
+  }
+
+  test("epoch-nanos LongType ts (the nanosAsLong read of " +
+    "TIMESTAMP(NANOS)) truncates to micros and restores TimestampType") {
+    val d = tmpDir()
+    val nanos = java.time.Instant.parse("2024-03-05T12:34:56Z")
+      .getEpochSecond * 1000000000L + 123456789L
+    writeEvents(d, lit(nanos))
+    val ev = Tables.events(spark, d.getPath)
+    assert(ev.schema("ts").dataType == TimestampType)
+    val micros = ev.select(unix_micros(col("ts"))).head.getLong(0)
+    assert(micros == nanos / 1000L, s"expected micros floor, got $micros")
+  }
+
+  test("already-UTC TimestampType ts passes through untouched") {
+    val d = tmpDir()
+    writeEvents(d, to_timestamp(lit("2024-03-05 12:34:56")))
+    val ev = Tables.events(spark, d.getPath)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.count() == 2)
+  }
+
+  test("registerAll serves the NORMALIZED events frame to SQL") {
+    // a full sf-dir fixture: NTZ events plus the other nine tables
+    // symlinked from sf0.001, so registerAll itself (not a re-creation
+    // of it) is what this test exercises
+    val d = tmpDir()
+    writeEvents(d, to_timestamp(lit("2024-03-05 12:34:56"))
+      .cast(TimestampNTZType))
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      java.nio.file.Files.createSymbolicLink(
+        new java.io.File(d, s"$n.parquet").toPath,
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$n.parquet"))
+    }
+    val s2 = spark.newSession()
+    Tables.registerAll(s2, d.getPath)
+    // the analysis that broke round 5: CAST(ntz AS BIGINT) throws; the
+    // registered view must carry the normalized TimestampType instead
+    assert(s2.sql("SELECT CAST(ts AS LONG) FROM events").count() == 2)
+  }
+}
