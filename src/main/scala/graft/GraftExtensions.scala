@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DeflateSize, DotProduct, L2Sq, SignBands, SimHash64, WordShingles}
+import graft.functions.{DeflateSize, DotProduct, L2Sq, SignBands, SimHash64, TriProducts, WordShingles}
 
 /** Session plugin registering graft's native Catalyst expressions.
   *
@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("simhash64", 1)(a => SimHash64(a(0))))
     ext.injectFunction(fn("deflate_size", 1)(a => DeflateSize(a(0))))
     ext.injectFunction(fn("emb_sign_bands", 1)(a => SignBands(a(0))))
+    ext.injectFunction(fn("vec_tri_prods", 1)(a => TriProducts(a(0))))
     ext.injectFunction(fn("word_shingles", 2) { a =>
       val k = a(1) match {
         case Literal(v: Int, _) => v

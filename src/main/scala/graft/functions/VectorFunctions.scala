@@ -34,4 +34,9 @@ object VectorFunctions {
   /** Squared L2 distance (monotone in L2 — argmin-safe without the sqrt). */
   def l2sq(a: Column, b: Column): Column =
     column(L2Sq(expression(a), expression(b)))
+
+  /** Upper-triangle self products vᵢ·vⱼ (i ≤ j), row-major triangle
+    * order — the PCA second-moment generator.
+    */
+  def triProds(a: Column): Column = column(TriProducts(expression(a)))
 }

@@ -384,7 +384,13 @@ object Aggregates {
   def weightedMedian(spark: SparkSession, dir: String): DataFrame =
     weightedMedianOn(Tables.lineitem(spark, dir))
 
-  /** Same, over any lineitem-shaped frame. */
+  /** Same, over any lineitem-shaped frame. Weights run in exact long
+    * micro-units (the subsampleCI idiom): the cumulative/total window
+    * sums codegen to integer adds instead of BigDecimal accumulation,
+    * and the crossing test `2·cw ≥ total` is scale-invariant, so the
+    * selected row — and the served `total_weight = double(Σmicros)/10⁶`
+    * — is identical to the decimal path while Σ < 2⁵³ micro-units.
+    */
   def weightedMedianOn(li: DataFrame): DataFrame = {
     val ord = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
@@ -392,7 +398,8 @@ object Aggregates {
     val all = Window.partitionBy(col("l_returnflag"))
     li
       .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), dec(col("l_quantity")).as("qw"))
+        col("l_extendedprice"),
+        (dec(col("l_quantity")) * 1000000).cast("long").as("qw"))
       .withColumn("cw", sum(col("qw")).over(cum))
       .withColumn("total", sum(col("qw")).over(all))
       .withColumn("rn", row_number().over(ord))
@@ -401,7 +408,7 @@ object Aggregates {
       .agg(min(struct(col("rn"), col("l_extendedprice"))).as("best"),
         max(col("total")).as("tw"))
       .select(col("l_returnflag"),
-        col("tw").cast("double").as("total_weight"),
+        (col("tw").cast("double") / 1e6).as("total_weight"),
         col("best.l_extendedprice").as("weighted_median_price"))
       .orderBy(col("l_returnflag"))
   }

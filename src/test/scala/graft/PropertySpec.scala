@@ -236,6 +236,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("vec_tri_prods matches the nested-transform HOF formulation " +
+    "and its position order is the row-major upper triangle") {
+    val vec: Gen[Seq[Double]] = for {
+      n <- Gen.choose(1, 9)
+      xs <- Gen.listOfN(n, Gen.choose(-100.0, 100.0))
+    } yield xs
+    val rows = sample(vec, 200, seed = 29L).zipWithIndex.map {
+      case (v, i) => Row(i.toLong, v.map(Double.box))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", ArrayType(DoubleType, containsNull = false))))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val hof = flatten(transform(
+      sequence(lit(0), size(col("v")) - 1), i =>
+        transform(sequence(i, size(col("v")) - 1), j =>
+          element_at(col("v"), i + 1) * element_at(col("v"), j + 1))))
+    df.select(VectorFunctions.triProds(col("v")).as("native"),
+        hof.as("hof")).collect().foreach { r =>
+      assert(r.getSeq[Double](0) == r.getSeq[Double](1), r.toString)
+    }
+    // position decode (k -> (i, j)) mirrors the spine pcaTopComponent
+    // broadcasts: for d = 3 the order must be (0,0)(0,1)(0,2)(1,1)(1,2)(2,2)
+    val one = df.sparkSession.sql(
+      "SELECT vec_tri_prods(array(2.0d, 3.0d, 5.0d)) AS t").head.getSeq[Double](0)
+    assert(one == Seq(4.0, 6.0, 10.0, 9.0, 15.0, 25.0))
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
