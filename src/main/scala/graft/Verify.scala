@@ -1,25 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark =
-      GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness.
+    */
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** Dump every query result + oracle_sql.json + the loud-failure
+    * markers into `outDir`; returns the (name, message) failures.
+    *
+    * A thrown query must surface as a RED row, not a silently-missing
+    * key (round 5 lost five queries to exactly that gap). Two markers:
+    * (1) `failed_queries.json` with the name → truncated-message map;
+    * (2) a one-row sentinel parquet per failed query (single `__error`
+    * column) so the driver's compare records a schema/row mismatch
+    * instead of dropping the key.
+    */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      oracleSql: Map[String, String]): Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
-    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
-    // The driver never sets it, so the gate always runs everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter {
-      case (name, _) => only.forall(_.contains(name))
-    }
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    selected.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -27,27 +42,9 @@ object Verify {
         failed += name -> String.valueOf(e.getMessage).take(400)
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Loud failure channel: a thrown query must surface as a red row, not a
-    // silently-missing key. Two markers: (1) failed_queries.json with the
-    // name → truncated message map; (2) a one-row sentinel parquet per
-    // failed query (column `__error`) so the driver's compare records a
-    // schema/row mismatch instead of dropping the key.
     val failJson = failed
       .map { case (k, m) => s"${q(k)}: ${q(m)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failed_queries.json"), failJson)
@@ -61,6 +58,22 @@ object Verify {
       System.err.println(
         s"[verify] FAILED ${failed.size}: ${failed.map(_._1).mkString(",")}")
     }
+    failed.toSeq
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark =
+      GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q_a,q_b runs a subset.
+    // The driver never sets it, so the gate always runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    run(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) },
+      SparkEntry.oracleSql.filter { case (n, _) => only.forall(_.contains(n)) })
     spark.stop()
   }
 }

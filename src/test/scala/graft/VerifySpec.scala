@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The loud-failure contract of the correctness dump: a query that
+  * throws must leave visible artifacts (failed_queries.json entry + a
+  * sentinel parquet that red-rows the driver compare), never a
+  * silently-missing key — round 5 lost five queries to that gap.
+  */
+class VerifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("a throwing query produces a failed_queries entry and a sentinel " +
+    "parquet; healthy queries still dump normally") {
+    val out = java.nio.file.Files.createTempDirectory("verify_spec_").toString
+    val good: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(3).toDF("id")
+    val bad: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(1).selectExpr("CAST(id AS TIMESTAMP_NTZ) AS ts")
+        .selectExpr("CAST(ts AS BIGINT)") // the round-5 failure class
+    val failed = Verify.run(spark, "/unused", out,
+      Map("q_ok" -> good, "q_broken" -> bad),
+      Map("q_ok" -> "SELECT 1"))
+    assert(failed.map(_._1) == Seq("q_broken"))
+    // marker file names the failure
+    val fq = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/failed_queries.json")))
+    assert(fq.contains("q_broken") && fq.contains("DATATYPE_MISMATCH"), fq)
+    // sentinel parquet red-rows the compare instead of dropping the key
+    val sentinel = spark.read.parquet(s"$out/q_broken")
+    assert(sentinel.columns.toSeq == Seq("__error"))
+    assert(sentinel.count() == 1)
+    // healthy query dumped; oracle_sql.json is valid single-object JSON
+    assert(spark.read.parquet(s"$out/q_ok").count() == 3)
+    val oracle = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json")))
+    assert(oracle == "{\"q_ok\": \"SELECT 1\"}")
+  }
+
+  test("oracle_sql.json escapes control characters so the driver's " +
+    "json.load survives builder-authored SQL") {
+    val out = java.nio.file.Files.createTempDirectory("verify_spec_").toString
+    Verify.run(spark, "/unused", out,
+      Map.empty, Map("q_x" -> "SELECT 1\n\t AS \"a\\b\""))
+    val oracle = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json")))
+    assert(oracle == "{\"q_x\": \"SELECT 1\\n\\t AS \\\"a\\\\b\\\"\"}")
+  }
+}
