@@ -588,6 +588,45 @@ object EventStream {
       }
       .start()
 
+  /** Streaming token accounting from a materialized
+    * [[graft.operators.Bpe.writeBpeDict]] tokenizer artifact: each
+    * micro-batch of incoming documents is tokenized by the stored
+    * word → subwords dict (one explode + one equi-join — the serving
+    * join, with AQE broadcasting the Heaps-bounded dict) and the
+    * per-doc counts land in an `ingest_batch=<id>` partition under
+    * DYNAMIC overwrite (replays rewrite their own partition; the token
+    * ledger double-counting a replayed batch would corrupt every
+    * budget decision downstream). Training NEVER runs in the stream —
+    * the dict is refreshed by rewriting the artifact, the same
+    * contract as [[nearDupGate]]'s MinHash index. This is the ingest
+    * half of a token-budget pipeline: the batch analogue feeding
+    * mixture/pack decisions is [[graft.operators.Sampling.tokenPack]].
+    */
+  def tokenAccountingSink(docs: DataFrame, dictPath: String,
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dict = spark.read.parquet(dictPath + "/dict")
+            .select(col("w"), size(col("syms")).as("n_sub"))
+          batch
+            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+            .join(dict, "w")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_words"),
+              sum(col("n_sub")).as("n_tokens"))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

@@ -485,6 +485,46 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("tokenAccountingSink: streamed per-doc counts equal the batch " +
+    "tokenizer's, and the stream holds no state") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Bpe
+    val dictDir = java.nio.file.Files
+      .createTempDirectory("graft_tok_dict").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_tok_out").toString + "/counts"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tok_ck").toString
+    val dir = "/root/testdata/sf0.001"
+    Bpe.writeBpeDict(spark, dir, dictDir, nMerges = 20)
+    // stream the first five corpus docs through the gate
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    input.addData(docs: _*)
+    val q = EventStream.tokenAccountingSink(
+      input.toDF().toDF("doc_id", "text"), dictDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+        .select("doc_id", "n_words", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Bpe.bpeTokenize(spark, dir, 20)
+        .filter(col("doc_id") < 5 && col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"),
+          col("n_bpe_tokens")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"streamed $streamed != batch-tokenized $batch")
+      // stateless: the tokenizer lives in the artifact, not a state store
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("kmvMaintain: the stored sketch equals a from-scratch sketch of " +
     "everything streamed, and so does its estimate") {
     implicit val sql = spark.sqlContext
