@@ -850,15 +850,21 @@ object TextAnalysis {
     val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
     val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     // weighted mean over occurrences: Σ kab·dec(p) / Σ kab — identical
-    // to the per-occurrence decimal mean (kab integer × exact decimal)
+    // to the per-occurrence decimal mean (kab integer × exact decimal).
+    // The weighted terms ride as exact long micro-units (dec(p)·10⁶ is
+    // integral, kab is integral) so the per-doc sum codegens to integer
+    // adds; double(Σ)/10⁶ restores the decimal image bit-identically
+    // while Σ < 2⁵³ micro-units — see SCALING.md "decimal image is the
+    // value contract, not the execution format".
     val perDoc = db
       .join(cab, Seq("a", "b"))
       .join(ca, Seq("a"))
       .select(col("doc_id"), col("kab"),
-        (dec(col("cab") / col("ca")) * col("kab")).as("wp"))
+        ((dec(col("cab") / col("ca")) * 1000000).cast("long")
+          * col("kab")).as("wp"))
       .groupBy(col("doc_id"))
       .agg(sum(col("kab")).as("n_bigrams"),
-        (sum(col("wp")).cast("double") / sum(col("kab")))
+        (sum(col("wp")).cast("double") / 1e6 / sum(col("kab")))
           .as("mean_cond_p"))
     documents.select(col("doc_id"), size(t).as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")

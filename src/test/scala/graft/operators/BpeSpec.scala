@@ -221,6 +221,16 @@ class BpeSpec extends AnyFunSuite {
     val leaves = Bpe.bpeTokenizeFromDict(spark, p, dir)
       .queryExecution.optimizedPlan.collectLeaves()
     assert(leaves.size <= 3, s"expected scan-only plan, got $leaves")
+    // and the MEMOIZED in-query path serves from the checkpointed
+    // artifact the same way: one parquet scan (documents) + checkpointed
+    // RDD leaves — re-invoking the query never re-plans training
+    val memoQe = Bpe.bpeTokenize(spark, dir, 20).queryExecution
+    val memoLeaves = memoQe.optimizedPlan.collectLeaves()
+    assert(memoLeaves.size <= 3, s"memoized serving plan: $memoLeaves")
+    // the dict leaf is the checkpointed artifact (LogicalRDD / Scan
+    // ExistingRDD), not a re-derivation from parquet
+    assert(memoQe.executedPlan.toString.contains("Scan ExistingRDD"),
+      s"expected checkpointed dict leaf:\n${memoQe.executedPlan}")
   }
 
   test("colliding merge strings keep vocabulary ids unique (earliest wins)") {
