@@ -122,6 +122,7 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => TextAnalysis.fingerprint(s, dir)),
     "q_sample_hash" -> ((s, dir) => Sampling.hashSample(s, dir)),
     "q_stratified_cap" -> ((s, dir) => Sampling.stratifiedCap(s, dir)),
+    "q_cluster_sample" -> ((s, dir) => Sampling.clusterBalancedSample(s, dir)),
     "q_split_assign" -> ((s, dir) => Sampling.splitAssign(s, dir)),
     "q_topk_per_key" -> ((s, dir) => Analytics.topKPerGroup(s, dir)),
     "q_cms_topk" -> ((s, dir) => Aggregates.cmsTopkAudit(s, dir)),
@@ -1680,6 +1681,27 @@ object SparkEntry {
         |SELECT source, doc_id, n_tokens, cum FROM c
         |WHERE cum // 400 > (cum - n_tokens) // 400
         |ORDER BY source, doc_id""".stripMargin,
+    "q_cluster_sample" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT b.vec_id, c.cid,
+        |         list_sum(list_transform(range(1, len(b.v)+1),
+        |           i -> (b.v[i]-c.cv[i])*(b.v[i]-c.cv[i]))) AS dist
+        |  FROM base b, c),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |picked AS (
+        |  SELECT cid, vec_id,
+        |         row_number() OVER (PARTITION BY cid
+        |           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pick
+        |  FROM assigned)
+        |SELECT cid, vec_id, pick FROM picked WHERE pick <= 30
+        |ORDER BY cid, pick""".stripMargin,
     "q_stratified_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

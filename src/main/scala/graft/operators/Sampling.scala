@@ -240,6 +240,40 @@ object Sampling {
       .orderBy(col("source"), col("pick"))
   }
 
+  /** Cluster-balanced sampling — [[stratifiedCap]]'s EMBEDDING-SPACE
+    * sibling and the topic-balance step before domain mixing: strata
+    * that don't exist as metadata (topics, styles) are recovered as
+    * IVF cells (nearest of the first-`c` centroid convention shared
+    * with [[Similarity.semDedupOn]] / the ANN family), then each cell
+    * keeps its first `perCell` members in deterministic md5-of-id
+    * order — a frozen, reproducible cap per semantic cluster, so one
+    * over-crawled topic cannot dominate the mix.
+    *
+    * Scale shape: centroid assignment is a broadcast argmin that
+    * collapses map-side ([[Similarity.assignNearest]] — the shuffle
+    * carries n rows, not c·n); the per-cell cap is `row_number() ≤ k`,
+    * which `InferWindowGroupLimit` rewrites to Partial+Final
+    * WindowGroupLimit (plan-pinned) — each map task forwards at most
+    * `perCell` rows per cell into the exchange, so the cap never
+    * shuffles the corpus even when one cell holds half of it.
+    */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      c: Int = 16, perCell: Int = 30): DataFrame = {
+    import graft.functions.VectorFunctions.vecD
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = base.filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = Window.partitionBy(col("cid")).orderBy(col("hk"), col("vec_id"))
+    Similarity.assignNearest(base, centroids)
+      .select(col("vec_id"), col("cid"))
+      .withColumn("hk", md5(col("vec_id").cast("string").cast("binary")))
+      .withColumn("pick", row_number().over(w))
+      .filter(col("pick") <= perCell)
+      .select(col("cid"), col("vec_id"), col("pick"))
+      .orderBy(col("cid"), col("pick"))
+  }
+
   /** Domain mixing weights from token mass (DoReMi-lite): per-source
     * token totals exponentiated by α = 0.5, normalized to a sampling
     * distribution — the per-DOMAIN analog of [[temperatureCap]]'s

@@ -103,6 +103,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sample: broadcast argmin assignment and a " +
+      "partial WindowGroupLimit cap — the corpus never shuffles whole") {
+    val p = plan(Sampling.clusterBalancedSample(spark, dir))
+    // centroid assignment collapses map-side (no per-candidate shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastHashJoin"), p)
+    // the per-cell cap forwards <= k rows per cell per map task
+    assert(p.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial")), p)
+  }
+
   test("subsample CI is one-pass: no join/cross-product/expand, one scan") {
     val df = Aggregates.subsampleCI(spark, dir)
     val p = plan(df)

@@ -27,6 +27,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.collect().map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("cluster-balanced sample caps every IVF cell, picks are " +
+    "contiguous ranks, and assignment agrees with semDedup's cells") {
+    import org.apache.spark.sql.functions._
+    val out = Sampling.clusterBalancedSample(spark, dir, perCell = 9)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getAs[Long]("cid"))
+    byCell.foreach { case (cid, rs) =>
+      assert(rs.length <= 9, s"cell $cid over cap")
+      assert(rs.map(_.getAs[Int]("pick")).sorted.toSeq
+        == (1 to rs.length), s"cell $cid picks not contiguous")
+    }
+    // same centroid convention as the similarity family: every sampled
+    // member's cell must equal semDedupOn's assignment for that vec
+    import graft.functions.VectorFunctions.vecD
+    val cells = Similarity.semDedupOn(
+      graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v")))
+      .select(col("vec_id"), col("cid").as("sd_cid"))
+    val joined = out.join(cells, "vec_id")
+      .filter(col("cid") =!= col("sd_cid")).count()
+    assert(joined == 0, "cell assignment diverged from semDedup")
+  }
+
   test("curriculum pack: four phases, per-source quartile sizes, and no " +
       "bin overflows its token budget (except single oversized docs)") {
     import org.apache.spark.sql.functions._
