@@ -128,7 +128,13 @@ object Bench {
     // per-query spreads go first (diagnostic), then the per-query
     // medians, and the headline "metric"/"value"/"sf" fields at the end
     // survive any tail cut that keeps the line's closing bytes.
-    val sp = spreads.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    // Near-zero spreads are omitted: the driver's tail capture is
+    // bounded, and an entry that says "this median is trustworthy" is
+    // exactly the one a truncation can afford to lose — absent key =
+    // spread < 50 ms. Keeps the map to the noisy minority, typically
+    // a 5-10× smaller payload than the full per-query map.
+    val sp = spreads.filter(_._2 >= 0.05)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"spreads":$sp,"queries":$qs,"runs":$runs,"spread_sec":${fmt(spread)},"parity_sec":${fmt(parity)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"}""")
   }

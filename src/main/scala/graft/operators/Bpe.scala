@@ -40,13 +40,20 @@ object Bpe {
     * retained blocks are artifact-sized.
     */
   private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, String), AnyRef]()
+    (String, String, Int, String), (SparkSession, AnyRef)]()
 
   private def cachedArtifact[T <: AnyRef](spark: SparkSession, dir: String,
-      nMerges: Int, algo: String)(train: => T): T =
+      nMerges: Int, algo: String)(train: => T): T = {
+    // Evict artifacts belonging to STOPPED sessions first: a long-lived
+    // JVM cycling SparkSessions (server/notebook embedding) must not
+    // retain dead sessions' checkpointed frames — the cached Dataset
+    // holds its SparkSession reachable, so without eviction the map is
+    // a driver-heap leak, not a memo.
+    artifactCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
     artifactCache.computeIfAbsent(
       (spark.sparkContext.applicationId, dir, nMerges, algo),
-      _ => train).asInstanceOf[T]
+      _ => (spark, train))._2.asInstanceOf[T]
+  }
 
   private def bpeArtifact(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =
@@ -412,7 +419,7 @@ object Bpe {
     * per-doc operator emits a row per doc; 0/0 division is NULL,
     * marking "nothing to tokenize" explicitly.
     */
-  private def tokenizeWithDict(docs: DataFrame, dictFrame: DataFrame,
+  private[graft] def tokenizeWithDict(docs: DataFrame, dictFrame: DataFrame,
       tokCol: String): DataFrame = {
     val dict = dictFrame.select(col("w"), size(col("syms")).as("n_sub"))
     val joined = docs

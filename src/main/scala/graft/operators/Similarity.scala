@@ -694,7 +694,14 @@ object Similarity {
     // on this pass at sf0.1). double(Σmicros)/10⁶ is the correctly
     // rounded image of the same exact rational the decimal sum casts,
     // so cell values are bit-identical (verified all 2080 cells) while
-    // Σ|micros| < 2⁵³ — far past this operator's d²-bounded cells.
+    // Σ|micros| < 2⁵³. THE BOUND IS n-SHAPED, not d²-shaped: each
+    // (i,j) cell sums ONE product per corpus VECTOR, so with
+    // unit-scale components the guard holds to ~9·10⁹ vectors — past
+    // that, bit-identity to the decimal image degrades ulp-wise, and
+    // past 2⁶³ micro-units (~9·10¹² vectors) a long would WRAP: for
+    // billion-vector-plus corpora switch this one aggregation back to
+    // `dsum(p)` (exact at any n) and keep the kernel — the two knobs
+    // are independent.
     import graft.functions.Stable.dec
     val prods = x.select(posexplode(triProds(col("v"))).as(Seq("pos", "p")))
     val moments = prods

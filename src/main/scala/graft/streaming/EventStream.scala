@@ -604,21 +604,25 @@ object EventStream {
     */
   def tokenAccountingSink(docs: DataFrame, dictPath: String,
       outPath: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // ONE dict frame for the life of the stream, persisted so batches
+    // after the first read cached blocks instead of re-listing and
+    // re-scanning the artifact parquet per trigger; a dict refresh is
+    // a new sink, matching the rewrite-the-artifact contract.
+    val dict = docs.sparkSession.read.parquet(dictPath + "/dict").persist()
     docs.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val dict = spark.read.parquet(dictPath + "/dict")
-            .select(col("w"), size(col("syms")).as("n_sub"))
-          batch
-            .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-            .join(dict, "w")
-            .groupBy(col("doc_id"))
-            .agg(count(lit(1)).as("n_words"),
-              sum(col("n_sub")).as("n_tokens"))
+          // the SAME serving join the batch tokenizer uses (shared
+          // helper — including the left-join re-attach, so a doc whose
+          // words all miss the dict still gets a 0-count ledger row
+          // instead of silently vanishing from the token accounting)
+          graft.operators.Bpe
+            .tokenizeWithDict(batch.select(col("doc_id"), col("text")),
+              dict, "n_tokens")
+            .select(col("doc_id"), col("n_words"), col("n_tokens"))
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -626,6 +630,7 @@ object EventStream {
         }
       }
       .start()
+  }
 
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

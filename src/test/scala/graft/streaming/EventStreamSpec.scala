@@ -504,7 +504,9 @@ class EventStreamSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     val input = MemoryStream[(Long, String)]
-    input.addData(docs: _*)
+    // plus a doc whose words all miss the dict: the ledger must carry
+    // a 0-count row for it, not silently drop it
+    input.addData(docs :+ (999999L, " ") : _*)
     val q = EventStream.tokenAccountingSink(
       input.toDF().toDF("doc_id", "text"), dictDir, outDir, ckpt)
     try {
@@ -513,12 +515,12 @@ class EventStreamSpec extends AnyFunSuite {
         .select("doc_id", "n_words", "n_tokens").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val batch = Bpe.bpeTokenize(spark, dir, 20)
-        .filter(col("doc_id") < 5 && col("n_words") > 0)
+        .filter(col("doc_id") < 5)
         .select(col("doc_id"), col("n_words"),
           col("n_bpe_tokens")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-      assert(streamed == batch,
-        s"streamed $streamed != batch-tokenized $batch")
+      assert(streamed == batch + ((999999L, 0L, 0L)),
+        s"streamed $streamed != batch-tokenized $batch + empty-doc row")
       // stateless: the tokenizer lives in the artifact, not a state store
       assert(q.lastProgress == null
         || q.lastProgress.stateOperators.isEmpty)
