@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Lineage-cut materialization with a configurable durability mode.
+  *
+  * The engine materializes a frame mid-plan in exactly two situations:
+  *
+  *   1. **Multi-consumer / iterative cuts** — a frame read by several
+  *      downstream branches (collapsed postings read by both the df
+  *      aggregation and the scoring join) or rebuilt every round of an
+  *      iterative algorithm (connected components, BPE merges), where
+  *      re-deriving it per consumer / letting lineage grow per round
+  *      would multiply the dominant scan or blow up the optimizer.
+  *   2. **Read-before-overwrite cuts** — a frame derived from files that
+  *      are about to be OVERWRITTEN (compaction, streaming sketch
+  *      maintenance). Here the cut is a correctness requirement, not an
+  *      optimization: the materialized copy must not depend on the
+  *      doomed files.
+  *
+  * The default vehicle is `localCheckpoint`: blocks live unreplicated in
+  * executor storage memory and lineage is truncated. That is the fastest
+  * option and the right one for single-tenant batch runs — but on a
+  * shared cluster with dynamic allocation (or plain executor loss) a
+  * vanished block is unrecoverable mid-job, because truncation threw the
+  * recompute path away. `spark.graft.materialize.mode` picks the
+  * trade-off per deployment:
+  *
+  *   - `local` (default): `localCheckpoint` — fastest, unreplicated,
+  *     executor loss fails the job. Right for dedicated clusters and
+  *     local runs.
+  *   - `reliable`: `Dataset.checkpoint` to
+  *     `spark.graft.materialize.dir` (set it to an HDFS/object-store
+  *     path on a cluster; defaults to a temp dir locally) — lineage is
+  *     truncated AND the cut survives any executor loss. Right for long
+  *     multi-stage corpus runs under dynamic allocation; costs one
+  *     write+read of the frame.
+  *   - `persist`: `persist(MEMORY_AND_DISK)` — lineage is KEPT, so lost
+  *     partitions recompute from source; no replication or external
+  *     write. Right for mid-size runs where recompute is cheaper than a
+  *     reliable write. Note iterative loops under this mode grow their
+  *     plan per round (nothing truncates), so it suits the
+  *     multi-consumer shape better than the O(log n)-round algorithms.
+  *
+  * Read-before-overwrite sites ([[cutForOverwrite]]) never use `persist`:
+  * kept lineage still points at the files being replaced, so a recompute
+  * after the overwrite would read the NEW files — silent corruption. In
+  * `persist` mode those sites fall back to `localCheckpoint`.
+  */
+object Materialize {
+  val ModeKey = "spark.graft.materialize.mode"
+  val DirKey = "spark.graft.materialize.dir"
+
+  implicit final class MatOps(private val df: DataFrame) extends AnyVal {
+    /** Multi-consumer / iterative lineage cut (situation 1 above). */
+    def cutLineage(eager: Boolean = false): DataFrame =
+      Materialize.cut(df, eager)
+
+    /** Eager cut guaranteeing independence from the frame's source files
+      * (situation 2 above) — always truncates lineage, always eager.
+      */
+    def cutForOverwrite(): DataFrame = Materialize.forOverwrite(df)
+  }
+
+  private def mode(spark: SparkSession): String =
+    spark.conf.get(ModeKey, "local") match {
+      case m @ ("local" | "reliable" | "persist") => m
+      case other => throw new IllegalArgumentException(
+        s"$ModeKey must be local|reliable|persist, got '$other'")
+    }
+
+  private def ensureCheckpointDir(spark: SparkSession): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = spark.conf.get(DirKey,
+        s"${System.getProperty("java.io.tmpdir")}/graft-materialize")
+      spark.sparkContext.setCheckpointDir(dir)
+    }
+
+  def cut(df: DataFrame, eager: Boolean): DataFrame = mode(df.sparkSession) match {
+    case "local" => df.localCheckpoint(eager)
+    case "reliable" =>
+      ensureCheckpointDir(df.sparkSession)
+      df.checkpoint(eager)
+    case "persist" =>
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      if (eager) p.count()
+      p
+  }
+
+  def forOverwrite(df: DataFrame): DataFrame = mode(df.sparkSession) match {
+    case "reliable" =>
+      ensureCheckpointDir(df.sparkSession)
+      df.checkpoint(eager = true)
+    case _ => df.localCheckpoint(eager = true)
+  }
+}

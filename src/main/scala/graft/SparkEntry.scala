@@ -156,6 +156,7 @@ object SparkEntry {
     "q_contam_frac" -> ((s, dir) => Dedup.contaminationFraction(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
+    "q_lm_gate" -> ((s, dir) => TextAnalysis.lmGate(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -2065,6 +2066,29 @@ object SparkEntry {
         |        FROM win GROUP BY doc_id)
         |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
         |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p
+        |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    // q_lm_gate: the bigram-LM score with the perplexity-gate keep flag;
+    // docs with no bigrams (NULL score) pass — too short to judge here.
+    "q_lm_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+        |           i -> {'a': w[i], 'b': w[i+1]})) AS p
+        |  FROM t WHERE len(w) >= 2),
+        |db AS (SELECT doc_id, p.a AS a, p.b AS b, count(*) AS kab
+        |       FROM bg GROUP BY doc_id, p.a, p.b),
+        |win AS (SELECT doc_id, kab,
+        |               sum(kab) OVER (PARTITION BY a, b) AS cab,
+        |               sum(kab) OVER (PARTITION BY a) AS ca
+        |        FROM db),
+        |agg AS (SELECT doc_id, CAST(sum(kab) AS BIGINT) AS n_bigrams,
+        |               CAST(sum(CAST(CAST(cab AS DOUBLE) / ca
+        |                       AS DECIMAL(18,6)) * kab) AS DOUBLE)
+        |                 / sum(kab) AS mean_cond_p
+        |        FROM win GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(w) AS INT) AS n_tokens,
+        |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p,
+        |       coalesce(mean_cond_p >= 0.033, TRUE) AS keep
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     // q_doc_signals: the wide attributes row re-states the per-signal
     // oracle expressions (same literals, same op order — IEEE-exact).

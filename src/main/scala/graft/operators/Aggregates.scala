@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -95,7 +96,7 @@ object Aggregates {
   def keySkewReport(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val counts = Tables.lineitem(spark, dir)
       .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_rows"))
-      .localCheckpoint(false)
+      .cutLineage()
     // total from the (tiny) per-key frame — a second full-table
     // aggregation would double the scan I/O for the identical number
     val total = counts.agg(sum(col("n_rows")).as("total"))
@@ -590,7 +591,7 @@ object Aggregates {
 
   /** [[kmvJaccardPairs]] over any (source, text) frame. */
   def kmvJaccardPairsOn(docs: DataFrame, k: Int = 64): DataFrame = {
-    val hashes = shingleHashes(docs).localCheckpoint(false)
+    val hashes = shingleHashes(docs).cutLineage()
     val w = Window.partitionBy(col("source")).orderBy(col("h"))
     val sketches = hashes.select(col("source"), col("h")).distinct()
       .withColumn("r", row_number().over(w))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,7 +62,7 @@ object Analytics {
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
-      .localCheckpoint(false)
+      .cutLineage()
     // bounds from the day-grain frame — same min/max as a second
     // full-table scan, at day-count cost
     val spine = daily
@@ -90,7 +91,7 @@ object Analytics {
     // both only round to double at the end
     val byStatusDec = o.groupBy(col("o_orderstatus"))
       .agg(sum(dec(col("o_totalprice"))).as("st_dec"))
-      .localCheckpoint(false)
+      .cutLineage()
     val byStatus = byStatusDec.select(col("o_orderstatus"),
       col("st_dec").cast("double").as("status_total"))
     val grand = byStatusDec
@@ -157,7 +158,7 @@ object Analytics {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(false)
+      .cutLineage()
     val bySrc = trans.groupBy(col("event_type"))
       .agg(sum(col("n")).as("src_total"))
     trans.join(broadcast(bySrc), Seq("event_type"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -137,7 +138,7 @@ object Bpe {
     */
   private def trainCore(documents: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var dict = wordDict(documents).localCheckpoint(true)
+    var dict = wordDict(documents).cutLineage(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -149,7 +150,7 @@ object Bpe {
         val (a, b, pc) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((rank, a, b, a + b, pc))
-        dict = mergeStep(dict, a, b).localCheckpoint(true)
+        dict = mergeStep(dict, a, b).cutLineage(eager = true)
       }
     }
     (merges.toSeq, dict)
@@ -204,7 +205,7 @@ object Bpe {
     */
   private def wordpieceCore(documents: DataFrame, nMerges: Int)
       : (Seq[(Int, String, String, String, Long, Double)], DataFrame) = {
-    var dict = wordDict(documents).localCheckpoint(true)
+    var dict = wordDict(documents).cutLineage(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Double)]
     var exhausted = false
@@ -224,7 +225,7 @@ object Bpe {
         merges += ((rank, t.getString(0), t.getString(1),
           t.getString(0) + t.getString(1), t.getLong(2), t.getDouble(3)))
         dict = mergeStep(dict, t.getString(0), t.getString(1))
-          .localCheckpoint(true)
+          .cutLineage(eager = true)
       }
     }
     (merges.toSeq, dict)

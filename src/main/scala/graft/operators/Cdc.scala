@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -78,7 +79,7 @@ object Cdc {
     // the merged image feeds both diff branches (bag-compare + key
     // anti-join) — checkpoint so the merge computes once, not twice
     diffToChanges(Tables.orders(spark, dir),
-        mergeOrders(spark, dir).localCheckpoint(false), Seq("o_orderkey"))
+        mergeOrders(spark, dir).cutLineage(), Seq("o_orderkey"))
       .orderBy(col("_op"), col("o_orderkey"))
 
   /** Deterministic change feed over orders, exercising all three MERGE

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -584,10 +585,10 @@ object Dedup {
     // materialize the pair list BEFORE mirroring it: the union references
     // `pairs` twice, and without this the whole upstream candidate
     // pipeline (LSH + verify) would run once per branch
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.cutLineage(eager = true)
     val edges = p.select(col("da").as("a"), col("db").as("b"))
       .union(p.select(col("db").as("a"), col("da").as("b")))
-      .localCheckpoint(true)
+      .cutLineage(eager = true)
     // LAZY local checkpoints inside the loop: the convergence-sum action
     // below is then also the materializer, so each round costs ONE Spark
     // job (compute + checkpoint + sum) instead of an eager-checkpoint job
@@ -595,7 +596,7 @@ object Dedup {
     // checkpoint lands when the sum's job finishes.
     var labels = edges.select(col("a").as("n")).distinct()
       .withColumn("lbl", col("n"))
-      .localCheckpoint(false)
+      .cutLineage()
     // Convergence detection rides on the monotone-min invariant: labels
     // only ever decrease, so the label sum strictly decreases on every
     // non-fixpoint round and is unchanged exactly at the fixpoint. One
@@ -627,7 +628,7 @@ object Dedup {
       val next = hopped.join(parents, hopped("lbl") === parents("pn"))
         .select(hopped("n").as("n"),
           least(hopped("lbl"), col("plbl")).as("lbl"))
-        .localCheckpoint(false)
+        .cutLineage()
       val s = lblSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

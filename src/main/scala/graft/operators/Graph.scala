@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,11 +46,11 @@ object Graph {
       .unionByName(pairs.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .distinct()
-      .localCheckpoint(false)
+      .cutLineage()
     val degs = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
+      .cutLineage()
     val nodes = edges.select(col("src").as("node")).distinct()
-      .localCheckpoint(false)
+      .cutLineage()
     val n = nodes.agg(count(lit(1)).as("n"))
 
     var state = nodes.crossJoin(broadcast(n))
@@ -71,7 +72,7 @@ object Graph {
       // state is consumed ONCE per round, so unlike edges/degs/nodes it
       // needs no per-round checkpoint — only periodic lineage truncation
       // when the budget is deep enough for plan growth to bite
-      if (i % 5 == 0) state = state.localCheckpoint(false)
+      if (i % 5 == 0) state = state.cutLineage()
     }
     state
   }
@@ -103,7 +104,7 @@ object Graph {
         greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(false)
+      .cutLineage()
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -191,14 +192,14 @@ object Graph {
     * would diverge from the oracle, loudly.
     */
   def bfsDepths(pairs: DataFrame): DataFrame = {
-    val p = pairs.localCheckpoint(true)
+    val p = pairs.cutLineage(eager = true)
     val und = p.select(col("da").as("a"), col("db").as("b"))
       .union(p.select(col("db").as("a"), col("da").as("b")))
-      .distinct().localCheckpoint(true)
+      .distinct().cutLineage(eager = true)
     var state = Dedup.clustersFromPairs(p)
       .select(col("doc_id").as("node"), col("cluster_id"),
         when(col("doc_id") === col("cluster_id"), 0L).as("dist"))
-      .localCheckpoint(false)
+      .cutLineage()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 64) {
@@ -211,7 +212,7 @@ object Graph {
         .select(col("node"), col("cluster_id"),
           least(col("dist"), col("nd")).as("dist"),
           (!(col("dist") <=> least(col("dist"), col("nd")))).as("chg"))
-        .localCheckpoint(false)
+        .cutLineage()
       changed = next.agg(sum(when(col("chg"), 1L).otherwise(0L))).head.getLong(0)
       state = next.drop("chg")
       rounds += 1

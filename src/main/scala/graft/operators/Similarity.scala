@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
@@ -176,7 +177,7 @@ object Similarity {
         // materialize the k-row frame each round: truncates the
         // crossJoin+window lineage so iteration i+1 (and every downstream
         // reference to the codebook) doesn't re-run iterations 1..i
-        .localCheckpoint(true)
+        .cutLineage(eager = true)
     }
     centroids
   }
@@ -263,7 +264,7 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("mu")))),
           s => s.getField("mu")).as("cv"))
-        .localCheckpoint(true)
+        .cutLineage(eager = true)
     }
     cb
   }
@@ -434,7 +435,7 @@ object Similarity {
     val residuals = assignNearest(emb, coarse).join(broadcast(coarse), "cid")
       .select(col("vec_id"), col("cid").as("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
-      .localCheckpoint(false)
+      .cutLineage()
     val cb = pqCodebook(
       subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
       ksub, seedFrom = 16L)
@@ -672,7 +673,7 @@ object Similarity {
     import graft.functions.VectorFunctions.triProds
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .localCheckpoint(false)
+      .cutLineage()
     // UPPER-TRIANGLE products only, from the native `vec_tri_prods`
     // kernel (d(d+1)/2 unboxed multiplies in whole-stage codegen; the
     // earlier nested-transform HOF was interpreted per element and

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,18 +15,19 @@ import graft.sources.Tables
   * the corpus — embarrassingly parallel at 100 TB; the only wide stage in
   * this file is a final ORDER BY for deterministic output.
   *
-  * Multi-consumer frames here use `localCheckpoint(false)`: lazy
-  * materialization into UNREPLICATED executor-local blocks with the
-  * lineage truncated. The trade-off is deliberate and worth naming once
-  * for the whole file: losing an executor (or a dynamic-allocation
-  * decommission) makes those blocks unrecoverable and FAILS the job
-  * instead of recomputing — acceptable for the bounded batch jobs these
-  * operators run in (a retry restarts one job, no partial state), but a
-  * long multi-stage run on a preemptible/dynamic cluster should swap the
-  * pattern for `persist(MEMORY_AND_DISK_2)` (replicated, recomputable)
-  * or a reliable `checkpoint()` to cluster storage. The cost ranking —
-  * one materialization vs one corpus re-scan per extra consumer — is
-  * unchanged either way.
+  * Multi-consumer frames here use `cutLineage()` ([[graft.Materialize]]):
+  * by default a lazy `localCheckpoint` into UNREPLICATED executor-local
+  * blocks with the lineage truncated. The trade-off is deliberate and
+  * worth naming once for the whole file: losing an executor (or a
+  * dynamic-allocation decommission) makes those blocks unrecoverable and
+  * FAILS the job instead of recomputing — acceptable for the bounded
+  * batch jobs these operators run in (a retry restarts one job, no
+  * partial state). A long multi-stage run on a preemptible/dynamic
+  * cluster sets `spark.graft.materialize.mode=reliable` (checkpoint to
+  * cluster storage) or `persist` (lineage kept, lost blocks recompute) —
+  * see [[graft.Materialize]]; no operator code changes. The cost
+  * ranking — one materialization vs one corpus re-scan per extra
+  * consumer — is unchanged in every mode.
   */
 object TextAnalysis {
 
@@ -184,7 +186,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cutLineage()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
@@ -257,7 +259,7 @@ object TextAnalysis {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cutLineage()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
@@ -355,7 +357,7 @@ object TextAnalysis {
     // O(corpus) rows at web scale; see [[tfidfTop]]).
     val tf = bigrams.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .cutLineage()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // Three consumers (norms, blocking, pruned postings) read this frame;
@@ -374,7 +376,7 @@ object TextAnalysis {
       .withColumn("wt", expr("n_docs div df"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("wt"),
         col("n_docs"))
-      .localCheckpoint(false)
+      .cutLineage()
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf") * col("wt") * col("wt")).as("n2"))
     // blocking: rare-bigram postings self-join, df-capped fan-out
@@ -384,7 +386,7 @@ object TextAnalysis {
       .join(blocked.select(col("doc_id").as("db"), col("term")), "term")
       .filter(col("da") < col("db"))
       .select(col("da"), col("db")).distinct()
-      .localCheckpoint(false) // consumed by candDocs AND the dot join
+      .cutLineage() // consumed by candDocs AND the dot join
     // full cosine only for candidate docs: prune postings, then pair terms
     val candDocs = cand.select(col("da").as("doc_id"))
       .union(cand.select(col("db").as("doc_id"))).distinct()
@@ -521,7 +523,7 @@ object TextAnalysis {
       minDf: Int = 10): DataFrame = {
     val spans = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), k)).as("g"))
-      .localCheckpoint(false)
+      .cutLineage()
     val hot = spans.groupBy(col("g")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("g"))
@@ -824,44 +826,48 @@ object TextAnalysis {
   def bigramLm(spark: SparkSession, dir: String): DataFrame =
     bigramLmOn(Tables.documents(spark, dir))
 
-  /** Same, over any (doc_id, text) frame. */
-  def bigramLmOn(documents: DataFrame): DataFrame = {
-    import graft.functions.Stable.dec
+  /** (doc, a, b, kab): each doc's bigram multiset — ONE corpus explode,
+    * collapsed immediately and checkpointed, shared by training and
+    * serving. The checkpoint is what makes the join formulations
+    * one-scan (plan subtrees don't dedupe, so unmaterialized branches
+    * would each re-explode the corpus).
+    */
+  private def docBigramCounts(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    // (doc, a, b, kab): each doc's bigram multiset, one explode total
-    val db = documents.filter(size(t) >= 2)
+    documents.filter(size(t) >= 2)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(t) - 1),
         i => struct(element_at(t, i).as("a"),
           element_at(t, i + 1).as("b")))).as("p"))
       .groupBy(col("doc_id"), col("p.a"), col("p.b"))
       .agg(count(lit(1)).as("kab"))
-      .localCheckpoint(false)
-    // Corpus bigram count and prefix count via map-side-combinable
-    // groupBy sums over the CHECKPOINTED collapsed frame, joined back.
-    // The checkpoint is what makes the join formulation one-scan (plan
-    // subtrees don't dedupe, so unmaterialized branches would each
-    // re-explode the corpus); a `sum().over(Window.partitionBy(a))`
-    // prefix total would instead co-locate every "the …" bigram row in
-    // ONE task at web scale — the hot-prefix single-task trap. Both
-    // stat frames are Heaps-bounded vocab tables; ca derives from cab
-    // (never re-reads db), and the joins are unhinted so AQE picks
-    // broadcast or skew-split.
-    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
-    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-    // weighted mean over occurrences: Σ kab·dec(p) / Σ kab — identical
-    // to the per-occurrence decimal mean (kab integer × exact decimal).
-    // The weighted terms ride as exact long micro-units (dec(p)·10⁶ is
-    // integral, kab is integral) so the per-doc sum codegens to integer
-    // adds; double(Σ)/10⁶ restores the decimal image bit-identically
-    // while Σ < 2⁵³ micro-units — see SCALING.md "decimal image is the
-    // value contract, not the execution format".
+      .cutLineage()
+  }
+
+  /** The scoring join both the in-query and the from-artifact paths
+    * share: per-doc weighted mean of p(b|a) over the doc's bigram
+    * occurrences, against whatever (a, b, cab) / (a, ca) count tables
+    * the caller supplies. LEFT joins so a bigram or prefix the LM never
+    * saw scores p = 0 while still counting in the denominator — on the
+    * training corpus itself every bigram matches, so this is
+    * value-identical to the inner-join formulation (spec-proved).
+    *
+    * The weighted terms ride as exact long micro-units (dec(p)·10⁶ is
+    * integral, kab is integral) so the per-doc sum codegens to integer
+    * adds; double(Σ)/10⁶ restores the decimal image bit-identically
+    * while Σ < 2⁵³ micro-units — see SCALING.md "decimal image is the
+    * value contract, not the execution format".
+    */
+  private def scoreAgainstLm(documents: DataFrame, db: DataFrame,
+      cab: DataFrame, ca: DataFrame): DataFrame = {
+    import graft.functions.Stable.dec
+    val t = tokens(col("text"))
     val perDoc = db
-      .join(cab, Seq("a", "b"))
-      .join(ca, Seq("a"))
+      .join(cab, Seq("a", "b"), "left")
+      .join(ca, Seq("a"), "left")
       .select(col("doc_id"), col("kab"),
-        ((dec(col("cab") / col("ca")) * 1000000).cast("long")
-          * col("kab")).as("wp"))
+        (coalesce((dec(col("cab") / col("ca")) * 1000000).cast("long"),
+          lit(0L)) * col("kab")).as("wp"))
       .groupBy(col("doc_id"))
       .agg(sum(col("kab")).as("n_bigrams"),
         (sum(col("wp")).cast("double") / 1e6 / sum(col("kab")))
@@ -873,6 +879,74 @@ object TextAnalysis {
         col("mean_cond_p"))
       .orderBy(col("doc_id"))
   }
+
+  /** Same, over any (doc_id, text) frame. */
+  def bigramLmOn(documents: DataFrame): DataFrame = {
+    val db = docBigramCounts(documents)
+    // Corpus bigram count and prefix count via map-side-combinable
+    // groupBy sums over the CHECKPOINTED collapsed frame, joined back —
+    // a `sum().over(Window.partitionBy(a))` prefix total would instead
+    // co-locate every "the …" bigram row in ONE task at web scale (the
+    // hot-prefix single-task trap). Both stat frames are Heaps-bounded
+    // vocab tables; ca derives from cab (never re-reads db), and the
+    // joins are unhinted so AQE picks broadcast or skew-split.
+    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    scoreAgainstLm(documents, db, cab, ca)
+  }
+
+  /** Persist the corpus bigram LM as a SERVING ARTIFACT (the
+    * [[graft.operators.Bpe.writeBpeDict]] train-once/serve-forever
+    * pattern applied to the language model): `bigrams/` (a, b, cab) and
+    * `prefixes/` (a, ca) — Heaps-bounded vocab tables, tiny next to the
+    * corpus they summarize. The corpus explode + both aggregations are
+    * paid ONCE here; every later scoring batch pays only its own
+    * explode plus two lookup joins against the stored tables.
+    */
+  def writeBigramLm(spark: SparkSession, dir: String, path: String): Unit = {
+    val db = docBigramCounts(Tables.documents(spark, dir))
+    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
+      .cutLineage() // read twice: written AND aggregated into prefixes
+    cab.write.mode("overwrite").parquet(path + "/bigrams")
+    cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+      .write.mode("overwrite").parquet(path + "/prefixes")
+  }
+
+  /** Score any documents directory against a STORED [[writeBigramLm]]
+    * artifact: zero training jobs in the plan — the batch's own bigram
+    * explode plus two joins against vocab-sized stored tables (AQE
+    * broadcasts them while they fit). On the training corpus the output
+    * is value-identical to [[bigramLm]] (spec-proved); on NEW data,
+    * transitions the LM never saw score p = 0, which is exactly the
+    * out-of-distribution signal a perplexity gate wants.
+    */
+  def bigramScoreFromLm(spark: SparkSession, lmPath: String,
+      dir: String): DataFrame =
+    bigramScoreFromLmOn(spark, lmPath, Tables.documents(spark, dir))
+
+  /** Same, over any (doc_id, text) frame — the shape a production gate
+    * runs: yesterday's LM artifact scoring today's crawl batch.
+    */
+  def bigramScoreFromLmOn(spark: SparkSession, lmPath: String,
+      documents: DataFrame): DataFrame =
+    scoreAgainstLm(documents, docBigramCounts(documents),
+      spark.read.parquet(lmPath + "/bigrams"),
+      spark.read.parquet(lmPath + "/prefixes"))
+
+  /** Perplexity-style quality gate on the bigram-LM score: documents
+    * whose mean transition probability falls below `minP` are flagged
+    * for removal (garbled or shuffled text — transitions the corpus
+    * rarely makes), while documents with no bigrams at all (< 2 tokens)
+    * PASS — too short to judge here; the length gates in
+    * [[gopherRules]] own that call. Output adds a `keep` flag so the
+    * gate composes with the other boolean gates in [[gateSweep]].
+    */
+  def lmGate(spark: SparkSession, dir: String,
+      minP: Double = 0.033): DataFrame =
+    bigramLm(spark, dir)
+      .withColumn("keep",
+        coalesce(col("mean_cond_p") >= lit(minP), lit(true)))
+      .orderBy(col("doc_id"))
 
   /** Corpus-frequency commonness score — the libm-free stand-in for a
     * unigram-LM perplexity gate (a real LM score needs `ln`, whose last

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Sampling}
@@ -139,7 +140,7 @@ object TextCuration {
   private def keptAfterDedupOn(docs: DataFrame, cfg: Config): DataFrame =
     keptAfterDedupFrom(
       decontaminatedOn(docs, qualityGateOn(docs, cfg), cfg)
-        .localCheckpoint(false), cfg)
+        .cutLineage(), cfg)
 
   /** Callers pass a MATERIALIZED frame (persisted or checkpointed):
     * `clean` feeds three consumers here (the minhash pipeline, the

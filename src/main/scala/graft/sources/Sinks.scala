@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Output layouts (reference S6/S9 generalized for scale).
@@ -86,7 +87,7 @@ object Sinks {
     val bytes = files.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(path)
-      .localCheckpoint(true)
+      .cutForOverwrite()
       .repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }

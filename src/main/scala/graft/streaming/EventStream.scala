@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Materialize.MatOps
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -424,7 +425,7 @@ object EventStream {
             .drop("_base_seq")
           val merged = graft.operators.Cdc
             .mergeUpsert(base, eligible, keys, opCol)
-            .localCheckpoint(true)
+            .cutForOverwrite()
           merged.select(tableCols.map(col): _*)
             .write.mode("overwrite").parquet(tablePath)
         }
@@ -475,7 +476,7 @@ object EventStream {
             .withColumn("batch_id", lit(batchId))
           val stored =
             if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
-              Some(spark.read.parquet(sketchPath).localCheckpoint(true))
+              Some(spark.read.parquet(sketchPath).cutForOverwrite())
             else None
           // max() over zero rows is NULL (an interrupted overwrite can
           // leave part files with no rows) — read it boxed and treat
@@ -490,7 +491,7 @@ object EventStream {
                 .agg(cmsMerge(col("sk")).as("sk"), max(col("batch_id")).as("batch_id"))
               case None => batchSk
             }
-            merged.localCheckpoint(true)
+            merged.cutForOverwrite()
               .write.mode("overwrite").parquet(sketchPath)
           }
         }
@@ -524,7 +525,7 @@ object EventStream {
             .withColumn("batch_id", lit(batchId))
           val stored =
             if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
-              Some(spark.read.parquet(sketchPath).localCheckpoint(true))
+              Some(spark.read.parquet(sketchPath).cutForOverwrite())
             else None
           val alreadyApplied = stored.exists(s =>
             Option(s.select(max(col("batch_id"))).head.get(0))
@@ -542,7 +543,7 @@ object EventStream {
                   .select(col("source"), col("h"), col("batch_id"))
               case None => batchSk
             }
-            merged.localCheckpoint(true)
+            merged.cutForOverwrite()
               .write.mode("overwrite").parquet(sketchPath)
           }
         }

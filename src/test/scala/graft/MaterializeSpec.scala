@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The materialization modes are a durability knob, not a semantics knob:
+  * every mode must yield byte-identical results, and the
+  * read-before-overwrite cut must stay safe even in the mode whose normal
+  * cut keeps lineage (persist).
+  */
+class MaterializeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Fresh session (own SQLConf, shared context) so mode changes can't
+    * race other suites running against the shared session.
+    */
+  private def sessionWithMode(mode: String) = {
+    val s = spark.newSession()
+    s.conf.set(Materialize.ModeKey, mode)
+    s
+  }
+
+  test("local, reliable, and persist modes agree on an iterative " +
+      "multi-cut operator (connected components)") {
+    val results = Seq("local", "reliable", "persist").map { m =>
+      val s = sessionWithMode(m)
+      import s.implicits._
+      // two chains and a singleton exercise >1 pointer-doubling round
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+        (20L, 21L)).toDF("da", "db")
+      graft.operators.Dedup.clustersFromPairs(pairs)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
+  test("cutForOverwrite is independent of its source files in every " +
+      "mode, including persist (which would otherwise keep lineage " +
+      "pointing at the doomed files)") {
+    for (m <- Seq("local", "reliable", "persist")) {
+      val s = sessionWithMode(m)
+      import s.implicits._
+      import Materialize.MatOps
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_mat_$m").toString + "/t"
+      Seq(1, 2, 3).toDF("v").write.parquet(dir)
+      val cut = s.read.parquet(dir).cutForOverwrite()
+      // overwrite the very files the cut was read from
+      Seq(100, 200).toDF("v").write.mode("overwrite").parquet(dir)
+      assert(cut.orderBy("v").as[Int].collect().toSeq == Seq(1, 2, 3),
+        s"mode=$m must not see post-overwrite data")
+    }
+  }
+
+  test("unknown mode fails loudly") {
+    val s = sessionWithMode("replicated")
+    import s.implicits._
+    import Materialize.MatOps
+    val e = intercept[IllegalArgumentException] {
+      Seq(1).toDF("v").cutLineage()
+    }
+    assert(e.getMessage.contains(Materialize.ModeKey))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The bigram-LM serving artifact must be a pure train-once/serve split:
+  * scoring the training corpus from the stored tables is value-identical
+  * to the in-query formulation, and scoring NEW data treats unseen
+  * transitions as p = 0 evidence rather than dropping them.
+  */
+class LmArtifactSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val lmPath = {
+    val p = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    TextAnalysis.writeBigramLm(spark, dir, p)
+    p
+  }
+
+  test("stored-artifact scoring is value-identical to in-query bigramLm " +
+      "on the training corpus") {
+    val inQuery = TextAnalysis.bigramLm(spark, dir)
+    val served = TextAnalysis.bigramScoreFromLm(spark, lmPath, dir)
+    assert(served.schema.fieldNames.sameElements(inQuery.schema.fieldNames))
+    assert(inQuery.exceptAll(served).isEmpty
+      && served.exceptAll(inQuery).isEmpty)
+  }
+
+  test("unseen transitions score p = 0 but still count in the " +
+      "denominator; a fully in-distribution doc scores > 0") {
+    import spark.implicits._
+    val batch = Seq(
+      // tokens that cannot occur in the corpus vocabulary
+      (9001L, "zzqx1 zzqx2 zzqx3"),
+      // common corpus words — transitions the LM has seen
+      (9002L, "the table scan the table scan")).toDF("doc_id", "text")
+    val scored = TextAnalysis.bigramScoreFromLmOn(spark, lmPath, batch)
+      .orderBy("doc_id").collect()
+    assert(scored(0).getAs[Long]("n_bigrams") == 2)
+    assert(scored(0).getAs[Double]("mean_cond_p") == 0.0,
+      "all-OOV doc must score exactly 0, not NULL and not dropped")
+    assert(scored(1).getAs[Double]("mean_cond_p") > 0.0)
+  }
+
+  test("lmGate keeps no-bigram docs (NULL score) and splits the corpus " +
+      "at the threshold") {
+    val g = TextAnalysis.lmGate(spark, dir)
+    val rows = g.collect()
+    assert(rows.forall { r =>
+      val keep = r.getAs[Boolean]("keep")
+      if (r.isNullAt(r.fieldIndex("mean_cond_p"))) keep
+      else keep == (r.getAs[Double]("mean_cond_p") >= 0.033)
+    })
+    // threshold chosen at the ~5th percentile of the testdata scores:
+    // the gate must actually discriminate, not pass everything
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    assert(rows.count(_.getAs[Boolean]("keep")) > rows.length / 2)
+  }
+}
