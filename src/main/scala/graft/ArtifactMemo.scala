@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped memo for trained serving artifacts (tokenizer dicts,
+  * ANN codebooks, PQ code tables): training is an ARTIFACT-PRODUCING
+  * corpus job, and a serving query that re-runs it per call is the
+  * single-node anti-pattern this engine exists to kill. Every dir-based
+  * serving entry point trains at most once per (session, artifact key)
+  * and serves later calls from the materialized frames — the in-process
+  * analogue of the on-disk `write*Index`/`write*Dict` layouts (both
+  * serve identical frames, spec-proved per artifact family). Cached
+  * frames are artifact-sized (vocab tables, centroid tables, code
+  * columns), never raw-corpus-sized.
+  *
+  * Entries belonging to STOPPED sessions are evicted on every access: a
+  * long-lived JVM cycling SparkSessions (server/notebook embedding) must
+  * not retain dead sessions' checkpointed frames — a cached Dataset
+  * holds its SparkSession reachable, so without eviction the map would
+  * be a driver-heap leak, not a memo.
+  */
+object ArtifactMemo {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (SparkSession, AnyRef)]()
+
+  /** `train` must MATERIALIZE what it returns (eager lineage cut) —
+    * the memo stores references, it does not force computation.
+    */
+  def cached[T <: AnyRef](spark: SparkSession, key: String)
+      (train: => T): T = {
+    cache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    cache.computeIfAbsent(
+      (spark.sparkContext.applicationId, key), _ => (spark, train))
+      ._2.asInstanceOf[T]
+  }
+}

@@ -29,32 +29,16 @@ import graft.sources.Tables
   */
 object Bpe {
 
-  /** Session-scoped tokenizer-artifact memo: the trained merge table +
-    * segmented dict per (application, table dir, merge budget, algo).
-    * Training is an ARTIFACT-PRODUCING corpus job — a serving query that
-    * re-runs it per call is the single-node anti-pattern this engine
-    * exists to kill — so every dir-based entry point below trains at most
-    * once per session and serves every later call from the checkpointed
-    * dict (the in-process analogue of [[writeBpeDict]]'s on-disk layout;
-    * both serve the identical frames, spec-proved). The dict is
-    * Heaps-law-bounded (distinct words, not corpus tokens), so the
+  /** Tokenizer-artifact memo per (table dir, merge budget, algo): the
+    * trained merge table + segmented dict serve every later call from
+    * the checkpointed frames — see [[graft.ArtifactMemo]] for the
+    * train-once/serve rationale and the dead-session eviction. The dict
+    * is Heaps-law-bounded (distinct words, not corpus tokens), so the
     * retained blocks are artifact-sized.
     */
-  private val artifactCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Int, String), (SparkSession, AnyRef)]()
-
   private def cachedArtifact[T <: AnyRef](spark: SparkSession, dir: String,
-      nMerges: Int, algo: String)(train: => T): T = {
-    // Evict artifacts belonging to STOPPED sessions first: a long-lived
-    // JVM cycling SparkSessions (server/notebook embedding) must not
-    // retain dead sessions' checkpointed frames — the cached Dataset
-    // holds its SparkSession reachable, so without eviction the map is
-    // a driver-heap leak, not a memo.
-    artifactCache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
-    artifactCache.computeIfAbsent(
-      (spark.sparkContext.applicationId, dir, nMerges, algo),
-      _ => (spark, train))._2.asInstanceOf[T]
-  }
+      nMerges: Int, algo: String)(train: => T): T =
+    graft.ArtifactMemo.cached(spark, s"$algo:$nMerges:$dir")(train)
 
   private def bpeArtifact(spark: SparkSession, dir: String, nMerges: Int)
       : (Seq[(Int, String, String, String, Long)], DataFrame) =

@@ -190,7 +190,11 @@ object Similarity {
       k: Int = 20, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val centroids = kmeansCodebook(emb)
+    // train-once/serve: the codebook is the stored artifact — a serving
+    // query re-running Lloyd's per call is the tokenizer-retraining
+    // anti-pattern ([[graft.ArtifactMemo]]); 16 centroid rows retained
+    val centroids = graft.ArtifactMemo.cached(spark,
+      s"kmeans-cb:16:3:$dir")(kmeansCodebook(emb))
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 
     val assigned = assignNearest(emb, centroids)
@@ -308,8 +312,17 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val subs = subVectors(emb, m, dim / m)
-    val cb = pqCodebook(subs, ksub)
-    val assigned = pqAssign(subs, cb)
+    // train-once/serve ([[graft.ArtifactMemo]]): the codebook AND the
+    // corpus code table are the stored artifact — m·ksub centroid rows
+    // plus m small ints per vector (~1% of the raw vectors), retained
+    // so a serving query never re-runs Lloyd's or re-codes the corpus
+    val (cb, assigned) = graft.ArtifactMemo.cached(spark,
+      s"pq:$m:$ksub:$dim:$dir") {
+      val cb0 = pqCodebook(subs, ksub)
+      (cb0, pqAssign(subs, cb0)
+        .select(col("vec_id"), col("sub"), col("cid"))
+        .cutLineage(eager = true))
+    }
     val q = subs.filter(col("vec_id") === queryId)
       .select(col("sub"), col("sv").as("qsv"))
     val lut = cb.join(q, "sub")
@@ -351,28 +364,75 @@ object Similarity {
     */
   def ivfPqTopK(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
-      dim: Int = 64, rerank: Int = 4): DataFrame =
-    ivfPqTopKOn(Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v")),
-      queryId, k, nprobe, m, ksub, dim, rerank)
+      dim: Int = 64, rerank: Int = 4): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    // train-once/serve ([[graft.ArtifactMemo]]): coarse centroids +
+    // residual codebook + the full corpus code table are the stored
+    // artifact — exactly the frames [[writeIvfPqIndex]] persists
+    val (coarse, cb, codes) = graft.ArtifactMemo.cached(spark,
+      s"ivfpq:$m:$ksub:$dim:$dir")(ivfPqArtifactOn(emb, m, ksub, dim))
+    ivfPqServe(emb, coarse, cb, codes, queryId, k, nprobe, m, dim, rerank)
+  }
 
-  /** Same, over any (vec_id, v: array<double>) frame. */
+  /** Same, over any (vec_id, v: array<double>) frame — trains inline
+    * (arbitrary frames have no artifact identity to memo under).
+    */
   def ivfPqTopKOn(emb: DataFrame, queryId: Long = 0,
       k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
       dim: Int = 64, rerank: Int = 4): DataFrame = {
+    val (coarse, cb, codes) = ivfPqArtifactOn(emb, m, ksub, dim)
+    ivfPqServe(emb, coarse, cb, codes, queryId, k, nprobe, m, dim, rerank)
+  }
+
+  /** Train the IVF-PQ artifact over any (vec_id, v) frame: the 16-cell
+    * coarse quantizer, the residual PQ codebook, and the FULL corpus
+    * residual-code table (vec_id, cell, sub, cid) — the frames
+    * [[writeIvfPqIndex]] persists. Coding all cells up front and
+    * pruning at read time commutes with coding only the probed cells
+    * (spec-proved via the stored-index equivalence), so one artifact
+    * serves every later query. All three frames materialize eagerly;
+    * codes are m small ints per vector (~1% of the raw vectors),
+    * coarse and cb are broadcast-sized.
+    */
+  private[graft] def ivfPqArtifactOn(emb: DataFrame, m: Int, ksub: Int,
+      dim: Int): (DataFrame, DataFrame, DataFrame) = {
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val coarse = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val assigned = assignNearest(emb, coarse)
-    // corpus-wide residuals train the PQ codebook (the stored artifact)
-    val residuals = assigned.join(broadcast(coarse), "cid")
+      .cutLineage(eager = true)
+    // corpus-wide residuals train the PQ codebook; checkpointed because
+    // both the training explode and the coding pass read them
+    val residuals = assignNearest(emb, coarse).join(broadcast(coarse), "cid")
       .select(col("vec_id"), col("cid").as("cell"),
         zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .cutLineage()
     val cb = pqCodebook(
       subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
       ksub, seedFrom = 16L)
+    val codes = subVectors(residuals
+        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
+      .join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        col("best.cid").as("cid"))
+      .cutLineage(eager = true)
+    (coarse, cb, codes)
+  }
 
+  /** The probe every IVF-PQ path shares: per-probed-cell residual LUTs,
+    * ADC over the probed cells' code rows only (the broadcast LUT join
+    * on (cell, sub, cid) prunes every other cell — partition pruning in
+    * the stored layout), exact re-rank over the shortlist's raw vectors.
+    */
+  private def ivfPqServe(emb: DataFrame, coarse: DataFrame, cb: DataFrame,
+      codes: DataFrame, queryId: Long, k: Int, nprobe: Int, m: Int,
+      dim: Int, rerank: Int): DataFrame = {
+    val dsub = dim / m
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probeCells = coarse.crossJoin(broadcast(q))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
@@ -389,20 +449,7 @@ object Similarity {
       .select(col("cell"), col("sub"), col("cid"),
         l2sq(col("cv"), col("qsv")).as("d"))
 
-    // code ONLY the probed cells' residuals — what a cell-partitioned
-    // code layout would read
-    val cellSubs = subVectors(residuals
-      .join(broadcast(probeCells.select(col("cell"))), "cell")
-      .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
-    val cellCodes = cellSubs.join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("cell"), col("sub"),
-        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        col("best.cid").as("cid"))
-
-    val adc = cellCodes.join(broadcast(lut), Seq("cell", "sub", "cid"))
+    val adc = codes.join(broadcast(lut), Seq("cell", "sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(dsum(col("d")).as("adist"))
     val shortlist = adc.orderBy(col("adist"), col("vec_id"))
@@ -426,28 +473,12 @@ object Similarity {
     */
   def writeIvfPqIndex(spark: SparkSession, dir: String, path: String,
       m: Int = 16, ksub: Int = 16, dim: Int = 64): Unit = {
-    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val dsub = dim / m
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val coarse = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val residuals = assignNearest(emb, coarse).join(broadcast(coarse), "cid")
-      .select(col("vec_id"), col("cid").as("cell"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
-      .cutLineage()
-    val cb = pqCodebook(
-      subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
-      ksub, seedFrom = 16L)
-    val codes = subVectors(residuals
-        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
-      .join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("cell"), col("sub"),
-        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        col("best.cid").as("cid"))
+    // same memo key as [[ivfPqTopK]]: write-then-serve (or serve-then-
+    // write) trains exactly once per session
+    val (coarse, cb, codes) = graft.ArtifactMemo.cached(spark,
+      s"ivfpq:$m:$ksub:$dim:$dir")(ivfPqArtifactOn(emb, m, ksub, dim))
     codes.write.mode("overwrite").partitionBy("cell")
       .parquet(path + "/codes")
     cb.write.mode("overwrite").parquet(path + "/codebook")

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The artifact memo's contract: one training run per (session, key),
+  * every later serving call reuses the materialized artifact.
+  */
+class ArtifactMemoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("trains once per key and serves the same artifact after") {
+    var trained = 0
+    val key = s"memo-spec:${System.nanoTime}"
+    def call() = ArtifactMemo.cached(spark, key) {
+      trained += 1; java.lang.Integer.valueOf(trained)
+    }
+    val first = call()
+    val second = call()
+    assert(trained == 1, "second call must not retrain")
+    assert(first eq second, "must serve the identical cached artifact")
+  }
+
+  test("distinct keys train independently") {
+    var trained = 0
+    val base = s"memo-spec2:${System.nanoTime}"
+    ArtifactMemo.cached(spark, base + ":a") { trained += 1; "x" }
+    ArtifactMemo.cached(spark, base + ":b") { trained += 1; "y" }
+    assert(trained == 2)
+  }
+
+  test("dir-based ANN serving reuses the trained artifact across calls " +
+      "(same frame instance under the hood, identical results)") {
+    val dir = "/root/testdata/sf0.001"
+    val r1 = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, queryId = 0).collect().map(_.toSeq).toSeq
+    val r2 = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, queryId = 0).collect().map(_.toSeq).toSeq
+    assert(r1 == r2)
+    // a different query against the same corpus hits the same artifact
+    val r3 = graft.operators.Similarity
+      .ivfPqTopK(spark, dir, queryId = 7).collect()
+    assert(r3.nonEmpty)
+  }
+}
