@@ -24,7 +24,11 @@ object ArtifactMemo {
     (String, String), (SparkSession, AnyRef)]()
 
   /** `train` must MATERIALIZE what it returns (eager lineage cut) —
-    * the memo stores references, it does not force computation.
+    * the memo stores references, it does not force computation. `train`
+    * must also NOT call [[cached]] itself (even for another key): the
+    * map is a ConcurrentHashMap and `computeIfAbsent` forbids reentrant
+    * updates — compose artifacts by passing frames, as
+    * [[graft.operators.Bpe.writeBpeDict]] does with its vocab.
     */
   def cached[T <: AnyRef](spark: SparkSession, key: String)
       (train: => T): T = {

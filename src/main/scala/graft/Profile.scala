@@ -248,6 +248,21 @@ object Profile {
     t("assort_10x")(graft.operators.Graph.degreeAssortativity(
       Dedup.minhashNearDupOn(docs10, 0.7).select(col("da"), col("db")),
       "da", "db").count())
+
+    // Round-6b: the bigram-LM split measured separately — training at
+    // 10x (the corpus bigram explode + two vocab aggregations, the cost
+    // writeBigramLm pays once) vs SERVING the 10x corpus against an
+    // artifact trained at 1x (each batch's own explode + two lookup
+    // joins — the steady-state production cost a perplexity gate pays
+    // per crawl batch).
+    t("bigram_lm_train10x")(
+      graft.operators.TextAnalysis.bigramLmOn(docs10).count())
+    val lmPath = java.nio.file.Files
+      .createTempDirectory("graft_prof_lm").toString
+    graft.operators.TextAnalysis.writeBigramLm(spark, dir, lmPath)
+    t("bigram_lm_serve10x")(
+      graft.operators.TextAnalysis
+        .bigramScoreFromLmOn(spark, lmPath, docs10).count())
     spark.stop()
   }
 }

@@ -823,8 +823,26 @@ object TextAnalysis {
     * decides. Docs without bigrams keep their row with an explicit
     * NULL score.
     */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame =
-    bigramLmOn(Tables.documents(spark, dir))
+  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // train-once/serve ([[graft.ArtifactMemo]]): the collapsed corpus
+    // bigram postings and the two vocab count tables are the stored
+    // artifact (the in-process image of [[writeBigramLm]] plus the
+    // corpus's own postings — bigram-Heaps-bounded, far smaller than
+    // the raw text); [[lmGate]] shares them, so the score and the gate
+    // never re-explode the corpus twice in one session
+    val (db, cab, ca) = graft.ArtifactMemo.cached(spark,
+      s"bigram-lm:$dir") {
+      val db0 = docBigramCounts(docs) // cutLineage inside; force it
+      db0.write.format("noop").mode("overwrite").save()
+      val cab0 = db0.groupBy(col("a"), col("b"))
+        .agg(sum(col("kab")).as("cab")).cutLineage(eager = true)
+      val ca0 = cab0.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+        .cutLineage(eager = true)
+      (db0, cab0, ca0)
+    }
+    scoreAgainstLm(docs, db, cab, ca)
+  }
 
   /** (doc, a, b, kab): each doc's bigram multiset — ONE corpus explode,
     * collapsed immediately and checkpointed, shared by training and
