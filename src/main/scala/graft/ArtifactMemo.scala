@@ -20,21 +20,44 @@ import org.apache.spark.sql.SparkSession
   * be a driver-heap leak, not a memo.
   */
 object ArtifactMemo {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (SparkSession, AnyRef)]()
+  /** Training runs inside the holder's own lazy initializer, NOT inside
+    * the map's `computeIfAbsent`: a ConcurrentHashMap locks the hash
+    * bin during the compute, so minutes of training there would stall
+    * unrelated keys that collide into the same bin (and reentrant
+    * `cached` calls would deadlock). The holder insert is O(1); the
+    * per-key monitor serializes concurrent trainers of the SAME
+    * artifact only. A failed training throws out of the lazy
+    * initializer WITHOUT marking it initialized, so the next call
+    * retrains instead of serving a poisoned artifact — which is also
+    * the recovery path if a cached frame's unreplicated checkpoint
+    * blocks die with an executor: call [[invalidate]] and the next
+    * serve retrains (or run under
+    * `spark.graft.materialize.mode=reliable`, where blocks survive).
+    */
+  private final class Holder(val spark: SparkSession, train: () => AnyRef) {
+    lazy val value: AnyRef = train()
+  }
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Holder]()
 
   /** `train` must MATERIALIZE what it returns (eager lineage cut) —
-    * the memo stores references, it does not force computation. `train`
-    * must also NOT call [[cached]] itself (even for another key): the
-    * map is a ConcurrentHashMap and `computeIfAbsent` forbids reentrant
-    * updates — compose artifacts by passing frames, as
-    * [[graft.operators.Bpe.writeBpeDict]] does with its vocab.
+    * the memo stores references, it does not force computation.
     */
   def cached[T <: AnyRef](spark: SparkSession, key: String)
       (train: => T): T = {
-    cache.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    cache.entrySet.removeIf(e => e.getValue.spark.sparkContext.isStopped)
     cache.computeIfAbsent(
-      (spark.sparkContext.applicationId, key), _ => (spark, train))
-      ._2.asInstanceOf[T]
+      (spark.sparkContext.applicationId, key),
+      _ => new Holder(spark, () => train))
+      .value.asInstanceOf[T]
   }
+
+  /** Drop every artifact whose key starts with `keyPrefix` for this
+    * session — the manual recovery path after an executor loss killed a
+    * cached frame's checkpoint blocks mid-session.
+    */
+  def invalidate(spark: SparkSession, keyPrefix: String): Unit =
+    cache.keySet.removeIf(k =>
+      k._1 == spark.sparkContext.applicationId && k._2.startsWith(keyPrefix))
 }

@@ -70,18 +70,46 @@ object Materialize {
         s"$ModeKey must be local|reliable|persist, got '$other'")
     }
 
+  /** An explicit `SparkContext.setCheckpointDir` always wins; otherwise
+    * `spark.graft.materialize.dir` is applied on first use. A silent
+    * driver-local default is only acceptable on a local master — on a
+    * cluster each executor would checkpoint to its OWN local disk and
+    * later reads from other nodes would FileNotFound mid-job, so a
+    * cluster run without a configured shared dir fails loudly instead.
+    */
   private def ensureCheckpointDir(spark: SparkSession): Unit =
     if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      val dir = spark.conf.get(DirKey,
-        s"${System.getProperty("java.io.tmpdir")}/graft-materialize")
+      val dir = spark.conf.getOption(DirKey).getOrElse {
+        require(spark.sparkContext.isLocal,
+          s"mode=reliable on a cluster requires $DirKey (or an explicit " +
+            "SparkContext.setCheckpointDir) pointing at shared storage")
+        s"${System.getProperty("java.io.tmpdir")}/graft-materialize"
+      }
       spark.sparkContext.setCheckpointDir(dir)
     }
 
+  /** Reliable checkpoints persist-then-checkpoint: `Dataset.checkpoint`
+    * alone runs the action job and then a SECOND job that recomputes
+    * every partition from lineage to write the files — persisting first
+    * makes the write job read the cached blocks, so the frame computes
+    * once (the blocks are dropped again once an eager checkpoint has
+    * landed). Checkpoint FILES are garbage-collected by the
+    * ContextCleaner when the frame is no longer referenced —
+    * [[GraftSession]] pins `spark.cleaner.referenceTracking
+    * .cleanCheckpoints=true` for exactly this; sessions built elsewhere
+    * should set it too or long runs leak checkpoint storage.
+    */
+  private def reliableCheckpoint(df: DataFrame, eager: Boolean): DataFrame = {
+    ensureCheckpointDir(df.sparkSession)
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val cp = p.checkpoint(eager)
+    if (eager) p.unpersist(blocking = false)
+    cp
+  }
+
   def cut(df: DataFrame, eager: Boolean): DataFrame = mode(df.sparkSession) match {
     case "local" => df.localCheckpoint(eager)
-    case "reliable" =>
-      ensureCheckpointDir(df.sparkSession)
-      df.checkpoint(eager)
+    case "reliable" => reliableCheckpoint(df, eager)
     case "persist" =>
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       if (eager) p.count()
@@ -89,9 +117,7 @@ object Materialize {
   }
 
   def forOverwrite(df: DataFrame): DataFrame = mode(df.sparkSession) match {
-    case "reliable" =>
-      ensureCheckpointDir(df.sparkSession)
-      df.checkpoint(eager = true)
+    case "reliable" => reliableCheckpoint(df, eager = true)
     case _ => df.localCheckpoint(eager = true)
   }
 }

@@ -192,9 +192,12 @@ object Similarity {
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
     // train-once/serve: the codebook is the stored artifact — a serving
     // query re-running Lloyd's per call is the tokenizer-retraining
-    // anti-pattern ([[graft.ArtifactMemo]]); 16 centroid rows retained
+    // anti-pattern ([[graft.ArtifactMemo]]); kCb centroid rows retained.
+    // Key derives from the ACTUAL training arguments so a parameter
+    // change can never serve a codebook trained under different ones.
+    val (kCb, itersCb) = (16, 3)
     val centroids = graft.ArtifactMemo.cached(spark,
-      s"kmeans-cb:16:3:$dir")(kmeansCodebook(emb))
+      s"kmeans-cb:$kCb:$itersCb:$dir")(kmeansCodebook(emb, kCb, itersCb))
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
 
     val assigned = assignNearest(emb, centroids)
@@ -372,28 +375,60 @@ object Similarity {
     // artifact — exactly the frames [[writeIvfPqIndex]] persists
     val (coarse, cb, codes) = graft.ArtifactMemo.cached(spark,
       s"ivfpq:$m:$ksub:$dim:$dir")(ivfPqArtifactOn(emb, m, ksub, dim))
-    ivfPqServe(emb, coarse, cb, codes, queryId, k, nprobe, m, dim, rerank)
+    ivfPqServe(emb, coarse, cb, _ => codes,
+      queryId, k, nprobe, m, dim, rerank)
   }
 
   /** Same, over any (vec_id, v: array<double>) frame — trains inline
-    * (arbitrary frames have no artifact identity to memo under).
+    * (arbitrary frames have no artifact identity to memo under) and
+    * codes ONLY the probed cells' residuals, lazily: a one-off ad-hoc
+    * probe should pay nprobe cells' coding, not the full corpus pass
+    * the stored artifact amortizes over many queries.
     */
   def ivfPqTopKOn(emb: DataFrame, queryId: Long = 0,
       k: Int = 20, nprobe: Int = 4, m: Int = 16, ksub: Int = 16,
       dim: Int = 64, rerank: Int = 4): DataFrame = {
-    val (coarse, cb, codes) = ivfPqArtifactOn(emb, m, ksub, dim)
-    ivfPqServe(emb, coarse, cb, codes, queryId, k, nprobe, m, dim, rerank)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val coarse = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // checkpointed: the training explode and the probed-cell coding
+    // both read the residual frame
+    val residuals = assignNearest(emb, coarse).join(broadcast(coarse), "cid")
+      .select(col("vec_id"), col("cid").as("cell"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .cutLineage()
+    val cb = pqCodebook(
+      subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
+      ksub, seedFrom = 16L)
+    def codesFor(probeCells: DataFrame): DataFrame = codeResiduals(
+      subVectors(residuals
+        .join(broadcast(probeCells.select(col("cell"))), "cell")
+        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub), cb)
+    ivfPqServe(emb, coarse, cb, codesFor, queryId, k, nprobe, m, dim, rerank)
   }
+
+  /** Nearest-codeword coding of residual subvectors: (vec_id, cell,
+    * sub, cid) — shared by the full-corpus artifact pass and the
+    * probed-cells-only ad-hoc pass (identical values either way, so
+    * coding all cells then pruning commutes with coding probed cells).
+    */
+  private def codeResiduals(residualSubs: DataFrame,
+      cb: DataFrame): DataFrame =
+    residualSubs.join(broadcast(cb), "sub")
+      .select(col("vec_id"), col("cell"), col("sub"),
+        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"), col("cell"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("cell"), col("sub"),
+        col("best.cid").as("cid"))
 
   /** Train the IVF-PQ artifact over any (vec_id, v) frame: the 16-cell
     * coarse quantizer, the residual PQ codebook, and the FULL corpus
     * residual-code table (vec_id, cell, sub, cid) — the frames
-    * [[writeIvfPqIndex]] persists. Coding all cells up front and
-    * pruning at read time commutes with coding only the probed cells
-    * (spec-proved via the stored-index equivalence), so one artifact
-    * serves every later query. All three frames materialize eagerly;
-    * codes are m small ints per vector (~1% of the raw vectors),
-    * coarse and cb are broadcast-sized.
+    * [[writeIvfPqIndex]] persists. All three frames materialize
+    * eagerly; codes are m small ints per vector (~1% of the raw
+    * vectors), coarse and cb are broadcast-sized.
     */
   private[graft] def ivfPqArtifactOn(emb: DataFrame, m: Int, ksub: Int,
       dim: Int): (DataFrame, DataFrame, DataFrame) = {
@@ -411,27 +446,21 @@ object Similarity {
     val cb = pqCodebook(
       subVectors(residuals.select(col("vec_id"), col("r").as("v")), m, dsub),
       ksub, seedFrom = 16L)
-    val codes = subVectors(residuals
-        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub)
-      .join(broadcast(cb), "sub")
-      .select(col("vec_id"), col("cell"), col("sub"),
-        struct(l2sq(col("sv"), col("cv")).as("dist"), col("cid")).as("cand"))
-      .groupBy(col("vec_id"), col("cell"), col("sub"))
-      .agg(min(col("cand")).as("best"))
-      .select(col("vec_id"), col("cell"), col("sub"),
-        col("best.cid").as("cid"))
+    val codes = codeResiduals(subVectors(residuals
+        .select(col("vec_id"), col("cell"), col("r").as("v")), m, dsub), cb)
       .cutLineage(eager = true)
     (coarse, cb, codes)
   }
 
   /** The probe every IVF-PQ path shares: per-probed-cell residual LUTs,
-    * ADC over the probed cells' code rows only (the broadcast LUT join
-    * on (cell, sub, cid) prunes every other cell — partition pruning in
-    * the stored layout), exact re-rank over the shortlist's raw vectors.
+    * ADC over the probed cells' code rows only (`codesFor(probeCells)`
+    * supplies them — the full stored table pruned by the broadcast LUT
+    * join, or an ad-hoc lazy coding of just those cells), exact re-rank
+    * over the shortlist's raw vectors.
     */
   private def ivfPqServe(emb: DataFrame, coarse: DataFrame, cb: DataFrame,
-      codes: DataFrame, queryId: Long, k: Int, nprobe: Int, m: Int,
-      dim: Int, rerank: Int): DataFrame = {
+      codesFor: DataFrame => DataFrame, queryId: Long, k: Int, nprobe: Int,
+      m: Int, dim: Int, rerank: Int): DataFrame = {
     val dsub = dim / m
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probeCells = coarse.crossJoin(broadcast(q))
@@ -449,7 +478,8 @@ object Similarity {
       .select(col("cell"), col("sub"), col("cid"),
         l2sq(col("cv"), col("qsv")).as("d"))
 
-    val adc = codes.join(broadcast(lut), Seq("cell", "sub", "cid"))
+    val adc = codesFor(probeCells)
+      .join(broadcast(lut), Seq("cell", "sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(dsum(col("d")).as("adist"))
     val shortlist = adc.orderBy(col("adist"), col("vec_id"))

@@ -825,24 +825,29 @@ object TextAnalysis {
     */
   def bigramLm(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    // train-once/serve ([[graft.ArtifactMemo]]): the collapsed corpus
-    // bigram postings and the two vocab count tables are the stored
-    // artifact (the in-process image of [[writeBigramLm]] plus the
-    // corpus's own postings — bigram-Heaps-bounded, far smaller than
-    // the raw text); [[lmGate]] shares them, so the score and the gate
-    // never re-explode the corpus twice in one session
-    val (db, cab, ca) = graft.ArtifactMemo.cached(spark,
-      s"bigram-lm:$dir") {
-      val db0 = docBigramCounts(docs) // cutLineage inside; force it
-      db0.write.format("noop").mode("overwrite").save()
-      val cab0 = db0.groupBy(col("a"), col("b"))
-        .agg(sum(col("kab")).as("cab")).cutLineage(eager = true)
-      val ca0 = cab0.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-        .cutLineage(eager = true)
-      (db0, cab0, ca0)
-    }
-    scoreAgainstLm(docs, db, cab, ca)
+    val (cab, ca) = lmArtifact(spark, dir)
+    scoreAgainstLm(docs, docBigramCounts(docs), cab, ca)
   }
+
+  /** Train-once/serve ([[graft.ArtifactMemo]]): the two vocab count
+    * tables — exactly what [[writeBigramLm]] persists, shared by the
+    * score, the gate, and the write path, so one session trains the LM
+    * at most once. ONLY the Heaps-bounded vocab tables are retained;
+    * the corpus-sized per-doc postings are each serving call's own
+    * explode (the same split as tokenizer serving: dict cached, corpus
+    * explode paid per batch), so the memo never pins corpus-sized
+    * blocks.
+    */
+  private def lmArtifact(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    graft.ArtifactMemo.cached(spark, s"bigram-lm:$dir") {
+      val db = docBigramCounts(Tables.documents(spark, dir))
+      val cab = db.groupBy(col("a"), col("b"))
+        .agg(sum(col("kab")).as("cab")).cutLineage(eager = true)
+      val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+        .cutLineage(eager = true)
+      (cab, ca)
+    }
 
   /** (doc, a, b, kab): each doc's bigram multiset — ONE corpus explode,
     * collapsed immediately and checkpointed, shared by training and
@@ -922,12 +927,11 @@ object TextAnalysis {
     * explode plus two lookup joins against the stored tables.
     */
   def writeBigramLm(spark: SparkSession, dir: String, path: String): Unit = {
-    val db = docBigramCounts(Tables.documents(spark, dir))
-    val cab = db.groupBy(col("a"), col("b")).agg(sum(col("kab")).as("cab"))
-      .cutLineage() // read twice: written AND aggregated into prefixes
+    // same memo key as [[bigramLm]]/[[lmGate]]: score-then-write (or
+    // write-then-score) trains exactly once per session
+    val (cab, ca) = lmArtifact(spark, dir)
     cab.write.mode("overwrite").parquet(path + "/bigrams")
-    cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-      .write.mode("overwrite").parquet(path + "/prefixes")
+    ca.write.mode("overwrite").parquet(path + "/prefixes")
   }
 
   /** Score any documents directory against a STORED [[writeBigramLm]]
