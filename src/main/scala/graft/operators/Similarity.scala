@@ -462,7 +462,12 @@ object Similarity {
       codesFor: DataFrame => DataFrame, queryId: Long, k: Int, nprobe: Int,
       m: Int, dim: Int, rerank: Int): DataFrame = {
     val dsub = dim / m
+    // the one-row query vector is referenced by three branches (probe,
+    // per-cell LUT, re-rank); materialize it once so the corpus table
+    // is not re-scanned per branch (pushed-filter scans are cheap but
+    // not free — three extra footer reads per query at serving rates)
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+      .cutLineage(eager = true)
     val probeCells = coarse.crossJoin(broadcast(q))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
       .orderBy(col("dist"), col("cid"))

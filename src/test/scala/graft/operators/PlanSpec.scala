@@ -438,4 +438,28 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 3, p)
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
   }
+
+  test("lm gate rides the memoized LM artifact: the vocab tables arrive " +
+      "as checkpointed RDDs and the corpus parquet is scanned at most " +
+      "once (the reattach spine; the serving explode is the cut frame)") {
+    val df = TextAnalysis.lmGate(spark, dir)
+    val p = plan(df)
+    val docScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(docScans <= 1, s"documents scanned $docScans times:\n$p")
+    assert(p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assertWindowsKeyOnlyOnDocId(df)
+  }
+
+  test("ivf-pq serving after first touch: every artifact frame arrives " +
+      "as a checkpointed RDD — embeddings parquet is read only for the " +
+      "query vector and the exact re-rank, never for training/coding") {
+    graft.operators.Similarity.ivfPqTopK(spark, dir).collect() // train+memo
+    val p = plan(graft.operators.Similarity.ivfPqTopK(spark, dir))
+    assert(p.contains("Scan ExistingRDD"), p)
+    val embScans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("embeddings"))
+    assert(embScans <= 1, s"embeddings scanned $embScans times:\n$p")
+  }
 }
