@@ -951,9 +951,18 @@ object TextAnalysis {
     */
   def bigramScoreFromLmOn(spark: SparkSession, lmPath: String,
       documents: DataFrame): DataFrame =
-    scoreAgainstLm(documents, docBigramCounts(documents),
+    scoreWithLmTables(documents,
       spark.read.parquet(lmPath + "/bigrams"),
       spark.read.parquet(lmPath + "/prefixes"))
+
+  /** Score a batch against already-loaded LM count tables — the shape a
+    * long-lived serving process (or the streaming gate,
+    * [[graft.streaming.EventStream.lmGateSink]]) uses: the tables load
+    * once, every batch pays only its own explode + the lookup joins.
+    */
+  private[graft] def scoreWithLmTables(documents: DataFrame,
+      cab: DataFrame, ca: DataFrame): DataFrame =
+    scoreAgainstLm(documents, docBigramCounts(documents), cab, ca)
 
   /** Perplexity-style quality gate on the bigram-LM score: documents
     * whose mean transition probability falls below `minP` are flagged

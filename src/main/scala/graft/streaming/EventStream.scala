@@ -633,6 +633,47 @@ object EventStream {
       .start()
   }
 
+  /** Streaming perplexity gate from a materialized
+    * [[graft.operators.TextAnalysis.writeBigramLm]] artifact: each
+    * micro-batch of incoming documents is scored against the stored
+    * vocab count tables (the batch's own bigram explode + two lookup
+    * joins — AQE broadcasts the Heaps-bounded tables) and lands with
+    * its `keep` verdict in an `ingest_batch=<id>` partition under
+    * DYNAMIC overwrite (replays rewrite their own partition, never
+    * double-gate). Unseen transitions score p = 0 — exactly the
+    * out-of-distribution signal the gate wants on fresh crawl data.
+    * Training NEVER runs in the stream: the LM refreshes by rewriting
+    * the artifact, the same contract as [[nearDupGate]]'s MinHash index
+    * and [[tokenAccountingSink]]'s dict.
+    */
+  def lmGateSink(docs: DataFrame, lmPath: String, outPath: String,
+      checkpoint: String, minP: Double = 0.033)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = docs.sparkSession
+    // ONE pair of LM tables for the life of the stream, persisted so
+    // batches after the first read cached blocks instead of re-scanning
+    // the artifact parquet per trigger
+    val cab = spark.read.parquet(lmPath + "/bigrams").persist()
+    val ca = spark.read.parquet(lmPath + "/prefixes").persist()
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis
+            .scoreWithLmTables(batch.select(col("doc_id"), col("text")),
+              cab, ca)
+            .withColumn("keep",
+              coalesce(col("mean_cond_p") >= lit(minP), lit(true)))
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+  }
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

@@ -527,6 +527,52 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lmGateSink: streamed scores and keep flags equal the batch " +
+    "from-artifact scorer's; OOV docs score 0 and are dropped; " +
+    "no-bigram docs pass; the stream holds no state") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.operators.TextAnalysis
+    val lmDir = java.nio.file.Files
+      .createTempDirectory("graft_lm_art").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_lm_out").toString + "/gated"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_lm_ck").toString
+    val dir = "/root/testdata/sf0.001"
+    TextAnalysis.writeBigramLm(spark, dir, lmDir)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") < 5)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    // an all-OOV doc (must score 0.0 → dropped) and a one-token doc
+    // (no bigrams, NULL score → kept)
+    input.addData(docs :+ (999998L, "zzq1 zzq2 zzq3") :+ (999999L, "the"): _*)
+    val q = EventStream.lmGateSink(
+      input.toDF().toDF("doc_id", "text"), lmDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(outDir)
+      val oov = streamed.filter(col("doc_id") === 999998L).collect()(0)
+      assert(oov.getAs[Double]("mean_cond_p") == 0.0
+        && !oov.getAs[Boolean]("keep"))
+      val short = streamed.filter(col("doc_id") === 999999L).collect()(0)
+      assert(short.isNullAt(short.fieldIndex("mean_cond_p"))
+        && short.getAs[Boolean]("keep"))
+      val got = streamed.filter(col("doc_id") < 5)
+        .select("doc_id", "n_bigrams", "mean_cond_p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = TextAnalysis.bigramScoreFromLm(spark, lmDir, dir)
+        .filter(col("doc_id") < 5)
+        .select("doc_id", "n_bigrams", "mean_cond_p").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"streamed $got != batch-scored $want")
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("kmvMaintain: the stored sketch equals a from-scratch sketch of " +
     "everything streamed, and so does its estimate") {
     implicit val sql = spark.sqlContext
