@@ -65,6 +65,7 @@ object SparkEntry {
     "q_graph_bfs" -> ((s, dir) => Graph.docBfsDepths(s, dir)),
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
+    "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
@@ -1281,6 +1282,38 @@ object SparkEntry {
         |JOIN sz za ON za.source = mm.sa
         |JOIN sz zb ON zb.source = mm.sb
         |ORDER BY mm.sa, mm.sb""".stripMargin,
+    "q_quantile_sketch" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         md5(concat(l_orderkey, '|', l_linenumber)) AS h
+        |  FROM lineitem),
+        |rk AS (SELECT g, v,
+        |              row_number() OVER (PARTITION BY g ORDER BY h, v) AS r,
+        |              count(*) OVER (PARTITION BY g) AS n_rows
+        |       FROM base),
+        |sagg AS (SELECT g, max(n_rows) AS n_rows,
+        |                CAST(count(*) AS INT) AS k_sample,
+        |                list_sort(list(v)) AS vs
+        |         FROM rk WHERE r <= 64 GROUP BY g),
+        |est AS (SELECT g, n_rows, k_sample,
+        |          vs[greatest(1, CAST(ceil(0.5 * k_sample) AS BIGINT))] AS est_p50,
+        |          vs[greatest(1, CAST(ceil(0.9 * k_sample) AS BIGINT))] AS est_p90,
+        |          vs[greatest(1, CAST(ceil(0.99 * k_sample) AS BIGINT))] AS est_p99
+        |        FROM sagg),
+        |dist AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+        |cum AS (SELECT g, v,
+        |               sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |               sum(c) OVER (PARTITION BY g) AS n_tot
+        |        FROM dist),
+        |ex AS (SELECT g,
+        |         min(CASE WHEN cum >= ceil(0.5 * n_tot) THEN v END) AS ex_p50,
+        |         min(CASE WHEN cum >= ceil(0.9 * n_tot) THEN v END) AS ex_p90,
+        |         min(CASE WHEN cum >= ceil(0.99 * n_tot) THEN v END) AS ex_p99
+        |       FROM cum GROUP BY g)
+        |SELECT est.g AS l_returnflag, est.n_rows, est.k_sample,
+        |       est_p50, est_p90, est_p99, ex_p50, ex_p90, ex_p99
+        |FROM est JOIN ex ON est.g = ex.g
+        |ORDER BY l_returnflag""".stripMargin,
     "q_graph_assort" ->
       s"""WITH RECURSIVE $dupClusterCtes,
         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),

@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bottom-k-by-hash uniform sample: a fixed-size mergeable reservoir.
+  *
+  * Each row carries a hash tag `h` (md5 of a UNIQUE row key, so tags are
+  * distinct and uniform) and a payload value `v`; the aggregate keeps the
+  * k pairs with the smallest tags. Because the tag is a deterministic
+  * function of the row — not a draw from mutable RNG state — the sample
+  * is reproducible under any partitioning, merge-tree shape, retry, or
+  * speculative re-execution, and obeys the order-statistic merge law
+  * bottomₖ(bottomₖ(A) ∪ bottomₖ(B)) = bottomₖ(A ∪ B): partials merge
+  * without bias, and a stored sample artifact can absorb new batches
+  * forever while staying EXACTLY equal to a from-scratch sample of
+  * everything ever seen (the same law the KMV sketch family relies on —
+  * Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC
+  * 2007; mergeability per Agarwal et al., "Mergeable Summaries", PODS
+  * 2012). Since uniform hashes rank rows uniformly at random, the kept
+  * pairs are a uniform k-sample of the multiset, so any plug-in
+  * statistic of `v` (quantiles, mean, tail mass) estimates the
+  * population statistic with O(1/√k) error.
+  *
+  * Spark runs an [[Aggregator]] with partial aggregation: every map task
+  * reduces its rows into a ≤k-entry buffer BEFORE the shuffle, so a
+  * group of n rows moves min(n, k·#partitions) entries, never n — the
+  * bounded-memory shape that survives a hot group at corpus scale,
+  * where a `Window.partitionBy(group).orderBy(h)` rank would single-task
+  * O(n) rows and a `collect_list` would buffer them. Once a buffer is
+  * full, a row whose tag exceeds the current kth order statistic is
+  * rejected with one string compare (probability k/rows-seen of
+  * acceptance), so the per-row cost converges to O(1).
+  *
+  * The buffer is a sorted array ordered by (h, v); the output is that
+  * array as a Seq, smallest tags first. Ties on `h` cannot occur when
+  * the caller hashes a unique key, but the (h, v) tie-break keeps the
+  * result total-ordered (and any SQL twin deterministic) regardless.
+  */
+class BottomKSample(k: Int)
+    extends Aggregator[(String, Double), Array[(String, Double)],
+      Seq[(String, Double)]] {
+  require(k > 0, s"bottom-k sample needs k > 0, got $k")
+
+  private def lt(a: (String, Double), b: (String, Double)): Boolean = {
+    val c = a._1.compareTo(b._1)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
+
+  override def zero: Array[(String, Double)] = Array.empty
+
+  override def reduce(b: Array[(String, Double)],
+      x: (String, Double)): Array[(String, Double)] =
+    if (b.length >= k && !lt(x, b(b.length - 1))) b else insert(b, x)
+
+  private def insert(b: Array[(String, Double)],
+      x: (String, Double)): Array[(String, Double)] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (lt(b(m), x)) lo = m + 1 else hi = m
+    }
+    val n = math.min(b.length + 1, k)
+    val out = new Array[(String, Double)](n)
+    System.arraycopy(b, 0, out, 0, lo)
+    out(lo) = x
+    System.arraycopy(b, lo, out, lo + 1, n - lo - 1)
+    out
+  }
+
+  override def merge(x: Array[(String, Double)],
+      y: Array[(String, Double)]): Array[(String, Double)] = {
+    val n = math.min(x.length + y.length, k)
+    val out = new Array[(String, Double)](n)
+    var i = 0
+    var j = 0
+    var o = 0
+    while (o < n) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out(o) = x(i); i += 1
+      } else {
+        out(o) = y(j); j += 1
+      }
+      o += 1
+    }
+    out
+  }
+
+  override def finish(b: Array[(String, Double)]): Seq[(String, Double)] =
+    b.toSeq
+
+  override def bufferEncoder: Encoder[Array[(String, Double)]] =
+    ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[(String, Double)]] =
+    ExpressionEncoder()
+}

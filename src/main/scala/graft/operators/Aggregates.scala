@@ -626,4 +626,82 @@ object Aggregates {
         (col("n_match").cast("double") / col("kk")).as("j_est"))
       .orderBy(col("sa"), col("sb"))
   }
+
+  /** The bare bottom-k-by-hash uniform sample of a (g, h, v) frame — the
+    * mergeable quantile-sketch artifact ([[quantileSketchOn]] reports
+    * estimates from it; the streaming maintainer unions and re-takes it
+    * per batch under the same order-statistic merge law as
+    * [[kmvSketchOn]]). Built with [[graft.functions.BottomKSample]], so
+    * every map task pre-reduces its rows to ≤k entries before the
+    * shuffle — a hot group moves k·#partitions entries, never its row
+    * count, where a rank window would single-task the group.
+    */
+  private[graft] def bottomKSample(base: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val bk = udaf(new graft.functions.BottomKSample(k),
+      ExpressionEncoder[(String, Double)]())
+    base.groupBy(col("g"))
+      .agg(bk(col("h"), col("v")).as("sk"), count(lit(1)).as("n_rows"))
+  }
+
+  /** Mergeable quantile sketch next to its exact audit: per return-flag
+    * class, estimate the p50/p90/p99 of extended price from a bottom-k
+    * uniform sample (each row tagged with the md5 of its unique
+    * (orderkey, linenumber) key; the k smallest tags are a uniform
+    * k-sample, Cohen & Kaplan 2007) and report the exact type-1
+    * quantiles beside them. Quantiles are DISCRETE throughout — the
+    * element at position ⌈q·n⌉ of the sorted multiset, never an
+    * interpolated midpoint — so every output value is an actual data
+    * element and the whole frame, estimates included, is bit-exact
+    * oracle-checkable.
+    *
+    * Scale: the sample side is one partially-aggregated groupBy whose
+    * shuffle carries ≤k entries per (group, partition) — the artifact
+    * answers any quantile over an unbounded input at O(k log k) cost,
+    * and merges across stores/days without rescanning (the same
+    * train-once/serve-from-artifact economics as the KMV family). The
+    * exact side is the test-SF audit: its cumulative window ranks the
+    * DISTINCT values of each group, acceptable at audit scale but a
+    * per-group sort of the value domain at 100 TB — production reads
+    * the estimates.
+    */
+  def quantileSketch(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    quantileSketchOn(Tables.lineitem(spark, dir), k)
+
+  /** [[quantileSketch]] over any lineitem-shaped frame. */
+  def quantileSketchOn(li: DataFrame, k: Int = 64): DataFrame = {
+    val base = li.select(col("l_returnflag").as("g"),
+      col("l_extendedprice").as("v"),
+      md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+        .cast("binary")).as("h"))
+    def sampleQ(p: Double): Column =
+      element_at(col("vs"),
+        greatest(lit(1), ceil(lit(p) * col("k_sample")).cast("int")))
+    val est = bottomKSample(base, k)
+      .select(col("g"), col("n_rows"), size(col("sk")).as("k_sample"),
+        array_sort(expr("transform(sk, x -> x._2)")).as("vs"))
+      .select(col("g"), col("n_rows"), col("k_sample"),
+        sampleQ(0.5).as("est_p50"), sampleQ(0.9).as("est_p90"),
+        sampleQ(0.99).as("est_p99"))
+    // exact audit: cumulative counts over each group's distinct values;
+    // type-1 quantile = min v with cum ≥ ⌈q·n⌉. The group total rides the
+    // same window pass (unframed sum), so the audit is one scan and the
+    // sample aggregation above is consumed exactly once.
+    val dist = base.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = dist.select(col("g"), col("v"),
+      sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v")))
+        .as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("g"))).as("n_tot"))
+    def exactQ(p: Double): Column =
+      min(when(col("cum") >= ceil(lit(p) * col("n_tot")), col("v")))
+    val ex = cum
+      .groupBy(col("g"))
+      .agg(exactQ(0.5).as("ex_p50"), exactQ(0.9).as("ex_p90"),
+        exactQ(0.99).as("ex_p99"))
+    est.join(ex, "g")
+      .select(col("g").as("l_returnflag"), col("n_rows"), col("k_sample"),
+        col("est_p50"), col("est_p90"), col("est_p99"),
+        col("ex_p50"), col("ex_p90"), col("ex_p99"))
+      .orderBy(col("l_returnflag"))
+  }
 }

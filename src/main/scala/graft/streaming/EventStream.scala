@@ -551,6 +551,71 @@ object EventStream {
       .start()
   }
 
+  /** Incremental quantile-sample maintenance — the value-carrying
+    * sibling of [[kmvMaintain]]: each micro-batch is compressed to its
+    * per-group bottom-k (hash-tag, value) pairs by the partially-
+    * aggregated [[graft.functions.BottomKSample]] kernel (the batch
+    * never moves more than k entries per group per partition), unioned
+    * with the stored sample, and the bottom-k re-taken. The
+    * order-statistic merge law keeps the stored artifact EXACTLY equal
+    * to [[graft.operators.Aggregates]]' from-scratch sample of
+    * everything ever streamed (spec-proved), so any quantile of an
+    * unbounded stream is served from a ≤k-rows-per-group parquet read.
+    * The re-take rank window is safe here: its input is stored ∪ batch
+    * sketches, ≤2k rows per group by construction — bounded by the
+    * artifact, not the stream. Same replay guard and restart contract
+    * as the other maintainers: the stored max batch_id rejects replayed
+    * batches, and a (g, h, v) row seen twice keeps its earliest
+    * batch_id so the artifact is byte-stable under replay.
+    */
+  def quantileMaintain(rows: DataFrame, groupCol: String, keyCol: String,
+      valueCol: String, sketchPath: String, checkpoint: String,
+      k: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bk = udaf(new graft.functions.BottomKSample(k),
+            ExpressionEncoder[(String, Double)]())
+          val batchSk = batch
+            .select(col(groupCol).as("g"),
+              md5(col(keyCol).cast("string").cast("binary")).as("h"),
+              col(valueCol).cast("double").as("v"))
+            .groupBy(col("g")).agg(bk(col("h"), col("v")).as("sk"))
+            .select(col("g"), explode(col("sk")).as("e"))
+            .select(col("g"), col("e._1").as("h"), col("e._2").as("v"))
+            .withColumn("batch_id", lit(batchId))
+          val stored =
+            if (graft.sources.Sinks.hasPartFiles(spark, sketchPath))
+              Some(spark.read.parquet(sketchPath).cutForOverwrite())
+            else None
+          val alreadyApplied = stored.exists(s =>
+            Option(s.select(max(col("batch_id"))).head.get(0))
+              .exists(_.asInstanceOf[Long] >= batchId))
+          if (!alreadyApplied) {
+            val merged = stored match {
+              case Some(s) =>
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("g")).orderBy(col("h"), col("v"))
+                s.unionByName(batchSk)
+                  .groupBy(col("g"), col("h"), col("v"))
+                  .agg(min(col("batch_id")).as("batch_id"))
+                  .withColumn("r", row_number().over(w))
+                  .filter(col("r") <= k)
+                  .select(col("g"), col("h"), col("v"), col("batch_id"))
+              case None => batchSk
+            }
+            merged.cutForOverwrite()
+              .write.mode("overwrite").parquet(sketchPath)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming fuzzy admission against a materialized
     * [[graft.operators.Dedup.writeMinhashIndex]] corpus index: each
     * micro-batch is MinHash-probed against the stored band keys, docs

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.BottomKSample
+
+/** Bottom-k quantile-sample invariants (`functions/BottomK.scala`,
+  * `Aggregates.quantileSketchOn`):
+  *   1. partitioning invariance — the sample is identical whether the
+  *      input arrives in 1 partition or many (partial buffers merged in
+  *      arbitrary tree shapes must converge on the same k pairs);
+  *   2. merge law — bottomₖ over a union equals the merged bottomₖ of
+  *      the parts (the property the streaming maintainer relies on);
+  *   3. cap + content — the sample holds min(k, n) pairs, exactly the k
+  *      smallest hash tags of the group;
+  *   4. estimator — discrete-quantile estimates are actual data
+  *      elements, exact when the group fits inside the sample, and the
+  *      audit columns equal a direct sort at fixture scale.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def bk(k: Int) =
+    udaf(new BottomKSample(k), ExpressionEncoder[(String, Double)]())
+
+  private def sampleOf(df: org.apache.spark.sql.DataFrame,
+      k: Int): Map[String, Seq[(String, Double)]] =
+    df.groupBy(col("g")).agg(bk(k)(col("h"), col("v")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(p => (p.getString(0), p.getDouble(1))).toSeq)
+      .toMap
+
+  private lazy val base = {
+    import spark.implicits._
+    (1 to 500).map(i => (s"g${i % 3}", i.toString, i.toDouble))
+      .toDF("g", "key", "v")
+      .select(col("g"), md5(col("key").cast("binary")).as("h"), col("v"))
+  }
+
+  test("sample is invariant to input partitioning") {
+    val one = sampleOf(base.repartition(1), 16)
+    val many = sampleOf(base.repartition(11), 16)
+    assert(one == many)
+    assert(one.keySet == Set("g0", "g1", "g2"))
+    assert(one.values.forall(_.size == 16))
+  }
+
+  test("merge law: bottom-k of a union equals merged per-part bottom-k") {
+    val agg = new BottomKSample(8)
+    val rows = (1 to 100).map(i => (f"h$i%03d", i.toDouble))
+    val (a, b) = rows.splitAt(37)
+    def build(xs: Seq[(String, Double)]) =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(build(a), build(b)))
+    val direct = agg.finish(build(rows))
+    assert(merged == direct)
+    assert(direct == rows.sortBy(_._1).take(8))
+  }
+
+  test("sample holds exactly the min(k, n) smallest hash tags") {
+    val k = 32
+    val got = sampleOf(base, k)
+    val all = base.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    for ((g, sk) <- got) {
+      val expect = all.filter(_._1 == g).map(t => (t._2, t._3))
+        .sortBy(_._1).take(k).toSeq
+      assert(sk == expect, s"group $g")
+    }
+    // a group smaller than k keeps everything
+    val tiny = sampleOf(base.filter(col("v") <= 10), 32)
+    assert(tiny.values.map(_.size).toSeq.sorted == Seq(3, 3, 4))
+  }
+
+  test("discrete estimates are data elements; exact when n <= k; audit " +
+    "matches a direct sort") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val out = Aggregates.quantileSketchOn(li, k = 64).collect()
+    assert(out.length == 3)
+    val prices = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    for (r <- out) {
+      val g = r.getAs[String]("l_returnflag")
+      val vs = prices.filter(_._1 == g).map(_._2).sorted
+      assert(r.getAs[Long]("n_rows") == vs.length)
+      assert(r.getAs[Int]("k_sample") == math.min(64, vs.length))
+      for ((q, est, ex) <- Seq(
+          (0.5, r.getAs[Double]("est_p50"), r.getAs[Double]("ex_p50")),
+          (0.9, r.getAs[Double]("est_p90"), r.getAs[Double]("ex_p90")),
+          (0.99, r.getAs[Double]("est_p99"), r.getAs[Double]("ex_p99")))) {
+        // audit column = type-1 quantile of the full sorted values
+        val pos = math.max(1, math.ceil(q * vs.length).toLong).toInt
+        assert(ex == vs(pos - 1), s"$g p$q audit")
+        // estimate is some actual element, within the population range
+        assert(vs.contains(est), s"$g p$q estimate not a data element")
+      }
+    }
+    // a whole group inside the sample estimates exactly
+    val exact = Aggregates.quantileSketchOn(li, k = 1000000).collect()
+    for (r <- exact) {
+      assert(r.getAs[Double]("est_p50") == r.getAs[Double]("ex_p50"))
+      assert(r.getAs[Double]("est_p90") == r.getAs[Double]("ex_p90"))
+      assert(r.getAs[Double]("est_p99") == r.getAs[Double]("ex_p99"))
+    }
+  }
+}

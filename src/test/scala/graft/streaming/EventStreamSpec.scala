@@ -616,6 +616,53 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantileMaintain: the stored sample equals a from-scratch " +
+    "bottom-k of everything streamed, trimmed to k per group") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.functions._
+    val sketchDir = java.nio.file.Files
+      .createTempDirectory("graft_qs").toString + "/sk"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_qs_ck").toString
+    // >16 rows per group so the bottom-k actually trims
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => (s"g${i % 2}", i.toString, i.toDouble))
+    val batch1 = rows(1, 40)
+    val batch2 = rows(30, 90) // overlap: replayed keys keep one copy
+    val input = MemoryStream[(String, String, Double)]
+    val q = EventStream.quantileMaintain(
+      input.toDF().toDF("g", "key", "v"), "g", "key", "v",
+      sketchDir, ckpt, k = 16)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val maintained = spark.read.parquet(sketchDir)
+        .select("g", "h", "v").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      val bk = udaf(new graft.functions.BottomKSample(16),
+        ExpressionEncoder[(String, Double)]())
+      // the maintainer treats an identical (g, h, v) row re-sent in a
+      // later batch as the SAME logical row (idempotent re-ingest), so
+      // the from-scratch twin samples the distinct row set
+      val direct = (batch1 ++ batch2).distinct.toDF("g", "key", "v")
+        .select(col("g"),
+          md5(col("key").cast("string").cast("binary")).as("h"), col("v"))
+        .groupBy(col("g")).agg(bk(col("h"), col("v")).as("sk"))
+        .select(col("g"), explode(col("sk")).as("e"))
+        .select(col("g"), col("e._1").as("h"), col("e._2").as("v"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(maintained == direct,
+        "merged bottom-k must equal the from-scratch bottom-k")
+      val perGroup = spark.read.parquet(sketchDir).groupBy("g").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(perGroup == Map("g0" -> 16L, "g1" -> 16L), perGroup.toString)
+    } finally q.stop()
+  }
+
   test("cusumMonitor finalizes days behind the watermark and runs the " +
     "max-reset recursion with the calibrated mean") {
     implicit val sql = spark.sqlContext
