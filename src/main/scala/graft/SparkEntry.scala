@@ -158,6 +158,8 @@ object SparkEntry {
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
     "q_lm_gate" -> ((s, dir) => TextAnalysis.lmGate(s, dir)),
+    "q_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
+    "q_ks_drift" -> ((s, dir) => TextAnalysis.lengthDriftKs(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -2123,6 +2125,54 @@ object SparkEntry {
         |       coalesce(n_bigrams, 0) AS n_bigrams, mean_cond_p,
         |       coalesce(mean_cond_p >= 0.033, TRUE) AS keep
         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin,
+    "q_collocations" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |                i -> {'a': w[i], 'b': w[i+1]})) AS p
+        |       FROM t WHERE len(w) >= 2),
+        |cab AS (SELECT p.a AS a, p.b AS b, CAST(count(*) AS BIGINT) AS cab
+        |        FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        |cb AS (SELECT b, CAST(sum(cab) AS BIGINT) AS cb FROM cab GROUP BY 1),
+        |n AS (SELECT CAST(sum(cab) AS BIGINT) AS n_total FROM cab)
+        |SELECT cab.a, cab.b, cab.cab, ca.ca, cb.cb, n.n_total,
+        |       CAST(cab.cab AS DOUBLE) * CAST(n.n_total AS DOUBLE)
+        |         / (CAST(ca.ca AS DOUBLE) * CAST(cb.cb AS DOUBLE)) AS lift
+        |FROM cab JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN n
+        |WHERE cab.cab >= 5
+        |ORDER BY lift DESC, cab.a, cab.b LIMIT 50""".stripMargin,
+    "q_ks_drift" ->
+      """WITH pl AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |lens AS (SELECT n_chars, CAST(sum(c) AS BIGINT) AS cc
+        |         FROM pl GROUP BY 1),
+        |cc AS (SELECT n_chars,
+        |              CAST(sum(cc) OVER (ORDER BY n_chars) AS BIGINT) AS cum_c,
+        |              CAST(sum(cc) OVER () AS BIGINT) AS n_c
+        |       FROM lens),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s
+        |       FROM pl GROUP BY 1),
+        |grid AS (SELECT s.source, l.n_chars
+        |         FROM (SELECT DISTINCT source FROM pl) s
+        |         CROSS JOIN (SELECT n_chars FROM lens) l),
+        |sc AS (SELECT g.source, g.n_chars,
+        |              CAST(sum(coalesce(pl.c, 0))
+        |                OVER (PARTITION BY g.source ORDER BY g.n_chars)
+        |                AS BIGINT) AS cum_s
+        |       FROM grid g LEFT JOIN pl
+        |         ON pl.source = g.source AND pl.n_chars = g.n_chars),
+        |diff AS (SELECT sc.source, sc.n_chars, ns.n_s,
+        |                abs(CAST(cum_s AS DOUBLE) / n_s
+        |                    - CAST(cum_c AS DOUBLE) / n_c) AS d
+        |         FROM sc JOIN ns ON sc.source = ns.source
+        |         JOIN cc ON sc.n_chars = cc.n_chars),
+        |ks AS (SELECT source, max(n_s) AS n_docs, max(d) AS d_stat
+        |       FROM diff GROUP BY 1)
+        |SELECT ks.source, ks.n_docs, ks.d_stat,
+        |       CAST(min(diff.n_chars) AS BIGINT) AS at_len
+        |FROM ks JOIN diff
+        |  ON diff.source = ks.source AND diff.d = ks.d_stat
+        |GROUP BY 1, 2, 3 ORDER BY ks.source""".stripMargin,
     // q_doc_signals: the wide attributes row re-states the per-signal
     // oracle expressions (same literals, same op order — IEEE-exact).
     "q_doc_signals" ->

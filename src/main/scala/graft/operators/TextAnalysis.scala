@@ -732,6 +732,62 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Per-source Kolmogorov–Smirnov drift of the document-length
+    * distribution: for each source, D = sup over lengths v of
+    * |F_source(v) − F_corpus(v)| — the corpus-QA probe that flags a
+    * source whose size profile has drifted from the collection (a crawl
+    * that started truncating, a feed that switched to stubs) without
+    * assuming any parametric shape. Both ECDFs are step functions that
+    * jump only at observed lengths, and the corpus's jump set contains
+    * every source's, so the sup is exact when evaluated on the corpus's
+    * distinct lengths — no approximation. `at_len` reports the length
+    * where the gap peaks (smallest such length on ties).
+    *
+    * Scale: everything downstream of the first (source, length) count
+    * aggregation lives on the LENGTH DOMAIN, not the corpus — distinct
+    * observed lengths (bounded: lengths are bounded integers, and a
+    * curation pipeline caps them anyway) × #sources. The two cumulative
+    * windows rank that bounded frame: per-source partitions, plus one
+    * deliberately-global window over the ≤|domain|-row corpus frame —
+    * the documented bounded-domain exception, never a window over rows.
+    * ECDF values are single divisions of exact counts; D is a
+    * fixed-order IEEE expression — oracle-exact, and the argmax
+    * re-joins on double equality of identically-computed values.
+    */
+  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame = {
+    val perLen = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .cutLineage() // domain-sized; read by margins, grid, and the join
+    val lens = perLen.groupBy(col("n_chars")).agg(sum(col("c")).as("cc"))
+    val corpusCum = lens.select(col("n_chars"),
+      sum(col("cc")).over(Window.orderBy(col("n_chars"))).as("cum_c"),
+      sum(col("cc")).over(Window.partitionBy()).as("n_c"))
+    val nS = perLen.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+    val grid = perLen.select(col("source")).distinct()
+      .crossJoin(lens.select(col("n_chars")))
+    val srcCum = grid
+      .join(perLen, Seq("source", "n_chars"), "left")
+      .select(col("source"), col("n_chars"),
+        coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum_s", sum(col("c"))
+        .over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+    val diff = srcCum
+      .join(broadcast(nS), "source")
+      .join(corpusCum, "n_chars")
+      .select(col("source"), col("n_chars"), col("n_s"),
+        abs(col("cum_s").cast("double") / col("n_s")
+          - col("cum_c").cast("double") / col("n_c")).as("d"))
+      .cutLineage() // read twice: the max and the argmax re-join
+    val ks = diff.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), max(col("d")).as("d_stat"))
+    ks.join(diff.select(col("source"), col("n_chars"), col("d")), "source")
+      .filter(col("d") === col("d_stat"))
+      .groupBy(col("source"), col("n_docs"), col("d_stat"))
+      .agg(min(col("n_chars")).as("at_len"))
+      .orderBy(col("source"))
+  }
+
   /** Gopher-style rule-based quality gate (Rae et al. 2021, appendix A
     * filter set, bounds adapted to this corpus): per-rule boolean flags
     * plus the composite verdict, so a curation run reports WHICH rule
@@ -978,6 +1034,45 @@ object TextAnalysis {
       .withColumn("keep",
         coalesce(col("mean_cond_p") >= lit(minP), lit(true)))
       .orderBy(col("doc_id"))
+
+  /** Collocation mining: the top-k bigrams by pointwise-mutual-
+    * information LIFT — cab·N / (ca·cb), the ratio of a bigram's
+    * observed frequency to what independent unigram draws would predict
+    * (Church & Hanks, "Word Association Norms, Mutual Information, and
+    * Lexicography", CL 1990 — lift is the exp of their PMI, same
+    * ranking without the engine-divergent `ln`). High lift = a phrase
+    * whose parts co-occur far beyond chance — multi-word entities,
+    * idioms, templated boilerplate — the vocabulary a tokenizer or
+    * n-gram LM should treat as units. `minCount` drops hapax noise
+    * (a 1/1/1 bigram always posts the maximal lift N).
+    *
+    * Served from the memoized [[lmArtifact]] bigram table: the corpus
+    * explode is paid once per session; this query itself touches only
+    * Heaps-bounded vocab frames — two map-side-combinable margin sums,
+    * two vocab joins (AQE-sided), a broadcast scalar, and a
+    * TakeOrdered top-k. Lift is one double expression over exact
+    * integer counts, in the same operation order as the SQL twin, so
+    * the ranking is bit-stable and oracle-checkable; ties break on
+    * (a, b) for a total order.
+    */
+  def collocations(spark: SparkSession, dir: String,
+      minCount: Long = 5, k: Int = 50): DataFrame = {
+    val (cabT, _) = lmArtifact(spark, dir)
+    val ca = cabT.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val cb = cabT.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
+    val n = cabT.agg(sum(col("cab")).as("n_total"))
+    cabT.filter(col("cab") >= minCount)
+      .join(ca, "a")
+      .join(cb, "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("cab"), col("ca"), col("cb"),
+        col("n_total"),
+        (col("cab").cast("double") * col("n_total").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(k)
+  }
 
   /** Corpus-frequency commonness score — the libm-free stand-in for a
     * unigram-LM perplexity gate (a real LM score needs `ln`, whose last

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Corpus-QA statistics (`TextAnalysis.collocations`,
+  * `TextAnalysis.lengthDriftKs`):
+  *   1. collocation lift matches the hand-computed cab·N/(ca·cb) on the
+  *      real corpus, honors the min-count floor, and ranks totally;
+  *   2. KS drift is 0 for a source whose lengths mirror the corpus mix,
+  *      maximal-gap-exact on a hand-built two-point fixture, and always
+  *      in [0, 1] with a reported argmax length that attains it.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("collocation lift = cab*N/(ca*cb) on real counts, min-count " +
+    "floor holds, ordering is total") {
+    val out = TextAnalysis.collocations(spark, dir, minCount = 5, k = 50)
+      .collect()
+    assert(out.nonEmpty && out.length <= 50)
+    // recompute the margins directly from the corpus
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val bg = docs.filter(size(split(col("text"), " ")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> struct(element_at(split(text, ' '), i) AS a, " +
+          "element_at(split(text, ' '), i + 1) AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val cab = bg.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ca = bg.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cb = bg.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bg.length.toLong
+    for (r <- out) {
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(r.getAs[Long]("cab") == cab((a, b)))
+      assert(r.getAs[Long]("cab") >= 5, "min-count floor")
+      assert(r.getAs[Long]("ca") == ca(a))
+      assert(r.getAs[Long]("cb") == cb(b))
+      assert(r.getAs[Long]("n_total") == n)
+      val lift = cab((a, b)).toDouble * n.toDouble /
+        (ca(a).toDouble * cb(b).toDouble)
+      assert(r.getAs[Double]("lift") == lift, s"($a,$b)")
+    }
+    // descending lift with (a, b) tie-break — a total order
+    val keys = out.map(r =>
+      (-r.getAs[Double]("lift"), r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted, "not totally ordered")
+    // the floor actually binds: nothing under it sneaks in
+    assert(out.forall(_.getAs[Long]("cab") >= 5))
+  }
+
+  test("KS drift: proportional source ~ 0, hand fixture exact, " +
+    "all stats in [0, 1] attained at the reported length") {
+    val out = TextAnalysis.lengthDriftKs(spark, dir).collect()
+    assert(out.length == 20)
+    for (r <- out) {
+      val d = r.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0, r.toString)
+    }
+    // hand fixture: corpus = {10 × 4, 20 × 4}; source sa all-10s,
+    // sb all-20s, sc an even mix.
+    //  F_c(10) = 0.5, F_c(20) = 1
+    //  sa: F(10) = 1    → D = 0.5 at len 10
+    //  sb: F(10) = 0    → D = 0.5 at len 10
+    //  sc: F(10) = 0.5  → D = 0
+    import spark.implicits._
+    val fix = (Seq.fill(2)(("sa", 10L)) ++ Seq.fill(2)(("sb", 20L))
+      ++ Seq(("sc", 10L), ("sc", 20L), ("sc", 10L), ("sc", 20L)))
+      .zipWithIndex
+      .map { case ((s, len), i) => (i.toLong, "x", "en", s, len) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ks").toString
+    fix.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = TextAnalysis.lengthDriftKs(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Double]("d_stat"), r.getAs[Long]("at_len"))).toMap
+    assert(got("sa") == ((0.5, 10L)), got.toString)
+    assert(got("sb") == ((0.5, 10L)), got.toString)
+    assert(got("sc")._1 == 0.0, got.toString)
+  }
+}

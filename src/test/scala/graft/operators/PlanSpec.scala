@@ -462,4 +462,27 @@ class PlanSpec extends AnyFunSuite {
       l.contains("FileScan parquet") && l.contains("embeddings"))
     assert(embScans <= 1, s"embeddings scanned $embScans times:\n$p")
   }
+
+  test("quantile sketch: the sample aggregates PARTIALLY before its " +
+      "exchange (bounded bottom-k buffers per map task) and no window " +
+      "touches raw rows — only the audit's distinct-value frame") {
+    val df = Aggregates.quantileSketch(spark, dir)
+    val p = plan(df)
+    // the BottomKSample udaf must plan as partial+final ObjectHashAggregate
+    // pairs: a hot group then moves <=k entries per map task, never rows
+    val objAggs = "ObjectHashAggregate".r.findAllIn(p).size
+    assert(objAggs >= 2, s"no partial aggregation for the sample udaf:\n$p")
+    assert(p.contains("partial_bottomksample")
+      || p.toLowerCase.contains("partial_bottomk"),
+      s"sample udaf not in partial mode:\n$p")
+    // windows exist only on the audit side, downstream of the (g, v)
+    // distinct-value aggregation — never over the raw lineitem scan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, Aggregate => LAggregate}
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "audit window expected")
+    wins.foreach { w =>
+      assert(w.child.collectFirst { case a: LAggregate => a }.nonEmpty,
+        s"audit window must rank aggregated distinct values, not raw rows:\n$w")
+    }
+  }
 }
