@@ -160,6 +160,7 @@ object SparkEntry {
     "q_lm_gate" -> ((s, dir) => TextAnalysis.lmGate(s, dir)),
     "q_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
     "q_ks_drift" -> ((s, dir) => TextAnalysis.lengthDriftKs(s, dir)),
+    "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -901,6 +902,41 @@ object SparkEntry {
         |            WHEN s_es >= s_fr THEN 'es'
         |            ELSE 'fr' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_lang_mix" ->
+      """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id, toks,
+        |             unnest(generate_series(0,
+        |               greatest(0, (len(toks) - 40 + 39) // 40))) AS chunk_id
+        |      FROM docs),
+        |ch AS (SELECT doc_id,
+        |              toks[chunk_id*40 + 1 : least(chunk_id*40 + 40, len(toks))] AS w
+        |       FROM s),
+        |sc AS (SELECT doc_id,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT) AS s_en,
+        |  CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS INT) AS s_de,
+        |  CAST(len(list_filter(w, t -> t IN ('el','la','que','los','las','una','por'))) AS INT) AS s_es,
+        |  CAST(len(list_filter(w, t -> t IN ('le','les','des','et','une','est','dans'))) AS INT) AS s_fr
+        |  FROM ch),
+        |v AS (SELECT doc_id,
+        |        CASE WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |             WHEN s_es >= s_fr THEN 'es'
+        |             ELSE 'fr' END AS lang_pred
+        |      FROM sc),
+        |votes AS (SELECT doc_id, lang_pred, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM v GROUP BY 1, 2),
+        |m AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |             CAST(max(cnt) AS BIGINT) AS major_cnt
+        |      FROM votes GROUP BY 1)
+        |SELECT m.doc_id, m.n_chunks, min(votes.lang_pred) AS major_lang,
+        |       m.major_cnt,
+        |       1.0 - CAST(m.major_cnt AS DOUBLE) / m.n_chunks AS mixed_frac,
+        |       m.major_cnt < m.n_chunks AS is_mixed
+        |FROM m JOIN votes
+        |  ON votes.doc_id = m.doc_id AND votes.cnt = m.major_cnt
+        |GROUP BY m.doc_id, m.n_chunks, m.major_cnt
+        |ORDER BY m.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5

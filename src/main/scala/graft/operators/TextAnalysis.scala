@@ -156,6 +156,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Mixed-language detection: run the [[langId]] stopword vote on
+    * NON-OVERLAPPING fixed-token chunks and measure per-document
+    * agreement — a document whose chunks vote for different languages
+    * is code-switched, a concatenation artifact, or a template wrapping
+    * foreign payload, all of which poison a monolingual training mix
+    * even when the whole-document vote looks clean (the dominant
+    * language's stopwords swamp the minority span's). Zero overlap so
+    * every token votes exactly once. Per doc: chunk count, the majority
+    * chunk language (ties break to the lexicographically smallest, same
+    * rule both engines), the majority's share complement `mixed_frac`,
+    * and the `is_mixed` flag (any disagreeing chunk).
+    *
+    * Shape: the chunk explode is the [[docChunksOn]] narrow map (fan-out
+    * ceil(tokens/chunk) per doc); votes are one map-side-combinable
+    * (doc, lang) count; the majority argmax re-joins doc-sized frames on
+    * exact counts. No windows, no per-doc sorts — scan-shaped at any
+    * corpus size.
+    */
+  def langMix(spark: SparkSession, dir: String,
+      chunkTokens: Int = 40): DataFrame = {
+    val chunks =
+      docChunksOn(Tables.documents(spark, dir), chunkTokens, overlap = 0)
+    val t = tokens(col("chunk_text"))
+    val scored = chunks.select(col("doc_id"),
+      hits(t, stopEn).as("s_en"), hits(t, stopDe).as("s_de"),
+      hits(t, stopEs).as("s_es"), hits(t, stopFr).as("s_fr"))
+      .withColumn("lang_pred",
+        when(col("s_en") === 0 && col("s_de") === 0
+          && col("s_es") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es")
+            && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+    val votes = scored.groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("cnt"))
+      .cutLineage() // doc-sized; read by the max and the argmax re-join
+    val m = votes.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_chunks"), max(col("cnt")).as("major_cnt"))
+    m.join(votes, "doc_id")
+      .filter(col("cnt") === col("major_cnt"))
+      .groupBy(col("doc_id"), col("n_chunks"), col("major_cnt"))
+      .agg(min(col("lang_pred")).as("major_lang"))
+      .select(col("doc_id"), col("n_chunks"), col("major_lang"),
+        col("major_cnt"),
+        (lit(1.0) - col("major_cnt").cast("double") / col("n_chunks"))
+          .as("mixed_frac"),
+        (col("major_cnt") < col("n_chunks")).as("is_mixed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-document top-k distinguishing terms by TF-IDF.
     *
     * Classic shape: explode tokens once; tf from a (doc, term) count, df

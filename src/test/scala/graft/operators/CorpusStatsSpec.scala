@@ -53,6 +53,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("cab") >= 5))
   }
 
+  test("langMix: a code-switched document flags mixed with the exact " +
+    "chunk-vote fraction; monolingual stays clean; votes cover chunks") {
+    import spark.implicits._
+    // 40-token chunks: doc 1 = 40 English + 40 German tokens → 2 chunks
+    // voting en, de → major en ('de' < 'en' lexicographically — but the
+    // tie-break is on COUNT ties, here counts are 1 and 1 so the min
+    // lang wins: 'de'); doc 2 = 80 English tokens → clean
+    val en = Seq.fill(4)("the cat sat on the mat with a dog in").mkString(" ")
+    val de = Seq.fill(4)("der hund ist nicht die katze und das ein zu").mkString(" ")
+    val fix = Seq(
+      (1L, s"$en $de", "en", "s", 1L),
+      (2L, s"$en $en", "en", "s", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    fix.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val got = TextAnalysis.langMix(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[String]("major_lang"),
+          r.getAs[Double]("mixed_frac"), r.getAs[Boolean]("is_mixed"))))
+      .toMap
+    assert(got(1L) == ((2L, "de", 0.5, true)), got.toString)
+    assert(got(2L) == ((2L, "en", 0.0, false)), got.toString)
+  }
+
   test("KS drift: proportional source ~ 0, hand fixture exact, " +
     "all stats in [0, 1] attained at the reported length") {
     val out = TextAnalysis.lengthDriftKs(spark, dir).collect()
