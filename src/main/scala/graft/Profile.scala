@@ -263,6 +263,29 @@ object Profile {
     t("bigram_lm_serve10x")(
       graft.operators.TextAnalysis
         .bigramScoreFromLmOn(spark, lmPath, docs10).count())
+
+    // Round-6c corpus-QA ops at 10x (materializing aggregates as above):
+    // the bottom-k quantile sample over the 6M-row fact (the sample side
+    // moves <=k entries per (group, partition); the exact audit's
+    // distinct-value window is the documented test-SF cost), collocation
+    // margins over the replicated bigram table (counts x10, vocab
+    // unchanged — measures the corpus explode + vocab-sized margins),
+    // the KS drift count aggregation at 10x input (the length domain,
+    // and so everything after the first aggregation, is
+    // replication-invariant), and the chunk-vote language mix (explode
+    // fan-out x10, vote table stays doc-sized).
+    t("quantile_sketch_10x")(
+      graft.operators.Aggregates.quantileSketchOn(li10)
+        .agg(sum(col("est_p50") + col("ex_p99"))).scalarDouble.toLong)
+    t("collocations_10x")(
+      graft.operators.TextAnalysis.collocationsOn(docs10)
+        .agg(sum(col("lift"))).scalarDouble.toLong)
+    t("ks_drift_10x")(
+      graft.operators.TextAnalysis.lengthDriftKsOn(docs10)
+        .agg(sum(col("d_stat"))).scalarDouble.toLong)
+    t("lang_mix_10x")(
+      graft.operators.TextAnalysis.langMixOn(docs10)
+        .agg(sum(col("mixed_frac"))).scalarDouble.toLong)
     spark.stop()
   }
 }

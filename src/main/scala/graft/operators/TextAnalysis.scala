@@ -175,9 +175,13 @@ object TextAnalysis {
     * corpus size.
     */
   def langMix(spark: SparkSession, dir: String,
+      chunkTokens: Int = 40): DataFrame =
+    langMixOn(Tables.documents(spark, dir), chunkTokens)
+
+  /** [[langMix]] over any (doc_id, text) frame — the profiled path. */
+  private[graft] def langMixOn(documents: DataFrame,
       chunkTokens: Int = 40): DataFrame = {
-    val chunks =
-      docChunksOn(Tables.documents(spark, dir), chunkTokens, overlap = 0)
+    val chunks = docChunksOn(documents, chunkTokens, overlap = 0)
     val t = tokens(col("chunk_text"))
     val scored = chunks.select(col("doc_id"),
       hits(t, stopEn).as("s_en"), hits(t, stopDe).as("s_de"),
@@ -805,8 +809,12 @@ object TextAnalysis {
     * fixed-order IEEE expression — oracle-exact, and the argmax
     * re-joins on double equality of identically-computed values.
     */
-  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame = {
-    val perLen = Tables.documents(spark, dir)
+  def lengthDriftKs(spark: SparkSession, dir: String): DataFrame =
+    lengthDriftKsOn(Tables.documents(spark, dir))
+
+  /** [[lengthDriftKs]] over any (source, n_chars) frame. */
+  private[graft] def lengthDriftKsOn(documents: DataFrame): DataFrame = {
+    val perLen = documents
       .groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
       .cutLineage() // domain-sized; read by margins, grid, and the join
@@ -1107,8 +1115,21 @@ object TextAnalysis {
     * (a, b) for a total order.
     */
   def collocations(spark: SparkSession, dir: String,
-      minCount: Long = 5, k: Int = 50): DataFrame = {
-    val (cabT, _) = lmArtifact(spark, dir)
+      minCount: Long = 5, k: Int = 50): DataFrame =
+    collocationsFromCab(lmArtifact(spark, dir)._1, minCount, k)
+
+  /** [[collocations]] over any (doc_id, text) frame — trains the bigram
+    * table fresh (no memo); the profiled path.
+    */
+  private[graft] def collocationsOn(documents: DataFrame,
+      minCount: Long = 5, k: Int = 50): DataFrame =
+    collocationsFromCab(
+      docBigramCounts(documents).groupBy(col("a"), col("b"))
+        .agg(sum(col("kab")).as("cab")).cutLineage(),
+      minCount, k)
+
+  private def collocationsFromCab(cabT: DataFrame, minCount: Long,
+      k: Int): DataFrame = {
     val ca = cabT.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     val cb = cabT.groupBy(col("b")).agg(sum(col("cab")).as("cb"))
     val n = cabT.agg(sum(col("cab")).as("n_total"))
