@@ -161,6 +161,7 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) => TextAnalysis.collocations(s, dir)),
     "q_ks_drift" -> ((s, dir) => TextAnalysis.lengthDriftKs(s, dir)),
     "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
+    "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -937,6 +938,21 @@ object SparkEntry {
         |  ON votes.doc_id = m.doc_id AND votes.cnt = m.major_cnt
         |GROUP BY m.doc_id, m.n_chunks, m.major_cnt
         |ORDER BY m.doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH g AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+        |               CAST(count(*) AS BIGINT) AS vocab_size FROM tf),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS r
+        |       FROM tf),
+        |spine AS (SELECT unnest([10, 100, 1000, 10000]) AS k),
+        |cov AS (SELECT spine.k,
+        |               CAST(coalesce(sum(rk.cnt), 0) AS BIGINT) AS covered_tokens
+        |        FROM spine LEFT JOIN rk ON rk.r <= spine.k GROUP BY 1)
+        |SELECT cov.k, cov.covered_tokens, tot.total_tokens, tot.vocab_size,
+        |       CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens
+        |         AS coverage_frac
+        |FROM cov CROSS JOIN tot ORDER BY cov.k""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5

@@ -77,6 +77,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(2L) == ((2L, "en", 0.0, false)), got.toString)
   }
 
+  test("vocabCoverage: matches a direct top-k count, is monotone in k, " +
+    "and never sorts the full vocabulary (TakeOrdered in the plan)") {
+    val df = TextAnalysis.vocabCoverage(spark, dir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top types must arrive via TakeOrdered, not a global sort")
+    val out = df.collect()
+    assert(out.map(_.getAs[Int]("k")).toSeq == Seq(10, 100, 1000, 10000))
+    val fracs = out.map(_.getAs[Double]("coverage_frac")).toSeq
+    assert(fracs == fracs.sorted, "coverage must be monotone in k")
+    assert(fracs.forall(f => f > 0.0 && f <= 1.0))
+    // direct recomputation of the k=10 point
+    val counts = graft.sources.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val top10 = counts.sortBy { case (t, c) => (-c, t) }.take(10).map(_._2).sum
+    val total = counts.map(_._2).sum
+    val row10 = out.find(_.getAs[Int]("k") == 10).get
+    assert(row10.getAs[Long]("covered_tokens") == top10)
+    assert(row10.getAs[Long]("total_tokens") == total)
+    assert(row10.getAs[Long]("vocab_size") == counts.length.toLong)
+  }
+
   test("KS drift: proportional source ~ 0, hand fixture exact, " +
     "all stats in [0, 1] attained at the reported length") {
     val out = TextAnalysis.lengthDriftKs(spark, dir).collect()
