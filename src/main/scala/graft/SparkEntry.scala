@@ -186,6 +186,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "q_label_noise" -> ((s, dir) => Similarity.labelNoise(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
@@ -2450,6 +2451,48 @@ object SparkEntry {
         |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
         |FROM embeddings e, q
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "q_label_noise" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         label
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, v.label, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, label, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS nb_id, b.label AS nb_label,
+        |         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i]))
+        |         / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |            * sqrt(list_sum(list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])))) AS cos
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+        |topk AS (SELECT vec_id, label, nb_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |                                 ORDER BY cos DESC, nb_id) AS r
+        |    FROM pairs) WHERE r <= 5),
+        |votes AS (SELECT vec_id, label, nb_label, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM topk GROUP BY 1, 2, 3),
+        |m AS (SELECT vec_id, label, CAST(max(cnt) AS BIGINT) AS n_agree,
+        |             CAST(sum(cnt) AS BIGINT) AS n_neighbors
+        |      FROM votes GROUP BY 1, 2),
+        |mj AS (SELECT m.vec_id, m.label, m.n_agree, m.n_neighbors,
+        |              min(votes.nb_label) AS neigh_label
+        |       FROM m JOIN votes ON votes.vec_id = m.vec_id
+        |                        AND votes.cnt = m.n_agree
+        |       GROUP BY 1, 2, 3, 4)
+        |SELECT a.vec_id, a.label, mj.neigh_label,
+        |       coalesce(mj.n_agree, 0) AS n_agree,
+        |       coalesce(mj.n_neighbors, 0) AS n_neighbors,
+        |       coalesce(mj.neigh_label <> a.label, FALSE) AS is_suspect
+        |FROM assigned a LEFT JOIN mj ON mj.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "q_ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Materialize.MatOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Stable._
 import graft.functions.VectorFunctions._
@@ -42,6 +43,70 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("best.v").as("v"), col("best.cid").as("cid"))
+
+  /** kNN label-noise sweep (Confident-Learning-style mislabel triage,
+    * cf. Northcutt et al., JAIR 2021): every vector's k nearest
+    * neighbors vote with their labels; a vector whose own label loses
+    * the vote is flagged `is_suspect` — the embedding-space QA pass
+    * that surfaces mislabeled training examples before they poison a
+    * classifier head. Neighbors are searched IVF-blocked, within the
+    * vector's nearest-centroid cell (same naive first-C codebook and
+    * argmin assignment as [[annIvfTopK]], so the whole query is
+    * oracle-checkable) — never all-pairs: candidate volume is
+    * Σ_cell |cell|², the blocked-kNN budget, and at corpus scale the
+    * same plan runs over [[kmeansCodebook]] with C ~ √n cells and the
+    * materialized [[writeIvfIndex]] layout. The top-k rank window keys
+    * on the QUERY vector (high-cardinality; partition = its cell
+    * mates), the vote argmax joins vector-sized frames on exact
+    * counts, and ties break to the smaller label on both engines. A
+    * vector alone in its cell has no neighbors: it reports zero votes
+    * and is NOT suspect (insufficient evidence ≠ noise).
+    */
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // assignNearest with the label riding the argmin struct (cid decides
+    // every tie before the comparison could reach v or label)
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        struct(l2sq(col("v"), col("cv")).as("dist"), col("cid"), col("v"),
+          col("label")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.v").as("v"), col("best.label").as("label"))
+      .cutLineage() // read by the pair join (twice) and the keep-all join
+    val mates = assigned.select(col("cid"), col("vec_id").as("nb_id"),
+      col("v").as("nv"), col("label").as("nb_label"))
+    val pairs = assigned.join(mates, "cid")
+      .filter(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("label"), col("nb_id"), col("nb_label"),
+        cosine(col("v"), col("nv")).as("cos"))
+    val topk = pairs.withColumn("r", row_number().over(Window
+        .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("nb_id"))))
+      .filter(col("r") <= k)
+    val votes = topk.groupBy(col("vec_id"), col("label"), col("nb_label"))
+      .agg(count(lit(1)).as("cnt"))
+      .cutLineage() // read by the max and the argmax re-join
+    val m = votes.groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cnt")).as("n_agree"), sum(col("cnt")).as("n_neighbors"))
+    val mj = m.join(votes, Seq("vec_id", "label"))
+      .filter(col("cnt") === col("n_agree"))
+      .groupBy(col("vec_id"), col("label"), col("n_agree"),
+        col("n_neighbors"))
+      .agg(min(col("nb_label")).as("neigh_label"))
+    assigned.select(col("vec_id"), col("label"))
+      .join(mj.select(col("vec_id"), col("neigh_label"), col("n_agree"),
+        col("n_neighbors")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"), col("neigh_label"),
+        coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+        coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+        coalesce(col("neigh_label") =!= col("label"), lit(false))
+          .as("is_suspect"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Exact cosine top-k for the query vector (vec_id = queryId). */
   def cosineTopK(spark: SparkSession, dir: String, queryId: Long = 0,

@@ -106,4 +106,31 @@ class SimilarityRecallSpec extends AnyFunSuite {
     // fixture corpus and first-16 codebook are deterministic
     assert((r1, r4, r8) == ((0.75, 0.9, 1.0)))
   }
+
+  test("labelNoise flags a planted flipped label and clears its " +
+    "clean cell-mates") {
+    import spark.implicits._
+    // two tight clusters of identical vectors; ids 0-15 double as the
+    // codebook. Cluster A = [1,0] labeled 0 (ids 0-7, 16-19), cluster
+    // B = [0,1] labeled 1 (ids 8-15, 21-23); id 20 sits in A with the
+    // WRONG label 1 — its 5 nearest cell-mates all vote 0.
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.0f, 1.0f)
+    val rows = ((0 to 7).map(i => (i.toLong, a, 0)) ++
+      (8 to 15).map(i => (i.toLong, b, 1)) ++
+      (16 to 19).map(i => (i.toLong, a, 0)) ++
+      Seq((20L, a, 1)) ++
+      (21 to 23).map(i => (i.toLong, b, 1)))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ln").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val got = Similarity.labelNoise(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_suspect"), r.getAs[Long]("n_agree"))))
+      .toMap
+    assert(got.size == 24)
+    assert(got(20L) == ((true, 5L)), s"flipped label must be flagged: $got")
+    assert(got.filter(_._1 != 20L).values.forall(!_._1),
+      s"clean vectors must not be flagged: $got")
+  }
 }
