@@ -654,6 +654,58 @@ object EventStream {
       }
       .start()
 
+  /** Streaming distribution gate from a maintained [[quantileMaintain]]
+    * sample artifact: rows whose value falls outside the stored
+    * [qLo, qHi] discrete quantile band for their group are dropped
+    * before landing — the outlier fence a metrics/feature ingest runs
+    * against yesterday's distribution (a sensor stuck at 0, a price
+    * feed shifting units) without ever rescanning history. Cuts are
+    * computed ONCE per sink from the ≤k-rows-per-group artifact (the
+    * collect_list is sample-sized by construction) and broadcast into
+    * every batch; refreshing the fence = rewriting the artifact, the
+    * same contract as [[nearDupGate]]'s index and
+    * [[tokenAccountingSink]]'s dict. A group absent from the artifact
+    * admits its rows — no evidence is not an anomaly verdict (the
+    * [[graft.operators.TextAnalysis.lmGate]] too-short rule). Survivors
+    * land in `ingest_batch=<id>` partitions under DYNAMIC overwrite so
+    * a replayed batch rewrites its own partition instead of appending
+    * twice.
+    */
+  def quantileGateSink(rows: DataFrame, groupCol: String, valueCol: String,
+      sketchPath: String, outPath: String, checkpoint: String,
+      qLo: Double = 0.01, qHi: Double = 0.99)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = rows.sparkSession
+    val cuts = spark.read.parquet(sketchPath)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"),
+        count(lit(1)).as("n"))
+      .select(col("g"),
+        element_at(col("vs"),
+          greatest(lit(1), ceil(lit(qLo) * col("n")).cast("int"))).as("lo"),
+        element_at(col("vs"),
+          greatest(lit(1), ceil(lit(qHi) * col("n")).cast("int"))).as("hi"))
+      .persist()
+    rows.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch
+            .join(broadcast(cuts), batch(groupCol) === cuts("g"), "left")
+            .filter(col("g").isNull
+              || (col(valueCol).cast("double") >= col("lo")
+                && col(valueCol).cast("double") <= col("hi")))
+            .drop("g", "lo", "hi")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+  }
+
   /** Streaming token accounting from a materialized
     * [[graft.operators.Bpe.writeBpeDict]] tokenizer artifact: each
     * micro-batch of incoming documents is tokenized by the stored

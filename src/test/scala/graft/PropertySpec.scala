@@ -400,4 +400,28 @@ class PropertySpec extends AnyFunSuite {
         && "<PHONE>".r.findAllIn(red).size == np, red)
     }
   }
+
+  test("BottomKSample merge law under random split points, sizes, and " +
+    "duplicates: any partial merge equals the direct bottom-k") {
+    val agg = new graft.functions.BottomKSample(8)
+    def build(xs: Seq[(String, Double)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val pair: Gen[(String, Double)] = Gen.zip(
+      Gen.choose(0, 40).map(i => f"h$i%02d"), // narrow key space → h ties
+      Gen.choose(-5.0, 5.0))
+    val cases = sample(Gen.zip(Gen.listOfN(60, pair), Gen.choose(0, 60)),
+      200, seed = 31L)
+    for ((xs, cut) <- cases) {
+      val direct = agg.finish(build(xs))
+      // reference semantics: the 8 smallest under (h, v) order
+      val expect = xs.sortBy(identity).take(8)
+      assert(direct == expect, s"direct != sorted-take on $xs")
+      val (a, b) = xs.splitAt(cut)
+      assert(agg.finish(agg.merge(build(a), build(b))) == expect,
+        s"merge law broken at cut=$cut on $xs")
+      // three-way tree merge (the shape a shuffle reduce tree takes)
+      val (b1, b2) = b.splitAt(b.length / 2)
+      assert(agg.finish(agg.merge(agg.merge(build(a), build(b1)),
+        build(b2))) == expect, s"tree merge broken on $xs")
+    }
+  }
 }

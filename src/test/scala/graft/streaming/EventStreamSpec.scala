@@ -663,6 +663,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantileGateSink drops rows outside the stored [p01, p99] band " +
+    "and admits unknown groups") {
+    implicit val sql = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_qgate").toString
+    val (sketchDir, outDir, ck1, ck2) = (s"$base/sk", s"$base/out",
+      s"$base/ck1", s"$base/ck2")
+    // history: g0 values 1..100 with k >= n so the sample IS the
+    // distribution — cuts are exactly v[ceil(q*n)]: lo = 1, hi = 99
+    val hist = MemoryStream[(String, String, Double)]
+    val qm = EventStream.quantileMaintain(
+      hist.toDF().toDF("g", "key", "v"), "g", "key", "v",
+      sketchDir, ck1, k = 128)
+    try {
+      hist.addData((1 to 100).map(i => ("g0", i.toString, i.toDouble)): _*)
+      qm.processAllAvailable()
+    } finally qm.stop()
+    val in = MemoryStream[(String, Long, Double)]
+    val gate = EventStream.quantileGateSink(
+      in.toDF().toDF("g0col", "row_id", "value"), "g0col", "value",
+      sketchDir, outDir, ck2)
+    try {
+      in.addData(("g0", 1L, 0.2), ("g0", 2L, 50.0), ("g0", 3L, 99.0),
+        ("g0", 4L, 100.0), ("gX", 5L, 1e9))
+      gate.processAllAvailable()
+      val kept = spark.read.parquet(outDir)
+        .select("row_id").collect().map(_.getLong(0)).toSet
+      // 0.2 < lo=1 dropped; 100 > hi=99 dropped; unknown gX admitted
+      assert(kept == Set(2L, 3L, 5L), kept.toString)
+    } finally gate.stop()
+  }
+
   test("cusumMonitor finalizes days behind the watermark and runs the " +
     "max-reset recursion with the calibrated mean") {
     implicit val sql = spark.sqlContext
