@@ -187,6 +187,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_label_noise" -> ((s, dir) => Similarity.labelNoise(s, dir)),
+    "q_embed_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
@@ -874,6 +875,28 @@ object SparkEntry {
         |            THEN CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(x) END AS dim_mean,
         |       count(*) AS n_vecs
         |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+    "q_embed_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 = 0 AS in_a, CAST(i - 1 AS INT) AS pos,
+        |         CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+        |c AS (SELECT label, pos,
+        |        CAST(sum(CAST(CASE WHEN in_a THEN x END AS DECIMAL(18,6)))
+        |          AS DECIMAL(18,6)) AS sa,
+        |        CAST(sum(CAST(CASE WHEN NOT in_a THEN x END AS DECIMAL(18,6)))
+        |          AS DECIMAL(18,6)) AS sb,
+        |        CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM e GROUP BY 1, 2),
+        |d AS (SELECT label,
+        |        CAST(max(ca) AS BIGINT) AS n_a, CAST(max(cb) AS BIGINT) AS n_b,
+        |        sum(sa * sb) AS dot, sum(sa * sa) AS na2, sum(sb * sb) AS nb2
+        |      FROM c GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |       CAST(dot AS DOUBLE)
+        |         / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+        |         AS cos_drift
+        |FROM d ORDER BY label""".stripMargin,
     "q_embed_quantize" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

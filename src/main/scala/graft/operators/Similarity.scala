@@ -646,6 +646,50 @@ object Similarity {
       .agg(davg(col("x")).as("dim_mean"), count(lit(1)).as("n_vecs"))
       .orderBy(col("label"), col("pos"))
 
+  /** Embedding-space drift monitor: per label, the cosine between the
+    * class centroid computed from the even-id snapshot half and the
+    * odd-id half (the same A/B convention as
+    * [[graft.operators.TextAnalysis.corpusDrift]]) — the alarm that
+    * catches an encoder version change, a preprocessing regression, or
+    * a distribution shift upstream of every ANN index and semantic
+    * dedup pass that assumes embeddings are comparable across batches.
+    * Healthy pipelines sit near 1; a drifted class falls away first.
+    *
+    * Cosine is SCALE-INVARIANT, so the computation uses the per-dim
+    * decimal SUM vectors, never the means: sums of DECIMAL(18,6)
+    * images are exact, their pairwise products are exact
+    * DECIMAL(37,12), and the dim-summed dot/norms stay exact decimals
+    * until ONE final double division — no double→decimal re-rounding
+    * of a computed value anywhere (that re-rounding is
+    * engine-divergent at the last decimal: Spark rounds the double's
+    * shortest representation, DuckDB its full binary expansion).
+    * Order-independent, and every step replicates in ANSI SQL so the
+    * drift value itself hash-checks. Shape: one posexplode + two
+    * label·dims-sized aggregations — the [[labelCentroids]] shuffle
+    * twice over, nothing corpus-sized past the first combine.
+    */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val dims = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2 === 0).as("in_a"),
+        posexplode(vecD(col("embedding"))).as(Seq("pos", "x")))
+    val cents = dims.groupBy(col("label"), col("pos"))
+      .agg(sum(dec(when(col("in_a"), col("x")))).cast(d186).as("sa"),
+        sum(dec(when(!col("in_a"), col("x")))).cast(d186).as("sb"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("cb"))
+    cents.groupBy(col("label"))
+      .agg(max(col("ca")).as("n_a"), max(col("cb")).as("n_b"),
+        sum(col("sa") * col("sb")).as("dot"),
+        sum(col("sa") * col("sa")).as("na2"),
+        sum(col("sb") * col("sb")).as("nb2"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dot").cast("double")
+          / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .as("cos_drift"))
+      .orderBy(col("label"))
+  }
+
   /** Contrastive hard-negative mining: for every label, the `k` vectors
     * from OTHER labels most cosine-similar to that label's centroid —
     * the negatives a contrastive/embedding training run actually learns

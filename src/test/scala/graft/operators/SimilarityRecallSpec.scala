@@ -133,4 +133,28 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(got.filter(_._1 != 20L).values.forall(!_._1),
       s"clean vectors must not be flagged: $got")
   }
+
+  test("embeddingDrift: identical snapshot halves score ~1, an " +
+    "orthogonal flip scores ~0, and half counts are reported") {
+    import spark.implicits._
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.0f, 1.0f)
+    // label 0 (ids 0-19): both snapshot halves along a (stable).
+    // label 1 (ids 20-39): even ids a, odd ids b — drifted orthogonal.
+    val rows = (0 until 40).map { i =>
+      val lab = i / 20
+      val v = if (lab == 0 || i % 2 == 0) a else b
+      (i.toLong, v, lab)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ed").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val got = Similarity.embeddingDrift(spark, tmp).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Double]("cos_drift"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b")))).toMap
+    assert(got(0)._2 == 10L && got(0)._3 == 10L, got.toString)
+    assert(math.abs(got(0)._1 - 1.0) < 1e-12, s"stable label: ${got(0)}")
+    assert(math.abs(got(1)._1) < 1e-12, s"drifted label: ${got(1)}")
+  }
 }
