@@ -66,6 +66,7 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
+    "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
@@ -151,6 +152,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashNearDup(s, dir)),
     "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
+    "q_dup_matrix" -> ((s, dir) => Dedup.dupSourceMatrix(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
@@ -1360,6 +1362,29 @@ object SparkEntry {
         |JOIN sz za ON za.source = mm.sa
         |JOIN sz zb ON zb.source = mm.sb
         |ORDER BY mm.sa, mm.sb""".stripMargin,
+    "q_benford" ->
+      """WITH ex(digit, exp_share) AS (VALUES
+        |  (1, 0.3010299956639812), (2, 0.17609125905568124),
+        |  (3, 0.12493873660829992), (4, 0.09691001300805642),
+        |  (5, 0.07918124604762482), (6, 0.06694678963061322),
+        |  (7, 0.05799194697768673), (8, 0.05115252244738129),
+        |  (9, 0.04575749056067514)),
+        |d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |               AS VARCHAR), 1, 1) AS INT) AS digit
+        |      FROM orders WHERE o_totalprice >= 1),
+        |counts AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |           FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM counts)
+        |SELECT ex.digit, coalesce(counts.n_obs, 0) AS n_obs,
+        |       CAST(coalesce(counts.n_obs, 0) AS DOUBLE) / tot.n_total
+        |         AS obs_share,
+        |       ex.exp_share,
+        |       (CAST(coalesce(counts.n_obs, 0) AS DOUBLE) / tot.n_total
+        |          - ex.exp_share)
+        |       * (CAST(coalesce(counts.n_obs, 0) AS DOUBLE) / tot.n_total
+        |          - ex.exp_share) / ex.exp_share AS chi2_term
+        |FROM ex LEFT JOIN counts ON ex.digit = counts.digit
+        |CROSS JOIN tot ORDER BY ex.digit""".stripMargin,
     "q_quantile_sketch" ->
       """WITH base AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,
@@ -2038,6 +2063,31 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
         |ORDER BY da, db""".stripMargin,
+    // q_dup_matrix: derived from the same verified pair set as
+    // q_dedup_minhash (exact-Jaccard oracle; the banding-recall caveat
+    // below applies identically — deterministic on the fixed testdata).
+    "q_dup_matrix" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))
+        |          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        |m AS (SELECT least(x.source, y.source) AS sa,
+        |             greatest(x.source, y.source) AS sb
+        |      FROM pairs JOIN documents x ON pairs.da = x.doc_id
+        |                 JOIN documents y ON pairs.db = y.doc_id)
+        |SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q_minhash_join: probabilistic oracle — the Spark side emits only
     // LSH band-collision candidates while this twin is an exact
     // cross-join Jaccard, so Spark can legitimately miss a pair the

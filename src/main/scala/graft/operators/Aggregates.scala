@@ -627,6 +627,44 @@ object Aggregates {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Benford first-digit audit of order totals: observed leading-digit
+    * shares against Benford's law (Newcomb 1881; Benford 1938 —
+    * P(d) = log₁₀(1 + 1/d)), with per-digit χ² contributions — the
+    * data-quality canary that flags fabricated, truncated, or
+    * unit-mangled numeric feeds, where a mean/variance check stays
+    * blind (fabricators pick uniform-ish leading digits). The leading
+    * digit comes from the INTEGER part's exact string form
+    * (floor → bigint → string — no log10 in the extraction, and no
+    * double-to-string formatting, both engine-divergent); the nine
+    * Benford expectations are pinned literals, identical in the SQL
+    * twin, so the whole audit is bit-exact. One narrow scan + a 9-row
+    * aggregation + broadcast total — scan-shaped at any size.
+    */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
+      3 -> 0.12493873660829992, 4 -> 0.09691001300805642,
+      5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
+      7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
+      9 -> 0.04575749056067514).toDF("digit", "exp_share")
+    val counts = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    broadcast(expected).join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        (coalesce(col("n_obs"), lit(0L)).cast("double") / col("n_total"))
+          .as("obs_share"), col("exp_share"))
+      .withColumn("chi2_term",
+        (col("obs_share") - col("exp_share"))
+          * (col("obs_share") - col("exp_share")) / col("exp_share"))
+      .orderBy(col("digit"))
+  }
+
   /** The bare bottom-k-by-hash uniform sample of a (g, h, v) frame — the
     * mergeable quantile-sketch artifact ([[quantileSketchOn]] reports
     * estimates from it; the streaming maintainer unions and re-takes it

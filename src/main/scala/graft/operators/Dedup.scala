@@ -197,6 +197,39 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Cross-source duplication matrix: near-dup PAIR counts per
+    * unordered source pair — the corpus-governance view over
+    * [[minhashNearDup]] ("src3 and src7 share 40% of their near-dups:
+    * one mirrors the other; src5 mostly self-duplicates: templated
+    * content"). Diagonal entries are within-source duplication;
+    * off-diagonal entries are mirrors/syndication, each wanting a
+    * different curation response (cap the template vs drop the
+    * mirror).
+    *
+    * Shape: the pair frame is candidate-generation-bounded (true
+    * near-dup volume, never n²); the doc → source map joins it on
+    * doc_id — pairs are the small side, so AQE broadcasts them against
+    * the corpus-sized map at any scale — and the matrix aggregation is
+    * ≤ #sources² rows. Inherits [[minhashNearDup]]'s banding recall
+    * (miss ≈ 1.5e-4 per pair at j = 0.7); deterministic on fixed data.
+    */
+  def dupSourceMatrix(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = minhashNearDupOn(docs, threshold)
+      .select(col("da"), col("db"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("da"), col("source").as("src_a")),
+        "da")
+      .join(src.select(col("doc_id").as("db"), col("source").as("src_b")),
+        "db")
+      .select(least(col("src_a"), col("src_b")).as("sa"),
+        greatest(col("src_a"), col("src_b")).as("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Cross-corpus MinHash-LSH join — the fuzzy twin of
     * [[incrementalExact]]: which incoming-batch documents are NEAR
     * duplicates (n-gram Jaccard ≥ threshold) of something already in the
