@@ -67,6 +67,7 @@ object SparkEntry {
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
     "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
+    "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
@@ -1362,6 +1363,22 @@ object SparkEntry {
         |JOIN sz za ON za.source = mm.sa
         |JOIN sz zb ON zb.source = mm.sb
         |ORDER BY mm.sa, mm.sb""".stripMargin,
+    "q_decay_sum" ->
+      """WITH a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |w AS (SELECT o_custkey, o_totalprice,
+        |        CAST(floor(10000.0 / power(2.0,
+        |          date_diff('day', CAST(o_orderdate AS DATE),
+        |                    CAST(a.anchor AS DATE)) // 30)) AS BIGINT)
+        |          AS w_e4,
+        |        CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 1000000
+        |          AS BIGINT) AS price_micro
+        |      FROM orders, a)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS revenue_raw,
+        |       CAST(CAST(sum(price_micro * w_e4) AS BIGINT) AS DOUBLE)
+        |         / 10000000000 AS revenue_decayed
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_benford" ->
       """WITH ex(digit, exp_share) AS (VALUES
         |  (1, 0.3010299956639812), (2, 0.17609125905568124),

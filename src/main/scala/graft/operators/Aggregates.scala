@@ -627,6 +627,48 @@ object Aggregates {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** Recency-decayed revenue per customer: each order weighted by
+    * 2^(−age/halfLife) relative to the newest order — the
+    * exponential-decay aggregation every feature store and
+    * freshness-weighted training mix wants, made bit-exact WITHOUT
+    * `exp`/`ln` (engine-divergent in the last ulp): the decay exponent
+    * is the INTEGER `age div halfLife`, 2^−k is an exact power of two
+    * in IEEE doubles, and BOTH factors ship as exact integers — price
+    * in micro-units (the scale-6 decimal image × 10⁶), weight as
+    * ⌊10⁴·2^−k⌋ — so the weighted sum is pure LONG arithmetic:
+    * order-independent, and converted to a double exactly ONCE at the
+    * end (int64 → double is correctly rounded identically on every
+    * engine, where a wide DECIMAL → double conversion rounds twice in
+    * engines that go through the scaled integer — a 1-ulp cross-engine
+    * trap past 2⁵³). The weight floor retires history older than ~14
+    * half-lives (weight 0) — the point of a decay weight anyway; the
+    * long sum holds to ~10¹⁸ micro⁴-units ≈ 10⁸ unit-scale rows per
+    * customer. Raw revenue rides beside it on the usual DECIMAL image.
+    *
+    * Shape: one broadcast scalar (the anchor date), one narrow weight
+    * map, one map-side-combinable per-customer aggregation — scan-
+    * shaped at any size, no windows, no per-customer sorts.
+    */
+  def decayedRevenue(spark: SparkSession, dir: String,
+      halfLifeDays: Int = 30): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
+    o.crossJoin(broadcast(anchor))
+      .withColumn("k", expr(
+        s"datediff(cast(anchor as date), cast(o_orderdate as date)) " +
+          s"div $halfLifeDays"))
+      .withColumn("w_e4",
+        floor(lit(10000.0) / pow(lit(2.0), col("k"))).cast("long"))
+      .withColumn("price_micro",
+        (dec(col("o_totalprice")) * 1000000).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue_raw"),
+        (sum(col("price_micro") * col("w_e4")).cast("double")
+          / 1e10).as("revenue_decayed"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Benford first-digit audit of order totals: observed leading-digit
     * shares against Benford's law (Newcomb 1881; Benford 1938 —
     * P(d) = log₁₀(1 + 1/d)), with per-digit χ² contributions — the
