@@ -71,6 +71,7 @@ object SparkEntry {
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
+    "q_split_temporal" -> ((s, dir) => Sampling.splitTemporal(s, dir)),
     "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
     "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
     "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
@@ -1892,6 +1893,16 @@ object SparkEntry {
         |FROM ranked r JOIN caps c ON r.source = c.source
         |WHERE r.pick <= c.k_s
         |ORDER BY r.source, r.pick""".stripMargin,
+    "q_split_temporal" ->
+      """WITH o AS (SELECT o_orderkey, o_orderdate,
+        |                  epoch_us(o_orderdate) AS ep FROM orders),
+        |c AS (SELECT quantile_cont(ep, 0.8) AS c_train,
+        |             quantile_cont(ep, 0.9) AS c_val FROM o)
+        |SELECT o_orderkey, o_orderdate,
+        |       CASE WHEN ep <= c_train THEN 'train'
+        |            WHEN ep <= c_val THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM o, c ORDER BY o_orderkey""".stripMargin,
     "q_split_leakfree" ->
       s"""WITH RECURSIVE $dupClusterCtes,
         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)

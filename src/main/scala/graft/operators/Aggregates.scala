@@ -724,6 +724,28 @@ object Aggregates {
       .agg(bk(col("h"), col("v")).as("sk"), count(lit(1)).as("n_rows"))
   }
 
+  /** Serve quantile estimates from a STORED [[graft.streaming
+    * .EventStream.quantileMaintain]] sample artifact: zero scans of the
+    * underlying data — the ≤k-rows-per-group (g, h, v) parquet is the
+    * whole input, so any quantile of everything ever streamed costs a
+    * sample-sized read (the batch twin of the streaming
+    * `quantileGateSink`; same discrete v[⌈q·n⌉] estimator as
+    * [[quantileSketchOn]], spec-proved equal on a shared corpus).
+    */
+  def quantileFromSample(spark: SparkSession, sketchPath: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val base = spark.read.parquet(sketchPath)
+      .groupBy(col("g"))
+      .agg(sort_array(collect_list(col("v"))).as("vs"),
+        count(lit(1)).as("k_sample"))
+    qs.foldLeft(base) { (df, q) =>
+      df.withColumn(s"est_p${(q * 100).round}",
+        element_at(col("vs"),
+          greatest(lit(1), ceil(lit(q) * col("k_sample")).cast("int"))))
+    }.drop("vs").orderBy(col("g"))
+  }
+
   /** Mergeable quantile sketch next to its exact audit: per return-flag
     * class, estimate the p50/p90/p99 of extended price from a bottom-k
     * uniform sample (each row tagged with the md5 of its unique

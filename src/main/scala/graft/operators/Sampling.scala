@@ -133,6 +133,43 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("hk"), col("split"))
       .orderBy(col("doc_id"))
 
+  /** TEMPORAL train/val/test split: assign by event time against the
+    * p80/p90 cuts of the observed time distribution — train on the
+    * past, validate on the near-present, test on the newest slice. The
+    * complement of [[splitAssign]]'s hash split: hash splits measure
+    * in-distribution generalization; a temporal holdout measures the
+    * thing a production model actually faces (tomorrow's data), and is
+    * the only split that catches time leakage in derived features.
+    * Cuts are interpolated percentiles of the exact epoch-micros image
+    * (`percentile` ≡ DuckDB `quantile_cont` bit-for-bit, the
+    * [[graft.operators.Aggregates.priceOutliers]] contract), so
+    * membership is deterministic and oracle-checkable.
+    *
+    * Scale: one percentile aggregation (two values out), broadcast back
+    * over a narrow scan — the same two-pass broadcast-cuts shape as
+    * the outlier filter; no sort of the data, stable under replays.
+    * Note the cut is relative to the CURRENT max date: unlike the hash
+    * split, growth moves the boundaries — re-materialize per snapshot
+    * (that is the semantics of a temporal holdout).
+    */
+  def splitTemporal(spark: SparkSession, dir: String,
+      trainQ: Double = 0.8, valQ: Double = 0.9): DataFrame = {
+    require(0 < trainQ && trainQ < valQ && valQ < 1,
+      s"need 0 < trainQ < valQ < 1, got $trainQ / $valQ")
+    val o = Tables.orders(spark, dir)
+      .withColumn("ep", unix_micros(col("o_orderdate").cast("timestamp")))
+    val cuts = o.agg(
+      expr(s"percentile(ep, $trainQ)").as("c_train"),
+      expr(s"percentile(ep, $valQ)").as("c_val"))
+    o.crossJoin(broadcast(cuts))
+      .withColumn("split",
+        when(col("ep") <= col("c_train"), "train")
+          .when(col("ep") <= col("c_val"), "val")
+          .otherwise("test"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("split"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Leakage-free train/val/test split: hash the doc's NEAR-DUP CLUSTER
     * id, not its own id. Per-document hashing ([[splitAssign]]) puts two
     * near-copies of the same page on opposite sides of the split with

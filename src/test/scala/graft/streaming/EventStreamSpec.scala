@@ -660,6 +660,18 @@ class EventStreamSpec extends AnyFunSuite {
       val perGroup = spark.read.parquet(sketchDir).groupBy("g").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(perGroup == Map("g0" -> 16L, "g1" -> 16L), perGroup.toString)
+      // the batch reader serves the discrete v[ceil(q*k)] estimator
+      // straight from the artifact — zero scans of the stream history
+      val est = graft.operators.Aggregates
+        .quantileFromSample(spark, sketchDir, Seq(0.5, 0.9)).collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Double]("est_p50"), r.getAs[Double]("est_p90"))))
+        .toMap
+      for (g <- Seq("g0", "g1")) {
+        val vs = direct.filter(_._1 == g).map(_._3).toSeq.sorted
+        def q(p: Double) = vs(math.ceil(p * vs.length).toInt - 1)
+        assert(est(g) == ((q(0.5), q(0.9))), s"$g: ${est(g)}")
+      }
     } finally q.stop()
   }
 
