@@ -724,6 +724,16 @@ object Aggregates {
       .agg(bk(col("h"), col("v")).as("sk"), count(lit(1)).as("n_rows"))
   }
 
+  /** THE discrete sample-quantile estimator — v[⌈q·n⌉] of a sorted
+    * value-array column, 1-clamped — shared by [[quantileSketchOn]],
+    * [[quantileFromSample]], and the streaming gate's cut computation
+    * so the stored-artifact ≡ batch-estimator contract is enforced by
+    * one definition, not by parallel copies.
+    */
+  private[graft] def sampleQuantile(vs: Column, n: Column,
+      q: Double): Column =
+    element_at(vs, greatest(lit(1), ceil(lit(q) * n).cast("int")))
+
   /** Serve quantile estimates from a STORED [[graft.streaming
     * .EventStream.quantileMaintain]] sample artifact: zero scans of the
     * underlying data — the ≤k-rows-per-group (g, h, v) parquet is the
@@ -735,14 +745,16 @@ object Aggregates {
   def quantileFromSample(spark: SparkSession, sketchPath: String,
       qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    val names = qs.map(q => s"est_p${(q * 100).round}")
+    require(names.distinct.size == qs.size,
+      s"quantiles $qs collide after percent rounding ($names) — " +
+        "distinct integer-percent budgets only")
     val base = spark.read.parquet(sketchPath)
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("v"))).as("vs"),
         count(lit(1)).as("k_sample"))
-    qs.foldLeft(base) { (df, q) =>
-      df.withColumn(s"est_p${(q * 100).round}",
-        element_at(col("vs"),
-          greatest(lit(1), ceil(lit(q) * col("k_sample")).cast("int"))))
+    qs.zip(names).foldLeft(base) { case (df, (q, name)) =>
+      df.withColumn(name, sampleQuantile(col("vs"), col("k_sample"), q))
     }.drop("vs").orderBy(col("g"))
   }
 
@@ -777,8 +789,7 @@ object Aggregates {
       md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
         .cast("binary")).as("h"))
     def sampleQ(p: Double): Column =
-      element_at(col("vs"),
-        greatest(lit(1), ceil(lit(p) * col("k_sample")).cast("int")))
+      sampleQuantile(col("vs"), col("k_sample"), p)
     val est = bottomKSample(base, k)
       .select(col("g"), col("n_rows"), size(col("sk")).as("k_sample"),
         array_sort(expr("transform(sk, x -> x._2)")).as("vs"))

@@ -664,9 +664,18 @@ object Similarity {
     * engine-divergent at the last decimal: Spark rounds the double's
     * shortest representation, DuckDB its full binary expansion).
     * Order-independent, and every step replicates in ANSI SQL so the
-    * drift value itself hash-checks. Shape: one posexplode + two
-    * label·dims-sized aggregations — the [[labelCentroids]] shuffle
-    * twice over, nothing corpus-sized past the first combine.
+    * drift value itself hash-checks — WITHIN the final cast's bound:
+    * the terminal DECIMAL(38,12) → double conversion is single-rounded
+    * here (BigDecimal) but double-rounded in engines that convert the
+    * scaled integer first, so cross-engine bit-identity holds while
+    * |dot|·10¹² < 2⁵³ (|dot| ≲ 9·10³ — comfortably true for unit-norm
+    * embeddings at these snapshot sizes, where per-dim sums are ≲ 10²).
+    * Past that corpus size, downscale both halves' per-dim sums by one
+    * fixed power of ten (cosine is scale-invariant, so any common
+    * factor is free) before the product stage — on both engines.
+    * Shape: one posexplode + two label·dims-sized aggregations — the
+    * [[labelCentroids]] shuffle twice over, nothing corpus-sized past
+    * the first combine.
     */
   def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
     val d186 = org.apache.spark.sql.types.DecimalType(18, 6)

@@ -665,26 +665,30 @@ object EventStream {
     * every batch; refreshing the fence = rewriting the artifact, the
     * same contract as [[nearDupGate]]'s index and
     * [[tokenAccountingSink]]'s dict. A group absent from the artifact
-    * admits its rows — no evidence is not an anomaly verdict (the
-    * [[graft.operators.TextAnalysis.lmGate]] too-short rule). Survivors
-    * land in `ingest_batch=<id>` partitions under DYNAMIC overwrite so
-    * a replayed batch rewrites its own partition instead of appending
-    * twice.
+    * admits its rows, and so does a NULL value in a known group — no
+    * evidence is not an anomaly verdict (the
+    * [[graft.operators.TextAnalysis.lmGate]] too-short rule); a
+    * missing-measurement policy belongs to a null-audit gate, not a
+    * distribution fence. The cut frame's columns carry a reserved
+    * `__qgate_` prefix so a batch schema may itself contain `g`, `lo`,
+    * or `hi` without ambiguity (spec-pinned on a colliding schema).
+    * Survivors land in `ingest_batch=<id>` partitions under DYNAMIC
+    * overwrite so a replayed batch rewrites its own partition instead
+    * of appending twice.
     */
   def quantileGateSink(rows: DataFrame, groupCol: String, valueCol: String,
       sketchPath: String, outPath: String, checkpoint: String,
       qLo: Double = 0.01, qHi: Double = 0.99)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Aggregates.sampleQuantile
     val spark = rows.sparkSession
     val cuts = spark.read.parquet(sketchPath)
       .groupBy(col("g"))
       .agg(sort_array(collect_list(col("v"))).as("vs"),
         count(lit(1)).as("n"))
-      .select(col("g"),
-        element_at(col("vs"),
-          greatest(lit(1), ceil(lit(qLo) * col("n")).cast("int"))).as("lo"),
-        element_at(col("vs"),
-          greatest(lit(1), ceil(lit(qHi) * col("n")).cast("int"))).as("hi"))
+      .select(col("g").as("__qgate_g"),
+        sampleQuantile(col("vs"), col("n"), qLo).as("__qgate_lo"),
+        sampleQuantile(col("vs"), col("n"), qHi).as("__qgate_hi"))
       .persist()
     rows.writeStream
       .outputMode(OutputMode.Append)
@@ -692,11 +696,13 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           batch
-            .join(broadcast(cuts), batch(groupCol) === cuts("g"), "left")
-            .filter(col("g").isNull
-              || (col(valueCol).cast("double") >= col("lo")
-                && col(valueCol).cast("double") <= col("hi")))
-            .drop("g", "lo", "hi")
+            .join(broadcast(cuts),
+              batch(groupCol) === cuts("__qgate_g"), "left")
+            .filter(col("__qgate_g").isNull
+              || col(valueCol).isNull
+              || (col(valueCol).cast("double") >= col("__qgate_lo")
+                && col(valueCol).cast("double") <= col("__qgate_hi")))
+            .drop("__qgate_g", "__qgate_lo", "__qgate_hi")
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -692,18 +692,32 @@ class EventStreamSpec extends AnyFunSuite {
       hist.addData((1 to 100).map(i => ("g0", i.toString, i.toDouble)): _*)
       qm.processAllAvailable()
     } finally qm.stop()
-    val in = MemoryStream[(String, Long, Double)]
+    // the batch schema deliberately COLLIDES with the artifact's column
+    // names ("g", "lo", "hi") — the gate's internal columns are
+    // reserved-prefixed, so this must work and must not eat the batch's
+    // own lo/hi columns; a NULL value in a known group is admitted
+    // (missing measurement ≠ out-of-band)
+    val in = MemoryStream[(String, Long, Option[Double], Double, Double)]
     val gate = EventStream.quantileGateSink(
-      in.toDF().toDF("g0col", "row_id", "value"), "g0col", "value",
+      in.toDF().toDF("g", "row_id", "value", "lo", "hi"), "g", "value",
       sketchDir, outDir, ck2)
     try {
-      in.addData(("g0", 1L, 0.2), ("g0", 2L, 50.0), ("g0", 3L, 99.0),
-        ("g0", 4L, 100.0), ("gX", 5L, 1e9))
+      in.addData(("g0", 1L, Some(0.2), 7.0, 8.0),
+        ("g0", 2L, Some(50.0), 7.0, 8.0), ("g0", 3L, Some(99.0), 7.0, 8.0),
+        ("g0", 4L, Some(100.0), 7.0, 8.0), ("gX", 5L, Some(1e9), 7.0, 8.0),
+        ("g0", 6L, None, 7.0, 8.0))
       gate.processAllAvailable()
-      val kept = spark.read.parquet(outDir)
-        .select("row_id").collect().map(_.getLong(0)).toSet
-      // 0.2 < lo=1 dropped; 100 > hi=99 dropped; unknown gX admitted
-      assert(kept == Set(2L, 3L, 5L), kept.toString)
+      val out = spark.read.parquet(outDir)
+      val kept = out.select("row_id").collect().map(_.getLong(0)).toSet
+      // 0.2 < lo=1 dropped; 100 > hi=99 dropped; unknown gX admitted;
+      // NULL value in known g0 admitted
+      assert(kept == Set(2L, 3L, 5L, 6L), kept.toString)
+      // the batch's own g/lo/hi columns land untouched
+      assert(out.columns.toSet
+        == Set("g", "row_id", "value", "lo", "hi", "ingest_batch"),
+        out.columns.mkString(","))
+      assert(out.select("lo").distinct().collect()
+        .map(_.getDouble(0)).toSeq == Seq(7.0))
     } finally gate.stop()
   }
 
