@@ -120,4 +120,31 @@ object Materialize {
     case "reliable" => reliableCheckpoint(df, eager = true)
     case _ => df.localCheckpoint(eager = true)
   }
+
+  /** Free the storage behind an ALREADY-CUT frame that will never be read
+    * again. A pipeline that cuts two near-corpus-sized intermediates
+    * back-to-back (tf then weighted postings in
+    * [[graft.operators.TextAnalysis.tfidfCosinePairsOn]]) would otherwise
+    * keep BOTH resident for the life of the job — release the earlier one
+    * once the later cut has materialized and the peak block-manager
+    * footprint halves. Releasing a frame that downstream plans still
+    * reference is the caller's bug: a localCheckpoint's blocks ARE its
+    * data (lineage was truncated), so a later read fails — call this only
+    * after an EAGER cut of every consumer.
+    *
+    *  - `local`/`reliable` modes: unpersist the `LogicalRDD`-scanned RDDs
+    *    the cut left in the plan (reliable cuts already dropped their
+    *    bootstrap persist; their checkpoint FILES are reclaimed by the
+    *    ContextCleaner when the frame is collected, so this is a no-op
+    *    accelerator there).
+    *  - `persist` mode: plain `unpersist` via the cache manager; lineage
+    *    was kept, so a stray late read merely recomputes — safe.
+    */
+  def release(df: DataFrame): Unit = mode(df.sparkSession) match {
+    case "persist" => df.unpersist(blocking = false)
+    case _ =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.foreach(_.unpersist(blocking = false))
+  }
 }

@@ -286,6 +286,50 @@ object Profile {
     t("lang_mix_10x")(
       graft.operators.TextAnalysis.langMixOn(docs10)
         .agg(sum(col("mixed_frac"))).scalarDouble.toLong)
+
+    // Round-7 profile rows for the remaining r6 ops plus the r7 pair.
+    // Replication semantics per op: labelNoise sees every IVF cell x10
+    // denser (identical replicas land in the same cell — the blocked
+    // Σ|cell|² candidate budget at its worst); embeddingDrift's halves
+    // both grow x10 but the aggregation domain (label x dims) is
+    // replication-invariant; benford/decayed/temporal/winsorize are
+    // scan-shaped over the x10 fact (decayed additionally gets 10x
+    // orders PER CUSTOMER — the group the overflow fence watches);
+    // dupSourceMatrix rides the dense replicated-dup pair graph;
+    // transitions3 absorbs x10 events into the same per-user window
+    // exchange as the bigram matrix.
+    val o10 = rep10(graft.sources.Tables.orders(spark, dir),
+      "o_orderkey", 100000000L)
+    t("label_noise_10x") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.labelNoiseOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v"),
+          col("label")), k = 5)
+        .agg(sum(col("n_neighbors"))).scalarLong
+    }
+    t("embed_drift_10x")(
+      graft.operators.Similarity.embeddingDriftOn(emb10)
+        .agg(sum(col("cos_drift"))).scalarDouble.toLong)
+    t("benford_10x")(
+      graft.operators.Aggregates.benfordAuditOn(o10)
+        .agg(sum(col("chi2_term"))).scalarDouble.toLong)
+    t("decayed_rev_10x")(
+      graft.operators.Aggregates.decayedRevenueOn(o10)
+        .agg(sum(col("revenue_decayed"))).scalarDouble.toLong)
+    t("temporal_split_10x")(
+      graft.operators.Sampling.splitTemporalOn(o10)
+        .groupBy(col("split")).count().count())
+    t("dup_matrix_10x")(
+      Dedup.dupSourceMatrixOn(docs10).agg(sum(col("n_pairs"))).scalarLong)
+    t("vocab_coverage_10x")(
+      graft.operators.TextAnalysis.vocabCoverageOn(docs10)
+        .agg(sum(col("coverage_frac"))).scalarDouble.toLong)
+    t("winsorize_10x")(
+      graft.operators.Aggregates.winsorizedPricesOn(li10)
+        .agg(sum(col("mean_wins"))).scalarDouble.toLong)
+    t("transitions3_10x")(
+      graft.operators.Analytics.eventTransitions3On(ev10)
+        .agg(sum(col("n"))).scalarLong)
     spark.stop()
   }
 }

@@ -66,12 +66,14 @@ object SparkEntry {
     "q_kmv_distinct" -> ((s, dir) => Aggregates.kmvDistinct(s, dir)),
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
+    "q_winsorize" -> ((s, dir) => Aggregates.winsorizedPrices(s, dir)),
     "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
     "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_split_temporal" -> ((s, dir) => Sampling.splitTemporal(s, dir)),
+    "q_split_leakage" -> ((s, dir) => Sampling.splitLeakage(s, dir)),
     "q_gate_sweep" -> ((s, dir) => TextAnalysis.gateSweep(s, dir)),
     "q_overlap_join" -> ((s, dir) => Joins.sessionMaintenanceImpact(s, dir)),
     "q_twap" -> ((s, dir) => Analytics.timeWeightedAvg(s, dir)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q_weighted_median" -> ((s, dir) => Aggregates.weightedMedian(s, dir)),
     "q_histogram_eqdepth" -> ((s, dir) => Aggregates.priceHistogramEqDepth(s, dir)),
     "q_transitions" -> ((s, dir) => Analytics.eventTransitions(s, dir)),
+    "q_transitions3" -> ((s, dir) => Analytics.eventTransitions3(s, dir)),
     "q_sliding_distinct" -> ((s, dir) => Analytics.slidingDistinctUsers(s, dir)),
     "q_wow_growth" -> ((s, dir) => Analytics.weeklyGrowth(s, dir)),
     "q_share_total" -> ((s, dir) => Analytics.shareOfTotal(s, dir)),
@@ -166,6 +169,7 @@ object SparkEntry {
     "q_ks_drift" -> ((s, dir) => TextAnalysis.lengthDriftKs(s, dir)),
     "q_lang_mix" -> ((s, dir) => TextAnalysis.langMix(s, dir)),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(s, dir)),
+    "q_vocab_richness" -> ((s, dir) => TextAnalysis.vocabRichness(s, dir)),
     // golden-pinned (GoldenSpec): the PQ codebook is iterative float
     // k-means — no SQL twin; determinism from decimal means + tie-breaks
     "q_pq_search" -> ((s, dir) => Similarity.pqTopK(s, dir)),
@@ -191,6 +195,7 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_label_noise" -> ((s, dir) => Similarity.labelNoise(s, dir)),
+    "q_cluster_kappa" -> ((s, dir) => Similarity.clusterLabelKappa(s, dir)),
     "q_embed_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
@@ -981,6 +986,20 @@ object SparkEntry {
         |       CAST(cov.covered_tokens AS DOUBLE) / tot.total_tokens
         |         AS coverage_frac
         |FROM cov CROSS JOIN tot ORDER BY cov.k""".stripMargin,
+    "q_vocab_richness" ->
+      """WITH g AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |           FROM documents),
+        |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM g GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS vocab_obs,
+        |       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |       CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+        |       count(*) + CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+        |                       * (sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1)
+        |                    AS DOUBLE)
+        |         / (2 * (sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1)) AS chao1
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS content_md5,
         |       md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normalized_md5
@@ -1030,6 +1049,24 @@ object SparkEntry {
         |       CAST(c.n AS DOUBLE) / s.src_total AS p
         |FROM c JOIN s ON c.event_type = s.event_type
         |ORDER BY c.event_type, c.next_type""".stripMargin,
+    "q_transitions3" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |         lead(event_type, 1) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next_type,
+        |         lead(event_type, 2) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next2_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, next2_type, count(*) AS n
+        |      FROM t WHERE next_type IS NOT NULL AND next2_type IS NOT NULL
+        |      GROUP BY 1, 2, 3),
+        |s AS (SELECT event_type, next_type, CAST(sum(n) AS BIGINT) AS ctx_total
+        |      FROM c GROUP BY 1, 2)
+        |SELECT c.event_type, c.next_type, c.next2_type, c.n,
+        |       CAST(c.n AS DOUBLE) / s.ctx_total AS p
+        |FROM c JOIN s ON c.event_type = s.event_type
+        |              AND c.next_type = s.next_type
+        |ORDER BY c.event_type, c.next_type, c.next2_type""".stripMargin,
     "q_pagerank" ->
       """WITH sh AS (
         |  SELECT doc_id,
@@ -1400,7 +1437,7 @@ object SparkEntry {
         |       (CAST(coalesce(counts.n_obs, 0) AS DOUBLE) / tot.n_total
         |          - ex.exp_share)
         |       * (CAST(coalesce(counts.n_obs, 0) AS DOUBLE) / tot.n_total
-        |          - ex.exp_share) / ex.exp_share AS chi2_term
+        |          - ex.exp_share) / ex.exp_share * tot.n_total AS chi2_term
         |FROM ex LEFT JOIN counts ON ex.digit = counts.digit
         |CROSS JOIN tot ORDER BY ex.digit""".stripMargin,
     "q_quantile_sketch" ->
@@ -1435,6 +1472,36 @@ object SparkEntry {
         |       est_p50, est_p90, est_p99, ex_p50, ex_p90, ex_p99
         |FROM est JOIN ex ON est.g = ex.g
         |ORDER BY l_returnflag""".stripMargin,
+    "q_winsorize" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         md5(concat(l_orderkey, '|', l_linenumber)) AS h
+        |  FROM lineitem),
+        |rk AS (SELECT g, v,
+        |              row_number() OVER (PARTITION BY g ORDER BY h, v) AS r
+        |       FROM base),
+        |sagg AS (SELECT g, CAST(count(*) AS INT) AS k_sample,
+        |                list_sort(list(v)) AS vs
+        |         FROM rk WHERE r <= 256 GROUP BY g),
+        |cuts AS (SELECT g,
+        |    vs[greatest(1, CAST(ceil(0.01 * k_sample) AS BIGINT))] AS lo,
+        |    vs[greatest(1, CAST(ceil(0.99 * k_sample) AS BIGINT))] AS hi
+        |  FROM sagg)
+        |SELECT b.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN b.v < c.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+        |  CAST(sum(CASE WHEN b.v > c.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+        |  min(c.lo) AS lo_cut, min(c.hi) AS hi_cut,
+        |  CAST(sum(CAST(b.v AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    AS mean_raw,
+        |  CAST(sum(CASE WHEN b.v < c.lo THEN CAST(c.lo AS DECIMAL(18,6))
+        |                WHEN b.v > c.hi THEN CAST(c.hi AS DECIMAL(18,6))
+        |                ELSE CAST(b.v AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / count(*) AS mean_wins,
+        |  CAST(sum(CASE WHEN b.v >= c.lo AND b.v <= c.hi
+        |                THEN CAST(b.v AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    AS sum_trim
+        |FROM base b JOIN cuts c ON b.g = c.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_graph_assort" ->
       s"""WITH RECURSIVE $dupClusterCtes,
         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
@@ -1903,6 +1970,29 @@ object SparkEntry {
         |            WHEN ep <= c_val THEN 'val'
         |            ELSE 'test' END AS split
         |FROM o, c ORDER BY o_orderkey""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= 'cccc'
+        |                THEN 'train'
+        |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <= 'e665'
+        |                THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents),
+        |lk AS (SELECT DISTINCT e.a AS doc_id, s1.split
+        |       FROM e JOIN sp s1 ON e.a = s1.doc_id
+        |              JOIN sp s2 ON e.b = s2.doc_id
+        |       WHERE s1.split <> s2.split),
+        |tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM sp GROUP BY 1),
+        |nl AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+        |       FROM lk GROUP BY 1)
+        |SELECT tot.split, tot.n_docs,
+        |       coalesce(nl.n_leaked, 0) AS n_leaked,
+        |       CAST(coalesce(nl.n_leaked, 0) AS DOUBLE) / tot.n_docs
+        |         AS leak_frac
+        |FROM tot LEFT JOIN nl ON tot.split = nl.split
+        |ORDER BY tot.split""".stripMargin,
     "q_split_leakfree" ->
       s"""WITH RECURSIVE $dupClusterCtes,
         |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
@@ -2584,8 +2674,12 @@ object SparkEntry {
         |             CAST(sum(cnt) AS BIGINT) AS n_neighbors
         |      FROM votes GROUP BY 1, 2),
         |mj AS (SELECT m.vec_id, m.label, m.n_agree, m.n_neighbors,
-        |              min(votes.nb_label) AS neigh_label
+        |              substr(min(CASE WHEN votes.nb_label = m.label
+        |                     THEN '0' || votes.nb_label
+        |                     ELSE '1' || votes.nb_label END), 2)
+        |                AS neigh_label
         |       FROM m JOIN votes ON votes.vec_id = m.vec_id
+        |                        AND votes.label = m.label
         |                        AND votes.cnt = m.n_agree
         |       GROUP BY 1, 2, 3, 4)
         |SELECT a.vec_id, a.label, mj.neigh_label,
@@ -2594,6 +2688,44 @@ object SparkEntry {
         |       coalesce(mj.neigh_label <> a.label, FALSE) AS is_suspect
         |FROM assigned a LEFT JOIN mj ON mj.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin,
+    "q_cluster_kappa" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         label
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT v.vec_id, v.label, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, label, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |votes AS (SELECT cid, label, CAST(count(*) AS BIGINT) AS cnt
+        |          FROM assigned GROUP BY 1, 2),
+        |maj AS (SELECT cid, label AS pred FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid
+        |                                 ORDER BY cnt DESC, label) AS rn
+        |    FROM votes) WHERE rn = 1),
+        |conf AS (SELECT a.label, m.pred, CAST(count(*) AS BIGINT) AS c
+        |         FROM assigned a JOIN maj m ON a.cid = m.cid GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_vectors FROM conf),
+        |diag AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS agree
+        |         FROM conf WHERE label = pred),
+        |r AS (SELECT label, CAST(sum(c) AS BIGINT) AS rowt FROM conf GROUP BY 1),
+        |cl AS (SELECT pred, CAST(sum(c) AS BIGINT) AS colt FROM conf GROUP BY 1),
+        |x AS (SELECT CAST(coalesce(sum(r.rowt * cl.colt), 0) AS BIGINT) AS prod
+        |      FROM r JOIN cl ON r.label = cl.pred)
+        |SELECT n.n_vectors, diag.agree,
+        |       CAST(diag.agree AS DOUBLE) / n.n_vectors AS po,
+        |       CAST(x.prod AS DOUBLE) / n.n_vectors / n.n_vectors AS pe,
+        |       (CAST(diag.agree AS DOUBLE) / n.n_vectors
+        |          - CAST(x.prod AS DOUBLE) / n.n_vectors / n.n_vectors)
+        |       / (1.0 - CAST(x.prod AS DOUBLE) / n.n_vectors / n.n_vectors)
+        |         AS kappa
+        |FROM diag, n, x""".stripMargin,
     "q_ann_ivf" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -34,14 +34,24 @@ object Verify {
       oracleSql: Map[String, String]): Seq[(String, String)] = {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Manifest row counts come from the WRITTEN files (footer
+        // metadata — no recompute), so the manifest attests what landed
+        // on disk, surviving even a lost downstream compare (the round-6
+        // harvest failure mode: a zero-failure dump graded as {}).
+        counts += name -> spark.read.parquet(s"$outDir/$name").count()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed += name -> String.valueOf(e.getMessage).take(400)
       }
     }
+    Files.writeString(Paths.get(s"$outDir/row_counts.json"),
+      counts.sortBy(_._1)
+        .map { case (k, n) => s"${q(k)}: $n" }.mkString("{", ",", "}"))
     val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -643,15 +643,25 @@ object Aggregates {
     * trap past 2⁵³). The weight floor retires history older than ~14
     * half-lives (weight 0) — the point of a decay weight anyway; the
     * long sum holds to ~10¹⁸ micro⁴-units ≈ 10⁸ unit-scale rows per
-    * customer. Raw revenue rides beside it on the usual DECIMAL image.
+    * customer. That bound is ENFORCED, not just documented: an
+    * `assert_true` fence on n_orders·max(term) < 9·10¹⁸ (a sound
+    * overestimate of every nonnegative partial sum) fails the job
+    * loudly at the group that could wrap, because a non-ANSI long sum
+    * would otherwise wrap SILENTLY while the DuckDB twin sums in
+    * HUGEINT — a silent cross-engine divergence is the one failure
+    * mode a bit-exact operator must never have. Raw revenue rides
+    * beside it on the usual DECIMAL image.
     *
     * Shape: one broadcast scalar (the anchor date), one narrow weight
     * map, one map-side-combinable per-customer aggregation — scan-
     * shaped at any size, no windows, no per-customer sorts.
     */
   def decayedRevenue(spark: SparkSession, dir: String,
-      halfLifeDays: Int = 30): DataFrame = {
-    val o = Tables.orders(spark, dir)
+      halfLifeDays: Int = 30): DataFrame =
+    decayedRevenueOn(Tables.orders(spark, dir), halfLifeDays)
+
+  /** [[decayedRevenue]] over any orders-shaped frame. */
+  def decayedRevenueOn(o: DataFrame, halfLifeDays: Int = 30): DataFrame = {
     val anchor = o.agg(max(col("o_orderdate")).as("anchor"))
     o.crossJoin(broadcast(anchor))
       .withColumn("k", expr(
@@ -665,7 +675,22 @@ object Aggregates {
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("revenue_raw"),
         (sum(col("price_micro") * col("w_e4")).cast("double")
-          / 1e10).as("revenue_decayed"))
+          / 1e10).as("revenue_decayed"),
+        max(col("price_micro") * col("w_e4")).as("max_term"))
+      // Overflow fence (see Scaladoc): every partial sum of the
+      // nonnegative terms is <= n_orders * max_term, so the check in
+      // DOUBLE (overflow-free) proves the LONG sum above never wrapped.
+      // A filter (not an unused column) so Catalyst cannot prune it;
+      // assert_true returns NULL on pass, so coalesce keeps every row.
+      .filter(coalesce(assert_true(
+        col("n_orders").cast("double") * col("max_term").cast("double")
+          < lit(9.0e18),
+        concat(lit("decayedRevenue: weighted sum may exceed int64 for " +
+          "o_custkey="), col("o_custkey").cast("string"),
+          lit(" — rescale micro-units or shard the group"))),
+        lit(true)))
+      .select(col("o_custkey"), col("n_orders"), col("revenue_raw"),
+        col("revenue_decayed"))
       .orderBy(col("o_custkey"))
   }
 
@@ -674,7 +699,12 @@ object Aggregates {
     * P(d) = log₁₀(1 + 1/d)), with per-digit χ² contributions — the
     * data-quality canary that flags fabricated, truncated, or
     * unit-mangled numeric feeds, where a mean/variance check stays
-    * blind (fabricators pick uniform-ish leading digits). The leading
+    * blind (fabricators pick uniform-ish leading digits). `chi2_term`
+    * is the COUNTS-based per-digit contribution n·(obs−exp)²/exp, so
+    * Σ chi2_term is the Pearson χ² statistic directly comparable to
+    * the χ²(8 df) critical values (15.51 at α=.05) — a share-based
+    * term would understate by a factor of n and wave fabricated feeds
+    * through. The leading
     * digit comes from the INTEGER part's exact string form
     * (floor → bigint → string — no log10 in the extraction, and no
     * double-to-string formatting, both engine-divergent); the nine
@@ -682,7 +712,12 @@ object Aggregates {
     * twin, so the whole audit is bit-exact. One narrow scan + a 9-row
     * aggregation + broadcast total — scan-shaped at any size.
     */
-  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame =
+    benfordAuditOn(Tables.orders(spark, dir))
+
+  /** [[benfordAudit]] over any orders-shaped frame. */
+  def benfordAuditOn(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
     import spark.implicits._
     val expected = Seq(
       1 -> 0.3010299956639812, 2 -> 0.17609125905568124,
@@ -690,20 +725,20 @@ object Aggregates {
       5 -> 0.07918124604762482, 6 -> 0.06694678963061322,
       7 -> 0.05799194697768673, 8 -> 0.05115252244738129,
       9 -> 0.04575749056067514).toDF("digit", "exp_share")
-    val counts = Tables.orders(spark, dir)
+    val counts = o
       .filter(col("o_totalprice") >= 1)
       .select(substring(floor(col("o_totalprice")).cast("long")
         .cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
     val total = counts.agg(sum(col("n_obs")).as("n_total"))
+    val obsShare =
+      coalesce(col("n_obs"), lit(0L)).cast("double") / col("n_total")
     broadcast(expected).join(counts, Seq("digit"), "left")
       .crossJoin(broadcast(total))
       .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        (coalesce(col("n_obs"), lit(0L)).cast("double") / col("n_total"))
-          .as("obs_share"), col("exp_share"))
-      .withColumn("chi2_term",
-        (col("obs_share") - col("exp_share"))
-          * (col("obs_share") - col("exp_share")) / col("exp_share"))
+        obsShare.as("obs_share"), col("exp_share"),
+        ((obsShare - col("exp_share")) * (obsShare - col("exp_share"))
+          / col("exp_share") * col("n_total")).as("chi2_term"))
       .orderBy(col("digit"))
   }
 
@@ -815,6 +850,69 @@ object Aggregates {
       .select(col("g").as("l_returnflag"), col("n_rows"), col("k_sample"),
         col("est_p50"), col("est_p90"), col("est_p99"),
         col("ex_p50"), col("ex_p90"), col("ex_p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Winsorized / trimmed price aggregation per return-flag class: clamp
+    * every extended price into the [p01, p99] band estimated from the
+    * SHARED bottom-k sample ([[bottomKSample]] + [[sampleQuantile]] — the
+    * same estimator the quantile sketch, the stored artifact, and the
+    * streaming gate serve from) and report the winsorized mean beside the
+    * raw mean plus the trimmed sum — the robust-stats twin of
+    * [[priceOutliers]]: where the outlier filter QUARANTINES the tail,
+    * winsorizing KEEPS the row at the fence value, the estimator a
+    * feature pipeline wants when dropping rows would bias the mix.
+    *
+    * Bit-exactness: the cuts are DATA ELEMENTS (discrete v[⌈q·n⌉] of the
+    * sample), the clamp runs on the scale-6 decimal images of raw parquet
+    * doubles (order-preserving, the established dec() idiom), and both
+    * sums are DECIMAL — order-independent under any partitioning — cast
+    * to double exactly once. Scale: the cut side is the ≤k-per-(group,
+    * partition) sample aggregation; the second pass is one broadcast join
+    * + a map-side-combinable aggregation — two narrow scans, no sorts,
+    * no windows (the exact-percentile cut in [[priceOutliers]] would
+    * rank full groups at corpus scale; the sample cut is O(k) per group).
+    */
+  def winsorizedPrices(spark: SparkSession, dir: String, k: Int = 256,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame =
+    winsorizedPricesOn(Tables.lineitem(spark, dir), k, pLo, pHi)
+
+  /** [[winsorizedPrices]] over any lineitem-shaped frame. */
+  def winsorizedPricesOn(li: DataFrame, k: Int = 256,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(0 < pLo && pLo <= pHi && pHi <= 1,
+      s"winsorizedPrices: need 0 < pLo <= pHi <= 1, got $pLo, $pHi")
+    val base = li
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+          .cast("binary")).as("h"))
+    val cuts = bottomKSample(base, k)
+      .select(col("g"), size(col("sk")).as("k_sample"),
+        array_sort(expr("transform(sk, x -> x._2)")).as("vs"))
+      .select(col("g"),
+        sampleQuantile(col("vs"), col("k_sample"), pLo).as("lo"),
+        sampleQuantile(col("vs"), col("k_sample"), pHi).as("hi"))
+    base.join(broadcast(cuts), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("v") < col("lo"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("v") > col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        min(col("lo")).as("lo_cut"), min(col("hi")).as("hi_cut"),
+        dsum(col("v")).as("sum_raw"),
+        // Clamp as a CASE on the raw doubles picking DECIMAL images —
+        // NOT least/greatest: DuckDB's least/greatest return DOUBLE for
+        // DECIMAL args, which would turn the twin's sum order-dependent.
+        sum(when(col("v") < col("lo"), dec(col("lo")))
+          .when(col("v") > col("hi"), dec(col("hi")))
+          .otherwise(dec(col("v"))))
+          .cast("double").as("sum_wins"),
+        sum(when(col("v") >= col("lo") && col("v") <= col("hi"),
+          dec(col("v")))).cast("double").as("sum_trim"))
+      .select(col("g").as("l_returnflag"), col("n_rows"), col("n_lo"),
+        col("n_hi"), col("lo_cut"), col("hi_cut"),
+        (col("sum_raw") / col("n_rows")).as("mean_raw"),
+        (col("sum_wins") / col("n_rows")).as("mean_wins"),
+        col("sum_trim"))
       .orderBy(col("l_returnflag"))
   }
 }

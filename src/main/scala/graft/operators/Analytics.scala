@@ -167,6 +167,41 @@ object Analytics {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Second-order Markov transition counts (event trigrams): for each
+    * user's time-ordered stream, count (type, next, next2) triples and
+    * the probability of `next2_type` GIVEN the (event_type, next_type)
+    * context — the flow-pattern lens first-order transitions miss (a
+    * "view → cart" hop looks identical whether it converts or bounces;
+    * the trigram separates them). Both leads ride the SAME per-user
+    * window as [[eventTransitions]], so Spark plans ONE user_id exchange
+    * and one sort with two lead frames — extending the order costs a
+    * window function, never a shuffle. Denominators re-aggregate the
+    * tiny context frame (bounded by #types², not events), broadcast
+    * back; integer counts divide once in IEEE double — deterministic on
+    * both engines.
+    */
+  def eventTransitions3(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions3On(Tables.events(spark, dir))
+
+  /** [[eventTransitions3]] over any events-shaped frame. */
+  def eventTransitions3On(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .withColumn("next2_type", lead(col("event_type"), 2).over(w))
+      .filter(col("next_type").isNotNull && col("next2_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"), col("next2_type"))
+      .agg(count(lit(1)).as("n"))
+      .cutLineage() // read by the context totals and the probability join
+    val byCtx = trans.groupBy(col("event_type"), col("next_type"))
+      .agg(sum(col("n")).as("ctx_total"))
+    trans.join(broadcast(byCtx), Seq("event_type", "next_type"))
+      .select(col("event_type"), col("next_type"), col("next2_type"),
+        col("n"), (col("n").cast("double") / col("ctx_total")).as("p"))
+      .orderBy(col("event_type"), col("next_type"), col("next2_type"))
+  }
+
   /** Hour-grain event aggregation — the batch analog of the streaming
     * windowed count (graft.streaming runs the same plan incrementally).
     */

@@ -214,8 +214,12 @@ object Dedup {
     * (miss ≈ 1.5e-4 per pair at j = 0.7); deterministic on fixed data.
     */
   def dupSourceMatrix(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    dupSourceMatrixOn(Tables.documents(spark, dir), threshold)
+
+  /** [[dupSourceMatrix]] over any documents-shaped frame. */
+  def dupSourceMatrixOn(docs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val docs = Tables.documents(spark, dir)
     val pairs = minhashNearDupOn(docs, threshold)
       .select(col("da"), col("db"))
     val src = docs.select(col("doc_id"), col("source"))

@@ -153,10 +153,15 @@ object Sampling {
     * (that is the semantics of a temporal holdout).
     */
   def splitTemporal(spark: SparkSession, dir: String,
+      trainQ: Double = 0.8, valQ: Double = 0.9): DataFrame =
+    splitTemporalOn(Tables.orders(spark, dir), trainQ, valQ)
+
+  /** [[splitTemporal]] over any orders-shaped frame. */
+  def splitTemporalOn(orders: DataFrame,
       trainQ: Double = 0.8, valQ: Double = 0.9): DataFrame = {
     require(0 < trainQ && trainQ < valQ && valQ < 1,
       s"need 0 < trainQ < valQ < 1, got $trainQ / $valQ")
-    val o = Tables.orders(spark, dir)
+    val o = orders
       .withColumn("ep", unix_micros(col("o_orderdate").cast("timestamp")))
     val cuts = o.agg(
       expr(s"percentile(ep, $trainQ)").as("c_train"),
@@ -168,6 +173,61 @@ object Sampling {
           .otherwise("test"))
       .select(col("o_orderkey"), col("o_orderdate"), col("split"))
       .orderBy(col("o_orderkey"))
+  }
+
+  /** Cross-split leakage probe: per split, how many documents have a
+    * NEAR-DUPLICATE on the other side of the per-document hash split —
+    * the contamination [[splitAssignLeakFree]] exists to prevent,
+    * measured directly. A "held-out" set with leak_frac ≫ 0 scores
+    * memorization, not generalization; run this before trusting any
+    * eval built on a per-doc split, and after, to confirm the
+    * cluster-keyed split drove it to zero. Same md5-interval hash as
+    * [[splitAssign]] and the same verified MinHash pair set as
+    * [[graft.operators.Dedup.dupSourceMatrix]], so the probe agrees
+    * with both the split and the dedup machinery it audits.
+    *
+    * Scale: the pair frame is candidate-generation-bounded (true
+    * near-dup volume, never n²); the split map is a narrow hash over
+    * doc_id joined pairs-side (AQE broadcasts the smaller); the
+    * per-doc distinct is bounded by pair volume, and the output is 3
+    * rows.
+    */
+  def splitLeakage(spark: SparkSession, dir: String,
+      trainHi: String = "cccc", valHi: String = "e665",
+      threshold: Double = 0.7): DataFrame =
+    splitLeakageOn(Tables.documents(spark, dir), trainHi, valHi, threshold)
+
+  /** [[splitLeakage]] over any documents-shaped frame. */
+  def splitLeakageOn(docs: DataFrame, trainHi: String = "cccc",
+      valHi: String = "e665", threshold: Double = 0.7): DataFrame = {
+    val split = docs
+      .withColumn("hk",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
+      .withColumn("split",
+        when(col("hk") <= trainHi, "train")
+          .when(col("hk") <= valHi, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("split"))
+    val pairs = graft.operators.Dedup.minhashNearDupOn(docs, threshold)
+      .select(col("da"), col("db"))
+    // undirected: every doc sees every neighbor once per direction
+    val e = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
+    val leaked = e
+      .join(split.select(col("doc_id").as("da"), col("split").as("split_a")),
+        "da")
+      .join(split.select(col("doc_id").as("db"), col("split").as("split_b")),
+        "db")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("da").as("doc_id"), col("split_a").as("split"))
+      .distinct()
+    split.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(leaked.groupBy(col("split")).agg(count(lit(1)).as("n_leaked")),
+        Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_docs"))
+          .as("leak_frac"))
+      .orderBy(col("split"))
   }
 
   /** Leakage-free train/val/test split: hash the doc's NEAR-DUP CLUSTER

@@ -58,13 +58,19 @@ object Similarity {
     * materialized [[writeIvfIndex]] layout. The top-k rank window keys
     * on the QUERY vector (high-cardinality; partition = its cell
     * mates), the vote argmax joins vector-sized frames on exact
-    * counts, and ties break to the smaller label on both engines. A
+    * counts, and argmax ties prefer the vector's OWN label first (a
+    * vector whose label ties for the top vote did not lose it and is
+    * never flagged), then the smaller label — identically on both
+    * engines via a prefix-tagged string min. A
     * vector alone in its cell has no neighbors: it reports zero votes
     * and is NOT suspect (insufficient evidence ≠ noise).
     */
-  def labelNoise(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
+  def labelNoise(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    labelNoiseOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label")), k)
+
+  /** [[labelNoise]] over any (vec_id, v: array<double>, label) frame. */
+  def labelNoiseOn(emb: DataFrame, k: Int): DataFrame = {
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     // assignNearest with the label riding the argmin struct (cid decides
@@ -92,11 +98,17 @@ object Similarity {
       .cutLineage() // read by the max and the argmax re-join
     val m = votes.groupBy(col("vec_id"), col("label"))
       .agg(max(col("cnt")).as("n_agree"), sum(col("cnt")).as("n_neighbors"))
+    // Tie policy: among labels tied at the max vote, the vector's own
+    // label wins (tag '0' sorts before '1'), else the smallest label —
+    // a plain string min both engines order identically for ASCII tags.
     val mj = m.join(votes, Seq("vec_id", "label"))
       .filter(col("cnt") === col("n_agree"))
       .groupBy(col("vec_id"), col("label"), col("n_agree"),
         col("n_neighbors"))
-      .agg(min(col("nb_label")).as("neigh_label"))
+      .agg(min(concat(
+        when(col("nb_label") === col("label"), lit("0")).otherwise(lit("1")),
+        col("nb_label"))).as("sel"))
+      .withColumn("neigh_label", substring(col("sel"), 2, Int.MaxValue))
     assigned.select(col("vec_id"), col("label"))
       .join(mj.select(col("vec_id"), col("neigh_label"), col("n_agree"),
         col("n_neighbors")), Seq("vec_id"), "left")
@@ -106,6 +118,70 @@ object Similarity {
         coalesce(col("neigh_label") =!= col("label"), lit(false))
           .as("is_suspect"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Cohen's κ between stored labels and IVF-cell majority labels — a
+    * single agreement number for "do the labels cohere with embedding
+    * geometry?": κ≈1 means cells are label-pure (labels and encoder
+    * agree), κ≈0 means labels are random w.r.t. the embedding space
+    * (wrong encoder, shuffled labels, or meaningless classes) — the
+    * corpus-level companion to [[labelNoise]]'s per-vector triage, and
+    * chance-corrected where raw accuracy is not (a 95%-majority-class
+    * corpus scores 0.95 accuracy with a constant predictor; κ scores
+    * it 0). Cell majority ties break (count desc, label asc) on both
+    * engines; po/pe/κ are exact integer counts divided in ONE fixed
+    * double-op order each — bit-exact. Degenerate single-label input
+    * has pe = 1 and κ = NaN, the standard convention.
+    *
+    * Scale: the same broadcast-codebook argmin assignment as the IVF
+    * family (shuffle moves n rows, map-side combined); everything after
+    * is on #cells·#labels and #labels² frames. At corpus scale the
+    * assignment reads the materialized [[writeIvfIndex]] layout instead
+    * of recomputing — κ then costs one label-sized aggregation.
+    */
+  def clusterLabelKappa(spark: SparkSession, dir: String): DataFrame =
+    clusterLabelKappaOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label")))
+
+  /** [[clusterLabelKappa]] over any (vec_id, v: array<double>, label)
+    * frame.
+    */
+  def clusterLabelKappaOn(emb: DataFrame): DataFrame = {
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"),
+        struct(l2sq(col("v"), col("cv")).as("dist"), col("cid")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("label"), col("best.cid").as("cid"))
+      .cutLineage() // read by the vote aggregation AND the confusion join
+    val votes = assigned.groupBy(col("cid"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    // argmax by (cnt desc, label asc) without a window: min of the
+    // (-cnt, label) struct — cells-sized frame, map-side combined
+    val maj = votes.groupBy(col("cid"))
+      .agg(min(struct((-col("cnt")).as("neg"), col("label").as("l")))
+        .as("m"))
+      .select(col("cid"), col("m.l").as("pred"))
+    val conf = assigned.join(broadcast(maj), "cid")
+      .groupBy(col("label"), col("pred")).agg(count(lit(1)).as("c"))
+      .cutLineage() // labels²-sized; read by n, diag, and both margins
+    val n = conf.agg(sum(col("c")).as("n_vectors"))
+    val diag = conf.filter(col("label") === col("pred"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("agree"))
+    val rowt = conf.groupBy(col("label")).agg(sum(col("c")).as("rowt"))
+    val colt = conf.groupBy(col("pred")).agg(sum(col("c")).as("colt"))
+    val prod = rowt.join(colt, col("label") === col("pred"))
+      .agg(coalesce(sum(col("rowt") * col("colt")), lit(0L)).as("prod"))
+    diag.crossJoin(n).crossJoin(prod)
+      .withColumn("po", col("agree").cast("double") / col("n_vectors"))
+      .withColumn("pe", col("prod").cast("double")
+        / col("n_vectors") / col("n_vectors"))
+      .withColumn("kappa",
+        (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+      .select(col("n_vectors"), col("agree"), col("po"), col("pe"),
+        col("kappa"))
   }
 
   /** Exact cosine top-k for the query vector (vec_id = queryId). */
@@ -677,9 +753,13 @@ object Similarity {
     * [[labelCentroids]] shuffle twice over, nothing corpus-sized past
     * the first combine.
     */
-  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame =
+    embeddingDriftOn(Tables.embeddings(spark, dir))
+
+  /** [[embeddingDrift]] over any raw (vec_id, embedding, label) frame. */
+  def embeddingDriftOn(embRaw: DataFrame): DataFrame = {
     val d186 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val dims = Tables.embeddings(spark, dir)
+    val dims = embRaw
       .select(col("label"), (col("vec_id") % 2 === 0).as("in_a"),
         posexplode(vecD(col("embedding"))).as(Seq("pos", "x")))
     val cents = dims.groupBy(col("label"), col("pos"))

@@ -416,22 +416,23 @@ object TextAnalysis {
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // Three consumers (norms, blocking, pruned postings) read this frame;
-    // localCheckpoint truncates the join lineage so the weighted postings
+    // the cut truncates the join lineage so the weighted postings
     // materialize once, not once per branch (the same multi-consumer
-    // rule as Dedup.shingled / clustersFromPairs). NOTE: tf's checkpoint
-    // above stays resident too, so two near-posting-sized frames occupy
-    // the block managers simultaneously — roughly double the footprint
-    // of the single-checkpoint operators; size executor storage memory
-    // for 2× postings when running this at full corpus scale (freeing
-    // tf's blocks eagerly would require an action between the two
-    // checkpoints, i.e. a full extra pass — dearer than the memory).
+    // rule as Dedup.shingled / clustersFromPairs). The cut is EAGER so
+    // tf's blocks can be released right here: weighted is tf's only
+    // remaining consumer (df already folded in), and eager-then-release
+    // caps the resident footprint at ONE postings-sized frame instead of
+    // two for the life of the job — the materialization itself is not an
+    // extra pass, it is the same computation the first consumer would
+    // have triggered lazily, just moved before the release.
     val weighted = tf
       .join(df, "term") // vocab-sized; unhinted — AQE picks broadcast/skew
       .crossJoin(broadcast(n))
       .withColumn("wt", expr("n_docs div df"))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("wt"),
         col("n_docs"))
-      .cutLineage()
+      .cutLineage(eager = true)
+    graft.Materialize.release(tf)
     val norms = weighted.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf") * col("wt") * col("wt")).as("n2"))
     // blocking: rare-bigram postings self-join, df-capped fan-out
@@ -1198,6 +1199,38 @@ object TextAnalysis {
   def vocabCoverage(spark: SparkSession, dir: String,
       ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame =
     vocabCoverageOn(Tables.documents(spark, dir), ks)
+
+  /** Chao1 vocabulary-richness estimate per source: observed type count
+    * plus the bias-corrected singleton/doubleton tail estimate
+    * f1·(f1−1)/(2·(f2+1)) (Chao 1984; the bias-corrected form is
+    * defined even when no doubletons exist) — the coverage question a
+    * corpus curator actually asks: "how much vocabulary has this source
+    * NOT shown us yet?" A source whose chao1 far exceeds its observed
+    * vocabulary is under-sampled; one whose estimate has converged is
+    * exhausted (more crawl budget buys repetition, not coverage).
+    * Everything is exact integer counting until ONE double division per
+    * source, identical op order in the twin — bit-exact. Scale: the
+    * (source, term) frame is Heaps-bounded per source and the counts
+    * aggregation map-side combines; nothing is globally sorted except
+    * the #sources-row output.
+    */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame =
+    vocabRichnessOn(Tables.documents(spark, dir))
+
+  /** [[vocabRichness]] over any (source, text) frame. */
+  def vocabRichnessOn(documents: DataFrame): DataFrame =
+    documents
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab_obs"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("cnt") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1",
+        col("vocab_obs") + (col("f1") * (col("f1") - 1)).cast("double")
+          / (lit(2) * (col("f2") + 1)))
+      .orderBy(col("source"))
 
   /** [[vocabCoverage]] over any (doc_id, text) frame. */
   private[graft] def vocabCoverageOn(documents: DataFrame,

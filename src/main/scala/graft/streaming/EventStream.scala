@@ -680,6 +680,12 @@ object EventStream {
       sketchPath: String, outPath: String, checkpoint: String,
       qLo: Double = 0.01, qHi: Double = 0.99)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Same domain contract as quantileFromSample's qs validation: an
+    // inverted or out-of-(0,1] band would silently drop EVERY non-null
+    // row of known groups (and q <= 0 would misindex element_at) — fail
+    // at sink construction instead.
+    require(0 < qLo && qLo <= qHi && qHi <= 1,
+      s"quantileGateSink: need 0 < qLo <= qHi <= 1, got qLo=$qLo qHi=$qHi")
     import graft.operators.Aggregates.sampleQuantile
     val spark = rows.sparkSession
     val cuts = spark.read.parquet(sketchPath)

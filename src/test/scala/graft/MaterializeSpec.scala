@@ -52,6 +52,37 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("release frees an earlier cut's blocks once its consumer has " +
+      "eagerly materialized, and the consumer's data survives") {
+    val s = sessionWithMode("local")
+    import s.implicits._
+    import Materialize.MatOps
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val tf = (1 to 4).toDF("v").cutLineage(eager = true)
+    val tfIds = s.sparkContext.getPersistentRDDs.keySet -- before
+    assert(tfIds.nonEmpty, "eager local cut must register persisted blocks")
+    // downstream consumer cut EAGERLY before the release — the
+    // tfidfCosinePairsOn discipline
+    val weighted = tf.withColumn("w", col("v") * 2).cutLineage(eager = true)
+    Materialize.release(tf)
+    val after = s.sparkContext.getPersistentRDDs.keySet
+    assert(tfIds.forall(!after.contains(_)),
+      s"released cut must drop its persisted RDDs: kept ${tfIds & after}")
+    assert(weighted.orderBy("v").select("w").as[Int].collect().toSeq ==
+      Seq(2, 4, 6, 8), "consumer must still serve from its own cut")
+  }
+
+  test("release in persist mode keeps lineage, so even a released frame " +
+      "recomputes instead of failing") {
+    val s = sessionWithMode("persist")
+    import s.implicits._
+    import Materialize.MatOps
+    val f = (1 to 3).toDF("v").cutLineage(eager = true)
+    Materialize.release(f)
+    // persist-mode release unpersists but lineage was kept: reads recompute
+    assert(f.orderBy("v").as[Int].collect().toSeq == Seq(1, 2, 3))
+  }
+
   test("unknown mode fails loudly") {
     val s = sessionWithMode("replicated")
     import s.implicits._

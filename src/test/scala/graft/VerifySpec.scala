@@ -39,6 +39,21 @@ class VerifySpec extends AnyFunSuite {
     assert(oracle == "{\"q_ok\": \"SELECT 1\"}")
   }
 
+  test("row_counts.json attests the landed parquet row counts for every " +
+    "healthy query and omits failed ones — the round-6 lost-harvest " +
+    "defense: the dump itself carries its evidence") {
+    val out = java.nio.file.Files.createTempDirectory("verify_spec_").toString
+    val good: (SparkSession, String) => DataFrame =
+      (s, _) => s.range(7).toDF("id")
+    val bad: (SparkSession, String) => DataFrame =
+      (_, _) => throw new RuntimeException("boom")
+    Verify.run(spark, "/unused", out,
+      Map("q_seven" -> good, "q_dead" -> bad), Map.empty)
+    val rc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$out/row_counts.json")))
+    assert(rc == "{\"q_seven\": 7}", rc)
+  }
+
   test("oracle_sql.json escapes control characters so the driver's " +
     "json.load survives builder-authored SQL") {
     val out = java.nio.file.Files.createTempDirectory("verify_spec_").toString

@@ -248,4 +248,54 @@ class AggregatesSpec extends AnyFunSuite {
       assert(math.abs(js - je) < 0.5, s"j_est $js vs j_exact $je")
     }
   }
+
+  test("winsorize: clamp counts match the cuts, means order raw vs " +
+    "winsorized sensibly, and the trimmed sum excludes exactly the tails") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    Aggregates.winsorizedPrices(spark, dir).collect().foreach { r =>
+      val g = r.getAs[String]("l_returnflag")
+      val (lo, hi) = (r.getAs[Double]("lo_cut"), r.getAs[Double]("hi_cut"))
+      assert(lo < hi, s"$g: cuts must order, got $lo / $hi")
+      // clamp counts equal direct filters against the reported cuts
+      val base = li.filter(col("l_returnflag") === g)
+      assert(r.getAs[Long]("n_lo") ==
+        base.filter(col("l_extendedprice") < lo).count(), s"$g n_lo")
+      assert(r.getAs[Long]("n_hi") ==
+        base.filter(col("l_extendedprice") > hi).count(), s"$g n_hi")
+      assert(r.getAs[Long]("n_rows") == base.count(), s"$g n_rows")
+      // tails exist at p01/p99 on this fixture, so winsorizing moves the
+      // mean and the winsorized mean stays inside the clamp band
+      assert(r.getAs[Long]("n_lo") > 0 && r.getAs[Long]("n_hi") > 0, g)
+      val (mr, mw) = (r.getAs[Double]("mean_raw"), r.getAs[Double]("mean_wins"))
+      assert(mw >= lo && mw <= hi, s"$g: mean_wins $mw outside [$lo,$hi]")
+      assert(mr != mw, s"$g: clamping changed nothing?")
+      // trimmed sum < raw sum (tails dropped), both positive
+      assert(r.getAs[Double]("sum_trim") > 0 &&
+        r.getAs[Double]("sum_trim") < mr * r.getAs[Long]("n_rows") + 1, g)
+    }
+  }
+
+  test("transitions3: probabilities sum to 1 within each (type, next) " +
+    "context and trigram counts reconcile with the bigram matrix") {
+    val t3 = Analytics.eventTransitions3(spark, dir).collect()
+    assert(t3.nonEmpty)
+    t3.groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("next_type")))
+      .foreach { case (ctx, rows) =>
+        val p = rows.map(_.getAs[Double]("p")).sum
+        assert(math.abs(p - 1.0) < 1e-9, s"$ctx: p sums to $p")
+      }
+    // every trigram context total is <= its bigram count (a (a,b) pair
+    // only extends to a trigram when a third event follows)
+    val big = Analytics.eventTransitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("next_type")) -> r.getAs[Long]("n")).toMap
+    t3.groupBy(r => (r.getAs[String]("event_type"),
+        r.getAs[String]("next_type")))
+      .foreach { case (ctx, rows) =>
+        val n3 = rows.map(_.getAs[Long]("n")).sum
+        assert(n3 <= big(ctx), s"$ctx: trigrams $n3 > bigrams ${big(ctx)}")
+      }
+  }
 }

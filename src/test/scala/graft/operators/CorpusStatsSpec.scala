@@ -130,4 +130,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got("sb") == ((0.5, 10L)), got.toString)
     assert(got("sc")._1 == 0.0, got.toString)
   }
+
+  test("vocabRichness: chao1 equals the hand formula on a fixed " +
+    "frequency profile and reduces to vocab_obs when no singletons") {
+    import spark.implicits._
+    // sa: types a(1x), b(1x), c(2x), d(3x) -> vocab 4, f1=2, f2=1,
+    // chao1 = 4 + 2*1/(2*2) = 4.5
+    // sb: every type twice -> f1=0, chao1 = vocab exactly (converged)
+    val docs = Seq(
+      (1L, "a c d", "sa"), (2L, "b c d d", "sa"),
+      (3L, "x y", "sb"), (4L, "y x", "sb"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.vocabRichnessOn(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("vocab_obs"), r.getAs[Long]("f1"),
+          r.getAs[Long]("f2"), r.getAs[Double]("chao1")))).toMap
+    assert(got("sa") == ((4L, 2L, 1L, 4.5)), got.toString)
+    assert(got("sb") == ((2L, 0L, 2L, 2.0)), got.toString)
+    // estimator never falls below the observed vocabulary
+    got.values.foreach { case (v, _, _, c) => assert(c >= v) }
+  }
 }

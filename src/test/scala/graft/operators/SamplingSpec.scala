@@ -180,4 +180,38 @@ class SamplingSpec extends AnyFunSuite {
       assert(cid == d && s == perDoc(d))
     }
   }
+
+  test("splitLeakage: counts exactly the docs whose near-dup twin fell " +
+    "on the other side of the hash split; a leak-free corpus reads 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 20 dup pairs (2i, 2i+1 share a text) + 10 singletons; expected
+    // leaks computed independently with driver-side md5
+    val pairTexts = (0 until 20).map(i =>
+      s"pair $i alpha beta gamma delta epsilon zeta eta theta")
+    val docs = (0 until 40).map(i => (i.toLong, pairTexts(i / 2), "s")) ++
+      (100 until 110).map(i =>
+        (i.toLong, s"singleton $i only one copy exists anywhere $i", "s"))
+    val df = docs.toDF("doc_id", "text", "source")
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hk = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      if (hk <= "cccc") "train" else if (hk <= "e665") "val" else "test"
+    }
+    val expLeak = (0 until 20).flatMap { i =>
+      val (x, y) = (2L * i, 2L * i + 1)
+      if (split(x) != split(y)) Seq(split(x) -> x, split(y) -> y) else Nil
+    }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+    assert(expLeak.values.sum > 0, "fixture must contain split-crossing pairs")
+    val got = Sampling.splitLeakageOn(df).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_leaked")))).toMap
+    assert(got.values.map(_._1).sum == 50L, got.toString)
+    got.foreach { case (s, (_, leaked)) =>
+      assert(leaked == expLeak.getOrElse(s, 0).toLong, s"$s: $got vs $expLeak")
+    }
+    // singletons never leak
+    assert(got.values.map(_._2).sum == expLeak.values.sum.toLong)
+  }
 }

@@ -134,6 +134,83 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"clean vectors must not be flagged: $got")
   }
 
+  test("labelNoise singleton cell: a vector alone in its cell reports " +
+    "zero neighbors and is NOT suspect (insufficient evidence != noise)") {
+    import spark.implicits._
+    // id 0 is the only vector near centroid 0 — a true singleton cell;
+    // ids 1, 16, 17 share cell 1 so the rest of the plan still exercises
+    // the vote path (the documented contract: Similarity.scala zero-
+    // neighbor rule).
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.0f, 1.0f)
+    val rows = Seq((0L, a, 0), (1L, b, 1), (16L, b, 1), (17L, b, 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ln1").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val got = Similarity.labelNoise(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_suspect"), r.getAs[Long]("n_neighbors"),
+          r.getAs[String]("neigh_label")))).toMap
+    assert(got(0L) == ((false, 0L, null)),
+      s"singleton must report 0 neighbors, not suspect: $got")
+    assert(got.filter(_._1 != 0L).values.forall(_._2 == 2L), got.toString)
+  }
+
+  test("labelNoise argmax tie prefers the vector's OWN label: a label " +
+    "that ties for the top vote is never flagged") {
+    import spark.implicits._
+    // cell mates: vec 1 labeled 2 with neighbors labeled 1 and 2 — the
+    // vote ties 1:1. The old min(nb_label) tie-break would resolve to
+    // label 1 and wrongly flag vec 1; the own-label-first rule must not.
+    val b = Array(0.0f, 1.0f)
+    val rows = Seq((1L, b, 2), (16L, b, 1), (17L, b, 2))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ln2").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val got = Similarity.labelNoise(spark, tmp).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_suspect"), r.getAs[String]("neigh_label"))))
+      .toMap
+    assert(got(1L) == ((false, "2")),
+      s"own label tying for argmax must win the tie: $got")
+    // vec 16 (label 1) loses 2:0 — genuinely suspect
+    assert(got(16L) == ((true, "2")), got.toString)
+    // vec 17 (label 2) ties 1:1 and keeps its own label too
+    assert(got(17L) == ((false, "2")), got.toString)
+  }
+
+  test("clusterLabelKappa: label-pure cells score kappa 1, " +
+    "geometry-blind labels score below chance-corrected purity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VectorFunctions.vecD
+    val a = Array(1.0f, 0.0f)
+    val b = Array(0.0f, 1.0f)
+    // pure: cell A all label 0 (ids 0, 16-19), cell B all label 1
+    val pure = (Seq((0L, a, "0"), (1L, b, "1")) ++
+      (16 to 19).map(i => (i.toLong, a, "0")) ++
+      (20 to 23).map(i => (i.toLong, b, "1")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kap").toString
+    pure.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val gp = Similarity.clusterLabelKappa(spark, tmp).collect()(0)
+    assert(gp.getAs[Long]("n_vectors") == 10L)
+    assert(gp.getAs[Double]("po") == 1.0 && gp.getAs[Double]("kappa") == 1.0,
+      gp.toString)
+    // blind: both cells split 2-2 between the labels — the majority
+    // vote (ties to the smaller label) predicts "0" everywhere, so raw
+    // accuracy still reads a misleading 0.5 while the chance-corrected
+    // kappa reads exactly 0
+    val blind = Seq((0L, a, "0"), (16L, a, "1"), (17L, a, "0"),
+      (18L, a, "1"), (1L, b, "1"), (20L, b, "0"), (21L, b, "1"),
+      (22L, b, "0"))
+    val emb = blind.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), vecD(col("embedding")).as("v"), col("label"))
+    val gb = Similarity.clusterLabelKappaOn(emb).collect()(0)
+    assert(gb.getAs[Double]("po") == 0.5 && gb.getAs[Double]("kappa") == 0.0,
+      gb.toString)
+  }
+
   test("embeddingDrift: identical snapshot halves score ~1, an " +
     "orthogonal flip scores ~0, and half counts are reported") {
     import spark.implicits._

@@ -721,6 +721,19 @@ class EventStreamSpec extends AnyFunSuite {
     } finally gate.stop()
   }
 
+  test("quantileGateSink rejects an inverted or out-of-(0,1] band at " +
+    "construction instead of silently dropping every row") {
+    import spark.implicits._
+    val rows = spark.range(1).toDF("g")
+    for ((lo, hi) <- Seq((0.9, 0.1), (0.0, 0.5), (0.5, 1.5), (-0.1, 0.9))) {
+      val e = intercept[IllegalArgumentException] {
+        EventStream.quantileGateSink(rows, "g", "g", "/nowhere", "/nowhere",
+          "/nowhere", qLo = lo, qHi = hi)
+      }
+      assert(e.getMessage.contains("qLo"), s"($lo,$hi): ${e.getMessage}")
+    }
+  }
+
   test("cusumMonitor finalizes days behind the watermark and runs the " +
     "max-reset recursion with the calibrated mean") {
     implicit val sql = spark.sqlContext
