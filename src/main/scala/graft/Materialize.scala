@@ -143,8 +143,19 @@ object Materialize {
   def release(df: DataFrame): Unit = mode(df.sparkSession) match {
     case "persist" => df.unpersist(blocking = false)
     case _ =>
-      df.queryExecution.analyzed.collect {
+      // Guard, not just a docstring: a frame RETURNED BY cutLineage is
+      // exactly one LogicalRDD scan. A derived frame (a join of two
+      // cuts, a transform over one) would surface EVERY cut in its
+      // subtree here, and unpersisting them all destroys blocks other
+      // consumers still reference — fail that call loudly instead.
+      val rdds = df.queryExecution.analyzed.collect {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-      }.foreach(_.unpersist(blocking = false))
+      }
+      require(rdds.size == 1,
+        s"Materialize.release expects a frame returned by cutLineage " +
+          s"(exactly one materialized scan in its plan); got ${rdds.size} " +
+          "— releasing a derived frame would drop blocks shared with " +
+          "other consumers")
+      rdds.foreach(_.unpersist(blocking = false))
   }
 }

@@ -330,6 +330,38 @@ object Profile {
     t("transitions3_10x")(
       graft.operators.Analytics.eventTransitions3On(ev10)
         .agg(sum(col("n"))).scalarLong)
+
+    // Round-8 rows: the remaining r7 trio plus this round's trained
+    // probe and tokenizer. Replication semantics: vocabRichness's
+    // (source, term) frame is replication-INVARIANT in its distinct
+    // domain but the f1/f2 singleton tail changes meaning (a 10x-copied
+    // corpus has no singletons — the 10x row measures the count
+    // aggregation, the estimator sees cnt>=10 everywhere); cluster
+    // kappa's assignment shuffle absorbs 10x vectors into the same
+    // #cells x #labels frames; splitLeakage rides the dense replicated
+    // dup-pair graph (candidate volume at its constructed worst);
+    // qualityFit is scan-shaped (14 partial sums); unigram's dict is
+    // replication-invariant like BPE/WordPiece, so 10x measures the one
+    // corpus-sized word aggregation feeding the dict.
+    t("vocab_richness_10x")(
+      graft.operators.TextAnalysis.vocabRichnessOn(docs10)
+        .agg(sum(col("chao1"))).scalarDouble.toLong)
+    t("cluster_kappa_10x") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.clusterLabelKappaOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v"),
+          col("label")))
+        .agg(sum(col("n_vectors"))).scalarLong
+    }
+    t("split_leakage_10x")(
+      graft.operators.Sampling.splitLeakageOn(docs10)
+        .agg(sum(col("n_docs"))).scalarLong)
+    t("quality_fit_10x")(
+      graft.operators.TextAnalysis.qualityFitOn(docs10)
+        .agg(sum(col("n_docs"))).scalarLong)
+    t("unigram_train_10x")(
+      graft.operators.Bpe.unigramTrainOn(spark, docs10, vocabSize = 40)
+        .count())
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Bpe, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Bpe, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Retrieval, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -203,6 +203,19 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
     "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
     "q_media_patches" -> ((s, dir) => Multimodal.patchGrid(s, dir)),
+    // golden-pinned: iterative EM training has no SQL twin; determinism
+    // from the totalized Viterbi tie-break + exact integer counts
+    "q_unigram_train" -> ((s, dir) => Bpe.unigramTrain(s, dir)),
+    "q_unigram_tokens" -> ((s, dir) => Bpe.unigramTokenize(s, dir)),
+    "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
+    "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
+    "q_split_leakage_lf" -> ((s, dir) =>
+      Sampling.splitLeakageOfAssignment(
+        graft.sources.Tables.documents(s, dir),
+        Sampling.splitAssignLeakFree(s, dir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("split")),
+        threshold = 0.7)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2674,9 +2687,9 @@ object SparkEntry {
         |             CAST(sum(cnt) AS BIGINT) AS n_neighbors
         |      FROM votes GROUP BY 1, 2),
         |mj AS (SELECT m.vec_id, m.label, m.n_agree, m.n_neighbors,
-        |              substr(min(CASE WHEN votes.nb_label = m.label
+        |              CAST(substr(min(CASE WHEN votes.nb_label = m.label
         |                     THEN '0' || votes.nb_label
-        |                     ELSE '1' || votes.nb_label END), 2)
+        |                     ELSE '1' || votes.nb_label END), 2) AS INTEGER)
         |                AS neigh_label
         |       FROM m JOIN votes ON votes.vec_id = m.vec_id
         |                        AND votes.label = m.label
@@ -2803,5 +2816,189 @@ object SparkEntry {
         |       grid_w * 16 - out_width AS pad_w,
         |       grid_h * 16 - out_height AS pad_h
         |FROM g ORDER BY doc_id""".stripMargin,
+    // q_unigram_train / q_unigram_tokens: no oracle — iterative EM
+    //                   training has no SQL twin; golden-pinned.
+    // RRF = the q_bm25 and q_ann_ivf twins verbatim, re-ranked with
+    // integer row_numbers and fused by one fixed-order two-term sum —
+    // 1.0 is CAST to DOUBLE because DuckDB types the bare literal
+    // DECIMAL. The Spark side serves both lists from stored artifacts;
+    // each serving path is spec-proved equal to the in-query twin the
+    // oracle recomputes.
+    "q_rrf_fusion" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / count(*) AS avgdl
+        |       FROM documents),
+        |qtf AS (SELECT * FROM tf
+        |        WHERE term IN ('hash', 'join', 'vector', 'stream')),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+        |s AS (SELECT qtf.doc_id,
+        |             (((n_docs - df) + 0.5) / (df + 0.5))
+        |               * ((tf * (1.2 + 1.0))
+        |                 / (tf + (1.2 * ((1.0 - 0.75)
+        |                   + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))) AS tscore
+        |      FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+        |      CROSS JOIN sc),
+        |bm AS (SELECT doc_id,
+        |              CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |       FROM s GROUP BY doc_id
+        |       ORDER BY score DESC, doc_id LIMIT 20),
+        |br AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+        |       FROM bm),
+        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |      FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q
+        |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
+        |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
+        |  LIMIT 4),
+        |ann AS (
+        |  SELECT a.vec_id,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |  FROM assigned a JOIN probe USING (cid), q
+        |  ORDER BY cos DESC, vec_id LIMIT 20),
+        |ar AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+        |         (ORDER BY cos DESC, vec_id) AS INTEGER) AS ann_rank
+        |       FROM ann)
+        |SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
+        |       br.bm25_rank, ar.ann_rank,
+        |       (COALESCE(CAST(1.0 AS DOUBLE) / (60 + br.bm25_rank),
+        |                 CAST(0.0 AS DOUBLE))
+        |        + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ar.ann_rank),
+        |                   CAST(0.0 AS DOUBLE))) AS rrf_score
+        |FROM br FULL JOIN ar ON br.doc_id = ar.doc_id
+        |ORDER BY rrf_score DESC, doc_id""".stripMargin,
+    "q_quality_fit" -> qualityFitSql,
+    // leakage probe over the CLUSTER-KEYED split: the q_split_leakfree
+    // assignment CTEs + the q_split_leakage measurement CTEs, one graph
+    "q_split_leakage_lf" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |cl AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+        |sp AS (SELECT d.doc_id,
+        |         CASE WHEN substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id)
+        |                                 AS VARCHAR)), 1, 4) <= 'cccc'
+        |                THEN 'train'
+        |              WHEN substr(md5(CAST(coalesce(cl.cluster_id, d.doc_id)
+        |                                 AS VARCHAR)), 1, 4) <= 'e665'
+        |                THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        |lk AS (SELECT DISTINCT e.a AS doc_id, s1.split
+        |       FROM e JOIN sp s1 ON e.a = s1.doc_id
+        |              JOIN sp s2 ON e.b = s2.doc_id
+        |       WHERE s1.split <> s2.split),
+        |tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+        |        FROM sp GROUP BY 1),
+        |nl AS (SELECT split, CAST(count(*) AS BIGINT) AS n_leaked
+        |       FROM lk GROUP BY 1)
+        |SELECT tot.split, tot.n_docs,
+        |       coalesce(nl.n_leaked, 0) AS n_leaked,
+        |       CAST(coalesce(nl.n_leaked, 0) AS DOUBLE) / tot.n_docs
+        |         AS leak_frac
+        |FROM tot LEFT JOIN nl ON tot.split = nl.split
+        |ORDER BY tot.split""".stripMargin,
   )
+
+  /** q_quality_fit's oracle, assembled with the SAME det3/det4 structure
+    * generators the Spark operator's solve uses
+    * ([[graft.operators.TextAnalysis.det4Sql]]) — one expression tree,
+    * two renderings, so the engines cannot drift on operation order.
+    * Feature quantization (2-decimal length cap, per-mille floors) and
+    * the decimal power-sum images mirror `qualityFitFeatures` /
+    * `qualityFitOn` term for term.
+    */
+  private lazy val qualityFitSql: String = {
+    val A = Seq(
+      Seq("CAST(n_docs AS DOUBLE)", "a01", "a02", "a03"),
+      Seq("a01", "a11", "a12", "a13"),
+      Seq("a02", "a12", "a22", "a23"),
+      Seq("a03", "a13", "a23", "a33"))
+    val bv = Seq("CAST(n_keep AS DOUBLE)", "b1", "b2", "b3")
+    def repl(i: Int): Seq[Seq[String]] =
+      A.zipWithIndex.map { case (row, r) =>
+        row.indices.map(j => if (j == i) bv(r) else row(j))
+      }
+    val da = TextAnalysis.det4Sql(A)
+    val d = (0 to 3).map(i => TextAnalysis.det4Sql(repl(i)))
+    val stops = Seq(
+      "'the','a','of','and','to','in','is','on','for','with'",
+      "'der','die','und','das','ist','nicht','ein','zu'",
+      "'el','la','que','los','las','una','por'",
+      "'le','les','des','et','une','est','dans'")
+    val hitSum = stops.map(l =>
+      s"CAST(len(list_filter(string_split(text,' '), t -> t IN ($l))) AS INT)")
+      .mkString(" + ")
+    s"""WITH base AS (
+      |  SELECT len(string_split(text,' ')) AS nt,
+      |         len(list_distinct(string_split(text,' '))) AS nd,
+      |         $hitSum AS sh,
+      |         length(text) AS nc
+      |  FROM documents),
+      |f AS (
+      |  SELECT least(nt, 100) / 100.0 AS x_len,
+      |         ((1000 * nd) // nt) / 1000.0 AS x_distinct,
+      |         ((1000 * sh) // nt) / 1000.0 AS x_stop,
+      |         CASE WHEN nt >= 20 AND nt <= 2000
+      |                   AND ((nc - nt + 1) / nt) >= 3.0
+      |                   AND ((nc - nt + 1) / nt) <= 10.0
+      |                   AND (nd / nt) >= 0.3
+      |                   AND sh >= 2
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM base),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(CAST(x_len AS DECIMAL(18,6))) AS DOUBLE) AS a01,
+      |         CAST(sum(CAST(x_distinct AS DECIMAL(18,6))) AS DOUBLE) AS a02,
+      |         CAST(sum(CAST(x_stop AS DECIMAL(18,6))) AS DOUBLE) AS a03,
+      |         CAST(sum(CAST(x_len * x_len AS DECIMAL(18,6))) AS DOUBLE) AS a11,
+      |         CAST(sum(CAST(x_len * x_distinct AS DECIMAL(18,6))) AS DOUBLE) AS a12,
+      |         CAST(sum(CAST(x_len * x_stop AS DECIMAL(18,6))) AS DOUBLE) AS a13,
+      |         CAST(sum(CAST(x_distinct * x_distinct AS DECIMAL(18,6))) AS DOUBLE) AS a22,
+      |         CAST(sum(CAST(x_distinct * x_stop AS DECIMAL(18,6))) AS DOUBLE) AS a23,
+      |         CAST(sum(CAST(x_stop * x_stop AS DECIMAL(18,6))) AS DOUBLE) AS a33,
+      |         CAST(sum(y) AS BIGINT) AS n_keep,
+      |         CAST(sum(CAST(x_len * y AS DECIMAL(18,6))) AS DOUBLE) AS b1,
+      |         CAST(sum(CAST(x_distinct * y AS DECIMAL(18,6))) AS DOUBLE) AS b2,
+      |         CAST(sum(CAST(x_stop * y AS DECIMAL(18,6))) AS DOUBLE) AS b3
+      |  FROM f),
+      |m AS (SELECT *, ($da) AS da FROM s),
+      |w AS (SELECT *,
+      |        (${d(0)}) / da AS w0,
+      |        (${d(1)}) / da AS w1,
+      |        (${d(2)}) / da AS w2,
+      |        (${d(3)}) / da AS w3
+      |      FROM m)
+      |SELECT n_docs, n_keep, w0, w1, w2, w3,
+      |       CAST(n_keep AS DOUBLE)
+      |         - (CAST(2.0 AS DOUBLE)
+      |            * ((((w0 * CAST(n_keep AS DOUBLE)) + (w1 * b1))
+      |               + (w2 * b2)) + (w3 * b3)))
+      |         + ((((w0 * ((((CAST(n_docs AS DOUBLE) * w0) + (a01 * w1))
+      |                     + (a02 * w2)) + (a03 * w3)))
+      |            + (w1 * ((((a01 * w0) + (a11 * w1))
+      |                     + (a12 * w2)) + (a13 * w3))))
+      |            + (w2 * ((((a02 * w0) + (a12 * w1))
+      |                     + (a22 * w2)) + (a23 * w3))))
+      |            + (w3 * ((((a03 * w0) + (a13 * w1))
+      |                     + (a23 * w2)) + (a33 * w3)))) AS sse
+      |FROM w""".stripMargin
+  }
 }

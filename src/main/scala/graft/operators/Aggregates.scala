@@ -676,14 +676,21 @@ object Aggregates {
         dsum(col("o_totalprice")).as("revenue_raw"),
         (sum(col("price_micro") * col("w_e4")).cast("double")
           / 1e10).as("revenue_decayed"),
-        max(col("price_micro") * col("w_e4")).as("max_term"))
+        // The fence's max term is computed in DOUBLE from the factors,
+        // not from the int64 product: a single row whose product
+        // exceeds 2^63 would wrap BEFORE the max, and the wrapped
+        // (small or negative) max could then pass the check the sum it
+        // guards already broke — the overflow-free image keeps both
+        // factors of the proof exact.
+        max(col("price_micro").cast("double") * col("w_e4").cast("double"))
+          .as("max_term"))
       // Overflow fence (see Scaladoc): every partial sum of the
       // nonnegative terms is <= n_orders * max_term, so the check in
       // DOUBLE (overflow-free) proves the LONG sum above never wrapped.
       // A filter (not an unused column) so Catalyst cannot prune it;
       // assert_true returns NULL on pass, so coalesce keeps every row.
       .filter(coalesce(assert_true(
-        col("n_orders").cast("double") * col("max_term").cast("double")
+        col("n_orders").cast("double") * col("max_term")
           < lit(9.0e18),
         concat(lit("decayedRevenue: weighted sum may exceed int64 for " +
           "o_custkey="), col("o_custkey").cast("string"),

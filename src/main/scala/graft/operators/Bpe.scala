@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Materialize.MatOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -381,6 +381,263 @@ object Bpe {
       dir: String): DataFrame =
     tokenizeWithDict(Tables.documents(spark, dir),
       spark.read.parquet(indexPath + "/dict"), "n_wp_tokens")
+
+  // -------------------------------------------------------------------
+  // Unigram-LM (SentencePiece-style) tokenizer — the third family
+  // member next to BPE (frequency-greedy merges) and WordPiece
+  // (likelihood-greedy merges): a PROBABILISTIC piece vocabulary
+  // trained by EM (Kudo 2018, "Subword Regularization"), where
+  // tokenization is the Viterbi-optimal segmentation under learned
+  // piece log-probs rather than a replay of merge history.
+  //
+  // Scale shape is identical to BPE/WordPiece: the corpus compresses
+  // ONCE into the Heaps-bounded word-frequency dict, and every EM
+  // round after that is a dict-sized job — the E-step Viterbi runs as
+  // a pure Catalyst higher-order-function DP per dict word (no UDF, no
+  // corpus pass), and the M-step re-estimates piece counts from one
+  // piece-sized aggregation. The only driver-held state is the piece
+  // table itself (≤ vocabSize rows — artifact-sized by construction,
+  // the same bounded-collect budget as the BPE argmax and PCA's
+  // d²-cell covariance).
+  // -------------------------------------------------------------------
+
+  /** Viterbi segmentation of one word under piece costs (−log p), as a
+    * Catalyst expression: a left-to-right DP where state i holds the
+    * best (cost, n_pieces, pieces) for the length-i prefix, and step i
+    * minimizes over the ≤ maxLen pieces ending at i. Ties totalize by
+    * (cost, fewer pieces, lexicographically smaller piece array) via
+    * struct/array ordering, so the segmentation is a pure deterministic
+    * function of (word, costs) — identical across partitionings, runs,
+    * and the sequential reference (spec-pinned). Pieces missing from
+    * `costs` cost 1e9: single characters are never pruned from the
+    * vocabulary, so a real path always exists and the penalty path can
+    * never win. O(len·maxLen) candidate structs per word, all inside
+    * whole-stage-codegen'd higher-order functions.
+    */
+  private[operators] def viterbiSegCol(w: Column, costs: Column,
+      maxLen: Int): Column = {
+    val n = length(w)
+    val init = array(struct(lit(0.0).as("c"), lit(0).as("np"),
+      array().cast("array<string>").as("seg")))
+    val stepped = aggregate(
+      sequence(lit(1), n),
+      init,
+      (acc, i) => {
+        val cands = transform(
+          sequence(greatest(lit(1), i - lit(maxLen - 1)), i),
+          s => {
+            val piece = w.substr(s, i - s + lit(1))
+            val prev = element_at(acc, s)
+            struct(
+              (prev.getField("c")
+                + coalesce(element_at(costs, piece), lit(1e9))).as("c"),
+              (prev.getField("np") + 1).as("np"),
+              concat(prev.getField("seg"), array(piece)).as("seg"))
+          })
+        concat(acc, array(array_min(cands)))
+      })
+    element_at(stepped, n + lit(1)).getField("seg")
+  }
+
+  /** E-step: Viterbi-segment every dict word under the current costs
+    * and return exact integer piece counts weighted by word frequency.
+    * One dict-sized explode + aggregation; the result is ≤ |vocab| rows
+    * (only vocabulary pieces can appear in a segmentation), so the
+    * collect is artifact-bounded by construction.
+    */
+  private def unigramCounts(dict: DataFrame, costs: Map[String, Double],
+      maxLen: Int): Map[String, Long] =
+    dict
+      .select(explode(viterbiSegCol(col("w"), typedLit(costs), maxLen))
+        .as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** M-step: counts → costs (−ln p, MLE over the piece unigram). A
+    * kept piece with zero count (a single character fully absorbed by
+    * larger pieces this round — characters are never dropped, they are
+    * the coverage guarantee) gets the half-count Laplace floor, so its
+    * cost is finite, worse than any used piece, and deterministic.
+    */
+  private def unigramCosts(counts: Map[String, Long],
+      kept: Iterable[String]): Map[String, Double] = {
+    val total = math.max(1L, counts.values.sum).toDouble
+    kept.map { p =>
+      val c = counts.getOrElse(p, 0L)
+      p -> (if (c > 0) -math.log(c / total) else -math.log(0.5 / total))
+    }.toMap
+  }
+
+  /** Driver-side sequential Viterbi COST of segmenting `s` with `p`
+    * excluded from the vocabulary — the alternative-encoding cost the
+    * loss-based pruning rule charges against keeping `p`. Runs on piece
+    * STRINGS only (≤ vocabSize items, each ≤ maxLen chars): bounded
+    * driver work, like the normal-equations solve of a linear probe.
+    */
+  private def altCost(s: String, costs: Map[String, Double], maxLen: Int,
+      exclude: String): Double = {
+    val n = s.length
+    val best = Array.fill(n + 1)(Double.MaxValue / 4)
+    best(0) = 0.0
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+      val p = s.substring(j, i)
+      if (p != exclude) costs.get(p).foreach { c =>
+        if (best(j) + c < best(i)) best(i) = best(j) + c
+      }
+    }
+    best(n)
+  }
+
+  /** The unigram-LM training loop: seed → EM → loss-prune → EM.
+    *
+    *  1. SEED: every substring of dict words up to `maxLen` chars,
+    *     occurrence-counted and weighted by word frequency (one
+    *     dict-sized explode); the top 4·vocabSize by (count DESC, piece
+    *     ASC) via TakeOrdered, unioned with ALL single characters (the
+    *     coverage floor that makes every word segmentable forever).
+    *  2. EM ×`emIters`: hard (Viterbi) E-step on the dict, exact
+    *     integer M-step counts — the standard scalable simplification
+    *     of full forward-backward EM, and deterministic where soft
+    *     expected counts would float.
+    *  3. PRUNE to vocabSize in one shot, keeping the multi-char pieces
+    *     with the LARGEST loss delta cnt·(altCost − cost) — the
+    *     likelihood the corpus loses if the piece is removed and its
+    *     occurrences re-segment with the survivors (Kudo's pruning
+    *     criterion, computed sequentially over the artifact-sized piece
+    *     table). Single characters are exempt.
+    *  4. One final EM round re-estimates probabilities over the pruned
+    *     vocabulary, then the dict is segmented once for serving.
+    *
+    * Returns the piece table (piece, cnt, logp) sorted (cnt DESC, piece
+    * ASC) with ranks, and the segmented dict in the exact (w, syms,
+    * cnt) layout BPE/WordPiece use — so [[tokenizeWithDict]] and the
+    * on-disk dict artifact serve all three families identically.
+    */
+  private def unigramCore(documents: DataFrame, vocabSize: Int,
+      maxLen: Int, emIters: Int)
+      : (Seq[(Int, String, Long, Double)], DataFrame) = {
+    val dict = wordDict(documents).cutLineage(eager = true)
+    // seed candidates: one dict-sized substring explode
+    val subs = dict.select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        s => transform(
+          sequence(s, least(length(col("w")), s + lit(maxLen - 1))),
+          e => col("w").substr(s, e - s + lit(1))))))
+        .as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .cutLineage() // read by the top-k seed AND the char floor
+    val seedTop = subs
+      .orderBy(col("c").desc, col("piece")).limit(4 * vocabSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val seed = (seedTop ++ chars).toMap
+    var costs = unigramCosts(seed, seed.keys)
+    for (_ <- 0 until emIters)
+      costs = unigramCosts(unigramCounts(dict, costs, maxLen), costs.keys)
+    // loss-based prune to vocabSize (characters exempt)
+    val counts = unigramCounts(dict, costs, maxLen)
+    val charSet = chars.map(_._1).toSet
+    val keepMulti = costs.keys.filter(p => !charSet.contains(p)).toSeq
+      .map { p =>
+        val loss = counts.getOrElse(p, 0L)
+          .toDouble * (altCost(p, costs, maxLen, p) - costs(p))
+        (p, loss)
+      }
+      .sortBy { case (p, loss) => (-loss, p) }
+      .take(math.max(0, vocabSize - charSet.size))
+      .map(_._1)
+    val kept = charSet ++ keepMulti
+    // one post-prune EM round over the survivors, then segment the dict
+    // ONCE under the final model and report piece counts FROM that
+    // segmentation — the artifact is self-consistent: `cnt` is exactly
+    // what `dict/` serves, `logp` is the model that produced it.
+    costs = unigramCosts(counts.filter(kv => kept(kv._1)), kept)
+    costs = unigramCosts(unigramCounts(dict, costs, maxLen), kept)
+    val segDict = dict
+      .withColumn("syms", viterbiSegCol(col("w"), typedLit(costs), maxLen))
+      .cutLineage(eager = true)
+    val finalCounts = segDict
+      .select(explode(col("syms")).as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pieces = kept.toSeq
+      .map(p => (p, finalCounts.getOrElse(p, 0L), -costs(p)))
+      .sortBy { case (p, c, _) => (-c, p) }
+      .zipWithIndex
+      .map { case ((p, c, lp), rk) => (rk, p, c, lp) }
+    (pieces, segDict)
+  }
+
+  private def unigramArtifact(spark: SparkSession, dir: String,
+      vocabSize: Int)
+      : (Seq[(Int, String, Long, Double)], DataFrame) =
+    cachedArtifact(spark, dir, vocabSize, "unigram") {
+      unigramCore(Tables.documents(spark, dir), vocabSize,
+        UnigramMaxLen, UnigramEmIters)
+    }
+
+  /** Defaults sized to the synthetic corpus (24-char alphabet): room
+    * for 16 learned multi-char pieces on top of the character floor.
+    */
+  private val UnigramMaxLen = 4
+  private val UnigramEmIters = 2
+
+  /** Train a unigram-LM piece vocabulary over the documents table.
+    * Output: (rank, piece, cnt, logp) — the stored tokenizer artifact,
+    * ranked by (count DESC, piece ASC). Golden-pinned like BPE and
+    * WordPiece: iterative EM training has no SQL twin.
+    */
+  def unigramTrain(spark: SparkSession, dir: String,
+      vocabSize: Int = 40): DataFrame = {
+    import spark.implicits._
+    unigramArtifact(spark, dir, vocabSize)._1
+      .toDF("rank", "piece", "cnt", "logp")
+      .orderBy(col("rank"))
+  }
+
+  /** Same, over any (text) frame — the spec/profile entry point. */
+  def unigramTrainOn(spark: SparkSession, documents: DataFrame,
+      vocabSize: Int, maxLen: Int = UnigramMaxLen,
+      emIters: Int = UnigramEmIters): DataFrame = {
+    import spark.implicits._
+    unigramCore(documents, vocabSize, maxLen, emIters)._1
+      .toDF("rank", "piece", "cnt", "logp")
+      .orderBy(col("rank"))
+  }
+
+  /** Per-document unigram tokenization — the same word → subwords
+    * serving join as BPE/WordPiece ([[tokenizeWithDict]]): the Viterbi
+    * DP ran once per dict WORD at training, never per corpus
+    * occurrence. Output: (doc_id, n_words, n_unigram_tokens,
+    * tokens_per_word).
+    */
+  def unigramTokenize(spark: SparkSession, dir: String,
+      vocabSize: Int = 40): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      unigramArtifact(spark, dir, vocabSize)._2, "n_unigram_tokens")
+
+  /** Unigram twin of [[writeBpeDict]]: `pieces/` (rank, piece, cnt,
+    * logp) + `dict/` (w, syms, cnt) in the shared dict layout.
+    */
+  def writeUnigramDict(spark: SparkSession, dir: String, path: String,
+      vocabSize: Int = 40): Unit = {
+    import spark.implicits._
+    val (pieces, dict) = unigramArtifact(spark, dir, vocabSize)
+    pieces.toDF("rank", "piece", "cnt", "logp")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/pieces")
+    dict.write.mode("overwrite").parquet(path + "/dict")
+  }
+
+  /** Serve unigram tokenization from a stored [[writeUnigramDict]]
+    * artifact — identical to [[unigramTokenize]] by construction (same
+    * serving join over the same dict frame, spec-proved), zero training
+    * jobs in the plan.
+    */
+  def unigramTokenizeFromDict(spark: SparkSession, indexPath: String,
+      dir: String): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      spark.read.parquet(indexPath + "/dict"), "n_unigram_tokens")
 
   /** Per-document BPE tokenization — the serving half of the artifact:
     * the final segmented dict is a word → subwords LOOKUP TABLE, so

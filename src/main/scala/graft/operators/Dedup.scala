@@ -295,6 +295,52 @@ object Dedup {
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
   }
 
+  /** The two frames an index append writes, derived ONCE from the batch
+    * text: the shingle kernel runs a single time (eager cut, read by
+    * both writes) and NOTHING here reads the existing index or the
+    * original corpus — package-private so the spec can pin that scan
+    * provenance on the un-written frames.
+    */
+  private[operators] def minhashAppendFrames(batch: DataFrame,
+      cut: Boolean = true): (DataFrame, DataFrame) = {
+    val sh = batch.select(col("doc_id"), shingles(col("text")).as("sh"))
+    // `cut = false` only in the provenance spec: the eager cut replaces
+    // the scan subtree with a LogicalRDD, so the spec asserts file
+    // provenance on the UNCUT dataflow (same graph minus the cut)
+    val bs = if (cut) sh.cutLineage(eager = true) else sh
+    (bs, bandBuckets(signatures(bs)))
+  }
+
+  /** Incrementally admit a batch into a materialized
+    * [[writeMinhashIndex]] layout — the fuzzy-dedup twin of
+    * [[Similarity.appendToIvfIndex]]: append the batch's shingle sets
+    * to `shingles/` and its band keys into the per-band directories of
+    * `bands/` (partition-scoped appends — new files land next to the
+    * old ones, no existing file is rewritten, no unaffected band is
+    * touched). Without this, admitting a batch at 100 TB means
+    * refresh-by-rewrite: re-shingling the ENTIRE corpus to add a day's
+    * documents. With it, the steady-state index lifecycle matches the
+    * IVF family: build once, append per batch, rebuild only on
+    * parameter change.
+    *
+    * Equivalence is structural: [[minhashJoinFromIndex]] reads the
+    * union of all files under each layout dir, and both band hashing
+    * and shingling are pure per-document functions — so probing an
+    * appended index is identical to probing a rebuilt index over the
+    * union corpus (spec-proved, `MinhashIndexSpec`). The append itself
+    * scans ONLY the batch text: one shingle pass (eagerly cut, shared
+    * by both writes), no read of the existing index, no read of the
+    * original corpus (plan-proved).
+    */
+  def appendToMinhashIndex(batch: DataFrame, path: String): Unit = {
+    val (bs, bands) = minhashAppendFrames(batch)
+    bs.write.mode("append").parquet(s"$path/shingles")
+    bands
+      .repartition(col("band"))
+      .sortWithinPartitions(col("h"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+  }
+
   /** [[minhashJoinOn]] with the corpus side served from a materialized
     * [[writeMinhashIndex]] layout: the batch is shingled/signed live;
     * the corpus contributes only stored band keys to the candidate join

@@ -208,6 +208,22 @@ object Sampling {
           .when(col("hk") <= valHi, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("split"))
+    splitLeakageOfAssignment(docs, split, threshold)
+  }
+
+  /** The leakage probe over an ARBITRARY (doc_id, split) assignment —
+    * the reconciliation half of the pair: run it over [[splitAssign]]'s
+    * per-doc hash split and it measures the contamination; run it over
+    * [[splitAssignLeakFree]]'s cluster-keyed assignment and it MUST
+    * report n_leaked = 0 on every split, because every near-dup pair is
+    * (by the shared LSH candidate machinery) inside one cluster, and a
+    * cluster hashes to exactly one side. That closure — the probe and
+    * the preventer agreeing through the same MinHash pair set — is
+    * spec-pinned on a planted near-dup fixture (`SamplingSpec`).
+    */
+  def splitLeakageOfAssignment(docs: DataFrame, assignment: DataFrame,
+      threshold: Double): DataFrame = {
+    val split = assignment.select(col("doc_id"), col("split"))
     val pairs = graft.operators.Dedup.minhashNearDupOn(docs, threshold)
       .select(col("da"), col("db"))
     // undirected: every doc sees every neighbor once per direction

@@ -108,7 +108,12 @@ object Similarity {
       .agg(min(concat(
         when(col("nb_label") === col("label"), lit("0")).otherwise(lit("1")),
         col("nb_label"))).as("sel"))
-      .withColumn("neigh_label", substring(col("sel"), 2, Int.MaxValue))
+      // The prefix-tag trick routes the tie-break through a string; cast
+      // the winner BACK to the input label column's native type so the
+      // public output schema is unchanged by the tie policy (the DuckDB
+      // twin mirrors the cast).
+      .withColumn("neigh_label", substring(col("sel"), 2, Int.MaxValue)
+        .cast(emb.schema("label").dataType))
     assigned.select(col("vec_id"), col("label"))
       .join(mj.select(col("vec_id"), col("neigh_label"), col("n_agree"),
         col("n_neighbors")), Seq("vec_id"), "left")

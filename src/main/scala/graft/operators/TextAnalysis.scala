@@ -99,6 +99,192 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // Trained quality classifier: close the loop qualityLogit leaves open
+  // (it SERVES fixed weights; nothing on-engine FITS them). A linear
+  // probe fit by closed-form least squares against a labeled seed — the
+  // gopherRules verdicts, the cheap labels a curation run always has —
+  // keeps the training oracle-checkable where SGD would not be: the
+  // normal-equations power sums are exact decimal aggregations, and the
+  // d×d solve is a fixed-order Cramer expansion mirrored operand-for-
+  // operand in the DuckDB twin.
+  // -------------------------------------------------------------------
+
+  /** det of a 3×3 in one fixed-order expression — the operand order and
+    * parenthesization are load-bearing: the SQL twin generator
+    * ([[det3Sql]]) emits the same tree, so both engines execute the
+    * same IEEE ops in the same order.
+    */
+  private def det3(a: Column, b: Column, c: Column, d: Column, e: Column,
+      f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+  private def det4(m: Seq[Seq[Column]]): Column = {
+    def minor(skip: Int): Column = {
+      val cs = (0 to 3).filter(_ != skip)
+      det3(m(1)(cs(0)), m(1)(cs(1)), m(1)(cs(2)),
+        m(2)(cs(0)), m(2)(cs(1)), m(2)(cs(2)),
+        m(3)(cs(0)), m(3)(cs(1)), m(3)(cs(2)))
+    }
+    m(0)(0) * minor(0) - m(0)(1) * minor(1) +
+      m(0)(2) * minor(2) - m(0)(3) * minor(3)
+  }
+
+  /** SQL-text twins of [[det3]]/[[det4]] — SparkEntry builds the DuckDB
+    * oracle from these, so the two engines' expression trees cannot
+    * drift apart (one structure, two renderings).
+    */
+  private[graft] def det3Sql(a: String, b: String, c: String, d: String,
+      e: String, f: String, g: String, h: String, i: String): String =
+    s"($a * (($e * $i) - ($f * $h))) - ($b * (($d * $i) - ($f * $g)))" +
+      s" + ($c * (($d * $h) - ($e * $g)))"
+
+  private[graft] def det4Sql(m: Seq[Seq[String]]): String = {
+    def minor(skip: Int): String = {
+      val cs = (0 to 3).filter(_ != skip)
+      det3Sql(m(1)(cs(0)), m(1)(cs(1)), m(1)(cs(2)),
+        m(2)(cs(0)), m(2)(cs(1)), m(2)(cs(2)),
+        m(3)(cs(0)), m(3)(cs(1)), m(3)(cs(2)))
+    }
+    s"(${m(0)(0)} * (${minor(0)})) - (${m(0)(1)} * (${minor(1)}))" +
+      s" + (${m(0)(2)} * (${minor(2)})) - (${m(0)(3)} * (${minor(3)}))"
+  }
+
+  /** Per-doc features + gopher label for the probe. The non-trivial
+    * features are QUANTIZED — length capped at 100 tokens on a 2-decimal
+    * grid, ratios floored to per-mille (integer `div`, then one exact
+    * division by 1000.0) — so every feature and every pairwise feature
+    * product has ≤ 6 decimal digits: the DECIMAL(18,6) power-sum images
+    * round NOTHING, and the sums are bit-exact cross-engine by
+    * construction (this is what makes a least-squares FIT
+    * oracle-checkable at all; free-double features would die on the
+    * computed-double→decimal tie trap).
+    */
+  private def qualityFitFeatures(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        (hits(t, stopEn) + hits(t, stopDe) + hits(t, stopEs)
+          + hits(t, stopFr)).as("stop_hits"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        (least(col("n_tokens"), lit(100)) / lit(100.0)).as("x_len"),
+        // bigint image before the ×1000: a >2M-token document would
+        // overflow the int32 product
+        (expr("(1000 * cast(n_distinct as bigint)) div n_tokens")
+          / lit(1000.0)).as("x_distinct"),
+        (expr("(1000 * cast(stop_hits as bigint)) div n_tokens")
+          / lit(1000.0)).as("x_stop"),
+        ((col("n_tokens") >= 20 && col("n_tokens") <= 2000)
+          && (((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+            >= 3.0
+            && ((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+              <= 10.0)
+          && (col("n_distinct") / col("n_tokens")) >= 0.3
+          && col("stop_hits") >= 2).cast("int").as("y"))
+  }
+
+  /** Fit the linear probe over the documents table: weights +
+    * diagnostics, one row. See [[qualityFitOn]].
+    */
+  def qualityFit(spark: SparkSession, dir: String): DataFrame =
+    qualityFitOn(Tables.documents(spark, dir))
+
+  /** Closed-form least squares of the gopher verdict on (1, x_len,
+    * x_distinct, x_stop): w = (XᵀX)⁻¹Xᵀy via Cramer's rule on the d=4
+    * normal equations. The distributed work is ONE scan producing the
+    * 14 power sums (map-side-combinable exact-decimal aggregations —
+    * the scaled integers stay far below 2⁵³, so the one decimal→double
+    * conversion per sum is a single correct rounding in both engines);
+    * the solve is a fixed-order expression over that 1-row frame, the
+    * same driver-sized-artifact shape as PCA's d²-cell covariance.
+    * `sse` = yᵀy − 2wᵀb + wᵀAw from the same sums — fit diagnostics
+    * without a second scan. At 100 TB: scan + 14 partial aggregates;
+    * nothing else grows.
+    */
+  def qualityFitOn(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable.dec
+    def dsumd(c: Column) = sum(dec(c)).cast("double")
+    val f = qualityFitFeatures(docs)
+    val s = f.agg(
+      count(lit(1)).as("n_docs"),
+      dsumd(col("x_len")).as("a01"),
+      dsumd(col("x_distinct")).as("a02"),
+      dsumd(col("x_stop")).as("a03"),
+      dsumd(col("x_len") * col("x_len")).as("a11"),
+      dsumd(col("x_len") * col("x_distinct")).as("a12"),
+      dsumd(col("x_len") * col("x_stop")).as("a13"),
+      dsumd(col("x_distinct") * col("x_distinct")).as("a22"),
+      dsumd(col("x_distinct") * col("x_stop")).as("a23"),
+      dsumd(col("x_stop") * col("x_stop")).as("a33"),
+      sum(col("y")).as("n_keep"),
+      dsumd(col("x_len") * col("y")).as("b1"),
+      dsumd(col("x_distinct") * col("y")).as("b2"),
+      dsumd(col("x_stop") * col("y")).as("b3"))
+    val a00 = col("n_docs").cast("double")
+    val b0 = col("n_keep").cast("double")
+    val A = Seq(
+      Seq(a00, col("a01"), col("a02"), col("a03")),
+      Seq(col("a01"), col("a11"), col("a12"), col("a13")),
+      Seq(col("a02"), col("a12"), col("a22"), col("a23")),
+      Seq(col("a03"), col("a13"), col("a23"), col("a33")))
+    val bv = Seq(b0, col("b1"), col("b2"), col("b3"))
+    def repl(i: Int): Seq[Seq[Column]] =
+      A.zipWithIndex.map { case (row, r) =>
+        row.indices.map(j => if (j == i) bv(r) else row(j))
+      }
+    val solved = s
+      .withColumn("da", det4(A))
+      .withColumn("w0", det4(repl(0)) / col("da"))
+      .withColumn("w1", det4(repl(1)) / col("da"))
+      .withColumn("w2", det4(repl(2)) / col("da"))
+      .withColumn("w3", det4(repl(3)) / col("da"))
+    solved
+      .withColumn("sse",
+        b0
+          - lit(2.0) * (col("w0") * b0 + col("w1") * col("b1")
+            + col("w2") * col("b2") + col("w3") * col("b3"))
+          + (col("w0") * (a00 * col("w0") + col("a01") * col("w1")
+              + col("a02") * col("w2") + col("a03") * col("w3"))
+            + col("w1") * (col("a01") * col("w0") + col("a11") * col("w1")
+              + col("a12") * col("w2") + col("a13") * col("w3"))
+            + col("w2") * (col("a02") * col("w0") + col("a12") * col("w1")
+              + col("a22") * col("w2") + col("a23") * col("w3"))
+            + col("w3") * (col("a03") * col("w0") + col("a13") * col("w1")
+              + col("a23") * col("w2") + col("a33") * col("w3"))))
+      .select(col("n_docs"), col("n_keep"), col("w0"), col("w1"),
+        col("w2"), col("w3"), col("sse"))
+  }
+
+  /** Serve per-document scores from the FITTED weights — trained at
+    * most once per (session, dir) via [[graft.ArtifactMemo]], then a
+    * narrow scan-speed map exactly like [[qualityLogit]] but with
+    * learned literals. Scoring uses the identical fixed-order dot
+    * product the spec checks against the fit output, and the quantized
+    * feature images, so served scores are a pure function of the
+    * stored weights.
+    */
+  def qualityFitScore(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ArtifactMemo.cached(spark, s"qualityfit:$dir") {
+      qualityFit(spark, dir).collect()(0) // 1 row — artifact-sized
+    }
+    qualityFitScoreOn(Tables.documents(spark, dir),
+      w.getDouble(2), w.getDouble(3), w.getDouble(4), w.getDouble(5))
+  }
+
+  /** Score any documents-shaped frame with explicit probe weights. */
+  def qualityFitScoreOn(docs: DataFrame, w0: Double, w1: Double,
+      w2: Double, w3: Double): DataFrame =
+    qualityFitFeatures(docs)
+      .select(col("doc_id"),
+        (lit(w0) + col("x_len") * lit(w1) + col("x_distinct") * lit(w2)
+          + col("x_stop") * lit(w3)).as("score_fit"),
+        col("y").as("gopher_keep"))
+      .withColumn("keep_pred", col("score_fit") >= 0.5)
+      .orderBy(col("doc_id"))
+
   /** Quality-gate threshold sweep — the tuning curve for
     * [[qualityLogit]]'s cut: for every threshold in [lo/10, hi/10] step
     * 0.1, how many documents and tokens survive `logit > t`, absolute
@@ -321,6 +507,15 @@ object TextAnalysis {
       .select(col("n_docs"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
     val qtf = tf.filter(col("term").isInCollection(query))
+    bm25ScoreTopK(qtf, dl, scalars, k, k1, b)
+  }
+
+  /** The scoring tail [[bm25On]] and [[bm25FromIndex]] share — one
+    * definition, so the in-query and index-served paths are identical
+    * expressions by construction (the spec pins the equality).
+    */
+  private def bm25ScoreTopK(qtf: DataFrame, dl: DataFrame,
+      scalars: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     val df = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     qtf.join(broadcast(df), "term")
       .join(dl, "doc_id")
@@ -338,6 +533,52 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Materialize the BM25 serving artifact — the retrieval twin of
+    * [[graft.operators.Similarity.writeIvfIndex]]: `postings/` =
+    * (doc_id, term, tf) hash-clustered and sorted by term within each
+    * file (tight parquet row-group min/max on `term`, so a query-term
+    * filter skips row groups at scan time — the plan shows the pushed
+    * filter; at larger deployments the same layout buckets by term),
+    * `doclens/` = (doc_id, dl), `scalars/` = the 1-row (n_docs,
+    * avgdl). The corpus is scanned and exploded ONCE (the tf cut
+    * feeds all three writes); serving never tokenizes the corpus
+    * again.
+    */
+  def writeBm25Index(spark: SparkSession, dir: String, path: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cutLineage() // read by the postings write, doclens, and totals
+    tf.repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(path + "/postings")
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(path + "/doclens")
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/scalars")
+  }
+
+  /** BM25 top-k served from a stored [[writeBm25Index]] layout: the
+    * query-term filter lands on the postings SCAN (pushed to parquet —
+    * row groups without the terms never decompress), document lengths
+    * and corpus scalars are stored frames, and no tokenize/explode of
+    * the corpus appears anywhere in the plan (plan-proved in
+    * `Bm25IndexSpec`). Identical results to [[bm25On]] by construction:
+    * same scoring tail over the same (doc_id, term, tf) values.
+    */
+  def bm25FromIndex(spark: SparkSession, indexPath: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoreTopK(
+      spark.read.parquet(indexPath + "/postings")
+        .filter(col("term").isInCollection(query)),
+      spark.read.parquet(indexPath + "/doclens"),
+      spark.read.parquet(indexPath + "/scalars"), k, k1, b)
 
   /** [[docChunks]] over any (doc_id, text) frame. */
   def docChunksOn(docs: DataFrame, maxTokens: Int = 40,

@@ -72,6 +72,23 @@ class MaterializeSpec extends AnyFunSuite {
       Seq(2, 4, 6, 8), "consumer must still serve from its own cut")
   }
 
+  test("release refuses a frame that is not exactly one cut: a derived " +
+      "frame joining two cuts would release blocks shared with other " +
+      "consumers") {
+    val s = sessionWithMode("local")
+    import s.implicits._
+    import Materialize.MatOps
+    val a = (1 to 3).toDF("v").cutLineage(eager = true)
+    val b = (1 to 3).toDF("v").cutLineage(eager = true)
+    val derived = a.join(b, "v")
+    val e = intercept[IllegalArgumentException] {
+      Materialize.release(derived)
+    }
+    assert(e.getMessage.contains("exactly one materialized scan"))
+    // and both cuts must still be readable — nothing was released
+    assert(a.count() == 3 && b.count() == 3)
+  }
+
   test("release in persist mode keeps lineage, so even a released frame " +
       "recomputes instead of failing") {
     val s = sessionWithMode("persist")

@@ -1,0 +1,46 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Stored BM25 postings: the serving path must equal the in-query
+  * scoring exactly, and its plan must read the layout — query-term
+  * filter pushed into the postings scan, no corpus tokenize anywhere.
+  */
+class Bm25IndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val indexPath: String = {
+    val p = Files.createTempDirectory("graft_bm25idx").toString
+    TextAnalysis.writeBm25Index(spark, dir, p)
+    p
+  }
+
+  test("index-served BM25 equals the in-query ranking exactly") {
+    val direct = TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(_.toString).toSeq
+    val served = TextAnalysis.bm25FromIndex(spark, indexPath)
+      .collect().map(_.toString).toSeq
+    assert(served == direct)
+    assert(served.nonEmpty)
+  }
+
+  test("serving plan: term filter pushed to the postings scan, no " +
+    "corpus re-tokenize (no Generate), documents never scanned") {
+    // toString renders through the AQE wrapper (the PlanSpec idiom) —
+    // node-collect on the adaptive root sees no children
+    val plan = TextAnalysis.bm25FromIndex(spark, indexPath)
+      .queryExecution.executedPlan.toString
+    // no explode in the serving plan — tokenization happened at build
+    assert(!plan.contains("Generate"),
+      "serving must not re-tokenize the corpus")
+    // the term IN (...) predicate reaches the postings parquet scan
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+    assert(plan.contains("postings"))
+    // documents.parquet is nowhere in the plan
+    assert(!plan.contains("documents.parquet"))
+  }
+}

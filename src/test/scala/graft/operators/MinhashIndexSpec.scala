@@ -39,6 +39,45 @@ class MinhashIndexSpec extends AnyFunSuite {
     assert(probed.size >= 3, "planted exact copies must match their sources")
   }
 
+  test("append ≡ rebuild: probing an appended index equals probing an " +
+    "index rebuilt over the union corpus, non-vacuously") {
+    // split the corpus: build on the first 80%, append the rest
+    val baseCorpus = corpus.filter(col("doc_id") % 5 =!= 4)
+    val appendBatch = corpus.filter(col("doc_id") % 5 === 4)
+    assert(appendBatch.count() > 0)
+    val appended = Files.createTempDirectory("graft_mhapp").toString
+    Dedup.writeMinhashIndex(baseCorpus, appended)
+    Dedup.appendToMinhashIndex(appendBatch, appended)
+    val rebuilt = Files.createTempDirectory("graft_mhreb").toString
+    Dedup.writeMinhashIndex(corpus, rebuilt)
+    val viaAppend = Dedup.minhashJoinFromIndex(spark, batch, appended, 0.7)
+      .collect().map(_.toString).toSeq
+    val viaRebuild = Dedup.minhashJoinFromIndex(spark, batch, rebuilt, 0.7)
+      .collect().map(_.toString).toSeq
+    assert(viaAppend == viaRebuild)
+    assert(viaAppend.size >= 3, "planted copies must still match")
+  }
+
+  test("the append frames scan ONLY the batch: no read of the existing " +
+    "index, no read of the original corpus text") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // batch from its own parquet dir so provenance is unambiguous
+    val bdir = Files.createTempDirectory("graft_mhbatch").toString
+    batch.write.mode("overwrite").parquet(bdir + "/batchdocs")
+    val batchFromDisk = spark.read.parquet(bdir + "/batchdocs")
+    // cut = false exposes the real dataflow (the shipped path only adds
+    // a lineage cut on the same graph)
+    val (bs, bands) = Dedup.minhashAppendFrames(batchFromDisk, cut = false)
+    val roots = Seq(bs, bands).flatMap(_.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq()
+      }
+    }.flatten)
+    assert(roots.nonEmpty && roots.forall(_.contains("batchdocs")),
+      s"append must derive from the batch alone: $roots")
+  }
+
   test("probe plan reads the corpus from the index, never from documents") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def scansOf(df: org.apache.spark.sql.DataFrame, frag: String): Int =

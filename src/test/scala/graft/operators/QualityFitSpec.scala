@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Trained quality probe: the closed-form normal-equations solve must be
+  * internally consistent (its sse diagnostic equals the residual sum the
+  * fitted weights actually achieve), must beat the label-mean baseline
+  * (it IS the least-squares optimum), and the memoized serving path must
+  * score with exactly the fitted weights.
+  */
+class QualityFitSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val fit = TextAnalysis.qualityFit(spark, dir).collect()(0)
+
+  test("sse diagnostic equals the recomputed residual sum of squares " +
+    "of the fitted weights") {
+    val (w0, w1, w2, w3) =
+      (fit.getDouble(2), fit.getDouble(3), fit.getDouble(4), fit.getDouble(5))
+    val scored = TextAnalysis.qualityFitScoreOn(
+      graft.sources.Tables.documents(spark, dir), w0, w1, w2, w3)
+    val sse2 = scored
+      .agg(sum((col("gopher_keep") - col("score_fit"))
+        * (col("gopher_keep") - col("score_fit"))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(fit.getDouble(6) - sse2) <= 1e-6 * math.max(1.0, sse2),
+      s"fit sse ${fit.getDouble(6)} vs recomputed $sse2")
+  }
+
+  test("least-squares optimality: sse is no worse than the label-mean " +
+    "baseline, and the solve is well-posed on this corpus") {
+    val n = fit.getLong(0).toDouble
+    val k = fit.getLong(1).toDouble
+    val baseline = k * (1.0 - k / n) // Σ(y − ȳ)² for binary y
+    assert(fit.getDouble(6) <= baseline + 1e-9,
+      s"sse ${fit.getDouble(6)} vs baseline $baseline")
+    assert((2 to 6).forall(i => java.lang.Double.isFinite(fit.getDouble(i))),
+      s"weights/sse must be finite: $fit")
+  }
+
+  test("memoized serving path scores with exactly the fitted weights") {
+    val served = TextAnalysis.qualityFitScore(spark, dir)
+      .collect().map(_.toString).toSeq
+    val direct = TextAnalysis.qualityFitScoreOn(
+      graft.sources.Tables.documents(spark, dir),
+      fit.getDouble(2), fit.getDouble(3), fit.getDouble(4), fit.getDouble(5))
+      .collect().map(_.toString).toSeq
+    assert(served == direct)
+    assert(served.size == fit.getLong(0))
+  }
+
+  test("the probe discriminates: mean fitted score of kept docs exceeds " +
+    "mean score of dropped docs on the training corpus") {
+    val (w0, w1, w2, w3) =
+      (fit.getDouble(2), fit.getDouble(3), fit.getDouble(4), fit.getDouble(5))
+    val means = TextAnalysis.qualityFitScoreOn(
+      graft.sources.Tables.documents(spark, dir), w0, w1, w2, w3)
+      .groupBy(col("gopher_keep"))
+      .agg(avg(col("score_fit")).as("m"), count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getLong(2))))
+      .toMap
+    assert(means.contains(0) && means.contains(1),
+      s"corpus must contain both classes: $means")
+    assert(means(1)._1 > means(0)._1 + 0.1,
+      s"kept docs must outscore dropped by a margin: $means")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Reciprocal-rank fusion: hand-computed fusion on planted lists, the
+  * stored-index path equal to fusing the in-memory rankings, and the
+  * fused plan free of corpus recomputation.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("rrfFuse matches the hand formula on planted lists, including " +
+    "single-list docs and the doc_id tie-break") {
+    import spark.implicits._
+    // bm25 list: docs 1,2,3 (scores 9,8,7); ann list: docs 3,4 (cos .9,.8)
+    val bm = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0)).toDF("doc_id", "score")
+    val ann = Seq((3L, 0.9), (4L, 0.8)).toDF("vec_id", "cos")
+    val got = Retrieval.rrfFuse(bm, ann).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        r.getDouble(3)))
+    // doc 3: rank 3 lexical + rank 1 dense = 1/63 + 1/61 (the winner);
+    // doc 1: 1/61; doc 4: 1/62; doc 2: 1/62 — 2 and 4 tie exactly on
+    // score, doc_id ascending breaks it
+    val exp = Seq(
+      (3L, Some(3), Some(1), 1.0 / 63 + 1.0 / 61),
+      (1L, Some(1), None, 1.0 / 61),
+      (2L, Some(2), None, 1.0 / 62),
+      (4L, None, Some(2), 1.0 / 62))
+    assert(got.toSeq == exp)
+  }
+
+  test("index-served fusion equals fusing the in-memory rankings") {
+    val p = Files.createTempDirectory("graft_rrf").toString
+    TextAnalysis.writeBm25Index(spark, dir, p + "/bm25")
+    Similarity.writeIvfIndex(spark, dir, p + "/ivf")
+    val served = Retrieval.rrfFusionFromIndexes(spark, p + "/bm25",
+      p + "/ivf", dir).collect().map(_.toString).toSeq
+    val inMem = Retrieval.rrfFuse(
+      TextAnalysis.bm25TopK(spark, dir),
+      Similarity.annIvfTopK(spark, dir)).collect().map(_.toString).toSeq
+    assert(served == inMem)
+    assert(served.size >= 20)
+  }
+
+  test("fused serving plan recomputes neither index: no Generate " +
+    "(corpus tokenize) and no documents scan") {
+    val p = Files.createTempDirectory("graft_rrf2").toString
+    TextAnalysis.writeBm25Index(spark, dir, p + "/bm25")
+    Similarity.writeIvfIndex(spark, dir, p + "/ivf")
+    val plan = Retrieval.rrfFusionFromIndexes(spark, p + "/bm25",
+      p + "/ivf", dir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"))
+    assert(!plan.contains("documents.parquet"),
+      "corpus text must not be rescanned by the fused query")
+    // both stored layouts appear
+    assert(plan.contains("bm25") && plan.contains("ivf"), plan)
+  }
+}

@@ -214,4 +214,34 @@ class SamplingSpec extends AnyFunSuite {
     // singletons never leak
     assert(got.values.map(_._2).sum == expLeak.values.sum.toLong)
   }
+
+  test("reconciliation: the leakage probe over splitAssignLeakFree's " +
+    "assignment reports n_leaked = 0 on a planted near-dup corpus " +
+    "where the per-doc hash split demonstrably leaks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // same planted shape as above: 20 exact-dup pairs + 10 singletons
+    val pairTexts = (0 until 20).map(i =>
+      s"pair $i alpha beta gamma delta epsilon zeta eta theta")
+    val docs = (0 until 40).map(i => (i.toLong, pairTexts(i / 2), "s")) ++
+      (100 until 110).map(i =>
+        (i.toLong, s"singleton $i only one copy exists anywhere $i", "s"))
+    val df = docs.toDF("doc_id", "text", "source")
+    // non-vacuous: the per-doc hash split leaks on this corpus
+    val hashLeaked = Sampling.splitLeakageOn(df).collect()
+      .map(_.getAs[Long]("n_leaked")).sum
+    assert(hashLeaked > 0, "fixture must leak under the per-doc split")
+    // the cluster-keyed assignment drives it to zero — the Scaladoc
+    // claim of splitAssignLeakFree, pinned through the SAME probe
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lfl").toString
+    df.write.mode("overwrite").parquet(tmp + "/documents.parquet")
+    val lf = Sampling.splitAssignLeakFree(spark, tmp)
+      .select(col("doc_id"), col("split"))
+    val got = Sampling.splitLeakageOfAssignment(df, lf, 0.7).collect()
+    assert(got.map(_.getAs[Long]("n_docs")).sum == 50L)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_leaked") == 0L, got.mkString(", "))
+      assert(r.getAs[Double]("leak_frac") == 0.0)
+    }
+  }
 }

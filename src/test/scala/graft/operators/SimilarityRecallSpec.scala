@@ -150,7 +150,7 @@ class SimilarityRecallSpec extends AnyFunSuite {
     val got = Similarity.labelNoise(spark, tmp).collect()
       .map(r => r.getAs[Long]("vec_id") ->
         ((r.getAs[Boolean]("is_suspect"), r.getAs[Long]("n_neighbors"),
-          r.getAs[String]("neigh_label")))).toMap
+          r.getAs[Integer]("neigh_label")))).toMap
     assert(got(0L) == ((false, 0L, null)),
       s"singleton must report 0 neighbors, not suspect: $got")
     assert(got.filter(_._1 != 0L).values.forall(_._2 == 2L), got.toString)
@@ -169,14 +169,17 @@ class SimilarityRecallSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
     val got = Similarity.labelNoise(spark, tmp).collect()
       .map(r => r.getAs[Long]("vec_id") ->
-        ((r.getAs[Boolean]("is_suspect"), r.getAs[String]("neigh_label"))))
+        ((r.getAs[Boolean]("is_suspect"), r.getAs[Integer]("neigh_label"))))
       .toMap
-    assert(got(1L) == ((false, "2")),
+    // neigh_label carries the INPUT label column's type (int here) — the
+    // prefix-tag tie-break must not leak its string image into the
+    // public schema.
+    assert(got(1L) == ((false, 2)),
       s"own label tying for argmax must win the tie: $got")
     // vec 16 (label 1) loses 2:0 — genuinely suspect
-    assert(got(16L) == ((true, "2")), got.toString)
+    assert(got(16L) == ((true, 2)), got.toString)
     // vec 17 (label 2) ties 1:1 and keeps its own label too
-    assert(got(17L) == ((false, "2")), got.toString)
+    assert(got(17L) == ((false, 2)), got.toString)
   }
 
   test("clusterLabelKappa: label-pure cells score kappa 1, " +

