@@ -353,12 +353,16 @@ object Profile {
           col("label")))
         .agg(sum(col("n_vectors"))).scalarLong
     }
+    // consume n_leaked/sse, not just n_docs: aggregating only the
+    // count column lets Catalyst eliminate the unique-key left join
+    // (leakage) / prune the 13 other power sums (fit) — the profile
+    // would then time a plan the real query never runs
     t("split_leakage_10x")(
       graft.operators.Sampling.splitLeakageOn(docs10)
-        .agg(sum(col("n_docs"))).scalarLong)
+        .agg(sum(col("n_docs") + col("n_leaked"))).scalarLong)
     t("quality_fit_10x")(
       graft.operators.TextAnalysis.qualityFitOn(docs10)
-        .agg(sum(col("n_docs"))).scalarLong)
+        .agg(sum(col("sse") + col("w0"))).scalarDouble.toLong)
     t("unigram_train_10x")(
       graft.operators.Bpe.unigramTrainOn(spark, docs10, vocabSize = 40)
         .count())

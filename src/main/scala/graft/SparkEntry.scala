@@ -207,6 +207,8 @@ object SparkEntry {
     // from the totalized Viterbi tie-break + exact integer counts
     "q_unigram_train" -> ((s, dir) => Bpe.unigramTrain(s, dir)),
     "q_unigram_tokens" -> ((s, dir) => Bpe.unigramTokenize(s, dir)),
+    "q_unigram_ids" -> ((s, dir) => Bpe.unigramIds(s, dir)),
+    "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
     "q_split_leakage_lf" -> ((s, dir) =>
@@ -2887,6 +2889,57 @@ object SparkEntry {
         |FROM br FULL JOIN ar ON br.doc_id = ar.doc_id
         |ORDER BY rrf_score DESC, doc_id""".stripMargin,
     "q_quality_fit" -> qualityFitSql,
+    // recall@k of the IVF probe vs exact search per probe budget — the
+    // q_ann_ivf conventions (same assignment, same tie-breaks) with the
+    // probe limit replaced by a cell-rank filter so all budgets share
+    // one ranked-cell frame
+    "q_ann_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |rc AS (
+        |  SELECT cid, CAST(row_number() OVER (ORDER BY
+        |    list_sum(list_transform(range(1, len(cv)+1),
+        |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS INTEGER) AS crank
+        |  FROM c, q),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |ac AS (
+        |  SELECT a.vec_id, rc.crank,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |  FROM assigned a JOIN rc USING (cid), q),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT v.vec_id,
+        |       list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |    FROM v, q ORDER BY cos DESC, vec_id LIMIT 20)),
+        |spine AS (SELECT unnest([1, 2, 4, 8]) AS np),
+        |rec AS (
+        |  SELECT np, vec_id FROM (
+        |    SELECT s.np, a.vec_id, row_number() OVER (PARTITION BY s.np
+        |      ORDER BY a.cos DESC, a.vec_id) AS r
+        |    FROM spine s JOIN ac a ON a.crank <= s.np) WHERE r <= 20),
+        |ov AS (
+        |  SELECT s.np, CAST(count(e.vec_id) AS BIGINT) AS n_overlap
+        |  FROM spine s LEFT JOIN rec ON rec.np = s.np
+        |               LEFT JOIN exact e ON rec.vec_id = e.vec_id
+        |  GROUP BY s.np)
+        |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
+        |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
+        |FROM ov ORDER BY nprobe""".stripMargin,
     // leakage probe over the CLUSTER-KEYED split: the q_split_leakfree
     // assignment CTEs + the q_split_leakage measurement CTEs, one graph
     "q_split_leakage_lf" ->

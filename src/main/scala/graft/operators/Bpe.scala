@@ -639,6 +639,42 @@ object Bpe {
     tokenizeWithDict(Tables.documents(spark, dir),
       spark.read.parquet(indexPath + "/dict"), "n_unigram_tokens")
 
+  /** The deterministic (sym, id) vocabulary of a trained unigram
+    * artifact: the piece's rank IS its id (count DESC, piece ASC — the
+    * SentencePiece convention of frequency-ordered ids). Total and
+    * duplicate-free by construction, so the id lookup join is 1:1.
+    */
+  private def unigramVocab(spark: SparkSession,
+      pieces: Seq[(Int, String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    pieces.map(p => (p._2, p._1.toLong)).toDF("sym", "id")
+  }
+
+  /** Per-document unigram input-id sequences — [[bpeIds]]'s twin over
+    * the EM-trained pieces: the Viterbi fold ran once per dict word at
+    * training; serving is the same explode + lookup join + ordered
+    * per-doc reassembly all three tokenizer families share
+    * ([[idsWithVocab]]). Round-trip (ids → pieces == text minus
+    * spaces) is spec-proved.
+    */
+  def unigramIds(spark: SparkSession, dir: String,
+      vocabSize: Int = 40): DataFrame = {
+    val (pieces, dict) = unigramArtifact(spark, dir, vocabSize)
+    idsWithVocab(Tables.documents(spark, dir), dict,
+      unigramVocab(spark, pieces))
+  }
+
+  /** Serve input-id sequences from a stored [[writeUnigramDict]]
+    * artifact — zero training jobs in the plan; ids come from the
+    * stored `pieces/` ranks.
+    */
+  def unigramIdsFromDict(spark: SparkSession, indexPath: String,
+      dir: String): DataFrame =
+    idsWithVocab(Tables.documents(spark, dir),
+      spark.read.parquet(indexPath + "/dict"),
+      spark.read.parquet(indexPath + "/pieces")
+        .select(col("piece").as("sym"), col("rank").cast("long").as("id")))
+
   /** Per-document BPE tokenization — the serving half of the artifact:
     * the final segmented dict is a word → subwords LOOKUP TABLE, so
     * tokenizing the corpus is one token explode + one equi-join on the

@@ -297,6 +297,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Recall@k curve of the IVF index against exact search — the
+    * standard ANN quality metric, measured on-engine: for each probe
+    * budget nprobe ∈ {1, 2, 4, 8}, how many of the TRUE cosine top-k
+    * survive in the IVF top-k? This is the artifact that justifies (or
+    * indicts) an index configuration before a corpus commits to it; a
+    * recall cliff between nprobe 2 and 4 is an unbalanced codebook.
+    *
+    * Exactness: overlap counts are integers and recall is ONE division
+    * — fully oracle-checkable because the IVF path reuses the exact
+    * assignment/tie-break conventions of [[annIvfTopK]]. Scale shape:
+    * the ranked-cell frame is codebook-sized and broadcast; each probe
+    * budget is its own candidate-filtered TakeOrdered top-k (bounded
+    * frames, never a per-budget hot window partition); the exact list
+    * is one brute-force TakeOrdered — the recall harness is allowed
+    * one exact pass by definition, that is what it measures against.
+    */
+  def annRecallAtK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    // every cell ranked by distance to the query (codebook-sized)
+    val rankedCells = centroids.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .select(col("cid"), row_number().over(Window
+        .orderBy(col("dist"), col("cid"))).as("crank"))
+    val assigned = assignNearest(emb, centroids)
+      .join(broadcast(rankedCells), "cid")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("crank"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .cutLineage() // read once per probe budget + the exact pass
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .cutLineage() // read once per probe budget
+    nprobes.map { np =>
+      assigned.filter(col("crank") <= np)
+        .orderBy(col("cos").desc, col("vec_id")).limit(k)
+        .join(exact, "vec_id") // overlap with the true top-k
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+  }
+
   /** Distributed Lloyd's k-means over embedding vectors, entirely in
     * DataFrame ops — no collect, no MLlib dependency. Seeded with the
     * first `k` vec_ids (deterministic); each iteration is one broadcast

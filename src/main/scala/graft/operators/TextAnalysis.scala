@@ -545,8 +545,11 @@ object TextAnalysis {
     * feeds all three writes); serving never tokenizes the corpus
     * again.
     */
-  def writeBm25Index(spark: SparkSession, dir: String, path: String): Unit = {
-    val docs = Tables.documents(spark, dir)
+  def writeBm25Index(spark: SparkSession, dir: String, path: String): Unit =
+    writeBm25IndexOn(Tables.documents(spark, dir), path)
+
+  /** [[writeBm25Index]] over any (doc_id, text) frame. */
+  def writeBm25IndexOn(docs: DataFrame, path: String): Unit = {
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -558,6 +561,40 @@ object TextAnalysis {
     dl.write.mode("overwrite").parquet(path + "/doclens")
     docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(path + "/scalars")
+  }
+
+  /** Incrementally admit a document batch into a stored
+    * [[writeBm25Index]] layout — the retrieval member of the index-
+    * lifecycle triad next to [[Similarity.appendToIvfIndex]] and
+    * [[Dedup.appendToMinhashIndex]]: tokenize ONLY the batch (one
+    * explode, eagerly cut, shared by both appends), append its postings
+    * and doclens files next to the existing ones, then refresh the
+    * 1-row scalars from the STORED doclens — a doc-count-sized
+    * aggregation, so admission never rescans the corpus text. Serving
+    * after an append is identical to serving a full rebuild over the
+    * union corpus (spec-proved): postings/doclens reads are file
+    * unions, and (n_docs, avgdl) are pure functions of the unioned
+    * doclens.
+    */
+  def appendToBm25Index(spark: SparkSession, batch: DataFrame,
+      path: String): Unit = {
+    val tf = batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .cutLineage(eager = true)
+    tf.repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("append").parquet(path + "/postings")
+    tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("append").parquet(path + "/doclens")
+    // every doc contributes >=1 (possibly empty-string) token, so the
+    // doclens row count IS the corpus doc count — the scalars refresh
+    // reads the artifact, not the corpus
+    spark.read.parquet(path + "/doclens")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
       .select(col("n_docs"),
         (col("total_tokens").cast("double") / col("n_docs")).as("avgdl"))
       .coalesce(1).write.mode("overwrite").parquet(path + "/scalars")

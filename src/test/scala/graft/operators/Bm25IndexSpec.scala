@@ -28,6 +28,31 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("append ≡ rebuild: serving an appended index equals a full " +
+    "rebuild over the union corpus, including the refreshed scalars") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    assert(batch.count() > 0)
+    val appended = Files.createTempDirectory("graft_bm25app").toString
+    TextAnalysis.writeBm25IndexOn(base, appended)
+    TextAnalysis.appendToBm25Index(spark, batch, appended)
+    val rebuilt = Files.createTempDirectory("graft_bm25reb").toString
+    TextAnalysis.writeBm25IndexOn(docs, rebuilt)
+    val viaAppend = TextAnalysis.bm25FromIndex(spark, appended)
+      .collect().map(_.toString).toSeq
+    val viaRebuild = TextAnalysis.bm25FromIndex(spark, rebuilt)
+      .collect().map(_.toString).toSeq
+    assert(viaAppend == viaRebuild)
+    // the refreshed scalars are a pure function of the unioned doclens
+    val sa = spark.read.parquet(appended + "/scalars")
+      .collect().map(_.toString).toSeq
+    val sr = spark.read.parquet(rebuilt + "/scalars")
+      .collect().map(_.toString).toSeq
+    assert(sa == sr, s"$sa vs $sr")
+  }
+
   test("serving plan: term filter pushed to the postings scan, no " +
     "corpus re-tokenize (no Generate), documents never scanned") {
     // toString renders through the AQE wrapper (the PlanSpec idiom) —

@@ -182,6 +182,26 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(got(17L) == ((false, 2)), got.toString)
   }
 
+  test("annRecallAtK: recall is monotone in the probe budget, reaches " +
+    "1.0 at full probe, and agrees with the shipped IVF/exact lists") {
+    val dir = "/root/testdata/sf0.001"
+    val rec = Similarity.annRecallAtK(spark, dir,
+      nprobes = Seq(1, 2, 4, 8, 16)).collect()
+      .map(r => r.getInt(0) -> r.getDouble(3))
+    assert(rec.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // superset candidates can only swap exact-members for exact-members
+    assert(rec.map(_._2).sliding(2).forall(p => p.head <= p.last),
+      s"recall must be monotone: ${rec.toSeq}")
+    assert(rec.last._2 == 1.0,
+      "probing every cell must recover exact search")
+    // consistency with the shipped operators at the default budget
+    val ivf = Similarity.annIvfTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ex = Similarity.cosineTopK(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rec.toMap.apply(4) == (ivf & ex).size / 20.0)
+  }
+
   test("clusterLabelKappa: label-pure cells score kappa 1, " +
     "geometry-blind labels score below chance-corrected purity") {
     import spark.implicits._

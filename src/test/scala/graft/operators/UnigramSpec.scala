@@ -173,6 +173,32 @@ class UnigramSpec extends AnyFunSuite {
       s"serving must scan the stored dict: $roots")
   }
 
+  test("unigramIds round-trips: mapping ids back to pieces " +
+    "reconstructs each document's text minus spaces") {
+    val vocab = Bpe.unigramTrain(spark, dir).collect()
+      .map(r => r.getInt(0).toLong -> r.getString(1)).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Bpe.unigramIds(spark, dir).collect()
+    assert(ids.length == docs.size)
+    ids.foreach { r =>
+      val did = r.getLong(0)
+      val s = r.getString(2)
+      val rebuilt = (if (s.isEmpty) Seq.empty[String] else s.split(",").toSeq)
+        .map(i => vocab(i.toLong)).mkString
+      assert(rebuilt == docs(did).replace(" ", ""), s"doc $did")
+    }
+  }
+
+  test("stored pieces serve identical input-id sequences") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni3").toString
+    Bpe.writeUnigramDict(spark, dir, tmp)
+    assert(Bpe.unigramIdsFromDict(spark, tmp, dir)
+      .collect().map(_.toString).toSeq ==
+      Bpe.unigramIds(spark, dir).collect().map(_.toString).toSeq)
+  }
+
   test("unigram vs BPE at equal budget: the probabilistic vocabulary " +
     "never tokenizes worse than characters and matches corpus token " +
     "totals with the serving join") {
