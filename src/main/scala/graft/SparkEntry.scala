@@ -209,6 +209,13 @@ object SparkEntry {
     "q_unigram_tokens" -> ((s, dir) => Bpe.unigramTokenize(s, dir)),
     "q_unigram_ids" -> ((s, dir) => Bpe.unigramIds(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
+    "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
+    "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),
+    "q_mix_planner" -> ((s, dir) => Sampling.curationMixWeights(s, dir)),
+    "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),
+    "q_rollup" -> ((s, dir) => Relational.rollupReport(s, dir)),
+    "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
+    "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
     "q_split_leakage_lf" -> ((s, dir) =>
@@ -258,6 +265,116 @@ object SparkEntry {
       |  SELECT n, n FROM nodes
       |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)""".stripMargin
   private val dupClusterCtes: String = clusterCtes("documents")
+
+  /** Shared CTE chain for the retrieval oracles: BM25 top-20 with ranks
+    * (`br`), IVF ANN top-20 with ranks (`ar`), plus the embedding/query
+    * frames (`v`, `q`) the dense side exposes for reuse. One definition
+    * keeps q_rrf_fusion and q_retrieval_eval scoring the SAME two
+    * ranked lists — a k1/b or probe-budget change can't miss a twin.
+    */
+  private val retrievalCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / count(*) AS avgdl
+      |       FROM documents),
+      |qtf AS (SELECT * FROM tf
+      |        WHERE term IN ('hash', 'join', 'vector', 'stream')),
+      |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
+      |s AS (SELECT qtf.doc_id,
+      |             (((n_docs - df) + 0.5) / (df + 0.5))
+      |               * ((tf * (1.2 + 1.0))
+      |                 / (tf + (1.2 * ((1.0 - 0.75)
+      |                   + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))) AS tscore
+      |      FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
+      |      CROSS JOIN sc),
+      |bm AS (SELECT doc_id,
+      |              CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |       FROM s GROUP BY doc_id
+      |       ORDER BY score DESC, doc_id LIMIT 20),
+      |br AS (SELECT doc_id, CAST(row_number() OVER
+      |         (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+      |       FROM bm),
+      |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+      |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+      |dist AS (
+      |  SELECT v.vec_id, v.v, c.cid,
+      |         list_sum(list_transform(range(1, len(v.v)+1),
+      |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+      |  FROM v, c),
+      |assigned AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |probe AS (
+      |  SELECT cid FROM c, q
+      |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
+      |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
+      |  LIMIT 4),
+      |ann AS (
+      |  SELECT a.vec_id,
+      |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+      |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+      |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+      |  FROM assigned a JOIN probe USING (cid), q
+      |  ORDER BY cos DESC, vec_id LIMIT 20),
+      |ar AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+      |         (ORDER BY cos DESC, vec_id) AS INTEGER) AS ann_rank
+      |       FROM ann)""".stripMargin
+
+  /** Shared CTE chain for the curation-mix oracles (gopher keep rate +
+    * near-dup doc rate + size temperature → per-source raw scores `r2`
+    * and the decimal-image normalizer `t`). Must be preceded by
+    * [[dupClusterCtes]] (it reads `pairs`). One definition keeps
+    * q_mix_planner and q_mix_apply pricing sources off the SAME
+    * weights — a gopher-rule or threshold change can't miss a twin.
+    */
+  private val mixPlannerCtes: String =
+    """g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text,' ')) >= 20
+      |              AND len(string_split(text,' ')) <= 2000
+      |              AND ((length(text) - len(string_split(text,' ')) + 1)
+      |                   / len(string_split(text,' '))) >= 3.0
+      |              AND ((length(text) - len(string_split(text,' ')) + 1)
+      |                   / len(string_split(text,' '))) <= 10.0
+      |              AND (len(list_distinct(string_split(text,' ')))
+      |                   / len(string_split(text,' '))) >= 0.3
+      |              AND (CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is','on','for','with'))) AS INT)
+      |                   + CAST(len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','das','ist','nicht','ein','zu'))) AS INT)
+      |                   + CAST(len(list_filter(string_split(text,' '), t -> t IN ('el','la','que','los','las','una','por'))) AS INT)
+      |                   + CAST(len(list_filter(string_split(text,' '), t -> t IN ('le','les','des','et','une','est','dans'))) AS INT)) >= 2
+      |         THEN 1 ELSE 0 END AS keep
+      |  FROM documents),
+      |base AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |k AS (SELECT d.source, CAST(sum(g.keep) AS BIGINT) AS n_keep
+      |      FROM g JOIN documents d USING (doc_id) GROUP BY d.source),
+      |dupd AS (SELECT DISTINCT doc_id FROM
+      |           (SELECT da AS doc_id FROM pairs
+      |            UNION ALL SELECT db FROM pairs)),
+      |du AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_dup
+      |       FROM dupd JOIN documents d USING (doc_id) GROUP BY d.source),
+      |r AS (SELECT b.source, b.n_docs, b.n_tokens,
+      |             coalesce(k.n_keep, 0) AS n_keep,
+      |             coalesce(du.n_dup, 0) AS n_dup
+      |      FROM base b LEFT JOIN k ON b.source = k.source
+      |                  LEFT JOIN du ON b.source = du.source),
+      |r2 AS (SELECT *,
+      |         n_keep / n_docs AS keep_rate,
+      |         n_dup / n_docs AS dup_rate,
+      |         (sqrt(n_tokens) * (n_keep / n_docs))
+      |           / (1.0 + (n_dup / n_docs)) AS raw
+      |       FROM r),
+      |t AS (SELECT CAST(sum(CAST(raw AS DECIMAL(18,6))) AS DOUBLE) AS tot
+      |      FROM r2)""".stripMargin
 
   /** Shared CTE chain for the decontamination oracles: word 8-grams
     * (short-doc fallback = whole text, mirroring the shingle kernel),
@@ -2827,59 +2944,7 @@ object SparkEntry {
     // each serving path is spec-proved equal to the in-query twin the
     // oracle recomputes.
     "q_rrf_fusion" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |             FROM documents),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-        |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |              CAST((SELECT sum(dl) FROM dl) AS DOUBLE) / count(*) AS avgdl
-        |       FROM documents),
-        |qtf AS (SELECT * FROM tf
-        |        WHERE term IN ('hash', 'join', 'vector', 'stream')),
-        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM qtf GROUP BY 1),
-        |s AS (SELECT qtf.doc_id,
-        |             (((n_docs - df) + 0.5) / (df + 0.5))
-        |               * ((tf * (1.2 + 1.0))
-        |                 / (tf + (1.2 * ((1.0 - 0.75)
-        |                   + (0.75 * (CAST(dl AS DOUBLE) / avgdl)))))) AS tscore
-        |      FROM qtf JOIN df USING (term) JOIN dl USING (doc_id)
-        |      CROSS JOIN sc),
-        |bm AS (SELECT doc_id,
-        |              CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
-        |       FROM s GROUP BY doc_id
-        |       ORDER BY score DESC, doc_id LIMIT 20),
-        |br AS (SELECT doc_id, CAST(row_number() OVER
-        |         (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
-        |       FROM bm),
-        |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |      FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
-        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
-        |dist AS (
-        |  SELECT v.vec_id, v.v, c.cid,
-        |         list_sum(list_transform(range(1, len(v.v)+1),
-        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
-        |  FROM v, c),
-        |assigned AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-        |    FROM dist) WHERE rn = 1),
-        |probe AS (
-        |  SELECT cid FROM c, q
-        |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
-        |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
-        |  LIMIT 4),
-        |ann AS (
-        |  SELECT a.vec_id,
-        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
-        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
-        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
-        |  FROM assigned a JOIN probe USING (cid), q
-        |  ORDER BY cos DESC, vec_id LIMIT 20),
-        |ar AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
-        |         (ORDER BY cos DESC, vec_id) AS INTEGER) AS ann_rank
-        |       FROM ann)
+      s"""WITH $retrievalCtes
         |SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
         |       br.bm25_rank, ar.ann_rank,
         |       (COALESCE(CAST(1.0 AS DOUBLE) / (60 + br.bm25_rank),
@@ -2888,7 +2953,133 @@ object SparkEntry {
         |                   CAST(0.0 AS DOUBLE))) AS rrf_score
         |FROM br FULL JOIN ar ON br.doc_id = ar.doc_id
         |ORDER BY rrf_score DESC, doc_id""".stripMargin,
+    "q_retrieval_eval" ->
+      s"""WITH $retrievalCtes,
+        |fused AS (
+        |  SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
+        |         (COALESCE(CAST(1.0 AS DOUBLE) / (60 + br.bm25_rank),
+        |                   CAST(0.0 AS DOUBLE))
+        |          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ar.ann_rank),
+        |                     CAST(0.0 AS DOUBLE))) AS rrf_score
+        |  FROM br FULL JOIN ar ON br.doc_id = ar.doc_id),
+        |fr AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+        |       FROM fused),
+        |gold AS (
+        |  SELECT vec_id AS doc_id, 1 AS rel FROM (
+        |    SELECT a.vec_id,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |    FROM v a, q ORDER BY cos DESC, vec_id LIMIT 20)),
+        |lists AS (
+        |  SELECT 'bm25' AS system, doc_id, bm25_rank AS rank FROM br
+        |  UNION ALL SELECT 'ann' AS system, doc_id, ann_rank AS rank FROM ar
+        |  UNION ALL SELECT 'rrf' AS system, doc_id, rank FROM fr
+        |            WHERE rank <= 20),
+        |jj AS (SELECT l.system, l.rank, g.rel
+        |       FROM lists l LEFT JOIN gold g ON l.doc_id = g.doc_id)
+        |SELECT system, CAST(count(*) AS BIGINT) AS n_results,
+        |       CAST(coalesce(sum(rel), 0) AS BIGINT) AS n_hits,
+        |       CAST(coalesce(sum(rel), 0) AS DOUBLE) / 20 AS recall_at_k,
+        |       CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0)
+        |            AS INTEGER) AS first_rel_rank,
+        |       coalesce(CAST(1.0 AS DOUBLE)
+        |                  / min(CASE WHEN rel = 1 THEN rank END),
+        |                CAST(0.0 AS DOUBLE)) AS mrr
+        |FROM jj GROUP BY system ORDER BY system""".stripMargin,
     "q_quality_fit" -> qualityFitSql,
+    "q_quality_auc" -> qualityAucSql,
+    "q_rollup" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |         o_orderpriority, o_totalprice
+        |  FROM orders),
+        |r AS (SELECT o_year, o_orderpriority,
+        |        CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |          AS sum_price
+        |      FROM base GROUP BY ROLLUP(o_year, o_orderpriority))
+        |SELECT CASE WHEN o_year IS NULL THEN 'total'
+        |            WHEN o_orderpriority IS NULL THEN 'year'
+        |            ELSE 'year_priority' END AS lvl,
+        |       coalesce(o_year, -1) AS o_year,
+        |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |       n_orders, sum_price,
+        |       sum_price / n_orders AS avg_price
+        |FROM r ORDER BY o_year, o_orderpriority""".stripMargin,
+    "q_ivf_health" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |dist AS (
+        |  SELECT v.vec_id, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |cells AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+        |          FROM assigned GROUP BY cid),
+        |tot AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total FROM cells)
+        |SELECT cid, n_vectors,
+        |       CAST(n_vectors AS DOUBLE) / n_total AS share,
+        |       CAST(n_vectors AS DOUBLE) / n_total > 0.125 AS hot
+        |FROM cells, tot ORDER BY cid""".stripMargin,
+    // square-and-multiply chain mirrored operand-for-operand — no pow()
+    "q_lsh_planner" ->
+      """WITH sp AS (SELECT r.range AS id FROM range(50, 100, 5) r),
+        |b AS (SELECT id / 100.0 AS j FROM sp),
+        |c AS (SELECT j, (j * j) * j AS p_band,
+        |             1.0 - ((j * j) * j) AS y FROM b),
+        |d AS (SELECT *, y * y AS y2 FROM c),
+        |e2 AS (SELECT *, y2 * y2 AS y4 FROM d),
+        |f AS (SELECT *, y4 * y4 AS y8 FROM e2),
+        |g AS (SELECT *, y8 * y8 AS y16 FROM f),
+        |h AS (SELECT *, (y16 * y4) * y AS miss FROM g)
+        |SELECT j, p_band, 1.0 - miss AS p_candidate, miss
+        |FROM h ORDER BY j""".stripMargin,
+    // gopher keep rate + near-dup doc rate + size temperature, one twin
+    "q_mix_planner" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |$mixPlannerCtes
+        |SELECT source, n_docs, n_tokens, keep_rate, dup_rate,
+        |       raw / tot AS weight
+        |FROM r2, t ORDER BY source""".stripMargin,
+    // the planner's weights turned into per-source hash-sampling rates
+    // against a half-total token budget, then applied in one scan
+    "q_mix_apply" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |$mixPlannerCtes,
+        |wgt AS (SELECT source, n_docs, n_tokens, raw / tot AS weight
+        |        FROM r2, t),
+        |tt AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS ttd FROM wgt),
+        |plan AS (
+        |  SELECT *, least(CAST(1.0 AS DOUBLE),
+        |                  target_tokens / CAST(n_tokens AS DOUBLE)) AS rate
+        |  FROM (SELECT source, n_docs, n_tokens, weight,
+        |               weight * (ttd * CAST(0.5 AS DOUBLE)) AS target_tokens
+        |        FROM wgt, tt)),
+        |docs2 AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+        |              AS BIGINT) / 4503599627370496.0 AS u
+        |  FROM documents),
+        |kept AS (
+        |  SELECT d2.source, CAST(count(*) AS BIGINT) AS kept_docs,
+        |         CAST(sum(d2.toks) AS BIGINT) AS kept_tokens
+        |  FROM docs2 d2 JOIN plan p ON d2.source = p.source
+        |  WHERE d2.u < p.rate GROUP BY d2.source)
+        |SELECT p.source, p.n_docs, p.n_tokens, p.weight, p.target_tokens,
+        |       p.rate,
+        |       coalesce(k2.kept_docs, 0) AS kept_docs,
+        |       coalesce(k2.kept_tokens, 0) AS kept_tokens
+        |FROM plan p LEFT JOIN kept k2 ON p.source = k2.source
+        |ORDER BY p.source""".stripMargin,
     // recall@k of the IVF probe vs exact search per probe budget — the
     // q_ann_ivf conventions (same assignment, same tie-breaks) with the
     // probe limit replaced by a cell-rank filter so all budgets share
@@ -2978,7 +3169,13 @@ object SparkEntry {
     * the decimal power-sum images mirror `qualityFitFeatures` /
     * `qualityFitOn` term for term.
     */
-  private lazy val qualityFitSql: String = {
+  /** Shared CTE prefix for the quality-fit oracles: per-doc raw counts
+    * (`base`, including the English-only stop hits the logit model
+    * reads), quantized features + gopher label (`f`), power sums (`s`),
+    * and the Cramer-solved weights (`w`). One definition keeps
+    * q_quality_fit and q_quality_auc on the same weights.
+    */
+  private lazy val qualityFitCtes: String = {
     val A = Seq(
       Seq("CAST(n_docs AS DOUBLE)", "a01", "a02", "a03"),
       Seq("a01", "a11", "a12", "a13"),
@@ -2999,10 +3196,13 @@ object SparkEntry {
     val hitSum = stops.map(l =>
       s"CAST(len(list_filter(string_split(text,' '), t -> t IN ($l))) AS INT)")
       .mkString(" + ")
-    s"""WITH base AS (
+    val hitEn =
+      s"CAST(len(list_filter(string_split(text,' '), t -> t IN (${stops.head}))) AS INT)"
+    s"""base AS (
       |  SELECT len(string_split(text,' ')) AS nt,
       |         len(list_distinct(string_split(text,' '))) AS nd,
       |         $hitSum AS sh,
+      |         $hitEn AS sh_en,
       |         length(text) AS nc
       |  FROM documents),
       |f AS (
@@ -3038,7 +3238,11 @@ object SparkEntry {
       |        (${d(1)}) / da AS w1,
       |        (${d(2)}) / da AS w2,
       |        (${d(3)}) / da AS w3
-      |      FROM m)
+      |      FROM m)""".stripMargin
+  }
+
+  private lazy val qualityFitSql: String =
+    s"""WITH $qualityFitCtes
       |SELECT n_docs, n_keep, w0, w1, w2, w3,
       |       CAST(n_keep AS DOUBLE)
       |         - (CAST(2.0 AS DOUBLE)
@@ -3053,5 +3257,47 @@ object SparkEntry {
       |            + (w3 * ((((a03 * w0) + (a13 * w1))
       |                     + (a23 * w2)) + (a33 * w3)))) AS sse
       |FROM w""".stripMargin
-  }
+
+  /** q_quality_auc's oracle: per-doc scores for BOTH models from the
+    * shared `base`/`w` CTEs (the fit score from the quantized features,
+    * the logit from the raw ratios — expression order mirrors
+    * `TextAnalysis.aucInputs` term for term), binned on the 1e-3 grid,
+    * then the tie-corrected Mann-Whitney sum over the bin histogram.
+    */
+  private lazy val qualityAucSql: String =
+    s"""WITH $qualityFitCtes,
+      |sc2 AS (
+      |  SELECT (w0 + (least(nt, 100) / 100.0) * w1
+      |             + (((1000 * nd) // nt) / 1000.0) * w2
+      |             + (((1000 * sh) // nt) / 1000.0) * w3) AS s_fit,
+      |         (-2.0 + (nd / nt) * 3.0 + (sh_en / nt) * 1.5
+      |              + least(nt / 100.0, 1.0)) AS s_logit,
+      |         CASE WHEN nt >= 20 AND nt <= 2000
+      |                   AND ((nc - nt + 1) / nt) >= 3.0
+      |                   AND ((nc - nt + 1) / nt) <= 10.0
+      |                   AND (nd / nt) >= 0.3
+      |                   AND sh >= 2
+      |              THEN 1 ELSE 0 END AS y
+      |  FROM base CROSS JOIN w),
+      |longf AS (SELECT 'fit' AS model, s_fit AS s, y FROM sc2
+      |          UNION ALL SELECT 'logit' AS model, s_logit AS s, y FROM sc2),
+      |bins AS (SELECT model, CAST(floor(s * 1000.0) AS BIGINT) AS bin,
+      |                CAST(sum(y) AS BIGINT) AS n_pos,
+      |                CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      |         FROM longf GROUP BY model, bin),
+      |u AS (SELECT model, bin, n_pos, n_neg,
+      |         coalesce(sum(n_neg) OVER (PARTITION BY model ORDER BY bin
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS cum_neg
+      |      FROM bins),
+      |res AS (SELECT model, CAST(sum(n_pos) AS BIGINT) AS n_pos,
+      |               CAST(sum(n_neg) AS BIGINT) AS n_neg,
+      |               CAST(count(*) AS BIGINT) AS n_bins,
+      |               CAST(sum(n_pos * (2 * cum_neg + n_neg)) AS BIGINT) AS u2
+      |        FROM u GROUP BY model)
+      |SELECT model, n_pos, n_neg, n_bins,
+      |       CASE WHEN n_pos > 0 AND n_neg > 0
+      |            THEN CAST(u2 AS DOUBLE) / ((2.0 * n_pos) * n_neg)
+      |       END AS auc
+      |FROM res ORDER BY model""".stripMargin
 }

@@ -491,7 +491,7 @@ object Aggregates {
     * `CAST('0x'||substr(h,1,13) AS BIGINT) / 2^52` — no float rounding
     * anywhere, which is what lets a KMV ESTIMATE be oracle-checked.
     */
-  private def hexFrac(h: Column): Column =
+  private[graft] def hexFrac(h: Column): Column =
     conv(substring(h, 1, 13), 16, 10).cast("double") / lit(HexFracScale)
 
   /** Distinct (source, shingle, md5-hash) universe of the documents

@@ -166,6 +166,34 @@ object Dedup {
       .distinct()
   }
 
+  /** The banding-recall curve of the SHIPPED LSH configuration
+    * (b = 21 bands × r = 3 rows): for each true Jaccard level j, the
+    * probability a near-dup pair becomes a candidate,
+    * p = 1 − (1 − j³)²¹ — the planner that turns this file's "miss ≈
+    * 1.5e-4 at j = 0.7" Scaladoc claims into a queryable artifact a
+    * curation run signs off on before committing a corpus.
+    *
+    * Exactness without `pow`: libm exponentiation diverges in the last
+    * ulp across engines, so j³ is j·j·j and (1−j³)²¹ is a fixed
+    * square-and-multiply chain (y²,y⁴,y⁸,y¹⁶, then y¹⁶·y⁴·y) —
+    * every step one IEEE multiply, mirrored operand-for-operand in the
+    * DuckDB twin. 10 rows of pure math on a range spine; no data scan.
+    */
+  def bandingRecallCurve(spark: SparkSession): DataFrame = {
+    val y = lit(1.0) - col("j") * col("j") * col("j")
+    spark.range(50, 100, 5)
+      .select((col("id") / lit(100.0)).as("j"))
+      .withColumn("p_band", col("j") * col("j") * col("j"))
+      .withColumn("y2", y * y)
+      .withColumn("y4", col("y2") * col("y2"))
+      .withColumn("y8", col("y4") * col("y4"))
+      .withColumn("y16", col("y8") * col("y8"))
+      .withColumn("miss", col("y16") * col("y4") * y)
+      .select(col("j"), col("p_band"),
+        (lit(1.0) - col("miss")).as("p_candidate"), col("miss"))
+      .orderBy(col("j"))
+  }
+
   /** MinHash-LSH near-duplicate detection with an exact n-gram-Jaccard
     * verify on the candidates. Output: (da, db, jaccard) pairs at or above
     * the threshold. Recall at the 0.7 threshold is 1-(1-0.7³)²¹ ≈ 0.99985

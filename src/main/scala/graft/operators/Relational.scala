@@ -222,4 +222,36 @@ object Relational {
     Tables.lineitem(spark, dir)
       .agg((dsum(col("l_extendedprice") * col("l_discount"))
         / dsum(col("l_extendedprice")) * 100).as("avg_discount_pct"))
+
+  /** Multi-level rollup report over orders — the GROUPING SETS surface
+    * every warehouse dashboard wants (per year × priority, per-year
+    * subtotal, grand total) in ONE aggregation instead of three
+    * unioned queries. Spark plans `rollup` as an Expand (×3 grouping
+    * sets) feeding a single hash aggregate, so the pass is map-side
+    * combinable and the result is bounded by #years · #priorities —
+    * at 100 TB this is one scan and a tiny result, where the naive
+    * union-of-three-queries reads the fact table three times.
+    *
+    * The grouping-set NULL markers are folded into non-null sentinels
+    * (`-1` / `'ALL'`) plus an explicit `lvl` label, so the output
+    * schema has no nullable group columns and the sort is total.
+    * Exactness: counts are integers, the price sum rides the
+    * DECIMAL(18,6) image, `avg_price` is one terminal division.
+    */
+  def rollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).as("o_year"),
+        col("o_orderpriority"), col("o_totalprice"))
+      .rollup(col("o_year"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        when(col("o_year").isNull, lit("total"))
+          .when(col("o_orderpriority").isNull, lit("year"))
+          .otherwise(lit("year_priority")).as("lvl"),
+        coalesce(col("o_year"), lit(-1)).as("o_year"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .withColumn("avg_price", col("sum_price") / col("n_orders"))
+      .orderBy(col("o_year"), col("o_orderpriority"))
 }

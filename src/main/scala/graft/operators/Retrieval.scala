@@ -89,4 +89,51 @@ object Retrieval {
     rrfFusionFromIndexes(spark, base + "/bm25", base + "/ivf", dir,
       query, queryId, k, nprobe, kRrf)
   }
+
+  /** Retrieval-quality eval — recall@k and MRR of each shipped ranker
+    * (BM25 lexical, IVF ANN dense, RRF fused) against the exact-cosine
+    * top-k gold set, the eval a RAG pipeline runs before committing to
+    * a retrieval configuration ([[graft.operators.Similarity.annRecallAtK]]
+    * plays the same role one level down, for the index alone).
+    *
+    * Metrics are integer-derived and oracle-exact: `n_hits` counts the
+    * list∩gold overlap, `recall_at_k` is one division by k,
+    * `first_rel_rank` is the smallest gold rank in the list (0 when the
+    * list misses gold entirely — kept non-null so the column stays
+    * int32 in parquet), `mrr` is 1/rank (0.0 on a miss). Scale: every
+    * frame here is a top-k list (k rows) — the ranking windows and the
+    * gold join run on bounded frames; the corpus is touched only
+    * through the already-measured rankers themselves.
+    */
+  def retrievalEval(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      queryId: Long = 0, k: Int = 20, nprobe: Int = 4,
+      kRrf: Int = 60): DataFrame = {
+    val gold = Similarity.cosineTopK(spark, dir, queryId, k)
+      .select(col("vec_id").as("doc_id"), lit(1).as("rel"))
+    val bm = TextAnalysis.bm25TopK(spark, dir, query, k)
+      .select(lit("bm25").as("system"), col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
+    val ann = Similarity.annIvfTopK(spark, dir, queryId, k, nprobe)
+      .select(lit("ann").as("system"), col("vec_id").as("doc_id"),
+        row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id"))).as("rank"))
+    val rrf = rrfFusion(spark, dir, query, queryId, k, nprobe, kRrf)
+      .select(lit("rrf").as("system"), col("doc_id"),
+        row_number().over(
+          Window.orderBy(col("rrf_score").desc, col("doc_id"))).as("rank"))
+      .filter(col("rank") <= k)
+    bm.unionByName(ann).unionByName(rrf)
+      .join(broadcast(gold), Seq("doc_id"), "left")
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_results"),
+        coalesce(sum(col("rel")), lit(0L)).cast("long").as("n_hits"),
+        min(when(col("rel") === 1, col("rank"))).as("frr"))
+      .select(col("system"), col("n_results"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(k)).as("recall_at_k"),
+        coalesce(col("frr"), lit(0)).as("first_rel_rank"),
+        coalesce(lit(1.0) / col("frr"), lit(0.0)).as("mrr"))
+      .orderBy(col("system"))
+  }
 }

@@ -478,6 +478,111 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** Curation-aware domain mixing — [[domainMixWeights]] upgraded with
+    * the two signals a real mixing decision needs: per-source QUALITY
+    * (gopher keep rate — a source that is 80% spam should not get its
+    * size-temperature share) and per-source DUPLICATION (fraction of
+    * docs with a verified near-dup — duplicated mass is cheaper than
+    * its token count claims). raw_s = √tokens · keep_rate /
+    * (1 + dup_rate), normalized to mixing weights. This is the planner
+    * a training run reads to set sampling rates; every factor is
+    * already computed by a shipped, separately-oracled operator, so
+    * the composite is one SQL twin away from exact.
+    *
+    * Exactness: √ is correctly-rounded IEEE, the three-factor raw is a
+    * fixed-order expression, the normalizer runs on the decimal image
+    * (order-independent), the final weight is one division. Scale: the
+    * only corpus-sized stages are the per-source token count (one
+    * map-side-combinable aggregation) and the MinHash pair stage
+    * (candidate-bounded, shared machinery); everything after lives on
+    * #sources-sized frames.
+    */
+  def curationMixWeights(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    curationMixWeightsOn(Tables.documents(spark, dir), threshold)
+
+  /** [[curationMixWeights]] over any documents-shaped frame. */
+  def curationMixWeightsOn(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val base = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val keep = graft.operators.TextAnalysis.gopherRulesOn(docs)
+      .select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(when(col("keep"), 1)).as("n_keep"))
+    val pairs = graft.operators.Dedup.minhashNearDupOn(docs, threshold)
+    val dup = pairs.select(col("da").as("doc_id"))
+      .union(pairs.select(col("db").as("doc_id"))).distinct()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_dup"))
+    val raw = base
+      .join(keep, Seq("source"), "left")
+      .join(dup, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        coalesce(col("n_keep"), lit(0L)).as("n_keep"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("keep_rate", col("n_keep") / col("n_docs"))
+      .withColumn("dup_rate", col("n_dup") / col("n_docs"))
+      .withColumn("raw", (sqrt(col("n_tokens")) * col("keep_rate"))
+        / (lit(1.0) + col("dup_rate")))
+    val tot = raw.agg(graft.functions.Stable.dsum(col("raw")).as("tot"))
+    raw.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("keep_rate"), col("dup_rate"),
+        (col("raw") / col("tot")).as("weight"))
+      .orderBy(col("source"))
+  }
+
+  /** Apply a [[curationMixWeights]] plan to the corpus: turn the mixing
+    * weights into per-source Bernoulli rates against a token budget and
+    * take the deterministic hash sample — the materialization step
+    * between "planner artifact" and "training corpus". Each source's
+    * target is `weight_s · budgetFrac · total_tokens`; its rate is
+    * `min(1, target / tokens_s)`; a doc survives iff its md5-uniform
+    * ([[Aggregates.hexFrac]] of the doc_id hash — 52 bits, exact in
+    * both engines) falls under the source's rate, so the sampled epoch
+    * re-materializes bit-identically on any cluster or retry.
+    *
+    * Scale: the plan is a #sources-row broadcast; the application is
+    * ONE narrow corpus scan (hash + compare + map-side-combined count
+    * per source). The planner's own cost (token counts + the
+    * candidate-bounded MinHash pair stage) is shared machinery and
+    * amortized across every consumer of the weights.
+    */
+  def applyMixPlan(spark: SparkSession, dir: String,
+      budgetFrac: Double = 0.5, threshold: Double = 0.7): DataFrame =
+    applyMixPlanOn(Tables.documents(spark, dir), budgetFrac, threshold)
+
+  /** [[applyMixPlan]] over any documents-shaped frame. */
+  def applyMixPlanOn(docs: DataFrame, budgetFrac: Double = 0.5,
+      threshold: Double = 0.7): DataFrame = {
+    val w = curationMixWeightsOn(docs, threshold)
+    val tot = w.agg(sum(col("n_tokens")).as("tt"))
+    val plan = w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight") * (col("tt").cast("double") * lit(budgetFrac)))
+          .as("target_tokens"))
+      .withColumn("rate", least(lit(1.0),
+        col("target_tokens") / col("n_tokens").cast("double")))
+    val kept = docs
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("u", Aggregates.hexFrac(
+        md5(col("doc_id").cast("string").cast("binary"))))
+      .join(broadcast(plan.select(col("source"), col("rate"))), "source")
+      .filter(col("u") < col("rate"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("toks")).as("kept_tokens"))
+    plan.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("target_tokens"), col("rate"),
+        coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
   def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.documents(spark, dir)
       .groupBy(col("source"))

@@ -346,6 +346,32 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
+  /** IVF index-health report: per-cell population and share under the
+    * shipped codebook — the balance audit that decides when
+    * [[writeIvfIndex]]'s layout needs a rebuild (a hot cell means every
+    * probe that touches it scans a disproportionate slice; a recall
+    * cliff in [[annRecallAtK]] between adjacent budgets usually traces
+    * to exactly this). `hot` flags cells above 2× the uniform share
+    * (the 0.125 threshold is dyadic — exact in both engines). One
+    * broadcast-argmin assignment pass + a #cells-sized aggregation;
+    * at corpus scale the assignment reads the materialized index
+    * layout's partition sizes instead of recomputing.
+    */
+  def ivfCellStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cells = assignNearest(emb, centroids)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"))
+      .withColumn("hot", col("share") > lit(0.125))
+      .orderBy(col("cid"))
+  }
+
   /** Distributed Lloyd's k-means over embedding vectors, entirely in
     * DataFrame ops — no collect, no MLlib dependency. Seeded with the
     * first `k` vec_ids (deterministic); each iteration is one broadcast

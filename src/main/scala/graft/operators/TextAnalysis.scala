@@ -285,6 +285,94 @@ object TextAnalysis {
       .withColumn("keep_pred", col("score_fit") >= 0.5)
       .orderBy(col("doc_id"))
 
+  /** Per-doc (s_fit, s_logit, y) in ONE narrow scan — the input frame
+    * for [[qualityAuc]]. Mirrors [[qualityFitFeatures]] (quantized
+    * features + gopher label) and [[qualityLogit]] (raw-ratio fixed
+    * weights) term for term; `QualityAucSpec` pins both scores equal to
+    * the shipped operators' outputs so this fused scan cannot drift.
+    */
+  private[operators] def aucInputs(docs: DataFrame, w0: Double, w1: Double,
+      w2: Double, w3: Double): DataFrame = {
+    val t = tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        size(t).as("n_tokens"), size(array_distinct(t)).as("n_distinct"),
+        hits(t, stopEn).as("sh_en"),
+        (hits(t, stopEn) + hits(t, stopDe) + hits(t, stopEs)
+          + hits(t, stopFr)).as("stop_hits"),
+        length(col("text")).as("n_chars"))
+      .select(col("doc_id"),
+        (lit(w0)
+          + (least(col("n_tokens"), lit(100)) / lit(100.0)) * lit(w1)
+          + (expr("(1000 * cast(n_distinct as bigint)) div n_tokens")
+            / lit(1000.0)) * lit(w2)
+          + (expr("(1000 * cast(stop_hits as bigint)) div n_tokens")
+            / lit(1000.0)) * lit(w3)).as("s_fit"),
+        (lit(-2.0) + (col("n_distinct") / col("n_tokens")) * 3.0
+          + (col("sh_en") / col("n_tokens")) * 1.5
+          + least(col("n_tokens") / 100.0, lit(1.0))).as("s_logit"),
+        ((col("n_tokens") >= 20 && col("n_tokens") <= 2000)
+          && (((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+            >= 3.0
+            && ((col("n_chars") - col("n_tokens") + 1) / col("n_tokens"))
+              <= 10.0)
+          && (col("n_distinct") / col("n_tokens")) >= 0.3
+          && col("stop_hits") >= 2).cast("int").as("y"))
+  }
+
+  /** ROC AUC of both quality classifiers (the TRAINED probe
+    * [[qualityFit]] and the fixed-weight [[qualityLogit]]) against the
+    * gopher labels — the eval that says whether fitting the probe
+    * actually bought discrimination over the folklore weights. One
+    * narrow corpus scan produces both scores and the label
+    * ([[aucInputs]]); the rest runs on the binned histogram.
+    *
+    * The AUC is the exact Mann-Whitney statistic of the score BINNED
+    * on a fixed 1e-3 grid (`floor(s·1000)` — exact: the multiply and
+    * floor are single IEEE ops on identical bits in both engines).
+    * Binning is the 100 TB design, not a shortcut: exact AUC of a
+    * continuous score needs a comparison sort of the corpus, while the
+    * binned ROC needs one bounded-domain histogram — the prefix sums
+    * run on a ≤ few-thousand-row frame (the same bounded-window shape
+    * the quantile and Benford family pin). Within-bin ties score ½, so
+    * `auc = Σ n_pos·(2·cum_neg_below + n_neg) / (2·P·N)` is integer
+    * arithmetic until one terminal division.
+    */
+  def qualityAuc(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ArtifactMemo.cached(spark, s"qualityfit:$dir") {
+      qualityFit(spark, dir).collect()(0) // 1 row — artifact-sized
+    }
+    val scored = aucInputs(Tables.documents(spark, dir),
+      w.getDouble(2), w.getDouble(3), w.getDouble(4), w.getDouble(5))
+    binnedAucOn(
+      scored.select(lit("fit").as("model"), col("s_fit").as("s"), col("y"))
+        .unionByName(scored.select(lit("logit").as("model"),
+          col("s_logit").as("s"), col("y"))))
+  }
+
+  /** Binned Mann-Whitney AUC of any (model, s, y∈{0,1}) frame. */
+  def binnedAucOn(scored: DataFrame): DataFrame = {
+    val bins = scored
+      .withColumn("bin", floor(col("s") * lit(1000.0)).cast("long"))
+      .groupBy(col("model"), col("bin"))
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        (count(lit(1)) - sum(col("y"))).cast("long").as("n_neg"))
+    val below = Window.partitionBy(col("model")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(below), lit(0L)))
+      .groupBy(col("model"))
+      .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
+        count(lit(1)).as("n_bins"),
+        sum(col("n_pos") * (lit(2L) * col("cum_neg") + col("n_neg")))
+          .as("u2"))
+      .select(col("model"), col("n_pos"), col("n_neg"), col("n_bins"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("u2").cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg"))).as("auc"))
+      .orderBy(col("model"))
+  }
+
   /** Quality-gate threshold sweep — the tuning curve for
     * [[qualityLogit]]'s cut: for every threshold in [lo/10, hi/10] step
     * 0.1, how many documents and tokens survive `logit > t`, absolute
@@ -1135,9 +1223,13 @@ object TextAnalysis {
     * are integer-derived with single IEEE divisions — oracle-exact —
     * and the whole gate is a narrow scan-speed map + final sort.
     */
-  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(spark, dir))
+
+  /** [[gopherRules]] over any (doc_id, text) frame. */
+  def gopherRulesOn(documents: DataFrame): DataFrame = {
     val t = tokens(col("text"))
-    Tables.documents(spark, dir)
+    documents
       .select(col("doc_id"), size(t).as("n_tokens"),
         // single-space tokens: chars = Σlen + (n−1), so the mean word
         // length is one subtraction + one division of exact integers

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-8 eval/report operators: retrieval eval vs the exact-cosine
+  * gold, the binned Mann-Whitney AUC, the rollup report, and the
+  * mix-plan application.
+  */
+class EvalOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("retrievalEval: three systems, bounded metrics, mrr consistent " +
+    "with first_rel_rank, and the dense ranker finds the query doc at " +
+    "rank 1") {
+    val rows = Similarity.cosineTopK(spark, dir) // force gold computable
+    assert(rows.count() == 20)
+    val got = Retrieval.retrievalEval(spark, dir).collect()
+      .map(r => r.getAs[String]("system") -> r).toMap
+    assert(got.keySet == Set("ann", "bm25", "rrf"))
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("n_results") == 20)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 20)
+      assert(r.getAs[Double]("recall_at_k") == hits / 20.0)
+      val frr = r.getAs[Int]("first_rel_rank")
+      val mrr = r.getAs[Double]("mrr")
+      if (frr > 0) assert(mrr == 1.0 / frr) else assert(mrr == 0.0)
+    }
+    // the query vector is its own exact-cosine top-1 AND inside the
+    // probed IVF cells, so the dense list leads with a gold doc
+    assert(got("ann").getAs[Int]("first_rel_rank") == 1)
+    assert(got("ann").getAs[Long]("n_hits") >= 1)
+  }
+
+  test("binnedAucOn: perfect separation gives 1.0, a pure within-bin " +
+    "tie gives 0.5, a planted mix matches the hand count") {
+    import spark.implicits._
+    val scored = Seq(
+      // model "sep": every positive outscores every negative
+      ("sep", 2.0, 1), ("sep", 1.0, 1), ("sep", 0.0, 0), ("sep", -1.0, 0),
+      // model "tie": one pos and one neg land in the same bin
+      ("tie", 0.5, 1), ("tie", 0.5, 0),
+      // model "mix": pos {2, 0}, neg {1}; pairs: (2>1)=1, (0<1)=0 -> 0.5
+      ("mix", 2.0, 1), ("mix", 0.0, 1), ("mix", 1.0, 0)
+    ).toDF("model", "s", "y")
+    val got = TextAnalysis.binnedAucOn(scored).collect()
+      .map(r => r.getAs[String]("model") -> r.getAs[Double]("auc")).toMap
+    assert(got("sep") == 1.0)
+    assert(got("tie") == 0.5)
+    assert(got("mix") == 0.5)
+  }
+
+  test("qualityAuc: both models beat chance on the gopher labels, and " +
+    "the fused aucInputs scan reproduces the shipped operators' scores " +
+    "exactly") {
+    val got = TextAnalysis.qualityAuc(spark, dir).collect()
+      .map(r => r.getAs[String]("model") -> r).toMap
+    assert(got.keySet == Set("fit", "logit"))
+    got.values.foreach { r =>
+      val auc = r.getAs[Double]("auc")
+      assert(auc >= 0.0 && auc <= 1.0)
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")
+        == graft.sources.Tables.documents(spark, dir).count())
+    }
+    assert(got("fit").getAs[Double]("auc") > 0.5,
+      "the trained probe must beat chance on its own labels")
+
+    val w = TextAnalysis.qualityFit(spark, dir).collect()(0)
+    val fused = TextAnalysis.aucInputs(
+        graft.sources.Tables.documents(spark, dir),
+        w.getDouble(2), w.getDouble(3), w.getDouble(4), w.getDouble(5))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    TextAnalysis.qualityFitScore(spark, dir).collect().foreach { r =>
+      assert(fused(r.getLong(0))._1 == r.getDouble(1),
+        s"s_fit drifted from qualityFitScore at doc ${r.getLong(0)}")
+    }
+    TextAnalysis.qualityLogit(spark, dir).collect().foreach { r =>
+      assert(fused(r.getLong(0))._2 == r.getDouble(1),
+        s"s_logit drifted from qualityLogit at doc ${r.getLong(0)}")
+    }
+  }
+
+  test("rollupReport: three levels reconcile — the grand total counts " +
+    "every order and each level's counts sum to it") {
+    val rows = Relational.rollupReport(spark, dir).collect()
+    val nOrders = graft.sources.Tables.orders(spark, dir).count()
+    val total = rows.filter(_.getAs[String]("lvl") == "total")
+    assert(total.length == 1 && total(0).getAs[Long]("n_orders") == nOrders)
+    val years = rows.filter(_.getAs[String]("lvl") == "year")
+    val leaves = rows.filter(_.getAs[String]("lvl") == "year_priority")
+    assert(years.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    assert(leaves.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    // per-year: leaf counts sum to the year subtotal
+    leaves.groupBy(_.getAs[Int]("o_year")).foreach { case (y, ls) =>
+      val sub = years.find(_.getAs[Int]("o_year") == y).get
+      assert(ls.map(_.getAs[Long]("n_orders")).sum
+        == sub.getAs[Long]("n_orders"))
+      assert(math.abs(ls.map(_.getAs[Double]("sum_price")).sum
+        - sub.getAs[Double]("sum_price")) < 1e-5)
+    }
+  }
+
+  test("applyMixPlan: a zero-weight source keeps nothing, a full-rate " +
+    "source keeps everything, kept counts never exceed the source") {
+    import spark.implicits._
+    val goodText = "the quick brown fox jumps over the lazy dog and " +
+      "then runs away to find a quiet place in the woods for a rest"
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"$goodText number $i", "clean")) ++
+      (100 until 120).map(i =>
+        (i.toLong, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz", "spam"))
+    val got = Sampling.applyMixPlanOn(docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    val spam = got("spam")
+    assert(spam.getAs[Double]("rate") == 0.0
+      && spam.getAs[Long]("kept_docs") == 0
+      && spam.getAs[Long]("kept_tokens") == 0)
+    val clean = got("clean")
+    assert(clean.getAs[Double]("rate") > 0.0 && clean.getAs[Double]("rate") <= 1.0)
+    assert(clean.getAs[Long]("kept_docs") > 0
+      && clean.getAs[Long]("kept_docs") <= clean.getAs[Long]("n_docs"))
+    if (clean.getAs[Double]("rate") == 1.0)
+      assert(clean.getAs[Long]("kept_docs") == clean.getAs[Long]("n_docs"))
+  }
+}

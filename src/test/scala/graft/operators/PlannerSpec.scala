@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Governance/planning operators: IVF cell health, the LSH banding
+  * recall curve, and curation-aware domain mixing.
+  */
+class PlannerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("ivfCellStats: shares are a distribution over exactly the " +
+    "corpus vectors, and hot flags agree with the 2x-uniform line") {
+    val rows = Similarity.ivfCellStats(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_vectors")).sum
+    val nVec = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(total == nVec, s"every vector must land in exactly one cell")
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("hot") == (r.getAs[Double]("share") > 0.125))
+    }
+  }
+
+  test("bandingRecallCurve pins the Scaladoc claims: miss ~ 1.5e-4 at " +
+    "j = 0.7, candidate probability monotone in j, exact complement") {
+    val rows = Dedup.bandingRecallCurve(spark).collect()
+      .map(r => (r.getAs[Double]("j"), r.getAs[Double]("p_candidate"),
+        r.getAs[Double]("miss")))
+    assert(rows.length == 10 && rows.head._1 == 0.5 && rows.last._1 == 0.95)
+    val at07 = rows.find(_._1 == 0.7).get
+    assert(at07._3 > 1.0e-4 && at07._3 < 2.0e-4,
+      s"miss at 0.7 must be ~1.5e-4: $at07")
+    assert(rows.map(_._2).sliding(2).forall(p => p.head < p.last),
+      "candidate probability must increase with j")
+    rows.foreach { case (_, p, m) => assert(p + m == 1.0) }
+  }
+
+  test("curationMixWeights: weights form a distribution, and a planted " +
+    "low-quality high-dup source is weighted below an equal-size clean " +
+    "source") {
+    import spark.implicits._
+    val goodText = "the quick brown fox jumps over the lazy dog and " +
+      "then runs away to find a quiet place in the woods for a rest"
+    // source 'clean': 20 distinct good docs. source 'spam': 20 docs of
+    // identical garbage (near-dups of each other, gopher-failing)
+    val docs = (0 until 20).map(i =>
+        (i.toLong, s"$goodText number $i", "clean")) ++
+      (100 until 120).map(i =>
+        (i.toLong, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz", "spam"))
+    val w = Sampling.curationMixWeightsOn(
+        docs.toDF("doc_id", "text", "source"))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("weight"), r.getAs[Double]("keep_rate"),
+          r.getAs[Double]("dup_rate")))).toMap
+    // the normalizer is the DECIMAL(18,6) image of the raw scores, so
+    // the weight sum carries the image's quantization (≤ 5e-7 relative
+    // per source), not exact-1
+    assert(math.abs(w.values.map(_._1).sum - 1.0) < 1e-5)
+    assert(w("clean")._2 == 1.0, s"clean source passes gopher: $w")
+    assert(w("spam")._2 == 0.0 && w("spam")._3 == 1.0,
+      s"spam source fails gopher and fully self-duplicates: $w")
+    assert(w("clean")._1 > w("spam")._1,
+      s"clean must outweigh spam: $w")
+  }
+}

@@ -1,13 +1,19 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate.
 
-Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir>
+Usage: python3 tools/check_oracle.py <sfdir> <verify_out_dir> [json_out]
 
 Loads each <verify_out_dir>/<name>/ parquet (Spark output), runs the
 matching statement from oracle_sql.json in DuckDB over views named after
 the tables in <sfdir>, sorts columns by name, and compares values.
+
+With a third argument, also writes the per-query results in the
+driver's CORRECTNESS_r{N}.json format (rows/schema/hash match flags,
+row counts, err) — queries without an oracle statement are recorded as
+err="no_oracle" with their landed row count from row_counts.json, so
+the committed local artifact is shape-identical to the driver harvest.
 """
-import json, sys, glob
+import json, sys, glob, os
 import duckdb
 import pandas as pd
 import numpy as np
@@ -21,26 +27,43 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sfdir: str, outdir: str) -> int:
+def main(sfdir: str, outdir: str, json_out: str = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    results = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        results[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                         "hash_match": hash_match, "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
+
     fails = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
-            print(f"FAIL {name}: no spark output");  fails += 1;  continue
+            print(f"FAIL {name}: no spark output");  fails += 1
+            record(name, err="no_spark_output");  continue
         got = norm(pd.concat([pd.read_parquet(f) for f in sorted(files)]))
         try:
             exp = norm(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}");  fails += 1;  continue
+            print(f"FAIL {name}: oracle sql error: {e}");  fails += 1
+            record(name, spark_rows=len(got), err=f"oracle_sql_error: {e}")
+            continue
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
-            fails += 1;  continue
+            fails += 1
+            record(name, rows_match=len(got) == len(exp), schema_match=False,
+                   hash_match=False, spark_rows=len(got), oracle_rows=len(exp))
+            continue
         if len(got) != len(exp):
-            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}");  fails += 1;  continue
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}");  fails += 1
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(exp))
+            continue
         bad = []
         for c in got.columns:
             g, e = got[c], exp[c]
@@ -61,11 +84,27 @@ def main(sfdir: str, outdir: str) -> int:
                 for i in idx:
                     print(f"   row {i} col {c}: spark={got[c].iloc[i]!r} duckdb={exp[c].iloc[i]!r}")
             fails += 1
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(got), oracle_rows=len(exp))
         else:
             print(f"PASS {name} ({len(got)} rows, {len(got.columns)} cols)")
-    # dtypes report (schema match is part of the driver gate)
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(got), oracle_rows=len(exp))
+
+    # rows-only entries: everything Verify landed that has no oracle SQL
+    rc_path = f"{outdir}/row_counts.json"
+    if os.path.exists(rc_path):
+        for name, n in sorted(json.load(open(rc_path)).items()):
+            if name not in oracle:
+                record(name, spark_rows=n, err="no_oracle")
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(results.items())), f, indent=2)
+        print(f"wrote {json_out}: {len(results)} entries, {fails} failing")
     return fails
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    sys.exit(1 if main(sys.argv[1], sys.argv[2],
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
