@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{DeflateSize, DotProduct, L2Sq, SignBands, SimHash64, TriProducts, WordShingles}
+import graft.functions.{AHash64, DeflateSize, DotProduct, L2Sq, SignBands, SimHash64, TriProducts, WordShingles}
 
 /** Session plugin registering graft's native Catalyst expressions.
   *
@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("vec_dot", 2)(a => DotProduct(a(0), a(1))))
     ext.injectFunction(fn("vec_l2sq", 2)(a => L2Sq(a(0), a(1))))
     ext.injectFunction(fn("simhash64", 1)(a => SimHash64(a(0))))
+    ext.injectFunction(fn("ahash64", 1)(a => AHash64(a(0))))
     ext.injectFunction(fn("deflate_size", 1)(a => DeflateSize(a(0))))
     ext.injectFunction(fn("emb_sign_bands", 1)(a => SignBands(a(0))))
     ext.injectFunction(fn("vec_tri_prods", 1)(a => TriProducts(a(0))))

@@ -203,6 +203,7 @@ object SparkEntry {
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
     "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
     "q_media_patches" -> ((s, dir) => Multimodal.patchGrid(s, dir)),
+    "q_media_phash" -> ((s, dir) => Multimodal.mediaPhashDup(s, dir)),
     // golden-pinned: iterative EM training has no SQL twin; determinism
     // from the totalized Viterbi tie-break + exact integer counts
     "q_unigram_train" -> ((s, dir) => Bpe.unigramTrain(s, dir)),
@@ -2897,6 +2898,42 @@ object SparkEntry {
         |       list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
         |         / strlen(text) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // aHash bits via the division-free comparison (blockSum*n >
+    // totalSum*blockLen — pure integers); the twin mirrors the BANDED
+    // candidate join (8 byte-bands), not an all-pairs scan, because at
+    // maxHamming=16 banding is part of the operator's recall contract
+    "q_media_phash" ->
+      """WITH tot AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |         list_transform(string_split(text, ''), c -> ascii(c)) AS bl
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b ->
+        |      CASE WHEN coalesce(list_sum(list_transform(
+        |                   range((n * b) // 64 + 1, (n * (b + 1)) // 64 + 1),
+        |                   i -> bl[i])), 0) * n
+        |                 > coalesce(list_sum(bl), 0)
+        |                   * ((n * (b + 1)) // 64 - (n * b) // 64)
+        |           THEN 1 ELSE 0 END) AS bv
+        |  FROM tot),
+        |bvals AS (
+        |  SELECT doc_id, band,
+        |         list_sum(list_transform(range(0, 8),
+        |           j -> bv[band * 8 + j + 1] * (1 << j))) AS bh
+        |  FROM (SELECT doc_id, bv, unnest(range(0, 8)) AS band FROM bits)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM bvals a JOIN bvals b
+        |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+        |p2 AS (
+        |  SELECT cand.da, cand.db,
+        |         CAST(len(list_filter(range(0, 64),
+        |           j -> x.bv[j + 1] != y.bv[j + 1])) AS INTEGER) AS hamming
+        |  FROM cand JOIN bits x ON cand.da = x.doc_id
+        |            JOIN bits y ON cand.db = y.doc_id)
+        |SELECT da, db, hamming FROM p2
+        |WHERE hamming <= 16 ORDER BY da, db""".stripMargin,
     // scale = least(1, maxDim/greatest(w,h)) then w*scale, per-op
     // identical to resizeMeta: one division, one multiply, one floor —
     // each IEEE-correctly-rounded, so the hash matches bit-for-bit

@@ -349,6 +349,55 @@ object Multimodal {
         (col("grid_h") * patch - col("out_height")).as("pad_h"))
       .orderBy(col("doc_id"))
 
+  /** Perceptual-hash near-duplicate detection over the image payloads —
+    * the media twin of [[Dedup.simhashNearDup]]: one codegen'd
+    * [[graft.functions.AHash64]] kernel call per payload (64-bit
+    * average-hash, division-free so the bit vector is ANSI-SQL-exact),
+    * candidates blocked on the hash's 8 byte-bands, exact `bit_count`
+    * Hamming verify on the candidates.
+    *
+    * Recall contract: by pigeonhole a pair at Hamming ≤ 7 ALWAYS
+    * collides on one of the 8 bands, so for maxHamming ≤ 7 the banded
+    * output IS the all-pairs answer (spec-pinned against a brute-force
+    * popcount). The default maxHamming = 16 is the perceptual-match
+    * regime, where banding is the standard LSH recall trade: distant
+    * pairs must still share one full byte-band to surface. Both engines
+    * run the SAME banding — the oracle twin mirrors the candidate join,
+    * not an all-pairs scan — so the output is deterministic and exact,
+    * with the recall boundary documented rather than hidden. Scale: the
+    * shuffle carries (band, key, doc) rows — 8 per image, never
+    * payloads; candidate volume is Σ|bucket|², bounded by true near-dup
+    * volume on real corpora (a skewed byte distribution concentrates
+    * buckets — at corpus scale widen the bands, SimHash notes apply).
+    */
+  def mediaPhashDup(spark: SparkSession, dir: String,
+      maxHamming: Int = 16): DataFrame =
+    mediaPhashDupOn(mediaTable(spark, dir)
+      .filter(col("media_type") === "image"), maxHamming)
+
+  /** [[mediaPhashDup]] over any (doc_id, blob) frame. */
+  def mediaPhashDupOn(media: DataFrame, maxHamming: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val ah = ColumnBridge.column(
+      graft.functions.AHash64(ColumnBridge.expression(col("blob"))))
+    val sig = media.select(col("doc_id"), ah.as("ahash"))
+    val bands = sig.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 8).map(i =>
+        shiftrightunsigned(col("ahash"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+        .as(Seq("band", "bh")))
+    val a = bands.select(col("band"), col("bh"),
+      col("doc_id").as("da"), col("ahash").as("ha"))
+    val b = bands.select(col("band"), col("bh"),
+      col("doc_id").as("db"), col("ahash").as("hb"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Resize stub: metadata-only aspect-preserving downscale — the plan
     * shape of a real resample without the codec.
     */

@@ -270,11 +270,13 @@ class PropertySpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
         |       vec_l2sq(array(0.0d, 0.0d), array(3.0d, 4.0d)) AS l2,
-        |       size(word_shingles('a b c d', 3)) AS n_sh""".stripMargin)
+        |       size(word_shingles('a b c d', 3)) AS n_sh,
+        |       ahash64(cast('aaaa' as binary)) AS ah""".stripMargin)
       .collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 25.0)
     assert(r.getInt(2) == 2)
+    assert(r.getLong(3) == 0L) // constant payload: no block above mean
   }
 
   test("word_shingles matches the declarative array_distinct/transform " +

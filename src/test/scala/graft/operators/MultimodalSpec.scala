@@ -206,4 +206,44 @@ class MultimodalSpec extends AnyFunSuite {
     val expectedMean = Array.tabulate(300)(i => (i % 256)).sum.toDouble / 300
     assert(math.abs(f.mean_byte - expectedMean) < 1e-9)
   }
+
+  test("AHashKernel: hand-checked ramp, empty payload, and invariance " +
+    "to a constant payload") {
+    // bytes 0..63: block b is the single byte b; mean 31.5 -> bits 32..63
+    val ramp = Array.tabulate[Byte](64)(_.toByte)
+    assert(graft.functions.AHashKernel.compute(ramp) == 0xFFFFFFFF00000000L)
+    assert(graft.functions.AHashKernel.compute(Array.empty[Byte]) == 0L)
+    // constant payload: no block strictly above the mean -> all zeros
+    assert(graft.functions.AHashKernel.compute(Array.fill[Byte](100)(7)) == 0L)
+  }
+
+  test("mediaPhashDup: banded candidates equal the brute-force answer " +
+    "on a planted near-dup corpus (pigeonhole completeness), and exact " +
+    "dups land at hamming 0") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val docs = (0L until 30L).map { i =>
+      val txt =
+        if (i % 10 == 0) base                       // 3 exact replicas
+        else if (i % 10 == 1) base + "!!"           // near-dup of base
+        else base.take(20) + ("x" * i.toInt) + i    // spread apart
+      (i, txt.getBytes("US-ASCII"))
+    }
+    val df = docs.toDF("doc_id", "blob")
+    // maxHamming = 6 <= 7: pigeonhole over the 8 bands makes the banded
+    // join complete, so it must equal the all-pairs brute force
+    val got = Multimodal.mediaPhashDupOn(df, maxHamming = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the kernel directly
+    val hs = docs.map { case (i, b) =>
+      i -> graft.functions.AHashKernel.compute(b)
+    }
+    val brute = (for {
+      (da, ha) <- hs; (db, hb) <- hs if da < db
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (da, db, d)).toSet
+    assert(got == brute, s"banded=${got.size} brute=${brute.size}")
+    assert(got.contains((0L, 10L, 0)) && got.contains((10L, 20L, 0)),
+      "exact replicas must pair at hamming 0")
+  }
 }
