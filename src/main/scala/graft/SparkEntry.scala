@@ -217,6 +217,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Relational.rollupReport(s, dir)),
     "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
+    "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
     "q_split_leakage_lf" -> ((s, dir) =>
@@ -3045,6 +3046,39 @@ object SparkEntry {
         |       n_orders, sum_price,
         |       sum_price / n_orders AS avg_price
         |FROM r ORDER BY o_year, o_orderpriority""".stripMargin,
+    // farthest-point traversal unrolled as a recursive CTE carrying the
+    // selected-id and radius lists; min-to-set recomputed fresh per
+    // round — same VALUE as Spark's incremental least() chain (min is
+    // order-free over identical exact distances)
+    "q_kcenter" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sel(it, ids, d2s) AS (
+        |  SELECT 1, [CAST(0 AS BIGINT)], [CAST(0.0 AS DOUBLE)]
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_append(ids, (
+        |      SELECT p.vec_id FROM v p
+        |      WHERE NOT list_contains(sel.ids, p.vec_id)
+        |      ORDER BY (SELECT min(list_sum(list_transform(range(1, len(p.v)+1),
+        |                  i -> (p.v[i]-c.v[i])*(p.v[i]-c.v[i]))))
+        |                FROM v c WHERE list_contains(sel.ids, c.vec_id)) DESC,
+        |               p.vec_id
+        |      LIMIT 1)),
+        |    list_append(d2s, (
+        |      SELECT mx FROM (
+        |        SELECT p.vec_id,
+        |          (SELECT min(list_sum(list_transform(range(1, len(p.v)+1),
+        |             i -> (p.v[i]-c.v[i])*(p.v[i]-c.v[i]))))
+        |           FROM v c WHERE list_contains(sel.ids, c.vec_id)) AS mx
+        |        FROM v p WHERE NOT list_contains(sel.ids, p.vec_id)
+        |        ORDER BY mx DESC, p.vec_id LIMIT 1)))
+        |  FROM sel WHERE it < 8)
+        |SELECT u.r AS rank, ids[u.r] AS vec_id, d2s[u.r] AS d2
+        |FROM (SELECT ids, d2s FROM sel WHERE it = 8) s,
+        |     (SELECT unnest(range(1, 9)) AS r) u
+        |ORDER BY rank""".stripMargin,
     "q_ivf_health" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

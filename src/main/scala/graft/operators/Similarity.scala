@@ -372,6 +372,61 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985's farthest-point
+    * traversal, the 2-approximation to the k-center cover): start from
+    * vec_id 0, then k−1 times add the vector FARTHEST (max min-L2²,
+    * ties to the lower vec_id) from the set selected so far — the
+    * diversity-maximizing subset a data-selection pass uses to seed
+    * codebooks, pick annotation batches, or cap a corpus while keeping
+    * its spread. Output: (rank, vec_id, d2) where d2 is the selected
+    * point's distance² to the prior set — rank r's d2 is the covering
+    * radius after r−1 centers, non-increasing by construction
+    * (spec-pinned).
+    *
+    * Shape: the min-distance state is maintained INCREMENTALLY — each
+    * round is one narrow `least(d2, l2sq(v, newCenter))` map (the new
+    * center rides in as a broadcast literal) plus a TakeOrdered(1)
+    * reduce; the corpus is never re-scanned against the whole growing
+    * set. The only collects are the k selected rows themselves — a
+    * k-row driver artifact, same bounded-artifact discipline as PCA's
+    * covariance. Lineage grows one `least` per round; past k ≈ 30
+    * cut it periodically ([[graft.Materialize]] notes apply).
+    * Exactness: every d2 is the same chain of IEEE subtract/multiply/
+    * add/min both engines run (the twin recomputes min-to-set fresh
+    * each round; min is the same value either way), so the selection —
+    * and therefore the whole output — is oracle-exact.
+    */
+  def kCenterCoreset(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame =
+    kCenterCoresetOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")), k)
+
+  /** [[kCenterCoreset]] over any (vec_id, v: array<double>) frame. */
+  def kCenterCoresetOn(embIn: DataFrame, k: Int): DataFrame = {
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    val emb = embIn.cutLineage() // k TakeOrdered actions read it
+    val seed = emb.filter(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    var picked = List((1L, 0L, 0.0))
+    var ids: Seq[Long] = Seq(0L)
+    var state = emb.withColumn("d2", l2sq(col("v"), typedlit(seed)))
+    var r = 2
+    while (r <= k) {
+      val top = state.filter(not(col("vec_id").isInCollection(ids)))
+        .orderBy(col("d2").desc, col("vec_id"))
+        .limit(1).select(col("vec_id"), col("d2"), col("v"))
+        .collect()(0)
+      picked ::= (r.toLong, top.getLong(0), top.getDouble(1))
+      ids = ids :+ top.getLong(0)
+      state = state.withColumn("d2",
+        least(col("d2"), l2sq(col("v"), typedlit(top.getSeq[Double](2)))))
+      r += 1
+    }
+    graft.Materialize.release(emb)
+    picked.reverse.toDF("rank", "vec_id", "d2").orderBy(col("rank"))
+  }
+
   /** Distributed Lloyd's k-means over embedding vectors, entirely in
     * DataFrame ops — no collect, no MLlib dependency. Seeded with the
     * first `k` vec_ids (deterministic); each iteration is one broadcast

@@ -104,6 +104,40 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kCenterCoreset equals a sequential farthest-point reference " +
+    "bit-for-bit and the covering radius never increases") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val k = 8
+    var ids = List(0L)
+    val d2 = scala.collection.mutable.Map(vecs.map { case (id, v) =>
+      id -> l2(v, vecs.find(_._1 == 0L).get._2)
+    }: _*)
+    var exp = List((1L, 0L, 0.0))
+    (2 to k).foreach { r =>
+      val (bid, bd) = vecs.filterNot(p => ids.contains(p._1))
+        .map(p => (p._1, d2(p._1)))
+        .maxBy { case (id, d) => (d, -id) } // d desc, id asc
+      exp ::= (r.toLong, bid, bd)
+      ids = ids :+ bid
+      val bv = vecs.find(_._1 == bid).get._2
+      vecs.foreach { case (id, v) => d2(id) = math.min(d2(id), l2(v, bv)) }
+    }
+    val got = Similarity.kCenterCoreset(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == exp.reverse)
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"covering radius must be non-increasing: $radii")
+  }
+
   test("applyMixPlan: a zero-weight source keeps nothing, a full-rate " +
     "source keeps everything, kept counts never exceed the source") {
     import spark.implicits._
