@@ -19,7 +19,13 @@ object Profile {
       if (r.isEmpty || r(0).isNullAt(0)) 0.0 else r(0).getDouble(0)
     }
   }
-  def t(name: String)(f: => Long): Unit = {
+  /** SPARK_GRAFT_PROF_ONLY=a,b runs a subset (same contract as
+    * Verify's SPARK_GRAFT_ONLY) — local iteration on one row's timing
+    * without paying the whole sweep.
+    */
+  private lazy val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_PROF_ONLY").map(_.split(",").toSet)
+  def t(name: String)(f: => Long): Unit = if (only.forall(_.contains(name))) {
     val t0 = System.nanoTime(); val n = f
     println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
   }
@@ -366,6 +372,26 @@ object Profile {
     t("unigram_train_10x")(
       graft.operators.Bpe.unigramTrainOn(spark, docs10, vocabSize = 40)
         .count())
+    // consume weight+kept so neither the planner join chain nor the
+    // sampling pass is pruned
+    t("mix_apply_10x")(
+      graft.operators.Sampling.applyMixPlanOn(docs10)
+        .agg(sum(col("kept_tokens") + col("weight"))).scalarDouble.toLong)
+    t("media_phash_10x")(
+      graft.operators.Multimodal.mediaPhashDupOn(
+        docs10.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text").cast("binary").as("blob")))
+        .count())
+    t("quality_auc_10x")(
+      graft.operators.TextAnalysis.qualityAucOn(docs10,
+        -1.0, 0.5, 3.0, 1.5)
+        .agg(sum(col("n_bins") + col("auc"))).scalarDouble.toLong)
+    t("kcenter_10x") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.kCenterCoresetOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v")), 8)
+        .agg(sum(col("d2") + col("vec_id"))).scalarDouble.toLong
+    }
     spark.stop()
   }
 }

@@ -342,8 +342,16 @@ object TextAnalysis {
     val w = graft.ArtifactMemo.cached(spark, s"qualityfit:$dir") {
       qualityFit(spark, dir).collect()(0) // 1 row — artifact-sized
     }
-    val scored = aucInputs(Tables.documents(spark, dir),
+    qualityAucOn(Tables.documents(spark, dir),
       w.getDouble(2), w.getDouble(3), w.getDouble(4), w.getDouble(5))
+  }
+
+  /** [[qualityAuc]] over any documents-shaped frame with explicit fit
+    * weights.
+    */
+  def qualityAucOn(docs: DataFrame, w0: Double, w1: Double,
+      w2: Double, w3: Double): DataFrame = {
+    val scored = aucInputs(docs, w0, w1, w2, w3)
     binnedAucOn(
       scored.select(lit("fit").as("model"), col("s_fit").as("s"), col("y"))
         .unionByName(scored.select(lit("logit").as("model"),
