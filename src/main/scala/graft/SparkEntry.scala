@@ -67,6 +67,7 @@ object SparkEntry {
     "q_kmv_jaccard" -> ((s, dir) => Aggregates.kmvJaccardPairs(s, dir)),
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
     "q_winsorize" -> ((s, dir) => Aggregates.winsorizedPrices(s, dir)),
+    "q_mad_outliers" -> ((s, dir) => Aggregates.madOutliers(s, dir)),
     "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
     "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
@@ -218,6 +219,7 @@ object SparkEntry {
     "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
+    "q_length_buckets" -> ((s, dir) => Sampling.lengthBuckets(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
     "q_split_leakage_lf" -> ((s, dir) =>
@@ -1606,6 +1608,40 @@ object SparkEntry {
         |       est_p50, est_p90, est_p99, ex_p50, ex_p90, ex_p99
         |FROM est JOIN ex ON est.g = ex.g
         |ORDER BY l_returnflag""".stripMargin,
+    // same md5 bottom-k sample as q_winsorize; MAD over the sample
+    // array, the consistency cut evaluated double*double in fixed order
+    "q_mad_outliers" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         md5(concat(l_orderkey, '|', l_linenumber)) AS h
+        |  FROM lineitem),
+        |rk AS (SELECT g, v,
+        |              row_number() OVER (PARTITION BY g ORDER BY h, v) AS r
+        |       FROM base),
+        |sagg AS (SELECT g, CAST(count(*) AS INT) AS k_sample,
+        |                list_sort(list(v)) AS vs
+        |         FROM rk WHERE r <= 256 GROUP BY g),
+        |medc AS (SELECT g, k_sample, vs,
+        |           vs[greatest(1, CAST(ceil(0.5 * k_sample) AS BIGINT))]
+        |             AS med
+        |         FROM sagg),
+        |cuts AS (SELECT g, med,
+        |           list_sort(list_transform(vs, x -> abs(x - med)))[
+        |             greatest(1, CAST(ceil(0.5 * k_sample) AS BIGINT))]
+        |             AS mad
+        |         FROM medc)
+        |SELECT base.g AS l_returnflag,
+        |       CAST(count(*) AS BIGINT) AS n_rows,
+        |       min(med) AS med_est, min(mad) AS mad_est,
+        |       CAST(coalesce(sum(CASE WHEN abs(v - med) >
+        |           (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad
+        |         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
+        |       CAST(coalesce(sum(CASE WHEN abs(v - med) >
+        |           (CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)) * mad
+        |         THEN 1 ELSE 0 END), 0) AS DOUBLE) / count(*)
+        |         AS outlier_rate
+        |FROM base JOIN cuts ON base.g = cuts.g
+        |GROUP BY base.g ORDER BY l_returnflag""".stripMargin,
     "q_winsorize" ->
       """WITH base AS (
         |  SELECT l_returnflag AS g, l_extendedprice AS v,
@@ -3046,6 +3082,24 @@ object SparkEntry {
         |       n_orders, sum_price,
         |       sum_price / n_orders AS avg_price
         |FROM r ORDER BY o_year, o_orderpriority""".stripMargin,
+    "q_length_buckets" ->
+      """WITH d AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (SELECT n,
+        |        CASE WHEN n <= 512 THEN ((n + 63) // 64) * 64
+        |             ELSE 512 END AS seq_len,
+        |        CASE WHEN n <= 512 THEN ((n + 63) // 64) * 64
+        |             ELSE ((n + 511) // 512) * 512 END AS padded
+        |      FROM d),
+        |agg AS (SELECT seq_len, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(n) AS BIGINT) AS n_tokens,
+        |               CAST(sum(padded) AS BIGINT) AS n_padded
+        |        FROM b GROUP BY seq_len)
+        |SELECT seq_len, n_docs, n_tokens, n_padded,
+        |       CAST(1.0 AS DOUBLE) - CAST(n_tokens AS DOUBLE) / n_padded
+        |         AS pad_waste
+        |FROM agg ORDER BY seq_len""".stripMargin,
     // farthest-point traversal unrolled as a recursive CTE carrying the
     // selected-id and radius lists; min-to-set recomputed fresh per
     // round — same VALUE as Spark's incremental least() chain (min is

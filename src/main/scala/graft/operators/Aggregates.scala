@@ -885,6 +885,58 @@ object Aggregates {
     winsorizedPricesOn(Tables.lineitem(spark, dir), k, pLo, pHi)
 
   /** [[winsorizedPrices]] over any lineitem-shaped frame. */
+  /** Robust outlier detection via median absolute deviation — the
+    * heavy-tail-safe alternative to z-scores (one corrupt feed distorts
+    * a mean/stddev gate; the median/MAD pair shrugs it off). Per group:
+    * the sample median, the MAD (median of |v − med| — computed over
+    * the SAME ≤k bottom-k sample, so it costs O(k log k) array work per
+    * group, never a second corpus ranking), and the count of rows
+    * outside `z · 1.4826 · MAD` of the median (1.4826 = 1/Φ⁻¹(3/4),
+    * the consistency constant that makes MAD estimate σ under
+    * normality — pinned as a double literal in both engines, and the
+    * cut product is evaluated in fixed order entirely in doubles).
+    *
+    * Shape: the shared [[bottomKSample]] pre-reduces each map task to
+    * ≤k entries (hot groups move k·#partitions rows, never their row
+    * count), cuts broadcast back, and the flagging pass is one
+    * map-side-combinable aggregation — the [[winsorizedPricesOn]]
+    * scale shape with a robust-location estimator on top.
+    */
+  def madOutliers(spark: SparkSession, dir: String, k: Int = 256,
+      z: Double = 3.0): DataFrame =
+    madOutliersOn(Tables.lineitem(spark, dir), k, z)
+
+  /** [[madOutliers]] over any lineitem-shaped frame. */
+  def madOutliersOn(li: DataFrame, k: Int = 256,
+      z: Double = 3.0): DataFrame = {
+    val base = li
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+          .cast("binary")).as("h"))
+    val cuts = bottomKSample(base, k)
+      .select(col("g"), size(col("sk")).as("k_sample"),
+        array_sort(expr("transform(sk, x -> x._2)")).as("vs"))
+      .select(col("g"), col("k_sample"), col("vs"),
+        sampleQuantile(col("vs"), col("k_sample"), 0.5).as("med"))
+      .select(col("g"), col("med"),
+        sampleQuantile(
+          array_sort(transform(col("vs"), x => abs(x - col("med")))),
+          col("k_sample"), 0.5).as("mad"))
+    base.join(broadcast(cuts), "g")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("med")).as("med_est"),
+        min(col("mad")).as("mad_est"),
+        sum(when(abs(col("v") - col("med"))
+            > (lit(z) * lit(1.4826)) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("g").as("l_returnflag"), col("n_rows"), col("med_est"),
+        col("mad_est"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_rows"))
+          .as("outlier_rate"))
+      .orderBy(col("l_returnflag"))
+  }
+
   def winsorizedPricesOn(li: DataFrame, k: Int = 256,
       pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
     require(0 < pLo && pLo <= pHi && pHi <= 1,

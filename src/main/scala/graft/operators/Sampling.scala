@@ -583,6 +583,48 @@ object Sampling {
       .orderBy(col("source"))
   }
 
+  /** Length-bucketed batching planner: assign every document to the
+    * padded sequence length it would occupy (`ceil(tokens / mult) ·
+    * mult`, capped at `maxLen`; longer documents wrap into
+    * `ceil(tokens / maxLen)` full sequences) and report, per bucket,
+    * the document count, real tokens, padded tokens, and padding waste
+    * — the artifact that decides a training run's bucket boundaries
+    * (uniform maxLen batching wastes `1 − Σtokens/Σpadded` of every
+    * step; bucketing recovers most of it, and this table says exactly
+    * how much).
+    *
+    * All bucket arithmetic is integer (ceil via `(n + m − 1) div m`),
+    * waste is one terminal division — oracle-exact. Shape: one narrow
+    * scan into a map-side-combinable aggregation on the bounded bucket
+    * domain (≤ maxLen/mult + 1 rows); the global totals ride the same
+    * frame. Scan-shaped at any corpus size.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String, mult: Int = 64,
+      maxLen: Int = 512): DataFrame =
+    lengthBucketsOn(Tables.documents(spark, dir), mult, maxLen)
+
+  /** [[lengthBuckets]] over any documents-shaped frame. */
+  def lengthBucketsOn(docs: DataFrame, mult: Int = 64,
+      maxLen: Int = 512): DataFrame =
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      // `div` (integer division) keeps every bucket quantity in int64 —
+      // no float quotient anywhere before the terminal waste division
+      .withColumn("full", expr(s"(n + ${mult - 1}) div $mult"))
+      .withColumn("wrap", expr(s"(n + ${maxLen - 1}) div $maxLen"))
+      .select(col("n"),
+        when(col("n") <= maxLen, col("full") * mult)
+          .otherwise(maxLen.toLong).as("seq_len"),
+        when(col("n") <= maxLen, col("full") * mult)
+          .otherwise(col("wrap") * maxLen).as("padded"))
+      .groupBy(col("seq_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("n_tokens"),
+        sum(col("padded")).as("n_padded"))
+      .withColumn("pad_waste",
+        lit(1.0) - col("n_tokens").cast("double") / col("n_padded"))
+      .orderBy(col("seq_len"))
+
   def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.documents(spark, dir)
       .groupBy(col("source"))

@@ -104,6 +104,49 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("madOutliers: a single gross corruption is flagged while the " +
+    "robust location ignores it; a smooth spread flags nothing") {
+    import spark.implicits._
+    // group A: 100 clean 10.0s + one 1000.0 -> med 10, MAD 0, 1 outlier
+    // group B: 1..100 -> med 50, MAD 25, cut ~111 -> 0 outliers
+    val rows = (1 to 100).map(i => ("A", 10.0, i.toLong, i)) ++
+      Seq(("A", 1000.0, 999L, 1)) ++
+      (1 to 100).map(i => ("B", i.toDouble, 2000L + i, i))
+    val li = rows.toDF("l_returnflag", "l_extendedprice",
+      "l_orderkey", "l_linenumber")
+    val got = Aggregates.madOutliersOn(li).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Double]("med_est") == 10.0
+      && a.getAs[Double]("mad_est") == 0.0
+      && a.getAs[Long]("n_outliers") == 1L,
+      s"corruption must be flagged against the robust location: $a")
+    val b = got("B")
+    assert(b.getAs[Double]("med_est") == 50.0
+      && b.getAs[Double]("mad_est") == 25.0
+      && b.getAs[Long]("n_outliers") == 0L, s"smooth spread: $b")
+  }
+
+  test("lengthBuckets: every token is accounted for, padding never " +
+    "negative, buckets land on the multiple, and a long doc wraps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),   // 10 -> bucket 64
+      (2L, Seq.fill(64)("w").mkString(" ")),   // exact -> 64, no pad
+      (3L, Seq.fill(65)("w").mkString(" ")),   // -> 128
+      (4L, Seq.fill(600)("w").mkString(" "))   // > 512 -> wraps to 1024
+    ).toDF("doc_id", "text")
+    val rows = Sampling.lengthBucketsOn(docs).collect()
+      .map(r => r.getAs[Long]("seq_len") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_padded")))).toMap
+    assert(rows(64L) == ((2L, 74L, 128L)))
+    assert(rows(128L) == ((1L, 65L, 128L)))
+    assert(rows(512L) == ((1L, 600L, 1024L)), s"wrap bucket: $rows")
+    assert(rows.values.map(_._2).sum == 10 + 64 + 65 + 600)
+    rows.values.foreach { case (_, tok, pad) => assert(pad >= tok) }
+  }
+
   test("kCenterCoreset equals a sequential farthest-point reference " +
     "bit-for-bit and the covering radius never increases") {
     val vecs = graft.sources.Tables.embeddings(spark, dir)
