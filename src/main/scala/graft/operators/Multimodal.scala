@@ -375,16 +375,25 @@ object Multimodal {
     mediaPhashDupOn(mediaTable(spark, dir)
       .filter(col("media_type") === "image"), maxHamming)
 
-  /** [[mediaPhashDup]] over any (doc_id, blob) frame. */
-  def mediaPhashDupOn(media: DataFrame, maxHamming: Int = 16): DataFrame = {
+  /** The (doc_id, ahash, band, bh) frame every phash consumer shares —
+    * one ahash64 kernel call per payload, 8 byte-band keys. ONE
+    * definition keeps the in-query pair join, the stored index layout,
+    * the append path, and the streaming gate on identical banding.
+    */
+  private[operators] def phashBands(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     val ah = ColumnBridge.column(
       graft.functions.AHash64(ColumnBridge.expression(col("blob"))))
-    val sig = media.select(col("doc_id"), ah.as("ahash"))
-    val bands = sig.select(col("doc_id"), col("ahash"),
-      posexplode(array((0 until 8).map(i =>
-        shiftrightunsigned(col("ahash"), i * 8).bitwiseAND(lit(0xFFL))): _*))
-        .as(Seq("band", "bh")))
+    media.select(col("doc_id"), ah.as("ahash"))
+      .select(col("doc_id"), col("ahash"),
+        posexplode(array((0 until 8).map(i =>
+          shiftrightunsigned(col("ahash"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("band", "bh")))
+  }
+
+  /** [[mediaPhashDup]] over any (doc_id, blob) frame. */
+  def mediaPhashDupOn(media: DataFrame, maxHamming: Int = 16): DataFrame = {
+    val bands = phashBands(media)
     val a = bands.select(col("band"), col("bh"),
       col("doc_id").as("da"), col("ahash").as("ha"))
     val b = bands.select(col("band"), col("bh"),
@@ -396,6 +405,50 @@ object Multimodal {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("da"), col("db"))
+  }
+
+  /** Materialize the phash admission index: the corpus's band keys
+    * written band-partitioned and sorted by `bh` within each file, so
+    * a probe's (band, bh) lookups ride parquet row-group min/max
+    * instead of scanning the band — the media twin of
+    * [[Dedup.writeMinhashIndex]]'s layout. Payloads are NOT stored;
+    * the 64-bit hash is the whole retained state per (doc, band).
+    */
+  def writePhashIndex(media: DataFrame, path: String): Unit =
+    phashBands(media)
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bh"))
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+
+  /** Partition-scoped append of a batch into a [[writePhashIndex]]
+    * layout — new files land inside the existing band directories, no
+    * existing file is rewritten, nothing reads the prior corpus (the
+    * [[Dedup.appendToMinhashIndex]] admission contract; append ≡
+    * rebuild because the banding is a pure function of the payload).
+    */
+  def appendToPhashIndex(batch: DataFrame, path: String): Unit =
+    phashBands(batch)
+      .write.mode("append").partitionBy("band").parquet(path)
+
+  /** Probe a stored [[writePhashIndex]] layout with a batch of new
+    * payloads: the batch's 8 band keys (computed fresh, broadcast-sized)
+    * join the index buckets, exact `bit_count` verify on candidates —
+    * (batch_id, corpus_id, hamming) pairs at or under the threshold.
+    * The batch never touches corpus payloads, only stored hashes.
+    */
+  def phashJoinFromIndex(spark: SparkSession, batch: DataFrame,
+      indexPath: String, maxHamming: Int = 16): DataFrame = {
+    val b = phashBands(batch).select(col("band"), col("bh"),
+      col("doc_id").as("batch_id"), col("ahash").as("hb"))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("band"), col("bh"), col("doc_id").as("corpus_id"),
+        col("ahash").as("ha"))
+    idx.join(broadcast(b), Seq("band", "bh"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("hb").bitwiseXOR(col("ha"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** Resize stub: metadata-only aspect-preserving downscale — the plan

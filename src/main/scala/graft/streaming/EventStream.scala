@@ -654,6 +654,39 @@ object EventStream {
       }
       .start()
 
+  /** Streaming perceptual-hash admission gate — the media twin of
+    * [[nearDupGate]]: each micro-batch of (doc_id, blob) payloads is
+    * hashed (one ahash64 kernel call per payload), probed against the
+    * stored [[graft.operators.Multimodal.writePhashIndex]] layout, and
+    * only payloads with NO indexed near-dup (Hamming ≤ maxHamming)
+    * land. Stateless on the stream side — corpus state lives entirely
+    * in the index, refreshed by [[graft.operators.Multimodal
+    * .appendToPhashIndex]] between batches, never inside the query.
+    * Survivors land in `ingest_batch=<id>` partitions under DYNAMIC
+    * overwrite so an at-least-once replay rewrites its own partition
+    * instead of admitting duplicates twice.
+    */
+  def phashGateSink(media: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, maxHamming: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dups = graft.operators.Multimodal
+            .phashJoinFromIndex(spark, batch, indexPath, maxHamming)
+            .select(col("batch_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Streaming distribution gate from a maintained [[quantileMaintain]]
     * sample artifact: rows whose value falls outside the stored
     * [qLo, qHi] discrete quantile band for their group are dropped

@@ -246,4 +246,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.contains((0L, 10L, 0)) && got.contains((10L, 20L, 0)),
       "exact replicas must pair at hamming 0")
   }
+
+  test("phash index: stored probe finds indexed near-dups and skips " +
+    "novel payloads; append equals rebuild") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    def blobs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map(i => (i, (base + ("y" * i.toInt)).getBytes("US-ASCII")))
+        .toDF("doc_id", "blob")
+    val half1 = blobs(0L until 10L)
+    val half2 = blobs(10L until 20L)
+    val p = java.nio.file.Files.createTempDirectory("graft_phidx")
+    val full = p.resolve("full").toString
+    val inc = p.resolve("inc").toString
+    Multimodal.writePhashIndex(half1.unionByName(half2), full)
+    Multimodal.writePhashIndex(half1, inc)
+    Multimodal.appendToPhashIndex(half2, inc)
+    // probe: an exact copy of an indexed payload + a novel payload
+    val probe = Seq(
+      (100L, (base + "yyy").getBytes("US-ASCII")), // copy of doc 3
+      (101L, ("totally different payload zzz qqq www " * 5)
+        .getBytes("US-ASCII"))
+    ).toDF("doc_id", "blob")
+    def pairs(idx: String) =
+      Multimodal.phashJoinFromIndex(spark, probe, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaFull = pairs(full)
+    assert(viaFull == pairs(inc), "append must equal rebuild")
+    assert(viaFull.contains((100L, 3L, 0)),
+      "the indexed payload's copy must surface at hamming 0")
+    assert(!viaFull.exists(_._1 == 101L),
+      s"the novel payload must not match: $viaFull")
+  }
 }

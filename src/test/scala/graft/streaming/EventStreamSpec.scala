@@ -485,6 +485,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming phash gate drops payloads near-dup to the index, " +
+    "admits novel payloads, holds no stream state") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog " * 4
+    val corpus = (0L until 20L)
+      .map(i => (i, (base + ("y" * i.toInt)).getBytes("US-ASCII")))
+    val root = java.nio.file.Files.createTempDirectory("graft_phgate")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    import spark.implicits._
+    graft.operators.Multimodal.writePhashIndex(
+      corpus.toDF("doc_id", "blob"), idxDir)
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(
+      (1000001L, (base + "yyy").getBytes("US-ASCII")), // copy of doc 3
+      (1000002L, ("totally different payload zzz qqq www " * 5)
+        .getBytes("US-ASCII"))) // min hamming 28 to any indexed hash
+    val q = EventStream.phashGateSink(
+      input.toDF().toDF("doc_id", "blob"), idxDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1000002L),
+        "indexed near-dup payload gated out, novel payload admitted")
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
+
   test("tokenAccountingSink: streamed per-doc counts equal the batch " +
     "tokenizer's, and the stream holds no state") {
     implicit val sql = spark.sqlContext
