@@ -217,6 +217,7 @@ object SparkEntry {
     "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.rollupReport(s, dir)),
     "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
+    "q_ndcg" -> ((s, dir) => Retrieval.ndcgEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
     "q_length_buckets" -> ((s, dir) => Sampling.lengthBuckets(s, dir)),
@@ -3062,6 +3063,7 @@ object SparkEntry {
         |                  / min(CASE WHEN rel = 1 THEN rank END),
         |                CAST(0.0 AS DOUBLE)) AS mrr
         |FROM jj GROUP BY system ORDER BY system""".stripMargin,
+    "q_ndcg" -> ndcgSql,
     "q_quality_fit" -> qualityFitSql,
     "q_quality_auc" -> qualityAucSql,
     "q_rollup" ->
@@ -3382,6 +3384,51 @@ object SparkEntry {
       |            + (w3 * ((((a03 * w0) + (a13 * w1))
       |                     + (a23 * w2)) + (a33 * w3)))) AS sse
       |FROM w""".stripMargin
+
+  /** q_ndcg's oracle: the shared retrieval CTEs plus graded gold and
+    * the SAME 6-decimal discount strings `Retrieval.ndcgDiscounts`
+    * feeds the Spark frame — one table, two renderings, so the metric
+    * cannot drift on a log constant.
+    */
+  private lazy val ndcgSql: String = {
+    val vals = graft.operators.Retrieval.ndcgDiscounts(20)
+      .map { case (r, s) => s"($r, CAST($s AS DECIMAL(18,6)))" }
+      .mkString(", ")
+    s"""WITH $retrievalCtes,
+      |fused AS (
+      |  SELECT COALESCE(br.doc_id, ar.doc_id) AS doc_id,
+      |         (COALESCE(CAST(1.0 AS DOUBLE) / (60 + br.bm25_rank),
+      |                   CAST(0.0 AS DOUBLE))
+      |          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ar.ann_rank),
+      |                     CAST(0.0 AS DOUBLE))) AS rrf_score
+      |  FROM br FULL JOIN ar ON br.doc_id = ar.doc_id),
+      |fr AS (SELECT doc_id, CAST(row_number() OVER
+      |         (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+      |       FROM fused),
+      |gold AS (
+      |  SELECT vec_id AS doc_id,
+      |         21 - CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+      |                   AS INTEGER) AS grade
+      |  FROM (
+      |    SELECT a.vec_id,
+      |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+      |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+      |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+      |    FROM v a, q ORDER BY cos DESC, vec_id LIMIT 20)),
+      |lists AS (
+      |  SELECT 'bm25' AS system, doc_id, bm25_rank AS rank FROM br
+      |  UNION ALL SELECT 'ann' AS system, doc_id, ann_rank AS rank FROM ar
+      |  UNION ALL SELECT 'rrf' AS system, doc_id, rank FROM fr
+      |            WHERE rank <= 20),
+      |d AS (SELECT * FROM (VALUES $vals) val2(rank, w)),
+      |dd AS (SELECT l.system, coalesce(g.grade, 0) AS grade, l.rank
+      |       FROM lists l LEFT JOIN gold g ON l.doc_id = g.doc_id),
+      |dcg AS (SELECT system, CAST(sum(grade * d.w) AS DOUBLE) AS dcg
+      |        FROM dd JOIN d ON dd.rank = d.rank GROUP BY system),
+      |idcg AS (SELECT CAST(sum((21 - rank) * w) AS DOUBLE) AS idcg FROM d)
+      |SELECT system, dcg, dcg / idcg AS ndcg
+      |FROM dcg, idcg ORDER BY system""".stripMargin
+  }
 
   /** q_quality_auc's oracle: per-doc scores for BOTH models from the
     * shared `base`/`w` CTEs (the fit score from the quantized features,

@@ -105,12 +105,14 @@ object Retrieval {
     * gold join run on bounded frames; the corpus is touched only
     * through the already-measured rankers themselves.
     */
-  def retrievalEval(spark: SparkSession, dir: String,
-      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
-      queryId: Long = 0, k: Int = 20, nprobe: Int = 4,
-      kRrf: Int = 60): DataFrame = {
-    val gold = Similarity.cosineTopK(spark, dir, queryId, k)
-      .select(col("vec_id").as("doc_id"), lit(1).as("rel"))
+  /** The three ranked top-k lists every retrieval eval scores —
+    * (system, doc_id, rank) for BM25, IVF ANN, and RRF — ONE
+    * definition shared by [[retrievalEval]] and [[ndcgEval]] so the
+    * two metrics can never disagree about what was ranked.
+    */
+  private def rankedLists(spark: SparkSession, dir: String,
+      query: Seq[String], queryId: Long, k: Int, nprobe: Int,
+      kRrf: Int): DataFrame = {
     val bm = TextAnalysis.bm25TopK(spark, dir, query, k)
       .select(lit("bm25").as("system"), col("doc_id"),
         row_number().over(
@@ -125,6 +127,15 @@ object Retrieval {
           Window.orderBy(col("rrf_score").desc, col("doc_id"))).as("rank"))
       .filter(col("rank") <= k)
     bm.unionByName(ann).unionByName(rrf)
+  }
+
+  def retrievalEval(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      queryId: Long = 0, k: Int = 20, nprobe: Int = 4,
+      kRrf: Int = 60): DataFrame = {
+    val gold = Similarity.cosineTopK(spark, dir, queryId, k)
+      .select(col("vec_id").as("doc_id"), lit(1).as("rel"))
+    rankedLists(spark, dir, query, queryId, k, nprobe, kRrf)
       .join(broadcast(gold), Seq("doc_id"), "left")
       .groupBy(col("system"))
       .agg(count(lit(1)).as("n_results"),
@@ -134,6 +145,59 @@ object Retrieval {
         (col("n_hits").cast("double") / lit(k)).as("recall_at_k"),
         coalesce(col("frr"), lit(0)).as("first_rel_rank"),
         coalesce(lit(1.0) / col("frr"), lit(0.0)).as("mrr"))
+      .orderBy(col("system"))
+  }
+
+  /** The 6-decimal discount table nDCG runs on: rank r → the decimal
+    * literal `round(1/log₂(r+1), 6)` rendered as a STRING once and
+    * consumed by both engines ([[ndcgDiscounts]] feeds the Spark frame,
+    * `SparkEntry`'s twin interpolates the same strings into SQL). Using
+    * the quantized table instead of live `log2` is what makes nDCG
+    * oracle-exact: libm logs differ across engines in the last ulp,
+    * while a 6-decimal constant is the same rational number everywhere,
+    * products against integer grades stay exact in DECIMAL, and the
+    * sum is order-independent — no float accumulates until the single
+    * terminal division. (The metric semantics change by < 5e-7 per
+    * term — quantization of the DISCOUNT, not an approximation of the
+    * ranking.)
+    */
+  private[graft] def ndcgDiscounts(k: Int): Seq[(Int, String)] =
+    (1 to k).map(r =>
+      (r, f"${1.0 / (math.log(r + 1.0) / math.log(2.0))}%.6f"))
+
+  /** nDCG@k of the three rankers against graded exact-cosine gold
+    * (grade = k+1 − gold rank, so the ideal ordering is the gold
+    * ordering itself and IDCG is the same spine for every system).
+    * Complements [[retrievalEval]]'s binary recall/MRR with a
+    * position-weighted metric — the difference that shows when a
+    * ranker finds the right documents in the wrong order. All frames
+    * are k-row lists; DCG/IDCG accumulate in exact DECIMAL (see
+    * [[ndcgDiscounts]]) with one terminal double division each.
+    */
+  def ndcgEval(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      queryId: Long = 0, k: Int = 20, nprobe: Int = 4,
+      kRrf: Int = 60): DataFrame = {
+    import spark.implicits._
+    val disc = ndcgDiscounts(k)
+      .map { case (r, s) => (r, new java.math.BigDecimal(s)) }
+      .toDF("rank", "w")
+    val gold = Similarity.cosineTopK(spark, dir, queryId, k)
+      .select(col("vec_id").as("doc_id"),
+        (lit(k + 1) - row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id")))).as("grade"))
+    val dcg = rankedLists(spark, dir, query, queryId, k, nprobe, kRrf)
+      .join(broadcast(gold), Seq("doc_id"), "left")
+      .join(broadcast(disc), "rank")
+      .groupBy(col("system"))
+      .agg(sum(coalesce(col("grade"), lit(0)) * col("w"))
+        .cast("double").as("dcg"))
+    val idcg = disc
+      .agg(sum((lit(k + 1) - col("rank")) * col("w"))
+        .cast("double").as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("system"), col("dcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
       .orderBy(col("system"))
   }
 }

@@ -35,6 +35,26 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got("ann").getAs[Long]("n_hits") >= 1)
   }
 
+  test("ndcgEval: discounts are the quantized log2 table, metrics land " +
+    "in [0,1], and the dense ranker (whose list is near-gold) dominates") {
+    val d = Retrieval.ndcgDiscounts(20)
+    assert(d.head == ((1, "1.000000")))
+    val ws = d.map(_._2.toDouble)
+    assert(ws.zip(ws.tail).forall { case (a, b) => b < a },
+      "discount must strictly decrease with rank")
+    assert(math.abs(ws(1) - 1.0 / (math.log(3) / math.log(2))) < 1e-6)
+    val got = Retrieval.ndcgEval(spark, dir).collect()
+      .map(r => r.getAs[String]("system") ->
+        ((r.getAs[Double]("dcg"), r.getAs[Double]("ndcg")))).toMap
+    assert(got.keySet == Set("ann", "bm25", "rrf"))
+    got.values.foreach { case (dcg, ndcg) =>
+      assert(dcg >= 0.0 && ndcg >= 0.0 && ndcg <= 1.0, s"$dcg $ndcg")
+    }
+    assert(got("ann")._2 >= got("bm25")._2,
+      "the dense list must dominate lexical against dense gold")
+    assert(got("ann")._2 > 0.5, s"IVF at nprobe=4 is near-gold: $got")
+  }
+
   test("binnedAucOn: perfect separation gives 1.0, a pure within-bin " +
     "tie gives 0.5, a planted mix matches the hand count") {
     import spark.implicits._
