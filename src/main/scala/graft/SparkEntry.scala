@@ -68,6 +68,7 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
     "q_winsorize" -> ((s, dir) => Aggregates.winsorizedPrices(s, dir)),
     "q_mad_outliers" -> ((s, dir) => Aggregates.madOutliers(s, dir)),
+    "q_heavy_hitters" -> ((s, dir) => Aggregates.heavyHitters(s, dir)),
     "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
     "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
@@ -1609,6 +1610,19 @@ object SparkEntry {
         |       est_p50, est_p90, est_p99, ex_p50, ex_p90, ex_p99
         |FROM est JOIN ex ON est.g = ex.g
         |ORDER BY l_returnflag""".stripMargin,
+    // oracle computes exact heavy hitters directly — the Spark side's
+    // MG sketch only generates a guaranteed-superset candidate list,
+    // so sketch + verify lands on the same exact answer
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY term)
+        |SELECT term, cnt, n_total,
+        |       CAST(cnt AS DOUBLE) / n_total AS share
+        |FROM c, tot WHERE cnt * 100 >= n_total
+        |ORDER BY cnt DESC, term""".stripMargin,
     // same md5 bottom-k sample as q_winsorize; MAD over the sample
     // array, the consistency cut evaluated double*double in fixed order
     "q_mad_outliers" ->

@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries heavy-hitter summary: at most k counters; an unseen item
+  * either claims a free counter or decrements every counter by one
+  * (dropping zeros) — the classic frequent-items sketch (Misra & Gries
+  * 1982). Guarantee: any item with true frequency > N/(k+1) is present
+  * in the final summary, and each kept counter underestimates its true
+  * count by at most N/(k+1). Merging sums two summaries' counters and,
+  * if more than k survive, subtracts the (k+1)-th largest count from
+  * all and drops the non-positive — which preserves the same error
+  * bound (Agarwal et al., "Mergeable Summaries", PODS 2012), so Spark's
+  * partial-aggregation merge tree (map-side summaries of ≤k entries,
+  * then pairwise merges) yields a valid global summary with bounded
+  * memory at every node: a corpus of any size moves k·#partitions
+  * counter entries, never its term count.
+  *
+  * The summary is CANDIDATE GENERATION, not an answer: consumers verify
+  * candidates with an exact count pass (see
+  * [[graft.operators.Aggregates.heavyHitters]]) — the guarantee makes
+  * the candidate set a provable superset of every item above the
+  * support threshold, so the verified output is exact.
+  */
+class MisraGries(k: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(k > 0, s"Misra-Gries needs k > 0, got $k")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], x: String): Map[String, Long] =
+    b.get(x) match {
+      case Some(c) => b.updated(x, c + 1)
+      case None if b.size < k => b.updated(x, 1L)
+      case None =>
+        b.flatMap { case (t, c) => if (c > 1) Some(t -> (c - 1)) else None }
+    }
+
+  override def merge(a: Map[String, Long],
+      b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (t, c)) =>
+      m.updated(t, m.getOrElse(t, 0L) + c)
+    }
+    if (sum.size <= k) sum
+    else {
+      // subtract the (k+1)-th largest count, keep strictly positive
+      val d = sum.values.toArray.sortBy(-_).apply(k)
+      sum.flatMap { case (t, c) => if (c > d) Some(t -> (c - d)) else None }
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    ExpressionEncoder[Map[String, Long]]()
+}

@@ -885,6 +885,51 @@ object Aggregates {
     winsorizedPricesOn(Tables.lineitem(spark, dir), k, pLo, pHi)
 
   /** [[winsorizedPrices]] over any lineitem-shaped frame. */
+  /** Exact heavy hitters via Misra–Gries candidates + verify — terms
+    * occupying at least 1/`support` of all corpus tokens, answered
+    * EXACTLY in two bounded passes instead of one full term
+    * aggregation: (1) a global [[graft.functions.MisraGries]] summary
+    * (k counters, map-side partial summaries merged pairwise — moves
+    * k·#partitions entries, never the term count) whose guarantee makes
+    * the ≤k candidates a provable superset of every term above
+    * N/(k+1) ≥ the support threshold (require k+1 > support); (2) an
+    * exact count of ONLY the candidates (broadcast semi-join, map-side
+    * combinable) with the integer threshold test
+    * `support · cnt ≥ n_total`. The final answer is exact and
+    * oracle-checkable — the sketch contributes recall guarantees and
+    * bounded memory, not approximation. At 100 TB this is the
+    * frequent-items shape: the full `groupBy(term)` the naive query
+    * pays shuffles the whole vocabulary; this shuffles k counters plus
+    * the candidates' rows.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 256,
+      support: Int = 100): DataFrame =
+    heavyHittersOn(Tables.documents(spark, dir), k, support)
+
+  /** [[heavyHitters]] over any documents-shaped frame. */
+  def heavyHittersOn(docs: DataFrame, k: Int = 256,
+      support: Int = 100): DataFrame = {
+    require(k + 1 > support,
+      s"MG guarantee needs k+1 > support for a candidate superset: $k, $support")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val spark = docs.sparkSession
+    val mg = udaf(new graft.functions.MisraGries(k),
+      ExpressionEncoder[String]())
+    val terms = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .cutLineage() // read by the summary pass AND the verify pass
+    val cand = terms.agg(mg(col("term")).as("mg"))
+      .select(explode(map_keys(col("mg"))).as("term"))
+    val totals = terms.agg(count(lit(1)).as("n_total"))
+    terms.join(broadcast(cand), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(totals))
+      .filter(col("cnt") * support >= col("n_total"))
+      .select(col("term"), col("cnt"), col("n_total"),
+        (col("cnt").cast("double") / col("n_total")).as("share"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Robust outlier detection via median absolute deviation — the
     * heavy-tail-safe alternative to z-scores (one corrupt feed distorts
     * a mean/stddev gate; the median/MAD pair shrugs it off). Per group:

@@ -124,6 +124,40 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("MisraGries kernel: the guarantee holds under reduce and under " +
+    "adversarial merge trees — frequent items survive, estimates are " +
+    "within N/(k+1)") {
+    val k = 9
+    val mg = new graft.functions.MisraGries(k)
+    // 300 'hot' among 700 sparse noise terms: freq 0.3 >> N/(k+1) = 0.1N
+    val stream = scala.util.Random.shuffle(
+      (Seq.fill(300)("hot") ++ (0 until 700).map(i => s"n$i")).toList)
+    val whole = stream.foldLeft(mg.zero)(mg.reduce)
+    assert(whole.contains("hot"), s"hot must survive: $whole")
+    assert(whole("hot") >= 300 - stream.size / (k + 1))
+    // same stream through a 4-way split + pairwise merges
+    val parts = stream.grouped(250).toList
+      .map(_.foldLeft(mg.zero)(mg.reduce))
+    val merged = parts.reduce(mg.merge)
+    assert(merged.size <= k)
+    assert(merged.contains("hot"), s"merge tree must keep hot: $merged")
+    assert(merged("hot") >= 300 - stream.size / (k + 1))
+  }
+
+  test("heavyHitters: exact at the support boundary on a planted " +
+    "corpus — a term at exactly 1% is reported with its true count") {
+    import spark.implicits._
+    // 10 'x' + 990 unique fillers = 1000 tokens; only 'x' reaches 1%
+    val toks = Seq.fill(10)("x") ++ (0 until 990).map(i => s"f$i")
+    val docs = toks.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val got = Aggregates.heavyHittersOn(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("x", 10L, 1000L)),
+      s"boundary 1% term must be the exact, only answer: ${got.toSeq}")
+  }
+
   test("madOutliers: a single gross corruption is flagged while the " +
     "robust location ignores it; a smooth spread flags nothing") {
     import spark.implicits._
