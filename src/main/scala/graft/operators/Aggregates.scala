@@ -912,7 +912,6 @@ object Aggregates {
     require(k + 1 > support,
       s"MG guarantee needs k+1 > support for a candidate superset: $k, $support")
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val spark = docs.sparkSession
     val mg = udaf(new graft.functions.MisraGries(k),
       ExpressionEncoder[String]())
     val terms = docs
@@ -920,6 +919,15 @@ object Aggregates {
       .cutLineage() // read by the summary pass AND the verify pass
     val cand = terms.agg(mg(col("term")).as("mg"))
       .select(explode(map_keys(col("mg"))).as("term"))
+    hhVerify(terms, cand, support)
+  }
+
+  /** The exact-count verify tail [[heavyHittersOn]] and
+    * [[heavyHittersFromSummary]] share — one definition, so the
+    * in-query and artifact-served answers are the same expression.
+    */
+  private def hhVerify(terms: DataFrame, cand: DataFrame,
+      support: Int): DataFrame = {
     val totals = terms.agg(count(lit(1)).as("n_total"))
     terms.join(broadcast(cand), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
@@ -928,6 +936,22 @@ object Aggregates {
       .select(col("term"), col("cnt"), col("n_total"),
         (col("cnt").cast("double") / col("n_total")).as("share"))
       .orderBy(col("cnt").desc, col("term"))
+  }
+
+  /** Heavy hitters with candidates served from a STORED
+    * [[graft.streaming.EventStream.mgMaintain]] summary artifact — the
+    * streaming-maintained MG summary replaces the in-query sketch pass,
+    * so answering "what's frequent in everything ever streamed" costs
+    * the verify join only (candidates are a ≤k-row parquet read). The
+    * guarantee survives maintenance because the artifact is built by
+    * the SAME [[graft.functions.MisraGries]] merge the in-query
+    * summary's partial-aggregation tree uses.
+    */
+  def heavyHittersFromSummary(spark: SparkSession, summaryPath: String,
+      docs: DataFrame, support: Int = 100): DataFrame = {
+    val cand = spark.read.parquet(summaryPath).select(col("term"))
+    val terms = docs.select(explode(split(col("text"), " ")).as("term"))
+    hhVerify(terms, cand, support)
   }
 
   /** Robust outlier detection via median absolute deviation — the

@@ -551,6 +551,65 @@ object EventStream {
       .start()
   }
 
+  /** Incremental Misra–Gries heavy-hitter maintenance — the
+    * frequent-items sibling of [[kmvMaintain]]: each micro-batch is
+    * compressed to its own ≤k-counter MG summary by the
+    * partially-aggregated kernel, then merged into the stored summary
+    * with the SAME [[graft.functions.MisraGries]].merge the in-query
+    * summary's aggregation tree uses — one merge definition, so the
+    * maintained artifact carries exactly the guarantee a from-scratch
+    * summary under some merge tree would (every term above N/(k+1) of
+    * everything ever streamed is present; see
+    * [[graft.operators.Aggregates.heavyHittersFromSummary]] for the
+    * serve-and-verify consumer). The stored summary and the batch
+    * summary are both ≤k rows, so the driver-side merge is a bounded
+    * artifact operation, not a data collect. Same replay contract as
+    * the other maintainers: the stored max batch_id rejects replayed
+    * batches, keeping the artifact deterministic under at-least-once
+    * delivery.
+    */
+  def mgMaintain(docs: DataFrame, summaryPath: String, checkpoint: String,
+      k: Int = 256): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val mg = new graft.functions.MisraGries(k)
+          val mgU = udaf(mg, ExpressionEncoder[String]())
+          val batchSummary: Map[String, Long] = batch
+            .select(explode(split(col("text"), " ")).as("term"))
+            .agg(mgU(col("term")))
+            .head.getAs[scala.collection.Map[String, Long]](0).toMap
+          val stored =
+            if (graft.sources.Sinks.hasPartFiles(spark, summaryPath))
+              Some(spark.read.parquet(summaryPath))
+            else None
+          val alreadyApplied = stored.exists(s =>
+            Option(s.select(max(col("batch_id"))).head.get(0))
+              .exists(_.asInstanceOf[Long] >= batchId))
+          if (!alreadyApplied) {
+            val storedMap: Map[String, Long] = stored
+              .map(_.select(col("term"), col("cnt")).collect()
+                .map(r => r.getString(0) -> r.getLong(1)).toMap)
+              .getOrElse(Map.empty)
+            // the merged frame is pure driver data (both summaries were
+            // already collected — bounded ≤k artifacts), so overwriting
+            // the stored dir needs no cutForOverwrite: nothing in this
+            // plan reads the files being replaced
+            mg.merge(storedMap, batchSummary).toSeq
+              .toDF("term", "cnt")
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite").parquet(summaryPath)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Incremental quantile-sample maintenance — the value-carrying
     * sibling of [[kmvMaintain]]: each micro-batch is compressed to its
     * per-group bottom-k (hash-tag, value) pairs by the partially-

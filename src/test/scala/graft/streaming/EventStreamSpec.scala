@@ -485,6 +485,42 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("mgMaintain: the streamed summary keeps the planted heavy " +
+    "hitter across batches, and summary-served verify equals the " +
+    "in-query exact answer") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // 10 'x' + 990 unique fillers, streamed as two batches
+    val toks = Seq.fill(10)("x") ++ (0 until 990).map(i => s"f$i")
+    val docs = toks.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_mg")
+    val sumDir = root.resolve("summary").toString
+    val ckpt = root.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.mgMaintain(
+      input.toDF().toDF("doc_id", "text"), sumDir, ckpt)
+    try {
+      input.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val summary = spark.read.parquet(sumDir)
+      .collect().map(r => r.getAs[String]("term")).toSet
+    assert(summary.contains("x"),
+      s"the 1% term must survive streamed maintenance")
+    val corpus = docs.toDF("doc_id", "text")
+    val served = graft.operators.Aggregates
+      .heavyHittersFromSummary(spark, sumDir, corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val inQuery = graft.operators.Aggregates.heavyHittersOn(corpus)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served == inQuery && served == Seq(("x", 10L)),
+      s"served=$served inQuery=$inQuery")
+  }
+
   test("streaming phash gate drops payloads near-dup to the index, " +
     "admits novel payloads, holds no stream state") {
     implicit val sql = spark.sqlContext
