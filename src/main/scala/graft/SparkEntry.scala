@@ -211,6 +211,7 @@ object SparkEntry {
     "q_unigram_train" -> ((s, dir) => Bpe.unigramTrain(s, dir)),
     "q_unigram_tokens" -> ((s, dir) => Bpe.unigramTokenize(s, dir)),
     "q_unigram_ids" -> ((s, dir) => Bpe.unigramIds(s, dir)),
+    "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),

@@ -617,6 +617,39 @@ object Bpe {
     tokenizeWithDict(Tables.documents(spark, dir),
       unigramArtifact(spark, dir, vocabSize)._2, "n_unigram_tokens")
 
+  /** Tokenizer-family acceptance comparison — fertility
+    * (pieces-per-word, weighted by corpus word counts) and used-vocab
+    * size for all THREE trained families side by side, from their dict
+    * artifacts: the one-table eval that picks which tokenizer a
+    * training run ships (lower fertility = fewer tokens per document =
+    * cheaper training for the same corpus; vocab-used says how much of
+    * the budget the training actually exercised). Each family's dict
+    * is the session-memoized training artifact (trained at most once),
+    * and every aggregation here runs on the Heaps-bounded dict frame —
+    * the corpus is not re-read.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String,
+      nMerges: Int = 20, vocabSize: Int = 40): DataFrame = {
+    def statsOf(family: String, dict: DataFrame): DataFrame = {
+      val agg = dict.agg(
+        sum(col("cnt")).as("n_words"),
+        sum(size(col("syms")).cast("long") * col("cnt")).as("n_pieces"))
+      val vocab = dict.select(explode(col("syms")).as("s"))
+        .agg(countDistinct(col("s")).as("n_vocab_used"))
+      agg.crossJoin(vocab)
+        .select(lit(family).as("family"), col("n_words"), col("n_pieces"),
+          col("n_vocab_used"),
+          (col("n_pieces").cast("double") / col("n_words"))
+            .as("pieces_per_word"))
+    }
+    statsOf("bpe", bpeArtifact(spark, dir, nMerges)._2)
+      .unionByName(statsOf("unigram",
+        unigramArtifact(spark, dir, vocabSize)._2))
+      .unionByName(statsOf("wordpiece",
+        wordpieceArtifact(spark, dir, nMerges)._2))
+      .orderBy(col("family"))
+  }
+
   /** Unigram twin of [[writeBpeDict]]: `pieces/` (rank, piece, cnt,
     * logp) + `dict/` (w, syms, cnt) in the shared dict layout.
     */
