@@ -217,7 +217,7 @@ object SparkEntry {
     "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),
     "q_mix_planner" -> ((s, dir) => Sampling.curationMixWeights(s, dir)),
     "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),
-    "q_rollup" -> ((s, dir) => Relational.rollupReport(s, dir)),
+    "q_rollup_report" -> ((s, dir) => Relational.rollupReport(s, dir)),
     "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
     "q_ndcg" -> ((s, dir) => Retrieval.ndcgEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
@@ -3081,7 +3081,7 @@ object SparkEntry {
     "q_ndcg" -> ndcgSql,
     "q_quality_fit" -> qualityFitSql,
     "q_quality_auc" -> qualityAucSql,
-    "q_rollup" ->
+    "q_rollup_report" ->
       """WITH base AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         |         o_orderpriority, o_totalprice
