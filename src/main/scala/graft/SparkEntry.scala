@@ -111,6 +111,7 @@ object SparkEntry {
     "q_correlated" -> ((s, dir) => Scalars.aboveCustomerAvg(s, dir)),
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
+    "q_hourly_anomalies" -> ((s, dir) => Analytics.hourlyAnomalies(s, dir)),
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -801,6 +802,26 @@ object SparkEntry {
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    // the z expression appears three times (value, flag, sort) and is
+    // mirrored operand-for-operand so the top-k cutoff is deterministic
+    "q_hourly_anomalies" ->
+      """WITH cells AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS hr,
+        |         CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |c2 AS (SELECT *, CAST(dayofweek(d) AS INT) AS dow FROM cells),
+        |profile AS (
+        |  SELECT dow, hr,
+        |         CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_n
+        |  FROM c2 GROUP BY dow, hr)
+        |SELECT d, c2.hr, c2.dow, n_events, mean_n,
+        |       (n_events - mean_n) / sqrt(mean_n) AS z,
+        |       abs((n_events - mean_n) / sqrt(mean_n))
+        |         > CAST(3.0 AS DOUBLE) AS is_anomaly
+        |FROM c2 JOIN profile
+        |  ON c2.dow = profile.dow AND c2.hr = profile.hr
+        |ORDER BY abs((n_events - mean_n) / sqrt(mean_n)) DESC, d, c2.hr
+        |LIMIT 20""".stripMargin,
     "q_events_hour" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n_events,

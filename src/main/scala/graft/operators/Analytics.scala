@@ -205,6 +205,49 @@ object Analytics {
   /** Hour-grain event aggregation — the batch analog of the streaming
     * windowed count (graft.streaming runs the same plan incrementally).
     */
+  /** Seasonal-profile anomaly report over the event stream: every
+    * (date, hour) cell's count against its (day-of-week, hour-of-day)
+    * seasonal baseline, normalized Poisson-style —
+    * `z = (n − mean) / √mean` — and the topK most anomalous cells
+    * reported with an `is_anomaly` flag at |z| > zThresh. This is the
+    * traffic-monitoring question ("was Tuesday 3 pm abnormal, FOR a
+    * Tuesday 3 pm?") that a plain hourly count can't answer because it
+    * has no notion of expected seasonality.
+    *
+    * Exactness: cell counts are integers, the baseline mean is one
+    * double division of exact sums, √ is correctly-rounded IEEE, and
+    * the z expression is mirrored operand-for-operand in the twin —
+    * so even the top-k cutoff (total order: |z| desc, date, hour) is
+    * deterministic cross-engine. Shape: one scan → (date, hour)
+    * aggregation (map-side combinable) → the 168-cell profile joins
+    * back broadcast; TakeOrdered for the report. Scan-shaped at any
+    * event volume.
+    */
+  def hourlyAnomalies(spark: SparkSession, dir: String, topK: Int = 20,
+      zThresh: Double = 3.0): DataFrame =
+    hourlyAnomaliesOn(Tables.events(spark, dir), topK, zThresh)
+
+  /** [[hourlyAnomalies]] over any events-shaped frame. */
+  def hourlyAnomaliesOn(events: DataFrame, topK: Int = 20,
+      zThresh: Double = 3.0): DataFrame = {
+    val cells = events
+      .groupBy(to_date(col("ts")).as("d"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", dayofweek(col("d")) - 1)
+    val profile = cells.groupBy(col("dow"), col("hr"))
+      .agg(sum(col("n_events")).as("tot"), count(lit(1)).as("n_cells"))
+      .select(col("dow"), col("hr"),
+        (col("tot").cast("double") / col("n_cells")).as("mean_n"))
+    cells.join(broadcast(profile), Seq("dow", "hr"))
+      .withColumn("z",
+        (col("n_events") - col("mean_n")) / sqrt(col("mean_n")))
+      .select(col("d"), col("hr"), col("dow"), col("n_events"),
+        col("mean_n"), col("z"),
+        (abs(col("z")) > zThresh).as("is_anomaly"))
+      .orderBy(abs(col("z")).desc, col("d"), col("hr"))
+      .limit(topK)
+  }
+
   def eventsByHour(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))

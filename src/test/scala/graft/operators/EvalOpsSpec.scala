@@ -124,6 +124,29 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hourlyAnomalies: a planted burst tops the report against its " +
+    "own day-of-week/hour baseline, steady cells are not flagged") {
+    import spark.implicits._
+    // 4 Mondays at 9am with 5 events each ... and one Monday 9am with 50
+    val steady = for {
+      week <- 0 until 4; i <- 0 until 5
+    } yield (s"2024-01-${1 + week * 7} 09:${10 + i}:00") // Jan 1 is a Monday
+    val burst = (0 until 50).map(i => f"2024-01-29 09:$i%02d:00")
+    val events = (steady ++ burst).zipWithIndex
+      .map { case (t, i) => (i.toLong, java.sql.Timestamp.valueOf(t)) }
+      .toDF("event_id", "ts")
+    val top = Analytics.hourlyAnomaliesOn(events, topK = 3).collect()
+    val head = top.head
+    assert(head.getAs[java.sql.Date]("d").toString == "2024-01-29"
+      && head.getAs[Int]("hr") == 9
+      && head.getAs[Long]("n_events") == 50
+      && head.getAs[Boolean]("is_anomaly"),
+      s"the burst must top the report: ${top.toSeq}")
+    // baseline mean over the five Monday-9am cells: (4*5 + 50) / 5 = 14
+    assert(head.getAs[Double]("mean_n") == 14.0)
+    assert(head.getAs[Double]("z") == (50.0 - 14.0) / math.sqrt(14.0))
+  }
+
   test("MisraGries kernel: the guarantee holds under reduce and under " +
     "adversarial merge trees — frequent items survive, estimates are " +
     "within N/(k+1)") {
