@@ -112,6 +112,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Analytics.rollupAgg(s, dir)),
     "q_events_hour" -> ((s, dir) => Analytics.eventsByHour(s, dir)),
     "q_hourly_anomalies" -> ((s, dir) => Analytics.hourlyAnomalies(s, dir)),
+    "q_corpus_diff" -> ((s, dir) => Relational.corpusDiff(s, dir)),
     "q_event_gaps" -> ((s, dir) => Analytics.eventGaps(s, dir)),
     "q_text_tokens" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "q_text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -802,6 +803,30 @@ object SparkEntry {
         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text || ' new'
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |a AS (SELECT doc_id, source AS s1, md5(text) AS h1 FROM v1),
+        |b AS (SELECT doc_id, source AS s2, md5(text) AS h2 FROM v2),
+        |j AS (SELECT coalesce(s1, s2) AS source,
+        |        CASE WHEN h1 IS NULL THEN 'added'
+        |             WHEN h2 IS NULL THEN 'removed'
+        |             WHEN h1 = h2 THEN 'unchanged'
+        |             ELSE 'changed' END AS status
+        |      FROM a FULL JOIN b USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
     // the z expression appears three times (value, flag, sort) and is
     // mirrored operand-for-operand so the top-k cutoff is deterministic
     "q_hourly_anomalies" ->

@@ -223,6 +223,61 @@ object Relational {
       .agg((dsum(col("l_extendedprice") * col("l_discount"))
         / dsum(col("l_extendedprice")) * 100).as("avg_discount_pct"))
 
+  /** Corpus snapshot diff: added / removed / changed / unchanged
+    * document counts per source between two corpus versions, compared
+    * by CONTENT HASH — the audit a data-versioning workflow runs
+    * before promoting a new corpus snapshot ("this refresh touched 3%
+    * of docs in src2 and silently dropped src5" is exactly the
+    * regression this table catches). The demo query evolves the
+    * corpus deterministically (drop doc_id%17, revise doc_id%13, add
+    * clones of doc_id%11 under new ids); the [[corpusDiffOn]] operator
+    * takes any two versions.
+    *
+    * Shape: one co-partitioned full-outer join on doc_id — both sides
+    * hash-partition once, the classic snapshot-reconcile plan — with
+    * md5 content hashes compared instead of payloads (the shuffle
+    * carries 32-hex digests, not documents), then a map-side-combined
+    * per-source count. Exact by construction: statuses are string
+    * equality on hashes, counts are integers.
+    */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val v1 = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(v1.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          concat(col("text"), lit(" new")).as("text")))
+    corpusDiffOn(v1, v2)
+  }
+
+  /** [[corpusDiff]] between any two (doc_id, source, text) versions. */
+  def corpusDiffOn(v1: DataFrame, v2: DataFrame): DataFrame = {
+    val a = v1.select(col("doc_id"), col("source").as("s1"),
+      md5(col("text").cast("binary")).as("h1"))
+    val b = v2.select(col("doc_id"), col("source").as("s2"),
+      md5(col("text").cast("binary")).as("h2"))
+    a.join(b, Seq("doc_id"), "full")
+      .select(coalesce(col("s1"), col("s2")).as("source"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") === col("h2"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
   /** Multi-level rollup report over orders — the GROUPING SETS surface
     * every warehouse dashboard wants (per year × priority, per-year
     * subtotal, grand total) in ONE aggregation instead of three

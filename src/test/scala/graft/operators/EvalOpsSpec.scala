@@ -104,6 +104,26 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("corpusDiffOn: every status is attributed correctly on a " +
+    "planted two-version corpus") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "s1", "alpha"), (2L, "s1", "beta"),
+      (3L, "s2", "gamma"), (4L, "s2", "delta")
+    ).toDF("doc_id", "source", "text")
+    val v2 = Seq(
+      (1L, "s1", "alpha"),          // unchanged
+      (2L, "s1", "beta edited"),    // changed
+      (3L, "s2", "gamma"),          // unchanged (4 removed)
+      (5L, "s2", "epsilon")         // added
+    ).toDF("doc_id", "source", "text")
+    val got = Relational.corpusDiffOn(v1, v2).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == ((0L, 0L, 1L, 1L)), s"s1: $got")
+    assert(got("s2") == ((1L, 1L, 0L, 1L)), s"s2: $got")
+  }
+
   test("rollupReport: three levels reconcile — the grand total counts " +
     "every order and each level's counts sum to it") {
     val rows = Relational.rollupReport(spark, dir).collect()

@@ -485,4 +485,51 @@ class PlanSpec extends AnyFunSuite {
         s"audit window must rank aggregated distinct values, not raw rows:\n$w")
     }
   }
+
+  test("rollup report is ONE Expand + hash aggregate over one scan — " +
+    "not a union of three queries") {
+    val p = plan(Relational.rollupReport(spark, dir))
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"the fact table must be read once:\n$p")
+    assert(!p.contains("Union"), p)
+  }
+
+  test("length buckets: narrow map + bounded-domain aggregation, no " +
+    "join, no window") {
+    val p = plan(Sampling.lengthBuckets(spark, dir))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+  }
+
+  test("heavy hitters: MG summary aggregates partially map-side and " +
+    "the verify join broadcasts the candidates") {
+    val p = plan(Aggregates.heavyHitters(spark, dir))
+    assert(p.toLowerCase.contains("partial_misragries"),
+      s"MG summary must pre-reduce map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("MAD outliers: sample udaf partial, cuts broadcast, no window " +
+    "over the raw scan") {
+    val p = plan(Aggregates.madOutliers(spark, dir))
+    assert(p.toLowerCase.contains("partial_bottomk"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("seasonal anomalies: broadcast profile join + TakeOrdered report") {
+    val p = plan(Analytics.hourlyAnomalies(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("media phash dedup: one native ahash64 kernel per side, no " +
+    "nested-loop join anywhere") {
+    val p = plan(Multimodal.mediaPhashDup(spark, dir))
+    assert(p.contains("ahash64"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"), p)
+  }
 }
