@@ -392,6 +392,20 @@ object Profile {
         emb10.select(col("vec_id"), vecD(col("embedding")).as("v")), 8)
         .agg(sum(col("d2") + col("vec_id"))).scalarDouble.toLong
     }
+    t("heavy_hitters_10x")(
+      graft.operators.Aggregates.heavyHittersOn(docs10)
+        .agg(sum(col("cnt"))).scalarLong)
+    t("corpus_diff_10x") {
+      // v2 = docs10 with every 13th doc revised and every 17th dropped
+      val v1 = docs10.select(col("doc_id"), col("source"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text"))
+      graft.operators.Relational.corpusDiffOn(v1, v2)
+        .agg(sum(col("n_removed") + col("n_changed") + col("n_unchanged")))
+        .scalarLong
+    }
     spark.stop()
   }
 }
