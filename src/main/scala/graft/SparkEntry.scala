@@ -69,6 +69,8 @@ object SparkEntry {
     "q_winsorize" -> ((s, dir) => Aggregates.winsorizedPrices(s, dir)),
     "q_mad_outliers" -> ((s, dir) => Aggregates.madOutliers(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => Aggregates.heavyHitters(s, dir)),
+    "q_hh_by_source" -> ((s, dir) => Aggregates.heavyHittersBySource(s, dir)),
+    "q_vector_audit" -> ((s, dir) => Similarity.vectorAudit(s, dir)),
     "q_benford" -> ((s, dir) => Aggregates.benfordAudit(s, dir)),
     "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
@@ -1670,6 +1672,35 @@ object SparkEntry {
         |       CAST(cnt AS DOUBLE) / n_total AS share
         |FROM c, tot WHERE cnt * 100 >= n_total
         |ORDER BY cnt DESC, term""".stripMargin,
+    "q_hh_by_source" ->
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source_tokens
+        |        FROM tok GROUP BY source),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM tok GROUP BY source, term)
+        |SELECT c.source, term, cnt, n_source_tokens,
+        |       CAST(cnt AS DOUBLE) / n_source_tokens AS share
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE cnt * 50 >= n_source_tokens
+        |ORDER BY c.source, cnt DESC, term""".stripMargin,
+    "q_vector_audit" ->
+      """WITH v AS (
+        |  SELECT label, len(embedding) AS n_dims,
+        |         list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm2
+        |  FROM embeddings)
+        |SELECT label,
+        |       CAST(count(*) AS BIGINT) AS n_vectors,
+        |       CAST(min(n_dims) AS INT) AS dim_min,
+        |       CAST(max(n_dims) AS INT) AS dim_max,
+        |       CAST(sum(CASE WHEN norm2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_zero,
+        |       CAST(sum(CASE WHEN norm2 < 0.000001 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_tiny,
+        |       min(norm2) AS min_norm2, max(norm2) AS max_norm2
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
     // same md5 bottom-k sample as q_winsorize; MAD over the sample
     // array, the consistency cut evaluated double*double in fixed order
     "q_mad_outliers" ->

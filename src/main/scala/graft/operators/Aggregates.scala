@@ -922,6 +922,47 @@ object Aggregates {
     hhVerify(terms, cand, support)
   }
 
+  /** Per-source heavy hitters — [[heavyHitters]] grouped: each source's
+    * dominant terms (≥ 1/support of that source's tokens), the
+    * boilerplate-vocabulary detector from the frequency side (a source
+    * whose top terms are navigation chrome shows it here before any
+    * quality gate fires). The MG `Aggregator` runs PER GROUP under
+    * plain `groupBy(source)` — partial summaries per (task, source),
+    * merged by the same bounded law — so the sketch pass moves
+    * ≤ k·#partitions counters per source, and the verify join counts
+    * only (source, candidate-term) rows. Same guarantee arithmetic as
+    * the global operator: k+1 > support ⇒ candidate superset ⇒ the
+    * verified output is exact.
+    */
+  def heavyHittersBySource(spark: SparkSession, dir: String, k: Int = 64,
+      support: Int = 50): DataFrame =
+    heavyHittersBySourceOn(Tables.documents(spark, dir), k, support)
+
+  /** [[heavyHittersBySource]] over any documents-shaped frame. */
+  def heavyHittersBySourceOn(docs: DataFrame, k: Int = 64,
+      support: Int = 50): DataFrame = {
+    require(k + 1 > support,
+      s"MG guarantee needs k+1 > support per source: $k, $support")
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val mg = udaf(new graft.functions.MisraGries(k),
+      ExpressionEncoder[String]())
+    val terms = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      .cutLineage()
+    val cand = terms.groupBy(col("source")).agg(mg(col("term")).as("mg"))
+      .select(col("source"), explode(map_keys(col("mg"))).as("term"))
+    val totals = terms.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_source_tokens"))
+    terms.join(broadcast(cand), Seq("source", "term"), "left_semi")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), "source")
+      .filter(col("cnt") * support >= col("n_source_tokens"))
+      .select(col("source"), col("term"), col("cnt"),
+        col("n_source_tokens"),
+        (col("cnt").cast("double") / col("n_source_tokens")).as("share"))
+      .orderBy(col("source"), col("cnt").desc, col("term"))
+  }
+
   /** The exact-count verify tail [[heavyHittersOn]] and
     * [[heavyHittersFromSummary]] share — one definition, so the
     * in-query and artifact-served answers are the same expression.

@@ -372,6 +372,33 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Embedding hygiene audit, per label: vector counts, the dimension
+    * range (a mixed-dimension table breaks every distance kernel
+    * downstream — this row catches a bad ingest before ANN does),
+    * zero/near-zero-norm counts (un-normalizable vectors that turn
+    * cosine into 0/0), and the exact norm² extremes. The QA pass a
+    * vector pipeline runs on every snapshot before index rebuilds.
+    *
+    * Exactness: norm² is the codegen'd `vec_dot(v, v)` kernel —
+    * index-order summation mirrored by the twin's `list_sum` (the
+    * established cosine idiom) — and the report takes only counts and
+    * min/max of those exact doubles (no mean: averaging computed
+    * doubles is the one cross-engine trap this file avoids on
+    * principle). One narrow scan, label-sized output.
+    */
+  def vectorAudit(spark: SparkSession, dir: String,
+      tiny: Double = 1e-6): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), size(col("embedding")).as("n_dims"),
+        dot(vecD(col("embedding")), vecD(col("embedding"))).as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col("n_dims")).as("dim_min"), max(col("n_dims")).as("dim_max"),
+        sum(when(col("norm2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("norm2") < tiny, 1L).otherwise(0L)).as("n_tiny"),
+        min(col("norm2")).as("min_norm2"), max(col("norm2")).as("max_norm2"))
+      .orderBy(col("label"))
+
   /** Greedy k-center coreset selection (Gonzalez 1985's farthest-point
     * traversal, the 2-approximation to the k-center cover): start from
     * vec_id 0, then k−1 times add the vector FARTHEST (max min-L2²,

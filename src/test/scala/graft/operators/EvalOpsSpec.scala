@@ -201,6 +201,38 @@ class EvalOpsSpec extends AnyFunSuite {
       s"boundary 1% term must be the exact, only answer: ${got.toSeq}")
   }
 
+  test("heavyHittersBySource: a dominant term is reported only for " +
+    "its own source, with exact per-source counts") {
+    import spark.implicits._
+    // src A: 'nav' is 25% of its 80 tokens; src B: 100 unique tokens,
+    // each 1% — below the 2% support line
+    val a = (0 until 20).map(i =>
+      (i.toLong, "nav " + (0 until 3).map(j => s"a${i}_$j").mkString(" "), "A"))
+    val b = (100 until 125).map(i =>
+      (i.toLong, (0 until 4).map(j => s"b${i}_$j").mkString(" "), "B"))
+    val got = Aggregates.heavyHittersBySourceOn(
+        (a ++ b).toDF("doc_id", "text", "source"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.contains(("A", "nav", 20L)), s"${got.toSeq}")
+    assert(!got.exists(_._1 == "B"),
+      s"an all-unique source has no 2% term: ${got.toSeq}")
+    assert(!got.exists(t => t._1 == "A" && t._2 != "nav"),
+      s"singleton terms in A are below support: ${got.toSeq}")
+  }
+
+  test("vectorAudit: the synthetic table is clean — uniform dims, no " +
+    "zero or near-zero vectors, positive norm range") {
+    val rows = Similarity.vectorAudit(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("dim_min") == r.getAs[Int]("dim_max"),
+        "mixed dimensions would break every distance kernel")
+      assert(r.getAs[Long]("n_zero") == 0 && r.getAs[Long]("n_tiny") == 0)
+      assert(r.getAs[Double]("min_norm2") > 0.0
+        && r.getAs[Double]("max_norm2") >= r.getAs[Double]("min_norm2"))
+    }
+  }
+
   test("madOutliers: a single gross corruption is flagged while the " +
     "robust location ignores it; a smooth spread flags nothing") {
     import spark.implicits._
