@@ -156,6 +156,7 @@ object SparkEntry {
     "q_expectations" -> ((s, dir) => Expectations.lineitemExpectations(s, dir)),
     "q_outliers" -> ((s, dir) => Aggregates.priceOutliers(s, dir)),
     "q_dedup_clusters" -> ((s, dir) => Dedup.dedupClusters(s, dir)),
+    "q_contrastive" -> ((s, dir) => Dedup.contrastivePairs(s, dir)),
     "q_dedup_canonical" -> ((s, dir) => Dedup.canonicalPerCluster(s, dir)),
     "q_curation" -> ((s, dir) => graft.pipeline.TextCuration.run(s, dir)),
     "q_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
@@ -2363,6 +2364,24 @@ object SparkEntry {
         |FROM orders o JOIN cuts c ON o.o_orderstatus = c.o_orderstatus
         |WHERE o.o_totalprice > c.p99
         |ORDER BY o.o_orderstatus, o.o_orderkey""".stripMargin,
+    // anchors/positives = the shared pair set; negatives by modular
+    // mixing, flagged against the recursive cluster closure
+    "q_contrastive" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |cl AS (SELECT n AS doc_id, min(m) AS cluster_id
+        |       FROM reach GROUP BY n),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |t AS (SELECT da, db,
+        |             (da * 31 + db * 17) % n_docs AS neg_id
+        |      FROM pairs, nd),
+        |t2 AS (SELECT t.* FROM t JOIN documents d ON t.neg_id = d.doc_id),
+        |j AS (SELECT t2.da, t2.db, t2.neg_id,
+        |             ca.cluster_id AS ca, cn.cluster_id AS cn
+        |      FROM t2 JOIN cl ca ON t2.da = ca.doc_id
+        |              LEFT JOIN cl cn ON t2.neg_id = cn.doc_id)
+        |SELECT da, db, neg_id,
+        |       (cn IS NULL OR cn <> ca) AS neg_ok
+        |FROM j ORDER BY da, db""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $dupClusterCtes
         |SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n

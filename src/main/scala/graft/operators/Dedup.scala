@@ -688,6 +688,46 @@ object Dedup {
   def clustersFromPairs(pairs: DataFrame): DataFrame =
     clustersFromPairsCounted(pairs)._1
 
+  /** Contrastive training triplets mined from the dedup structure:
+    * every verified near-dup pair is an (anchor, positive) example —
+    * the free supervision a curation run already computed — and each
+    * gets a deterministic negative, `(da·31 + db·17) mod n_docs`,
+    * checked against the pair's connected component (`neg_ok` = the
+    * negative is NOT in the anchor's dup cluster; consumers drop or
+    * re-roll the rare false rows — collision odds are cluster/corpus).
+    * Pure modular arithmetic instead of rand() keeps the triplet set
+    * reproducible across runs/partitionings — an embedding-training
+    * epoch re-materializes bit-identically, the same property the
+    * hash-sampling family guarantees.
+    *
+    * Scale: triplet volume is the verified pair volume (candidate-
+    * bounded by the shared MinHash stage); the negative needs one
+    * broadcast scalar, one existence join, and two cluster lookups on
+    * pair-sized frames. The pair frame is cut once and feeds both the
+    * clustering and the triplet assembly.
+    */
+  def contrastivePairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    contrastivePairsOn(Tables.documents(spark, dir), threshold)
+
+  /** [[contrastivePairs]] over any documents-shaped frame. */
+  def contrastivePairsOn(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val p = minhashNearDupOn(docs, threshold).cutLineage(eager = true)
+    val clusters = clustersFromPairs(p)
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    p.crossJoin(broadcast(nd))
+      .withColumn("neg_id", (col("da") * 31 + col("db") * 17) % col("n_docs"))
+      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+      .join(clusters.select(col("doc_id").as("da"),
+        col("cluster_id").as("ca")), Seq("da"))
+      .join(clusters.select(col("doc_id").as("neg_id"),
+        col("cluster_id").as("cn")), Seq("neg_id"), "left")
+      .select(col("da"), col("db"), col("neg_id"),
+        (col("cn").isNull || col("cn") =!= col("ca")).as("neg_ok"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** [[clustersFromPairs]] plus the number of rounds it took — exposed so
     * specs can assert the O(log d) convergence bound on chain graphs.
     */

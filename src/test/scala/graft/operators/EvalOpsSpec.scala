@@ -201,6 +201,32 @@ class EvalOpsSpec extends AnyFunSuite {
       s"boundary 1% term must be the exact, only answer: ${got.toSeq}")
   }
 
+  test("contrastivePairs: family pairs become anchors with " +
+    "deterministic negatives, and an engineered in-cluster negative " +
+    "is flagged") {
+    import spark.implicits._
+    def uniq(i: Long) = (0 until 12).map(j => s"u${i}_$j").mkString(" ")
+    val dupText = "the same duplicated sentence appears in both " +
+      "documents of this planted family exactly"
+    // corpus A: 10 docs, dups at {0,1,2}; neg(0,1) = 17%10 = 7 (outside)
+    val a = (0L until 10L).map(i =>
+      (i, if (i < 3) dupText else uniq(i)))
+    val gotA = Dedup.contrastivePairsOn(a.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toList
+    assert(gotA == List((0L, 1L, 7L, true), (0L, 2L, 4L, true),
+      (1L, 2L, 5L, true)), s"$gotA")
+    // corpus B: 175 docs, dups at {3,5}; neg(3,5) = (93+85)%175 = 3 —
+    // the anchor itself -> must be flagged neg_ok = false
+    val b = (0L until 175L).map(i =>
+      (i, if (i == 3 || i == 5) dupText else uniq(i)))
+    val gotB = Dedup.contrastivePairsOn(b.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toList
+    assert(gotB == List((3L, 5L, 3L, false)),
+      s"in-cluster negative must be flagged: $gotB")
+  }
+
   test("heavyHittersBySource: a dominant term is reported only for " +
     "its own source, with exact per-source counts") {
     import spark.implicits._
