@@ -833,23 +833,34 @@ object SparkEntry {
     // the z expression appears three times (value, flag, sort) and is
     // mirrored operand-for-operand so the top-k cutoff is deterministic
     "q_hourly_anomalies" ->
-      """WITH cells AS (
+      """WITH obs AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS INT) AS hr,
-        |         CAST(count(*) AS BIGINT) AS n_events
+        |         CAST(count(*) AS BIGINT) AS n_obs
         |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT min(CAST(ts AS DATE)) AS d0,
+        |                max(CAST(ts AS DATE)) AS d1 FROM events),
+        |days AS (SELECT CAST(unnest(generate_series(d0, d1,
+        |                 INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+        |hrs AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS hr),
+        |cells AS (SELECT days.d, hrs.hr,
+        |                 coalesce(n_obs, 0) AS n_events
+        |          FROM days CROSS JOIN hrs
+        |          LEFT JOIN obs ON days.d = obs.d AND hrs.hr = obs.hr),
         |c2 AS (SELECT *, CAST(dayofweek(d) AS INT) AS dow FROM cells),
         |profile AS (
         |  SELECT dow, hr,
         |         CAST(sum(n_events) AS DOUBLE) / count(*) AS mean_n
-        |  FROM c2 GROUP BY dow, hr)
-        |SELECT d, c2.hr, c2.dow, n_events, mean_n,
-        |       (n_events - mean_n) / sqrt(mean_n) AS z,
-        |       abs((n_events - mean_n) / sqrt(mean_n))
-        |         > CAST(3.0 AS DOUBLE) AS is_anomaly
-        |FROM c2 JOIN profile
-        |  ON c2.dow = profile.dow AND c2.hr = profile.hr
-        |ORDER BY abs((n_events - mean_n) / sqrt(mean_n)) DESC, d, c2.hr
-        |LIMIT 20""".stripMargin,
+        |  FROM c2 GROUP BY dow, hr),
+        |zz AS (
+        |  SELECT d, c2.hr, c2.dow, n_events, mean_n,
+        |         CASE WHEN mean_n > 0
+        |              THEN (n_events - mean_n) / sqrt(mean_n)
+        |              ELSE CAST(0.0 AS DOUBLE) END AS z
+        |  FROM c2 JOIN profile
+        |    ON c2.dow = profile.dow AND c2.hr = profile.hr)
+        |SELECT d, hr, dow, n_events, mean_n, z,
+        |       abs(z) > CAST(3.0 AS DOUBLE) AS is_anomaly
+        |FROM zz ORDER BY abs(z) DESC, d, hr LIMIT 20""".stripMargin,
     "q_events_hour" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |       count(*) AS n_events,
@@ -2374,13 +2385,15 @@ object SparkEntry {
         |t AS (SELECT da, db,
         |             (da * 31 + db * 17) % n_docs AS neg_id
         |      FROM pairs, nd),
-        |t2 AS (SELECT t.* FROM t JOIN documents d ON t.neg_id = d.doc_id),
-        |j AS (SELECT t2.da, t2.db, t2.neg_id,
+        |t2 AS (SELECT t.*, d.doc_id AS neg_found
+        |       FROM t LEFT JOIN documents d ON t.neg_id = d.doc_id),
+        |j AS (SELECT t2.da, t2.db, t2.neg_id, t2.neg_found,
         |             ca.cluster_id AS ca, cn.cluster_id AS cn
         |      FROM t2 JOIN cl ca ON t2.da = ca.doc_id
         |              LEFT JOIN cl cn ON t2.neg_id = cn.doc_id)
         |SELECT da, db, neg_id,
-        |       (cn IS NULL OR cn <> ca) AS neg_ok
+        |       (neg_found IS NOT NULL AND (cn IS NULL OR cn <> ca))
+        |         AS neg_ok
         |FROM j ORDER BY da, db""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $dupClusterCtes
@@ -3185,16 +3198,18 @@ object SparkEntry {
         |r AS (SELECT o_year, o_orderpriority,
         |        CAST(count(*) AS BIGINT) AS n_orders,
         |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
-        |          AS sum_price
+        |          AS sum_price,
+        |        GROUPING(o_year) AS gy,
+        |        GROUPING(o_orderpriority) AS gp
         |      FROM base GROUP BY ROLLUP(o_year, o_orderpriority))
-        |SELECT CASE WHEN o_year IS NULL THEN 'total'
-        |            WHEN o_orderpriority IS NULL THEN 'year'
+        |SELECT CASE WHEN gy = 1 THEN 'total'
+        |            WHEN gp = 1 THEN 'year'
         |            ELSE 'year_priority' END AS lvl,
         |       coalesce(o_year, -1) AS o_year,
         |       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
         |       n_orders, sum_price,
         |       sum_price / n_orders AS avg_price
-        |FROM r ORDER BY o_year, o_orderpriority""".stripMargin,
+        |FROM r ORDER BY lvl, o_year, o_orderpriority""".stripMargin,
     "q_length_buckets" ->
       """WITH d AS (
         |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
@@ -3576,11 +3591,12 @@ object SparkEntry {
       |res AS (SELECT model, CAST(sum(n_pos) AS BIGINT) AS n_pos,
       |               CAST(sum(n_neg) AS BIGINT) AS n_neg,
       |               CAST(count(*) AS BIGINT) AS n_bins,
-      |               CAST(sum(n_pos * (2 * cum_neg + n_neg)) AS BIGINT) AS u2
+      |               CAST(sum(CAST(n_pos AS HUGEINT)
+      |                        * (2 * cum_neg + n_neg)) AS DOUBLE) AS u2
       |        FROM u GROUP BY model)
       |SELECT model, n_pos, n_neg, n_bins,
       |       CASE WHEN n_pos > 0 AND n_neg > 0
-      |            THEN CAST(u2 AS DOUBLE) / ((2.0 * n_pos) * n_neg)
+      |            THEN u2 / ((2.0 * n_pos) * n_neg)
       |       END AS auc
       |FROM res ORDER BY model""".stripMargin
 }

@@ -990,7 +990,16 @@ object Aggregates {
     */
   def heavyHittersFromSummary(spark: SparkSession, summaryPath: String,
       docs: DataFrame, support: Int = 100): DataFrame = {
-    val cand = spark.read.parquet(summaryPath).select(col("term"))
+    val summary = spark.read.parquet(summaryPath)
+    // the artifact carries the k it was maintained with; a support
+    // beyond k+1 would silently void the superset guarantee while the
+    // output still claims exactness — fail loudly instead
+    val storedK = summary.agg(min(col("k"))).head.getInt(0)
+    require(storedK + 1 > support,
+      s"stored MG summary was maintained with k=$storedK, which cannot " +
+        s"guarantee a candidate superset at support=$support " +
+        s"(needs k+1 > support)")
+    val cand = summary.select(col("term"))
     val terms = docs.select(explode(split(col("text"), " ")).as("term"))
     hhVerify(terms, cand, support)
   }

@@ -227,20 +227,40 @@ object Analytics {
       zThresh: Double = 3.0): DataFrame =
     hourlyAnomaliesOn(Tables.events(spark, dir), topK, zThresh)
 
-  /** [[hourlyAnomalies]] over any events-shaped frame. */
+  /** [[hourlyAnomalies]] over any events-shaped frame. The cell grid
+    * is DENSIFIED against the full (observed-date-span × 24h) spine
+    * before scoring: an hour with ZERO events — the strongest anomaly
+    * a feed outage produces — must exist as a cell to be flagged, and
+    * the seasonal mean must include empty cells or it biases upward.
+    * The spine is O(days·24), broadcast-trivial at any event volume
+    * (the [[dateSpine]] densification argument).
+    */
   def hourlyAnomaliesOn(events: DataFrame, topK: Int = 20,
       zThresh: Double = 3.0): DataFrame = {
-    val cells = events
+    val spark = events.sparkSession
+    val obs = events
       .groupBy(to_date(col("ts")).as("d"), hour(col("ts")).as("hr"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_obs"))
+    val span = events.agg(min(to_date(col("ts"))).as("d0"),
+      max(to_date(col("ts"))).as("d1"))
+    val days = span.select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val hours = spark.range(0, 24).select(col("id").cast("int").as("hr"))
+    val cells = days.crossJoin(hours)
+      .join(obs, Seq("d", "hr"), "left")
+      .select(col("d"), col("hr"),
+        coalesce(col("n_obs"), lit(0L)).as("n_events"))
       .withColumn("dow", dayofweek(col("d")) - 1)
     val profile = cells.groupBy(col("dow"), col("hr"))
       .agg(sum(col("n_events")).as("tot"), count(lit(1)).as("n_cells"))
       .select(col("dow"), col("hr"),
         (col("tot").cast("double") / col("n_cells")).as("mean_n"))
     cells.join(broadcast(profile), Seq("dow", "hr"))
-      .withColumn("z",
+      // an all-zero baseline (mean 0 forces n 0 too) is "no traffic
+      // expected, none seen" — z pins to 0, not 0/0 = NaN, which both
+      // engines would sort ABOVE every real anomaly
+      .withColumn("z", when(col("mean_n") > 0,
         (col("n_events") - col("mean_n")) / sqrt(col("mean_n")))
+        .otherwise(lit(0.0)))
       .select(col("d"), col("hr"), col("dow"), col("n_events"),
         col("mean_n"), col("z"),
         (abs(col("z")) > zThresh).as("is_anomaly"))

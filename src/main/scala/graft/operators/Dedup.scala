@@ -716,15 +716,21 @@ object Dedup {
     val p = minhashNearDupOn(docs, threshold).cutLineage(eager = true)
     val clusters = clustersFromPairs(p)
     val nd = docs.agg(count(lit(1)).as("n_docs"))
+    // LEFT existence join: a modular draw that misses the id space
+    // (sparse / non-zero-based ids) flags the triplet (neg_ok = false)
+    // for the consumer to re-roll — it must never silently DROP a
+    // verified (anchor, positive) pair
     p.crossJoin(broadcast(nd))
       .withColumn("neg_id", (col("da") * 31 + col("db") * 17) % col("n_docs"))
-      .join(docs.select(col("doc_id").as("neg_id")), Seq("neg_id"))
+      .join(docs.select(col("doc_id").as("neg_id"),
+        lit(1).as("neg_exists")), Seq("neg_id"), "left")
       .join(clusters.select(col("doc_id").as("da"),
         col("cluster_id").as("ca")), Seq("da"))
       .join(clusters.select(col("doc_id").as("neg_id"),
         col("cluster_id").as("cn")), Seq("neg_id"), "left")
       .select(col("da"), col("db"), col("neg_id"),
-        (col("cn").isNull || col("cn") =!= col("ca")).as("neg_ok"))
+        (col("neg_exists").isNotNull
+          && (col("cn").isNull || col("cn") =!= col("ca"))).as("neg_ok"))
       .orderBy(col("da"), col("db"))
   }
 

@@ -298,15 +298,21 @@ object Relational {
       .select(year(col("o_orderdate")).as("o_year"),
         col("o_orderpriority"), col("o_totalprice"))
       .rollup(col("o_year"), col("o_orderpriority"))
+      // grouping(), not isNull: a NULL group VALUE in the data is a
+      // detail row, not a subtotal — the marker must come from the
+      // grouping set, or a null-dated order masquerades as the grand
+      // total
       .agg(count(lit(1)).as("n_orders"),
-        dsum(col("o_totalprice")).as("sum_price"))
+        dsum(col("o_totalprice")).as("sum_price"),
+        grouping(col("o_year")).as("gy"),
+        grouping(col("o_orderpriority")).as("gp"))
       .select(
-        when(col("o_year").isNull, lit("total"))
-          .when(col("o_orderpriority").isNull, lit("year"))
+        when(col("gy") === 1, lit("total"))
+          .when(col("gp") === 1, lit("year"))
           .otherwise(lit("year_priority")).as("lvl"),
         coalesce(col("o_year"), lit(-1)).as("o_year"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
         col("n_orders"), col("sum_price"))
       .withColumn("avg_price", col("sum_price") / col("n_orders"))
-      .orderBy(col("o_year"), col("o_orderpriority"))
+      .orderBy(col("lvl"), col("o_year"), col("o_orderpriority"))
 }

@@ -163,7 +163,11 @@ object Retrieval {
     */
   private[graft] def ndcgDiscounts(k: Int): Seq[(Int, String)] =
     (1 to k).map(r =>
-      (r, f"${1.0 / (math.log(r + 1.0) / math.log(2.0))}%.6f"))
+      // Locale.ROOT: the f-interpolator honors the JVM default locale,
+      // and a comma-decimal locale would render "1,000000" — unparseable
+      // by BigDecimal AND a SQL syntax error inside the twin
+      (r, String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(1.0 / (math.log(r + 1.0) / math.log(2.0))))))
 
   /** nDCG@k of the three rankers against graded exact-cosine gold
     * (grade = k+1 − gold rank, so the ideal ordering is the gold

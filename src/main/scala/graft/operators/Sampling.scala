@@ -605,7 +605,10 @@ object Sampling {
 
   /** [[lengthBuckets]] over any documents-shaped frame. */
   def lengthBucketsOn(docs: DataFrame, mult: Int = 64,
-      maxLen: Int = 512): DataFrame =
+      maxLen: Int = 512): DataFrame = {
+    require(mult > 0 && maxLen % mult == 0,
+      s"lengthBuckets: maxLen must be a multiple of mult so no bucket " +
+        s"exceeds the cap, got mult=$mult maxLen=$maxLen")
     docs
       .select(size(split(col("text"), " ")).cast("long").as("n"))
       // `div` (integer division) keeps every bucket quantity in int64 —
@@ -624,6 +627,7 @@ object Sampling {
       .withColumn("pad_waste",
         lit(1.0) - col("n_tokens").cast("double") / col("n_padded"))
       .orderBy(col("seq_len"))
+  }
 
   def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.documents(spark, dir)

@@ -433,8 +433,14 @@ object Similarity {
     val spark = embIn.sparkSession
     import spark.implicits._
     val emb = embIn.cutLineage() // k TakeOrdered actions read it
-    val seed = emb.filter(col("vec_id") === 0)
-      .select(col("v")).collect()(0).getSeq[Double](0)
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val total = emb.count()
+    require(total >= k,
+      s"k-center needs at least k vectors: k=$k, frame has $total")
+    val seedRows = emb.filter(col("vec_id") === 0).select(col("v")).collect()
+    require(seedRows.nonEmpty,
+      "k-center seeds from vec_id 0, which is absent from this frame")
+    val seed = seedRows(0).getSeq[Double](0)
     var picked = List((1L, 0L, 0.0))
     var ids: Seq[Long] = Seq(0L)
     var state = emb.withColumn("d2", l2sq(col("v"), typedlit(seed)))

@@ -370,10 +370,14 @@ object TextAnalysis {
     bins
       .withColumn("cum_neg", coalesce(sum(col("n_neg")).over(below), lit(0L)))
       .groupBy(col("model"))
+      // the rank-sum accumulator reaches ~P·N, past int64 at extreme
+      // corpus sizes — the per-bin product runs in DECIMAL(38,0)
+      // (exact: integer inputs, no rounding) and converts to double
+      // once, mirrored by the twin's HUGEINT sum
       .agg(sum(col("n_pos")).as("n_pos"), sum(col("n_neg")).as("n_neg"),
         count(lit(1)).as("n_bins"),
-        sum(col("n_pos") * (lit(2L) * col("cum_neg") + col("n_neg")))
-          .as("u2"))
+        sum(col("n_pos").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * (lit(2L) * col("cum_neg") + col("n_neg"))).as("u2"))
       .select(col("model"), col("n_pos"), col("n_neg"), col("n_bins"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           col("u2").cast("double")

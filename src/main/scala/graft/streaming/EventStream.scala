@@ -600,9 +600,12 @@ object EventStream {
             // already collected — bounded ≤k artifacts), so overwriting
             // the stored dir needs no cutForOverwrite: nothing in this
             // plan reads the files being replaced
+            // the artifact records its own k so consumers can validate
+            // the superset guarantee against THEIR support threshold
             mg.merge(storedMap, batchSummary).toSeq
               .toDF("term", "cnt")
               .withColumn("batch_id", lit(batchId))
+              .withColumn("k", lit(k))
               .write.mode("overwrite").parquet(summaryPath)
           }
         }

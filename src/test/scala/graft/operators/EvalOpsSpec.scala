@@ -144,27 +144,43 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("hourlyAnomalies: a planted burst tops the report against its " +
-    "own day-of-week/hour baseline, steady cells are not flagged") {
+  test("hourlyAnomalies: a planted burst tops the report, and a " +
+    "ZERO-event outage hour is flagged via the densified spine") {
     import spark.implicits._
-    // 4 Mondays at 9am with 5 events each ... and one Monday 9am with 50
+    // Mondays 9am: Jan 1/8/22 carry 5 events, Jan 15 is a total outage
+    // (no row at all — only densification can see it), Jan 29 bursts 50
     val steady = for {
-      week <- 0 until 4; i <- 0 until 5
-    } yield (s"2024-01-${1 + week * 7} 09:${10 + i}:00") // Jan 1 is a Monday
+      day <- Seq(1, 8, 22); i <- 0 until 5
+    } yield s"2024-01-$day 09:${10 + i}:00" // Jan 1 2024 is a Monday
     val burst = (0 until 50).map(i => f"2024-01-29 09:$i%02d:00")
     val events = (steady ++ burst).zipWithIndex
       .map { case (t, i) => (i.toLong, java.sql.Timestamp.valueOf(t)) }
       .toDF("event_id", "ts")
     val top = Analytics.hourlyAnomaliesOn(events, topK = 3).collect()
     val head = top.head
+    // baseline mean over the five spine Monday-9am cells:
+    // (5 + 5 + 0 + 5 + 50) / 5 = 13
     assert(head.getAs[java.sql.Date]("d").toString == "2024-01-29"
       && head.getAs[Int]("hr") == 9
       && head.getAs[Long]("n_events") == 50
       && head.getAs[Boolean]("is_anomaly"),
       s"the burst must top the report: ${top.toSeq}")
-    // baseline mean over the five Monday-9am cells: (4*5 + 50) / 5 = 14
-    assert(head.getAs[Double]("mean_n") == 14.0)
-    assert(head.getAs[Double]("z") == (50.0 - 14.0) / math.sqrt(14.0))
+    assert(head.getAs[Double]("mean_n") == 13.0)
+    assert(head.getAs[Double]("z") == (50.0 - 13.0) / math.sqrt(13.0))
+    val second = top(1)
+    assert(second.getAs[java.sql.Date]("d").toString == "2024-01-15"
+      && second.getAs[Int]("hr") == 9
+      && second.getAs[Long]("n_events") == 0
+      && second.getAs[Boolean]("is_anomaly"),
+      s"the outage hour must rank second: ${top.toSeq}")
+    assert(second.getAs[Double]("z") == (0.0 - 13.0) / math.sqrt(13.0))
+    // third place: a steady Monday (5 vs mean 13, |z| ~ 2.2 — under
+    // the fence), NOT a NaN from an empty-baseline cell (NaN would
+    // sort above everything in both engines)
+    assert(!top(2).getAs[Boolean]("is_anomaly"))
+    assert(top(2).getAs[Long]("n_events") == 5
+      && top(2).getAs[Double]("z") == (5.0 - 13.0) / math.sqrt(13.0))
+    assert(top.forall(r => !r.getAs[Double]("z").isNaN))
   }
 
   test("MisraGries kernel: the guarantee holds under reduce and under " +
