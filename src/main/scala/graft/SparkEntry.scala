@@ -68,6 +68,7 @@ object SparkEntry {
     "q_quantile_sketch" -> ((s, dir) => Aggregates.quantileSketch(s, dir)),
     "q_winsorize" -> ((s, dir) => Aggregates.winsorizedPrices(s, dir)),
     "q_mad_outliers" -> ((s, dir) => Aggregates.madOutliers(s, dir)),
+    "q_quantile_norm" -> ((s, dir) => Aggregates.quantileNormalize(s, dir)),
     "q_heavy_hitters" -> ((s, dir) => Aggregates.heavyHitters(s, dir)),
     "q_hh_by_source" -> ((s, dir) => Aggregates.heavyHittersBySource(s, dir)),
     "q_vector_audit" -> ((s, dir) => Similarity.vectorAudit(s, dir)),
@@ -1713,6 +1714,25 @@ object SparkEntry {
         |            AS BIGINT) AS n_tiny,
         |       min(norm2) AS min_norm2, max(norm2) AS max_norm2
         |FROM v GROUP BY label ORDER BY label""".stripMargin,
+    // same md5 bottom-k sample as q_winsorize; CDF position as an
+    // integer count against the sample array, one division
+    "q_quantile_norm" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g, l_extendedprice AS v,
+        |         md5(concat(l_orderkey, '|', l_linenumber)) AS h
+        |  FROM lineitem),
+        |rk AS (SELECT g, v,
+        |              row_number() OVER (PARTITION BY g ORDER BY h, v) AS r
+        |       FROM base),
+        |sagg AS (SELECT g, CAST(count(*) AS INT) AS k_sample,
+        |                list_sort(list(v)) AS vs
+        |         FROM rk WHERE r <= 256 GROUP BY g)
+        |SELECT l_orderkey, l_linenumber, li.l_returnflag,
+        |       li.l_extendedprice AS v,
+        |       CAST(len(list_filter(vs, x -> x <= li.l_extendedprice))
+        |            AS DOUBLE) / k_sample AS q_norm
+        |FROM lineitem li JOIN sagg ON li.l_returnflag = sagg.g
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     // same md5 bottom-k sample as q_winsorize; MAD over the sample
     // array, the consistency cut evaluated double*double in fixed order
     "q_mad_outliers" ->

@@ -1004,6 +1004,40 @@ object Aggregates {
     hhVerify(terms, cand, support)
   }
 
+  /** Quantile (rank) normalization of a feature — map every value to
+    * its empirical CDF position within its group, the standard
+    * preprocessing transform that makes a heavy-tailed feature
+    * trainable (rank-gauss minus the gauss). The CDF is ESTIMATED from
+    * the shared [[bottomKSample]] artifact: `q_norm = #{sample ≤ v}/k`,
+    * one broadcast ≤k-array per group and a codegen'd higher-order
+    * `filter` count per row — O(k) per row at scan speed, where the
+    * exact transform would be a per-group rank over the corpus (the
+    * global-sort shape this engine's house rules exist to avoid).
+    * Integer count, one division: oracle-exact.
+    */
+  def quantileNormalize(spark: SparkSession, dir: String,
+      k: Int = 256): DataFrame =
+    quantileNormalizeOn(Tables.lineitem(spark, dir), k)
+
+  /** [[quantileNormalize]] over any lineitem-shaped frame. */
+  def quantileNormalizeOn(li: DataFrame, k: Int = 256): DataFrame = {
+    val base = li
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"),
+        md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))
+          .cast("binary")).as("h"))
+    val samples = bottomKSample(base, k)
+      .select(col("g"), size(col("sk")).as("k_sample"),
+        array_sort(expr("transform(sk, x -> x._2)")).as("vs"))
+    li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .join(broadcast(samples), "g")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("g").as("l_returnflag"), col("v"),
+        (size(filter(col("vs"), x => x <= col("v"))).cast("double")
+          / col("k_sample")).as("q_norm"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** Robust outlier detection via median absolute deviation — the
     * heavy-tail-safe alternative to z-scores (one corrupt feed distorts
     * a mean/stddev gate; the median/MAD pair shrugs it off). Per group:

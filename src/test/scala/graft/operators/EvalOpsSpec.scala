@@ -275,6 +275,21 @@ class EvalOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantileNormalize: with the sample covering the population the " +
+    "transform IS the empirical CDF, monotone in the raw value") {
+    import spark.implicits._
+    val li = (1 to 100).map(i =>
+      ("A", i.toDouble, i.toLong, i)).toDF(
+      "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+    val got = Aggregates.quantileNormalizeOn(li).collect()
+      .map(r => r.getAs[Double]("v") -> r.getAs[Double]("q_norm"))
+    got.foreach { case (v, q) =>
+      assert(q == v / 100.0, s"k >= n makes q_norm exact: v=$v q=$q")
+    }
+    val sorted = got.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b })
+  }
+
   test("madOutliers: a single gross corruption is flagged while the " +
     "robust location ignores it; a smooth spread flags nothing") {
     import spark.implicits._
