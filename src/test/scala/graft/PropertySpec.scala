@@ -266,6 +266,80 @@ class PropertySpec extends AnyFunSuite {
     assert(one == Seq(4.0, 6.0, 10.0, 9.0, 15.0, 25.0))
   }
 
+  test("ahash64 kernel agrees with the oracle's integer-comparison " +
+    "formula on random payloads, and every bit is shift-invariant " +
+    "to payload scaling") {
+    // the reference mirrors the DuckDB twin: bit b set iff
+    // blockSum * n > totalSum * blockLen, blocks [n*b/64, n*(b+1)/64)
+    def ref(bytes: Array[Byte]): Long = {
+      val n = bytes.length
+      if (n == 0) return 0L
+      val u = bytes.map(_ & 0xff)
+      val total = u.map(_.toLong).sum
+      (0 until 64).foldLeft(0L) { (h, b) =>
+        val s = (n.toLong * b / 64).toInt
+        val e = (n.toLong * (b + 1) / 64).toInt
+        val bs = u.slice(s, e).map(_.toLong).sum
+        if (bs * n > total * (e - s)) h | (1L << b) else h
+      }
+    }
+    val payload: Gen[Array[Byte]] = for {
+      n <- Gen.frequency(1 -> Gen.const(0), 1 -> Gen.choose(1, 63),
+        8 -> Gen.choose(64, 800))
+      bs <- Gen.listOfN(n, Gen.choose(0, 255))
+    } yield bs.map(_.toByte).toArray
+    sample(payload, 300, seed = 23L).foreach { p =>
+      assert(graft.functions.AHashKernel.compute(p) == ref(p))
+    }
+    // doubling every byte (repeat each twice) preserves every block
+    // mean when block boundaries are clean (64 | n), so the hash is
+    // stable under uniform upsampling — truncate payloads to a
+    // 64-multiple to make the invariant exact
+    sample(payload, 50, seed = 29L).filter(_.length >= 64).foreach { p0 =>
+      val p = p0.take(p0.length - p0.length % 64)
+      val doubled = p.flatMap(b => Array(b, b))
+      assert(graft.functions.AHashKernel.compute(doubled)
+        == graft.functions.AHashKernel.compute(p),
+        "uniform 2x upsampling must not change any block's mean ordering")
+    }
+  }
+
+  test("MisraGries: on random streams every kept estimate is within " +
+    "N/(k+1) of truth and every item above N/(k+1) survives, under " +
+    "arbitrary chunked merge trees") {
+    val k = 7
+    val mg = new graft.functions.MisraGries(k)
+    val item: Gen[String] = Gen.frequency(
+      5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+      4 -> Gen.choose(0, 500).map(i => s"cold$i"))
+    val streams = (0 until 20).map(i =>
+      sample(item, 400, seed = 100L + i).toList)
+    streams.zipWithIndex.foreach { case (s, i) =>
+      val truth = s.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = s.size
+      // vary the merge-tree shape with the stream index
+      val chunk = 30 + (i * 17) % 170
+      val summary = s.grouped(chunk).toList
+        .map(_.foldLeft(mg.zero)(mg.reduce)).reduce(mg.merge)
+      assert(summary.size <= k)
+      summary.foreach { case (t, est) =>
+        assert(est <= truth(t), s"MG never overestimates: $t $est")
+        assert(est >= truth(t) - n / (k + 1),
+          s"estimate within N/(k+1): $t est=$est true=${truth(t)}")
+      }
+      truth.filter(_._2 > n / (k + 1)).keys.foreach { t =>
+        assert(summary.contains(t),
+          s"item above N/(k+1) must survive: $t in $summary")
+      }
+    }
+  }
+
+  test("ndcg discount literals are locale-proof dot-decimal strings") {
+    val d = graft.operators.Retrieval.ndcgDiscounts(20)
+    assert(d.forall(_._2.matches("""\d\.\d{6}""")), d.mkString(","))
+    assert(d.head._2 == "1.000000")
+  }
+
   test("native functions are callable from SQL via GraftExtensions") {
     val r = spark.sql(
       """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,

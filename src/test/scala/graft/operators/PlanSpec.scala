@@ -525,6 +525,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("quantile normalization: sample cuts broadcast onto the fact " +
+    "scan, no window over raw rows") {
+    val p = plan(Aggregates.quantileNormalize(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.toLowerCase.contains("partial_bottomk"), p)
+  }
+
+  test("corpus diff: digest reconcile join, never a cartesian or " +
+    "nested loop over documents") {
+    val p = plan(Relational.corpusDiff(spark, dir))
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("md5"), "payloads must be hashed before the join")
+  }
+
   test("media phash dedup: one native ahash64 kernel per side, no " +
     "nested-loop join anywhere") {
     val p = plan(Multimodal.mediaPhashDup(spark, dir))
