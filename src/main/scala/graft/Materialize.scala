@@ -121,6 +121,28 @@ object Materialize {
     case _ => df.localCheckpoint(eager = true)
   }
 
+  /** Resolve a root for an on-disk serving artifact built INSIDE a query
+    * (the [[graft.operators.Retrieval.rrfFusion]] index pair). Uses
+    * `spark.graft.materialize.dir` when configured — the same shared-
+    * location convention the reliable checkpoint mode rides — and only
+    * falls back to the JVM temp dir on a LOCAL master: on a cluster a
+    * `file:` temp path is driver/executor-local, so each node would
+    * write and read its OWN disk and the memoized artifact would be
+    * silently incomplete (the exact hazard [[ensureCheckpointDir]]
+    * fails loudly on — same discipline here). The UUID suffix keeps
+    * concurrent sessions sharing one configured dir from colliding.
+    */
+  def artifactDir(spark: SparkSession, name: String): String = {
+    val base = spark.conf.getOption(DirKey).getOrElse {
+      require(spark.sparkContext.isLocal,
+        s"building an on-disk serving artifact on a cluster requires " +
+          s"$DirKey pointing at shared storage (a JVM temp dir is " +
+          "node-local and the artifact would be silently incomplete)")
+      s"${System.getProperty("java.io.tmpdir")}/graft-materialize"
+    }
+    s"$base/artifacts/$name-${java.util.UUID.randomUUID}"
+  }
+
   /** Free the storage behind an ALREADY-CUT frame that will never be read
     * again. A pipeline that cuts two near-corpus-sized intermediates
     * back-to-back (tf then weighted postings in

@@ -395,6 +395,60 @@ object Profile {
     t("heavy_hitters_10x")(
       graft.operators.Aggregates.heavyHittersOn(docs10)
         .agg(sum(col("cnt"))).scalarLong)
+    // Round-9 rows. Replication semantics: quantile_norm/mad_outliers
+    // ride the shared bottom-k sample (the sample side moves <=k entries
+    // per (group, partition); the per-row CDF map is the measured
+    // corpus-linear stage — quantile_norm's terminal verify-determinism
+    // sort is excluded here, as for every other *_10x row, by consuming
+    // through an aggregate); line_dedup's dropped-position stage is
+    // bounded by DUPLICATED line occurrences, which replication drives
+    // to ~100% (every line occurs 10x) — the constructed worst case;
+    // length_buckets/rollup_report/vector_audit are scan-shaped into
+    // bounded-domain aggregations; hh_by_source shuffles k·partitions
+    // counters per source; contrastive rides the dense replicated-dup
+    // pair graph like dup_matrix; hourly_anomalies pre-aggregates 10x
+    // events into the same date-span x 24h cell grid.
+    t("quantile_norm_10x")(
+      graft.operators.Aggregates.quantileNormalizeOn(li10)
+        .agg(sum(col("q_norm") + col("v"))).scalarDouble.toLong)
+    t("mad_outliers_10x")(
+      graft.operators.Aggregates.madOutliersOn(li10)
+        .agg(sum(col("n_outliers") + col("med_est"))).scalarDouble.toLong)
+    t("line_dedup_10x")(
+      Dedup.lineDedupOn(Dedup.wrapLines(docs10))
+        .agg(sum(col("n_dropped") + length(col("clean_text"))))
+        .scalarLong)
+    t("length_buckets_10x")(
+      graft.operators.Sampling.lengthBucketsOn(docs10)
+        .agg(sum(col("n_padded") + col("n_tokens"))).scalarLong)
+    t("hourly_anomalies_10x")(
+      graft.operators.Analytics.hourlyAnomaliesOn(ev10)
+        .agg(sum(col("z") + col("n_events"))).scalarDouble.toLong)
+    // consume neg_id + neg_ok so the existence/cluster joins survive
+    // the aggregation (count() would prune the row-preserving lefts)
+    t("contrastive_10x")(
+      Dedup.contrastivePairsOn(docs10)
+        .agg(sum(col("neg_id")
+          + when(col("neg_ok"), 1L).otherwise(0L))).scalarLong)
+    t("hh_by_source_10x")(
+      graft.operators.Aggregates.heavyHittersBySourceOn(docs10)
+        .agg(sum(col("cnt"))).scalarLong)
+    t("vector_audit_10x")(
+      graft.operators.Similarity.vectorAuditOn(emb10)
+        .agg(sum(col("n_vectors") + col("n_zero"))).scalarLong)
+    t("rollup_report_10x")(
+      graft.operators.Relational.rollupReportOn(o10)
+        .agg(sum(col("n_orders"))).scalarLong)
+    // k-center at a real coreset budget (k=64) on the 1x corpus: with
+    // the per-round state cut the total must scale ~linearly in k
+    // (was O(k^2) lineage replay before round 9) — compare against the
+    // k=8 kcenter_10x row above for the per-round cost
+    t("kcenter_k64") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.kCenterCoresetOn(
+        emb.select(col("vec_id"), vecD(col("embedding")).as("v")), 64)
+        .agg(sum(col("d2") + col("vec_id"))).scalarDouble.toLong
+    }
     t("corpus_diff_10x") {
       // v2 = docs10 with every 13th doc revised and every 17th dropped
       val v1 = docs10.select(col("doc_id"), col("source"), col("text"))

@@ -169,6 +169,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
+    "q_line_dedup" -> ((s, dir) => Dedup.lineDedup(s, dir)),
     "q_contam_frac" -> ((s, dir) => Dedup.contaminationFraction(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
     "q_bigram_lm" -> ((s, dir) => TextAnalysis.bigramLm(s, dir)),
@@ -2403,7 +2404,8 @@ object SparkEntry {
         |       FROM reach GROUP BY n),
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
         |t AS (SELECT da, db,
-        |             (da * 31 + db * 17) % n_docs AS neg_id
+        |             CAST('0x' || substr(md5(concat(da, '|', db)), 1, 13)
+        |                  AS BIGINT) % n_docs AS neg_id
         |      FROM pairs, nd),
         |t2 AS (SELECT t.*, d.doc_id AS neg_found
         |       FROM t LEFT JOIN documents d ON t.neg_id = d.doc_id),
@@ -2620,6 +2622,46 @@ object SparkEntry {
         |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
         |       CAST(len(arr) - coalesce(a.n_kept, 0) AS INT) AS n_dropped
         |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q_line_dedup: corpus-wide keep-first duplicate-line removal over
+    // the deterministic 10-words-per-line view (Dedup.wrapLines,
+    // mirrored in dv); the oracle keys line stats on the raw line where
+    // Spark uses xxhash64 (same collision caveat as q_span_removal)
+    "q_line_dedup" ->
+      """WITH dv AS (
+        |  SELECT doc_id,
+        |         array_to_string(list_transform(
+        |           range(0, CAST((len(w) - 1) // 10 AS INT) + 1),
+        |           i -> array_to_string(w[i*10+1 : i*10+10], ' ')),
+        |           chr(10)) AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |d AS (SELECT doc_id,
+        |             string_split(coalesce(text, ''), chr(10)) AS arr
+        |      FROM dv),
+        |l0 AS (SELECT doc_id, unnest(list_transform(range(1, len(arr) + 1),
+        |         i -> {'idx': i - 1, 'line': arr[i]})) AS u
+        |       FROM d),
+        |toks AS (SELECT doc_id, CAST(u.idx AS INT) AS idx, u.line AS line
+        |         FROM l0),
+        |l AS (SELECT * FROM toks WHERE len(line) > 0),
+        |r AS (SELECT doc_id, idx,
+        |             row_number() OVER (PARTITION BY line
+        |                                ORDER BY doc_id, idx) AS rn,
+        |             count(*) OVER (PARTITION BY line) AS n_occ
+        |      FROM l),
+        |drp AS (SELECT doc_id, idx FROM r WHERE n_occ >= 2 AND rn > 1),
+        |kept AS (SELECT t.doc_id, t.idx, t.line
+        |         FROM toks t ANTI JOIN drp USING (doc_id, idx)),
+        |agg AS (SELECT doc_id,
+        |               string_agg(line, chr(10) ORDER BY idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |dcount AS (SELECT doc_id, CAST(count(*) AS INT) AS nd
+        |           FROM drp GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(len(arr) AS INT) AS n_lines,
+        |       coalesce(dc.nd, 0) AS n_dropped
+        |FROM d LEFT JOIN agg a USING (doc_id)
+        |       LEFT JOIN dcount dc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_contam_frac" ->
       """WITH sh8 AS (
         |  SELECT doc_id,

@@ -1009,11 +1009,15 @@ object Aggregates {
     * preprocessing transform that makes a heavy-tailed feature
     * trainable (rank-gauss minus the gauss). The CDF is ESTIMATED from
     * the shared [[bottomKSample]] artifact: `q_norm = #{sample ≤ v}/k`,
-    * one broadcast ≤k-array per group and a codegen'd higher-order
-    * `filter` count per row — O(k) per row at scan speed, where the
-    * exact transform would be a per-group rank over the corpus (the
+    * one broadcast ≤k-array per group and a codegen'd binary-search rank
+    * ([[graft.functions.SampleCdfPos]]) per row — O(log k) per row at
+    * scan speed inside whole-stage codegen (the interpreted
+    * `size(filter(...))` HOF it replaced cost k lambda trips per corpus
+    * row and was ~10× the artifact's sibling queries), where the exact
+    * transform would be a per-group rank over the corpus (the
     * global-sort shape this engine's house rules exist to avoid).
-    * Integer count, one division: oracle-exact.
+    * Integer count, one division: oracle-exact, and the kernel ≡ HOF
+    * equality is property-pinned in `SortedRankSpec`.
     */
   def quantileNormalize(spark: SparkSession, dir: String,
       k: Int = 256): DataFrame =
@@ -1033,8 +1037,8 @@ object Aggregates {
       .join(broadcast(samples), "g")
       .select(col("l_orderkey"), col("l_linenumber"),
         col("g").as("l_returnflag"), col("v"),
-        (size(filter(col("vs"), x => x <= col("v"))).cast("double")
-          / col("k_sample")).as("q_norm"))
+        (graft.functions.SortedRank.cdfPos(col("vs"), col("v"))
+          .cast("double") / col("k_sample")).as("q_norm"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 

@@ -608,6 +608,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact duplicate-LINE removal corpus-wide — the C4 "repeated
+    * three-sentence span" / Dolma duplicate-paragraph rule at line
+    * granularity, the curation pass that runs BEFORE fuzzy dedup in a
+    * real pipeline (boilerplate headers, navigation, license blocks
+    * repeat verbatim across pages): split each document on '\n', hash
+    * every non-blank line, and drop every occurrence of a line that
+    * appears 2+ times in the corpus EXCEPT the first — keep-first =
+    * min (doc_id, line index), lexicographic, so the decision is
+    * deterministic under any partitioning, retry, or AQE re-plan.
+    * Within-doc repeats of a duplicated line collapse to the keeper
+    * too (the count is occurrences, not distinct docs). Blank lines
+    * are document structure, not content — never counted, never
+    * dropped. Output: (doc_id, clean_text, n_lines, n_dropped).
+    *
+    * Scale shape (the [[removeDupSpansOn]] machinery one granularity
+    * up): one posexplode, one map-side-combinable (count,
+    * min-occurrence) aggregation keyed on the 8-byte xxhash64 of the
+    * line — not the line text, ¼ the shuffle width, same ~1e-9
+    * deterministic collision caveat the span family documents — one
+    * equi-join back whose surviving volume is bounded by DUPLICATED
+    * line occurrences only (clean corpora shuffle almost nothing into
+    * the dropped-position stage), and a narrow higher-order filter
+    * reassembly. No pair formation, no data-sized window.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupOn(wrapLines(Tables.documents(spark, dir)))
+
+  /** Deterministic multi-line view of a single-line corpus: each doc's
+    * words re-wrapped into lines of `width` tokens. The fixture
+    * adapter this table needs to exercise line dedup (its synthetic
+    * texts carry no '\n'), the same role `text.cast("binary")` plays
+    * for the media family — planted duplicate documents become
+    * duplicate LINES, so the corpus-wide keep-first rule does real
+    * work. Mirrored verbatim in the q_line_dedup oracle twin.
+    */
+  private[graft] def wrapLines(docs: DataFrame, width: Int = 10): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        concat_ws("\n", transform(
+          // `div` (integer), not `/` (double): sequence needs integral
+          // bounds, and (n−1) ≥ 0 so floor == truncate on both engines
+          sequence(lit(0), expr(s"(size(w) - 1) div $width").cast("int")),
+          i => concat_ws(" ", slice(col("w"), i * width + 1, lit(width)))))
+          .as("text"))
+
+  /** [[lineDedup]] over any (doc_id, text) frame with '\n' separators. */
+  def lineDedupOn(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      split(coalesce(col("text"), lit("")), "\n").as("arr"))
+    val lines = d
+      .select(col("doc_id"), posexplode(col("arr")).as(Seq("idx", "line")))
+      .filter(length(col("line")) > 0)
+      .select(col("doc_id"), col("idx"), xxhash64(col("line")).as("h"))
+    // min over the (doc_id, idx) struct = lexicographic keep-first;
+    // both aggregates are map-side combinable partial min/count
+    val stats = lines.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("idx"))).as("keeper"))
+    val dropped = lines.join(stats, "h")
+      .filter(col("n_occ") >= 2 && !(col("doc_id") === col("keeper.doc_id")
+        && col("idx") === col("keeper.idx")))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("idx"))).as("drp"))
+    d.join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("arr"),
+        coalesce(col("drp"), array().cast("array<int>")).as("drp"))
+      .select(col("doc_id"),
+        expr("concat_ws('\\n', filter(arr, (l, i) -> " +
+          "NOT array_contains(drp, i)))").as("clean_text"),
+        size(col("arr")).as("n_lines"),
+        size(col("drp")).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bounded edit-distance near-dup pairs, candidate-generation-first:
     * candidates are same-(lang, len-bucket) pairs sharing ≥ `minShared`
     * of the smaller doc's distinct trigrams (the [[blockedCommonCounts]]
@@ -691,14 +766,19 @@ object Dedup {
   /** Contrastive training triplets mined from the dedup structure:
     * every verified near-dup pair is an (anchor, positive) example —
     * the free supervision a curation run already computed — and each
-    * gets a deterministic negative, `(da·31 + db·17) mod n_docs`,
-    * checked against the pair's connected component (`neg_ok` = the
-    * negative is NOT in the anchor's dup cluster; consumers drop or
-    * re-roll the rare false rows — collision odds are cluster/corpus).
-    * Pure modular arithmetic instead of rand() keeps the triplet set
-    * reproducible across runs/partitionings — an embedding-training
-    * epoch re-materializes bit-identically, the same property the
-    * hash-sampling family guarantees.
+    * gets a deterministic negative — the first 52 bits of
+    * `md5(da|db)` taken mod n_docs, the same hash-draw idiom the
+    * sampling family uses ([[Aggregates.hexFrac]]) — checked against
+    * the pair's connected component (`neg_ok` = the negative is NOT in
+    * the anchor's dup cluster; consumers drop or re-roll the rare
+    * false rows — collision odds are cluster/corpus). A hash draw
+    * instead of rand() keeps the triplet set reproducible across
+    * runs/partitionings — an embedding-training epoch re-materializes
+    * bit-identically — and, unlike the linear-combination draw it
+    * replaced (`da·31 + db·17`, whose int64 product silently wraps
+    * NEGATIVE for ids past ~2⁶², making neg_id unmatchable), 52 bits
+    * can never overflow, so the draw is engine-portable at any id
+    * range.
     *
     * Scale: triplet volume is the verified pair volume (candidate-
     * bounded by the shared MinHash stage); the negative needs one
@@ -721,7 +801,9 @@ object Dedup {
     // for the consumer to re-roll — it must never silently DROP a
     // verified (anchor, positive) pair
     p.crossJoin(broadcast(nd))
-      .withColumn("neg_id", (col("da") * 31 + col("db") * 17) % col("n_docs"))
+      .withColumn("neg_id",
+        conv(substring(md5(concat_ws("|", col("da"), col("db"))
+          .cast("binary")), 1, 13), 16, 10).cast("bigint") % col("n_docs"))
       .join(docs.select(col("doc_id").as("neg_id"),
         lit(1).as("neg_exists")), Seq("neg_id"), "left")
       .join(clusters.select(col("doc_id").as("da"),

@@ -294,7 +294,11 @@ object Relational {
     * DECIMAL(18,6) image, `avg_price` is one terminal division.
     */
   def rollupReport(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
+    rollupReportOn(Tables.orders(spark, dir))
+
+  /** [[rollupReport]] over any orders-shaped frame. */
+  def rollupReportOn(orders: DataFrame): DataFrame =
+    orders
       .select(year(col("o_orderdate")).as("o_year"),
         col("o_orderpriority"), col("o_totalprice"))
       .rollup(col("o_year"), col("o_orderpriority"))

@@ -80,8 +80,12 @@ object Retrieval {
       queryId: Long = 0, k: Int = 20, nprobe: Int = 4,
       kRrf: Int = 60): DataFrame = {
     val base = graft.ArtifactMemo.cached(spark, s"rrfidx:$dir") {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_rrf_idx").toString
+      // shared-location artifact root, NOT a JVM temp dir: on a multi-
+      // node cluster a driver-local file: path would leave executors
+      // reading their own disks — graft.Materialize.artifactDir routes
+      // through spark.graft.materialize.dir (loud failure if a cluster
+      // run leaves it unset)
+      val p = graft.Materialize.artifactDir(spark, "rrf_idx")
       TextAnalysis.writeBm25Index(spark, dir, p + "/bm25")
       Similarity.writeIvfIndex(spark, dir, p + "/ivf")
       p

@@ -589,6 +589,21 @@ object TextAnalysis {
       k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25On(Tables.documents(spark, dir), query, k, k1, b)
 
+  /** The (doc_id, term, tf) frame every BM25 path builds from — NULL
+    * text coalesced to '' BEFORE tokenizing: `split('', ' ')` is
+    * `['']`, so EVERY doc lands at least one row, and the doclens row
+    * count equals the corpus doc count for ALL inputs. The append-path
+    * scalars refresh ([[appendToBm25Index]]) depends on exactly that
+    * invariant — without the coalesce, a null-text doc would produce
+    * no tf rows (explode drops it) and append-path n_docs/avgdl would
+    * diverge from the rebuild path's direct doc count.
+    */
+  private def bm25Tf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(tokens(coalesce(col("text"), lit("")))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
   /** [[bm25TopK]] over any (doc_id, text) frame. */
   def bm25On(docs: DataFrame,
       query: Seq[String],
@@ -597,10 +612,7 @@ object TextAnalysis {
     // — checkpoint so the corpus is scanned and exploded ONCE, not per
     // branch (column pruning differentiates the subtrees, so exchange
     // reuse alone never fires)
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .cutLineage()
+    val tf = bm25Tf(docs).cutLineage()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
@@ -650,9 +662,7 @@ object TextAnalysis {
 
   /** [[writeBm25Index]] over any (doc_id, text) frame. */
   def writeBm25IndexOn(docs: DataFrame, path: String): Unit = {
-    val tf = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = bm25Tf(docs)
       .cutLineage() // read by the postings write, doclens, and totals
     tf.repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
@@ -681,18 +691,16 @@ object TextAnalysis {
     */
   def appendToBm25Index(spark: SparkSession, batch: DataFrame,
       path: String): Unit = {
-    val tf = batch
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .cutLineage(eager = true)
+    val tf = bm25Tf(batch).cutLineage(eager = true)
     tf.repartition(col("term"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("append").parquet(path + "/postings")
     tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
       .write.mode("append").parquet(path + "/doclens")
-    // every doc contributes >=1 (possibly empty-string) token, so the
-    // doclens row count IS the corpus doc count — the scalars refresh
-    // reads the artifact, not the corpus
+    // every doc contributes >=1 (possibly empty-string) token —
+    // [[bm25Tf]]'s NULL-coalesce guarantees it — so the doclens row
+    // count IS the corpus doc count and the scalars refresh reads the
+    // artifact, not the corpus
     spark.read.parquet(path + "/doclens")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
       .select(col("n_docs"),

@@ -500,4 +500,47 @@ class PropertySpec extends AnyFunSuite {
         build(b2))) == expect, s"tree merge broken on $xs")
     }
   }
+
+  test("sample_cdf_pos binary search ≡ size(filter(vs, x <= v)) on sorted " +
+    "samples — incl. duplicates, boundary hits, NULL v, empty arrays") {
+    val arr: Gen[Seq[Double]] = for {
+      n <- Gen.choose(0, 24)
+      // narrow value space → heavy duplicate runs, the binary-search
+      // upper-bound edge the HOF count is insensitive to by construction
+      xs <- Gen.listOfN(n, Gen.choose(-6, 6).map(_ * 0.5))
+    } yield xs.sorted
+    val probe: Gen[Option[Double]] = Gen.frequency(
+      6 -> Gen.choose(-8, 8).map(i => Some(i * 0.25)),
+      1 -> Gen.const(None))
+    val cases = sample(Gen.zip(arr, probe), 300, seed = 37L)
+    val rows = cases.zipWithIndex.map { case ((vs, v), i) =>
+      Row(i.toLong, vs.map(Double.box), v.map(Double.box).orNull)
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("vs", ArrayType(DoubleType, containsNull = false)),
+      StructField("v", DoubleType)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+    val out = df.select(col("id"),
+        graft.functions.SortedRank.cdfPos(col("vs"), col("v")).as("native"),
+        size(filter(col("vs"), x => x <= col("v"))).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"id ${r.getLong(0)}: native=${r.getInt(1)} hof=${r.getInt(2)}")
+    }
+    // SQL-registered surface + NULL-array propagation
+    val sqlRow = spark.sql(
+      """SELECT sample_cdf_pos(array(1.0d, 2.0d, 2.0d, 5.0d), 2.0d) AS a,
+        |       sample_cdf_pos(CAST(NULL AS ARRAY<DOUBLE>), 1.0d) AS b,
+        |       sample_cdf_pos(array(1.0d), CAST(NULL AS DOUBLE)) AS c,
+        |       sample_cdf_pos(array(1.0d, 2.0d), CAST('NaN' AS DOUBLE)) AS d
+        |""".stripMargin).head
+    assert(sqlRow.getInt(0) == 3)
+    assert(sqlRow.isNullAt(1), "NULL array must propagate (size(NULL))")
+    assert(sqlRow.getInt(2) == 0, "NULL probe drops every element")
+    assert(sqlRow.getInt(3) == 0, "NaN probe counts nothing (x <= NaN false)")
+  }
 }

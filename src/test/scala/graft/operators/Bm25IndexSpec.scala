@@ -53,6 +53,34 @@ class Bm25IndexSpec extends AnyFunSuite {
     assert(sa == sr, s"$sa vs $sr")
   }
 
+  test("append ≡ rebuild holds with NULL-text docs: the coalesced " +
+    "tokenize keeps the doclens row count equal to the doc count, so " +
+    "the append-path scalars refresh matches the rebuild definition") {
+    import spark.implicits._
+    val base = Seq((1L, "alpha hash join"), (2L, "beta vector")).toDF("doc_id", "text")
+    // the batch carries a NULL text — pre-fix this doc produced no tf
+    // rows, so n_docs from the doclens row count undercounted by one
+    val batch = Seq((3L, "gamma hash"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val appended = Files.createTempDirectory("graft_bm25null_a").toString
+    TextAnalysis.writeBm25IndexOn(base, appended)
+    TextAnalysis.appendToBm25Index(spark, batch, appended)
+    val rebuilt = Files.createTempDirectory("graft_bm25null_r").toString
+    TextAnalysis.writeBm25IndexOn(base.unionByName(batch), rebuilt)
+    val sa = spark.read.parquet(appended + "/scalars")
+      .collect().map(_.toString).toSeq
+    val sr = spark.read.parquet(rebuilt + "/scalars")
+      .collect().map(_.toString).toSeq
+    assert(sa == sr, s"append scalars $sa vs rebuild $sr")
+    assert(spark.read.parquet(appended + "/scalars").head.getLong(0) == 4L,
+      "n_docs must count the null-text doc")
+    val viaAppend = TextAnalysis.bm25FromIndex(spark, appended, Seq("hash"))
+      .collect().map(_.toString).toSeq
+    val viaRebuild = TextAnalysis.bm25FromIndex(spark, rebuilt, Seq("hash"))
+      .collect().map(_.toString).toSeq
+    assert(viaAppend == viaRebuild && viaAppend.nonEmpty)
+  }
+
   test("serving plan: term filter pushed to the postings scan, no " +
     "corpus re-tokenize (no Generate), documents never scanned") {
     // toString renders through the AQE wrapper (the PlanSpec idiom) —

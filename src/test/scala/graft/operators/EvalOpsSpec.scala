@@ -224,23 +224,30 @@ class EvalOpsSpec extends AnyFunSuite {
     def uniq(i: Long) = (0 until 12).map(j => s"u${i}_$j").mkString(" ")
     val dupText = "the same duplicated sentence appears in both " +
       "documents of this planted family exactly"
-    // corpus A: 10 docs, dups at {0,1,2}; neg(0,1) = 17%10 = 7 (outside)
+    // corpus A: 10 docs, dups at {0,1,2}. md5-draw negatives
+    // (int(md5("da|db")[0:13], 16) % 10): pair (0,1) draws 2 — inside
+    // its own cluster, so the flag trips — pairs (0,2)/(1,2) draw 9
+    // (outside, exists) — both flavors from one corpus
     val a = (0L until 10L).map(i =>
       (i, if (i < 3) dupText else uniq(i)))
     val gotA = Dedup.contrastivePairsOn(a.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toList
-    assert(gotA == List((0L, 1L, 7L, true), (0L, 2L, 4L, true),
-      (1L, 2L, 5L, true)), s"$gotA")
-    // corpus B: 175 docs, dups at {3,5}; neg(3,5) = (93+85)%175 = 3 —
-    // the anchor itself -> must be flagged neg_ok = false
-    val b = (0L until 175L).map(i =>
-      (i, if (i == 3 || i == 5) dupText else uniq(i)))
+    assert(gotA == List((0L, 1L, 2L, false), (0L, 2L, 9L, true),
+      (1L, 2L, 9L, true)), s"$gotA")
+    // corpus B: ids offset by 2^60 — the range where the replaced
+    // linear draw (da*31 + db*17) wrapped int64 NEGATIVE (DuckDB errors
+    // on the same product). The 52-bit hash draw stays valid: neg_id =
+    // md5 % 10 = 3, which matches no sparse huge id, so the left
+    // existence join flags it for re-roll instead of dropping the pair
+    val off = 1L << 60
+    val b = (0L until 10L).map(i =>
+      (i + off, if (i < 2) dupText else uniq(i)))
     val gotB = Dedup.contrastivePairsOn(b.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toList
-    assert(gotB == List((3L, 5L, 3L, false)),
-      s"in-cluster negative must be flagged: $gotB")
+    assert(gotB == List((off, off + 1L, 3L, false)),
+      s"sparse-id miss must flag, never drop: $gotB")
   }
 
   test("heavyHittersBySource: a dominant term is reported only for " +

@@ -69,6 +69,45 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"), plan)
   }
 
+  test("ivf-pq append: admitting a batch equals re-coding the union " +
+    "under the same frozen artifacts, and the admission plan never " +
+    "reads the stored codes or the corpus") {
+    val p = Files.createTempDirectory("graft_ivfpq_inc").toString + "/index"
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val batch = emb.filter(col("vec_id") % 2 === 1)
+    // base layout trained on the even half only — ITS artifacts are the
+    // frozen serving configuration every later admission encodes under
+    val (coarse, cb, codes) = Similarity.ivfPqArtifactOn(base, 16, 16, 64)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(p + "/codes")
+    cb.write.mode("overwrite").parquet(p + "/codebook")
+    coarse.write.mode("overwrite").parquet(p + "/coarse")
+
+    // plan proof BEFORE the append: the admission frame reads the batch
+    // + the two broadcast-sized artifact frames — not codes/, not the
+    // embeddings table beyond the batch's own pushed-filter scan
+    val admission = Similarity.ivfPqBatchCodes(spark, batch, p)
+    val scanned = admission.queryExecution.executedPlan.toString
+    assert(!scanned.contains(p + "/codes"),
+      "admission must never read the stored code directories")
+
+    Similarity.appendToIvfPqIndex(spark, batch, p)
+    // append ≡ re-code: the appended codes table must equal coding the
+    // UNION corpus under the same frozen (coarse, codebook) in one shot
+    val appended = spark.read.parquet(p + "/codes")
+      .select(col("vec_id"), col("cell").cast("long"), col("sub"), col("cid"))
+      .collect().map(_.toString).sorted.toSeq
+    val recoded = Similarity.ivfPqBatchCodes(spark, emb, p)
+      .select(col("vec_id"), col("cell").cast("long"), col("sub"), col("cid"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended == recoded)
+    // and only the batch's cells gained files: every code row for an
+    // even id predates the append (no rewrite of existing rows) —
+    // count check: appended table = base codes + batch codes exactly
+    assert(appended.length == recoded.length && recoded.nonEmpty)
+  }
+
   test("the probe prunes index partitions at scan time") {
     val p = Similarity.annIvfFromIndex(spark, indexPath, dir)
       .queryExecution.executedPlan.toString

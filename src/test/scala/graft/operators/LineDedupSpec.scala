@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Corpus-wide duplicate-line removal: keep-first policy, within-doc
+  * collapse, blank-line structure preservation, and the deterministic
+  * line-wrap fixture view.
+  */
+class LineDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def run(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    Dedup.lineDedupOn(docs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+      .toList
+  }
+
+  test("cross-doc duplicate line drops everywhere except the earliest " +
+    "(doc_id, idx) occurrence; unique lines untouched") {
+    val got = run(Seq(
+      (1L, "alpha line\nbeta line"),
+      (2L, "alpha line\ngamma line"),
+      (3L, "delta line\nalpha line")))
+    assert(got == List(
+      (1L, "alpha line\nbeta line", 2, 0),
+      (2L, "gamma line", 2, 1),
+      (3L, "delta line", 2, 1)), got.toString)
+  }
+
+  test("within-doc repeat of a line collapses to its first position " +
+    "(occurrence count, not distinct-doc count)") {
+    val got = run(Seq((7L, "same\nother\nsame")))
+    assert(got == List((7L, "same\nother", 3, 1)), got.toString)
+  }
+
+  test("blank lines are structure: never counted, never dropped, and " +
+    "an all-duplicate doc reassembles to the empty string") {
+    val got = run(Seq(
+      (1L, "x\n\nx"),      // blank between two copies of x
+      (2L, "x")))          // entirely duplicate content
+    // doc 1 keeps x (keeper, idx 0) + the blank; in-doc repeat drops;
+    // doc 2's only line loses to doc 1 -> clean_text ''
+    assert(got == List((1L, "x\n", 3, 1), (2L, "", 1, 1)), got.toString)
+  }
+
+  test("keep-first is lexicographic (doc_id, idx): a later doc's " +
+    "EARLIER index never beats a smaller doc_id") {
+    val got = run(Seq(
+      (5L, "pad\ndup"),   // dup at (5, 1)
+      (9L, "dup\npad2"))) // dup at (9, 0) — later doc, earlier idx
+    assert(got == List((5L, "pad\ndup", 2, 0), (9L, "pad2", 2, 1)),
+      got.toString)
+  }
+
+  test("wrapLines: 10-word lines, remainder tail, deterministic — and " +
+    "planted duplicate docs become duplicate lines end-to-end") {
+    import spark.implicits._
+    val words25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val wrapped = Dedup.wrapLines(Seq((1L, words25)).toDF("doc_id", "text"))
+      .head.getString(1)
+    val lines = wrapped.split("\n").toSeq
+    assert(lines.map(_.split(" ").length) == Seq(10, 10, 5), lines.toString)
+    assert(lines.head == (1 to 10).map(i => s"w$i").mkString(" "))
+    // two identical docs through the full dir-style composition: every
+    // line of the later doc drops
+    val two = Dedup.lineDedupOn(Dedup.wrapLines(
+      Seq((1L, words25), (2L, words25)).toDF("doc_id", "text")))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).toList
+    assert(two == List((1L, 3, 0), (2L, 3, 3)), two.toString)
+  }
+
+  test("clean corpus is a no-op: nothing dropped, text reassembles " +
+    "byte-identically") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b\nc d"), (2L, "e f\ng h")).toDF("doc_id", "text")
+    val got = Dedup.lineDedupOn(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toList
+    assert(got == List((1L, "a b\nc d", 0), (2L, "e f\ng h", 0)),
+      got.toString)
+  }
+}
