@@ -302,8 +302,17 @@ object Bpe {
   /** The id-serving join: per-dict-word id sequences from the vocab
     * (fold ran once at training; here it's a posexplode + lookup join),
     * then one corpus explode + equi-join + ordered per-doc reassembly.
+    *
+    * OOV fallback (pinned in `BpeSpec`): a word absent from the dict
+    * takes its CHARACTERS' vocab ids — total coverage, mirroring
+    * [[tokenizeWithDict]]'s piece-count rule — and a character the
+    * vocab has never seen maps to the `-1` unknown sentinel (ids are
+    * non-negative by construction, so −1 is unambiguous and no trained
+    * id renumbers). The fallback branch's volume is bounded by OOV
+    * occurrences only: on a corpus the dict was trained over it is
+    * empty and the plan is unchanged.
     */
-  private def idsWithVocab(docs: DataFrame, dict: DataFrame,
+  private[graft] def idsWithVocab(docs: DataFrame, dict: DataFrame,
       vocab: DataFrame): DataFrame = {
     val wordIds = dict
       .select(col("w"), posexplode(col("syms")).as(Seq("pos", "sym")))
@@ -311,10 +320,24 @@ object Bpe {
       .groupBy(col("w"))
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("id")))),
         s => s.getField("id")).as("ids"))
-    docs
+    val words = docs
       .select(col("doc_id"), posexplode(split(col("text"), " "))
         .as(Seq("wpos", "w")))
-      .join(wordIds, "w")
+      .filter(length(col("w")) > 0)
+      .join(wordIds, Seq("w"), "left")
+    val inDict = words.filter(col("ids").isNotNull)
+      .select(col("doc_id"), col("wpos"), col("ids"))
+    val oov = words.filter(col("ids").isNull)
+      .select(col("doc_id"), col("wpos"),
+        posexplode(split(col("w"), "")).as(Seq("cpos", "sym")))
+      .join(vocab.filter(length(col("sym")) === 1)
+        .select(col("sym"), col("id")), Seq("sym"), "left")
+      .groupBy(col("doc_id"), col("wpos"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("cpos"),
+          coalesce(col("id"), lit(-1L)).as("id")))),
+        s => s.getField("id")).as("ids"))
+    inDict.unionByName(oov)
       .groupBy(col("doc_id"))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("wpos"), col("ids")))),
@@ -723,22 +746,32 @@ object Bpe {
       bpeArtifact(spark, dir, nMerges)._2, "n_bpe_tokens")
 
   /** The serving join both tokenizers share: one token explode, one
-    * equi-join on the word against the (w, syms) dict frame (AQE
+    * LEFT equi-join on the word against the (w, syms) dict frame (AQE
     * broadcasts it when it fits; Heaps' law keeps it sublinear in the
-    * corpus), one per-doc aggregation. Docs whose tokens all miss the
-    * dict (empty/whitespace text) re-attach with 0 counts — every
-    * per-doc operator emits a row per doc; 0/0 division is NULL,
-    * marking "nothing to tokenize" explicitly.
+    * corpus), one per-doc aggregation.
+    *
+    * OOV fallback (SentencePiece's character-fallback rule, pinned in
+    * `BpeSpec`): a serving-time word ABSENT from the trained dict
+    * segments to its CHARACTERS — `n_sub` = the word's length — so
+    * coverage is total: every non-blank word of any input tokenizes to
+    * ≥ 1 piece, never silently dropped (the pre-round-9 inner join
+    * under-counted foreign batches). On a corpus the dict was trained
+    * over, every word hits and the output is unchanged. Blank tokens
+    * (split artifacts of empty text) are not words — filtered before
+    * the join, so empty/whitespace docs still re-attach with 0 counts
+    * and 0/0 = NULL marks "nothing to tokenize" explicitly.
     */
   private[graft] def tokenizeWithDict(docs: DataFrame, dictFrame: DataFrame,
       tokCol: String): DataFrame = {
     val dict = dictFrame.select(col("w"), size(col("syms")).as("n_sub"))
     val joined = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .join(dict, "w")
+      .filter(length(col("w")) > 0)
+      .join(dict, Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
-        sum(col("n_sub")).as(tokCol))
+        sum(coalesce(col("n_sub"), length(col("w")).cast("long")))
+          .as(tokCol))
     docs.select(col("doc_id")).join(joined, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),

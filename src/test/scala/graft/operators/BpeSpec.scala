@@ -233,6 +233,43 @@ class BpeSpec extends AnyFunSuite {
       s"expected checkpointed dict leaf:\n${memoQe.executedPlan}")
   }
 
+  test("OOV fallback: a foreign word char-splits (counts = its length, " +
+    "ids = its chars' ids), an unseen char maps to -1, and a foreign " +
+    "doc with in-vocab chars still round-trips") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val p = java.nio.file.Files.createTempDirectory("bpe_oov_").toString
+    Bpe.writeBpeDict(spark, dir, p, nMerges = 20)
+    val dict = spark.read.parquet(p + "/dict")
+    val vocab = spark.read.parquet(p + "/vocab")
+    val idOf = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val symOf = idOf.map(_.swap)
+    // a known dict word and a guaranteed-OOV word built from ITS chars
+    val known = dict.select(col("w"), col("syms")).orderBy(col("w")).head
+    val knownW = known.getString(0)
+    val knownPieces = known.getSeq[String](1)
+    val oov = knownW + knownW + knownW
+    assert(dict.filter(col("w") === oov).isEmpty, s"fixture clash: $oov")
+    val foreign = Seq((1L, s"$oov $knownW"), (2L, "ZQ"))
+      .toDF("doc_id", "text")
+    // piece counts: OOV contributes its char length, known its trained
+    // segmentation; both words COUNT (the old inner join dropped OOV)
+    val tok = Bpe.tokenizeWithDict(foreign, dict, "n_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tok(0) == ((1L, 2L, oov.length.toLong + knownPieces.size)),
+      tok.mkString(","))
+    assert(tok(1) == ((2L, 1L, 2L)), "unseen-char word still char-counts")
+    // ids: OOV -> per-char ids (round-trips through the vocab);
+    // unseen chars -> -1 sentinels, never dropped
+    val ids = Bpe.idsWithVocab(foreign, dict, vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val decoded = ids(1L).split(",").map(_.toLong).map(symOf).mkString
+    assert(decoded == (oov + knownW), s"round-trip broke: $decoded")
+    assert(ids(2L) == "-1,-1", ids(2L))
+    // coverage guarantee: id count = chars of OOV + known's piece count
+    assert(ids(1L).split(",").length == oov.length + knownPieces.size)
+  }
+
   test("colliding merge strings keep vocabulary ids unique (earliest wins)") {
     import org.apache.spark.sql.functions._
     // (ab, c) and (a, bc) both produce "abc"; the vocab must stay a

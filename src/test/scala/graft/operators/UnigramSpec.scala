@@ -199,6 +199,29 @@ class UnigramSpec extends AnyFunSuite {
       Bpe.unigramIds(spark, dir).collect().map(_.toString).toSeq)
   }
 
+  test("OOV fallback on the unigram surfaces: a foreign word char-splits " +
+    "with -1 for unseen chars, and piece counts keep total coverage") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_uni_oov").toString
+    Bpe.writeUnigramDict(spark, dir, tmp)
+    val dict = spark.read.parquet(tmp + "/dict")
+    val pieces = spark.read.parquet(tmp + "/pieces")
+      .select(col("piece").as("sym"), col("rank").cast("long").as("id"))
+    val symOf = pieces.collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val knownW = dict.select(col("w")).orderBy(col("w")).head.getString(0)
+    val oov = knownW + knownW + knownW
+    assert(dict.filter(col("w") === oov).isEmpty, s"fixture clash: $oov")
+    val foreign = Seq((1L, s"$oov ZQ")).toDF("doc_id", "text")
+    val tok = Bpe.tokenizeWithDict(foreign, dict, "n_u").head
+    assert(tok.getLong(1) == 2L && tok.getLong(2) == oov.length + 2L,
+      tok.toString)
+    val ids = Bpe.idsWithVocab(foreign, dict, pieces).head.getString(2)
+    val parts = ids.split(",").map(_.toLong)
+    assert(parts.length == oov.length + 2)
+    assert(parts.takeRight(2).toSeq == Seq(-1L, -1L), ids)
+    assert(parts.take(oov.length).map(symOf).mkString == oov, ids)
+  }
+
   test("unigram vs BPE at equal budget: the probabilistic vocabulary " +
     "never tokenizes worse than characters and matches corpus token " +
     "totals with the serving join") {
