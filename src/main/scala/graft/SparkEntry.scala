@@ -226,6 +226,7 @@ object SparkEntry {
     "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),
     "q_rollup_report" -> ((s, dir) => Relational.rollupReport(s, dir)),
     "q_retrieval_eval" -> ((s, dir) => Retrieval.retrievalEval(s, dir)),
+    "q_retrieval_multi" -> ((s, dir) => Retrieval.retrievalEvalMulti(s, dir)),
     "q_ndcg" -> ((s, dir) => Retrieval.ndcgEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
@@ -280,13 +281,14 @@ object SparkEntry {
       |  UNION SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)""".stripMargin
   private val dupClusterCtes: String = clusterCtes("documents")
 
-  /** Shared CTE chain for the retrieval oracles: BM25 top-20 with ranks
-    * (`br`), IVF ANN top-20 with ranks (`ar`), plus the embedding/query
-    * frames (`v`, `q`) the dense side exposes for reuse. One definition
-    * keeps q_rrf_fusion and q_retrieval_eval scoring the SAME two
-    * ranked lists — a k1/b or probe-budget change can't miss a twin.
+  /** Query-id-INDEPENDENT CTE chain for the retrieval oracles: BM25
+    * top-20 with ranks (`br`), plus the embedding/centroid/assignment
+    * frames (`v`, `c`, `assigned`) the dense side reads. One definition
+    * keeps q_rrf_fusion, q_retrieval_eval, q_ndcg, AND the multi-query
+    * q_retrieval_multi scoring the SAME lexical list and cell
+    * assignment — a k1/b or probe-budget change can't miss a twin.
     */
-  private val retrievalCtes: String =
+  private val retrievalSharedCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |             FROM documents),
       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -315,7 +317,6 @@ object SparkEntry {
       |v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |      FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
-      |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
       |dist AS (
       |  SELECT v.vec_id, v.v, c.cid,
       |         list_sum(list_transform(range(1, len(v.v)+1),
@@ -324,22 +325,33 @@ object SparkEntry {
       |assigned AS (
       |  SELECT vec_id, v, cid FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-      |    FROM dist) WHERE rn = 1),
-      |probe AS (
-      |  SELECT cid FROM c, q
+      |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** The query-id-DEPENDENT dense chain (query vector `q`, probed
+    * cells, IVF ANN top-20 `ar`), instantiated with a CTE-name suffix —
+    * the single-query oracles use query 0 with suffix "" (so their SQL
+    * is unchanged); q_retrieval_multi stamps one per sampled query id.
+    */
+  private def retrievalDenseCtesFor(qid: Long, sfx: String): String =
+    s"""q$sfx AS (SELECT v AS qv FROM v WHERE vec_id = $qid),
+      |probe$sfx AS (
+      |  SELECT cid FROM c, q$sfx
       |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
       |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
       |  LIMIT 4),
-      |ann AS (
+      |ann$sfx AS (
       |  SELECT a.vec_id,
       |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
       |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
       |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
-      |  FROM assigned a JOIN probe USING (cid), q
+      |  FROM assigned a JOIN probe$sfx USING (cid), q$sfx
       |  ORDER BY cos DESC, vec_id LIMIT 20),
-      |ar AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
+      |ar$sfx AS (SELECT vec_id AS doc_id, CAST(row_number() OVER
       |         (ORDER BY cos DESC, vec_id) AS INTEGER) AS ann_rank
-      |       FROM ann)""".stripMargin
+      |       FROM ann$sfx)""".stripMargin
+
+  private val retrievalCtes: String =
+    retrievalSharedCtes + ",\n" + retrievalDenseCtesFor(0L, "")
 
   /** Shared CTE chain for the curation-mix oracles (gopher keep rate +
     * near-dup doc rate + size temperature → per-source raw scores `r2`
@@ -3250,6 +3262,7 @@ object SparkEntry {
         |                CAST(0.0 AS DOUBLE)) AS mrr
         |FROM jj GROUP BY system ORDER BY system""".stripMargin,
     "q_ndcg" -> ndcgSql,
+    "q_retrieval_multi" -> retrievalMultiSql,
     "q_quality_fit" -> qualityFitSql,
     "q_quality_auc" -> qualityAucSql,
     "q_rollup_report" ->
@@ -3616,6 +3629,82 @@ object SparkEntry {
       |idcg AS (SELECT CAST(sum((21 - rank) * w) AS DOUBLE) AS idcg FROM d)
       |SELECT system, dcg, dcg / idcg AS ndcg
       |FROM dcg, idcg ORDER BY system""".stripMargin
+  }
+
+  /** q_retrieval_multi's oracle: the shared retrieval CTEs, one dense
+    * chain per sampled query id, per-query graded gold + the three
+    * ranked lists, then the mean roll-up on the quantized DECIMAL
+    * tables (discounts AND reciprocals rendered once from the same
+    * `Retrieval` generators the Spark frames consume).
+    */
+  private lazy val retrievalMultiSql: String = {
+    val qids = Seq(0L, 7L, 19L)
+    val k = 20
+    val n = qids.length
+    val discVals = graft.operators.Retrieval.ndcgDiscounts(k)
+      .map { case (r, s) => s"($r, CAST($s AS DECIMAL(18,6)))" }
+      .mkString(", ")
+    val recipVals = graft.operators.Retrieval.mrrReciprocals(k)
+      .map { case (r, s) => s"($r, CAST($s AS DECIMAL(18,6)))" }
+      .mkString(", ")
+    val dense = qids.zipWithIndex
+      .map { case (q, i) => retrievalDenseCtesFor(q, s"_$i") }
+      .mkString(",\n")
+    val perQ = qids.zipWithIndex.map { case (q, i) =>
+      s"""fused_$i AS (
+        |  SELECT COALESCE(br.doc_id, ar_$i.doc_id) AS doc_id,
+        |         (COALESCE(CAST(1.0 AS DOUBLE) / (60 + br.bm25_rank),
+        |                   CAST(0.0 AS DOUBLE))
+        |          + COALESCE(CAST(1.0 AS DOUBLE) / (60 + ar_$i.ann_rank),
+        |                     CAST(0.0 AS DOUBLE))) AS rrf_score
+        |  FROM br FULL JOIN ar_$i ON br.doc_id = ar_$i.doc_id),
+        |fr_$i AS (SELECT doc_id, CAST(row_number() OVER
+        |         (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+        |       FROM fused_$i),
+        |gold_$i AS (
+        |  SELECT vec_id AS doc_id,
+        |         ${k + 1} - CAST(row_number() OVER (ORDER BY cos DESC, vec_id)
+        |                   AS INTEGER) AS grade
+        |  FROM (
+        |    SELECT a.vec_id,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |    FROM v a, q_$i ORDER BY cos DESC, vec_id LIMIT $k)),
+        |lists_$i AS (
+        |  SELECT $q AS query_id, 'bm25' AS system, doc_id, bm25_rank AS rank
+        |  FROM br
+        |  UNION ALL SELECT $q, 'ann', doc_id, ann_rank FROM ar_$i
+        |  UNION ALL SELECT $q, 'rrf', doc_id, rank FROM fr_$i
+        |            WHERE rank <= $k),
+        |jj_$i AS (SELECT l.query_id, l.system, l.rank, g.grade
+        |          FROM lists_$i l LEFT JOIN gold_$i g ON l.doc_id = g.doc_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = qids.indices.map(i => s"SELECT * FROM jj_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $retrievalSharedCtes,
+      |$dense,
+      |$perQ,
+      |uq AS ($unions),
+      |d AS (SELECT * FROM (VALUES $discVals) val2(rank, w)),
+      |rc AS (SELECT * FROM (VALUES $recipVals) val3(frr, rec)),
+      |pq AS (SELECT system, query_id,
+      |              CAST(sum(CASE WHEN grade IS NOT NULL THEN 1 ELSE 0 END)
+      |                   AS BIGINT) AS hits,
+      |              coalesce(min(CASE WHEN grade IS NOT NULL
+      |                                THEN uq.rank END), 0) AS frr,
+      |              sum(coalesce(grade, 0) * d.w) AS dcg
+      |       FROM uq JOIN d ON uq.rank = d.rank GROUP BY system, query_id),
+      |idcg AS (SELECT sum((${k + 1} - rank) * w) AS idcg FROM d)
+      |SELECT system, CAST(count(*) AS BIGINT) AS n_queries,
+      |       CAST(sum(hits) AS BIGINT) AS n_hits,
+      |       CAST(sum(hits) AS DOUBLE) / ${n * k} AS mean_recall_at_k,
+      |       CAST(sum(rec) AS DOUBLE) / $n AS mean_mrr,
+      |       CAST(sum(dcg) AS DOUBLE) / (CAST(idcg AS DOUBLE) * $n)
+      |         AS mean_ndcg
+      |FROM pq JOIN rc ON pq.frr = rc.frr CROSS JOIN idcg
+      |GROUP BY system, idcg ORDER BY system""".stripMargin
   }
 
   /** q_quality_auc's oracle: per-doc scores for BOTH models from the

@@ -152,6 +152,82 @@ object Retrieval {
       .orderBy(col("system"))
   }
 
+  /** rank → `%.6f` of 1/rank, plus the rank-0 miss sentinel → 0: the
+    * quantized-reciprocal table the multi-query mean MRR rides — the
+    * [[ndcgDiscounts]] one-table-two-renderings idiom applied to MRR,
+    * so the cross-query reciprocal SUM is an exact DECIMAL aggregation
+    * (order-free) and the mean is one terminal division. (Quantization
+    * moves each term by < 5e-7 — a metric definition, not an error.)
+    */
+  private[graft] def mrrReciprocals(k: Int): Seq[(Int, String)] =
+    (0, "0.000000") +: (1 to k).map(r =>
+      (r, String.format(java.util.Locale.ROOT, "%.6f",
+        Double.box(1.0 / r)))).toSeq
+
+  /** Retrieval eval over a QUERY SET — index sign-off averages over a
+    * query sample, not one anecdote: per query id, the three ranked
+    * lists ([[rankedLists]]) score against that query's exact-cosine
+    * graded gold; metrics then roll up to per-system means (mean
+    * recall@k, mean MRR, mean nDCG@k) over the n queries.
+    *
+    * Exactness discipline: recall stays integer-derived (Σ hits, ONE
+    * division by n·k); MRR sums the quantized-reciprocal DECIMAL table
+    * ([[mrrReciprocals]]) so the cross-query sum is order-free, one
+    * terminal division by n; nDCG sums the per-query DECIMAL DCGs and
+    * divides once by n·IDCG — no double ever accumulates.
+    *
+    * Scale shape: every materialized frame is ≤ n·3k rows (ranked
+    * lists, per-query partials, the two literal tables); the corpus is
+    * touched only through the rankers themselves, once per query id —
+    * n is an eval-sample size, ≪ corpus, and each ranker pass is the
+    * already-measured serving shape (the [[Similarity.annRecallAtK]]
+    * bounded-frame contract, one level up).
+    */
+  def retrievalEvalMulti(spark: SparkSession, dir: String,
+      query: Seq[String] = Seq("hash", "join", "vector", "stream"),
+      queryIds: Seq[Long] = Seq(0L, 7L, 19L), k: Int = 20,
+      nprobe: Int = 4, kRrf: Int = 60): DataFrame = {
+    import spark.implicits._
+    require(queryIds.nonEmpty, "query set must be non-empty")
+    val n = queryIds.length
+    val disc = ndcgDiscounts(k)
+      .map { case (r, s) => (r, new java.math.BigDecimal(s)) }
+      .toDF("rank", "w")
+    val recip = mrrReciprocals(k)
+      .map { case (r, s) => (r, new java.math.BigDecimal(s)) }
+      .toDF("frr", "rec")
+    val per = queryIds.map { qid =>
+      val gold = Similarity.cosineTopK(spark, dir, qid, k)
+        .select(col("vec_id").as("doc_id"),
+          (lit(k + 1) - row_number().over(
+            Window.orderBy(col("cos").desc, col("vec_id")))).as("grade"))
+      rankedLists(spark, dir, query, qid, k, nprobe, kRrf)
+        .join(broadcast(gold), Seq("doc_id"), "left")
+        .withColumn("query_id", lit(qid))
+    }.reduce(_.unionByName(_))
+    val perQuery = per.join(broadcast(disc), "rank")
+      .groupBy(col("system"), col("query_id"))
+      .agg(sum(when(col("grade").isNotNull, 1L).otherwise(0L)).as("hits"),
+        min(when(col("grade").isNotNull, col("rank"))).as("frr"),
+        sum(coalesce(col("grade"), lit(0)) * col("w")).as("dcg"))
+      .withColumn("frr", coalesce(col("frr"), lit(0)))
+    val idcg = disc
+      .agg(sum((lit(k + 1) - col("rank")) * col("w")).as("idcg"))
+    perQuery.join(broadcast(recip), "frr")
+      .groupBy(col("system"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("hits")).as("n_hits"),
+        sum(col("rec")).as("sum_rec"),
+        sum(col("dcg")).as("sum_dcg"))
+      .crossJoin(broadcast(idcg))
+      .select(col("system"), col("n_queries"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(n * k)).as("mean_recall_at_k"),
+        (col("sum_rec").cast("double") / lit(n)).as("mean_mrr"),
+        (col("sum_dcg").cast("double")
+          / (col("idcg").cast("double") * lit(n))).as("mean_ndcg"))
+      .orderBy(col("system"))
+  }
+
   /** The 6-decimal discount table nDCG runs on: rank r → the decimal
     * literal `round(1/log₂(r+1), 6)` rendered as a STRING once and
     * consumed by both engines ([[ndcgDiscounts]] feeds the Spark frame,

@@ -46,6 +46,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(served.size >= 20)
   }
 
+  test("multi-query eval reduces to the single-query eval at {0}: " +
+    "recall exact, MRR within its 1e-6 quantization, nDCG within 1e-6") {
+    val dir = "/root/testdata/sf0.001"
+    val single = Retrieval.retrievalEval(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(5))).toMap
+    val ndcgS = Retrieval.ndcgEval(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val multi = Retrieval.retrievalEvalMulti(spark, dir,
+        queryIds = Seq(0L)).collect()
+    assert(multi.length == 3)
+    multi.foreach { r =>
+      val sys = r.getString(0)
+      assert(r.getLong(1) == 1L, "n_queries")
+      assert(r.getLong(2) == single(sys)._1, s"$sys hits")
+      assert(r.getDouble(3) == single(sys)._2, s"$sys recall must be exact")
+      // MRR rides the 6-decimal quantized reciprocal table; nDCG's mean
+      // re-derivation divides by 1·IDCG — both within a quantization ulp
+      assert(math.abs(r.getDouble(4) - single(sys)._3) < 1e-6, s"$sys mrr")
+      assert(math.abs(r.getDouble(5) - ndcgS(sys)) < 1e-6, s"$sys ndcg")
+    }
+    // and over a real sample the means stay in [0, 1] with n stamped
+    val m3 = Retrieval.retrievalEvalMulti(spark, dir).collect()
+    assert(m3.forall(_.getLong(1) == 3L))
+    assert(m3.forall(r => r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0))
+    assert(m3.forall(r => r.getDouble(5) >= 0 && r.getDouble(5) <= 1.0))
+  }
+
   test("fused serving plan recomputes neither index: no Generate " +
     "(corpus tokenize) and no documents scan") {
     val p = Files.createTempDirectory("graft_rrf2").toString
