@@ -89,6 +89,63 @@ object Privacy {
     * and an md5 of the redacted text (scalar-friendly for the
     * comparator).
     */
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * the re-identification risk report a privacy review runs before a
+    * tabular extract joins a training corpus (Sweeney 2002 for
+    * k-anonymity; Machanavajjhala et al. 2007 for l-diversity): group
+    * rows by the quasi-identifier columns, measure each equivalence
+    * class's size (its k) and its distinct sensitive values (its l).
+    * Rows in classes smaller than `k` are individually
+    * re-identifiable by anyone who knows the quasi-identifiers; a
+    * class with l = 1 leaks the sensitive attribute even at large k
+    * (the homogeneity attack — everyone in the class shares it).
+    *
+    * Output, ONE summary row: n_rows, n_classes, min_k (the anonymity
+    * level the extract actually has), n_rows_at_risk (in classes
+    * < k), risk_frac, min_l, n_homogeneous (classes with l = 1).
+    *
+    * Shape: one map-side-combinable aggregation on the
+    * quasi-identifier key (Spark plans the per-class distinct count
+    * as the standard two-stage expand — partials on (class, value)
+    * pairs, never a per-class window), then a class-count-sized
+    * rollup. Scan-shaped at any table size; no joins, no windows.
+    * Exactness: every metric is an integer until risk_frac's single
+    * division.
+    */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    kAnonymityOn(
+      Tables.customer(spark, dir).select(
+        col("c_nationkey"), col("c_mktsegment"),
+        // the sensitive attribute: account standing (sign bucket) —
+        // coarse enough that homogeneous classes genuinely occur
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit"))
+          .as("sensitive")),
+      Seq("c_nationkey", "c_mktsegment"), "sensitive", k)
+
+  /** [[kAnonymity]] over any frame, given quasi-identifier columns and
+    * the sensitive column.
+    */
+  def kAnonymityOn(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Int = 5): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    val cls = df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_div"))
+    cls.agg(
+        sum(col("class_size")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("min_k"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("n_rows_at_risk"),
+        min(col("l_div")).as("min_l"),
+        sum(when(col("l_div") === 1, 1L).otherwise(0L)).as("n_homogeneous"))
+      .select(col("n_rows"), col("n_classes"), col("min_k"),
+        col("n_rows_at_risk"),
+        (col("n_rows_at_risk").cast("double") / col("n_rows"))
+          .as("risk_frac"),
+        col("min_l"), col("n_homogeneous"))
+  }
+
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val planted = Tables.documents(spark, dir).select(id,
