@@ -149,6 +149,9 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
     "q_boilerplate" -> ((s, dir) => TextAnalysis.boilerplateShare(s, dir)),
     "q_pii_scrub" -> ((s, dir) => Privacy.piiScrub(s, dir)),
+    "q_k_anonymity" -> ((s, dir) => Privacy.kAnonymity(s, dir)),
+    "q_k_anonymity_classes" ->
+      ((s, dir) => Privacy.kAnonymityClasses(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "q_status_periods" -> ((s, dir) => Analytics.statusPeriods(s, dir)),
@@ -234,12 +237,11 @@ object SparkEntry {
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
     "q_split_leakage_lf" -> ((s, dir) =>
-      Sampling.splitLeakageOfAssignment(
-        graft.sources.Tables.documents(s, dir),
+      Sampling.splitLeakageFromPairs(
         Sampling.splitAssignLeakFree(s, dir)
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("split")),
-        threshold = 0.7)),
+        Dedup.nearDupPairs(s, dir, 0.7))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2061,6 +2063,39 @@ object SparkEntry {
         |    '\+\d{1,3}[-. ]\d{3}[-. ]\d{3,10}', '<PHONE>', 'g'))
         |    AS redacted_md5
         |FROM r2 ORDER BY doc_id""".stripMargin,
+    // the two k-anonymity forms share the per-class CTE: one
+    // map-side-combinable GROUP BY on the quasi tuple, then either the
+    // class-count-sized summary rollup or the at-risk-class filter
+    "q_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |      ELSE 'credit' END) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(class_size) AS BIGINT) AS n_rows,
+        |  count(*) AS n_classes,
+        |  min(class_size) AS min_k,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS n_rows_at_risk,
+        |  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |      AS DOUBLE) / CAST(sum(class_size) AS DOUBLE) AS risk_frac,
+        |  min(l_div) AS min_l,
+        |  CAST(sum(CASE WHEN l_div = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_homogeneous
+        |FROM cls""".stripMargin,
+    "q_k_anonymity_classes" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |      ELSE 'credit' END) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, class_size, l_div,
+        |  CASE WHEN class_size < 5 THEN 'suppress'
+        |    ELSE 'generalize' END AS action
+        |FROM cls WHERE class_size < 5 OR l_div = 1
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.

@@ -203,7 +203,57 @@ object Dedup {
     */
   def minhashNearDup(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
-    minhashNearDupOn(Tables.documents(spark, dir), threshold)
+    nearDupPairs(spark, dir, threshold)
+
+  /** The session-memoized verified near-dup pair frame for the on-disk
+    * corpus at `dir` — THE shared artifact of the dedup family. At least
+    * ten query surfaces are views over this one frame (the graph family,
+    * cluster/canonical resolution, the dup-source matrix, contrastive
+    * triplets, split-leakage probes, the mix planner/apply pair, the
+    * curation pipeline), and each re-deriving
+    * shingles→signatures→banding→verify from scratch multiplies the
+    * dominant corpus scan by the consumer count — the same
+    * train-once/serve anti-pattern [[graft.ArtifactMemo]] exists to
+    * kill, already closed for BM25/IVF/LM/dict artifacts. Trains at most
+    * once per (session, dir, threshold); the pair frame is eagerly
+    * lineage-cut (true near-dup volume, never corpus-sized), so later
+    * consumers read materialized blocks instead of re-scanning the
+    * corpus.
+    *
+    * The `*On` variants below stay fresh-compute: they exist for
+    * arbitrary in-flight frames (specs, Profile stress corpora,
+    * streaming batches) whose contents have no stable identity to key
+    * on.
+    */
+  def nearDupPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.7): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"minhashpairs:$threshold:$dir") {
+      minhashNearDupOn(Tables.documents(spark, dir), threshold)
+        .cutLineage(eager = true)
+    }
+
+  /** Restrict a full-corpus verified pair frame to pairs whose BOTH
+    * endpoints appear in `ids` (a one-column `doc_id` frame). This is
+    * EXACT, not approximate: signatures and banding are per-document
+    * functions of text alone, the candidate join and the exact-Jaccard
+    * verify are per-pair, so for any subset S of an unmodified corpus,
+    * pairs(S) == pairs(full) ∩ S×S. It lets pipelines that dedup a
+    * FILTERED population (quality/decontamination survivors — filters,
+    * never rewrites) reuse the memoized [[nearDupPairs]] artifact
+    * instead of re-running the MinHash stage on the subset.
+    *
+    * Shape: two semi-joins of the (small, true-near-dup-volume) pair
+    * frame against a narrow one-column id frame — AQE broadcasts the
+    * pair side at any corpus scale; the id side contributes a narrow
+    * scan, never a wide shuffle.
+    */
+  def restrictPairs(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val i = ids.select(col("doc_id"))
+    pairs
+      .join(i.withColumnRenamed("doc_id", "da"), Seq("da"), "left_semi")
+      .join(i.withColumnRenamed("doc_id", "db"), Seq("db"), "left_semi")
+      .select(col("da"), col("db"), col("jaccard"))
+  }
 
   /** Same, over any (doc_id, text) frame. */
   def minhashNearDupOn(documents: DataFrame, threshold: Double): DataFrame =
@@ -243,13 +293,20 @@ object Dedup {
     */
   def dupSourceMatrix(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
-    dupSourceMatrixOn(Tables.documents(spark, dir), threshold)
+    dupSourceMatrixFromPairs(nearDupPairs(spark, dir, threshold),
+      Tables.documents(spark, dir))
 
   /** [[dupSourceMatrix]] over any documents-shaped frame. */
   def dupSourceMatrixOn(docs: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashNearDupOn(docs, threshold)
-      .select(col("da"), col("db"))
+      threshold: Double = 0.7): DataFrame =
+    dupSourceMatrixFromPairs(minhashNearDupOn(docs, threshold), docs)
+
+  /** [[dupSourceMatrix]] over a pre-computed verified pair frame —
+    * the [[nearDupPairs]]-serving path.
+    */
+  def dupSourceMatrixFromPairs(pairFrame: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val pairs = pairFrame.select(col("da"), col("db"))
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("da"), col("source").as("src_a")),
@@ -788,12 +845,22 @@ object Dedup {
     */
   def contrastivePairs(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
-    contrastivePairsOn(Tables.documents(spark, dir), threshold)
+    contrastivePairsFromPairs(nearDupPairs(spark, dir, threshold),
+      Tables.documents(spark, dir))
 
   /** [[contrastivePairs]] over any documents-shaped frame. */
   def contrastivePairsOn(docs: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
-    val p = minhashNearDupOn(docs, threshold).cutLineage(eager = true)
+      threshold: Double = 0.7): DataFrame =
+    contrastivePairsFromPairs(
+      minhashNearDupOn(docs, threshold).cutLineage(eager = true), docs)
+
+  /** [[contrastivePairs]] over a pre-MATERIALIZED verified pair frame
+    * (the memoized [[nearDupPairs]] artifact, or a caller's own cut) —
+    * the frame feeds both the clustering loop and the triplet assembly,
+    * so an unmaterialized input would recompute the MinHash stage per
+    * consumer.
+    */
+  def contrastivePairsFromPairs(p: DataFrame, docs: DataFrame): DataFrame = {
     val clusters = clustersFromPairs(p)
     val nd = docs.agg(count(lit(1)).as("n_docs"))
     // LEFT existence join: a modular draw that misses the id space

@@ -81,14 +81,6 @@ object Privacy {
       regexp_replace(afterIp, PhoneRe, "<PHONE>").as("redacted"))
   }
 
-  /** Query form over `documents`. The synthetic corpus is PII-free, so
-    * the query PLANTS deterministic doc_id-derived contact lines first
-    * (both engines construct the identical string), then scrubs — the
-    * oracle hash therefore exercises the real detection and redaction
-    * regexes on every row, not a no-op pass. Output carries the counts
-    * and an md5 of the redacted text (scalar-friendly for the
-    * comparator).
-    */
   /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
     * the re-identification risk report a privacy review runs before a
     * tabular extract joins a training corpus (Sweeney 2002 for
@@ -113,25 +105,15 @@ object Privacy {
     * division.
     */
   def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
-    kAnonymityOn(
-      Tables.customer(spark, dir).select(
-        col("c_nationkey"), col("c_mktsegment"),
-        // the sensitive attribute: account standing (sign bucket) —
-        // coarse enough that homogeneous classes genuinely occur
-        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit"))
-          .as("sensitive")),
+    kAnonymityOn(customerQuasi(spark, dir),
       Seq("c_nationkey", "c_mktsegment"), "sensitive", k)
 
   /** [[kAnonymity]] over any frame, given quasi-identifier columns and
     * the sensitive column.
     */
   def kAnonymityOn(df: DataFrame, quasi: Seq[String], sensitive: String,
-      k: Int = 5): DataFrame = {
-    require(quasi.nonEmpty, "need at least one quasi-identifier column")
-    val cls = df.groupBy(quasi.map(col): _*)
-      .agg(count(lit(1)).as("class_size"),
-        countDistinct(col(sensitive)).as("l_div"))
-    cls.agg(
+      k: Int = 5): DataFrame =
+    classFrame(df, quasi, sensitive).agg(
         sum(col("class_size")).as("n_rows"),
         count(lit(1)).as("n_classes"),
         min(col("class_size")).as("min_k"),
@@ -144,8 +126,68 @@ object Privacy {
         (col("n_rows_at_risk").cast("double") / col("n_rows"))
           .as("risk_frac"),
         col("min_l"), col("n_homogeneous"))
+
+  /** Shared per-class frame: one row per quasi-identifier equivalence
+    * class with its size (k) and sensitive-value diversity (l).
+    */
+  private def classFrame(df: DataFrame, quasi: Seq[String],
+      sensitive: String): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitive)).as("l_div"))
   }
 
+  /** The remediation half of [[kAnonymity]]: WHICH equivalence classes
+    * put the extract at risk, and what to do about each. The summary
+    * row says `min_k`; acting on it needs the per-class view — one row
+    * per AT-RISK class (class_size < k, or l_div = 1: the homogeneity
+    * attack) with its quasi-identifier values, size, diversity, and the
+    * standard remediation: `suppress` for sub-k classes (too few
+    * members to publish at all) and `generalize` for large-but-
+    * homogeneous ones (the class survives once the sensitive or a
+    * quasi attribute is coarsened). Suppressing every `suppress` row
+    * provably raises min_k to ≥ k — every remaining class already has
+    * class_size ≥ k (spec-pinned in `PrivacySpec`).
+    *
+    * Shape: the same single map-side-combinable aggregation as the
+    * summary, then a per-class filter — output is bounded by true risk
+    * volume, never the table; deterministic ORDER BY the quasi tuple.
+    */
+  def kAnonymityClasses(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame =
+    kAnonymityClassesOn(customerQuasi(spark, dir),
+      Seq("c_nationkey", "c_mktsegment"), "sensitive", k)
+
+  /** [[kAnonymityClasses]] over any frame. */
+  def kAnonymityClassesOn(df: DataFrame, quasi: Seq[String],
+      sensitive: String, k: Int = 5): DataFrame =
+    classFrame(df, quasi, sensitive)
+      .filter(col("class_size") < k || col("l_div") === 1)
+      .withColumn("action",
+        when(col("class_size") < k, lit("suppress"))
+          .otherwise(lit("generalize")))
+      .orderBy(quasi.map(col): _*)
+
+  /** The shared quasi-identifier projection for the customer-table query
+    * forms: (nation, market segment) as the quasi tuple, account
+    * standing (sign bucket) as the sensitive attribute — coarse enough
+    * that homogeneous classes genuinely occur.
+    */
+  private def customerQuasi(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_nationkey"), col("c_mktsegment"),
+      when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit"))
+        .as("sensitive"))
+
+  /** Query form over `documents`. The synthetic corpus is PII-free, so
+    * the query PLANTS deterministic doc_id-derived contact lines first
+    * (both engines construct the identical string), then scrubs — the
+    * oracle hash therefore exercises the real detection and redaction
+    * regexes on every row, not a no-op pass. Output carries the counts
+    * and an md5 of the redacted text (scalar-friendly for the
+    * comparator).
+    */
   def piiScrub(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val planted = Tables.documents(spark, dir).select(id,

@@ -194,13 +194,16 @@ object Sampling {
     */
   def splitLeakage(spark: SparkSession, dir: String,
       trainHi: String = "cccc", valHi: String = "e665",
-      threshold: Double = 0.7): DataFrame =
-    splitLeakageOn(Tables.documents(spark, dir), trainHi, valHi, threshold)
+      threshold: Double = 0.7): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    splitLeakageFromPairs(hashSplit(docs, trainHi, valHi),
+      graft.operators.Dedup.nearDupPairs(spark, dir, threshold))
+  }
 
-  /** [[splitLeakage]] over any documents-shaped frame. */
-  def splitLeakageOn(docs: DataFrame, trainHi: String = "cccc",
-      valHi: String = "e665", threshold: Double = 0.7): DataFrame = {
-    val split = docs
+  /** The shared per-document md5-interval split map. */
+  private def hashSplit(docs: DataFrame, trainHi: String,
+      valHi: String): DataFrame =
+    docs
       .withColumn("hk",
         substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4))
       .withColumn("split",
@@ -208,8 +211,12 @@ object Sampling {
           .when(col("hk") <= valHi, "val")
           .otherwise("test"))
       .select(col("doc_id"), col("split"))
-    splitLeakageOfAssignment(docs, split, threshold)
-  }
+
+  /** [[splitLeakage]] over any documents-shaped frame. */
+  def splitLeakageOn(docs: DataFrame, trainHi: String = "cccc",
+      valHi: String = "e665", threshold: Double = 0.7): DataFrame =
+    splitLeakageOfAssignment(docs, hashSplit(docs, trainHi, valHi),
+      threshold)
 
   /** The leakage probe over an ARBITRARY (doc_id, split) assignment —
     * the reconciliation half of the pair: run it over [[splitAssign]]'s
@@ -222,10 +229,18 @@ object Sampling {
     * spec-pinned on a planted near-dup fixture (`SamplingSpec`).
     */
   def splitLeakageOfAssignment(docs: DataFrame, assignment: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    splitLeakageFromPairs(assignment,
+      graft.operators.Dedup.minhashNearDupOn(docs, threshold))
+
+  /** The leakage probe over a pre-computed verified pair frame — the
+    * [[graft.operators.Dedup.nearDupPairs]]-serving path (the docs
+    * frame itself is only ever consumed through its pair set).
+    */
+  def splitLeakageFromPairs(assignment: DataFrame,
+      pairFrame: DataFrame): DataFrame = {
     val split = assignment.select(col("doc_id"), col("split"))
-    val pairs = graft.operators.Dedup.minhashNearDupOn(docs, threshold)
-      .select(col("da"), col("db"))
+    val pairs = pairFrame.select(col("da"), col("db"))
     // undirected: every doc sees every neighbor once per direction
     val e = pairs.union(pairs.select(col("db").as("da"), col("da").as("db")))
     val leaked = e
@@ -499,11 +514,21 @@ object Sampling {
     */
   def curationMixWeights(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame =
-    curationMixWeightsOn(Tables.documents(spark, dir), threshold)
+    curationMixWeightsFromPairs(
+      graft.operators.Dedup.nearDupPairs(spark, dir, threshold),
+      Tables.documents(spark, dir))
 
   /** [[curationMixWeights]] over any documents-shaped frame. */
   def curationMixWeightsOn(docs: DataFrame,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7): DataFrame =
+    curationMixWeightsFromPairs(
+      graft.operators.Dedup.minhashNearDupOn(docs, threshold), docs)
+
+  /** [[curationMixWeights]] over a pre-computed verified pair frame —
+    * the [[graft.operators.Dedup.nearDupPairs]]-serving path.
+    */
+  def curationMixWeightsFromPairs(pairs: DataFrame,
+      docs: DataFrame): DataFrame = {
     val base = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
@@ -512,7 +537,6 @@ object Sampling {
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
       .agg(count(when(col("keep"), 1)).as("n_keep"))
-    val pairs = graft.operators.Dedup.minhashNearDupOn(docs, threshold)
     val dup = pairs.select(col("da").as("doc_id"))
       .union(pairs.select(col("db").as("doc_id"))).distinct()
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
@@ -553,12 +577,23 @@ object Sampling {
     */
   def applyMixPlan(spark: SparkSession, dir: String,
       budgetFrac: Double = 0.5, threshold: Double = 0.7): DataFrame =
-    applyMixPlanOn(Tables.documents(spark, dir), budgetFrac, threshold)
+    applyMixPlanFromPairs(
+      graft.operators.Dedup.nearDupPairs(spark, dir, threshold),
+      Tables.documents(spark, dir), budgetFrac)
 
   /** [[applyMixPlan]] over any documents-shaped frame. */
   def applyMixPlanOn(docs: DataFrame, budgetFrac: Double = 0.5,
-      threshold: Double = 0.7): DataFrame = {
-    val w = curationMixWeightsOn(docs, threshold)
+      threshold: Double = 0.7): DataFrame =
+    applyMixPlanFromPairs(
+      graft.operators.Dedup.minhashNearDupOn(docs, threshold), docs,
+      budgetFrac)
+
+  /** [[applyMixPlan]] over a pre-computed verified pair frame — the
+    * [[graft.operators.Dedup.nearDupPairs]]-serving path.
+    */
+  def applyMixPlanFromPairs(pairs: DataFrame, docs: DataFrame,
+      budgetFrac: Double = 0.5): DataFrame = {
+    val w = curationMixWeightsFromPairs(pairs, docs)
     val tot = w.agg(sum(col("n_tokens")).as("tt"))
     val plan = w.crossJoin(broadcast(tot))
       .select(col("source"), col("n_docs"), col("n_tokens"), col("weight"),

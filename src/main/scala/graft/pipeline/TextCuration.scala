@@ -43,13 +43,20 @@ object TextCuration {
     */
   def run(spark: SparkSession, dir: String,
       cfg: Config = Config()): DataFrame =
-    runOn(Tables.documents(spark, dir), cfg)
+    runOn(Tables.documents(spark, dir), cfg,
+      Some(Dedup.nearDupPairs(spark, dir, cfg.dedupThreshold)))
 
   /** [[run]] over any documents-shaped frame — the same pipeline runs on
-    * the table fixture and on the Profile stress corpus.
+    * the table fixture and on the Profile stress corpus. `fullPairs`, when
+    * given, is the FULL-corpus verified near-dup pair frame (the memoized
+    * [[Dedup.nearDupPairs]] artifact): the dedup stage then restricts it
+    * to the surviving population ([[Dedup.restrictPairs]] — exact, the
+    * upstream stages filter documents and never rewrite text) instead of
+    * re-running the MinHash stage on the subset.
     */
-  def runOn(docs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val kept = keptAfterCapFrom(keptAfterDedupOn(docs, cfg), cfg)
+  def runOn(docs: DataFrame, cfg: Config = Config(),
+      fullPairs: Option[DataFrame] = None): DataFrame = {
+    val kept = keptAfterCapFrom(keptAfterDedupOn(docs, cfg, fullPairs), cfg)
     // pack survivors within each lang shard (same shape as
     // Sampling.tokenPack, over the curated frame)
     val w = org.apache.spark.sql.expressions.Window
@@ -78,7 +85,8 @@ object TextCuration {
     val docs = Tables.documents(spark, dir)
     val qualityDf = qualityGateOn(docs, cfg).persist()
     val cleanDf = decontaminatedOn(docs, qualityDf, cfg).persist()
-    val dedupDf = keptAfterDedupFrom(cleanDf, cfg).persist()
+    val dedupDf = keptAfterDedupFrom(cleanDf, cfg,
+      Some(Dedup.nearDupPairs(spark, dir, cfg.dedupThreshold))).persist()
     try {
       val input = docs.count()
       val quality = qualityDf.count()
@@ -135,12 +143,14 @@ object TextCuration {
     */
   private[pipeline] def keptAfterDedup(spark: SparkSession, dir: String,
       cfg: Config): DataFrame =
-    keptAfterDedupOn(Tables.documents(spark, dir), cfg)
+    keptAfterDedupOn(Tables.documents(spark, dir), cfg,
+      Some(Dedup.nearDupPairs(spark, dir, cfg.dedupThreshold)))
 
-  private def keptAfterDedupOn(docs: DataFrame, cfg: Config): DataFrame =
+  private def keptAfterDedupOn(docs: DataFrame, cfg: Config,
+      fullPairs: Option[DataFrame] = None): DataFrame =
     keptAfterDedupFrom(
       decontaminatedOn(docs, qualityGateOn(docs, cfg), cfg)
-        .cutLineage(), cfg)
+        .cutLineage(), cfg, fullPairs)
 
   /** Callers pass a MATERIALIZED frame (persisted or checkpointed):
     * `clean` feeds three consumers here (the minhash pipeline, the
@@ -151,10 +161,17 @@ object TextCuration {
     * exactly one storage layer either way.
     */
   private def keptAfterDedupFrom(clean: DataFrame,
-      cfg: Config): DataFrame = {
+      cfg: Config, fullPairs: Option[DataFrame] = None): DataFrame = {
+    // pairs over the clean SUBSET == full-corpus pairs restricted to it
+    // (filter-only upstream stages), so a memoized full-corpus artifact
+    // substitutes exactly for the fresh subset computation
+    val pairs = fullPairs
+      .map(p => Dedup.restrictPairs(p, clean.select(col("doc_id"))))
+      .getOrElse(
+        Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
+          cfg.dedupThreshold))
     val clusters = Dedup.clustersFromPairs(
-      Dedup.minhashNearDupOn(clean.select(col("doc_id"), col("text")),
-        cfg.dedupThreshold).select(col("da"), col("db")))
+      pairs.select(col("da"), col("db")))
     val survivors = clusters
       .join(clean.select(col("doc_id"), col("n_tokens")), "doc_id")
       .groupBy(col("cluster_id"))

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The memoized near-dup pair artifact ([[Dedup.nearDupPairs]]): the one
+  * shared frame behind the graph family, clustering, the dup matrix,
+  * contrastive triplets, split-leakage probes, the mix planner, and the
+  * curation pipeline. Two properties make the memo safe to serve
+  * everywhere: stored ≡ fresh (the artifact equals a from-scratch
+  * computation), and subset restriction ≡ subset recompute (so
+  * filter-only pipelines can reuse the full-corpus artifact).
+  */
+class PairMemoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("memoized nearDupPairs ≡ fresh minhashNearDupOn, non-vacuously") {
+    val fresh = Dedup.minhashNearDupOn(
+      graft.sources.Tables.documents(spark, dir), 0.7)
+    val stored = Dedup.nearDupPairs(spark, dir, 0.7)
+    val f = rows(fresh)
+    assert(f.nonEmpty, "corpus must contain near-dup pairs")
+    assert(rows(stored) == f)
+  }
+
+  test("second call serves the SAME artifact (no retrain)") {
+    assert(Dedup.nearDupPairs(spark, dir, 0.7) eq
+      Dedup.nearDupPairs(spark, dir, 0.7))
+  }
+
+  test("restrictPairs(full, S) ≡ recompute over subset S, non-vacuously") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val subset = docs.filter(col("doc_id") % 3 =!= 0)
+    val recomputed = rows(Dedup.minhashNearDupOn(subset, 0.7))
+    val restricted = rows(Dedup.restrictPairs(
+      Dedup.nearDupPairs(spark, dir, 0.7),
+      subset.select(col("doc_id"))))
+    assert(recomputed.nonEmpty,
+      "subset must retain near-dup pairs or the equality is vacuous")
+    assert(restricted == recomputed)
+  }
+}

@@ -71,4 +71,54 @@ class PrivacySpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) == 1L && r.getLong(2) == 1L
       && r.getLong(3) == 1L))
   }
+
+  // --- k-anonymity / l-diversity ---
+
+  private val kSchema = StructType(Seq(
+    StructField("zip", StringType), StructField("age_band", StringType),
+    StructField("diagnosis", StringType)))
+
+  /** Planted fixture: class (z1,a1) has 5 members and 2 diagnoses (safe);
+    * (z2,a2) has 2 members (< k: re-identifiable, suppress); (z3,a3) has
+    * 5 members but ONE diagnosis (homogeneity attack, generalize).
+    */
+  private lazy val kFixture = spark.createDataFrame(
+    scala.jdk.CollectionConverters.SeqHasAsJava(
+      (Seq.fill(3)(("z1", "a1", "flu")) ++ Seq.fill(2)(("z1", "a1", "ok")) ++
+        Seq(("z2", "a2", "flu"), ("z2", "a2", "ok")) ++
+        Seq.fill(5)(("z3", "a3", "rare")))
+        .map { case (z, a, d) => Row(z, a, d) }).asJava, kSchema)
+
+  test("summary reports the planted small class and homogeneous class") {
+    val r = Privacy.kAnonymityOn(kFixture, Seq("zip", "age_band"),
+      "diagnosis", k = 5).collect().head
+    assert(r.getAs[Long]("n_rows") == 12L)
+    assert(r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_k") == 2L) // the (z2,a2) class
+    assert(r.getAs[Long]("n_rows_at_risk") == 2L)
+    assert(r.getAs[Long]("min_l") == 1L) // the (z3,a3) class
+    assert(r.getAs[Long]("n_homogeneous") == 1L)
+  }
+
+  test("per-class table flags exactly the two at-risk classes") {
+    val rows = Privacy.kAnonymityClassesOn(kFixture, Seq("zip", "age_band"),
+      "diagnosis", k = 5).collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[String]("action")))
+      .toSeq == Seq("z2" -> "suppress", "z3" -> "generalize"))
+  }
+
+  test("suppressing the flagged classes raises min_k to ≥ k") {
+    import org.apache.spark.sql.functions.{col, broadcast}
+    val k = 5
+    val flagged = Privacy.kAnonymityClassesOn(kFixture,
+      Seq("zip", "age_band"), "diagnosis", k)
+      .filter(col("action") === "suppress")
+      .select(col("zip"), col("age_band"))
+    val remediated = kFixture.join(broadcast(flagged),
+      Seq("zip", "age_band"), "left_anti")
+    val r = Privacy.kAnonymityOn(remediated, Seq("zip", "age_band"),
+      "diagnosis", k).collect().head
+    assert(r.getAs[Long]("min_k") >= k.toLong)
+    assert(r.getAs[Long]("n_rows_at_risk") == 0L)
+  }
 }
