@@ -131,6 +131,24 @@ object Materialize {
     * silently incomplete (the exact hazard [[ensureCheckpointDir]]
     * fails loudly on — same discipline here). The UUID suffix keeps
     * concurrent sessions sharing one configured dir from colliding.
+    *
+    * Lifecycle (the UUID means nothing else ever reuses the path, so
+    * un-deleted artifacts ACCUMULATE — each cold build is a full index
+    * copy):
+    *
+    *  - **replace-on-rebuild**: when the SAME session asks for the same
+    *    `name` again (an [[graft.ArtifactMemo.invalidate]] + retrain
+    *    cycle), the previously issued directory is best-effort deleted —
+    *    by the memo contract the old artifact has no live consumers once
+    *    its memo entry is dropped (same caller obligation as
+    *    [[release]]). Other sessions' siblings are never touched: the
+    *    bookkeeping is keyed by applicationId, exactly because the
+    *    shared configured dir may be serving concurrent sessions.
+    *  - **exit cleanup (local master)**: the temp-dir fallback registers
+    *    `FileSystem.deleteOnExit`, so a local run leaves nothing behind.
+    *  - **cluster residue**: a session that dies without rebuilding
+    *    leaves its last artifact on shared storage — prune
+    *    `$base/artifacts/` by age out-of-band, like any checkpoint dir.
     */
   def artifactDir(spark: SparkSession, name: String): String = {
     val base = spark.conf.getOption(DirKey).getOrElse {
@@ -140,8 +158,28 @@ object Materialize {
           "node-local and the artifact would be silently incomplete)")
       s"${System.getProperty("java.io.tmpdir")}/graft-materialize"
     }
-    s"$base/artifacts/$name-${java.util.UUID.randomUUID}"
+    val dir = s"$base/artifacts/$name-${java.util.UUID.randomUUID}"
+    val prev = issuedArtifacts
+      .put((spark.sparkContext.applicationId, name), dir)
+    if (prev != null) bestEffortDelete(spark, prev)
+    if (spark.sparkContext.isLocal) try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .deleteOnExit(p)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    dir
   }
+
+  private val issuedArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  private def bestEffortDelete(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Free the storage behind an ALREADY-CUT frame that will never be read
     * again. A pipeline that cuts two near-corpus-sized intermediates

@@ -449,6 +449,37 @@ object Profile {
         emb.select(col("vec_id"), vecD(col("embedding")).as("v")), 64)
         .agg(sum(col("d2") + col("vec_id"))).scalarDouble.toLong
     }
+    t("k_anonymity_10x") {
+      val cust10 = rep10(graft.sources.Tables.customer(spark, dir),
+        "c_custkey", 10000000L)
+      graft.operators.Privacy.kAnonymityOn(
+        cust10.select(col("c_nationkey"), col("c_mktsegment"),
+          when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit"))
+            .as("sensitive")),
+        Seq("c_nationkey", "c_mktsegment"), "sensitive")
+        .select(col("n_rows")).scalarLong
+    }
+    t("ivf_rebalance_10x") {
+      // full lifecycle at 10x: skewed build (cell-3 mass cloned 3x)
+      // + one rebalance round; cost must track HOT mass, not index size
+      import graft.functions.VectorFunctions.vecD
+      val emb10 = rep10(emb.select(col("vec_id"),
+        vecD(col("embedding")).as("v")), "vec_id", 10000000L)
+      val centroids = emb.select(col("vec_id"),
+          vecD(col("embedding")).as("v"))
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cell3 = graft.operators.Similarity.assignNearest(emb10, centroids)
+        .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+      val clones = (1 to 3).map(i => cell3.select(
+        (col("vec_id") + lit(i * 100000000L)).as("vec_id"), col("v")))
+        .reduce(_.unionByName(_))
+      val p = java.nio.file.Files.createTempDirectory("graft_prof_reb")
+        .toString + "/index"
+      graft.operators.Similarity.writeIvfIndexOn(
+        emb10.unionByName(clones), centroids, p)
+      graft.operators.Similarity.rebalanceIvfCells(spark, dir, p).count()
+    }
     t("corpus_diff_10x") {
       // v2 = docs10 with every 13th doc revised and every 17th dropped
       val v1 = docs10.select(col("doc_id"), col("source"), col("text"))

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, dir) => Privacy.kAnonymity(s, dir)),
     "q_k_anonymity_classes" ->
       ((s, dir) => Privacy.kAnonymityClasses(s, dir)),
+    "q_k_anonymize" -> ((s, dir) => Privacy.kAnonymize(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "q_status_periods" -> ((s, dir) => Analytics.statusPeriods(s, dir)),
@@ -224,6 +225,7 @@ object SparkEntry {
     "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
+    "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),
     "q_mix_planner" -> ((s, dir) => Sampling.curationMixWeights(s, dir)),
     "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),
@@ -2096,6 +2098,29 @@ object SparkEntry {
         |    ELSE 'generalize' END AS action
         |FROM cls WHERE class_size < 5 OR l_div = 1
         |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    // remediation apply: suppress sub-k classes, generalize the last
+    // quasi column of homogeneous ones; class plan is broadcast-sized
+    "q_k_anonymize" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS class_size,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'debt'
+        |      ELSE 'credit' END) AS BIGINT) AS l_div
+        |  FROM customer GROUP BY 1, 2),
+        |fl AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN class_size < 5 THEN 'suppress'
+        |      ELSE 'generalize' END AS action
+        |  FROM cls WHERE class_size < 5 OR l_div = 1)
+        |SELECT c.c_custkey, c.c_nationkey,
+        |  CASE WHEN c.c_acctbal < 0 THEN 'debt' ELSE 'credit' END
+        |    AS sensitive,
+        |  CASE WHEN fl.action = 'generalize' THEN '*'
+        |    ELSE CAST(c.c_mktsegment AS VARCHAR) END AS c_mktsegment,
+        |  coalesce(fl.action, 'keep') AS action
+        |FROM customer c LEFT JOIN fl USING (c_nationkey, c_mktsegment)
+        |WHERE coalesce(fl.action, 'keep') <> 'suppress'
+        |ORDER BY c.c_custkey""".stripMargin,
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.

@@ -53,17 +53,75 @@ object Bpe {
       wordpieceCore(Tables.documents(spark, dir), nMerges)
     }
 
-  /** (w, syms, cnt): each distinct word, its character-symbol array, and
-    * its corpus frequency. The one corpus-sized shuffle; `w` rides along
-    * so the final segmented dict can join back onto the corpus as a
-    * word → subwords lookup ([[bpeTokenize]]).
+  /** Default cap on the word-frequency dict rows retained for training.
+    * Heaps' law keeps the distinct-word count sublinear in corpus size,
+    * but "sublinear" at web scale is still ~10⁸ entries — and the
+    * unigram trainer ships its piece-cost map into the plan as a
+    * literal ([[viterbiSegCol]]) while the EM collects are "≤ vocab
+    * rows", so an uncapped dict makes those driver/plan artifacts grow
+    * with the corpus. The cap truncates to the top-N words by
+    * (cnt DESC, w ASC) BEFORE any driver-bounded stage; everything the
+    * trainers hold is then ≤ N regardless of corpus size. The coverage
+    * cost is measurable, not guessed: [[TextAnalysis.vocabCoverage]]
+    * reports the token-mass share of the top-k vocabulary (Zipf puts
+    * the top 2M words far above 99% on natural text) — run it before
+    * lowering the cap on an unfamiliar corpus.
     */
-  private[operators] def wordDict(documents: DataFrame): DataFrame =
-    documents
+  val DefaultMaxDictWords: Int = 2000000
+
+  /** (w, syms, cnt): each distinct word, its character-symbol array, and
+    * its corpus frequency, capped to the top `maxDictWords` by
+    * (cnt DESC, w ASC) — see [[DefaultMaxDictWords]]. The one
+    * corpus-sized shuffle; `w` rides along so the final segmented dict
+    * can join back onto the corpus as a word → subwords lookup
+    * ([[bpeTokenize]]).
+    */
+  private[operators] def wordDict(documents: DataFrame,
+      maxDictWords: Int = DefaultMaxDictWords): DataFrame =
+    capDict(documents
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt")), maxDictWords)
       .select(col("w"), split(col("w"), "").as("syms"), col("cnt"))
+
+  /** Deterministic top-`maxDictWords` truncation of a (w, cnt) frame by
+    * (cnt DESC, w ASC) — WITHOUT a global sort-limit: `orderBy.limit(N)`
+    * at N in the millions funnels the whole dict through one task (or
+    * merges per-partition top-Ns on the driver). Instead:
+    *
+    *  1. the frequency HISTOGRAM (one tiny aggregation — rows are
+    *     distinct count VALUES, ≪ dict size under any Zipf-ish law)
+    *     is collected and walked on the driver to find the threshold
+    *     count c* where the running total crosses N;
+    *  2. every word with cnt > c* is kept by a narrow filter (no
+    *     ordering anywhere), and the single TIE layer cnt = c* is
+    *     topped up lexicographically to exactly N — the only ordered
+    *     stage, bounded by one histogram bucket, not the dict.
+    *
+    * Equals the naive `orderBy(cnt DESC, w).limit(N)` row-for-row
+    * (property-pinned in `BpeSpec`); returns the input unchanged when
+    * it already fits, so sub-cap corpora (every test SF) train on
+    * byte-identical plans and goldens.
+    */
+  private[operators] def capDict(full: DataFrame,
+      maxDictWords: Int): DataFrame = {
+    require(maxDictWords > 0, s"maxDictWords must be > 0, got $maxDictWords")
+    val hist = full.groupBy(col("cnt")).agg(count(lit(1)).as("n"))
+      .orderBy(col("cnt").desc)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    if (hist.map(_._2).sum <= maxDictWords) return full
+    var kept = 0L
+    var i = 0
+    while (i < hist.length && kept + hist(i)._2 <= maxDictWords) {
+      kept += hist(i)._2; i += 1
+    }
+    val cStar = hist(i)._1
+    val slack = (maxDictWords - kept).toInt
+    val whole = full.filter(col("cnt") > cStar)
+    if (slack == 0) whole
+    else whole.unionByName(full.filter(col("cnt") === cStar)
+      .orderBy(col("w")).limit(slack))
+  }
 
   /** Adjacent-symbol pair counts over the dict, weighted by word count.
     * Every adjacent POSITION counts (overlapping repeats included) —
@@ -110,9 +168,10 @@ object Bpe {
 
   /** Same, over any (text) frame. */
   def bpeTrainOn(spark: SparkSession, documents: DataFrame,
-      nMerges: Int): DataFrame = {
+      nMerges: Int,
+      maxDictWords: Int = DefaultMaxDictWords): DataFrame = {
     import spark.implicits._
-    trainCore(documents, nMerges)._1
+    trainCore(documents, nMerges, maxDictWords)._1
       .toDF("rank", "left", "right", "merged", "pair_count")
       .orderBy(col("rank"))
   }
@@ -120,9 +179,10 @@ object Bpe {
   /** The training loop, returning the merge list AND the final merged
     * dict (so segmentation stats don't re-train or re-fold).
     */
-  private def trainCore(documents: DataFrame, nMerges: Int)
+  private def trainCore(documents: DataFrame, nMerges: Int,
+      maxDictWords: Int = DefaultMaxDictWords)
       : (Seq[(Int, String, String, String, Long)], DataFrame) = {
-    var dict = wordDict(documents).cutLineage(eager = true)
+    var dict = wordDict(documents, maxDictWords).cutLineage(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long)]
     var exhausted = false
@@ -177,9 +237,10 @@ object Bpe {
 
   /** Same, over any (text) frame. */
   def wordpieceTrainOn(spark: SparkSession, documents: DataFrame,
-      nMerges: Int): DataFrame = {
+      nMerges: Int,
+      maxDictWords: Int = DefaultMaxDictWords): DataFrame = {
     import spark.implicits._
-    wordpieceCore(documents, nMerges)._1
+    wordpieceCore(documents, nMerges, maxDictWords)._1
       .toDF("rank", "left", "right", "merged", "pair_count", "score")
       .orderBy(col("rank"))
   }
@@ -187,9 +248,10 @@ object Bpe {
   /** The WordPiece loop, returning merges AND the final segmented dict
     * (mirror of [[trainCore]]).
     */
-  private def wordpieceCore(documents: DataFrame, nMerges: Int)
+  private def wordpieceCore(documents: DataFrame, nMerges: Int,
+      maxDictWords: Int = DefaultMaxDictWords)
       : (Seq[(Int, String, String, String, Long, Double)], DataFrame) = {
-    var dict = wordDict(documents).cutLineage(eager = true)
+    var dict = wordDict(documents, maxDictWords).cutLineage(eager = true)
     val merges = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, String, Long, Double)]
     var exhausted = false
@@ -537,9 +599,10 @@ object Bpe {
     * on-disk dict artifact serve all three families identically.
     */
   private def unigramCore(documents: DataFrame, vocabSize: Int,
-      maxLen: Int, emIters: Int)
+      maxLen: Int, emIters: Int,
+      maxDictWords: Int = DefaultMaxDictWords)
       : (Seq[(Int, String, Long, Double)], DataFrame) = {
-    val dict = wordDict(documents).cutLineage(eager = true)
+    val dict = wordDict(documents, maxDictWords).cutLineage(eager = true)
     // seed candidates: one dict-sized substring explode
     val subs = dict.select(explode(flatten(transform(
         sequence(lit(1), length(col("w"))),
@@ -622,9 +685,10 @@ object Bpe {
   /** Same, over any (text) frame — the spec/profile entry point. */
   def unigramTrainOn(spark: SparkSession, documents: DataFrame,
       vocabSize: Int, maxLen: Int = UnigramMaxLen,
-      emIters: Int = UnigramEmIters): DataFrame = {
+      emIters: Int = UnigramEmIters,
+      maxDictWords: Int = DefaultMaxDictWords): DataFrame = {
     import spark.implicits._
-    unigramCore(documents, vocabSize, maxLen, emIters)._1
+    unigramCore(documents, vocabSize, maxLen, emIters, maxDictWords)._1
       .toDF("rank", "piece", "cnt", "logp")
       .orderBy(col("rank"))
   }

@@ -169,6 +169,57 @@ object Privacy {
           .otherwise(lit("generalize")))
       .orderBy(quasi.map(col): _*)
 
+  /** Apply the remediation [[kAnonymityClasses]] plans: SUPPRESS every
+    * member of a sub-k class (drop the rows — too few members to
+    * publish at any generalization of the sensitive value) and
+    * GENERALIZE the last quasi-identifier to `"*"` for members of
+    * large-but-homogeneous classes (coarsening merges the class with
+    * its quasi-prefix siblings, the standard way to break a
+    * homogeneity attack without dropping ≥ k rows). One round, like
+    * [[graft.operators.Similarity.rebalanceIvfCells]]: audit → apply →
+    * re-audit is the caller's loop (a freshly merged `"*"` class can
+    * itself still be homogeneous if every sibling shared the value —
+    * rare, visible in the re-audit).
+    *
+    * Post-conditions (spec-pinned): re-auditing the output at the same
+    * `k` reports n_rows_at_risk = 0 (suppression removed every sub-k
+    * class, and generalized rows land in classes of size ≥ their
+    * ≥ k source classes); no surviving row's quasi tuple is rarer
+    * than it was.
+    *
+    * Shape: the class plan is class-count-sized and BROADCAST both
+    * times it joins the table (plan never shuffles the extract);
+    * output is one narrow projection per row. The last quasi column is
+    * cast to string to admit the `"*"` generalization token.
+    */
+  def kAnonymizeOn(df: DataFrame, quasi: Seq[String], sensitive: String,
+      k: Int = 5): DataFrame = {
+    val flagged = classFrame(df, quasi, sensitive)
+      .filter(col("class_size") < k || col("l_div") === 1)
+      .select(quasi.map(col) :+
+        when(col("class_size") < k, lit("suppress"))
+          .otherwise(lit("generalize")).as("action"): _*)
+    val keepCols = df.columns.filterNot(_ == quasi.last).map(col)
+    df.join(broadcast(flagged), quasi, "left")
+      .filter(coalesce(col("action"), lit("keep")) =!= "suppress")
+      .select(keepCols :+
+        when(col("action") === "generalize", lit("*"))
+          .otherwise(col(quasi.last).cast("string")).as(quasi.last) :+
+        coalesce(col("action"), lit("keep")).as("action"): _*)
+  }
+
+  /** Query form over the customer extract: the anonymized rows with
+    * their remediation action, deterministic by key.
+    */
+  def kAnonymize(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    kAnonymizeOn(
+      Tables.customer(spark, dir).select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("debt")).otherwise(lit("credit"))
+          .as("sensitive")),
+      Seq("c_nationkey", "c_mktsegment"), "sensitive", k)
+      .orderBy(col("c_custkey"))
+
   /** The shared quasi-identifier projection for the customer-table query
     * forms: (nation, market segment) as the quasi tuple, account
     * standing (sign bucket) as the sensitive attribute — coarse enough

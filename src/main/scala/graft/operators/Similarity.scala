@@ -35,7 +35,7 @@ object Similarity {
     * total per group: cid is unique within a vec_id group, so `v` — which
     * is identical on every fanned row of the group — never decides.
     */
-  private[operators] def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assignNearest(emb: DataFrame, centroids: DataFrame): DataFrame =
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"),
         struct(l2sq(col("v"), col("cv")).as("dist"), col("cid"), col("v"))
@@ -237,13 +237,54 @@ object Similarity {
     * directory, so a probe of `nprobe` cells READS only those
     * directories and the other C−nprobe cells never leave disk.
     */
-  def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit = {
-    val emb = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    assignNearest(emb, centroids)
+  def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit =
+    writeIvfIndexOn(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      defaultCodebook(spark, dir), path)
+
+  /** [[writeIvfIndex]] over any (vec_id, v) frame and codebook — also
+    * writes the codebook SIDECAR (`<path>_codebook`), making the index
+    * self-describing: append and probe read the frozen codebook from
+    * the sidecar, and [[rebalanceIvfCells]] can evolve it (split hot
+    * cells) without touching the embeddings table the index was built
+    * from.
+    */
+  def writeIvfIndexOn(emb: DataFrame, codebook: DataFrame,
+      path: String): Unit = {
+    assignNearest(emb, codebook)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    codebook.select(col("cid"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(codebookSidecar(path))
+  }
+
+  private def codebookSidecar(path: String): String =
+    path.stripSuffix("/") + "_codebook"
+
+  /** The naive first-C codebook every in-memory IVF query form uses
+    * (deterministic, oracle-mirrorable).
+    */
+  private def defaultCodebook(spark: SparkSession, dir: String,
+      c: Int = 16): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      .filter(col("vec_id") < c)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** The index's frozen codebook: the sidecar when present (indexes
+    * written by [[writeIvfIndexOn]], possibly evolved by
+    * [[rebalanceIvfCells]]); the naive default otherwise (pre-sidecar
+    * layouts — keeps every existing index readable).
+    */
+  private[operators] def loadIvfCodebook(spark: SparkSession, dir: String,
+      path: String): DataFrame = {
+    val sc = new org.apache.hadoop.fs.Path(codebookSidecar(path))
+    val exists = try {
+      sc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sc)
+    } catch { case scala.util.control.NonFatal(_) => false }
+    if (exists) spark.read.parquet(codebookSidecar(path))
+      .select(col("cid"), col("cv"))
+    else defaultCodebook(spark, dir)
   }
 
   /** Incrementally admit a batch of vectors into a materialized
@@ -258,14 +299,9 @@ object Similarity {
     * (vector, codebook).
     */
   def appendToIvfIndex(spark: SparkSession, dir: String, batch: DataFrame,
-      path: String): Unit = {
-    val centroids = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), vecD(col("embedding")).as("v"))
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    assignNearest(batch, centroids)
+      path: String): Unit =
+    assignNearest(batch, loadIvfCodebook(spark, dir, path))
       .write.mode("append").partitionBy("cid").parquet(path)
-  }
 
   /** Probe a materialized [[writeIvfIndex]] layout. The probe-cell list
     * joins the index on its PARTITION column with a broadcast build
@@ -279,8 +315,7 @@ object Similarity {
       queryId: Long = 0, k: Int = 20, nprobe: Int = 4): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val centroids = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val centroids = loadIvfCodebook(spark, dir, indexPath)
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probeCells = centroids.crossJoin(broadcast(q))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
@@ -296,6 +331,184 @@ object Similarity {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** The uncut hot-cell read of [[rebalanceIvfCells]], exposed so the
+    * spec can prove the partition pruning: the filter on the PARTITION
+    * column reaches the scan as a static partition filter, so the
+    * rebalance data path lists and reads ONLY the hot cells'
+    * directories — cold cells never leave disk, which is what makes
+    * rebalancing a bounded maintenance op instead of a rebuild.
+    */
+  private[operators] def hotCellRows(spark: SparkSession, path: String,
+      hotCids: Seq[Long]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cid").isin(hotCids: _*))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+
+  /** Hot-cell remediation for a materialized [[writeIvfIndex]] layout —
+    * the fix [[ivfCellStats]]' audit calls for. Cells holding more than
+    * `hotFactor`× the uniform share are SPLIT in place under a
+    * frozen-plus-delta codebook: cold centroids (and their
+    * directories) are untouched; each hot centroid is replaced by two
+    * children fitted to its own population. The steady-state lifecycle
+    * is append ([[appendToIvfIndex]]) until the audit flags drift,
+    * rebalance the flagged cells, never a full rebuild.
+    *
+    * Per hot cell, deterministically: seed A = the member farthest
+    * from the cell centroid (ties to the smallest vec_id), seed B =
+    * the member farthest from A; members side to the nearer seed
+    * (ties to A); each child's centroid is the element-wise mean of
+    * its side (DECIMAL(18,6) sums, one terminal division — identical
+    * under any partitioning, the [[graft.functions.Stable]]
+    * discipline). A degenerate cell (every member equidistant so side
+    * B is empty — e.g. all-identical vectors) is left unsplit: a
+    * split cannot help it. Child A keeps the parent's cell id, child
+    * B takes max(cid)+1… — ids are append-only, so cold cells keep
+    * both their ids AND their centroid vectors.
+    *
+    * Scale shape: the audit pass is a #cells aggregation over the
+    * index (parquet count pushdown — no vector deserialization); the
+    * data path reads ONLY hot directories (partition-filter
+    * plan-proved via [[hotCellRows]]); seeds/means are per-cell
+    * aggregations over hot members; the rewrite is a DYNAMIC partition
+    * overwrite of exactly the hot + new directories (read-before-
+    * overwrite cut per the [[graft.Materialize]] contract). Probes of
+    * untouched cells are bit-identical before and after; probe recall
+    * around a split cell is non-decreasing (both spec-pinned in
+    * `IvfIndexSpec`).
+    *
+    * Returns the post-rebalance [[ivfCellStats]]-shaped audit
+    * (cid, n_vectors, share, hot) over the evolved layout.
+    */
+  def rebalanceIvfCells(spark: SparkSession, dir: String, path: String,
+      hotFactor: Double = 2.0): DataFrame = {
+    val cb = loadIvfCodebook(spark, dir, path)
+      .cutLineage(eager = true) // read for counts, seeds, and the rewrite
+    val nCells = cb.count()
+    val counts = spark.read.parquet(path)
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val hotCids = counts
+      .filter { case (_, n) => n * nCells > hotFactor * total }
+      .map(_._1).sorted.toSeq
+    if (hotCids.nonEmpty) {
+      val maxCid = cb.agg(max(col("cid"))).head().getLong(0)
+      val newIdOf = hotCids.zipWithIndex
+        .map { case (c, i) => (c, maxCid + 1 + i) }.toMap
+      val members = hotCellRows(spark, path, hotCids)
+        .join(cb, "cid")
+        .cutForOverwrite() // derived from the dirs the rewrite replaces
+      // seed A: farthest member from the cell centroid
+      val seedA = members
+        .groupBy(col("cid"))
+        .agg(min(struct((-l2sq(col("v"), col("cv"))).as("nd"),
+          col("vec_id"), col("v"))).as("a"))
+        .select(col("cid"), col("a.v").as("av"))
+      // seed B: farthest member from A
+      val seedB = members.join(broadcast(seedA), "cid")
+        .groupBy(col("cid"))
+        .agg(min(struct((-l2sq(col("v"), col("av"))).as("nd"),
+          col("vec_id"), col("v"))).as("b"))
+        .select(col("cid"), col("b.v").as("bv"))
+      val sided = members
+        .join(broadcast(seedA), "cid").join(broadcast(seedB), "cid")
+        .withColumn("side",
+          when(l2sq(col("v"), col("av")) <= l2sq(col("v"), col("bv")), 0)
+            .otherwise(1))
+      // child centroids: element-wise DECIMAL mean per (cell, side)
+      val childCb = sided
+        .select(col("cid"), col("side"), posexplode(col("v")))
+        .groupBy(col("cid"), col("side"), col("pos"))
+        .agg((sum(dec(col("col"))) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cid"), col("side"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+          col("m")))), s => s.getField("m")).as("cv"))
+      // a cell whose B side is empty is degenerate: leave it unsplit
+      val splitCids = childCb.filter(col("side") === 1)
+        .select(col("cid")).collect().map(_.getLong(0)).toSet
+      if (splitCids.nonEmpty) {
+        val newId = udfFreeNewId(newIdOf.filter(kv => splitCids(kv._1)))
+        val rewritten = sided
+          .filter(col("cid").isin(splitCids.toSeq: _*))
+          .select(col("vec_id"), col("v"),
+            when(col("side") === 0, col("cid"))
+              .otherwise(newId(col("cid"))).as("cid"))
+        val evolvedCb = cb
+          .join(childCb.filter(col("side") === 0)
+              .filter(col("cid").isin(splitCids.toSeq: _*))
+              .select(col("cid"), col("cv").as("cva")),
+            Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cva"), col("cv")).as("cv"))
+          .unionByName(childCb.filter(col("side") === 1)
+            .filter(col("cid").isin(splitCids.toSeq: _*))
+            .select(newId(col("cid")).as("cid"), col("cv")))
+          .cutForOverwrite() // derived from the sidecar it replaces
+        // sidecar FIRST: a failure between the two writes then leaves
+        // an evolved codebook over an unsplit layout — child B is an
+        // empty directory (a wasted probe slot), never an unreachable
+        // populated one, and a rerun converges
+        evolvedCb.select(col("cid"), col("cv"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(codebookSidecar(path))
+        val prevMode = spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try rewritten.write.mode("overwrite").partitionBy("cid").parquet(path)
+        finally spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
+    }
+    // post-rebalance audit over the evolved layout
+    val cells = spark.read.parquet(path)
+      .groupBy(col("cid").cast("long").as("cid"))
+      .agg(count(lit(1)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"),
+        (col("n_vectors").cast("double") * col("n_cells")
+          > lit(hotFactor) * col("n_total")).as("hot"))
+      .orderBy(col("cid"))
+  }
+
+  /** Query form of the rebalance lifecycle (`q_ivf_rebalance`): build a
+    * deterministically SKEWED index — every member of cell 3 cloned 3×
+    * under fresh ids, the `IvfIndexSpec` fixture — rebalance it, and
+    * report the post-rebalance [[ivfCellStats]]-shaped audit. The
+    * natural table is balanced under the naive codebook (every
+    * `q_ivf_health` row is cold), so exercising the split end-to-end
+    * needs planted mass. Train-once/serve ([[graft.ArtifactMemo]]):
+    * the skewed index is built and rebalanced at most once per
+    * (session, dir); the on-disk artifact lives under
+    * [[graft.Materialize.artifactDir]]'s replace-on-rebuild lifecycle.
+    * Golden-pinned: the split's seed/mean steps have no SQL twin.
+    */
+  def ivfRebalanceReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"ivfreb:$dir") {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val centroids = defaultCodebook(spark, dir)
+      val cell3 = assignNearest(emb, centroids)
+        .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+      val clones = (1 to 3).map(i => cell3.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+        .reduce(_.unionByName(_))
+      val path = graft.Materialize.artifactDir(spark, "ivf_reb")
+      writeIvfIndexOn(emb.unionByName(clones), centroids, path)
+      rebalanceIvfCells(spark, dir, path).cutLineage(eager = true)
+    }
+
+  /** A tiny broadcast-free id remap (old hot cid → new child-B cid) as
+    * a literal CASE chain — #hot-cells entries, no UDF, codegen-able.
+    */
+  private def udfFreeNewId(m: Map[Long, Long]): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    c => m.foldLeft(lit(null).cast("long")) { case (acc, (from, to)) =>
+      when(c === from, lit(to)).otherwise(acc)
+    }
 
   /** Recall@k curve of the IVF index against exact search — the
     * standard ANN quality metric, measured on-engine: for each probe

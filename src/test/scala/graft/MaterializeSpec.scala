@@ -109,4 +109,21 @@ class MaterializeSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains(Materialize.ModeKey))
   }
+
+  test("artifactDir replaces on rebuild: re-requesting a name deletes " +
+      "the session's PRIOR artifact, never another name's") {
+    val spark = TestSpark.spark
+    val a1 = Materialize.artifactDir(spark, "matspec_idx")
+    val other = Materialize.artifactDir(spark, "matspec_other")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(a1))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(other))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(a1, "part-0"), "x")
+    val a2 = Materialize.artifactDir(spark, "matspec_idx")
+    assert(a2 != a1)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(a1)),
+      "prior same-name artifact must be reclaimed")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(other)),
+      "other artifacts must be untouched")
+  }
 }

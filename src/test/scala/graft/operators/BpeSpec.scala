@@ -286,4 +286,56 @@ class BpeSpec extends AnyFunSuite {
     assert(vocab.toMap.apply("abc") == nBase + 2,
       "earliest merge rank must own the colliding string")
   }
+
+  // --- maxDictWords cap ---
+
+  // word frequencies chosen so the cap lands INSIDE a tie layer: cnt 5
+  // (1 word), cnt 3 (3 words), cnt 1 (2 words); cap 3 keeps "ee" whole
+  // and must top up 2 of the 3 cnt-3 words lexicographically
+  private lazy val capCorpus = Seq(
+    (1L, "ee ee ee ee ee aa bb cc aa bb cc aa bb cc zz yy"))
+    .toDF("doc_id", "text")
+
+  test("capDict equals the naive orderBy(cnt DESC, w).limit(N) " +
+      "row-for-row, including inside a tie layer") {
+    import org.apache.spark.sql.functions.col
+    val full = Bpe.wordDict(capCorpus).select("w", "cnt")
+    for (n <- 1 to 7) {
+      val naive = full.orderBy(col("cnt").desc, col("w")).limit(n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      val capped = Bpe.capDict(full, n)
+        .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      assert(capped == naive, s"cap $n")
+    }
+  }
+
+  test("training under the cap ≡ uncapped training on the truncated " +
+      "dict, for all three tokenizer families") {
+    // rebuild a corpus whose word dict IS the top-3 truncation
+    // (each word repeated its count): ee×5, aa×3, bb×3
+    val truncated = Seq((1L, (Seq.fill(5)("ee") ++ Seq.fill(3)("aa")
+      ++ Seq.fill(3)("bb")).mkString(" "))).toDF("doc_id", "text")
+    val capBpe = Bpe.bpeTrainOn(spark, capCorpus, 5, maxDictWords = 3)
+      .collect().map(_.toString).toSeq
+    val truncBpe = Bpe.bpeTrainOn(spark, truncated, 5)
+      .collect().map(_.toString).toSeq
+    assert(capBpe == truncBpe && capBpe.nonEmpty)
+    val capWp = Bpe.wordpieceTrainOn(spark, capCorpus, 5, maxDictWords = 3)
+      .collect().map(_.toString).toSeq
+    val truncWp = Bpe.wordpieceTrainOn(spark, truncated, 5)
+      .collect().map(_.toString).toSeq
+    assert(capWp == truncWp && capWp.nonEmpty)
+    val capUni = Bpe.unigramTrainOn(spark, capCorpus, 6, maxDictWords = 3)
+      .collect().map(_.toString).toSeq
+    val truncUni = Bpe.unigramTrainOn(spark, truncated, 6)
+      .collect().map(_.toString).toSeq
+    assert(capUni == truncUni && capUni.nonEmpty)
+  }
+
+  test("a cap at or above the dict size is the identity (test-SF plans " +
+      "and goldens unchanged)") {
+    val full = Bpe.wordDict(capCorpus).select("w", "cnt")
+    assert(Bpe.capDict(full, 6) eq full) // 6 distinct words exactly
+    assert(Bpe.capDict(full, 1000) eq full)
+  }
 }

@@ -115,4 +115,96 @@ class IvfIndexSpec extends AnyFunSuite {
     // partition filter: the C - nprobe unprobed directories are never read
     assert(p.contains("dynamicpruning"), p)
   }
+
+  // --- hot-cell rebalance ---
+
+  /** Skewed fixture: every cell-3 member cloned 3× (fresh ids), so cell
+    * 3 holds 4× its natural mass — deterministically hot at the 2×
+    * threshold.
+    */
+  private lazy val skewed = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val cell3 = Similarity.assignNearest(emb, centroids)
+      .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+    val clones = (1 to 3).map(i => cell3.select(
+      (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+      .reduce(_.unionByName(_))
+    (emb.unionByName(clones), centroids,
+      cell3.select(col("vec_id")).orderBy(col("vec_id"))
+        .limit(1).collect().head.getLong(0))
+  }
+
+  private def cellRows(p: String): Map[Long, Seq[(Long, Seq[Double])]] =
+    spark.read.parquet(p)
+      .select(col("cid").cast("long"), col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Double](2))))
+      .groupBy(_._1).map { case (c, xs) =>
+        (c, xs.map(_._2).sortBy(_._1).toSeq) }
+
+  test("rebalance splits the hot cell, preserves every vector exactly " +
+    "once, and leaves cold cells bit-identical (rows AND files)") {
+    val (embAll, centroids, _) = skewed
+    val p = Files.createTempDirectory("graft_ivf_reb").toString + "/index"
+    Similarity.writeIvfIndexOn(embAll, centroids, p)
+    val before = cellRows(p)
+    assert(before(3L).size.toLong * 16 > 2 * before.values.map(_.size).sum,
+      "fixture must make cell 3 hot")
+    val coldMtimes = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName != "cid=3")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+
+    val stats = Similarity.rebalanceIvfCells(spark, dir, p).collect()
+    assert(stats.length == 17, "one split: 16 + 1 child cells")
+    val after = cellRows(p)
+    // cold cells: identical rows, identical untouched files
+    for (c <- before.keys if c != 3L)
+      assert(after(c) == before(c), s"cold cell $c must be untouched")
+    val coldAfter = new java.io.File(p).listFiles()
+      .filter(f => f.isDirectory && f.getName != "cid=3"
+        && f.getName != "cid=16")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    assert(coldAfter == coldMtimes, "cold directories must not be rewritten")
+    // global integrity: the split moved rows, never dropped or forged
+    assert((after(3L) ++ after(16L)).sortBy(_._1) == before(3L))
+    // the split strictly improves balance
+    val maxBefore = before.values.map(_.size).max
+    assert(after.values.map(_.size).max < maxBefore)
+    // cold codebook entries unchanged (probe geometry preserved)
+    val cb = spark.read.parquet(p + "_codebook")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cold = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (c <- cold.keys if c != 3L)
+      assert(cb(c) == cold(c), s"cold centroid $c must be frozen")
+    assert(cb.contains(16L) && cb(3L) != cold(3L),
+      "hot centroid replaced by fitted children")
+  }
+
+  test("probe recall around the split cell is non-decreasing, and the " +
+    "rebalance data path reads ONLY hot partitions (plan-proved)") {
+    val (embAll, centroids, queryId) = skewed
+    val p = Files.createTempDirectory("graft_ivf_reb2").toString + "/index"
+    Similarity.writeIvfIndexOn(embAll, centroids, p)
+    val q = embAll.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"))
+    val exact = embAll.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(): Int = Similarity
+      .annIvfFromIndex(spark, p, dir, queryId = queryId, k = 10, nprobe = 2)
+      .collect().map(_.getLong(0)).count(exact)
+    val before = recall()
+    // plan proof: the hot-cell read carries a static partition filter
+    val plan = Similarity.hotCellRows(spark, p, Seq(3L))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+      plan)
+    Similarity.rebalanceIvfCells(spark, dir, p)
+    assert(recall() >= before, s"recall must not decrease (before=$before)")
+  }
 }

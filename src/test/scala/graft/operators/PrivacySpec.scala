@@ -107,6 +107,27 @@ class PrivacySpec extends AnyFunSuite {
       .toSeq == Seq("z2" -> "suppress", "z3" -> "generalize"))
   }
 
+  test("kAnonymize: re-auditing the anonymized extract reports zero " +
+    "rows at risk, and only flagged rows were touched") {
+    import org.apache.spark.sql.functions.col
+    val k = 5
+    val out = Privacy.kAnonymizeOn(kFixture, Seq("zip", "age_band"),
+      "diagnosis", k)
+    val rows = out.collect()
+    // the sub-k (z2,a2) class is gone; (z3,a3) is generalized to (z3,*)
+    assert(!rows.exists(_.getAs[String]("zip") == "z2"))
+    assert(rows.filter(_.getAs[String]("zip") == "z3")
+      .forall(r => r.getAs[String]("age_band") == "*"
+        && r.getAs[String]("action") == "generalize"))
+    assert(rows.filter(_.getAs[String]("zip") == "z1")
+      .forall(r => r.getAs[String]("age_band") == "a1"
+        && r.getAs[String]("action") == "keep"))
+    val audit = Privacy.kAnonymityOn(out.drop("action"),
+      Seq("zip", "age_band"), "diagnosis", k).collect().head
+    assert(audit.getAs[Long]("n_rows_at_risk") == 0L)
+    assert(audit.getAs[Long]("min_k") >= k.toLong)
+  }
+
   test("suppressing the flagged classes raises min_k to ≥ k") {
     import org.apache.spark.sql.functions.{col, broadcast}
     val k = 5
