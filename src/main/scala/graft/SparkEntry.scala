@@ -207,6 +207,7 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    "q_cosine_multi" -> ((s, dir) => Similarity.cosineTopKMulti(s, dir)),
     "q_label_noise" -> ((s, dir) => Similarity.labelNoise(s, dir)),
     "q_cluster_kappa" -> ((s, dir) => Similarity.clusterLabelKappa(s, dir)),
     "q_embed_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
@@ -3071,6 +3072,27 @@ object SparkEntry {
         |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
         |FROM embeddings e, q
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // batched gold: the mergeable top-k aggregate's (Double.compare
+    // DESC, id ASC) order IS the rank window's, so the twin ranks with
+    // ROW_NUMBER per query over the same cosine expression
+    "q_cosine_multi" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id IN (0, 7, 19)),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |       list_sum(list_transform(range(1, len(qv)+1),
+        |         i -> CAST(e.embedding[i] AS DOUBLE) * qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(qv)+1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |  FROM embeddings e, q)
+        |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, cos FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |  FROM s)
+        |WHERE rank <= 20 ORDER BY query_id, rank""".stripMargin,
     "q_label_noise" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

@@ -1,0 +1,103 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Exact top-k by (score DESC, id ASC): a fixed-size mergeable partial
+  * ranking — the bounded-aggregation twin of the rank window
+  * `row_number().over(orderBy(score.desc, id))  <= k`.
+  *
+  * The law that makes it exact under ANY partitioning, merge-tree
+  * shape, retry, or speculative re-execution is the same order-
+  * statistic identity [[BottomKSample]] rides: topₖ(topₖ(A) ∪ topₖ(B))
+  * = topₖ(A ∪ B) (Agarwal et al., "Mergeable Summaries", PODS 2012) —
+  * a top-k set is closed under merge, so per-partition partials lose
+  * nothing. Spark runs an [[Aggregator]] with partial aggregation:
+  * every map task reduces its rows to a ≤k-entry buffer BEFORE the
+  * shuffle, so a group of n rows moves min(n, k·#partitions) entries —
+  * the shape that batches MANY per-group rankings in ONE pass, where
+  * `Window.partitionBy(group)` would co-locate each group's full n
+  * rows in one task (the hot-key single-task trap PlanSpec polices)
+  * and a per-group `orderBy(...).limit(k)` needs one JOB per group.
+  *
+  * Ordering discipline: scores compare in Spark SQL's OWN total order —
+  * `java.lang.Double.compare` for the NaN-greatest rule, with -0.0
+  * normalized to 0.0 first because Spark (unlike Double.compare, and
+  * per the SQL spec since Spark 3.0) treats the two zeros as EQUAL in
+  * comparisons and sorts. Primitive `>` would get BOTH corners wrong
+  * (NaN incomparable, zeros distinct-by-bits in compare). The kept set
+  * and its order are therefore bit-identical to the rank-window
+  * formulation even on pathological scores. Ties on score break to the
+  * SMALLER id, matching every `orderBy(col(s).desc, col(id))` in the
+  * similarity family.
+  *
+  * The buffer is kept sorted best-first; once full, a candidate that
+  * does not beat the current kth entry is rejected with one compare,
+  * so the per-row cost converges to O(1). Output is the best-first
+  * Seq — `posexplode` restores rank = pos + 1.
+  */
+class TopKPairs(k: Int)
+    extends Aggregator[(Double, Long), Array[(Double, Long)],
+      Seq[(Double, Long)]] {
+  require(k > 0, s"top-k needs k > 0, got $k")
+
+  /** a strictly before b in (score DESC in Spark's total order, id ASC). */
+  private def lt(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val x = if (a._1 == 0.0d) 0.0d else a._1 // -0.0 == 0.0, like Spark
+    val y = if (b._1 == 0.0d) 0.0d else b._1 // (NaN == 0.0 is false)
+    val c = java.lang.Double.compare(y, x)
+    c < 0 || (c == 0 && a._2 < b._2)
+  }
+
+  override def zero: Array[(Double, Long)] = Array.empty
+
+  override def reduce(b: Array[(Double, Long)],
+      x: (Double, Long)): Array[(Double, Long)] =
+    if (b.length >= k && !lt(x, b(b.length - 1))) b else insert(b, x)
+
+  private def insert(b: Array[(Double, Long)],
+      x: (Double, Long)): Array[(Double, Long)] = {
+    var lo = 0
+    var hi = b.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (lt(b(mid), x)) lo = mid + 1 else hi = mid
+    }
+    val n = math.min(b.length + 1, k)
+    val out = new Array[(Double, Long)](n)
+    System.arraycopy(b, 0, out, 0, lo)
+    if (lo < n) {
+      out(lo) = x
+      System.arraycopy(b, lo, out, lo + 1, math.min(b.length, n - lo - 1))
+    }
+    out
+  }
+
+  override def merge(x: Array[(Double, Long)],
+      y: Array[(Double, Long)]): Array[(Double, Long)] = {
+    if (x.isEmpty) return y
+    if (y.isEmpty) return x
+    val n = math.min(x.length + y.length, k)
+    val out = new Array[(Double, Long)](n)
+    var i = 0; var j = 0; var o = 0
+    while (o < n) {
+      if (j >= y.length || (i < x.length && lt(x(i), y(j)))) {
+        out(o) = x(i); i += 1
+      } else {
+        out(o) = y(j); j += 1
+      }
+      o += 1
+    }
+    out
+  }
+
+  override def finish(b: Array[(Double, Long)]): Seq[(Double, Long)] =
+    b.toSeq
+
+  override def bufferEncoder: Encoder[Array[(Double, Long)]] =
+    ExpressionEncoder[Array[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -202,6 +202,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine top-k for EVERY query id in ONE corpus pass — the
+    * batched gold-standard a multi-query retrieval eval needs. Looping
+    * [[cosineTopK]] scans the corpus once PER query; here the n query
+    * vectors broadcast, the codegen'd cosine kernel scores the n·corpus
+    * fan-out in one narrow pass, and the per-query ranking collapses
+    * map-side through the mergeable [[graft.functions.TopKPairs]]
+    * aggregate — each task pre-reduces to ≤k entries per query, so only
+    * n·k·#partitions entries cross the wire where a
+    * `Window.partitionBy(query_id)` would co-locate each query's FULL
+    * corpus of scored rows in one task, and a per-query
+    * `orderBy().limit(k)` is one corpus job per query.
+    *
+    * Value contract (spec-pinned): per query id, (vec_id, cos, rank)
+    * is exactly [[cosineTopK]]'s — same cosine expression on the same
+    * operands (bit-identical doubles), and the aggregate's
+    * (Double.compare DESC, id ASC) total order is the rank window's.
+    */
+  def cosineTopKMulti(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 7L, 19L), k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(queryIds.nonEmpty, "query set must be non-empty")
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), vecD(col("embedding")).as("qv"))
+    val tk = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    emb.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        cosine(vecD(col("embedding")), col("qv")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF-bucketed approximate top-k: assign every vector to its nearest
     * centroid (min L2², ties to the lower centroid id), probe the
     * `nprobe` cells nearest the query, exact cosine within them.

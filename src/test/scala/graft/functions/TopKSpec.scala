@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+
+/** The mergeable top-k kernel: order law vs the sort-take reference,
+  * merge associativity under arbitrary splits, and the Double.compare
+  * total order that makes it bit-identical to Spark's rank window.
+  */
+class TopKSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ref(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] =
+    xs.sortWith { (a, b) =>
+      val x = if (a._1 == 0.0d) 0.0d else a._1
+      val y = if (b._1 == 0.0d) 0.0d else b._1
+      val c = java.lang.Double.compare(y, x)
+      c < 0 || (c == 0 && a._2 < b._2)
+    }.take(k)
+
+  private def viaAgg(xs: Seq[(Double, Long)], k: Int): Seq[(Double, Long)] = {
+    val a = new TopKPairs(k)
+    xs.foldLeft(a.zero)((b, x) => a.reduce(b, x)).toSeq
+  }
+
+  test("reduce path equals sort-take on random data, duplicates included") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val n = 1 + rnd.nextInt(200)
+      val k = 1 + rnd.nextInt(30)
+      // coarse scores force score ties so the id tie-break is exercised
+      val xs = Seq.fill(n)((rnd.nextInt(8).toDouble, rnd.nextInt(50).toLong))
+      assert(viaAgg(xs, k) == ref(xs, k), s"trial $trial n=$n k=$k")
+    }
+  }
+
+  test("merge law: any split of the input merges to the global top-k") {
+    val rnd = new scala.util.Random(7)
+    val a = new TopKPairs(10)
+    val xs = Seq.fill(300)((rnd.nextInt(12).toDouble, rnd.nextLong(1000)))
+    for (splits <- Seq(2, 3, 7)) {
+      val parts = xs.grouped(math.max(1, xs.length / splits)).toSeq
+      val merged = parts
+        .map(p => p.foldLeft(a.zero)((b, x) => a.reduce(b, x)))
+        .reduce(a.merge)
+      assert(merged.toSeq == ref(xs, 10), s"splits=$splits")
+      // and merge with empty is identity
+      assert(a.merge(merged, a.zero).toSeq == merged.toSeq)
+    }
+  }
+
+  test("Spark's total order: NaN ranks above +Inf, and -0.0 EQUALS 0.0 " +
+    "(id breaks the tie) — cross-checked against the engine's own sort") {
+    val xs = Seq((Double.NaN, 5L), (Double.PositiveInfinity, 4L),
+      (1.0, 3L), (0.0, 2L), (-0.0, 1L), (Double.NegativeInfinity, 0L))
+    // the two zeros compare EQUAL (Spark normalizes -0.0), so the id
+    // tie-break puts id=1 (-0.0) before id=2 (0.0)
+    val expected = Seq(5L, 4L, 3L, 1L, 2L, 0L)
+    assert(viaAgg(xs, 6).map(_._2) == expected)
+    import spark.implicits._
+    val winOrder = xs.toDF("s", "id")
+      .orderBy(col("s").desc, col("id")).collect().map(_.getLong(1)).toSeq
+    assert(winOrder == expected, "the engine's own ordering moved — " +
+      "the kernel comparator must follow it")
+  }
+
+  test("rejects k <= 0 loudly") {
+    intercept[IllegalArgumentException](new TopKPairs(0))
+  }
+
+  test("batched cosine gold plans a PARTIAL top-k before the exchange " +
+    "and no corpus-sized rank window") {
+    val p = graft.operators.Similarity
+      .cosineTopKMulti(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    // two-phase object-hash aggregation: map tasks pre-reduce each
+    // query's scored rows to <=k entries, only partials cross the wire
+    assert("ObjectHashAggregate".r.findAllIn(p).size == 2, p)
+    assert(p.contains("partial_topkpairs"), p)
+    // the n·corpus scored frame must never hit a rank window (the
+    // hot-key single-task shape this kernel exists to avoid)
+    assert(!p.contains("Window"), p)
+  }
+}

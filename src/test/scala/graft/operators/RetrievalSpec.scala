@@ -74,6 +74,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m3.forall(r => r.getDouble(5) >= 0 && r.getDouble(5) <= 1.0))
   }
 
+  test("batched multi-query forms equal the single-query loops bit-" +
+    "exactly: cosineTopKMulti per id == cosineTopK, rankedListsMulti " +
+    "per id == rankedLists") {
+    val ids = Seq(0L, 7L, 19L)
+    val multiGold = Similarity.cosineTopKMulti(spark, dir, ids)
+      .collect().groupBy(_.getLong(0))
+    ids.foreach { qid =>
+      val single = Similarity.cosineTopK(spark, dir, qid).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val batched = multiGold(qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(batched == single, s"gold for query $qid (cos must be " +
+        "bit-identical: same kernel expression, Double.compare order)")
+    }
+    val multiLists = Retrieval.rankedListsMulti(spark, dir,
+        Seq("hash", "join", "vector", "stream"), ids, 20, 4, 60)
+      .collect().groupBy(_.getLong(1))
+    ids.foreach { qid =>
+      val single = Retrieval.rankedLists(spark, dir,
+          Seq("hash", "join", "vector", "stream"), qid, 20, 4, 60)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSet
+      val batched = multiLists(qid)
+        .map(r => (r.getString(0), r.getLong(2), r.getInt(3))).toSet
+      assert(batched == single, s"ranked lists for query $qid")
+    }
+  }
+
   test("fused serving plan recomputes neither index: no Generate " +
     "(corpus tokenize) and no documents scan") {
     val p = Files.createTempDirectory("graft_rrf2").toString
