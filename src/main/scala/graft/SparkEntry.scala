@@ -153,6 +153,7 @@ object SparkEntry {
     "q_k_anonymity_classes" ->
       ((s, dir) => Privacy.kAnonymityClasses(s, dir)),
     "q_k_anonymize" -> ((s, dir) => Privacy.kAnonymize(s, dir)),
+    "q_t_closeness" -> ((s, dir) => Privacy.tCloseness(s, dir)),
     "q_events_sliding" -> ((s, dir) => Analytics.eventsSliding(s, dir)),
     "q_retention" -> ((s, dir) => Analytics.cohortRetention(s, dir)),
     "q_status_periods" -> ((s, dir) => Analytics.statusPeriods(s, dir)),
@@ -2122,6 +2123,43 @@ object SparkEntry {
         |FROM customer c LEFT JOIN fl USING (c_nationkey, c_mktsegment)
         |WHERE coalesce(fl.action, 'keep') <> 'suppress'
         |ORDER BY c.c_custkey""".stripMargin,
+    // t-closeness: the TV distance rides the EXACT integer sum
+    // sum|cnt·N − g·n| (every term a BIGINT product) with ONE terminal
+    // double division, parenthesized identically on both engines
+    "q_t_closeness" ->
+      """WITH base AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END
+        |      AS sensitive
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, sensitive,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM base GROUP BY 1, 2, 3),
+        |classes AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(sum(cnt) AS BIGINT) AS class_size
+        |  FROM cells GROUP BY 1, 2),
+        |gl AS (
+        |  SELECT sensitive, CAST(sum(cnt) AS BIGINT) AS g
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(g) AS BIGINT) AS n_total FROM gl),
+        |agg AS (
+        |  SELECT cl.c_nationkey, cl.c_mktsegment, cl.class_size,
+        |    t.n_total,
+        |    CAST(sum(abs(coalesce(ce.cnt, 0) * t.n_total
+        |      - gl.g * cl.class_size)) AS BIGINT) AS s_abs
+        |  FROM classes cl CROSS JOIN gl
+        |  LEFT JOIN cells ce USING (c_nationkey, c_mktsegment, sensitive)
+        |  CROSS JOIN tot t
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT c_nationkey, c_mktsegment, class_size, s_abs,
+        |  CAST(s_abs AS DOUBLE)
+        |    / ((CAST(2 AS DOUBLE) * class_size) * n_total) AS tv_dist,
+        |  CAST(s_abs AS DOUBLE)
+        |    / ((CAST(2 AS DOUBLE) * class_size) * n_total)
+        |    > CAST(0.15 AS DOUBLE) AS breach
+        |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     // time_bucket origin (2000-01-03) sits on the epoch-aligned 30-min
     // grid Spark's window() uses, so the two bucket starts per event are
     // identical on both engines.

@@ -220,6 +220,67 @@ object Privacy {
       Seq("c_nationkey", "c_mktsegment"), "sensitive", k)
       .orderBy(col("c_custkey"))
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * third leg of the privacy-audit trilogy after k-anonymity (class
+    * size) and l-diversity (value count): l-diversity misses SKEW — a
+    * class can hold many distinct sensitive values yet still leak by
+    * having a very different value DISTRIBUTION than the table (an
+    * attacker's posterior moves from the global prior to the class
+    * distribution). Per equivalence class, the distance between its
+    * sensitive distribution and the global one must stay ≤ t; for a
+    * categorical attribute under unit ground distance the earth-mover
+    * distance IS the total-variation distance
+    * ½·Σ_v |p_class(v) − p_global(v)|.
+    *
+    * Exactness discipline: the distance never accumulates a float —
+    * ½·Σ|cnt_v/n − g_v/N| is computed as the EXACT integer sum
+    * Σ|cnt_v·N − g_v·n| (order-free, every term a long) with ONE
+    * terminal double division by 2·n·N, mirrored operand-for-operand
+    * in the twin. The long products bound the audit to n·N < 2⁶³ —
+    * past ~10⁹ rows per side, move the two products to DECIMAL(38,0)
+    * (the sum stays exact; only the bound moves).
+    *
+    * Shape: ONE map-side-combinable (class, value) aggregation over
+    * the table; classes, global marginals, and the DENSE class×value
+    * grid (a value absent from a class still contributes
+    * |0·N − g_v·n|) all derive from that cut cells frame —
+    * #classes·#values-sized, never data-sized. Output one row per
+    * class with the exact integer evidence (`s_abs`), the distance,
+    * and the `breach` flag, deterministic by the quasi tuple.
+    */
+  def tClosenessOn(df: DataFrame, quasi: Seq[String], sensitive: String,
+      t: Double = 0.15): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    import graft.Materialize.MatOps
+    val cells = df.groupBy(quasi.map(col) :+ col(sensitive): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .cutLineage() // read by classes, the global marginals, and the grid
+    val classes = cells.groupBy(quasi.map(col): _*)
+      .agg(sum(col("cnt")).as("class_size"))
+    val global = cells.groupBy(col(sensitive))
+      .agg(sum(col("cnt")).as("g"))
+    val nTotal = global.agg(sum(col("g")).as("n_total"))
+    val grid = classes.crossJoin(broadcast(global))
+      .join(cells, quasi :+ sensitive, "left")
+      .select((quasi.map(col) :+ col("class_size") :+ col("g") :+
+        coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+    val tv = col("s_abs").cast("double") /
+      ((lit(2).cast("double") * col("class_size")) * col("n_total"))
+    grid.crossJoin(broadcast(nTotal))
+      .groupBy(quasi.map(col) :+ col("class_size") :+ col("n_total"): _*)
+      .agg(sum(abs(col("cnt") * col("n_total") - col("g") * col("class_size")))
+        .as("s_abs"))
+      .select(quasi.map(col) :+ col("class_size") :+ col("s_abs") :+
+        tv.as("tv_dist") :+ (tv > lit(t)).as("breach"): _*)
+      .orderBy(quasi.map(col): _*)
+  }
+
+  /** Query form over the customer extract ([[customerQuasi]]). */
+  def tCloseness(spark: SparkSession, dir: String,
+      t: Double = 0.15): DataFrame =
+    tClosenessOn(customerQuasi(spark, dir),
+      Seq("c_nationkey", "c_mktsegment"), "sensitive", t)
+
   /** The shared quasi-identifier projection for the customer-table query
     * forms: (nation, market segment) as the quasi tuple, account
     * standing (sign bucket) as the sensitive attribute — coarse enough

@@ -1329,11 +1329,22 @@ object TextAnalysis {
     * decides. Docs without bigrams keep their row with an explicit
     * NULL score.
     */
-  def bigramLm(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val (cab, ca) = lmArtifact(spark, dir)
-    scoreAgainstLm(docs, docBigramCounts(docs), cab, ca)
-  }
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"bigram-scores:$dir") {
+      val docs = Tables.documents(spark, dir)
+      val (cab, ca) = lmArtifact(spark, dir)
+      // the memo holds the CUT scored frame (one narrow row per doc),
+      // not a plan: the gate, the score query, and any later consumer
+      // share one corpus explode per (session, dir) — the same
+      // train-once/serve call the round-10 MinHash pair memo makes
+      // ([[graft.operators.Dedup.nearDupPairs]]), and like it the
+      // retained frame is doc-count rows of a few scalars, disk-backed
+      // by the checkpoint, never an in-memory corpus pin. `On`
+      // variants stay fresh-compute (arbitrary frames can't key a
+      // session memo).
+      scoreAgainstLm(docs, docBigramCounts(docs), cab, ca)
+        .cutLineage(eager = true)
+    }.orderBy(col("doc_id"))
 
   /** Train-once/serve ([[graft.ArtifactMemo]]): the two vocab count
     * tables — exactly what [[writeBigramLm]] persists, shared by the

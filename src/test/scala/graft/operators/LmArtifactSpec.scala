@@ -19,6 +19,20 @@ class LmArtifactSpec extends AnyFunSuite {
     p
   }
 
+  test("bigramLm is session-memoized: the second call returns the SAME " +
+      "cut plan (no second corpus explode) and equals a fresh compute") {
+    graft.ArtifactMemo.invalidate(spark, "bigram-scores:")
+    val first = TextAnalysis.bigramLm(spark, dir)
+    val second = TextAnalysis.bigramLm(spark, dir)
+    // same memoized child under the deterministic orderBy veneer
+    assert(first.queryExecution.logical.children
+      == second.queryExecution.logical.children)
+    // and the memo serves values identical to the uncached On variant
+    val fresh = TextAnalysis.bigramLmOn(
+      graft.sources.Tables.documents(spark, dir))
+    assert(first.exceptAll(fresh).isEmpty && fresh.exceptAll(first).isEmpty)
+  }
+
   test("stored-artifact scoring is value-identical to in-query bigramLm " +
       "on the training corpus") {
     val inQuery = TextAnalysis.bigramLm(spark, dir)

@@ -107,6 +107,31 @@ class PrivacySpec extends AnyFunSuite {
       .toSeq == Seq("z2" -> "suppress", "z3" -> "generalize"))
   }
 
+  test("tCloseness: hand-computed TV distances on a planted fixture — " +
+    "skewed and homogeneous classes breach, the global-matching class " +
+    "scores exactly 0, and the absent-value term is charged") {
+    // classes of 4: A = {a,a,b,b}, B = {a,a,a,a} (no b at all),
+    // C = {a,a,a,b} — global is (a=9, b=3, N=12), so C IS the global
+    // shape. Exact integer evidence: A and B each sum |cnt·N − g·n| =
+    // 12+12 = 24 → tv = 24/(2·4·12) = 0.25; C sums 0.
+    val rows = (Seq.fill(2)(("A", "a")) ++ Seq.fill(2)(("A", "b")) ++
+      Seq.fill(4)(("B", "a")) ++
+      Seq.fill(3)(("C", "a")) :+ (("C", "b")))
+    val df = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        rows.map { case (q, s) => Row(q, s) }).asJava,
+      StructType(Seq(StructField("q", StringType),
+        StructField("s", StringType))))
+    val got = Privacy.tClosenessOn(df, Seq("q"), "s").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("class_size"),
+        r.getAs[Long]("s_abs"), r.getAs[Double]("tv_dist"),
+        r.getAs[Boolean]("breach"))).toSeq
+    assert(got == Seq(
+      ("A", 4L, 24L, 0.25, true),
+      ("B", 4L, 24L, 0.25, true),
+      ("C", 4L, 0L, 0.0, false)))
+  }
+
   test("kAnonymize: re-auditing the anonymized extract reports zero " +
     "rows at risk, and only flagged rows were touched") {
     import org.apache.spark.sql.functions.col
