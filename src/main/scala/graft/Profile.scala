@@ -443,6 +443,14 @@ object Profile {
     // the per-round state cut the total must scale ~linearly in k
     // (was O(k^2) lineage replay before round 9) — compare against the
     // k=8 kcenter_10x row above for the per-round cost
+    t("cosine_multi_10x") {
+      // batched exact gold for 8 queries over the 10x corpus: ONE
+      // corpus pass through the mergeable top-k aggregate — cost must
+      // track corpus size, not n_queries x corpus
+      graft.operators.Similarity.cosineTopKMultiOn(emb10,
+        Seq(0L, 7L, 19L, 23L, 31L, 47L, 59L, 101L))
+        .agg(sum(col("rank") + col("vec_id"))).scalarLong
+    }
     t("kcenter_k64") {
       import graft.functions.VectorFunctions.vecD
       graft.operators.Similarity.kCenterCoresetOn(

@@ -124,11 +124,18 @@ object Retrieval {
   private[operators] def rankedLists(spark: SparkSession, dir: String,
       query: Seq[String], queryId: Long, k: Int, nprobe: Int,
       kRrf: Int): DataFrame = {
-    val bm = TextAnalysis.bm25TopK(spark, dir, query, k)
+    // every list serves from the session's stored artifacts
+    // ([[rrfIndexBase]]) — the house artifact-serve rule; serving ≡
+    // in-query is spec-proved for both rankers, so the eval's values
+    // (and its oracle twin, which recomputes the in-query semantics)
+    // are unchanged
+    val base = rrfIndexBase(spark, dir)
+    val bm = TextAnalysis.bm25FromIndex(spark, base + "/bm25", query, k)
       .select(lit("bm25").as("system"), col("doc_id"),
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
-    val ann = Similarity.annIvfTopK(spark, dir, queryId, k, nprobe)
+    val ann = Similarity.annIvfFromIndex(spark, base + "/ivf", dir,
+        queryId, k, nprobe)
       .select(lit("ann").as("system"), col("vec_id").as("doc_id"),
         row_number().over(
           Window.orderBy(col("cos").desc, col("vec_id"))).as("rank"))
@@ -148,12 +155,14 @@ object Retrieval {
     *    query; the id only selects the dense vector), so the list is
     *    computed once and replicated across the id spine — n× cheaper
     *    by construction;
-    *  - **ann** serves each id from the session's stored IVF layout
-    *    ([[rrfIndexBase]]): dynamic partition pruning reads `nprobe`
-    *    cell directories per query — n BOUNDED probes, ZERO corpus
-    *    assignment passes (the in-query [[Similarity.annIvfTopK]] the
-    *    single-query form uses re-assigns the whole corpus per call;
-    *    serving ≡ in-query is spec-proved in `IvfIndexSpec`);
+    *  - **ann** serves the WHOLE id set from the session's stored IVF
+    *    layout in one plan ([[Similarity.annIvfFromIndexMulti]]):
+    *    dynamic partition pruning reads the union of probed cell
+    *    directories (≤ n·nprobe), the per-query ranking collapses
+    *    map-side through the mergeable top-k aggregate — ZERO corpus
+    *    assignment passes, one job for all n ids (serving ≡ in-query
+    *    is spec-proved in `IvfIndexSpec`; multi ≡ per-id probes in
+    *    `IvfIndexSpec`'s multi test);
     *  - **rrf** fuses the two lists per id with [[rrfFuse]]'s exact
     *    arithmetic on ≤2k-row frames (the stored-index fusion the
     *    single-query form runs is spec-proved equal to fusing these
@@ -169,19 +178,15 @@ object Retrieval {
     import spark.implicits._
     val base = rrfIndexBase(spark, dir)
     val spine = queryIds.toDF("query_id")
-    val bmRanks = TextAnalysis.bm25TopK(spark, dir, query, k)
+    val bmRanks = TextAnalysis.bm25FromIndex(spark, base + "/bm25",
+        query, k)
       .select(col("doc_id"),
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
     val bm = broadcast(spine).crossJoin(bmRanks)
-    val ann = queryIds.map { qid =>
-      Similarity.annIvfFromIndex(spark, base + "/ivf", dir, qid, k, nprobe)
-        .select(lit(qid).as("query_id"), col("vec_id").as("doc_id"),
-          col("cos"))
-    }.reduce(_.unionByName(_))
-      .select(col("query_id"), col("doc_id"),
-        row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("cos").desc, col("doc_id"))).as("rank"))
+    val ann = Similarity.annIvfFromIndexMulti(spark, base + "/ivf", dir,
+        queryIds, k, nprobe)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
     val rrf = bm.select(col("query_id"), col("doc_id"),
         col("rank").as("bm25_rank"))
       .join(ann.select(col("query_id"), col("doc_id"),

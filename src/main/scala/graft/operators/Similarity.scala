@@ -220,10 +220,14 @@ object Similarity {
     * (Double.compare DESC, id ASC) total order is the rank window's.
     */
   def cosineTopKMulti(spark: SparkSession, dir: String,
-      queryIds: Seq[Long] = Seq(0L, 7L, 19L), k: Int = 20): DataFrame = {
+      queryIds: Seq[Long] = Seq(0L, 7L, 19L), k: Int = 20): DataFrame =
+    cosineTopKMultiOn(Tables.embeddings(spark, dir), queryIds, k)
+
+  /** Same, over any (vec_id, embedding) frame. */
+  def cosineTopKMultiOn(emb: DataFrame, queryIds: Seq[Long],
+      k: Int = 20): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     require(queryIds.nonEmpty, "query set must be non-empty")
-    val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), vecD(col("embedding")).as("qv"))
     val tk = udaf(new graft.functions.TopKPairs(k),
@@ -367,6 +371,51 @@ object Similarity {
         cosine(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** [[annIvfFromIndex]] for a QUERY SET in ONE plan — the serving
+    * shape of a query BATCH against the stored layout: per-query probe
+    * cells rank on a #cells·n frame (bounded window), the broadcast
+    * probe join dynamic-partition-prunes the scan to the UNION of
+    * probed cell directories (≤ n·nprobe, plan-proved), and the
+    * per-query ranking collapses map-side through the mergeable
+    * [[graft.functions.TopKPairs]] aggregate — where looping
+    * [[annIvfFromIndex]] is one probe JOB per query, and a rank window
+    * over the fanned candidates would co-locate each query's probe
+    * mass in one task. Per query id the (vec_id, cos, rank) rows are
+    * bit-identical to the single-query probe (same codebook, same
+    * cosine operands, same total order — spec-pinned).
+    */
+  def annIvfFromIndexMulti(spark: SparkSession, indexPath: String,
+      dir: String, queryIds: Seq[Long], k: Int = 20,
+      nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(queryIds.nonEmpty, "query set must be non-empty")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = loadIvfCodebook(spark, dir, indexPath)
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probeCells = centroids.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("qv"), col("cid"),
+        l2sq(col("cv"), col("qv")).as("dist"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("query_id")).orderBy(col("dist"), col("cid"))))
+      .filter(col("rn") <= nprobe)
+      // partition-directory columns read back as INT; align the key type
+      .select(col("query_id"), col("qv"), col("cid").cast("int").as("cid"))
+    val tk = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    spark.read.parquet(indexPath)
+      .join(broadcast(probeCells), "cid")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(tk(col("cos"), col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("vec_id"), col("col._1").as("cos"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** The uncut hot-cell read of [[rebalanceIvfCells]], exposed so the

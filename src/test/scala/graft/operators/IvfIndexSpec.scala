@@ -116,6 +116,23 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(p.contains("dynamicpruning"), p)
   }
 
+  test("the BATCHED probe equals per-id probes bit-exactly, still " +
+    "prunes at scan time, and collapses ranking map-side") {
+    val ids = Seq(0L, 7L, 19L)
+    val multi = Similarity.annIvfFromIndexMulti(spark, indexPath, dir, ids)
+    val byId = multi.collect().groupBy(_.getLong(0))
+    ids.foreach { qid =>
+      val single = Similarity.annIvfFromIndex(spark, indexPath, dir, qid)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val batched = byId(qid).sortBy(_.getInt(1))
+        .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      assert(batched == single, s"probe for query $qid")
+    }
+    val p = multi.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("partial_topkpairs"), p)
+  }
+
   // --- hot-cell rebalance ---
 
   /** Skewed fixture: every cell-3 member cloned 3× (fresh ids), so cell
