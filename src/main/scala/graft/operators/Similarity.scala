@@ -389,13 +389,51 @@ object Similarity {
   def annIvfFromIndexMulti(spark: SparkSession, indexPath: String,
       dir: String, queryIds: Seq[Long], k: Int = 20,
       nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     require(queryIds.nonEmpty, "query set must be non-empty")
-    val emb = Tables.embeddings(spark, dir)
+    val qs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
-    val centroids = loadIvfCodebook(spark, dir, indexPath)
-    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfProbeQueries(spark, qs, loadIvfCodebook(spark, dir, indexPath),
+      indexPath, k, nprobe)
+  }
+
+  /** Probe a stored IVF layout with an ARBITRARY batch of query
+    * vectors — the serving shape of a streaming ingest gate or an
+    * external query feed, where the queries are NOT rows of the
+    * indexed table. The index must be self-describing (codebook
+    * sidecar, [[writeIvfIndexOn]]): a gate assigning under a codebook
+    * other than the one that laid the cells out would probe the wrong
+    * directories. Same plan as [[annIvfFromIndexMulti]]: union-pruned
+    * scan, map-side top-k, one job for the whole batch.
+    */
+  def ivfProbeBatchOn(spark: SparkSession, batch: DataFrame,
+      indexPath: String, k: Int = 20, nprobe: Int = 4): DataFrame = {
+    val sc = new org.apache.hadoop.fs.Path(codebookSidecar(indexPath))
+    val exists = try {
+      sc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sc)
+    } catch { case scala.util.control.NonFatal(_) => false }
+    require(exists, s"IVF index at $indexPath has no codebook sidecar " +
+      "(write it with writeIvfIndexOn) — probing an arbitrary batch " +
+      "needs the layout's own frozen codebook")
+    ivfProbeQueries(spark,
+      batch.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      spark.read.parquet(codebookSidecar(indexPath))
+        .select(col("cid"), col("cv")),
+      indexPath, k, nprobe)
+  }
+
+  /** The shared probing tail of [[annIvfFromIndexMulti]] and
+    * [[ivfProbeBatchOn]]: per-query probe cells rank on the #cells·n
+    * frame (bounded window), the broadcast probe join dynamic-
+    * partition-prunes the scan to the union of probed directories
+    * (≤ n·nprobe), and the per-query ranking collapses map-side
+    * through the mergeable [[graft.functions.TopKPairs]] aggregate.
+    */
+  private def ivfProbeQueries(spark: SparkSession, qs: DataFrame,
+      centroids: DataFrame, indexPath: String, k: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     val probeCells = centroids.crossJoin(broadcast(qs))
       .select(col("query_id"), col("qv"), col("cid"),
         l2sq(col("cv"), col("qv")).as("dist"))

@@ -749,6 +749,48 @@ object EventStream {
       }
       .start()
 
+  /** Streaming embedding admission gate — the DENSE-vector leg of the
+    * modality triptych ([[nearDupGate]] text/MinHash, [[phashGateSink]]
+    * media/perceptual hash, this sink embeddings/cosine): each
+    * micro-batch of (vec_id, v: array<double>) vectors probes the
+    * stored [[graft.operators.Similarity.writeIvfIndexOn]] layout in
+    * ONE batched plan ([[graft.operators.Similarity.ivfProbeBatchOn]]:
+    * union-pruned cell reads, map-side top-1 per vector), and vectors
+    * whose best indexed match reaches `minCos` are dropped — SemDeDup
+    * admission (Abbas et al. 2023) as an ingest gate instead of an
+    * offline sweep. Stateless on the stream side: corpus state lives
+    * entirely in the index, refreshed by
+    * [[graft.operators.Similarity.appendToIvfIndex]] /
+    * [[graft.operators.Similarity.rebalanceIvfCells]] BETWEEN batches,
+    * never inside the query. Like every IVF probe the check is
+    * approximate with the index's own recall (a near-dup hiding in an
+    * unprobed cell is admitted — the measured `q_ann_recall` trade,
+    * tunable via `nprobe`). Survivors land in `ingest_batch=<id>`
+    * partitions under DYNAMIC overwrite so an at-least-once replay
+    * rewrites its own partition instead of admitting duplicates twice.
+    */
+  def embeddingGateSink(vectors: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String, minCos: Double = 0.95,
+      nprobe: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dups = graft.operators.Similarity
+            .ivfProbeBatchOn(spark, batch, indexPath, k = 1, nprobe)
+            .filter(col("cos") >= minCos)
+            .select(col("query_id").as("vec_id")).distinct()
+          batch.join(dups, Seq("vec_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Streaming distribution gate from a maintained [[quantileMaintain]]
     * sample artifact: rows whose value falls outside the stored
     * [qLo, qHi] discrete quantile band for their group are dropped

@@ -133,6 +133,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(p.contains("partial_topkpairs"), p)
   }
 
+  test("arbitrary-batch probe equals the table-query probe on the same " +
+    "vectors, and refuses an index without a codebook sidecar") {
+    import graft.functions.VectorFunctions.vecD
+    val ids = Seq(0L, 7L)
+    val batch = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val fromBatch = Similarity.ivfProbeBatchOn(spark, batch, indexPath)
+      .collect().map(_.toString).toSeq
+    val fromTable = Similarity
+      .annIvfFromIndexMulti(spark, indexPath, dir, ids)
+      .collect().map(_.toString).toSeq
+    assert(fromBatch == fromTable)
+    val bare = java.nio.file.Files
+      .createTempDirectory("graft_ivf_bare").toString + "/idx"
+    Similarity.assignNearest(batch,
+        batch.select(col("vec_id").as("cid"), col("v").as("cv")))
+      .write.mode("overwrite").partitionBy("cid").parquet(bare)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ivfProbeBatchOn(spark, batch, bare))
+    assert(e.getMessage.contains("codebook sidecar"))
+  }
+
   // --- hot-cell rebalance ---
 
   /** Skewed fixture: every cell-3 member cloned 3× (fresh ids), so cell

@@ -553,6 +553,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding gate drops vectors cosine-near-dup to the " +
+    "index, admits novel vectors, holds no stream state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_embgate")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    // two well-separated cells; corpus vectors hug their centroid
+    val corpus = ((0L until 5L).map(i =>
+      (i, Seq(1.0, 0.01 * i, 0.0, 0.0))) ++
+      (5L until 10L).map(i => (i, Seq(0.0, 0.0, 0.01 * i, 1.0)))).toSeq
+    val codebook = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("cid", "cv")
+    graft.operators.Similarity.writeIvfIndexOn(
+      corpus.toDF("vec_id", "v"), codebook, idxDir)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(
+      (100L, Seq(1.0, 0.02, 0.0, 0.0)),  // exact copy of corpus vec 2
+      (101L, Seq(0.0, 1.0, 0.0, 0.0)))   // near-orthogonal to everything
+    val q = EventStream.embeddingGateSink(
+      input.toDF().toDF("vec_id", "v"), idxDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(kept == Set(101L),
+        "indexed near-dup vector gated out, novel vector admitted")
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
+
   test("tokenAccountingSink: streamed per-doc counts equal the batch " +
     "tokenizer's, and the stream holds no state") {
     implicit val sql = spark.sqlContext
