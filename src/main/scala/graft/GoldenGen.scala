@@ -16,7 +16,7 @@ object GoldenGen {
     "q_bpe_stats", "q_bpe_tokens", "q_bpe_ids", "q_ivfpq",
     "q_wordpiece_train", "q_wordpiece_stats", "q_wordpiece_tokens",
     "q_embed_pca", "q_unigram_train", "q_unigram_tokens", "q_unigram_ids",
-    "q_tok_fertility", "q_ivf_rebalance")
+    "q_tok_fertility", "q_ivf_rebalance", "q_ivfpq_rebalance")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

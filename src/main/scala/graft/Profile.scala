@@ -443,6 +443,30 @@ object Profile {
     // the per-round state cut the total must scale ~linearly in k
     // (was O(k^2) lineage replay before round 9) — compare against the
     // k=8 kcenter_10x row above for the per-round cost
+    t("ivfpq_rebalance_10x") {
+      // the coded-index lifecycle at 10x: natural PQ index + cloned
+      // cell-3 mass appended, one rebalance round (recode is the extra
+      // cost vs ivf_rebalance_10x; still hot-mass-shaped)
+      import graft.functions.VectorFunctions.vecD
+      val emb10 = rep10(emb.select(col("vec_id"),
+        vecD(col("embedding")).as("v")), "vec_id", 10000000L)
+      val centroids = emb.select(col("vec_id"),
+          vecD(col("embedding")).as("v"))
+        .filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val cell3 = graft.operators.Similarity.assignNearest(emb10, centroids)
+        .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+      val clones = (1 to 3).map(i => cell3.select(
+        (col("vec_id") + lit(i * 100000000L)).as("vec_id"), col("v")))
+        .reduce(_.unionByName(_))
+      val p = java.nio.file.Files.createTempDirectory("graft_prof_pqreb")
+        .toString + "/index"
+      graft.operators.Similarity.writeIvfPqIndex(spark, dir, p)
+      graft.operators.Similarity.appendToIvfPqIndex(spark,
+        emb10.filter(col("vec_id") >= 200000L).unionByName(clones), p)
+      graft.operators.Similarity.rebalanceIvfPqCellsOn(spark,
+        emb10.unionByName(clones), p).count()
+    }
     t("cosine_multi_10x") {
       // batched exact gold for 8 queries over the 10x corpus: ONE
       // corpus pass through the mergeable top-k aggregate — cost must

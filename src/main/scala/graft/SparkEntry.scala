@@ -228,6 +228,8 @@ object SparkEntry {
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
+    "q_ivfpq_rebalance" ->
+      ((s, dir) => Similarity.ivfPqRebalanceReport(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),
     "q_mix_planner" -> ((s, dir) => Sampling.curationMixWeights(s, dir)),
     "q_mix_apply" -> ((s, dir) => Sampling.applyMixPlan(s, dir)),

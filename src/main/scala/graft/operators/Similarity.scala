@@ -524,32 +524,7 @@ object Similarity {
       val members = hotCellRows(spark, path, hotCids)
         .join(cb, "cid")
         .cutForOverwrite() // derived from the dirs the rewrite replaces
-      // seed A: farthest member from the cell centroid
-      val seedA = members
-        .groupBy(col("cid"))
-        .agg(min(struct((-l2sq(col("v"), col("cv"))).as("nd"),
-          col("vec_id"), col("v"))).as("a"))
-        .select(col("cid"), col("a.v").as("av"))
-      // seed B: farthest member from A
-      val seedB = members.join(broadcast(seedA), "cid")
-        .groupBy(col("cid"))
-        .agg(min(struct((-l2sq(col("v"), col("av"))).as("nd"),
-          col("vec_id"), col("v"))).as("b"))
-        .select(col("cid"), col("b.v").as("bv"))
-      val sided = members
-        .join(broadcast(seedA), "cid").join(broadcast(seedB), "cid")
-        .withColumn("side",
-          when(l2sq(col("v"), col("av")) <= l2sq(col("v"), col("bv")), 0)
-            .otherwise(1))
-      // child centroids: element-wise DECIMAL mean per (cell, side)
-      val childCb = sided
-        .select(col("cid"), col("side"), posexplode(col("v")))
-        .groupBy(col("cid"), col("side"), col("pos"))
-        .agg((sum(dec(col("col"))) / count(lit(1)))
-          .cast("double").as("m"))
-        .groupBy(col("cid"), col("side"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("m")))), s => s.getField("m")).as("cv"))
+      val (sided, childCb) = fitCellSplits(members)
       // a cell whose B side is empty is degenerate: leave it unsplit
       val splitCids = childCb.filter(col("side") === 1)
         .select(col("cid")).collect().map(_.getLong(0)).toSet
@@ -599,6 +574,186 @@ object Similarity {
       .orderBy(col("cid"))
   }
 
+  /** Fit a two-child split for every cell present in `members`
+    * (cid, vec_id, v, cv) — the shared splitter of
+    * [[rebalanceIvfCells]] and [[rebalanceIvfPqCells]], so the two
+    * index families evolve their codebooks by the SAME deterministic
+    * rule. Per cell: seed A = the member farthest from the cell
+    * centroid (ties to the smallest vec_id), seed B = the member
+    * farthest from A; members side to the nearer seed (ties to A);
+    * each child centroid is the element-wise DECIMAL(18,6) mean of its
+    * side (identical under any partitioning). Returns
+    * (sided(cid, vec_id, v, side), childCb(cid, side, cv)); a
+    * degenerate cell shows no side-1 childCb row — callers leave it
+    * unsplit.
+    */
+  private def fitCellSplits(members: DataFrame): (DataFrame, DataFrame) = {
+    // seed A: farthest member from the cell centroid
+    val seedA = members
+      .groupBy(col("cid"))
+      .agg(min(struct((-l2sq(col("v"), col("cv"))).as("nd"),
+        col("vec_id"), col("v"))).as("a"))
+      .select(col("cid"), col("a.v").as("av"))
+    // seed B: farthest member from A
+    val seedB = members.join(broadcast(seedA), "cid")
+      .groupBy(col("cid"))
+      .agg(min(struct((-l2sq(col("v"), col("av"))).as("nd"),
+        col("vec_id"), col("v"))).as("b"))
+      .select(col("cid"), col("b.v").as("bv"))
+    val sided = members
+      .join(broadcast(seedA), "cid").join(broadcast(seedB), "cid")
+      .withColumn("side",
+        when(l2sq(col("v"), col("av")) <= l2sq(col("v"), col("bv")), 0)
+          .otherwise(1))
+      .select(col("cid"), col("vec_id"), col("v"), col("side"))
+    // child centroids: element-wise DECIMAL mean per (cell, side)
+    val childCb = sided
+      .select(col("cid"), col("side"), posexplode(col("v")))
+      .groupBy(col("cid"), col("side"), col("pos"))
+      .agg((sum(dec(col("col"))) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy(col("cid"), col("side"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+        col("m")))), s => s.getField("m")).as("cv"))
+    (sided, childCb)
+  }
+
+  /** Hot-cell remediation for a materialized [[writeIvfPqIndex]]
+    * layout — [[rebalanceIvfCells]] for the coded index family. The
+    * same frozen-plus-delta split ([[fitCellSplits]]) evolves the
+    * coarse quantizer; the difference is what a split COSTS here: the
+    * index stores residual CODES, not vectors, and a residual is
+    * relative to the centroid of the cell the row is stored in — so
+    * every member of a split cell must be RE-CODED against its child
+    * centroid under the FROZEN PQ codebook (retraining the codebook is
+    * the full-rebuild decision, explicitly out of scope for a
+    * maintenance op; residuals of a tighter child concentrate closer
+    * to 0, so the frozen codewords quantize them no worse).
+    *
+    * Scale shape: the audit is a #cells aggregation over the codes
+    * table; hot member ids come from the flagged `cell=` directories
+    * only (partition-pruned); their RAW vectors come from ONE
+    * id-semi-joined pass over the embeddings table (bounded by hot
+    * mass on the build side — the one corpus touch, unavoidable
+    * because codes are lossy); the recode is hot-mass × m rows against
+    * two broadcast frames; the rewrite is a dynamic partition
+    * overwrite of exactly the hot + child `cell=` directories, coarse
+    * quantizer written FIRST (the [[rebalanceIvfCells]] sidecar-first
+    * ordering — a failure between the writes leaves child cells empty
+    * but reachable, and a rerun converges). Cold cells keep their
+    * bytes, ids, centroids, and codes (bit-identity spec-pinned in
+    * `IvfIndexSpec`).
+    *
+    * Returns the post-rebalance per-cell audit
+    * (cell, n_vectors, share, hot) over the evolved codes layout.
+    */
+  def rebalanceIvfPqCells(spark: SparkSession, dir: String, path: String,
+      hotFactor: Double = 2.0, m: Int = 16, dim: Int = 64): DataFrame =
+    rebalanceIvfPqCellsOn(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      path, hotFactor, m, dim)
+
+  /** Same, against any (vec_id, v) corpus frame — the corpus the index
+    * was built/appended from (codes are lossy, so the split must read
+    * the raw vectors back; an indexed id the corpus can no longer
+    * resolve fails LOUDLY rather than silently dropping rows from the
+    * rewritten partitions).
+    */
+  def rebalanceIvfPqCellsOn(spark: SparkSession, corpus: DataFrame,
+      path: String, hotFactor: Double = 2.0, m: Int = 16,
+      dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val coarse = spark.read.parquet(path + "/coarse")
+      .cutLineage(eager = true) // read for counts, the split, the rewrite
+    val nCells = coarse.count()
+    // codes carry m rows per vector; the audit counts vectors
+    val counts = spark.read.parquet(path + "/codes")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg((count(lit(1)) / m).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val hotCells = counts
+      .filter { case (_, n) => n * nCells > hotFactor * total }
+      .map(_._1).sorted.toSeq
+    if (hotCells.nonEmpty) {
+      val maxCid = coarse.agg(max(col("cid"))).head().getLong(0)
+      val newIdOf = hotCells.zipWithIndex
+        .map { case (c, i) => (c, maxCid + 1 + i) }.toMap
+      // hot member ids from the flagged directories only; raw vectors
+      // from the corpus by id semi-join (codes are lossy)
+      val hotIds = spark.read.parquet(path + "/codes")
+        .filter(col("cell").isin(hotCells: _*))
+        .select(col("vec_id"), col("cell").cast("long").as("cid"))
+        .distinct()
+      val members = corpus
+        .join(hotIds, "vec_id")
+        .join(coarse.select(col("cid"), col("cv")), "cid")
+        .select(col("cid"), col("vec_id"), col("v"), col("cv"))
+        .cutForOverwrite() // derived from the dirs the rewrite replaces
+      val nHot = hotIds.count()
+      val nResolved = members.count()
+      require(nResolved == nHot, s"IVF-PQ rebalance of $path: " +
+        s"$nHot hot indexed ids but only $nResolved resolve to corpus " +
+        "vectors — recoding would silently drop the difference")
+      val (sided, childCb) = fitCellSplits(members)
+      val splitCids = childCb.filter(col("side") === 1)
+        .select(col("cid")).collect().map(_.getLong(0)).toSet
+      if (splitCids.nonEmpty) {
+        val newId = udfFreeNewId(newIdOf.filter(kv => splitCids(kv._1)))
+        val evolvedCoarse = coarse
+          .join(childCb.filter(col("side") === 0)
+              .filter(col("cid").isin(splitCids.toSeq: _*))
+              .select(col("cid"), col("cv").as("cva")),
+            Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cva"), col("cv")).as("cv"))
+          .unionByName(childCb.filter(col("side") === 1)
+            .filter(col("cid").isin(splitCids.toSeq: _*))
+            .select(newId(col("cid")).as("cid"), col("cv")))
+          .cutForOverwrite() // derived from the frame it replaces
+        // coarse FIRST (the sidecar-first ordering)
+        evolvedCoarse.coalesce(1)
+          .write.mode("overwrite").parquet(path + "/coarse")
+        // recode each split member against ITS side's child centroid
+        // under the frozen PQ codebook
+        val cbStored = spark.read.parquet(path + "/codebook")
+        val assigned = sided
+          .filter(col("cid").isin(splitCids.toSeq: _*))
+          .join(broadcast(childCb
+            .filter(col("cid").isin(splitCids.toSeq: _*))
+            .select(col("cid"), col("side"), col("cv").as("childCv"))),
+            Seq("cid", "side"))
+          .select(col("vec_id"),
+            when(col("side") === 0, col("cid"))
+              .otherwise(newId(col("cid"))).as("cell"),
+            zip_with(col("v"), col("childCv"), (a, b) => a - b).as("r"))
+        val recoded = codeResiduals(subVectors(
+          assigned.select(col("vec_id"), col("cell"), col("r").as("v")),
+          m, dsub), cbStored)
+        val prevMode = spark.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try recoded.write.mode("overwrite").partitionBy("cell")
+          .parquet(path + "/codes")
+        finally spark.conf
+          .set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      }
+    }
+    // post-rebalance audit over the evolved codes layout
+    val cells = spark.read.parquet(path + "/codes")
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg((count(lit(1)) / m).cast("long").as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"),
+      count(lit(1)).as("n_cells"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("n_total")).as("share"),
+        (col("n_vectors").cast("double") * col("n_cells")
+          > lit(hotFactor) * col("n_total")).as("hot"))
+      .orderBy(col("cell"))
+  }
+
   /** Query form of the rebalance lifecycle (`q_ivf_rebalance`): build a
     * deterministically SKEWED index — every member of cell 3 cloned 3×
     * under fresh ids, the `IvfIndexSpec` fixture — rebalance it, and
@@ -624,6 +779,33 @@ object Similarity {
       val path = graft.Materialize.artifactDir(spark, "ivf_reb")
       writeIvfIndexOn(emb.unionByName(clones), centroids, path)
       rebalanceIvfCells(spark, dir, path).cutLineage(eager = true)
+    }
+
+  /** [[ivfRebalanceReport]] for the CODED index family
+    * (`q_ivfpq_rebalance`): the same planted cell-3 ×4 skew, landed
+    * through the shipped lifecycle — [[writeIvfPqIndex]]'s natural
+    * layout, [[appendToIvfPqIndex]] admitting the clones (they code
+    * into cell 3 under the frozen artifacts), then ONE
+    * [[rebalanceIvfPqCellsOn]] round against the clone-extended
+    * corpus. Golden-pinned like its IVF twin (split seeds/means and
+    * residual recoding have no SQL form); deterministic end to end
+    * (DECIMAL child means, argmin tie-breaks, exact integer audit).
+    */
+  def ivfPqRebalanceReport(spark: SparkSession, dir: String): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"ivfpqreb:$dir") {
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val centroids = defaultCodebook(spark, dir)
+      val cell3 = assignNearest(emb, centroids)
+        .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+      val clones = (1 to 3).map(i => cell3.select(
+        (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
+        .reduce(_.unionByName(_))
+      val path = graft.Materialize.artifactDir(spark, "ivfpq_reb")
+      writeIvfPqIndex(spark, dir, path)
+      appendToIvfPqIndex(spark, clones, path)
+      rebalanceIvfPqCellsOn(spark, emb.unionByName(clones), path)
+        .cutLineage(eager = true)
     }
 
   /** A tiny broadcast-free id remap (old hot cid → new child-B cid) as

@@ -224,6 +224,64 @@ class IvfIndexSpec extends AnyFunSuite {
       "hot centroid replaced by fitted children")
   }
 
+  test("IVF-PQ rebalance: splits the hot cell with recoded residuals, " +
+    "leaves cold code partitions bit-identical, freezes cold coarse " +
+    "centroids, and self-match survives the split end to end") {
+    val (embAll, _, queryId) = skewed
+    val p = Files.createTempDirectory("graft_pq_reb").toString + "/index"
+    Similarity.writeIvfPqIndex(spark, dir, p)
+    // plant the skew through the shipped append path: the cell-3
+    // clones code into cell 3 under the frozen artifacts -> 4x mass
+    Similarity.appendToIvfPqIndex(spark,
+      embAll.filter(col("vec_id") >= 1000000L), p)
+    def codeRows(cell: Long): Map[Long, Int] =
+      spark.read.parquet(p + "/codes")
+        .filter(col("cell").cast("long") === cell)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val hotBefore = codeRows(3L)
+    val coarseBefore = spark.read.parquet(p + "/coarse")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val coldMtimes = new java.io.File(p + "/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName != "cell=3")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    def served() = Similarity
+      .ivfPqFromIndex(spark, p, dir, queryId = queryId, k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(served().head == queryId, "self-match before the split")
+    val audit = Similarity.rebalanceIvfPqCellsOn(spark, embAll, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getBoolean(3))).toList
+    // the parent split: child appended and balance strictly improved —
+    // each half carries strictly less than the pre-split mass (a 4x
+    // cell halves to ~2x; fully cooling it is the caller's
+    // audit -> apply -> re-audit loop, the documented contract)
+    assert(audit.exists(_._1 == 16L), audit.mkString(", "))
+    val preMass = hotBefore.size
+    audit.filter(a => a._1 == 3L || a._1 == 16L).foreach { a =>
+      assert(a._2 < preMass, s"half ${a._1} must shrink: $audit") }
+    // integrity: the split moved every hot vector exactly once, each
+    // still carrying its m code rows
+    val after = codeRows(3L) ++ codeRows(16L)
+    assert(after == hotBefore,
+      "split members preserved with their m code rows each")
+    // cold code directories untouched (bytes, not just rows)
+    val coldAfter = new java.io.File(p + "/codes").listFiles()
+      .filter(f => f.isDirectory && f.getName != "cell=3"
+        && f.getName != "cell=16")
+      .flatMap(_.listFiles()).map(f => f.getPath -> f.lastModified).toMap
+    assert(coldAfter == coldMtimes, "cold code dirs must not be rewritten")
+    // coarse quantizer: cold centroids frozen, parent replaced by a
+    // fitted child, child B appended
+    val coarseAfter = spark.read.parquet(p + "/coarse")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (c <- coarseBefore.keys if c != 3L)
+      assert(coarseAfter(c) == coarseBefore(c), s"cold centroid $c moved")
+    assert(coarseAfter.contains(16L)
+      && coarseAfter(3L) != coarseBefore(3L))
+    assert(served().head == queryId, "self-match after the split")
+  }
+
   test("probe recall around the split cell is non-decreasing, and the " +
     "rebalance data path reads ONLY hot partitions (plan-proved)") {
     val (embAll, centroids, queryId) = skewed
