@@ -65,7 +65,15 @@ object Bench {
     // repeats of one query are spaced apart, not cache-adjacent.
     val runs = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    def onePass(): Map[String, Double] = SparkEntry.queries.map {
+    // SPARK_GRAFT_BENCH_ONLY=a,b: measure a subset (local triage of a
+    // just-changed query without a full board pass; the driver never
+    // sets it, so its artifact is always the full board)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val measured = only
+      .map(o => SparkEntry.queries.filter(kv => o(kv._1)))
+      .getOrElse(SparkEntry.queries)
+    def onePass(): Map[String, Double] = measured.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val elapsed =
@@ -83,7 +91,7 @@ object Bench {
     val reps = (1 to runs).map(_ => onePass())
     // any failed rep poisons the query to -1 — a median over survivors
     // would let an intermittently-crashing operator report a clean time
-    val results: Map[String, Double] = SparkEntry.queries.keys.map { n =>
+    val results: Map[String, Double] = measured.keys.map { n =>
       val vs = reps.map(_(n))
       n -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.size / 2))
     }.toMap
@@ -91,7 +99,7 @@ object Bench {
     // sum: regression triage needs to know WHICH medians are
     // trustworthy — a 6 s median with a 9 s spread is noise, not a
     // regression
-    val spreads: Map[String, Double] = SparkEntry.queries.keys.map { n =>
+    val spreads: Map[String, Double] = measured.keys.map { n =>
       val vs = reps.map(_(n)).filter(_ >= 0)
       n -> (if (vs.isEmpty) 0.0 else vs.max - vs.min)
     }.toMap
