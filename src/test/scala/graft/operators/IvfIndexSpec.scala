@@ -224,6 +224,25 @@ class IvfIndexSpec extends AnyFunSuite {
       "hot centroid replaced by fitted children")
   }
 
+  test("the audit -> apply -> re-audit loop CONVERGES: repeated " +
+    "rebalance rounds cool the planted 4x cell to a hot-free layout") {
+    val (embAll, centroids, _) = skewed
+    val p = Files.createTempDirectory("graft_ivf_loop").toString + "/index"
+    Similarity.writeIvfIndexOn(embAll, centroids, p)
+    var rounds = 0
+    var hotLeft = 1L
+    while (hotLeft > 0 && rounds < 5) {
+      val audit = Similarity.rebalanceIvfCells(spark, dir, p).collect()
+      hotLeft = audit.count(_.getBoolean(3))
+      rounds += 1
+    }
+    assert(hotLeft == 0, s"loop must cool the layout (rounds=$rounds)")
+    assert(rounds <= 3, s"a 4x cell should cool in <=3 rounds, took $rounds")
+    // and the layout is still complete: every vector exactly once
+    val n = spark.read.parquet(p).count()
+    assert(n == embAll.count(), "no vector lost or forged across rounds")
+  }
+
   test("IVF-PQ rebalance: splits the hot cell with recoded residuals, " +
     "leaves cold code partitions bit-identical, freezes cold coarse " +
     "centroids, and self-match survives the split end to end") {
