@@ -352,7 +352,12 @@ class PlanSpec extends AnyFunSuite {
   test("bigram LM: one corpus explode only — count, prefix, and scoring " +
       "frames all derive from the checkpointed (doc, bigram) aggregate, " +
       "and no window keys on a bigram/prefix") {
-    val df = TextAnalysis.bigramLm(spark, dir)
+    // the dir form serves a session-memoized CUT frame (its plan is a
+    // bare RDD scan — LmArtifactSpec pins that); the training/scoring
+    // shape under audit here is the uncached On path, which is exactly
+    // the plan the memo's one train step runs
+    val df = TextAnalysis.bigramLmOn(
+      graft.sources.Tables.documents(spark, dir))
     val p = plan(df)
     val docScans = p.linesIterator.count(l =>
       l.contains("FileScan parquet") && l.contains("documents"))
