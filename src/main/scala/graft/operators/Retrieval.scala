@@ -266,6 +266,8 @@ object Retrieval {
       nprobe: Int = 4, kRrf: Int = 60): DataFrame = {
     import spark.implicits._
     require(queryIds.nonEmpty, "query set must be non-empty")
+    require(queryIds.distinct.size == queryIds.size,
+      s"query ids must be unique (the per-query group key): $queryIds")
     val n = queryIds.length
     val disc = ndcgDiscounts(k)
       .map { case (r, s) => (r, new java.math.BigDecimal(s)) }

@@ -228,6 +228,8 @@ object Similarity {
       k: Int = 20): DataFrame = {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     require(queryIds.nonEmpty, "query set must be non-empty")
+    require(queryIds.distinct.size == queryIds.size,
+      s"query ids must be unique (the per-query group key): $queryIds")
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), vecD(col("embedding")).as("qv"))
     val tk = udaf(new graft.functions.TopKPairs(k),
@@ -390,6 +392,8 @@ object Similarity {
       dir: String, queryIds: Seq[Long], k: Int = 20,
       nprobe: Int = 4): DataFrame = {
     require(queryIds.nonEmpty, "query set must be non-empty")
+    require(queryIds.distinct.size == queryIds.size,
+      s"query ids must be unique (the per-query group key): $queryIds")
     val qs = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .filter(col("vec_id").isin(queryIds: _*))
@@ -405,7 +409,11 @@ object Similarity {
     * sidecar, [[writeIvfIndexOn]]): a gate assigning under a codebook
     * other than the one that laid the cells out would probe the wrong
     * directories. Same plan as [[annIvfFromIndexMulti]]: union-pruned
-    * scan, map-side top-k, one job for the whole batch.
+    * scan, map-side top-k, one job for the whole batch. `vec_id` is
+    * the per-query group key, so it must be unique within the batch
+    * (not enforced — a distinct-count action per streaming micro-batch
+    * would cost more than it protects; the gates feed unique ingest
+    * ids by construction).
     */
   def ivfProbeBatchOn(spark: SparkSession, batch: DataFrame,
       indexPath: String, k: Int = 20, nprobe: Int = 4): DataFrame = {

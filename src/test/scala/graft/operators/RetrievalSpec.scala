@@ -102,6 +102,17 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-query entry points refuse duplicate query ids loudly — " +
+    "a duplicated id would silently double-count in the grouped metrics") {
+    intercept[IllegalArgumentException](
+      Retrieval.retrievalEvalMulti(spark, dir, queryIds = Seq(0L, 0L)))
+    intercept[IllegalArgumentException](
+      Similarity.cosineTopKMulti(spark, dir, Seq(7L, 7L)))
+    intercept[IllegalArgumentException](
+      Similarity.annIvfFromIndexMulti(spark, "/nonexistent", dir,
+        Seq(1L, 1L)))
+  }
+
   test("fused serving plan recomputes neither index: no Generate " +
     "(corpus tokenize) and no documents scan") {
     val p = Files.createTempDirectory("graft_rrf2").toString
