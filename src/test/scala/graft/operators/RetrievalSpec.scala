@@ -102,6 +102,19 @@ class RetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("the memoized gold list is served once per session and holds " +
+    "rows identical to a fresh exact cosineTopK") {
+    graft.ArtifactMemo.invalidate(spark, "gold:")
+    val first = Retrieval.goldTopK(spark, dir, 0L, 20)
+    val second = Retrieval.goldTopK(spark, dir, 0L, 20)
+    assert(first eq second, "second call must hit the session memo")
+    val memoRows = first.collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    val fresh = Similarity.cosineTopK(spark, dir, 0L, 20).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(memoRows == fresh, "memoized gold must be the exact gold")
+  }
+
   test("multi-query entry points refuse duplicate query ids loudly — " +
     "a duplicated id would silently double-count in the grouped metrics") {
     intercept[IllegalArgumentException](
