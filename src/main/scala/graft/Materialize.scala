@@ -141,9 +141,17 @@ object Materialize {
     *    cycle), the previously issued directory is best-effort deleted —
     *    by the memo contract the old artifact has no live consumers once
     *    its memo entry is dropped (same caller obligation as
-    *    [[release]]). Other sessions' siblings are never touched: the
-    *    bookkeeping is keyed by applicationId, exactly because the
-    *    shared configured dir may be serving concurrent sessions.
+    *    [[release]]). That contract only holds if `name` is UNIQUE per
+    *    memo entry: a caller that memoizes per data dir but issues a
+    *    fixed name would have its first dir's artifact deleted while the
+    *    memo still lazily serves that path — so pass the memo key itself
+    *    (or anything embedding every memo-key dimension, e.g.
+    *    `s"rrf_idx:$dir"`) as `name`. Non-path-safe characters are
+    *    sanitized for the directory component only; the raw `name` keys
+    *    the bookkeeping. Other sessions' siblings are never touched: the
+    *    bookkeeping is additionally keyed by applicationId, exactly
+    *    because the shared configured dir may be serving concurrent
+    *    sessions.
     *  - **exit cleanup (local master)**: the temp-dir fallback registers
     *    `FileSystem.deleteOnExit`, so a local run leaves nothing behind.
     *  - **cluster residue**: a session that dies without rebuilding
@@ -158,7 +166,8 @@ object Materialize {
           "node-local and the artifact would be silently incomplete)")
       s"${System.getProperty("java.io.tmpdir")}/graft-materialize"
     }
-    val dir = s"$base/artifacts/$name-${java.util.UUID.randomUUID}"
+    val safe = name.replaceAll("[^A-Za-z0-9._-]", "_")
+    val dir = s"$base/artifacts/$safe-${java.util.UUID.randomUUID}"
     val prev = issuedArtifacts
       .put((spark.sparkContext.applicationId, name), dir)
     if (prev != null) bestEffortDelete(spark, prev)

@@ -95,7 +95,7 @@ object Retrieval {
       // reading their own disks — graft.Materialize.artifactDir routes
       // through spark.graft.materialize.dir (loud failure if a cluster
       // run leaves it unset)
-      val p = graft.Materialize.artifactDir(spark, "rrf_idx")
+      val p = graft.Materialize.artifactDir(spark, s"rrf_idx:$dir")
       TextAnalysis.writeBm25Index(spark, dir, p + "/bm25")
       Similarity.writeIvfIndex(spark, dir, p + "/ivf")
       p

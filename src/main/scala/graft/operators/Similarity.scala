@@ -410,13 +410,26 @@ object Similarity {
     * other than the one that laid the cells out would probe the wrong
     * directories. Same plan as [[annIvfFromIndexMulti]]: union-pruned
     * scan, map-side top-k, one job for the whole batch. `vec_id` is
-    * the per-query group key, so it must be unique within the batch
-    * (not enforced — a distinct-count action per streaming micro-batch
-    * would cost more than it protects; the gates feed unique ingest
-    * ids by construction).
+    * the per-query group key, so it must be unique within the batch —
+    * two vectors sharing an id would silently merge into one top-k
+    * ranking. Not enforced by default (a distinct-count action per
+    * streaming micro-batch costs more than it protects; the gates feed
+    * unique ingest ids by construction), but settable for feeds
+    * without that guarantee: `spark.graft.ivf.checkUniqueIds=true`
+    * fails loudly on the first duplicated id (the check is a bounded
+    * `take(1)` on the duplicated-id frame, not a full collect).
     */
   def ivfProbeBatchOn(spark: SparkSession, batch: DataFrame,
       indexPath: String, k: Int = 20, nprobe: Int = 4): DataFrame = {
+    if (spark.conf.getOption("spark.graft.ivf.checkUniqueIds")
+        .exists(_.toBoolean)) {
+      val dup = batch.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).head(1)
+      require(dup.isEmpty, "ivfProbeBatchOn: batch vec_id " +
+        s"${dup.head.get(0)} appears ${dup.head.get(1)} times — " +
+        "per-query rankings would silently merge; dedup ids upstream " +
+        "or unset spark.graft.ivf.checkUniqueIds")
+    }
     val sc = new org.apache.hadoop.fs.Path(codebookSidecar(indexPath))
     val exists = try {
       sc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sc)
@@ -429,6 +442,46 @@ object Similarity {
       spark.read.parquet(codebookSidecar(indexPath))
         .select(col("cid"), col("cv")),
       indexPath, k, nprobe)
+  }
+
+  /** Intra-batch SemDeDup under a STORED index's frozen codebook — the
+    * companion pass an [[ivfProbeBatchOn]]-based admission gate needs:
+    * the index probe judges each batch vector against the CORPUS, so
+    * two novel near-duplicates arriving in the SAME micro-batch both
+    * pass it (the index only refreshes between batches). This pass
+    * assigns the batch to the layout's own cells (sidecar codebook —
+    * same [[ivfProbeBatchOn]] requirement, same loud failure) and
+    * keeps cell leaders (lowest vec_id) plus members below `minCos`
+    * cosine to their leader — [[semDedupOn]]'s O(|cell|) leader rule,
+    * never pairwise, so the per-batch cost is one broadcast argmin
+    * plus one broadcast leader join. The blind spot matches the
+    * index's own geometry: near-duplicates assigned to different
+    * cells are missed exactly like an unprobed-cell corpus miss.
+    * Returns the kept ids as a (vec_id) frame for a left-semi join.
+    */
+  def semDedupWithinBatch(spark: SparkSession, batch: DataFrame,
+      indexPath: String, minCos: Double): DataFrame = {
+    val sc = new org.apache.hadoop.fs.Path(codebookSidecar(indexPath))
+    val exists = try {
+      sc.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(sc)
+    } catch { case scala.util.control.NonFatal(_) => false }
+    require(exists, s"IVF index at $indexPath has no codebook sidecar " +
+      "(write it with writeIvfIndexOn) — intra-batch dedup must bucket " +
+      "under the layout's own frozen codebook")
+    val cb = spark.read.parquet(codebookSidecar(indexPath))
+      .select(col("cid"), col("cv"))
+    val assigned = assignNearest(
+      batch.select(col("vec_id"), col("v")), cb)
+    val leaders = assigned.groupBy(col("cid"))
+      .agg(min(struct(col("vec_id"), col("v"))).as("l"))
+      .select(col("cid"), col("l.vec_id").as("leader_id"),
+        col("l.v").as("lv"))
+    assigned.join(broadcast(leaders), "cid")
+      .filter(col("vec_id") === col("leader_id")
+        // NULL (0/0) cosine keeps: an unjudgeable vector is not a dup
+        || coalesce(nanvl(cosine(col("v"), col("lv")),
+             lit(null).cast("double")) < minCos, lit(true)))
+      .select(col("vec_id"))
   }
 
   /** The shared probing tail of [[annIvfFromIndexMulti]] and
@@ -568,16 +621,21 @@ object Similarity {
           .set("spark.sql.sources.partitionOverwriteMode", prevMode)
       }
     }
-    // post-rebalance audit over the evolved layout
+    // post-rebalance audit over the evolved layout. n_cells is the
+    // EVOLVED CODEBOOK row count — the same definition the split
+    // decision above uses — not the non-empty data partition count:
+    // after a sidecar-first crash (evolved codebook over an unsplit
+    // layout, i.e. an empty child cell) the two counts diverge, and
+    // the audit's `hot` flag must agree with what a rerun would decide.
+    val nCellsPost = loadIvfCodebook(spark, dir, path).count()
     val cells = spark.read.parquet(path)
       .groupBy(col("cid").cast("long").as("cid"))
       .agg(count(lit(1)).as("n_vectors"))
-    val tot = cells.agg(sum(col("n_vectors")).as("n_total"),
-      count(lit(1)).as("n_cells"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"))
     cells.crossJoin(broadcast(tot))
       .select(col("cid"), col("n_vectors"),
         (col("n_vectors").cast("double") / col("n_total")).as("share"),
-        (col("n_vectors").cast("double") * col("n_cells")
+        (col("n_vectors").cast("double") * lit(nCellsPost)
           > lit(hotFactor) * col("n_total")).as("hot"))
       .orderBy(col("cid"))
   }
@@ -748,16 +806,20 @@ object Similarity {
           .set("spark.sql.sources.partitionOverwriteMode", prevMode)
       }
     }
-    // post-rebalance audit over the evolved codes layout
+    // post-rebalance audit over the evolved codes layout. n_cells is
+    // the EVOLVED coarse-quantizer row count — the split decision's
+    // own definition — so the `hot` flag agrees with what a rerun
+    // would decide even when a coarse-first crash left an empty child
+    // cell (no codes directory for it yet).
+    val nCellsPost = spark.read.parquet(path + "/coarse").count()
     val cells = spark.read.parquet(path + "/codes")
       .groupBy(col("cell").cast("long").as("cell"))
       .agg((count(lit(1)) / m).cast("long").as("n_vectors"))
-    val tot = cells.agg(sum(col("n_vectors")).as("n_total"),
-      count(lit(1)).as("n_cells"))
+    val tot = cells.agg(sum(col("n_vectors")).as("n_total"))
     cells.crossJoin(broadcast(tot))
       .select(col("cell"), col("n_vectors"),
         (col("n_vectors").cast("double") / col("n_total")).as("share"),
-        (col("n_vectors").cast("double") * col("n_cells")
+        (col("n_vectors").cast("double") * lit(nCellsPost)
           > lit(hotFactor) * col("n_total")).as("hot"))
       .orderBy(col("cell"))
   }
@@ -784,7 +846,9 @@ object Similarity {
       val clones = (1 to 3).map(i => cell3.select(
         (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
         .reduce(_.unionByName(_))
-      val path = graft.Materialize.artifactDir(spark, "ivf_reb")
+      // dir-qualified name: replace-on-rebuild must only reclaim THIS
+      // dir's artifact (the memo key is per-dir — see artifactDir's doc)
+      val path = graft.Materialize.artifactDir(spark, s"ivf_reb:$dir")
       writeIvfIndexOn(emb.unionByName(clones), centroids, path)
       rebalanceIvfCells(spark, dir, path).cutLineage(eager = true)
     }
@@ -809,7 +873,7 @@ object Similarity {
       val clones = (1 to 3).map(i => cell3.select(
         (col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("v")))
         .reduce(_.unionByName(_))
-      val path = graft.Materialize.artifactDir(spark, "ivfpq_reb")
+      val path = graft.Materialize.artifactDir(spark, s"ivfpq_reb:$dir")
       writeIvfPqIndex(spark, dir, path)
       appendToIvfPqIndex(spark, clones, path)
       rebalanceIvfPqCellsOn(spark, emb.unionByName(clones), path)

@@ -765,9 +765,18 @@ object EventStream {
     * never inside the query. Like every IVF probe the check is
     * approximate with the index's own recall (a near-dup hiding in an
     * unprobed cell is admitted — the measured `q_ann_recall` trade,
-    * tunable via `nprobe`). Survivors land in `ingest_batch=<id>`
-    * partitions under DYNAMIC overwrite so an at-least-once replay
-    * rewrites its own partition instead of admitting duplicates twice.
+    * tunable via `nprobe`). The corpus probe alone has an INTRA-batch
+    * blind spot — two novel near-duplicates arriving in the same
+    * micro-batch both pass it, since the index only refreshes between
+    * batches — so survivors additionally run
+    * [[graft.operators.Similarity.semDedupWithinBatch]]: cell-leader
+    * SemDeDup under the index's own frozen codebook (O(|cell|), never
+    * pairwise), which keeps one representative per intra-batch
+    * near-dup group. Its residual blind spot (a near-dup pair split
+    * across cells) has the same geometry as the unprobed-cell corpus
+    * miss. Survivors land in `ingest_batch=<id>` partitions under
+    * DYNAMIC overwrite so an at-least-once replay rewrites its own
+    * partition instead of admitting duplicates twice.
     */
   def embeddingGateSink(vectors: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, minCos: Double = 0.95,
@@ -782,7 +791,12 @@ object EventStream {
             .ivfProbeBatchOn(spark, batch, indexPath, k = 1, nprobe)
             .filter(col("cos") >= minCos)
             .select(col("query_id").as("vec_id")).distinct()
-          batch.join(dups, Seq("vec_id"), "left_anti")
+          val survivors = batch.join(dups, Seq("vec_id"), "left_anti")
+          // intra-batch pass: co-arriving novel near-dups keep one
+          // leader per index cell (see semDedupWithinBatch's contract)
+          val kept = graft.operators.Similarity
+            .semDedupWithinBatch(spark, survivors, indexPath, minCos)
+          survivors.join(kept, Seq("vec_id"), "left_semi")
             .withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -126,4 +126,25 @@ class MaterializeSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(other)),
       "other artifacts must be untouched")
   }
+
+  test("artifactDir keyed by a memo-style dir-qualified name: a second " +
+      "data dir's artifact never reclaims the first's (the round-10 " +
+      "fixed-name bug), and non-path-safe characters are sanitized") {
+    val spark = TestSpark.spark
+    val dirA = Materialize.artifactDir(spark, "matspec_idx:/data/a")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dirA))
+    assert(!dirA.split("/").last.contains(":"),
+      "path component must be sanitized")
+    // a DIFFERENT data dir requests the same logical artifact family —
+    // with dir-qualified names this is a different key, so dirA survives
+    val dirB = Materialize.artifactDir(spark, "matspec_idx:/data/b")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dirA)),
+      "first dir's artifact must survive a second dir's build")
+    // but re-requesting the SAME dir-qualified name still replaces
+    val dirA2 = Materialize.artifactDir(spark, "matspec_idx:/data/a")
+    assert(dirA2 != dirA)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dirA)),
+      "same-key rebuild must reclaim the prior artifact")
+    assert(dirB != dirA2)
+  }
 }

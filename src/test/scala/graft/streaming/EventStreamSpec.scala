@@ -586,6 +586,43 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding gate intra-batch pass: co-arriving novel " +
+    "near-duplicates admit exactly the lowest-id leader; a same-cell " +
+    "non-duplicate still passes") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_embgate2")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    val corpus = ((0L until 5L).map(i =>
+      (i, Seq(1.0, 0.01 * i, 0.0, 0.0))) ++
+      (5L until 10L).map(i => (i, Seq(0.0, 0.0, 0.01 * i, 1.0)))).toSeq
+    val codebook = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 0.0, 0.0, 1.0))).toDF("cid", "cv")
+    graft.operators.Similarity.writeIvfIndexOn(
+      corpus.toDF("vec_id", "v"), codebook, idxDir)
+    val input = MemoryStream[(Long, Seq[Double])]
+    input.addData(
+      // three IDENTICAL novel vectors in ONE micro-batch: the corpus
+      // probe passes all three (nothing indexed is near), the
+      // intra-batch leader rule must admit only the lowest id
+      (101L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (102L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (103L, Seq(0.0, 1.0, 0.0, 0.0)),
+      // same cell as the leader but cos 0 to it — must survive
+      (104L, Seq(0.0, 0.0, 1.0, -1.0)))
+    val q = EventStream.embeddingGateSink(
+      input.toDF().toDF("vec_id", "v"), idxDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(kept == Set(101L, 104L),
+        s"intra-batch near-dups must collapse to the leader: got $kept")
+    } finally q.stop()
+  }
+
   test("tokenAccountingSink: streamed per-doc counts equal the batch " +
     "tokenizer's, and the stream holds no state") {
     implicit val sql = spark.sqlContext
