@@ -213,6 +213,8 @@ object SparkEntry {
     "q_cluster_kappa" -> ((s, dir) => Similarity.clusterLabelKappa(s, dir)),
     "q_embed_drift" -> ((s, dir) => Similarity.embeddingDrift(s, dir)),
     "q_ann_ivf" -> ((s, dir) => Similarity.annIvfTopK(s, dir)),
+    "q_ann_int8" -> ((s, dir) => Similarity.int8TopK(s, dir)),
+    "q_ann_int8_ivf" -> ((s, dir) => Similarity.annIvfInt8TopK(s, dir)),
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
@@ -3243,6 +3245,86 @@ object SparkEntry {
         |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
         |FROM assigned a JOIN probe USING (cid), q
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // int8 two-stage serving: the candidate ranking is an INTEGER dot
+    // (floor/clamp lattices are exact in both engines), the re-rank is
+    // the q_cosine_topk expression on the raw doubles — so unlike a
+    // float ANN the whole path hash-matches end to end
+    "q_ann_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM v),
+        |l AS (
+        |  SELECT vec_id, v,
+        |         list_transform(v, x ->
+        |           greatest(-127, least(127, floor(x / nrm * 127)))) AS qa
+        |  FROM n WHERE nrm > 0),
+        |q AS (SELECT qa AS qq, v AS qv FROM l WHERE vec_id = 0),
+        |s AS (
+        |  SELECT l.vec_id, l.v,
+        |         list_sum(list_transform(range(1, len(l.qa)+1),
+        |           i -> l.qa[i] * qq[i])) AS dq
+        |  FROM l, q),
+        |c AS (
+        |  SELECT vec_id, v, CAST(dq AS BIGINT) AS dot_q
+        |  FROM s ORDER BY dq DESC, vec_id LIMIT 40)
+        |SELECT c.vec_id, c.dot_q,
+        |       list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(c.v)+1), i -> c.v[i]*c.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |FROM c, q
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_int8_ivf" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |q0 AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |probe AS (
+        |  SELECT cid FROM c, q0
+        |  ORDER BY list_sum(list_transform(range(1, len(cv)+1),
+        |            i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid
+        |  LIMIT 4),
+        |pn AS (
+        |  SELECT a.vec_id, a.cid, a.v,
+        |         sqrt(list_sum(list_transform(a.v, x -> x * x))) AS nrm
+        |  FROM assigned a JOIN probe USING (cid)),
+        |pl AS (
+        |  SELECT vec_id, cid, v,
+        |         list_transform(v, x ->
+        |           greatest(-127, least(127, floor(x / nrm * 127)))) AS qa
+        |  FROM pn WHERE nrm > 0),
+        |qn AS (SELECT qv, sqrt(list_sum(list_transform(qv, x -> x * x))) AS nrm FROM q0),
+        |qz AS (
+        |  SELECT qv, list_transform(qv, x ->
+        |           greatest(-127, least(127, floor(x / nrm * 127)))) AS qq
+        |  FROM qn),
+        |s AS (
+        |  SELECT pl.vec_id, pl.cid, pl.v,
+        |         list_sum(list_transform(range(1, len(pl.qa)+1),
+        |           i -> pl.qa[i] * qq[i])) AS dq
+        |  FROM pl, qz),
+        |cand AS (
+        |  SELECT vec_id, cid, v, CAST(dq AS BIGINT) AS dot_q
+        |  FROM s ORDER BY dq DESC, vec_id LIMIT 40)
+        |SELECT cand.vec_id, cand.cid, cand.dot_q,
+        |       list_sum(list_transform(range(1, len(cand.v)+1), i -> cand.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(cand.v)+1), i -> cand.v[i]*cand.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |FROM cand, qz
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
     // q_media_frames: no oracle — FNV-1a frame hashes (64-bit wrap-around
     //                 multiply) have no DuckDB equivalent; rows-only check.
     "q_media_meta" ->

@@ -1657,6 +1657,124 @@ object Similarity {
     quantize(Tables.embeddings(spark, dir).select(col("vec_id"), v.as("v")))
   }
 
+  /** The int8 lattice of a vector under its own norm — [[quantize]]'s
+    * value rule (floor(x/‖v‖·127), clamped to ±127) as an
+    * integer-valued array<double>, so the codegen'd [[dot]] kernel
+    * scores it directly and the products/sums stay EXACT in doubles
+    * (|element| ≤ 127, so a dot over ≤ 2⁴⁰ dims fits 2⁵³). Callers
+    * must have filtered zero-norm vectors (x/0 is ±Inf/NaN).
+    */
+  private def int8Lattice(v: org.apache.spark.sql.Column,
+      nrm: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(v, x => greatest(lit(-127L),
+      least(lit(127L), floor(x / nrm * 127))).cast("double"))
+
+  /** Int8 ANN serving path over the symmetric-quantized corpus
+    * ([[quantizeEmbeddings]]' value rule): stage 1 ranks EVERY corpus
+    * vector by the integer dot product of its int8 lattice against the
+    * quantized query — integer arithmetic, so unlike a float ANN score
+    * the candidate ranking is bit-exact on any engine and the whole
+    * path is DuckDB-hash-checkable end to end; stage 2 re-ranks only
+    * the ≤`candidateK` survivors with the exact float cosine on the
+    * RAW vectors. The quantized pass is the memory-bandwidth win (4
+    * bytes/dim → 1 at serving time on a real int8 layout; here the
+    * lattice stays in the plan) and the bounded re-rank restores exact
+    * ordering among the survivors — the standard two-stage serving
+    * compromise, with its recall pinned against exact gold in
+    * `SimilarityRecallSpec`.
+    *
+    * Scale shape: stage 1 is one narrow corpus pass through the
+    * codegen'd [[dot]] kernel collapsing map-side via the mergeable
+    * [[graft.functions.TopKPairs]] aggregate (≤candidateK entries per
+    * task cross the wire); stage 2 is a broadcast semi-join of
+    * ≤candidateK ids back to the corpus plus a candidateK-row sort.
+    * Zero-norm vectors have no lattice (x/0) and no defined cosine;
+    * they are excluded from candidacy up front.
+    */
+  def int8TopK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 10, candidateK: Int = 40): DataFrame =
+    int8TopKOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      queryId, k, candidateK)
+
+  /** [[int8TopK]] over any (vec_id, v: array<double>) frame. */
+  def int8TopKOn(emb: DataFrame, queryId: Long = 0, k: Int = 10,
+      candidateK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(k <= candidateK,
+      s"re-rank depth k=$k exceeds the candidate pool candidateK=$candidateK")
+    val lat = emb.select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("v"),
+        int8Lattice(col("v"), col("nrm")).as("qa"))
+    val q = lat.filter(col("vec_id") === queryId)
+      .select(col("qa").as("qq"), col("v").as("qv"))
+    val tk = udaf(new graft.functions.TopKPairs(candidateK),
+      ExpressionEncoder[(Double, Long)]())
+    // stage 1: exact integer dot on the lattices, mergeable top-candidateK
+    val cands = lat.crossJoin(broadcast(q))
+      .select(col("vec_id"), dot(col("qa"), col("qq")).as("dq"))
+      .agg(tk(col("dq"), col("vec_id")).as("top"))
+      .select(explode(col("top")).as("c"))
+      .select(col("c._2").as("vec_id"), col("c._1").cast("long").as("dot_q"))
+    // stage 2: exact float re-rank of the bounded survivor set
+    lat.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .select(col("vec_id"), col("dot_q"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** [[int8TopK]] composed with the IVF cell layout — the serving
+    * shape a 100 TB deployment runs: the probe prunes to `nprobe`
+    * cells ([[annIvfTopK]]'s deterministic first-16 codebook and
+    * tie-breaks), the int8 stage ranks ONLY the probed cells'
+    * lattices, and the exact re-rank touches ≤`candidateK` raw
+    * vectors. Both stages stay engine-exact (integer candidate
+    * ranking, float re-rank on raw doubles), so the whole composition
+    * is oracle-hash-checked — unusual for an ANN path and exactly why
+    * the int8 serving tier is the one to scale out.
+    */
+  def annIvfInt8TopK(spark: SparkSession, dir: String,
+      queryId: Long = 0, k: Int = 10, nprobe: Int = 4,
+      candidateK: Int = 40): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(k <= candidateK,
+      s"re-rank depth k=$k exceeds the candidate pool candidateK=$candidateK")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val assigned = assignNearest(emb, centroids)
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+      .select(col("qv"), int8Lattice(col("qv"), col("qnrm")).as("qq"))
+    val probeCells = centroids.crossJoin(broadcast(q.select(col("qv"))))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .orderBy(col("dist"), col("cid"))
+      .limit(nprobe)
+      .select(col("cid"))
+    val probed = assigned.join(broadcast(probeCells), "cid")
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .select(col("cid"), col("vec_id"), col("v"),
+        int8Lattice(col("v"), col("nrm")).as("qa"))
+    val tk = udaf(new graft.functions.TopKPairs(candidateK),
+      ExpressionEncoder[(Double, Long)]())
+    val cands = probed.crossJoin(broadcast(q.select(col("qq"))))
+      .select(col("vec_id"), dot(col("qa"), col("qq")).as("dq"))
+      .agg(tk(col("dq"), col("vec_id")).as("top"))
+      .select(explode(col("top")).as("c"))
+      .select(col("c._2").as("vec_id"), col("c._1").cast("long").as("dot_q"))
+    probed.join(broadcast(cands), "vec_id")
+      .crossJoin(broadcast(q.select(col("qv"))))
+      .select(col("vec_id"), col("cid"), col("dot_q"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup inside embedding-space
     * cells. Vectors are assigned to the deterministic IVF codebook (the
     * first `c` vectors, same cells as [[annIvfTopK]]); inside each cell

@@ -30,6 +30,35 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall(nprobe = 16) == 1.0)
   }
 
+  test("int8 two-stage serving: candidate pool from integer dots, " +
+      "exact re-rank — recall vs exact gold, and widening the pool " +
+      "to the corpus makes it exhaustive") {
+    val exact = Similarity.cosineTopK(spark, dir, k = 10).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val int8 = Similarity.int8TopK(spark, dir, k = 10, candidateK = 40)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val rec = int8.intersect(exact).size.toDouble / 10
+    info(s"int8 recall@10 (candidateK=40) = $rec")
+    assert(rec >= 0.8, s"int8 two-stage recall@10 = $rec")
+    assert(int8.contains(0L), "the query itself has the max dot")
+    // candidateK >= corpus: stage 1 passes everything through, so the
+    // exact re-rank must reproduce brute force exactly
+    val n = graft.sources.Tables.embeddings(spark, dir).count().toInt
+    val wide = Similarity.int8TopK(spark, dir, k = 10, candidateK = n)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(wide == exact, "corpus-wide candidate pool must equal exact")
+    // IVF composition: recall against exact gold is the product of the
+    // probe's cell recall and the int8 pool's — still well above floor
+    val ivf8 = Similarity.annIvfInt8TopK(spark, dir, k = 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recIvf = ivf8.intersect(exact).size.toDouble / 10
+    info(s"int8+IVF recall@10 (nprobe=4, candidateK=40) = $recIvf")
+    assert(recIvf >= 0.6, s"int8+IVF recall@10 = $recIvf")
+    // re-rank depth must not exceed the candidate pool
+    intercept[IllegalArgumentException](
+      Similarity.int8TopK(spark, dir, k = 50, candidateK = 40))
+  }
+
   test("quantization clamps to [-127,127] and NULLs the zero-norm vector") {
     import spark.implicits._
     val emb = Seq(
