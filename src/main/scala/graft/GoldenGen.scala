@@ -15,7 +15,8 @@ object GoldenGen {
     "q_cms_topk", "q_compress_ratio", "q_pq_search", "q_bpe_train",
     "q_bpe_stats", "q_bpe_tokens", "q_bpe_ids", "q_ivfpq",
     "q_wordpiece_train", "q_wordpiece_stats", "q_wordpiece_tokens",
-    "q_embed_pca", "q_unigram_train", "q_unigram_tokens", "q_unigram_ids",
+    "q_embed_pca", "q_embed_pca_r", "q_unigram_train", "q_unigram_tokens",
+    "q_unigram_ids",
     "q_tok_fertility", "q_ivf_rebalance", "q_ivfpq_rebalance")
 
   def main(args: Array[String]): Unit = {

@@ -196,6 +196,7 @@ object SparkEntry {
     "q_wordpiece_tokens" -> ((s, dir) => Bpe.wordpieceTokenize(s, dir)),
     // golden-pinned: iterative float linear algebra has no SQL twin
     "q_embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
+    "q_embed_pca_r" -> ((s, dir) => Similarity.pcaTopComponents(s, dir)),
     "q_bpe_stats" -> ((s, dir) => Bpe.bpeSegmentStats(s, dir)),
     "q_bpe_tokens" -> ((s, dir) => Bpe.bpeTokenize(s, dir)),
     "q_bpe_ids" -> ((s, dir) => Bpe.bpeIds(s, dir)),

@@ -1874,6 +1874,35 @@ object Similarity {
     */
   def pcaTopComponent(spark: SparkSession, dir: String,
       iters: Int = 100): DataFrame = {
+    val (cov, meansArr) = covarianceArtifact(spark, dir)
+    val d = cov.length
+    var w = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 0 until iters) {
+      val cw = Array.tabulate(d)(i =>
+        (0 until d).map(j => cov(i)(j) * w(j)).sum)
+      val nrm = math.sqrt(cw.map(a => a * a).sum)
+      w = if (nrm == 0) cw else cw.map(_ / nrm)
+    }
+    val eig = (0 until d).map(i =>
+      (0 until d).map(j => w(i) * cov(i)(j) * w(j)).sum).sum
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    val flipAt = w.indices.minBy(i => (-math.abs(w(i)), i))
+    val signed = if (w(flipAt) < 0) w.map(-_) else w
+    import spark.implicits._
+    meansArr.zipWithIndex
+      .map { case (m, i) => (i, m, signed(i), eig, eig / trace) }.toSeq
+      .toDF("pos", "dim_mean", "loading", "eigenvalue", "explained_frac")
+      .orderBy(col("pos"))
+  }
+
+  /** The distributed part both PCA entries share: the exact-decimal
+    * d×d covariance (mirrored dense from the upper-triangle artifact)
+    * plus the per-dimension means, both driver-side arrays of
+    * artifact size (d², d) — see [[pcaTopComponent]]'s scaladoc for
+    * the shuffle shape and the long-micro-unit exactness bound.
+    */
+  private def covarianceArtifact(spark: SparkSession,
+      dir: String): (Array[Array[Double]], Array[Double]) = {
     import graft.functions.Stable.{davg, dsum}
     import graft.functions.VectorFunctions.triProds
     val x = Tables.embeddings(spark, dir)
@@ -1932,24 +1961,64 @@ object Similarity {
       cov(i)(j) = r.getAs[Double]("c")
       cov(j)(i) = r.getAs[Double]("c")
     }
-    var w = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
-    for (_ <- 0 until iters) {
-      val cw = Array.tabulate(d)(i =>
-        (0 until d).map(j => cov(i)(j) * w(j)).sum)
-      val nrm = math.sqrt(cw.map(a => a * a).sum)
-      w = if (nrm == 0) cw else cw.map(_ / nrm)
+    val meansArr = means.collect()
+      .map(r => (r.getAs[Int]("i"), r.getAs[Double]("m")))
+      .sortBy(_._1).map(_._2)
+    (cov, meansArr)
+  }
+
+  /** Top-`r` principal components — [[pcaTopComponent]] generalized by
+    * POWER ITERATION WITH DEFLATION on the same exact-decimal d×d
+    * driver artifact: component c power-iterates the residual matrix
+    * C − Σ_{b<c} λ_b w_b w_bᵀ from the deterministic e_c seed, then
+    * deflates its own (λ_c, w_c) out before the next component. The
+    * distributed work is IDENTICAL to the single-component entry (one
+    * corpus pass for the triangle moments — r only multiplies the
+    * d²-sized driver loop), which is why deflation beats r restarts
+    * of the corpus job. Embedding-drift and variance diagnostics need
+    * the subspace, not just PC1: a re-encode that rotates energy from
+    * PC2 into PC3 is invisible to the top component alone.
+    *
+    * Determinism: same fixed-iteration/fixed-seed discipline as
+    * [[pcaTopComponent]] (IEEE-deterministic given the exact moments),
+    * each component's sign fixed by its largest-|loading| entry
+    * (ties → lowest pos). Component 0 is BIT-IDENTICAL to
+    * [[pcaTopComponent]]'s output (spec-pinned). Golden-pinned like
+    * its parent: iterative float linear algebra has no SQL twin.
+    * Orthogonality, eigenvalue monotonicity, and explained-variance
+    * bounds are spec-pinned in `OperatorsSpec`.
+    */
+  def pcaTopComponents(spark: SparkSession, dir: String, r: Int = 4,
+      iters: Int = 100): DataFrame = {
+    val (cov0, meansArr) = covarianceArtifact(spark, dir)
+    val d = cov0.length
+    require(r >= 1 && r <= d, s"component count r=$r outside [1, $d]")
+    val trace = (0 until d).map(i => cov0(i)(i)).sum
+    // deflated working copy; cov0 stays pristine for the trace
+    val cov = Array.tabulate(d, d)((i, j) => cov0(i)(j))
+    val out = Seq.newBuilder[(Int, Int, Double, Double, Double)]
+    for (c <- 0 until r) {
+      var w = Array.tabulate(d)(i => if (i == c) 1.0 else 0.0)
+      for (_ <- 0 until iters) {
+        val cw = Array.tabulate(d)(i =>
+          (0 until d).map(j => cov(i)(j) * w(j)).sum)
+        val nrm = math.sqrt(cw.map(a => a * a).sum)
+        w = if (nrm == 0) cw else cw.map(_ / nrm)
+      }
+      val eig = (0 until d).map(i =>
+        (0 until d).map(j => w(i) * cov(i)(j) * w(j)).sum).sum
+      val flipAt = w.indices.minBy(i => (-math.abs(w(i)), i))
+      val signed = if (w(flipAt) < 0) w.map(-_) else w
+      for (i <- 0 until d)
+        out += ((c, i, signed(i), eig, eig / trace))
+      // deflate: residual loses exactly this component's energy
+      for (i <- 0 until d; j <- 0 until d)
+        cov(i)(j) -= eig * signed(i) * signed(j)
     }
-    val eig = (0 until d).map(i =>
-      (0 until d).map(j => w(i) * cov(i)(j) * w(j)).sum).sum
-    val trace = (0 until d).map(i => cov(i)(i)).sum
-    val flipAt = w.indices.minBy(i => (-math.abs(w(i)), i))
-    val signed = if (w(flipAt) < 0) w.map(-_) else w
     import spark.implicits._
-    means.collect().map(r => (r.getAs[Int]("i"), r.getAs[Double]("m")))
-      .sortBy(_._1)
-      .map { case (i, m) => (i, m, signed(i), eig, eig / trace) }.toSeq
-      .toDF("pos", "dim_mean", "loading", "eigenvalue", "explained_frac")
-      .orderBy(col("pos"))
+    out.result()
+      .toDF("component", "pos", "loading", "eigenvalue", "explained_frac")
+      .orderBy(col("component"), col("pos"))
   }
 
   /** Int8-quantize (vec_id, v: array<double>) rows to (vec_id, nrm, qv).

@@ -403,6 +403,57 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w(maxAt) > 0)
   }
 
+  test("pca top-r components: PC1 bit-identical to the single-component " +
+    "entry, pairwise near-orthogonal, eigenvalues ordered, explained " +
+    "fractions bounded") {
+    import org.apache.spark.sql.functions._
+    val r = 4
+    val multi = Similarity.pcaTopComponents(spark, dir, r = r).collect()
+    val single = Similarity.pcaTopComponent(spark, dir).collect()
+    val d = single.length
+    assert(multi.length == r * d)
+    val byComp = multi.groupBy(_.getAs[Int]("component"))
+      .map { case (c, rows) =>
+        val sorted = rows.sortBy(_.getAs[Int]("pos"))
+        c -> (sorted.map(_.getAs[Double]("loading")),
+          sorted.head.getAs[Double]("eigenvalue"),
+          sorted.head.getAs[Double]("explained_frac"))
+      }
+    // PC1 is the SAME computation — bit-identical, not approximately
+    val (w0, e0, f0) = byComp(0)
+    val singleSorted = single.sortBy(_.getAs[Int]("pos"))
+    assert(w0.toSeq == singleSorted.map(_.getAs[Double]("loading")).toSeq)
+    assert(e0 == singleSorted.head.getAs[Double]("eigenvalue"))
+    assert(f0 == singleSorted.head.getAs[Double]("explained_frac"))
+    // every component unit-norm, sign-fixed at its largest |loading|
+    for (c <- 0 until r) {
+      val (w, _, _) = byComp(c)
+      assert(math.abs(w.map(a => a * a).sum - 1.0) < 1e-9, s"norm c=$c")
+      val maxAt = w.indices.minBy(i => (-math.abs(w(i)), i))
+      assert(w(maxAt) > 0, s"sign c=$c")
+    }
+    // pairwise orthogonality up to the fixed-budget convergence of the
+    // near-isotropic fixture spectrum (the 0.02 eigen-residual bound
+    // above propagates into cross-dots of like size)
+    for (a <- 0 until r; b <- a + 1 until r) {
+      val d0 = byComp(a)._1.zip(byComp(b)._1)
+        .map { case (x, y) => x * y }.sum
+      assert(math.abs(d0) < 0.05, s"w${a}.w$b = $d0")
+    }
+    // spectrum ordering (slack for the near-degenerate fixture) and
+    // explained-variance bounds: each in (0, 1], and the r components
+    // cannot explain more than everything
+    val eigs = (0 until r).map(c => byComp(c)._2)
+    eigs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a * 1.001 + 1e-9, s"eig order: $eigs")
+    }
+    val fracs = (0 until r).map(c => byComp(c)._3)
+    assert(fracs.forall(f => f > 0 && f <= 1))
+    assert(fracs.sum <= 1.0 + 1e-9, s"explained ${fracs.sum}")
+    intercept[IllegalArgumentException](
+      Similarity.pcaTopComponents(spark, dir, r = 0))
+  }
+
   test("bm25 ranks by coverage, saturates tf, and normalizes by length") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
