@@ -17,7 +17,8 @@ object GoldenGen {
     "q_wordpiece_train", "q_wordpiece_stats", "q_wordpiece_tokens",
     "q_embed_pca", "q_embed_pca_r", "q_unigram_train", "q_unigram_tokens",
     "q_unigram_ids",
-    "q_tok_fertility", "q_ivf_rebalance", "q_ivfpq_rebalance")
+    "q_tok_fertility", "q_ivf_rebalance", "q_ivfpq_rebalance",
+    "q_kcenter_fast")
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")

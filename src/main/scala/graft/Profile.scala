@@ -481,6 +481,26 @@ object Profile {
         emb.select(col("vec_id"), vecD(col("embedding")).as("v")), 64)
         .agg(sum(col("d2") + col("vec_id"))).scalarDouble.toLong
     }
+    // k-center at a coreset budget the sequential traversal cannot
+    // serve (k Spark rounds of pure driver latency): the oversampled
+    // variant runs 4 sampling rounds regardless of k, then finishes
+    // driver-side on the bounded candidate pool — compare per-k cost
+    // against kcenter_k64's k-proportional rounds
+    t("kcenter_fast_k64") {
+      import graft.functions.VectorFunctions.vecD
+      graft.operators.Similarity.kCenterOversampledOn(
+        emb.select(col("vec_id"), vecD(col("embedding")).as("v")), 64,
+        rounds = 4).agg(sum(col("d2") + col("vec_id")))
+        .scalarDouble.toLong
+    }
+    t("kcenter_fast_k256") {
+      import graft.functions.VectorFunctions.vecD
+      val emb10 = rep10(emb, "vec_id", 10000000L)
+      graft.operators.Similarity.kCenterOversampledOn(
+        emb10.select(col("vec_id"), vecD(col("embedding")).as("v")), 256,
+        rounds = 4).agg(sum(col("d2") + col("vec_id")))
+        .scalarDouble.toLong
+    }
     t("k_anonymity_10x") {
       val cust10 = rep10(graft.sources.Tables.customer(spark, dir),
         "c_custkey", 10000000L)

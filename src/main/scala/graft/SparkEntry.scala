@@ -242,6 +242,7 @@ object SparkEntry {
     "q_ndcg" -> ((s, dir) => Retrieval.ndcgEval(s, dir)),
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
+    "q_kcenter_fast" -> ((s, dir) => Similarity.kCenterOversampled(s, dir)),
     "q_length_buckets" -> ((s, dir) => Sampling.lengthBuckets(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),

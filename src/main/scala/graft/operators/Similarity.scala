@@ -1069,6 +1069,133 @@ object Similarity {
     picked.reverse.toDF("rank", "vec_id", "d2").orderBy(col("rank"))
   }
 
+  /** Over-sampled k-center (the k-means‖ initialization idea, Bahmani
+    * et al. 2012, applied to Gonzalez's farthest-point objective):
+    * instead of [[kCenterCoresetOn]]'s k sequential driver rounds — k
+    * Spark jobs of pure latency at large k — run a FIXED small number
+    * of rounds, each sampling ~`oversample`·k candidates
+    * proportionally to their current d²(x, C) (the k-means‖ sampling
+    * rule), then finish with driver-side Gonzalez over the bounded
+    * candidate set. Total Spark rounds drop from k to `rounds`
+    * (sub-linear in k; the Profile `kcenter_*` rows pin the ratio) at
+    * the price of an approximation the covering-radius spec bounds
+    * against the sequential traversal.
+    *
+    * Determinism (goldenable, no RNG): the Bernoulli draw u < p uses
+    * the md5-prefix unit hash of (vec_id, round) — the [[graft
+    * .operators.Sampling.hashSample]] primitive — so the same corpus
+    * always samples the same candidates. Per round the admitted set is
+    * additionally capped at the 4·l farthest (deterministic order-by)
+    * so a pathological distance distribution cannot turn the driver
+    * collect unbounded; the cap keeps the farthest points, which is
+    * what the objective wants anyway.
+    *
+    * Scale shape: each round is one narrow filter + one broadcast
+    * min-update against the ≤4·l new centers (the [[assignNearest]]
+    * argmin shape — map-side combinable, the shuffle moves n rows
+    * never the fan-out); state is cut per round and the prior cut
+    * released, exactly the sequential operator's residency discipline.
+    * Driver memory holds only the candidate set (≤ rounds·4·l rows).
+    */
+  def kCenterOversampled(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 3, oversample: Double = 2.0): DataFrame =
+    kCenterOversampledOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      k, rounds, oversample)
+
+  /** [[kCenterOversampled]] over any (vec_id, v: array<double>) frame. */
+  def kCenterOversampledOn(embIn: DataFrame, k: Int, rounds: Int = 3,
+      oversample: Double = 2.0): DataFrame = {
+    val spark = embIn.sparkSession
+    import spark.implicits._
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    require(rounds >= 1 && oversample > 0,
+      s"need rounds >= 1 and oversample > 0, got $rounds/$oversample")
+    val emb = embIn.cutLineage()
+    val total = emb.count()
+    require(total >= k,
+      s"k-center needs at least k vectors: k=$k, frame has $total")
+    val seedRows = emb.filter(col("vec_id") === 0).select(col("v")).collect()
+    require(seedRows.nonEmpty,
+      "k-center seeds from vec_id 0, which is absent from this frame")
+    val seed = seedRows(0).getSeq[Double](0)
+    val l = math.ceil(oversample * k).toLong
+    var cands = Vector((0L, seed))
+    var state = emb.withColumn("d2", l2sq(col("v"), typedlit(seed)))
+    var prevCut: Option[DataFrame] = None
+    var r = 0
+    var exhausted = false
+    while (r < rounds && !exhausted) {
+      val cut = state.cutLineage(eager = true)
+      prevCut.foreach(graft.Materialize.release)
+      prevCut = Some(cut)
+      val sumRow = cut.agg(sum(col("d2"))).head()
+      val sumd2 = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
+      if (sumd2 <= 0) exhausted = true // every vector already covered
+      else {
+        // deterministic Bernoulli (md5-prefix unit hash, keyed by round)
+        // at p = l*d2/Σd2, candidates capped at the 4l FARTHEST
+        val u = conv(substring(md5(concat_ws(":",
+          col("vec_id").cast("string"), lit(r.toString)).cast("binary")),
+          1, 8), 16, 10).cast("long").cast("double") / 4294967296.0
+        val newC = cut
+          .filter(u < lit(l.toDouble) * col("d2") / lit(sumd2))
+          .orderBy(col("d2").desc, col("vec_id"))
+          .limit(4 * l.toInt)
+          .select(col("vec_id"), col("v"))
+          .collect().map(row => (row.getLong(0), row.getSeq[Double](1)))
+        if (newC.isEmpty) exhausted = true
+        else {
+          cands ++= newC
+          // min-update carries ONLY (vec_id, dn) through the fan-out —
+          // the v arrays stay in the cut and join back by id; hauling v
+          // inside the min(struct) would copy the vector once per
+          // (row × new center) and dominate the round
+          val ncDf = newC.toSeq.toDF("cid", "cv")
+          val dnMin = cut.crossJoin(broadcast(ncDf))
+            .select(col("vec_id"), l2sq(col("v"), col("cv")).as("dn"))
+            .groupBy(col("vec_id")).agg(min(col("dn")).as("dn"))
+          state = cut.join(dnMin, "vec_id")
+            .select(col("vec_id"), col("v"),
+              least(col("d2"), col("dn")).as("d2"))
+        }
+      }
+      r += 1
+    }
+    prevCut.foreach(graft.Materialize.release)
+    graft.Materialize.release(emb)
+    // dedup candidate ids (a round can re-draw an earlier candidate at
+    // d2 > 0 only before its own round's min-update; ids stay unique)
+    val uniq = cands.groupBy(_._1).map(_._2.head).toVector.sortBy(_._1)
+    require(uniq.size >= k, s"oversampling produced ${uniq.size} < k=$k " +
+      "candidates — raise rounds or oversample for this corpus")
+    // driver-side Gonzalez over the bounded candidate set: same seed,
+    // same farthest-point/lowest-id rule as the sequential operator
+    def d2(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val byId = uniq.toMap
+    val ids = scala.collection.mutable.Set(0L)
+    val minD2 = scala.collection.mutable.Map[Long, Double](
+      uniq.map { case (id, v) => id -> d2(v, seed) }: _*)
+    var picked = List((1L, 0L, 0.0))
+    for (rank <- 2 to k) {
+      val (fid, fd2) = minD2.iterator
+        .filter { case (id, _) => !ids.contains(id) }
+        .minBy { case (id, d) => (-d, id) }
+      picked ::= (rank.toLong, fid, fd2)
+      ids += fid
+      val fv = byId(fid)
+      uniq.foreach { case (id, v) =>
+        val nd = d2(v, fv)
+        if (nd < minD2(id)) minD2(id) = nd
+      }
+    }
+    picked.reverse.toDF("rank", "vec_id", "d2").orderBy(col("rank"))
+  }
+
   /** Distributed Lloyd's k-means over embedding vectors, entirely in
     * DataFrame ops — no collect, no MLlib dependency. Seeded with the
     * first `k` vec_ids (deterministic); each iteration is one broadcast

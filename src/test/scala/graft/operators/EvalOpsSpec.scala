@@ -374,6 +374,59 @@ class EvalOpsSpec extends AnyFunSuite {
       s"covering radius must be non-increasing: $radii")
   }
 
+  test("kCenterOversampled: covering radius over the FULL corpus is " +
+    "within a small factor of the sequential traversal's at a fixed " +
+    "round budget, output is well-formed, and too few candidates fail " +
+    "loudly") {
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    def coveringRadius(centerIds: Seq[Long]): Double = {
+      val cs = centerIds.map(id => vecs.find(_._1 == id).get._2)
+      vecs.map { case (_, v) => cs.map(c => l2(v, c)).min }.max
+    }
+    val k = 8
+    val seq = Similarity.kCenterCoreset(spark, dir, k).collect()
+      .map(_.getLong(1)).toSeq
+    val fast = Similarity.kCenterOversampled(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(fast.length == k)
+    assert(fast.map(_._1).toSeq == (1L to k).toSeq, "ranks 1..k")
+    assert(fast.map(_._2).distinct.length == k, "centers unique")
+    assert(fast.head == ((1L, 0L, 0.0)), "seeded at vec_id 0")
+    // within-candidate selection radii are non-increasing like the
+    // sequential operator's
+    val radii = fast.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"selection d2 non-increasing: $radii")
+    val rSeq = coveringRadius(seq)
+    val rFast = coveringRadius(fast.map(_._2).toSeq)
+    info(s"covering radius: sequential = $rSeq, oversampled = $rFast")
+    // Gonzalez is a 2-approximation; the oversampled candidate pool
+    // only loses what the d2-proportional sampling missed — on this
+    // fixture that must stay within 2x of the sequential radius
+    assert(rFast <= 2.0 * rSeq + 1e-12, s"$rFast vs $rSeq")
+    // determinism: same corpus, same draw
+    val again = Similarity.kCenterOversampled(spark, dir, k).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == fast.toSeq)
+    // an impossible candidate budget fails loudly, not silently short
+    val e = intercept[IllegalArgumentException](
+      Similarity.kCenterOversampledOn(
+        graft.sources.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            graft.functions.VectorFunctions.vecD(col("embedding")).as("v"))
+          .limit(40),
+        k = 40, rounds = 1, oversample = 0.01))
+    assert(e.getMessage.contains("candidates"))
+  }
+
   test("applyMixPlan: a zero-weight source keeps nothing, a full-rate " +
     "source keeps everything, kept counts never exceed the source") {
     import spark.implicits._
