@@ -174,6 +174,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
+    "q_span_removal_ml" ->
+      ((s, dir) => Dedup.removeDupSpansMultiLength(s, dir)),
     "q_line_dedup" -> ((s, dir) => Dedup.lineDedup(s, dir)),
     "q_contam_frac" -> ((s, dir) => Dedup.contaminationFraction(s, dir)),
     "q_doc_signals" -> ((s, dir) => TextAnalysis.docSignals(s, dir)),
@@ -2724,6 +2726,42 @@ object SparkEntry {
         |  SELECT DISTINCT g2.doc_id, start + o AS pos
         |  FROM g2 JOIN stats USING (gram), range(0, 3) t(o)
         |  WHERE df >= 2 AND mind < g2.doc_id),
+        |toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(arr) + 1),
+        |           i -> {'pos': i - 1, 'tok': arr[i]})) AS u
+        |  FROM d),
+        |t2 AS (SELECT doc_id, CAST(u.pos AS INT) AS pos, u.tok AS tok FROM toks),
+        |kept AS (SELECT t2.doc_id, t2.pos, t2.tok FROM t2
+        |         ANTI JOIN cov USING (doc_id, pos)),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+        |               count(*) AS n_kept
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        |       CAST(coalesce(a.n_kept, 0) AS INT) AS n_kept,
+        |       CAST(len(arr) - coalesce(a.n_kept, 0) AS INT) AS n_dropped
+        |FROM d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // q_span_removal_ml: length-thresholded (>= 16 tokens) keep-first
+    // span removal; Spark identifies 16-token windows by hash doubling
+    // where the oracle keys stats on the raw joined window string —
+    // equal token windows <=> equal joined strings (tokens are
+    // space-free by construction), same collision caveat as above
+    "q_span_removal_ml" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, greatest(len(arr) - 14, 1)),
+        |           i -> {'start': i - 1,
+        |                 'win': array_to_string(arr[i:i+15], ' ')})) AS u
+        |  FROM d),
+        |w2 AS (SELECT doc_id, CAST(u.start AS INT) AS start, u.win AS win FROM w),
+        |stats AS (SELECT win, count(DISTINCT doc_id) AS df,
+        |                 min(doc_id) AS mind
+        |          FROM w2 GROUP BY win),
+        |cov AS (
+        |  SELECT DISTINCT w2.doc_id, start + o AS pos
+        |  FROM w2 JOIN stats USING (win), range(0, 16) t(o)
+        |  WHERE df >= 2 AND mind < w2.doc_id),
         |toks AS (
         |  SELECT doc_id,
         |         unnest(list_transform(range(1, len(arr) + 1),

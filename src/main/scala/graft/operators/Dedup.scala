@@ -665,6 +665,81 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Variable-length duplicated-span removal by HASH DOUBLING — the
+    * [[removeDupSpansOn]] policy at the length threshold Lee et al.
+    * 2021's ExactSubstr actually uses (≥ L tokens, their §4 uses 50),
+    * instead of "any shared k-gram": a base pass hashes `base`-token
+    * windows, then `doublings` rounds each combine a window's hash
+    * with the hash `len` positions to its right —
+    * h_{j+1}(start) = hash(h_j(start), h_j(start+len_j)) — doubling
+    * the represented length per round, so an L = base·2^doublings
+    * window costs log(L/base) equi-joins rather than hashing L-token
+    * strings directly (L× the bytes through the shuffle). A document
+    * position is dropped iff covered by some L-window that occurs in
+    * ≥ `minDf` docs with an earlier (min doc_id) holder — overlapping
+    * windows tile a longer duplicated run completely, so verbatim
+    * boilerplate of ANY length ≥ L is removed as one span, while
+    * short organic phrase overlaps (< L tokens) are kept — exactly
+    * the two cases the fixed-k operator gets wrong (spec-pinned).
+    *
+    * Scale shape: each doubling is a self-equi-join on
+    * (doc_id, start) — n rows against n rows, co-partitioned after
+    * the first shuffle — so total work is n·log(L/base); stats,
+    * covered positions (bounded by duplicated occurrences only), and
+    * reassembly are the fixed-k operator's tail verbatim. Keyed on
+    * 8-byte hashes end to end; the oracle twin keys on the raw
+    * L-token window (same ~1e-9 deterministic collision caveat).
+    */
+  def removeDupSpansMultiLength(spark: SparkSession, dir: String,
+      base: Int = 4, doublings: Int = 2, minDf: Int = 2): DataFrame =
+    removeDupSpansMultiLengthOn(Tables.documents(spark, dir), base,
+      doublings, minDf)
+
+  /** Same, over any (doc_id, text) frame. */
+  def removeDupSpansMultiLengthOn(documents: DataFrame, base: Int = 4,
+      doublings: Int = 2, minDf: Int = 2): DataFrame = {
+    require(base >= 1 && doublings >= 0,
+      s"need base >= 1 and doublings >= 0, got $base/$doublings")
+    val winLen = base << doublings
+    val d = documents.select(col("doc_id"),
+      split(col("text"), " ").as("arr"))
+    var lvl = d.filter(size(col("arr")) >= base)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("arr")) - base),
+        i => struct(i.as("start"),
+          xxhash64(concat_ws(" ", slice(col("arr"), i + 1, lit(base))))
+            .as("h")))).as("g"))
+      .select(col("doc_id"), col("g.start"), col("g.h"))
+    var len = base
+    for (_ <- 0 until doublings) {
+      val right = lvl.select(col("doc_id"),
+        (col("start") - len).as("start"), col("h").as("hr"))
+      lvl = lvl.join(right, Seq("doc_id", "start"))
+        .select(col("doc_id"), col("start"),
+          xxhash64(col("h"), col("hr")).as("h"))
+      len *= 2
+    }
+    val stats = lvl.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("mind"))
+    val cov = lvl.join(stats, "h")
+      .filter(col("df") >= minDf && col("mind") < col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (winLen - 1)))
+          .as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cov"))
+    d.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("arr"),
+        coalesce(col("cov"), array().cast("array<int>")).as("cov"))
+      .select(col("doc_id"),
+        expr("concat_ws(' ', filter(arr, (t, i) -> NOT array_contains(cov, i)))")
+          .as("clean_text"),
+        (size(col("arr")) - size(col("cov"))).as("n_kept"),
+        size(col("cov")).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact duplicate-LINE removal corpus-wide — the C4 "repeated
     * three-sentence span" / Dolma duplicate-paragraph rule at line
     * granularity, the curation pass that runs BEFORE fuzzy dedup in a

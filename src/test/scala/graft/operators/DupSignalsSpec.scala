@@ -79,6 +79,43 @@ class DupSignalsSpec extends AnyFunSuite {
     assert(out(3L) == (("tiny doc", 2, 0)), "no grams below k tokens")
   }
 
+  test("multi-length span removal: a planted 200-token duplicate is " +
+      "removed as ONE contiguous span at the length threshold, while a " +
+      "short shared phrase — which fixed-k wrongly strips — is kept") {
+    val longSpan = (1 to 200).map(i => s"s$i").mkString(" ")
+    val phrase = "alpha beta gamma delta epsilon" // 5 tokens < L = 16
+    val docs = Seq(
+      (1L, s"pre1 pre2 pre3 $longSpan post1 post2 post3 $phrase"),
+      (2L, s"own1 own2 $longSpan tail1 tail2"), // later holder of the run
+      (3L, s"intro words here $phrase closing words") // short overlap only
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpansMultiLengthOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    // first holder untouched
+    assert(out(1L)._3 == 0, "min-doc_id holder keeps the run")
+    // the later holder loses EXACTLY the 200 run tokens — boundary
+    // windows mix unique context and never match, so own1/own2/tails
+    // survive and the removal is one contiguous span
+    assert(out(2L) == (("own1 own2 tail1 tail2", 4, 200)),
+      s"got ${out(2L)}")
+    // sub-threshold phrase sharing is NOT removal-worthy at L = 16...
+    assert(out(3L)._3 == 0, "short phrase overlap kept by the ml policy")
+    // ...but the fixed-k operator strips it — the over-aggressive
+    // behavior the length threshold exists to fix
+    val fixedK = Dedup.removeDupSpansOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(fixedK(3L) > 0, "fixed-k drops the shared phrase")
+    // a run long but sub-threshold (15 tokens) is kept by ml
+    val span15 = (1 to 15).map(i => s"t$i").mkString(" ")
+    val docs2 = Seq(
+      (1L, s"a b c $span15 d e f"),
+      (2L, s"x y $span15 z w")).toDF("doc_id", "text")
+    val out2 = Dedup.removeDupSpansMultiLengthOn(docs2).collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out2(2L) == 0, "15-token duplicate is below the L=16 threshold")
+  }
+
   test("containment catches a quote-expansion doc that Jaccard misses") {
     val core = ("alpha beta gamma delta epsilon zeta eta theta " * 4).trim
     val expanded = core + " " + ("filler commentary words here and more " * 4).trim
