@@ -231,6 +231,7 @@ object SparkEntry {
     "q_unigram_ids" -> ((s, dir) => Bpe.unigramIds(s, dir)),
     "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
+    "q_kmeans_recall" -> ((s, dir) => Similarity.kmeansRecallAtK(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
     "q_ivfpq_rebalance" ->
@@ -3672,6 +3673,101 @@ object SparkEntry {
         |         list_sum(list_transform(range(1, len(v.v)+1),
         |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
         |  FROM v, c),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM dist) WHERE rn = 1),
+        |ac AS (
+        |  SELECT a.vec_id, rc.crank,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |  FROM assigned a JOIN rc USING (cid), q),
+        |exact AS (
+        |  SELECT vec_id FROM (
+        |    SELECT v.vec_id,
+        |       list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(v.v)+1), i -> v.v[i]*v.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |    FROM v, q ORDER BY cos DESC, vec_id LIMIT 20)),
+        |spine AS (SELECT unnest([1, 2, 4, 8]) AS np),
+        |rec AS (
+        |  SELECT np, vec_id FROM (
+        |    SELECT s.np, a.vec_id, row_number() OVER (PARTITION BY s.np
+        |      ORDER BY a.cos DESC, a.vec_id) AS r
+        |    FROM spine s JOIN ac a ON a.crank <= s.np) WHERE r <= 20),
+        |ov AS (
+        |  SELECT s.np, CAST(count(e.vec_id) AS BIGINT) AS n_overlap
+        |  FROM spine s LEFT JOIN rec ON rec.np = s.np
+        |               LEFT JOIN exact e ON rec.vec_id = e.vec_id
+        |  GROUP BY s.np)
+        |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
+        |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
+        |FROM ov ORDER BY nprobe""".stripMargin,
+    // recall@k of the LEARNED-codebook probe vs exact search: the
+    // q_ann_recall tail with the 3 Lloyd iterations unrolled as CTEs —
+    // decimal means (the q_embed_centroid-proven davg twin), argmin
+    // tie-breaks, and cosine ranking are identical IEEE/decimal chains,
+    // so the integer overlap counts hash-match even though the float
+    // codebook itself has no oracle-able form
+    "q_kmeans_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a1, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a2, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a3 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c2 c) WHERE rn = 1),
+        |c3 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a3, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |rc AS (
+        |  SELECT cid, CAST(row_number() OVER (ORDER BY
+        |    list_sum(list_transform(range(1, len(cv)+1),
+        |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS INTEGER) AS crank
+        |  FROM c3, q),
+        |dist AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c3 c),
         |assigned AS (
         |  SELECT vec_id, v, cid FROM (
         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn

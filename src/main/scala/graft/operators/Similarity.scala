@@ -910,6 +910,34 @@ object Similarity {
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val centroids = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+    recallCurve(emb, centroids, queryId, k, nprobes)
+  }
+
+  /** [[annRecallAtK]] for the LEARNED codebook ([[kmeansCodebook]],
+    * 16 cells × 3 Lloyd iterations) — closes the eval gap where the
+    * k-means probe itself (`q_ann_kmeans`) is golden-only: the recall
+    * metric is integer overlap counts plus one division, and every
+    * decision on the way (decimal means, argmin tie-breaks, cosine
+    * ranking) is the same IEEE/decimal op chain in both engines, so
+    * the whole curve is oracle-hash-checked even though the float
+    * codebook itself never could be (the twin unrolls the 3 Lloyd
+    * iterations as SQL CTEs).
+    */
+  def kmeansRecallAtK(spark: SparkSession, dir: String,
+      queryId: Long = 0, k: Int = 20,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    recallCurve(emb, kmeansCodebook(emb), queryId, k, nprobes)
+  }
+
+  /** The shared recall-curve tail of [[annRecallAtK]] and
+    * [[kmeansRecallAtK]]: rank all cells by query distance, assign the
+    * corpus once, then per probe budget take the candidate-filtered
+    * top-k and count its overlap with the exact top-k.
+    */
+  private def recallCurve(emb: DataFrame, centroids: DataFrame,
+      queryId: Long, k: Int, nprobes: Seq[Int]): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     // every cell ranked by distance to the query (codebook-sized)
     val rankedCells = centroids.crossJoin(broadcast(q))

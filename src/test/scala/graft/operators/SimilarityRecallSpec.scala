@@ -30,6 +30,21 @@ class SimilarityRecallSpec extends AnyFunSuite {
     assert(recall(nprobe = 16) == 1.0)
   }
 
+  test("kmeans-codebook recall curve: monotone in nprobe, exhaustive " +
+      "when probing every cell, and k/nprobe columns well-formed") {
+    val rows = Similarity.kmeansRecallAtK(spark, dir,
+      nprobes = Seq(1, 2, 4, 8, 16)).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    val recalls = rows.map(_._3)
+    recalls.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"recall must be monotone in nprobe: ${recalls.toSeq}")
+    }
+    assert(recalls.last == 1.0,
+      "probing every cell degenerates to brute force")
+    rows.foreach { case (_, n, r) => assert(r == n.toDouble / k) }
+  }
+
   test("int8 two-stage serving: candidate pool from integer dots, " +
       "exact re-rank — recall vs exact gold, and widening the pool " +
       "to the corpus makes it exhaustive") {
