@@ -100,12 +100,36 @@ object TextCuration {
     }
   }
 
+  /** [[summary]] over any documents-shaped frame (near-dup pairs
+    * computed inline) — the batch reference the streaming
+    * [[graft.streaming.EventStream.curationSink]] spec compares
+    * stage counts against.
+    */
+  def summaryOn(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qualityDf = qualityGateOn(docs, cfg).persist()
+    val cleanDf = decontaminatedOn(docs, qualityDf, cfg).persist()
+    val dedupDf = keptAfterDedupFrom(cleanDf, cfg).persist()
+    try {
+      val input = docs.count()
+      val quality = qualityDf.count()
+      val clean = cleanDf.count()
+      val deduped = dedupDf.count()
+      val capped = keptAfterCapFrom(dedupDf, cfg).count()
+      Seq(("1_input", input), ("2_quality", quality), ("3_decontam", clean),
+        ("4_dedup", deduped), ("5_cap", capped)).toDF("stage", "n_docs")
+    } finally {
+      dedupDf.unpersist(); cleanDf.unpersist(); qualityDf.unpersist()
+    }
+  }
+
   /** Stage 1: quality gate over (doc_id, source, lang, n_tokens). */
   private[pipeline] def qualityGate(spark: SparkSession, dir: String,
       cfg: Config): DataFrame =
     qualityGateOn(Tables.documents(spark, dir), cfg)
 
-  private def qualityGateOn(docs: DataFrame, cfg: Config): DataFrame = {
+  private[graft] def qualityGateOn(docs: DataFrame, cfg: Config): DataFrame = {
     val t = split(col("text"), " ")
     docs
       .select(col("doc_id"), col("source"), col("lang"), col("text"),

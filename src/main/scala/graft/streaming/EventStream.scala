@@ -805,6 +805,173 @@ object EventStream {
       }
       .start()
 
+  /** The unified multi-stage streaming curation sink — the batch
+    * [[graft.pipeline.TextCuration]] flow (quality gate → benchmark
+    * decontamination → near-dup retirement → per-source cap) run at
+    * ingest time per micro-batch, with a single replay-safe output
+    * contract instead of five separately-landing gates:
+    *
+    *   - `outPath/docs`: admitted (doc_id, source, lang, n_tokens,
+    *     text) rows, partitioned by `ingest_batch`;
+    *   - `outPath/ledger`: per-batch per-stage survivor counts
+    *     (ingest_batch, stage, n_docs) — the audit trail, partitioned
+    *     the same way.
+    *
+    * Both land under DYNAMIC partition overwrite, so an at-least-once
+    * replay rewrites its own partitions instead of double-landing —
+    * ONE contract for data and audit.
+    *
+    * Stage semantics mirror the batch pipeline per-doc, so cumulative
+    * streamed stage counts equal the batch `summaryOn` counts on the
+    * same corpus (spec-pinned on a replayed corpus whose near-dup
+    * clusters are cliques; chain-shaped clusters can split under
+    * keep-first admission where batch connected components merge them
+    * — the one documented divergence):
+    *
+    *   1. quality: [[graft.pipeline.TextCuration.qualityGateOn]]
+    *      itself — shared code, cannot drift;
+    *   2. decontam: eval-modulus ids leave the stream, and any doc
+    *      sharing a word `decontamK`-gram with the static `evalSet`
+    *      is dropped ([[curateDocs]]' broadcast one-row hash-set
+    *      shape; no redaction here — counts must mirror the batch
+    *      stage, compose [[curateDocs]] upstream for ingest PII);
+    *   3. near-dup: intra-batch MinHash clusters collapse to their
+    *      lowest-id member, then survivors probe the
+    *      [[graft.operators.Dedup.writeMinhashIndex]] layout at
+    *      `indexPath` (created on first batch, APPENDED after each —
+    *      keep-first across batches); matches against the batch's own
+    *      ids are ignored so a replayed batch — whose docs are
+    *      already indexed — reproduces its original decisions instead
+    *      of self-matching to zero (the replay contract; the
+    *      re-append bloats the index harmlessly: probes `distinct()`
+    *      candidates and jaccard is per-pair);
+    *   4. cap: per-source budget `capPerSource` net of what PRIOR
+    *      batches already landed (read back from `outPath/docs`
+    *      excluding this batch's partition — replay-consistent),
+    *      md5-priority within the batch. Cumulative per-source counts
+    *      equal the batch cap's min(n, cap) even though the batch
+    *      picks by global md5 priority and the stream by arrival.
+    *
+    * Index writes happen AFTER the data/ledger writes: a crash between
+    * the two leaves an admitted batch not yet indexed — the next
+    * attempt re-probes without self-matches and re-lands identically.
+    */
+  def curationSink(docs: DataFrame, evalSet: DataFrame, indexPath: String,
+      outPath: String, checkpoint: String,
+      cfg: graft.pipeline.TextCuration.Config =
+        graft.pipeline.TextCuration.Config())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    import graft.pipeline.TextCuration
+    // static one-row eval hash set, built once and broadcast per batch
+    val evalHashes = evalSet
+      .select(explode(Dedup.shingles(col("text"), cfg.decontamK)).as("s"))
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .agg(collect_set(col("h")).as("eval_hashes"))
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          import graft.Materialize.MatOps
+          val nInput = batch.count()
+          // 1. quality — the batch pipeline's own gate
+          val qual = TextCuration.qualityGateOn(batch.toDF(), cfg)
+            .cutLineage(eager = true)
+          val nQual = qual.count()
+          // 2. decontam: eval ids out, eval k-gram overlap out
+          val clean = qual
+            .filter(col("doc_id") % Dedup.EvalModulus =!= 0)
+            .withColumn("hs",
+              transform(Dedup.shingles(col("text"), cfg.decontamK),
+                s => xxhash64(s)))
+            .crossJoin(broadcast(evalHashes))
+            .filter(!coalesce(
+              arrays_overlap(col("hs"), col("eval_hashes")), lit(false)))
+            .drop("hs", "eval_hashes")
+            .cutLineage(eager = true)
+          val nClean = clean.count()
+          // 3. near-dup: intra-batch keep-first, then the stored index
+          val pairs = Dedup.minhashNearDupOn(
+            clean.select(col("doc_id"), col("text")), cfg.dedupThreshold)
+          val clusters = Dedup.clustersFromPairs(
+            pairs.select(col("da"), col("db")))
+          val intraLosers = clusters
+            .join(clusters.groupBy(col("cluster_id"))
+                .agg(min(col("doc_id")).as("keep")),
+              "cluster_id")
+            .filter(col("doc_id") =!= col("keep"))
+            .select(col("doc_id"))
+          val intraKept = clean.join(intraLosers, Seq("doc_id"), "left_anti")
+          val shPath = new org.apache.hadoop.fs.Path(s"$indexPath/shingles")
+          val idxExists = shPath
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .exists(shPath)
+          val admitted = (if (idxExists) {
+            val dups = Dedup.minhashJoinFromIndex(spark,
+              intraKept.select(col("doc_id"), col("text")), indexPath,
+              cfg.dedupThreshold)
+              // replay contract: the index may already hold this
+              // batch's own docs — their matches must not count
+              .join(batch.select(col("doc_id").as("corpus_id")),
+                Seq("corpus_id"), "left_anti")
+              .select(col("batch_id").as("doc_id")).distinct()
+            intraKept.join(dups, Seq("doc_id"), "left_anti")
+          } else intraKept).cutLineage(eager = true)
+          val nDedup = admitted.count()
+          // 4. per-source cap net of PRIOR batches' landed docs
+          val docsPath = s"$outPath/docs"
+          // strictly EARLIER batches only: a replayed batch must see the
+          // same prior state it saw originally, never its own partition
+          // nor a later batch that happened to land before the retry
+          val prior = scala.util.Try(spark.read.parquet(docsPath)).toOption
+            .map(_.filter(col("ingest_batch") < batchId)
+              .groupBy(col("source")).agg(count(lit(1)).as("n_prior")))
+          val withPrior = prior
+            .map(p => admitted.join(broadcast(p), Seq("source"), "left"))
+            .getOrElse(admitted.withColumn("n_prior",
+              lit(null).cast("long")))
+            .withColumn("n_prior", coalesce(col("n_prior"), lit(0L)))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(md5(col("doc_id").cast("string").cast("binary")),
+              col("doc_id"))
+          val landed = withPrior
+            .withColumn("pick", row_number().over(w))
+            .filter(col("pick") + col("n_prior") <= cfg.capPerSource)
+            .select(col("doc_id"), col("source"), col("lang"),
+              col("n_tokens"), col("text"))
+            .cutLineage(eager = true)
+          val nCap = landed.count()
+          // data + ledger land first, index append after (see scaladoc)
+          landed.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(docsPath)
+          Seq(("1_input", nInput), ("2_quality", nQual),
+            ("3_decontam", nClean), ("4_dedup", nDedup), ("5_cap", nCap))
+            .toDF("stage", "n_docs")
+            .withColumn("ingest_batch", lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$outPath/ledger")
+          // keep-first index admission: what the DEDUP stage admitted
+          // (pre-cap — a capped-out doc still represents its cluster)
+          if (nDedup > 0) {
+            val toIndex = admitted.select(col("doc_id"), col("text"))
+            if (idxExists) Dedup.appendToMinhashIndex(toIndex, indexPath)
+            else Dedup.writeMinhashIndex(toIndex, indexPath)
+          }
+          Seq(qual, clean, admitted, landed)
+            .foreach(graft.Materialize.release)
+        }
+      }
+      .start()
+  }
+
   /** Streaming distribution gate from a maintained [[quantileMaintain]]
     * sample artifact: rows whose value falls outside the stored
     * [qLo, qHi] discrete quantile band for their group are dropped

@@ -623,6 +623,91 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curationSink: cumulative streamed stage counts equal the batch " +
+    "TextCuration summary on the same corpus, and a replayed first " +
+    "batch re-lands identically against the already-populated index") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_cursink")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val good = (p: String) => s"$p alpha beta gamma delta epsilon zeta " +
+      s"eta theta iota kappa lambda mu"
+    val evalText = "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12"
+    val dupText = "dup1 dup2 dup3 dup4 dup5 dup6 dup7 dup8 dup9 dup10"
+    val all = Seq(
+      (1L, good("one"), "s0", "en"),
+      (2L, "e1 e2 e3 e4 e5 e6 e7 e8 tail words here pad", "s0", "en"),
+      (3L, "tiny doc", "s0", "en"),                       // quality: short
+      (4L, "a a a a a a a a a a", "s0", "en"),            // quality: ratio
+      (5L, dupText, "s0", "en"),
+      (6L, dupText, "s0", "en"),                          // same-batch dup
+      (7L, dupText, "s0", "en"),                          // later-batch dup
+      (8L, good("eight"), "s1", "en"),
+      (9L, good("nine wholly different words entirely"), "s1", "en"),
+      (10L, good("ten other phrasing again distinct"), "s1", "en"),
+      (11L, good("eleven completely fresh content"), "s1", "en"),
+      (12L, good("twelve more unique material"), "s1", "en"),
+      (13L, good("thirteen final unlike text"), "s1", "en"),
+      (20L, evalText, "s0", "en"))                        // eval id
+    val allDf = all.toDF("doc_id", "text", "source", "lang")
+    val cfg = graft.pipeline.TextCuration.Config(
+      minTokens = 5, capPerSource = 3)
+    val evalSet = allDf.filter(col("doc_id") % 20 === 0)
+    val batch0 = all.filter(d => Seq(1L, 2L, 3L, 20L, 5L, 6L, 8L, 9L)
+      .contains(d._1))
+    val batch1 = all.filter(d => Seq(4L, 7L, 10L, 11L).contains(d._1))
+    val batch2 = all.filter(d => Seq(12L, 13L).contains(d._1))
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = EventStream.curationSink(
+      input.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck1").toString, cfg)
+    try {
+      input.addData(batch0: _*); q.processAllAvailable()
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(s"$outDir/ledger")
+      .groupBy(col("stage"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchRef = graft.pipeline.TextCuration.summaryOn(allDf, cfg)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger == batchRef,
+      s"streamed $ledger vs batch $batchRef")
+    val landed0 = spark.read.parquet(s"$outDir/docs")
+      .filter(col("ingest_batch") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val landedAll = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landedAll.size.toLong == batchRef("5_cap"))
+    // REPLAY the first batch against the now-populated index and
+    // existing output (fresh checkpoint, same batchId 0): the batch's
+    // own indexed docs must not self-match, the cap must see only
+    // strictly-earlier batches, and partition 0 must re-land the same
+    val input2 = MemoryStream[(Long, String, String, String)]
+    val q2 = EventStream.curationSink(
+      input2.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck2").toString, cfg)
+    try {
+      input2.addData(batch0: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val landed0Replay = spark.read.parquet(s"$outDir/docs")
+      .filter(col("ingest_batch") === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed0Replay == landed0,
+      s"replayed partition 0: $landed0Replay vs $landed0")
+    val landedAfter = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landedAfter == landedAll, "other partitions untouched")
+    val ledgerAfter = spark.read.parquet(s"$outDir/ledger")
+      .groupBy(col("stage"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledgerAfter == batchRef, "replay must not change the ledger")
+  }
+
   test("tokenAccountingSink: streamed per-doc counts equal the batch " +
     "tokenizer's, and the stream holds no state") {
     implicit val sql = spark.sqlContext
