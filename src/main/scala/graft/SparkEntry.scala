@@ -76,6 +76,9 @@ object SparkEntry {
     "q_decay_sum" -> ((s, dir) => Aggregates.decayedRevenue(s, dir)),
     "q_cusum_drift" -> ((s, dir) => Analytics.eventCusum(s, dir)),
     "q_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
+    "q_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
+    "q_phrase_index" -> ((s, dir) => TextAnalysis.phraseSearchServed(s, dir)),
+    "q_blocklist" -> ((s, dir) => TextAnalysis.blocklistHits(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_split_temporal" -> ((s, dir) => Sampling.splitTemporal(s, dir)),
     "q_split_leakage" -> ((s, dir) => Sampling.splitLeakage(s, dir)),
@@ -172,6 +175,7 @@ object SparkEntry {
     "q_minhash_join" -> ((s, dir) => Dedup.minhashJoinDocs(s, dir)),
     "q_dup_matrix" -> ((s, dir) => Dedup.dupSourceMatrix(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "q_ppjoin" -> ((s, dir) => Dedup.ppjoinPairs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
     "q_span_removal_ml" ->
@@ -438,6 +442,24 @@ object SparkEntry {
       |tr AS (SELECT doc_id, unnest(sh) AS s FROM sh8 WHERE doc_id % 20 <> 0),
       |hits AS (SELECT tr.doc_id, tr.s FROM tr JOIN ev USING (s))""".stripMargin
   }
+
+  // One twin for the in-query and index-served phrase keys (house rule:
+  // shared vals so twins can't drift — serving ≡ in-query is the claim).
+  private val phraseOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+      |           FROM documents),
+      |p AS (SELECT doc_id,
+      |             unnest(list_transform(range(1, len(arr) + 1),
+      |               i -> {'pos': i, 'term': arr[i]})) AS u
+      |      FROM d),
+      |ph AS (SELECT * FROM (VALUES ('hash', 0), ('join', 1)) AS v(term, off)),
+      |a AS (SELECT p.doc_id, p.u.pos - ph.off AS anchor, ph.off AS off
+      |      FROM p JOIN ph ON p.u.term = ph.term),
+      |m AS (SELECT doc_id, anchor FROM a GROUP BY doc_id, anchor
+      |      HAVING count(DISTINCT off) = 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+      |       CAST(min(anchor) AS BIGINT) AS first_pos
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_agg_by_key" ->
@@ -1395,6 +1417,43 @@ object SparkEntry {
         |       CAST(sum(CAST(tscore AS DECIMAL(18,6))) AS DOUBLE) AS score
         |FROM s GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // q_phrase_search / q_phrase_index: consecutive-token phrase match by
+    // anchor voting (posting at pos votes anchor pos−off for each phrase
+    // offset of its term; an anchor holding all distinct offsets is a
+    // match). n_hits counts OVERLAPPING occurrences; first_pos is
+    // 1-based. The index-served key runs the same values from the stored
+    // positional postings, so one twin serves both.
+    "q_phrase_search" -> phraseOracleSql,
+    "q_phrase_index" -> phraseOracleSql,
+    // q_blocklist: the N-phrase generalization — same anchor voting with
+    // a phrase_id carried through; one row per (doc, phrase) hit.
+    "q_blocklist" ->
+      """WITH d AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr
+        |           FROM documents),
+        |p AS (SELECT doc_id,
+        |             unnest(list_transform(range(1, len(arr) + 1),
+        |               i -> {'pos': i, 'term': arr[i]})) AS u
+        |      FROM d),
+        |ph AS (SELECT * FROM (VALUES
+        |         (0, 'hash', 0), (0, 'join', 1),
+        |         (1, 'stream', 0), (1, 'spark', 1),
+        |         (2, 'batch', 0), (2, 'batch', 1), (2, 'batch', 2))
+        |       AS v(phrase_id, term, off)),
+        |pl AS (SELECT 0 AS phrase_id, 2 AS phrase_len
+        |       UNION ALL SELECT 1, 2 UNION ALL SELECT 2, 3),
+        |a AS (SELECT p.doc_id, ph.phrase_id, p.u.pos - ph.off AS anchor,
+        |             ph.off AS off
+        |      FROM p JOIN ph ON p.u.term = ph.term),
+        |m AS (SELECT doc_id, phrase_id, anchor,
+        |             count(DISTINCT off) AS n_off
+        |      FROM a GROUP BY 1, 2, 3),
+        |hits AS (SELECT m.doc_id, m.phrase_id, m.anchor
+        |         FROM m JOIN pl USING (phrase_id)
+        |         WHERE m.n_off = pl.phrase_len)
+        |SELECT doc_id, CAST(phrase_id AS BIGINT) AS phrase_id,
+        |       CAST(count(*) AS BIGINT) AS n_hits,
+        |       CAST(min(anchor) AS BIGINT) AS first_pos
+        |FROM hits GROUP BY 1, 2 ORDER BY doc_id, phrase_id""".stripMargin,
     "q_weighted_median" ->
       """WITH t AS (
         |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
@@ -2688,6 +2747,34 @@ object SparkEntry {
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket
         |   AND a.doc_id < b.doc_id)
         |SELECT da, db, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY da, db""".stripMargin,
+    // q_ppjoin: the oracle is UNBLOCKED brute force — every pair at
+    // Jaccard ≥ 7/10 corpus-wide (via shared-shingle equi-join, exact
+    // because jaccard > 0 requires a shared shingle). Passing it is the
+    // prefix-filter completeness guarantee itself: the Spark side only
+    // generates candidates from df-ascending prefixes. Integer threshold
+    // test (common·10 ≥ 7·union) on both sides; the jaccard column is the
+    // same BIGINT/BIGINT → double division in both engines.
+    "q_ppjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb,
+        |         CAST(count(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT da, db, common / (na + nb - common) AS jaccard
+        |FROM pairs
+        |WHERE common * 10 >= 7 * (na + nb - common)
         |ORDER BY da, db""".stripMargin,
     // q_dup_span: Spark keys the df count on xxhash64(shingle) (8-byte
     // shuffle rows); the oracle counts on the raw trigram — equal unless

@@ -567,6 +567,107 @@ object Dedup {
       .select(col("da"), col("db"), col("containment"))
       .orderBy(col("da"), col("db"))
 
+  /** EXACT set-similarity self-join by prefix filtering (PPJoin-style,
+    * Xiao et al. 2008, "Efficient Similarity Joins for Near Duplicate
+    * Detection"): every pair with shingle-set Jaccard ≥ `tNum/tDen`, with
+    * NO blocking-key assumption and NO LSH false negatives. The family's
+    * third candidate-generation strategy, with a different contract from
+    * its siblings:
+    *
+    *   - [[minhashNearDup]]: probabilistic candidates (≈1-1e-12 recall at
+    *     planted-dup similarity) — cheapest per doc, the default.
+    *   - [[ngramJaccardPairs]]: deterministic but HEURISTIC blocking on
+    *     (lang, length-bucket) — misses cross-bucket pairs by design.
+    *   - this: provably complete. Order every doc's shingles by ascending
+    *     document frequency; a pair with Jaccard ≥ t MUST share a token
+    *     inside the first |x| − ⌈t·|x|⌉ + 1 tokens of that order (prefix
+    *     lemma: true overlap ≥ ⌈t/(1+t)·(|x|+|y|)⌉ ≥ ⌈t·|x|⌉, and two
+    *     sets of sizes nx, ny with overlap ≥ α must collide within their
+    *     first nx−α+1 / ny−α+1 tokens of any shared total order). Only
+    *     prefix tokens generate candidates.
+    *
+    * Scale shape: the df-ascending order is the whole trick — boilerplate
+    * shingles (license headers, templates), whose C(df,2) join fan-out is
+    * what forces the blocked path's `maxDf` cap, sort to the END of every
+    * document and almost never land in a prefix. Candidate volume is
+    * bounded by rare-token postings without giving up exactness. One df
+    * aggregation (map-side combinable, 8-byte keys), one per-doc
+    * row_number window (partitioned by doc_id — never global), one
+    * prefix-postings self-join with the symmetric size filter
+    * t·max(nx,ny) ≤ min(nx,ny), then the exact intersection count runs
+    * only on surviving candidates.
+    *
+    * The threshold is a RATIONAL (`tNum/tDen`, default 7/10), not a
+    * double, because the guarantee dies on float rounding: prefix length
+    * uses ⌈t·n⌉, and e.g. ceil(0.7·10) evaluates to 8 in binary doubles
+    * (0.7·10 = 7.000000000000001) — one token short of the lemma's
+    * requirement, a silent false-negative class. All gating arithmetic
+    * (⌈t·n⌉ = (tNum·n + tDen − 1) div tDen, the size filter, the final
+    * Jaccard test common·tDen ≥ tNum·(nx+ny−common)) is integer-exact;
+    * the reported `jaccard` column is the same common/union division the
+    * sibling operators emit.
+    *
+    * Same 64-bit shingle-hash keys as the rest of the family (~1e-9
+    * deterministic collision odds, documented at
+    * [[ngramJaccardPairs]]).
+    */
+  def ppjoinPairs(spark: SparkSession, dir: String,
+      tNum: Long = 7L, tDen: Long = 10L): DataFrame =
+    ppjoinPairsOn(Tables.documents(spark, dir), tNum, tDen)
+
+  /** Same, over any (doc_id, lang, text) frame. */
+  def ppjoinPairsOn(documents: DataFrame, tNum: Long, tDen: Long): DataFrame =
+    ppjoinFromShingled(shingleProjection(documents), tNum, tDen)
+
+  /** Same, over a pre-[[shingled]] frame — the chaining entry point. */
+  def ppjoinFromShingled(shingledDocs: DataFrame, tNum: Long,
+      tDen: Long): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val ex = shingledDocs
+      .select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      .select(col("doc_id"), col("n"), xxhash64(col("s")).as("h"))
+      // three consumers (df agg, prefix ranking, verify probe) read the
+      // exploded frame; the cut materializes the one shingle-kernel pass
+      .cutLineage()
+    val dfreq = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // prefix length ⌈t·n⌉ via integer ceil-div — see the float caveat above
+    // double division then floor is exact here: numerator < 2⁵³ and a
+    // true integer quotient is exactly representable, so the correctly-
+    // rounded IEEE quotient never crosses an integer boundary
+    val ceilTn = floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen))
+      .cast("long")
+    val prefix = ex.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rnk") <= col("n") - ceilTn + lit(1))
+      .select(col("h"), col("doc_id"), col("n"))
+    val cands = prefix.select(col("h"), col("doc_id").as("da"),
+        col("n").as("na"))
+      .join(prefix.select(col("h"), col("doc_id").as("db"),
+        col("n").as("nb")), Seq("h"))
+      .filter(col("da") < col("db"))
+      // symmetric size filter: t·max ≤ min, integer cross-multiplied
+      .filter(greatest(col("na"), col("nb")) * lit(tNum)
+        <= least(col("na"), col("nb")) * lit(tDen))
+      .select(col("da"), col("db"), col("na"), col("nb"))
+      .distinct()
+    // exact verify on candidates only: count shared tokens per pair
+    cands
+      .join(ex.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(ex.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") * lit(tDen)
+        >= lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select(col("da"), col("db"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", §4 "dup fraction"): per document,
     * the fraction of its distinct word trigrams that also occur in at

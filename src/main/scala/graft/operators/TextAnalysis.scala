@@ -725,6 +725,161 @@ object TextAnalysis {
       spark.read.parquet(indexPath + "/doclens"),
       spark.read.parquet(indexPath + "/scalars"), k, k1, b)
 
+  /** Exact phrase search: documents containing `phrase` as CONSECUTIVE
+    * tokens, with occurrence count and first match position (1-based).
+    * The retrieval capability BM25's bag-of-words scoring cannot
+    * express — "hash join" as a phrase is not "hash" AND "join".
+    *
+    * Scale shape — one join, one aggregation, NEVER m self-joins: the
+    * phrase explodes into its (term, offset) pairs (duplicate terms keep
+    * every offset), positional postings filtered to the phrase's terms
+    * join on term, and each posting votes for the anchor position
+    * `pos − offset`. An anchor collecting all |phrase| DISTINCT offsets
+    * is a match. The per-anchor vote group is at most |phrase| rows, so
+    * no hot keys exist by construction; with the stored layout
+    * ([[writePositionalIndex]]) the term filter is pushed to the parquet
+    * scan and non-phrase row groups never decompress — the same serving
+    * contract as [[bm25FromIndex]].
+    */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame =
+    phraseSearchOn(Tables.documents(spark, dir), phrase)
+
+  /** Same, over any (doc_id, text) frame. */
+  def phraseSearchOn(docs: DataFrame, phrase: Seq[String]): DataFrame =
+    phraseMatch(positionalTf(docs), docs.sparkSession, phrase)
+
+  /** The (doc_id, term, pos) positional postings every phrase path
+    * builds from — pos is the 1-based token index. Same NULL-coalesce
+    * contract as [[bm25Tf]].
+    */
+  private def positionalTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        posexplode(tokens(coalesce(col("text"), lit(""))))
+          .as(Seq("pos0", "term")))
+      .select(col("doc_id"), col("term"), (col("pos0") + 1).as("pos"))
+
+  /** The anchor-vote tail shared by the in-query and index-served
+    * phrase paths — one definition, so the two are identical
+    * expressions by construction.
+    */
+  private def phraseMatch(postings: DataFrame, spark: SparkSession,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    import spark.implicits._
+    val offsets = phrase.zipWithIndex.toDF("term", "off")
+    postings
+      .filter(col("term").isInCollection(phrase))
+      .join(broadcast(offsets), "term")
+      .select(col("doc_id"),
+        (col("pos") - col("off")).cast("long").as("anchor"), col("off"))
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .filter(col("n_off") === phrase.length)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Materialize the positional postings next to the BM25 layout:
+    * `postings/` = (doc_id, term, pos) hash-clustered and sorted by
+    * term within each file — identical row-group-skipping contract to
+    * [[writeBm25Index]], one tokenize pass total.
+    */
+  def writePositionalIndex(spark: SparkSession, dir: String,
+      path: String): Unit =
+    writePositionalIndexOn(Tables.documents(spark, dir), path)
+
+  /** [[writePositionalIndex]] over any (doc_id, text) frame. */
+  def writePositionalIndexOn(docs: DataFrame, path: String): Unit =
+    positionalTf(docs)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").parquet(path + "/postings")
+
+  /** Incrementally admit a document batch into a stored
+    * [[writePositionalIndex]] layout — positions are per-document, so
+    * an append IS a rebuild over the union corpus (no scalars to
+    * refresh, unlike [[appendToBm25Index]]): tokenize only the batch,
+    * append its postings files. Spec-proved append ≡ rebuild.
+    */
+  def appendToPositionalIndex(spark: SparkSession, batch: DataFrame,
+      path: String): Unit =
+    positionalTf(batch)
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("doc_id"), col("pos"))
+      .write.mode("append").parquet(path + "/postings")
+
+  /** Phrase search served from a stored [[writePositionalIndex]] layout
+    * — the term filter lands on the postings scan; the corpus text is
+    * never touched.
+    */
+  def phraseFromIndex(spark: SparkSession, indexPath: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame =
+    phraseMatch(spark.read.parquet(indexPath + "/postings"), spark, phrase)
+
+  /** Multi-phrase blocklist audit: one pass for N phrases — the curation
+    * gate form of [[phraseSearch]] (banned sequences, eval-benchmark
+    * canaries, license boilerplate). The anchor-vote join generalizes
+    * by carrying `phrase_id`: the phrase table explodes to
+    * (phrase_id, term, off) rows, postings join on term (ONE join and
+    * ONE aggregation regardless of N), and an anchor holding all of a
+    * phrase's distinct offsets is a hit for that phrase. Output: one
+    * row per (doc, phrase) with hits — the gate drops `doc_id IN
+    * (SELECT DISTINCT doc_id ...)`. Per-anchor groups stay ≤ the
+    * phrase's length; the term filter is the union of all phrases'
+    * terms (still pushed to the scan in the index-served form).
+    */
+  def blocklistHits(spark: SparkSession, dir: String,
+      phrases: Seq[Seq[String]] = Seq(
+        Seq("hash", "join"), Seq("stream", "spark"),
+        Seq("batch", "batch", "batch"))): DataFrame =
+    blocklistHitsOn(Tables.documents(spark, dir), phrases)
+
+  /** Same, over any (doc_id, text) frame. */
+  def blocklistHitsOn(docs: DataFrame,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty), "empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val offsets = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      p.zipWithIndex.map { case (t, off) => (pid.toLong, t, off) }
+    }.toDF("phrase_id", "term", "off")
+    val lens = phrases.zipWithIndex
+      .map { case (p, pid) => (pid.toLong, p.length.toLong) }
+      .toDF("phrase_id", "phrase_len")
+    val allTerms = phrases.flatten.distinct
+    positionalTf(docs)
+      .filter(col("term").isInCollection(allTerms))
+      .join(broadcast(offsets), "term")
+      .select(col("doc_id"), col("phrase_id"),
+        (col("pos") - col("off")).cast("long").as("anchor"), col("off"))
+      .groupBy(col("doc_id"), col("phrase_id"), col("anchor"))
+      .agg(countDistinct(col("off")).as("n_off"))
+      .join(broadcast(lens), "phrase_id")
+      .filter(col("n_off") === col("phrase_len"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+      .orderBy(col("doc_id"), col("phrase_id"))
+  }
+
+  /** [[phraseFromIndex]] over the session-memoized positional index for
+    * `dir` — built at most once ([[graft.ArtifactMemo]], same lifecycle
+    * as the BM25/IVF serving artifacts; the memo key embeds `dir`, the
+    * artifact name too, per the [[graft.Materialize.artifactDir]]
+    * replace-on-rebuild contract).
+    */
+  def phraseSearchServed(spark: SparkSession, dir: String,
+      phrase: Seq[String] = Seq("hash", "join")): DataFrame = {
+    val p = graft.ArtifactMemo.cached(spark, s"phraseidx:$dir") {
+      val path = graft.Materialize.artifactDir(spark, s"phrase_idx:$dir")
+      writePositionalIndex(spark, dir, path)
+      path
+    }
+    phraseFromIndex(spark, p, phrase)
+  }
+
   /** [[docChunks]] over any (doc_id, text) frame. */
   def docChunksOn(docs: DataFrame, maxTokens: Int = 40,
       overlap: Int = 10): DataFrame = {

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Phrase search: consecutive-token semantics (including OVERLAPPING
+  * occurrences and duplicate terms inside the phrase), and the
+  * index-served path's contract — identical values, term filter pushed
+  * into the postings scan, no corpus tokenize in the plan.
+  */
+class PhraseSearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "hash join is a hash join strategy"), // 2 hits, first at 1
+      (2L, "join hash"), // reversed — no hit
+      (3L, "hash only here"), // partial — no hit
+      (4L, "batch batch batch ends"), // overlap probe for ("batch","batch")
+      (5L, null.asInstanceOf[String]) // null text — must not crash
+    ).toDF("doc_id", "text")
+  }
+
+  test("consecutive-token semantics, 1-based positions") {
+    val r = TextAnalysis
+      .phraseSearchOn(fixture, Seq("hash", "join"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, 1L)))
+  }
+
+  test("duplicate phrase terms and overlapping matches both count") {
+    val r = TextAnalysis
+      .phraseSearchOn(fixture, Seq("batch", "batch"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // "batch batch batch" contains "batch batch" at anchors 1 and 2
+    assert(r.toSeq == Seq((4L, 2L, 1L)))
+  }
+
+  test("index-served phrase search equals the in-query values, with the " +
+    "term filter pushed to the postings scan and no corpus tokenize") {
+    val p = Files.createTempDirectory("graft_phraseidx").toString
+    TextAnalysis.writePositionalIndex(spark, dir, p)
+    val direct = TextAnalysis.phraseSearch(spark, dir)
+      .collect().map(_.toString).toSeq
+    val served = TextAnalysis.phraseFromIndex(spark, p)
+      .collect().map(_.toString).toSeq
+    assert(served == direct)
+    assert(served.nonEmpty, "default phrase should occur at sf0.001")
+
+    val plan = TextAnalysis.phraseFromIndex(spark, p)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"),
+      s"term filter not pushed:\n$plan")
+    assert(!plan.toLowerCase.contains("generate"),
+      "serving plan must not re-tokenize (no explode/generate)")
+  }
+
+  test("append ≡ rebuild for the positional index") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val base = docs.filter(col("doc_id") % 5 =!= 4)
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val appended = Files.createTempDirectory("graft_phraseapp").toString
+    TextAnalysis.writePositionalIndexOn(base, appended)
+    TextAnalysis.appendToPositionalIndex(spark, batch, appended)
+    val rebuilt = Files.createTempDirectory("graft_phrasereb").toString
+    TextAnalysis.writePositionalIndexOn(docs, rebuilt)
+    val a = TextAnalysis.phraseFromIndex(spark, appended)
+      .collect().map(_.toString).toSeq
+    val r = TextAnalysis.phraseFromIndex(spark, rebuilt)
+      .collect().map(_.toString).toSeq
+    assert(a == r && a.nonEmpty)
+  }
+
+  test("blocklist: N phrases in one pass, per-phrase hit rows") {
+    val r = TextAnalysis
+      .blocklistHitsOn(fixture,
+        Seq(Seq("hash", "join"), Seq("batch", "batch")))
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 0L, 2L, 1L), (4L, 1L, 2L, 1L)))
+  }
+}
