@@ -1121,6 +1121,49 @@ object EventStream {
       .start()
   }
 
+  /** Streaming blocklist admission gate — the exact-banned-sequence
+    * member of the gate family ([[nearDupGate]] MinHash text,
+    * [[phashGateSink]] media, [[embeddingGateSink]] vectors,
+    * [[lmGateSink]] fluency, [[quantileGateSink]] distributions): docs
+    * whose token stream contains ANY of the `phrases` as consecutive
+    * tokens ([[graft.operators.TextAnalysis.blocklistHitsOn]] — one
+    * join + one aggregation for all N phrases) are diverted to
+    * `flags/` with their per-phrase hit rows; clean docs land in
+    * `docs/`. STATELESS by construction (the phrase list is the whole
+    * gate state, broadcast per batch), so replay safety needs no
+    * ledger: a retried batch recomputes identical per-doc decisions and
+    * the ingest_batch-partitioned dynamic overwrite replaces its own
+    * partition idempotently — the same contract every stateless sink
+    * here carries.
+    */
+  def blocklistGateSink(docs: DataFrame, phrases: Seq[Seq[String]],
+      outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          import graft.Materialize.MatOps
+          val hits = graft.operators.TextAnalysis
+            .blocklistHitsOn(batch.toDF(), phrases)
+            .cutLineage(eager = true) // read twice: flags write + anti-join
+          hits.withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$outPath/flags")
+          batch.toDF()
+            .join(hits.select(col("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(s"$outPath/docs")
+          graft.Materialize.release(hits)
+        }
+      }
+      .start()
+
   def hourlyToParquet(events: DataFrame, outPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     hourlyCounts(events)

@@ -1015,4 +1015,42 @@ class EventStreamSpec extends AnyFunSuite {
       assert(byDay("2024-01-10") == ((7.0, true)), byDay.toString)
     } finally q.stop()
   }
+
+  test("blocklistGateSink: streamed admissions and flags equal the " +
+    "batch gate, across batches, stateless") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val phrases = Seq(Seq("hash", "join"), Seq("batch", "batch"))
+    val rows = Seq(
+      (1L, "hash join inside"), // phrase 0 -> flagged
+      (2L, "join hash reversed fine"), // clean
+      (3L, "batch batch batch overlap"), // phrase 1, 2 hits -> flagged
+      (4L, "totally clean words here"))
+    val base = java.nio.file.Files.createTempDirectory("graft_blgate")
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.blocklistGateSink(
+      input.toDF().toDF("doc_id", "text"), phrases, outDir, ckpt)
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val kept = spark.read.parquet(s"$outDir/docs").collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(2L, 4L))
+      // flags equal the batch operator over the union corpus
+      val streamed = spark.read.parquet(s"$outDir/flags")
+        .select(col("doc_id"), col("phrase_id"), col("n_hits"),
+          col("first_pos"))
+        .collect().map(_.toString).toSet
+      val batch = graft.operators.TextAnalysis
+        .blocklistHitsOn(rows.toDF("doc_id", "text"), phrases)
+        .collect().map(_.toString).toSet
+      assert(streamed == batch)
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
 }
