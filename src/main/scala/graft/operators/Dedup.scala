@@ -626,11 +626,13 @@ object Dedup {
       s"threshold must be a rational in (0, 1]: $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
     // per-doc hashed shingle SETS, one row per doc — the frame both the
-    // prefix derivation (exploded) and the verify (array intersect) read;
-    // array_distinct guards set semantics against the ~1e-9 hash collision
+    // prefix derivation (exploded) and the verify read; array_distinct
+    // guards set semantics against the ~1e-9 hash collision, and the
+    // sort is the verify kernel's precondition (sorted_intersect_count)
     val hdocs = shingledDocs
       .select(col("doc_id"),
-        array_distinct(transform(col("sh"), s => xxhash64(s))).as("hs"))
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
+          .as("hs"))
       .cutLineage()
     val ex = hdocs.select(col("doc_id"), size(col("hs")).as("n"),
       explode(col("hs")).as("h"))
@@ -681,7 +683,12 @@ object Dedup {
       .join(hdocs.select(col("doc_id").as("da"), col("hs").as("hsa")), "da")
       .join(hdocs.select(col("doc_id").as("db"), col("hs").as("hsb")), "db")
       .select(col("da"), col("db"), col("na"), col("nb"),
-        size(array_intersect(col("hsa"), col("hsb"))).cast("long")
+        // two-pointer merge count (native kernel): |∩| without hashing
+        // or materializing the intersection array per candidate pair
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsb"))))
           .as("common"))
       .filter(col("common") * lit(tDen)
         >= lit(tNum) * (col("na") + col("nb") - col("common")))
