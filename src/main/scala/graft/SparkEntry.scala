@@ -79,6 +79,7 @@ object SparkEntry {
     "q_phrase_search" -> ((s, dir) => TextAnalysis.phraseSearch(s, dir)),
     "q_phrase_index" -> ((s, dir) => TextAnalysis.phraseSearchServed(s, dir)),
     "q_blocklist" -> ((s, dir) => TextAnalysis.blocklistHits(s, dir)),
+    "q_shard_plan" -> ((s, dir) => Sampling.shardPlan(s, dir)),
     "q_split_leakfree" -> ((s, dir) => Sampling.splitAssignLeakFree(s, dir)),
     "q_split_temporal" -> ((s, dir) => Sampling.splitTemporal(s, dir)),
     "q_split_leakage" -> ((s, dir) => Sampling.splitLeakage(s, dir)),
@@ -1425,6 +1426,20 @@ object SparkEntry {
     // positional postings, so one twin serves both.
     "q_phrase_search" -> phraseOracleSql,
     "q_phrase_index" -> phraseOracleSql,
+    // q_shard_plan: the oracle ranks with one global window — fine for a
+    // 60k-row check; the Spark side decomposes the same rank into a
+    // bounded distinct-length cumsum + per-length row_number (identical
+    // total order: n_tok DESC, doc_id ASC).
+    "q_shard_plan" ->
+      """WITH d AS (SELECT doc_id,
+        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |r AS (SELECT doc_id, n_tok,
+        |             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+        |      FROM d)
+        |SELECT (rnk - 1) % 16 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1 ORDER BY shard""".stripMargin,
     // q_blocklist: the N-phrase generalization — same anchor voting with
     // a phrase_id carried through; one row per (doc, phrase) hit.
     "q_blocklist" ->

@@ -664,6 +664,48 @@ object Sampling {
       .orderBy(col("seq_len"))
   }
 
+  /** Token-balanced output shard plan: assign every document to one of
+    * `nShards` shards so per-shard token totals stay near-equal — what a
+    * training run wants from its materialized corpus (equal-work shards
+    * feed equal-speed data loaders; token counts, not doc counts, are
+    * the work unit). Assignment = round-robin on the tokens-DESC global
+    * rank (LPT-flavored: the heaviest docs spread across shards first,
+    * so imbalance is bounded by one max-length doc), deterministic under
+    * any partitioning.
+    *
+    * Scale shape — the global rank WITHOUT a corpus-sized global window
+    * (the single-partition trap): token lengths have BOUNDED distinct
+    * values, so rank(d) decomposes into
+    * `#{longer docs} + row_number among equal-length docs by doc_id`.
+    * The first term is a cumulative sum over the distinct-length
+    * histogram (a bounded frame — that window is spine-sized, never
+    * corpus-sized) broadcast back; the second is a PARTITIONED window
+    * keyed by length. Output: one row per shard with doc/token totals.
+    */
+  def shardPlan(spark: SparkSession, dir: String,
+      nShards: Int = 16): DataFrame =
+    shardPlanOn(Tables.documents(spark, dir), nShards)
+
+  /** [[shardPlan]] over any documents-shaped frame. */
+  def shardPlanOn(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    require(nShards > 0, s"shardPlan: nShards must be positive, $nShards")
+    val d = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val hist = d.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
+    val wh = Window.orderBy(col("n_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val heavier = hist
+      .withColumn("heavier", coalesce(sum(col("cnt")).over(wh), lit(0L)))
+      .select(col("n_tok"), col("heavier"))
+    val wt = Window.partitionBy(col("n_tok")).orderBy(col("doc_id"))
+    d.join(broadcast(heavier), "n_tok")
+      .withColumn("rnk", col("heavier") + row_number().over(wt))
+      .withColumn("shard", (col("rnk") - 1) % nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"))
+  }
+
   def domainMixWeights(spark: SparkSession, dir: String): DataFrame = {
     val sizes = Tables.documents(spark, dir)
       .groupBy(col("source"))

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Shard planner: the decomposed rank (bounded-histogram cumsum +
+  * per-length row_number) equals the naive global-window rank, the LPT
+  * round-robin balance bound holds, and the executed plan contains no
+  * corpus-sized single-partition window.
+  */
+class ShardPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val fixture = {
+    import spark.implicits._
+    // skewed lengths incl. ties: several docs share a length, one giant
+    val rnd = new scala.util.Random(11)
+    (1L to 300L).map { i =>
+      val n = if (i == 1) 400 else 5 + rnd.nextInt(60)
+      (i, (1 to n).map(j => s"w$j").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  test("decomposed rank == global-window rank, per shard") {
+    val got = Sampling.shardPlanOn(fixture, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val naive = fixture
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_tok").desc, col("doc_id"))))
+      .withColumn("shard", ((col("rnk") - 1) % 7).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("shard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == naive)
+    assert(got.map(_._2).sum == 300L)
+  }
+
+  test("token imbalance is bounded by one max-length doc") {
+    val totals = Sampling.shardPlanOn(fixture, 7)
+      .collect().map(_.getLong(2))
+    val maxTok = 400L
+    assert(totals.max - totals.min <= maxTok,
+      s"imbalance ${totals.max - totals.min} exceeds max doc $maxTok")
+  }
+
+  test("plan has no corpus-sized single-partition window") {
+    val plan = Sampling.shardPlan(spark, dir)
+      .queryExecution.executedPlan.toString
+    val windows = plan.split("\n")
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // exactly two windows: the row_number over the DOC frame must be
+    // partitioned (by n_tok); the single unpartitioned cumsum reads the
+    // distinct-length HISTOGRAM (its row_number/sum sees cnt, never
+    // doc_id) — bounded by |distinct lengths|, not the corpus
+    val docWindows = windows.filter(_.contains("row_number"))
+    assert(docWindows.nonEmpty, s"missing the per-length rank:\n$plan")
+    assert(docWindows.forall(_.contains("windowspecdefinition(n_tok")),
+      s"doc-frame window lost its partition key:\n${windows.mkString("\n")}")
+    val unpartitioned = windows.filterNot(_.contains("row_number"))
+    assert(unpartitioned.forall(w => w.contains("cnt") &&
+      !w.contains("doc_id")),
+      s"histogram cumsum touches the doc frame:\n${windows.mkString("\n")}")
+  }
+}
