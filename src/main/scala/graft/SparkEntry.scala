@@ -177,6 +177,7 @@ object SparkEntry {
     "q_dup_matrix" -> ((s, dir) => Dedup.dupSourceMatrix(s, dir)),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     "q_ppjoin" -> ((s, dir) => Dedup.ppjoinPairs(s, dir)),
+    "q_ppjoin_join" -> ((s, dir) => Dedup.ppjoinJoinDocs(s, dir)),
     "q_dup_span" -> ((s, dir) => Dedup.dupSpanCoverage(s, dir)),
     "q_span_removal" -> ((s, dir) => Dedup.removeDupSpans(s, dir)),
     "q_span_removal_ml" ->
@@ -2741,6 +2742,33 @@ object SparkEntry {
         |  FROM sh a JOIN sh b
         |    ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7)
         |SELECT batch_id, corpus_id, jaccard FROM pairs WHERE jaccard >= 0.7
+        |ORDER BY batch_id, corpus_id""".stripMargin,
+    // q_ppjoin_join: cross-corpus exact set-similarity admission — the
+    // oracle is the same brute-force cross join as q_minhash_join's but
+    // with the RATIONAL 7/10 test and count-based jaccard (shared-shingle
+    // equi-join keeps it tractable); passing it is the prefix filter's
+    // cross-side completeness guarantee.
+    "q_ppjoin_join" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(string_split(text, ' ')) >= 3
+        |              THEN list_distinct(list_transform(
+        |                     range(1, len(string_split(text, ' ')) - 1),
+        |                     i -> string_split(text, ' ')[i] || ' ' ||
+        |                          string_split(text, ' ')[i+1] || ' ' ||
+        |                          string_split(text, ' ')[i+2]))
+        |              ELSE [text] END AS sh
+        |  FROM documents),
+        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |         a.n AS na, b.n AS nb, CAST(count(*) AS BIGINT) AS common
+        |  FROM ex a JOIN ex b
+        |    ON a.s = b.s AND a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT batch_id, corpus_id, common / (na + nb - common) AS jaccard
+        |FROM pairs
+        |WHERE common * 10 >= 7 * (na + nb - common)
         |ORDER BY batch_id, corpus_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (

@@ -721,6 +721,90 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** Cross-corpus EXACT set-similarity admission join — the
+    * provably-complete twin of [[minhashJoinOn]]: which incoming-batch
+    * docs have shingle-set Jaccard ≥ `tNum/tDen` against SOMETHING in
+    * the corpus, with no LSH miss probability at all. The prefix lemma
+    * only needs ONE total token order shared by both sides; document
+    * frequency over the UNION provides it (df is a performance
+    * heuristic — rare tokens up front — not a correctness input), so
+    * the batch and corpus prefixes are directly joinable.
+    *
+    * Same stages as [[ppjoinFromShingled]] with the self-join replaced
+    * by batch-prefix ⋈ corpus-prefix (no batch×batch, no
+    * corpus×corpus), the same positional filter, and the same
+    * merge-kernel verify.
+    */
+  def ppjoinJoinOn(batch: DataFrame, corpus: DataFrame,
+      tNum: Long = 7L, tDen: Long = 10L): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    def hsets(docs: DataFrame): DataFrame = docs
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          transform(shingles(col("text")), s => xxhash64(s)))).as("hs"))
+      .cutLineage()
+    val hb = hsets(batch)
+    val hc = hsets(corpus)
+    def exploded(h: DataFrame): DataFrame =
+      h.select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
+    val exB = exploded(hb)
+    val exC = exploded(hc)
+    // ONE shared order: union df (computed once, broadcast-joined into
+    // both prefix derivations)
+    val dfreq = exB.union(exC).groupBy(col("h"))
+      .agg(count(lit(1)).as("df")).cutLineage(eager = true)
+    val ceilTn = floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen))
+      .cast("long")
+    def prefixOf(ex: DataFrame): DataFrame = ex.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rnk") <= col("n") - ceilTn + lit(1))
+      .select(col("h"), col("doc_id"), col("n"), col("rnk"))
+    val alpha = floor((lit(tNum) * (col("na") + col("nb"))
+      + lit(tNum + tDen - 1)) / lit(tNum + tDen)).cast("long")
+    val cands = prefixOf(exB).select(col("h"),
+        col("doc_id").as("batch_id"), col("n").as("na"), col("rnk").as("ra"))
+      .join(prefixOf(exC).select(col("h"),
+        col("doc_id").as("corpus_id"), col("n").as("nb"),
+        col("rnk").as("rb")), Seq("h"))
+      .filter(greatest(col("na"), col("nb")) * lit(tNum)
+        <= least(col("na"), col("nb")) * lit(tDen))
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= alpha)
+      .select(col("batch_id"), col("corpus_id"), col("na"), col("nb"))
+      .distinct()
+    cands
+      .join(hb.select(col("doc_id").as("batch_id"), col("hs").as("hsa")),
+        "batch_id")
+      .join(hc.select(col("doc_id").as("corpus_id"), col("hs").as("hsb")),
+        "corpus_id")
+      .withColumn("common",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsb")))))
+      .filter(col("common") * lit(tDen)
+        >= lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** [[ppjoinJoinOn]] over the documents table with the
+    * [[minhashJoinDocs]] split (doc_id ≡ 7 mod 10 = the incoming batch).
+    */
+  def ppjoinJoinDocs(spark: SparkSession, dir: String,
+      tNum: Long = 7L, tDen: Long = 10L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    ppjoinJoinOn(
+      docs.filter(col("doc_id") % 10 === 7),
+      docs.filter(col("doc_id") % 10 =!= 7), tNum, tDen)
+  }
+
   /** Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", §4 "dup fraction"): per document,
     * the fraction of its distinct word trigrams that also occur in at

@@ -85,6 +85,40 @@ class PpjoinSpec extends AnyFunSuite {
     assert(j == 14.0 / 20.0)
   }
 
+  test("cross-corpus join == brute force over batch×corpus, and " +
+    "dominates the MinHash admission join") {
+    val batch = docs.filter(col("doc_id") <= 8L)
+    val corpus = docs.filter(col("doc_id") >= 9L)
+      // plant a corpus near-copy of batch doc 1 so the result is nonempty
+      .unionByName(docs.filter(col("doc_id") === 1L)
+        .select((col("doc_id") + 100L).as("doc_id"), col("lang"),
+          col("text")))
+    val got = Dedup.ppjoinJoinOn(batch.select(col("doc_id"), col("text")),
+      corpus.select(col("doc_id"), col("text")), 7L, 10L)
+    val gotPairs = got.select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val sa = batch.select(col("doc_id").as("ba"),
+      Dedup.shingles(col("text")).as("sha"))
+    val sb = corpus.select(col("doc_id").as("ca"),
+      Dedup.shingles(col("text")).as("shb"))
+    val brute = sa.crossJoin(sb)
+      .select(col("ba"), col("ca"),
+        size(array_intersect(col("sha"), col("shb"))).as("common"),
+        size(array_union(col("sha"), col("shb"))).as("union"))
+      .filter(col("common") * 10 >= col("union") * 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPairs == brute)
+    assert(gotPairs.contains((1L, 101L)), "planted cross-side dup missed")
+
+    val mh = Dedup.minhashJoinOn(batch.select(col("doc_id"), col("text")),
+      corpus.select(col("doc_id"), col("text")), 0.7)
+      .select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(gotPairs),
+      "exact join must dominate the LSH admission join")
+  }
+
   test("completeness the blocked sibling lacks: cross-bucket and cross-lang") {
     val blocked = Dedup.ngramJaccardPairsOn(docs, 0.7, maxDf = None)
     val blockedPairs = pairSet(blocked)
