@@ -805,6 +805,120 @@ object Dedup {
       docs.filter(col("doc_id") % 10 =!= 7), tNum, tDen)
   }
 
+  /** The hashed-set projection every ppjoin index path shares. */
+  private def ppjoinSets(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"),
+      array_sort(array_distinct(
+        transform(shingles(col("text")), s => xxhash64(s)))).as("hs"))
+
+  /** Rank a side's tokens under a STORED df order and keep its prefix.
+    * The order is (coalesce(stored df, 0), h): tokens the stored corpus
+    * has never seen rank rarest-first. Any FIXED total order keeps the
+    * prefix lemma valid — df only tunes selectivity — so the frozen
+    * order stays correct as the indexed corpus drifts, the same
+    * frozen-artifact contract as the IVF codebook.
+    */
+  private def prefixUnder(dfreq: DataFrame, sets: DataFrame,
+      tNum: Long, tDen: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ceilTn = floor((lit(tNum) * col("n") + lit(tDen - 1)) / lit(tDen))
+      .cast("long")
+    sets.select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rnk") <= col("n") - ceilTn + lit(1))
+      .select(col("h"), col("doc_id"), col("n"), col("rnk"))
+  }
+
+  /** Materialize the corpus side of [[ppjoinJoinOn]] as an on-disk
+    * EXACT admission index — the zero-miss sibling of
+    * [[writeMinhashIndex]]: `sets/` = sorted hashed shingle sets for
+    * the merge-kernel verify, `dfreq/` = the document-frequency order
+    * FROZEN at build time, `prefix/` = (h, doc_id, n, rnk) prefix
+    * postings clustered by h (tight row-group stats for probe scans).
+    * One corpus pass: sets land first, everything derives from reading
+    * them back.
+    */
+  def writePpjoinIndex(corpus: DataFrame, path: String,
+      tNum: Long = 7L, tDen: Long = 10L): Unit = {
+    val spark = corpus.sparkSession
+    ppjoinSets(corpus).write.mode("overwrite").parquet(s"$path/sets")
+    val sets = spark.read.parquet(s"$path/sets")
+    sets.select(explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/dfreq")
+    prefixUnder(spark.read.parquet(s"$path/dfreq"), sets, tNum, tDen)
+      .repartition(col("h")).sortWithinPartitions(col("h"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/prefix")
+  }
+
+  /** Admit a batch into a stored [[writePpjoinIndex]] layout: sets and
+    * prefix postings append; `dfreq/` stays FROZEN (the order is a
+    * correctness-free tuning input — recomputing it would also demand
+    * rewriting every stored prefix, a full rebuild). Serving after an
+    * append returns results IDENTICAL to a rebuild over the union
+    * corpus (spec-proved): the exact verify decides membership, and it
+    * is order-independent.
+    */
+  def appendToPpjoinIndex(batch: DataFrame, path: String,
+      tNum: Long = 7L, tDen: Long = 10L): Unit = {
+    val spark = batch.sparkSession
+    import graft.Materialize.MatOps
+    val sets = ppjoinSets(batch).cutLineage(eager = true)
+    sets.write.mode("append").parquet(s"$path/sets")
+    prefixUnder(spark.read.parquet(s"$path/dfreq"), sets, tNum, tDen)
+      .repartition(col("h")).sortWithinPartitions(col("h"), col("doc_id"))
+      .write.mode("append").parquet(s"$path/prefix")
+    graft.Materialize.release(sets)
+  }
+
+  /** [[ppjoinJoinOn]] with the corpus side served from a stored
+    * [[writePpjoinIndex]] layout: the batch is shingled/ranked live
+    * under the index's frozen df order; the corpus contributes stored
+    * prefix postings to the candidate join and stored sets to the
+    * verify — no corpus re-shingle anywhere in the plan.
+    */
+  def ppjoinJoinFromIndex(spark: SparkSession, batch: DataFrame,
+      indexPath: String, tNum: Long = 7L, tDen: Long = 10L): DataFrame = {
+    import graft.Materialize.MatOps
+    val bs = ppjoinSets(batch).cutLineage()
+    val dfreq = spark.read.parquet(s"$indexPath/dfreq")
+    val alpha = floor((lit(tNum) * (col("na") + col("nb"))
+      + lit(tNum + tDen - 1)) / lit(tNum + tDen)).cast("long")
+    val cands = prefixUnder(dfreq, bs, tNum, tDen)
+      .select(col("h"), col("doc_id").as("batch_id"), col("n").as("na"),
+        col("rnk").as("ra"))
+      .join(spark.read.parquet(s"$indexPath/prefix")
+        .select(col("h"), col("doc_id").as("corpus_id"), col("n").as("nb"),
+          col("rnk").as("rb")), Seq("h"))
+      .filter(greatest(col("na"), col("nb")) * lit(tNum)
+        <= least(col("na"), col("nb")) * lit(tDen))
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= alpha)
+      .select(col("batch_id"), col("corpus_id"), col("na"), col("nb"))
+      .distinct()
+    cands
+      .join(bs.select(col("doc_id").as("batch_id"), col("hs").as("hsa")),
+        "batch_id")
+      .join(spark.read.parquet(s"$indexPath/sets")
+        .select(col("doc_id").as("corpus_id"), col("hs").as("hsb")),
+        "corpus_id")
+      .withColumn("common",
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.functions.SortedIntersectCount(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsa")),
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("hsb")))))
+      .filter(col("common") * lit(tDen)
+        >= lit(tNum) * (col("na") + col("nb") - col("common")))
+      .select(col("batch_id"), col("corpus_id"),
+        (col("common") / (col("na") + col("nb") - col("common")))
+          .as("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** Duplicated-span coverage (Lee et al. 2021, "Deduplicating Training
     * Data Makes Language Models Better", §4 "dup fraction"): per document,
     * the fraction of its distinct word trigrams that also occur in at

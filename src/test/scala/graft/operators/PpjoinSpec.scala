@@ -119,6 +119,34 @@ class PpjoinSpec extends AnyFunSuite {
       "exact join must dominate the LSH admission join")
   }
 
+  test("stored ppjoin index: served == in-memory results, append == " +
+    "rebuild, and the frozen df order never changes the answer") {
+    val sf = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val batch = sf.filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("text"))
+    val corpus = sf.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("text"))
+    val inMem = Dedup.ppjoinJoinOn(batch, corpus, 7L, 10L)
+      .collect().map(_.toString).toSeq
+
+    val full = java.nio.file.Files.createTempDirectory("graft_ppidx").toString
+    Dedup.writePpjoinIndex(corpus, full)
+    val served = Dedup.ppjoinJoinFromIndex(spark, batch, full)
+      .collect().map(_.toString).toSeq
+    // exact verify decides membership, so the (frozen-df vs union-df)
+    // order difference cannot move the result set
+    assert(served == inMem && served.nonEmpty)
+
+    // append ≡ rebuild on RESULTS: half the corpus at build, half
+    // admitted later under the frozen order
+    val part = java.nio.file.Files.createTempDirectory("graft_ppapp").toString
+    Dedup.writePpjoinIndex(corpus.filter(col("doc_id") % 3 =!= 0), part)
+    Dedup.appendToPpjoinIndex(corpus.filter(col("doc_id") % 3 === 0), part)
+    val viaAppend = Dedup.ppjoinJoinFromIndex(spark, batch, part)
+      .collect().map(_.toString).toSeq
+    assert(viaAppend == served)
+  }
+
   test("completeness the blocked sibling lacks: cross-bucket and cross-lang") {
     val blocked = Dedup.ngramJaccardPairsOn(docs, 0.7, maxDf = None)
     val blockedPairs = pairSet(blocked)
