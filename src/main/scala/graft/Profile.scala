@@ -543,6 +543,88 @@ object Profile {
         .agg(sum(col("n_removed") + col("n_changed") + col("n_unchanged")))
         .scalarLong
     }
+
+    // Round-12 rows, group 1: the maxDf stop-shingle knob on the pair
+    // family at the GIVEN dir (run with /tmp/graft_sf1 for the sf1
+    // numbers SCALING.md cites — these rows deliberately measure the 1x
+    // corpus of whatever dir is passed, NOT the rep10 fixture, because
+    // the question is organic cross-replica boilerplate density).
+    // *_cands_* rows isolate CANDIDATE volume (the blocked equi-join's
+    // output before any threshold); the named-op rows time the full
+    // operator. The cap's correctness trade is spec-pinned
+    // (DedupChainSpec): false-negatives-only, boilerplate-only pairs.
+    t("ngram_cands_nocap")(Dedup.blockedCommonCounts(
+      Dedup.shingleProjection(base), None).count())
+    t("ngram_cands_df256")(Dedup.blockedCommonCounts(
+      Dedup.shingleProjection(base), Some(256L)).count())
+    t("ngram_1x_nocap")(Dedup.ngramJaccardPairsOn(base, 0.7, None).count())
+    t("ngram_1x_df256")(
+      Dedup.ngramJaccardPairsOn(base, 0.7, Some(256L)).count())
+    t("contain_1x_nocap")(
+      Dedup.containmentPairsOn(base, 0.9, None).count())
+    t("contain_1x_df256")(
+      Dedup.containmentPairsOn(base, 0.9, Some(256L)).count())
+    t("edit_1x_nocap")(Dedup.editDistancePairsOn(base).count())
+    t("edit_1x_df256")(
+      Dedup.editDistancePairsOn(base, maxDf = Some(256L)).count())
+    // ppjoin needs no cap — the df-ascending prefix order is the claim;
+    // this row is the same-corpus comparison point for the capped rows
+    t("ppjoin_1x")(Dedup.ppjoinPairsOn(base, 7L, 10L).count())
+
+    // Round-12 rows, group 2: AQE skew-join vs salting vs plain on a
+    // 50%-hot-key shuffle join over the dir's lineitem (6M rows at sf1).
+    // Broadcast is disabled — salting/AQE exist for when the dim side
+    // is NOT broadcastable; AQE's skew split needs the thresholds
+    // lowered to trigger at test scale (at production scale the 256 MB
+    // defaults fire on genuinely hot partitions).
+    def withConfs(kv: (String, String)*)(body: => Long): Long = {
+      val prev = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    val skFact = graft.sources.Tables.lineitem(spark, dir)
+      .select(when(col("l_orderkey") % 2 === 0, lit(0L))
+        .otherwise(col("l_orderkey") % 100000).as("k"),
+        col("l_extendedprice").as("payload"))
+    val skDim = spark.range(0, 100000)
+      .select(col("id").as("k"), concat(lit("d_"), col("id")).as("label"))
+    val noBcast = "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    def skewBody: Long = skFact.join(skDim, "k")
+      .agg(sum(col("payload"))).scalarDouble.toLong
+    t("skewjoin_plain")(withConfs(noBcast,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")(skewBody))
+    t("skewjoin_aqe")(withConfs(noBcast,
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8m",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")(skewBody))
+    t("skewjoin_salted")(withConfs(noBcast,
+      "spark.sql.adaptive.skewJoin.enabled" -> "false")(
+      graft.operators.Joins.saltedJoin(skFact, skDim, "k", 16)
+        .agg(sum(col("payload"))).scalarDouble.toLong))
+
+    // Round-12 rows, group 3: PCA covariance moment pass, explode vs
+    // per-partition Gram, at d = 64 (native) and d = 256 (the embedding
+    // concatenated with itself 4x — triangle 32 896 cells vs 2 080; the
+    // explode shape's per-vector row fan-out grows 15.8x, the Gram
+    // shape's row count stays #partitions).
+    {
+      import graft.functions.VectorFunctions.vecD
+      val e64 = emb.select(col("vec_id"), vecD(col("embedding")).as("v"))
+      val e256 = e64.select(col("vec_id"),
+        concat(col("v"), col("v"), col("v"), col("v")).as("v"))
+      def momentSum(x: org.apache.spark.sql.DataFrame, gram: Boolean): Long = {
+        val (m, n) = graft.operators.Similarity.triangleMicroMoments(x, gram)
+        m.sum + n
+      }
+      t("pca_mom_explode_d64")(momentSum(e64, gram = false))
+      t("pca_mom_gram_d64")(momentSum(e64, gram = true))
+      t("pca_mom_explode_d256")(momentSum(e256, gram = false))
+      t("pca_mom_gram_d256")(momentSum(e256, gram = true))
+    }
     spark.stop()
   }
 }

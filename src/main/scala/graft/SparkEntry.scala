@@ -238,6 +238,8 @@ object SparkEntry {
     "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_kmeans_recall" -> ((s, dir) => Similarity.kmeansRecallAtK(s, dir)),
+    "q_pq_recall" -> ((s, dir) => Similarity.pqRecallAtK(s, dir)),
+    "q_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecallAtK(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
     "q_ivfpq_rebalance" ->
@@ -1433,7 +1435,7 @@ object SparkEntry {
     // total order: n_tok DESC, doc_id ASC).
     "q_shard_plan" ->
       """WITH d AS (SELECT doc_id,
-        |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |                  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tok
         |           FROM documents),
         |r AS (SELECT doc_id, n_tok,
         |             row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
@@ -3925,6 +3927,206 @@ object SparkEntry {
         |  SELECT s.np, CAST(count(e.vec_id) AS BIGINT) AS n_overlap
         |  FROM spine s LEFT JOIN rec ON rec.np = s.np
         |               LEFT JOIN exact e ON rec.vec_id = e.vec_id
+        |  GROUP BY s.np)
+        |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
+        |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
+        |FROM ov ORDER BY nprobe""".stripMargin,
+    // recall@k of the two-stage PQ/ADC serving vs exact L2 per shortlist
+    // budget: the q_kmeans_recall trick applied to product quantization —
+    // the 2 joint-Lloyd iterations unroll as CTEs with decimal means over
+    // raw subvector components, argmin tie-breaks are (dist, cid), and
+    // the ADC ranking key is an ORDER-STABLE sub-order fold (list_sum of
+    // list(d ORDER BY sub) ≡ Spark's left fold), so the integer overlap
+    // counts hash-match even though codebook and codes are golden-only
+    "q_pq_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub,
+        |         list_slice(v, s*4 + 1, s*4 + 4) AS sv
+        |  FROM v, unnest(range(0, 16)) AS t(s)),
+        |cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb0 c USING (sub)) WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a1, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |a2 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb1 c USING (sub)) WHERE rn = 1),
+        |cb2 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a2, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb2 c USING (sub)) WHERE rn = 1),
+        |qs AS (SELECT sub, sv AS qsv FROM subs WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT c.sub, c.cid,
+        |         list_sum(list_transform(range(1, len(c.cv)+1),
+        |           i -> (c.cv[i]-q.qsv[i])*(c.cv[i]-q.qsv[i]))) AS d
+        |  FROM cb2 c JOIN qs q USING (sub)),
+        |adc AS (
+        |  SELECT vec_id, list_sum(ds) AS adist FROM (
+        |    SELECT vec_id, list(d ORDER BY sub) AS ds
+        |    FROM codes JOIN lut USING (sub, cid) GROUP BY vec_id)),
+        |qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |ed AS (
+        |  SELECT v.vec_id,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-qv[i])*(v.v[i]-qv[i]))) AS dist
+        |  FROM v, qv),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT vec_id, dist FROM ed ORDER BY dist, vec_id LIMIT 20)),
+        |spine AS (SELECT unnest([1, 2, 4, 8]) AS r),
+        |sl AS (
+        |  SELECT s.r, a.vec_id FROM spine s JOIN (
+        |    SELECT vec_id, row_number() OVER (ORDER BY adist, vec_id) AS rnk
+        |    FROM adc) a ON a.rnk <= 20 * s.r),
+        |rr AS (
+        |  SELECT r, vec_id FROM (
+        |    SELECT sl.r, sl.vec_id, row_number() OVER (PARTITION BY sl.r
+        |      ORDER BY ed.dist, sl.vec_id) AS rn2
+        |    FROM sl JOIN ed USING (vec_id)) WHERE rn2 <= 20),
+        |ov AS (
+        |  SELECT s.r, CAST(count(e.vec_id) AS BIGINT) AS n_overlap
+        |  FROM spine s LEFT JOIN rr ON rr.r = s.r
+        |               LEFT JOIN exact e ON rr.vec_id = e.vec_id
+        |  GROUP BY s.r)
+        |SELECT r AS rerank, CAST(20 AS INTEGER) AS k, n_overlap,
+        |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
+        |FROM ov ORDER BY rerank""".stripMargin,
+    // recall@k of the composed IVF-PQ probe vs exact L2 per nprobe at the
+    // serving shortlist depth (rerank 4): coarse assignment + residual
+    // split + both joint-Lloyd iterations + coding + per-cell LUTs, all
+    // unrolled; decimal means here run over COMPUTED residual components
+    // (the one dec()-of-computed exposure, ~1e-11/cast boundary risk,
+    // accepted and documented on the Spark side)
+    "q_ivfpq_recall" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |asgc AS (
+        |  SELECT vec_id, v, cid, cv FROM (
+        |    SELECT v.vec_id, v.v, c.cid, c.cv,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, co c) WHERE rn = 1),
+        |res AS (
+        |  SELECT vec_id, cid AS cell,
+        |         list_transform(range(1, len(v)+1), i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+        |  FROM asgc),
+        |rsubs AS (
+        |  SELECT vec_id, cell, CAST(s AS INT) AS sub,
+        |         list_slice(r, s*4 + 1, s*4 + 4) AS sv
+        |  FROM res, unnest(range(0, 16)) AS t(s)),
+        |cb0 AS (SELECT sub, vec_id - 16 AS cid, sv AS cv FROM rsubs
+        |        WHERE vec_id >= 16 AND vec_id < 32),
+        |a1 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb0 c USING (sub)) WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a1, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |a2 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb1 c USING (sub)) WHERE rn = 1),
+        |cb2 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a2, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT vec_id, cell, sub, cid FROM (
+        |    SELECT s.vec_id, s.cell, s.sub, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb2 c USING (sub)) WHERE rn = 1),
+        |rc AS (
+        |  SELECT cid AS cell, cv, CAST(row_number() OVER (ORDER BY
+        |    list_sum(list_transform(range(1, len(cv)+1),
+        |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS INTEGER) AS crank
+        |  FROM co, qv),
+        |rc8 AS (SELECT * FROM rc WHERE crank <= 8),
+        |qr AS (SELECT cell, crank,
+        |              list_transform(range(1, len(cv)+1),
+        |                i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+        |       FROM rc8, qv),
+        |qrs AS (SELECT cell, crank, CAST(s AS INT) AS sub,
+        |               list_slice(r, s*4 + 1, s*4 + 4) AS qsv
+        |        FROM qr, unnest(range(0, 16)) AS t(s)),
+        |lut AS (SELECT q.cell, q.crank, q.sub, c.cid,
+        |               list_sum(list_transform(range(1, len(c.cv)+1),
+        |                 i -> (c.cv[i]-q.qsv[i])*(c.cv[i]-q.qsv[i]))) AS d
+        |        FROM cb2 c JOIN qrs q USING (sub)),
+        |adc AS (
+        |  SELECT vec_id, crank, list_sum(ds) AS adist FROM (
+        |    SELECT cd.vec_id, l.crank, list(l.d ORDER BY cd.sub) AS ds
+        |    FROM codes cd JOIN lut l
+        |      ON cd.cell = l.cell AND cd.sub = l.sub AND cd.cid = l.cid
+        |    GROUP BY cd.vec_id, l.crank)),
+        |ed AS (
+        |  SELECT v.vec_id,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-qv[i])*(v.v[i]-qv[i]))) AS dist
+        |  FROM v, qv),
+        |exact AS (SELECT vec_id FROM (
+        |  SELECT vec_id, dist FROM ed ORDER BY dist, vec_id LIMIT 20)),
+        |spine AS (SELECT unnest([1, 2, 4, 8]) AS np),
+        |sl AS (
+        |  SELECT np, vec_id FROM (
+        |    SELECT s.np, a.vec_id, row_number() OVER (PARTITION BY s.np
+        |      ORDER BY a.adist, a.vec_id) AS rnk
+        |    FROM spine s JOIN adc a ON a.crank <= s.np) WHERE rnk <= 80),
+        |rr AS (
+        |  SELECT np, vec_id FROM (
+        |    SELECT sl.np, sl.vec_id, row_number() OVER (PARTITION BY sl.np
+        |      ORDER BY ed.dist, sl.vec_id) AS rn2
+        |    FROM sl JOIN ed USING (vec_id)) WHERE rn2 <= 20),
+        |ov AS (
+        |  SELECT s.np, CAST(count(e.vec_id) AS BIGINT) AS n_overlap
+        |  FROM spine s LEFT JOIN rr ON rr.np = s.np
+        |               LEFT JOIN exact e ON rr.vec_id = e.vec_id
         |  GROUP BY s.np)
         |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
         |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall

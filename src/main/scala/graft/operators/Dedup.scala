@@ -53,7 +53,7 @@ object Dedup {
     * cached [[shingled]] frame and the self-contained operators — so the
     * bucket width / shingle k can never drift between the two paths.
     */
-  private def shingleProjection(documents: DataFrame, k: Int = 3): DataFrame =
+  private[graft] def shingleProjection(documents: DataFrame, k: Int = 3): DataFrame =
     documents.select(col("doc_id"), col("lang"),
       // floor, not int-cast: Spark cast truncates but DuckDB cast rounds,
       // so the oracle mirrors floor() on both sides
@@ -532,7 +532,7 @@ object Dedup {
     * equi-join + one count aggregation. One definition keeps every
     * metric consuming the SAME candidates and intersection counts.
     */
-  private def blockedCommonCounts(shingledDocs: DataFrame,
+  private[graft] def blockedCommonCounts(shingledDocs: DataFrame,
       maxDf: Option[Long]): DataFrame = {
     val docs = shingledDocs.withColumn("n_sh", size(col("sh")))
     val exploded = docs
@@ -1193,10 +1193,16 @@ object Dedup {
     editDistancePairsOn(Tables.documents(spark, dir), maxEdits, minShared,
       minSim)
 
-  /** Same, over any (doc_id, lang, text) frame. */
+  /** Same, over any (doc_id, lang, text) frame. `maxDf` is the same
+    * stop-shingle cap as [[ngramJaccardPairs]]' — it bounds the
+    * CANDIDATE stage's per-shingle fan-out; the DP verify and the sim
+    * threshold are unchanged, so the cap can only drop pairs whose
+    * every shared shingle is boilerplate (df > cap), never admit one.
+    */
   def editDistancePairsOn(documents: DataFrame, maxEdits: Int = 64,
-      minShared: Double = 0.5, minSim: Double = 0.6): DataFrame = {
-    val cand = blockedCommonCounts(shingleProjection(documents), None)
+      minShared: Double = 0.5, minSim: Double = 0.6,
+      maxDf: Option[Long] = None): DataFrame = {
+    val cand = blockedCommonCounts(shingleProjection(documents), maxDf)
       .filter(col("common") / least(col("na"), col("nb")) >= minShared)
       .select(col("da"), col("db"))
     val ta = documents.select(col("doc_id").as("da"), col("text").as("ta"))

@@ -235,6 +235,127 @@ object Multimodal {
     h
   }
 
+  /** REAL container frame walk: the byte extents of each frame's data
+    * inside the encoded payload, parsed from the container structure —
+    * GIF image-descriptor blocks (0x2C + local color table + LZW code
+    * byte + data sub-blocks, one frame per descriptor) and PNG IDAT
+    * chunks (one range per chunk's data). None when the payload is
+    * neither container, so callers can fall back to spaced byte windows
+    * for raw/unknown payloads. No pixel decode anywhere — the walk reads
+    * length fields only, so per-file cost is header-arithmetic-sized
+    * like [[decodeDims]]; offsets advance in LONG arithmetic and every
+    * declared length clamps to the bytes actually present (the
+    * [[decodeWav]] hostile-length discipline), so a corrupt file yields
+    * a truncated frame list, never a stuck walk.
+    */
+  private[operators] def frameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] =
+    gifFrameRanges(b).orElse(pngFrameRanges(b))
+
+  /** GIF block walk: logical screen descriptor (+ global color table if
+    * flagged), then extensions (0x21: label + sub-blocks) are skipped
+    * and each image descriptor (0x2C) contributes one frame range
+    * spanning the separator byte through its data sub-block terminator.
+    */
+  private[operators] def gifFrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (decodeGif(b).isEmpty || b.length < 13) return None
+    val frames = Vector.newBuilder[(Int, Int)]
+    // skip the sub-block chain at `i`, returning the offset past its
+    // 0x00 terminator (or EOF on truncation)
+    def skipSubBlocks(start: Long): Long = {
+      var i = start
+      while (i < b.length && (b(i.toInt) & 0xff) != 0)
+        i += 1L + (b(i.toInt) & 0xff)
+      i + 1L
+    }
+    val packed = b(10) & 0xff
+    var i = 13L + (if ((packed & 0x80) != 0) 3L << ((packed & 7) + 1) else 0L)
+    var done = false
+    while (!done && i < b.length) {
+      (b(i.toInt) & 0xff) match {
+        case 0x21 => i = skipSubBlocks(i + 2) // extension: label, then sub-blocks
+        case 0x2c =>
+          val start = i
+          if (i + 10 > b.length) { done = true }
+          else {
+            val lp = b(i.toInt + 9) & 0xff
+            val lct = if ((lp & 0x80) != 0) 3L << ((lp & 7) + 1) else 0L
+            val end = skipSubBlocks(i + 10 + lct + 1) // +1: LZW min code byte
+            if (end <= b.length)
+              frames += ((start.toInt, end.toInt))
+            i = end
+          }
+        case 0x3b => done = true // trailer
+        case _ => done = true // desynced: stop with what parsed cleanly
+      }
+    }
+    Some(frames.result())
+  }
+
+  /** PNG chunk walk: one frame range per IDAT chunk's data bytes (the
+    * natural frame analog — an APNG's fdAT frames slot in beside it).
+    */
+  private[operators] def pngFrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (decodePng(b).isEmpty) return None
+    def beInt(off: Int): Long =
+      (((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)).toLong & 0xffffffffL
+    val frames = Vector.newBuilder[(Int, Int)]
+    var i = 8L
+    var done = false
+    while (!done && i + 8 <= b.length) {
+      val len = beInt(i.toInt)
+      val typ = new String(b, i.toInt + 4, 4, "US-ASCII")
+      if (typ == "IEND") done = true
+      else {
+        if (typ == "IDAT") {
+          val dataEnd = math.min((i + 8 + len), b.length.toLong)
+          frames += (((i + 8).toInt, dataEnd.toInt))
+        }
+        i += 12L + len // len + type + data + crc
+      }
+    }
+    Some(frames.result())
+  }
+
+  /** A REAL, deterministic GIF89a container around an arbitrary payload:
+    * header + logical screen descriptor, then `frames` image-descriptor
+    * blocks whose data sub-blocks carry consecutive payload slices, then
+    * the trailer. Structure-level real — [[decodeGif]] reads its
+    * dimensions and [[gifFrameRanges]] walks its frames exactly as they
+    * were laid out; the sub-block bytes are the raw payload rather than
+    * an LZW stream (the walk never decompresses — documented stand-in,
+    * the codec boundary this environment draws). This is how a text-only
+    * test corpus exercises the container decoder end to end; production
+    * payloads arrive already encoded via [[fromBinaryFiles]].
+    */
+  private[graft] def gifWrap(payload: Array[Byte], frames: Int,
+      w: Int = 64, h: Int = 48): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(payload.length + 64)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0x00); out.write(0); out.write(0) // no global color table
+    val n = math.max(1, frames)
+    val per = math.max(1, (payload.length + n - 1) / n)
+    var off = 0
+    for (_ <- 0 until n) {
+      val end = math.min(payload.length, off + per)
+      out.write(0x2c)
+      le16(0); le16(0); le16(w); le16(h)
+      out.write(0x00) // no local color table
+      out.write(8) // LZW minimum code size (structural; see scaladoc)
+      var p = off
+      while (p < end) {
+        val len = math.min(255, end - p)
+        out.write(len); out.write(payload, p, len); p += len
+      }
+      out.write(0) // sub-block terminator
+      off = end
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Raw media-file ingestion via Spark's built-in `binaryFile` source:
     * one row per file with (path, modificationTime, length, content),
     * mapped onto the engine's MediaRecord shape — doc_id from the path
@@ -277,6 +398,16 @@ object Multimodal {
 
   /** [[extractFeatures]] over any MediaRecord source — the same operator
     * runs on the synthetic media table and on [[fromBinaryFiles]] output.
+    *
+    * Frame sampling is container-driven where the payload IS a container
+    * ([[frameRanges]]: GIF image-descriptor blocks, PNG IDAT chunks):
+    * up to `nFrames` frames are selected evenly spaced across the
+    * parsed frame list and each hash covers that frame's ACTUAL byte
+    * extent — so two files with identical frame content but different
+    * inter-frame metadata hash frame-for-frame equal, which spaced raw
+    * byte windows can never guarantee. Raw/unknown payloads keep the
+    * evenly spaced byte-window fallback (clearly a stand-in — there is
+    * no frame structure to walk).
     */
   def extractFeaturesOn(records: Dataset[MediaRecord],
       nFrames: Int = 4): Dataset[MediaFeatures] = {
@@ -289,11 +420,21 @@ object Multimodal {
         var i = 0
         while (i < len) { sum += (r.blob(i) & 0xff); i += 1 }
         val mean = if (len == 0) 0.0 else sum.toDouble / len
-        val frames = (0 until nFrames).map { f =>
-          fnv1a(r.blob, (len.toLong * f / nFrames).toInt,
-            (len.toLong * (f + 1) / nFrames).toInt)
+        val frames = frameRanges(r.blob) match {
+          case Some(rs) if rs.nonEmpty =>
+            val take = math.min(nFrames, rs.length)
+            (0 until take).map { f =>
+              val (a, b) = rs((rs.length.toLong * f / take).toInt)
+              fnv1a(r.blob, a, b)
+            }
+          case _ =>
+            (0 until nFrames).map { f =>
+              fnv1a(r.blob, (len.toLong * f / nFrames).toInt,
+                (len.toLong * (f + 1) / nFrames).toInt)
+            }
         }
-        MediaFeatures(r.doc_id, r.media_type, len, w, h, mean, nFrames, frames)
+        MediaFeatures(r.doc_id, r.media_type, len, w, h, mean,
+          frames.length, frames)
       }
     }
   }
@@ -307,9 +448,29 @@ object Multimodal {
         col("width"), col("height"), col("mean_byte"))
       .orderBy(col("doc_id"))
 
-  /** Frame-sample output (hashes have no SQL equivalent — rows-only). */
+  /** The media table with image/video payloads wrapped in REAL
+    * multi-frame GIF89a containers ([[gifWrap]]; frame count 1–7,
+    * deterministic from payload length) and audio payloads left raw —
+    * the fixture that lets [[mediaFrames]]' golden cover the actual
+    * container walk ([[gifFrameRanges]] offsets) AND the raw fallback
+    * in one query, in an environment with no encoded media on disk.
+    */
+  def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    mediaTable(spark, dir).as[MediaRecord].map { r =>
+      if (r.media_type == "audio") r
+      else MediaRecord(r.doc_id, r.media_type,
+        gifWrap(r.blob, frames = 1 + (r.blob.length % 7)))
+    }
+  }
+
+  /** Frame-sample output over [[encodedMediaTable]] — per-frame rows
+    * from the REAL container frame offsets for the GIF-wrapped
+    * image/video payloads, spaced byte windows for the raw audio ones
+    * (hashes have no SQL equivalent — rows-only/golden).
+    */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(spark, dir)
+    extractFeaturesOn(encodedMediaTable(spark, dir))
       .select(col("doc_id"), posexplode(col("frame_hashes"))
         .as(Seq("frame_idx", "frame_hash")))
       .orderBy(col("doc_id"), col("frame_idx"))

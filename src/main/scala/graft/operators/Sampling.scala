@@ -689,8 +689,11 @@ object Sampling {
   /** [[shardPlan]] over any documents-shaped frame. */
   def shardPlanOn(docs: DataFrame, nShards: Int = 16): DataFrame = {
     require(nShards > 0, s"shardPlan: nShards must be positive, $nShards")
+    // coalesce before split: under legacy sizeOfNull a NULL text would
+    // yield n_tok = -1 and rank the doc into a phantom negative-length
+    // bucket the DuckDB twin can never reproduce.
     val d = docs.select(col("doc_id"),
-      size(split(col("text"), " ")).cast("long").as("n_tok"))
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long").as("n_tok"))
     val hist = d.groupBy(col("n_tok")).agg(count(lit(1)).as("cnt"))
     val wh = Window.orderBy(col("n_tok").desc)
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1381,6 +1381,22 @@ object Similarity {
     * alone (broadcast semi-join) — the standard two-stage serving shape
     * that buys back quantization recall for an O(k) exact pass.
     */
+  /** Train-once/serve ([[graft.ArtifactMemo]]): the codebook AND the
+    * corpus code table are the stored artifact — m·ksub centroid rows
+    * plus m small ints per vector (~1% of the raw vectors), retained so
+    * a serving query never re-runs Lloyd's or re-codes the corpus. One
+    * definition feeds [[pqTopK]] and [[pqRecallAtK]] (shared memo key
+    * AND closure, so the eval always scores the served artifact).
+    */
+  private def pqArtifact(spark: SparkSession, subs: DataFrame, m: Int,
+      ksub: Int, dim: Int, dir: String): (DataFrame, DataFrame) =
+    graft.ArtifactMemo.cached(spark, s"pq:$m:$ksub:$dim:$dir") {
+      val cb0 = pqCodebook(subs, ksub)
+      (cb0, pqAssign(subs, cb0)
+        .select(col("vec_id"), col("sub"), col("cid"))
+        .cutLineage(eager = true))
+    }
+
   def pqTopK(spark: SparkSession, dir: String, queryId: Long = 0,
       k: Int = 20, m: Int = 16, ksub: Int = 16, dim: Int = 64,
       rerank: Int = 4): DataFrame = {
@@ -1388,17 +1404,7 @@ object Similarity {
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
     val subs = subVectors(emb, m, dim / m)
-    // train-once/serve ([[graft.ArtifactMemo]]): the codebook AND the
-    // corpus code table are the stored artifact — m·ksub centroid rows
-    // plus m small ints per vector (~1% of the raw vectors), retained
-    // so a serving query never re-runs Lloyd's or re-codes the corpus
-    val (cb, assigned) = graft.ArtifactMemo.cached(spark,
-      s"pq:$m:$ksub:$dim:$dir") {
-      val cb0 = pqCodebook(subs, ksub)
-      (cb0, pqAssign(subs, cb0)
-        .select(col("vec_id"), col("sub"), col("cid"))
-        .cutLineage(eager = true))
-    }
+    val (cb, assigned) = pqArtifact(spark, subs, m, ksub, dim, dir)
     val q = subs.filter(col("vec_id") === queryId)
       .select(col("sub"), col("sv").as("qsv"))
     val lut = cb.join(q, "sub")
@@ -1567,6 +1573,137 @@ object Similarity {
       .select(col("vec_id"), l2sq(col("v"), col("qv")).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
+  }
+
+  /** Order-stable ADC sum: fold the m per-subspace lookup entries in
+    * `sub` order, left-to-right in IEEE doubles (the [[l2sq]] fold
+    * convention, bit-identical to DuckDB's `list_sum` over the same
+    * ordered list). [[pqTopK]]'s serving path uses [[dsum]]'s decimal
+    * image instead — fine for an engine-internal ranking key, but its
+    * decimal cast of COMPUTED doubles is exactly the conversion the
+    * oracle contract forbids, so the recall evals rank on this fold.
+    */
+  private def adcOrderedSum(subC: org.apache.spark.sql.Column,
+      dC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(subC.as("sub"), dC.as("d")))),
+        s => s.getField("d")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Recall@k curve of [[pqTopK]]'s two-stage ADC serving against exact
+    * L2 search, per shortlist budget `rerank` ∈ {1, 2, 4, 8} — the PQ
+    * twin of [[annRecallAtK]] and the eval that decides how deep the
+    * shortlist must go before the exact re-rank recovers the true
+    * neighbors (the m/ksub trade is invisible without it). Overlap
+    * counts are integers and recall is one division, so the whole curve
+    * is oracle-hash-checked even though the trained codebook and the
+    * code table are golden-only: the twin unrolls the 2 joint-Lloyd
+    * iterations as CTEs ([[pqCodebook]]'s decimal means, the
+    * q_kmeans_recall-proven pattern), mirrors the (dist, cid) argmin
+    * tie-breaks, and ranks ADC on the order-stable [[adcOrderedSum]]
+    * fold. Scores the SAME memoized artifact [[pqTopK]] serves.
+    *
+    * Scale shape: one narrow pass over the m·n code rows joined to the
+    * broadcast m·ksub LUT, collapsed map-side; each budget is a bounded
+    * TakeOrdered + broadcast semi-join re-rank; the one exact pass is
+    * the metric's definition.
+    */
+  def pqRecallAtK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      reranks: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val subs = subVectors(emb, m, dim / m)
+    val (cb, assigned) = pqArtifact(spark, subs, m, ksub, dim, dir)
+    val q = subs.filter(col("vec_id") === queryId)
+      .select(col("sub"), col("sv").as("qsv"))
+    val lut = cb.join(q, "sub")
+      .select(col("sub"), col("cid"), l2sq(col("cv"), col("qsv")).as("d"))
+    val adc = assigned.join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("vec_id"))
+      .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
+      .cutLineage() // read once per shortlist budget
+    val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+      .cutLineage(eager = true)
+    val exactDist = emb.crossJoin(broadcast(qv))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
+    val exact = exactDist.orderBy(col("dist"), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .cutLineage() // read once per shortlist budget
+    reranks.map { r =>
+      val shortlist = adc.orderBy(col("adist"), col("vec_id"))
+        .limit(k * r).select(col("vec_id"))
+      emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(r).as("rerank"), lit(k).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("rerank"))
+  }
+
+  /** Recall@k curve of [[ivfPqTopK]] against exact L2 search, per probe
+    * budget nprobe ∈ {1, 2, 4, 8} at the serving shortlist depth — the
+    * composed eval: coarse-cell pruning recall × residual-PQ ranking
+    * recall in one number, measured on the SAME memoized artifact the
+    * serving path uses. Oracle-hash-checked end to end: the twin unrolls
+    * coarse assignment, the residual split, both joint-Lloyd iterations
+    * (decimal means — the residual components are computed doubles, the
+    * one place this family leans on the cast matching cross-engine;
+    * sub-ulp boundary cases are ~1e-11 per cast), coding, the per-cell
+    * LUTs, and the [[adcOrderedSum]] ADC fold.
+    */
+  def ivfPqRecallAtK(spark: SparkSession, dir: String, queryId: Long = 0,
+      k: Int = 20, m: Int = 16, ksub: Int = 16, dim: Int = 64,
+      rerank: Int = 4, nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val (coarse, cb, codes) = graft.ArtifactMemo.cached(spark,
+      s"ivfpq:$m:$ksub:$dim:$dir")(ivfPqArtifactOn(emb, m, ksub, dim))
+    val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+      .cutLineage(eager = true)
+    // every cell ranked once (codebook-sized frame); budgets are nested
+    // prefixes of the ranking, so one ADC pass serves all of them
+    val rankedCells = coarse.crossJoin(broadcast(q))
+      .withColumn("dist", l2sq(col("cv"), col("qv")))
+      .select(col("cid").as("cell"), col("cv"),
+        row_number().over(Window.orderBy(col("dist"), col("cid")))
+          .as("crank"))
+      .filter(col("crank") <= nprobes.max)
+    val qsubs = subVectors(rankedCells.crossJoin(broadcast(q))
+      .select(col("cell"), col("crank"),
+        zip_with(col("qv"), col("cv"), (a, b) => a - b).as("v")), m, dsub)
+      .select(col("cell"), col("crank"), col("sub"), col("sv").as("qsv"))
+    val lut = cb.join(qsubs, "sub")
+      .select(col("cell"), col("crank"), col("sub"), col("cid"),
+        l2sq(col("cv"), col("qsv")).as("d"))
+    val adc = codes.join(broadcast(lut), Seq("cell", "sub", "cid"))
+      .groupBy(col("vec_id"), col("crank"))
+      .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
+      .cutLineage() // read once per probe budget
+    val exact = emb.crossJoin(broadcast(q))
+      .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(k)
+      .select(col("vec_id"))
+      .cutLineage() // read once per probe budget
+    nprobes.map { np =>
+      val shortlist = adc.filter(col("crank") <= np)
+        .orderBy(col("adist"), col("vec_id"))
+        .limit(k * rerank).select(col("vec_id"))
+      emb.join(broadcast(shortlist), "vec_id")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(k)
+        .join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_overlap"),
+          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
   /** Materialize the IVF-PQ serving artifact: residual PQ codes for the
@@ -1864,6 +2001,11 @@ object Similarity {
         int8Lattice(col("v"), col("nrm")).as("qa"))
     val q = lat.filter(col("vec_id") === queryId)
       .select(col("qa").as("qq"), col("v").as("qv"))
+    // fail loudly, not with an empty frame: an absent or zero-norm query
+    // would make the broadcast q empty and the crossJoin silently drop
+    // the whole corpus, masking a caller bug (≤1-row existence probe).
+    require(!q.isEmpty,
+      s"int8TopK: query vec_id=$queryId is absent or zero-norm — no cosine is defined")
     val tk = udaf(new graft.functions.TopKPairs(candidateK),
       ExpressionEncoder[(Double, Long)]())
     // stage 1: exact integer dot on the lattices, mergeable top-candidateK
@@ -1904,7 +2046,12 @@ object Similarity {
     val assigned = assignNearest(emb, centroids)
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), norm(col("v")).as("qnrm"))
+      .filter(col("qnrm") > 0)
       .select(col("qv"), int8Lattice(col("qv"), col("qnrm")).as("qq"))
+    // same loud-failure contract as int8TopKOn: an empty q frame would
+    // silently empty every downstream crossJoin (≤1-row existence probe).
+    require(!q.isEmpty,
+      s"annIvfInt8TopK: query vec_id=$queryId is absent or zero-norm — no cosine is defined")
     val probeCells = centroids.crossJoin(broadcast(q.select(col("qv"))))
       .withColumn("dist", l2sq(col("cv"), col("qv")))
       .orderBy(col("dist"), col("cid"))
@@ -2058,69 +2205,157 @@ object Similarity {
     */
   private def covarianceArtifact(spark: SparkSession,
       dir: String): (Array[Array[Double]], Array[Double]) = {
-    import graft.functions.Stable.{davg, dsum}
-    import graft.functions.VectorFunctions.triProds
+    import graft.functions.Stable.davg
     val x = Tables.embeddings(spark, dir)
       .select(col("vec_id"), vecD(col("embedding")).as("v"))
       .cutLineage()
-    // UPPER-TRIANGLE products only, from the native `vec_tri_prods`
-    // kernel (d(d+1)/2 unboxed multiplies in whole-stage codegen; the
-    // earlier nested-transform HOF was interpreted per element and
-    // dominated the pass) — half the d² fan-out, no struct boxing, and
-    // no copy of the 64-wide array riding the exploded rows. The (i, j)
-    // cell ids are a pure function of the triangle position, restored
-    // from a broadcast position spine after aggregation; the symmetric
-    // half is mirrored driver-side on the d²/2-row artifact.
-    val dim = x.select(size(col("v"))).head.getInt(0)
-    import spark.implicits._
-    val spine = (0 until dim).flatMap(i => (i until dim).map(j => (i, j)))
-      .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
-      .toDF("pos", "i", "j")
-    // Moment sums in exact long micro-units (the subsampleCI idiom):
-    // each product is first given its DECIMAL(18,6) image (HALF_UP at
-    // 6 dp — the same per-row value dsum feeds), then carried as an
-    // exact long; summing longs codegens to integer adds where the
-    // decimal accumulator is BigDecimal-bound (measured 6.3 s → 2.5 s
-    // on this pass at sf0.1). double(Σmicros)/10⁶ is the correctly
-    // rounded image of the same exact rational the decimal sum casts,
-    // so cell values are bit-identical (verified all 2080 cells) while
-    // Σ|micros| < 2⁵³. THE BOUND IS n-SHAPED, not d²-shaped: each
-    // (i,j) cell sums ONE product per corpus VECTOR, so with
-    // unit-scale components the guard holds to ~9·10⁹ vectors — past
-    // that, bit-identity to the decimal image degrades ulp-wise, and
-    // past 2⁶³ micro-units (~9·10¹² vectors) a long would WRAP: for
-    // billion-vector-plus corpora switch this one aggregation back to
-    // `dsum(p)` (exact at any n) and keep the kernel — the two knobs
-    // are independent.
-    import graft.functions.Stable.dec
-    val prods = x.select(posexplode(triProds(col("v"))).as(Seq("pos", "p")))
-    val moments = prods
-      .select(col("pos"), (dec(col("p")) * 1000000).cast("long").as("pm"))
-      .groupBy(col("pos"))
-      .agg(sum(col("pm")).as("sm"), count(lit(1)).as("n"))
-      .select(col("pos"), (col("sm").cast("double") / 1e6).as("sxx"),
-        col("n"))
-      .join(broadcast(spine), "pos")
+    // mode knob: `spark.graft.pca.gram` (default true) picks the
+    // per-partition Gram accumulation; false keeps the declarative
+    // explode path. Bit-identical either way (spec-pinned at d=64).
+    val useGram = spark.conf
+      .getOption("spark.graft.pca.gram").forall(_.toBoolean)
+    val (micro, n) = triangleMicroMoments(x, useGram)
     val means = x.select(posexplode(col("v")).as(Seq("i", "xi")))
       .groupBy(col("i")).agg(davg(col("xi")).as("m"))
-    val cells = moments
-      .join(means.select(col("i"), col("m").as("mi")), "i")
-      .join(means.select(col("i").as("j"), col("m").as("mj")), "j")
-      .select(col("i"), col("j"),
-        (col("sxx") / col("n") - col("mi") * col("mj")).as("c"))
-      .collect()
-    val d = cells.map(_.getAs[Int]("i")).max + 1
-    val cov = Array.ofDim[Double](d, d)
-    cells.foreach { r =>
-      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
-      cov(i)(j) = r.getAs[Double]("c")
-      cov(j)(i) = r.getAs[Double]("c")
-    }
     val meansArr = means.collect()
       .map(r => (r.getAs[Int]("i"), r.getAs[Double]("m")))
       .sortBy(_._1).map(_._2)
+    val d = meansArr.length
+    // triangle → dense mirror, centered driver-side: sxx/n − mᵢ·mⱼ is
+    // the same IEEE op chain the previous in-frame formulation ran, so
+    // every committed PCA golden is byte-stable across the refactor
+    val cov = Array.ofDim[Double](d, d)
+    var pos = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val sxx = micro(pos).toDouble / 1e6
+        val c = sxx / n - meansArr(i) * meansArr(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
     (cov, meansArr)
   }
+
+  /** The exact second-moment triangle in long micro-units, as an
+    * artifact-sized driver array — the distributed half of
+    * [[covarianceArtifact]], in two plan shapes that are BIT-IDENTICAL
+    * by construction (spec-pinned in `AnalyticsSpec`):
+    *
+    * `useGram = false` — the declarative shape: posexplode the native
+    * `vec_tri_prods` kernel's upper-triangle products (d(d+1)/2 unboxed
+    * multiplies in whole-stage codegen), give each product its
+    * DECIMAL(18,6) image (HALF_UP at 6 dp — the same per-row value
+    * `dsum` feeds) carried as an exact long, and run ONE
+    * map-side-combinable per-position sum. The shuffle carries d(d+1)/2
+    * partial rows per map task.
+    *
+    * `useGram = true` (default) — the per-partition Gram shape the 100 TB
+    * deployment wants, QUADRATIC-IN-d ROW FAN-OUT REMOVED: one
+    * `mapPartitions` pass accumulates the whole triangle into a single
+    * long[] per partition (a tight i≤j loop over each vector — the BLAS
+    * `dsyr` access pattern on the micro-unit image), emitting ONE row of
+    * d(d+1)/2 longs per partition instead of d(d+1)/2 rows per VECTOR
+    * before map-side combine. At d = 1024 the explode shape generates
+    * ~525k row objects per vector for the combiner to re-absorb; the
+    * Gram shape generates none — the d² cost runs as raw array adds in
+    * the partition loop. Per-element rounding uses the same
+    * shortest-repr HALF_UP image Spark's double→decimal cast applies
+    * ([[microImage]]), so partial sums commute with the explode path's
+    * exactly (integer adds are associative — the whole point of the
+    * micro-unit idiom).
+    *
+    * Σ|micros| < 2⁵³ bound (n-shaped, not d²-shaped — each cell sums ONE
+    * product per corpus vector): unit-scale components hold to ~9·10⁹
+    * vectors; past that switch the explode path's aggregation back to
+    * `dsum(p)` — see the git history of this file for the measured
+    * decimal-vs-long trade (6.3 s → 2.5 s at sf0.1).
+    */
+  private[graft] def triangleMicroMoments(x: DataFrame,
+      useGram: Boolean): (Array[Long], Long) = {
+    val spark = x.sparkSession
+    import spark.implicits._
+    if (useGram) {
+      // the Gram pass's parallelism IS the partition count (one long[]
+      // accumulator per partition). A small local corpus often scans as
+      // 1–2 partitions; spreading VECTORS (d doubles/row) costs far
+      // less than the explode path's d(d+1)/2-partials exchange, and at
+      // production scale the scan already has ≥ core-count partitions
+      // so this branch is a no-op.
+      val par = spark.sparkContext.defaultParallelism
+      val xs = x.select(col("v"))
+      val xp = if (xs.rdd.getNumPartitions < par) xs.repartition(par) else xs
+      val parts = xp.as[Seq[Double]].mapPartitions { it =>
+        var acc: Array[Long] = null
+        var n = 0L
+        it.foreach { vs =>
+          // materialize the row ONCE: the encoder's Seq is list-like in
+          // this Spark, so positional v(j) inside the triangle loop
+          // would be O(d) each — O(d³)/vector, a 10× wall-time cliff at
+          // d=256 (measured); the array copy is O(d) and indexing O(1)
+          val v = vs.toArray
+          val d = v.length
+          if (acc == null) acc = new Array[Long](d * (d + 1) / 2)
+          var pos = 0
+          var i = 0
+          while (i < d) {
+            val vi = v(i)
+            var j = i
+            while (j < d) {
+              acc(pos) += microImage(vi * v(j))
+              pos += 1
+              j += 1
+            }
+            i += 1
+          }
+          n += 1L
+        }
+        if (acc == null) Iterator.empty else Iterator((acc.toSeq, n))
+      }.collect() // ≤ #partitions rows of d(d+1)/2 longs — bounded artifact
+      val micro = new Array[Long](parts.map(_._1.length).foldLeft(0)(math.max))
+      parts.foreach { case (p, _) =>
+        // materialize before indexing — the collected Seq[Long] is
+        // list-like, and positional p(k) in this loop would be O(k)
+        // each: O(triangle²) total, ~100 s at d=256 (measured) for
+        // what is otherwise a memcpy-speed merge
+        val pa = p.toArray
+        var k = 0
+        while (k < pa.length) { micro(k) += pa(k); k += 1 }
+      }
+      (micro, parts.map(_._2).sum)
+    } else {
+      import graft.functions.Stable.dec
+      import graft.functions.VectorFunctions.triProds
+      val rows = x
+        .select(posexplode(triProds(col("v"))).as(Seq("pos", "p")))
+        .select(col("pos"), (dec(col("p")) * 1000000).cast("long").as("pm"))
+        .groupBy(col("pos"))
+        .agg(sum(col("pm")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      val micro = new Array[Long](rows.length)
+      rows.foreach(r => micro(r.getAs[Int]("pos")) = r.getAs[Long]("sm"))
+      (micro, if (rows.isEmpty) 0L else rows.head.getAs[Long]("n"))
+    }
+  }
+
+  /** The long micro-unit image of one product — EXACTLY the value the
+    * declarative path's `(dec(p) * 1000000).cast("long")` produces:
+    * Spark's double→decimal cast goes through the double's SHORTEST
+    * DECIMAL REPRESENTATION (`BigDecimal.valueOf` ≡ `Double.toString`)
+    * then HALF_UP at scale 6; replicating that chain (not a naive
+    * `math.round(p * 1e6)`, which rounds the BINARY expansion and
+    * diverges on half-way cases) is what makes the Gram path
+    * bit-identical to the explode path.
+    */
+  @inline private def microImage(p: Double): Long =
+    java.math.BigDecimal.valueOf(p)
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
 
   /** Top-`r` principal components — [[pcaTopComponent]] generalized by
     * POWER ITERATION WITH DEFLATION on the same exact-decimal d×d

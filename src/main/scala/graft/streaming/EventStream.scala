@@ -716,6 +716,44 @@ object EventStream {
       }
       .start()
 
+  /** Streaming EXACT set-similarity admission against a materialized
+    * [[graft.operators.Dedup.writePpjoinIndex]] corpus index — the
+    * zero-miss sibling of [[nearDupGate]], completing the admission
+    * family (fuzzy [[nearDupGate]], semantic [[embeddingGateSink]],
+    * media [[phashGateSink]], exact here): each micro-batch is
+    * shingled/ranked live under the index's FROZEN df order, its prefix
+    * tokens equi-join the stored `prefix/` postings (provably complete
+    * candidates — no LSH banding miss), survivors of the positional and
+    * length filters verify on the codegen'd sorted-merge kernel against
+    * stored `sets/`, and docs with an indexed Jaccard ≥ tNum/tDen are
+    * dropped. Stateless on the stream side — corpus state lives in the
+    * index files, refreshed by [[graft.operators.Dedup
+    * .appendToPpjoinIndex]] between batches, never in a state store.
+    * Survivors land in `ingest_batch=<id>` partitions under DYNAMIC
+    * overwrite so an at-least-once replay rewrites its own partition
+    * instead of admitting duplicates twice.
+    */
+  def ppjoinGateSink(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, tNum: Long = 7L, tDen: Long = 10L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dups = graft.operators.Dedup
+            .ppjoinJoinFromIndex(spark, batch, indexPath, tNum, tDen)
+            .select(col("batch_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Streaming perceptual-hash admission gate — the media twin of
     * [[nearDupGate]]: each micro-batch of (doc_id, blob) payloads is
     * hashed (one ahash64 kernel call per payload), probed against the
@@ -839,10 +877,13 @@ object EventStream {
     *      lowest-id member, then survivors probe the
     *      [[graft.operators.Dedup.writeMinhashIndex]] layout at
     *      `indexPath` (created on first batch, APPENDED after each —
-    *      keep-first across batches); matches against the batch's own
-    *      ids are ignored so a replayed batch — whose docs are
-    *      already indexed — reproduces its original decisions instead
-    *      of self-matching to zero (the replay contract; the
+    *      keep-first across batches); matches against ids THIS batchId
+    *      itself indexed (recorded in the `batches/` sidecar) are
+    *      ignored, so a replayed batch — whose docs are already
+    *      indexed — reproduces its original decisions instead of
+    *      self-matching to zero, while a doc REDELIVERED under a new
+    *      batchId still matches its earlier indexed copy and is
+    *      dropped rather than double-landed (the replay contract; the
     *      re-append bloats the index harmlessly: probes `distinct()`
     *      candidates and jaccard is per-pair);
     *   4. cap: per-source budget `capPerSource` net of what PRIOR
@@ -910,13 +951,22 @@ object EventStream {
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
             .exists(shPath)
           val admitted = (if (idxExists) {
+            // replay contract: exclude ONLY matches against ids THIS
+            // batchId itself indexed (the `batches/` sidecar, partition-
+            // pruned to ingest_batch=batchId) — a same-batchId replay
+            // reproduces its original decisions, while a source that
+            // redelivers an already-landed doc under a NEW batchId still
+            // self-matches its earlier indexed copy and is dropped
+            // instead of double-landing in two ingest_batch partitions.
+            val ownIndexed = scala.util.Try(
+                spark.read.parquet(s"$indexPath/batches")).toOption
+              .map(_.filter(col("ingest_batch") === batchId)
+                .select(col("doc_id").as("corpus_id")))
+              .getOrElse(Seq.empty[Long].toDF("corpus_id"))
             val dups = Dedup.minhashJoinFromIndex(spark,
               intraKept.select(col("doc_id"), col("text")), indexPath,
               cfg.dedupThreshold)
-              // replay contract: the index may already hold this
-              // batch's own docs — their matches must not count
-              .join(batch.select(col("doc_id").as("corpus_id")),
-                Seq("corpus_id"), "left_anti")
+              .join(broadcast(ownIndexed), Seq("corpus_id"), "left_anti")
               .select(col("batch_id").as("doc_id")).distinct()
             intraKept.join(dups, Seq("doc_id"), "left_anti")
           } else intraKept).cutLineage(eager = true)
@@ -962,6 +1012,18 @@ object EventStream {
           // (pre-cap — a capped-out doc still represents its cluster)
           if (nDedup > 0) {
             val toIndex = admitted.select(col("doc_id"), col("text"))
+            // sidecar BEFORE the index data: if a crash lands between
+            // them, a replay sees ids in `batches/` that are not yet in
+            // the index — the anti-join excludes nothing extra and the
+            // retry re-lands identically. The reverse order would let a
+            // replay self-match docs it legitimately indexed. Dynamic
+            // overwrite keeps a replayed batch rewriting its own
+            // partition, so the sidecar never accumulates duplicates.
+            admitted.select(col("doc_id"))
+              .withColumn("ingest_batch", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(s"$indexPath/batches")
             if (idxExists) Dedup.appendToMinhashIndex(toIndex, indexPath)
             else Dedup.writeMinhashIndex(toIndex, indexPath)
           }

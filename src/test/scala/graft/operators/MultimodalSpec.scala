@@ -207,6 +207,79 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(f.mean_byte - expectedMean) < 1e-9)
   }
 
+  test("GIF/PNG frame walk: gifWrap round-trips through gifFrameRanges " +
+    "at the exact laid-out offsets, PNG IDAT chunks walk, and the " +
+    "extractor hashes real frame extents") {
+    import spark.implicits._
+    // 600-byte payload in 3 frames: slices of 200 (one 200-byte
+    // sub-block each). Layout: 6 hdr + 7 LSD = 13, then per frame
+    // 1 sep + 9 desc + 1 lzw + (1 len + 200 data) + 1 term = 213
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val gif = Multimodal.gifWrap(payload, frames = 3)
+    assert(Multimodal.decodeGif(gif).contains((64, 48)))
+    val rs = Multimodal.gifFrameRanges(gif).get
+    assert(rs == Vector((13, 226), (226, 439), (439, 652)),
+      s"frame extents: $rs")
+    assert(gif.length == 653, "3 frames + trailer")
+    // each range starts at an image separator and ends past a terminator
+    rs.foreach { case (a, b) =>
+      assert((gif(a) & 0xff) == 0x2c && (gif(b - 1) & 0xff) == 0)
+    }
+    // extensions between frames are transparent to the walk
+    val ext = Array[Byte](0x21, 0xf9.toByte, 4, 0, 0, 0, 0, 0)
+    val withExt = gif.take(13) ++ ext ++ gif.drop(13)
+    val rs2 = Multimodal.gifFrameRanges(withExt).get
+    assert(rs2.map { case (a, b) => b - a } == rs.map { case (a, b) => b - a }
+      && rs2.head._1 == 13 + ext.length)
+    // truncation mid-frame drops only the incomplete frame
+    assert(Multimodal.gifFrameRanges(gif.take(500)).get
+      == Vector((13, 226), (226, 439)))
+    // PNG: two IDAT chunks -> two frame ranges covering the chunk data
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val len = data.length
+      Array((len >> 24).toByte, (len >> 16).toByte, (len >> 8).toByte,
+        len.toByte) ++ typ.getBytes("US-ASCII") ++ data ++ Array.fill[Byte](4)(0)
+    }
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a,
+        0x0a) ++
+      chunk("IHDR", Array[Byte](0, 0, 0, 5, 0, 0, 0, 7, 8, 0, 0, 0, 0)) ++
+      chunk("IDAT", Array.fill[Byte](10)(1)) ++
+      chunk("IDAT", Array.fill[Byte](6)(2)) ++
+      chunk("IEND", Array.empty[Byte])
+    val prs = Multimodal.pngFrameRanges(png).get
+    assert(prs.length == 2 && prs.forall { case (a, b) => b > a })
+    assert(prs(0)._2 - prs(0)._1 == 10 && prs(1)._2 - prs(1)._1 == 6)
+    assert(png.slice(prs(0)._1, prs(0)._2).forall(_ == 1))
+    assert(png.slice(prs(1)._1, prs(1)._2).forall(_ == 2))
+    // raw payloads have no container -> fallback windows
+    assert(Multimodal.frameRanges("plain text payload".getBytes).isEmpty)
+
+    // ingest -> frames end to end: write the GIF to disk, read through
+    // fromBinaryFiles, and the extractor's hashes equal the walk's
+    val d = java.nio.file.Files.createTempDirectory("graft_gif")
+    java.nio.file.Files.write(d.resolve("anim.gif"), gif)
+    val feats = Multimodal.extractFeaturesOn(
+      Multimodal.fromBinaryFiles(spark, d.toString, "*.gif")
+        .select(col("doc_id"), col("media_type"), col("blob"))
+        .as[Multimodal.MediaRecord], nFrames = 4).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.media_type == "image" && f.width == 64 && f.height == 48)
+    assert(f.n_frames == 3, "3 container frames < nFrames budget of 4")
+    assert(f.frame_hashes ==
+      rs.map { case (a, b) => Multimodal.fnv1a(gif, a, b) },
+      "hashes must cover the REAL container frame extents")
+    // more frames than budget: evenly spaced selection, budget-sized
+    val gif7 = Multimodal.gifWrap(payload, frames = 7)
+    val f7 = Multimodal.extractFeaturesOn(
+      Seq(Multimodal.MediaRecord(1L, "image", gif7)).toDS(), nFrames = 4)
+      .collect().head
+    val rs7 = Multimodal.gifFrameRanges(gif7).get
+    assert(f7.n_frames == 4 && rs7.length == 7)
+    assert(f7.frame_hashes == Seq(0, 1, 3, 5).map(i =>
+      Multimodal.fnv1a(gif7, rs7(i)._1, rs7(i)._2)))
+  }
+
   test("AHashKernel: hand-checked ramp, empty payload, and invariance " +
     "to a constant payload") {
     // bytes 0..63: block b is the single byte b; mean 31.5 -> bits 32..63

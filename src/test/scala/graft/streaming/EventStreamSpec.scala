@@ -485,6 +485,62 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ppjoin exact gate: streamed admission equals the batch " +
+    "index probe, and a replayed batch re-lands its partition without " +
+    "duplicates") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_ppjgate")
+    val idxDir = base.resolve("idx").toString
+    val outDir = base.resolve("out").toString
+    val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+    graft.operators.Dedup.writePpjoinIndex(corpus, idxDir)
+    // the natural admission split: held-out docs, some of which are
+    // exact-similar to indexed ones, plus one guaranteed exact copy
+    val copyText = docs.filter(col("doc_id") === 0)
+      .head.getAs[String]("text")
+    val batchDocs = docs.filter(col("doc_id") % 10 === 7)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq :+
+      (1000001L, copyText)
+    val expected = {
+      val bdf = batchDocs.toDF("doc_id", "text")
+      val dups = graft.operators.Dedup
+        .ppjoinJoinFromIndex(spark, bdf, idxDir)
+        .select(col("batch_id")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(dups.contains(1000001L), "the exact copy must probe-match")
+      batchDocs.map(_._1).toSet -- dups
+    }
+    val input = MemoryStream[(Long, String)]
+    input.addData(batchDocs: _*)
+    val q = EventStream.ppjoinGateSink(
+      input.toDF().toDF("doc_id", "text"), idxDir, outDir,
+      base.resolve("ck1").toString)
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+    val kept = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == expected, s"streamed $kept vs batch $expected")
+    // replay: same batch under a fresh checkpoint (same batchId 0) must
+    // dynamic-overwrite its own partition, not append survivors twice
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData(batchDocs: _*)
+    val q2 = EventStream.ppjoinGateSink(
+      input2.toDF().toDF("doc_id", "text"), idxDir, outDir,
+      base.resolve("ck2").toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val keptAfter = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toList
+    assert(keptAfter.toSet == expected && keptAfter.size == expected.size,
+      s"replay must re-land identically: ${keptAfter.size} rows")
+  }
+
   test("mgMaintain: the streamed summary keeps the planted heavy " +
     "hitter across batches, and summary-served verify equals the " +
     "in-query exact answer") {
@@ -706,6 +762,48 @@ class EventStreamSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ledgerAfter == batchRef, "replay must not change the ledger")
+  }
+
+  test("curationSink: a doc REDELIVERED under a NEW batchId self-matches " +
+    "its earlier indexed copy and is dropped, not double-landed") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_redeliver")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val good = (p: String) => s"$p alpha beta gamma delta epsilon zeta " +
+      s"eta theta iota kappa lambda mu"
+    val evalSet = Seq((20L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11 e12",
+      "s0", "en")).toDF("doc_id", "text", "source", "lang")
+    val d1 = (1L, good("one"), "s0", "en")
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = EventStream.curationSink(
+      input.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck").toString,
+      graft.pipeline.TextCuration.Config(minTokens = 5, capPerSource = 10))
+    try {
+      // doc 8 shares NO shingles with doc 1 (good()'s common tail would
+      // make them intra-batch near-dups and collapse 8 into leader 1)
+      input.addData(d1, (8L, "completely unrelated content with many " +
+        "extra words beyond the minimum", "s0", "en"))
+      q.processAllAvailable()
+      // the SAME doc arrives again as micro-batch 1: the batchId differs,
+      // so the replay exemption must NOT apply — it matches its own
+      // batch-0 indexed copy and is dropped
+      input.addData(d1)
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(s"$outDir/docs")
+      .select(col("doc_id"), col("ingest_batch").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(landed.sorted == Seq((1L, 0L), (8L, 0L)),
+      s"redelivered doc must not double-land: $landed")
+    val ledger1 = spark.read.parquet(s"$outDir/ledger")
+      .filter(col("ingest_batch") === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ledger1("4_dedup") == 0L,
+      s"batch 1 must drop the redelivery at the dedup stage: $ledger1")
   }
 
   test("tokenAccountingSink: streamed per-doc counts equal the batch " +
