@@ -567,6 +567,19 @@ object Profile {
     t("edit_1x_nocap")(Dedup.editDistancePairsOn(base).count())
     t("edit_1x_df256")(
       Dedup.editDistancePairsOn(base, maxDf = Some(256L)).count())
+    // cap calibration: the sf1 replica corpus tops out at df 214
+    // (51,882 distinct shingles, 16,467 above df 64) — so 256 never
+    // engages there (measured identical outputs) and 64 is the value
+    // that actually bites; both are kept so SCALING.md can cite the
+    // no-op AND the engaged cap on one corpus
+    t("ngram_cands_df64")(Dedup.blockedCommonCounts(
+      Dedup.shingleProjection(base), Some(64L)).count())
+    t("ngram_1x_df64")(
+      Dedup.ngramJaccardPairsOn(base, 0.7, Some(64L)).count())
+    t("contain_1x_df64")(
+      Dedup.containmentPairsOn(base, 0.9, Some(64L)).count())
+    t("edit_1x_df64")(
+      Dedup.editDistancePairsOn(base, maxDf = Some(64L)).count())
     // ppjoin needs no cap — the df-ascending prefix order is the claim;
     // this row is the same-corpus comparison point for the capped rows
     t("ppjoin_1x")(Dedup.ppjoinPairsOn(base, 7L, 10L).count())
