@@ -240,6 +240,7 @@ object SparkEntry {
     "q_kmeans_recall" -> ((s, dir) => Similarity.kmeansRecallAtK(s, dir)),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecallAtK(s, dir)),
     "q_ivfpq_recall" -> ((s, dir) => Similarity.ivfPqRecallAtK(s, dir)),
+    "q_ann_recall_multi" -> ((s, dir) => Similarity.annRecallMulti(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
     "q_ivfpq_rebalance" ->
@@ -375,6 +376,67 @@ object SparkEntry {
 
   private val retrievalCtes: String =
     retrievalSharedCtes + ",\n" + retrievalDenseCtesFor(0L, "")
+
+  /** One q_ann_recall CTE chain per sampled query id (the
+    * q_retrieval_multi stamping pattern): shared v/c/dist/assigned/spine
+    * CTEs, then per-id cell ranking, candidate cosines, exact gold,
+    * per-budget top-k, and overlap counts, unioned into per-(nprobe,
+    * query) rows — the twin of `Similarity.annRecallMulti`.
+    */
+  private def annRecallMultiSql(qids: Seq[Long]): String = {
+    def cosOf(a: String): String =
+      s"""list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*qv[i]))
+         |       / (sqrt(list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$a[i])))
+         |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i]))))""".stripMargin
+    val per = qids.map { q =>
+      s"""q_$q AS (SELECT v AS qv FROM v WHERE vec_id = $q),
+         |rc_$q AS (
+         |  SELECT cid, CAST(row_number() OVER (ORDER BY
+         |    list_sum(list_transform(range(1, len(cv)+1),
+         |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS INTEGER) AS crank
+         |  FROM c, q_$q),
+         |ac_$q AS (
+         |  SELECT a.vec_id, r.crank,
+         |       ${cosOf("a.v")} AS cos
+         |  FROM assigned a JOIN rc_$q r USING (cid), q_$q),
+         |exact_$q AS (SELECT vec_id FROM (
+         |  SELECT v.vec_id,
+         |       ${cosOf("v.v")} AS cos
+         |  FROM v, q_$q ORDER BY cos DESC, vec_id LIMIT 20)),
+         |rec_$q AS (
+         |  SELECT np, vec_id FROM (
+         |    SELECT s.np, a.vec_id, row_number() OVER (PARTITION BY s.np
+         |      ORDER BY a.cos DESC, a.vec_id) AS r
+         |    FROM spine s JOIN ac_$q a ON a.crank <= s.np) WHERE r <= 20),
+         |ov_$q AS (
+         |  SELECT s.np, CAST($q AS BIGINT) AS query_id,
+         |         CAST(count(e.vec_id) AS BIGINT) AS n_overlap
+         |  FROM spine s LEFT JOIN rec_$q ON rec_$q.np = s.np
+         |               LEFT JOIN exact_$q e ON rec_$q.vec_id = e.vec_id
+         |  GROUP BY s.np)""".stripMargin
+    }.mkString(",\n")
+    val union = qids.map(q => s"SELECT * FROM ov_$q")
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+       |dist AS (
+       |  SELECT v.vec_id, v.v, c.cid,
+       |         list_sum(list_transform(range(1, len(v.v)+1),
+       |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+       |  FROM v, c),
+       |assigned AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM dist) WHERE rn = 1),
+       |spine AS (SELECT unnest([1, 2, 4, 8]) AS np),
+       |$per
+       |SELECT np AS nprobe, query_id, CAST(20 AS INTEGER) AS k, n_overlap,
+       |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
+       |FROM ($union)
+       |ORDER BY nprobe, query_id""".stripMargin
+  }
 
   /** Shared CTE chain for the curation-mix oracles (gopher keep rate +
     * near-dup doc rate + size temperature → per-source raw scores `r2`
@@ -3931,6 +3993,9 @@ object SparkEntry {
         |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
         |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
         |FROM ov ORDER BY nprobe""".stripMargin,
+    // per-(nprobe, query) recall over a query SAMPLE — one stamped
+    // q_ann_recall chain per id (see annRecallMultiSql)
+    "q_ann_recall_multi" -> annRecallMultiSql(Seq(0L, 7L, 19L)),
     // recall@k of the two-stage PQ/ADC serving vs exact L2 per shortlist
     // budget: the q_kmeans_recall trick applied to product quantization —
     // the 2 joint-Lloyd iterations unroll as CTEs with decimal means over

@@ -965,6 +965,76 @@ object Similarity {
     }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
   }
 
+  /** Multi-query recall@k curve of the IVF probe vs exact search — the
+    * index sign-off a production deployment actually runs: recall per
+    * (probe budget, query) over a SAMPLE of queries, because one
+    * query's curve ([[annRecallAtK]]) can sit in a lucky cell and
+    * misreport the index. Integer overlap counts + one division per
+    * row keep the whole surface oracle-hash-checked; the twin stamps
+    * one q_ann_recall CTE chain per sampled id (the q_retrieval_multi
+    * pattern).
+    *
+    * Scale shape (the reason this is not "annRecallAtK in a loop"):
+    * the exact gold for ALL queries is ONE corpus pass through the
+    * mergeable [[graft.functions.TopKPairs]] aggregate
+    * ([[cosineTopKMultiOn]], shared conventions with its proven twin);
+    * the corpus is cell-assigned ONCE; candidates join a broadcast
+    * 16·n_q per-query cell ranking; each probe budget is one
+    * map-side-collapsed per-query top-k over the shared scored frame —
+    * corpus passes stay n_q-independent where they can be, per-query
+    * frames are ≤ n_q·k rows.
+    */
+  def annRecallMulti(spark: SparkSession, dir: String,
+      queryIds: Seq[Long] = Seq(0L, 7L, 19L), k: Int = 20,
+      nprobes: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    require(queryIds.nonEmpty, "query sample must be non-empty")
+    require(queryIds.distinct.size == queryIds.size,
+      s"query ids must be unique (the per-query group key): $queryIds")
+    val embRaw = Tables.embeddings(spark, dir)
+    val emb = embRaw.select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qs = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .cutLineage(eager = true) // read by cell ranking, scoring, spine
+    // exact gold for every query in one batched corpus pass
+    val gold = cosineTopKMultiOn(embRaw, queryIds, k)
+      .select(col("query_id"), col("vec_id"))
+      .cutLineage() // read once per probe budget
+    val cellRank = centroids.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("cid"),
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(l2sq(col("cv"), col("qv")), col("cid"))).as("crank"))
+      .filter(col("crank") <= nprobes.max)
+    val scored = assignNearest(emb, centroids)
+      .join(broadcast(cellRank), "cid")
+      .join(broadcast(qs), "query_id")
+      .select(col("query_id"), col("crank"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("cos"))
+      .cutLineage() // read once per probe budget
+    val tk = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    nprobes.map { np =>
+      val ov = scored.filter(col("crank") <= np)
+        .groupBy(col("query_id"))
+        .agg(tk(col("cos"), col("vec_id")).as("top"))
+        .select(col("query_id"), explode(col("top")).as("c"))
+        .select(col("query_id"), col("c._2").as("vec_id"))
+        .join(gold, Seq("query_id", "vec_id"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+      // left join from the query spine: zero overlap at a tight budget
+      // is a legitimate row, not a vanished query
+      qs.select(col("query_id"))
+        .join(broadcast(ov), Seq("query_id"), "left")
+        .select(lit(np).as("nprobe"), col("query_id"), lit(k).as("k"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          (coalesce(col("n_overlap"), lit(0L)).cast("double")
+            / lit(k.toDouble)).as("recall"))
+    }.reduce(_.unionByName(_)).orderBy(col("nprobe"), col("query_id"))
+  }
+
   /** IVF index-health report: per-cell population and share under the
     * shipped codebook — the balance audit that decides when
     * [[writeIvfIndex]]'s layout needs a rebuild (a hot cell means every

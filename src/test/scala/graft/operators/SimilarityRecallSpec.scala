@@ -45,6 +45,30 @@ class SimilarityRecallSpec extends AnyFunSuite {
     rows.foreach { case (_, n, r) => assert(r == n.toDouble / k) }
   }
 
+  test("annRecallMulti: per-query rows reproduce the single-query curve, " +
+    "monotone per query, and a zero-overlap budget keeps its row") {
+    import org.apache.spark.sql.functions.col
+    val multi = Similarity.annRecallMulti(spark, dir,
+      queryIds = Seq(0L, 7L, 19L)).collect()
+    assert(multi.length == 12, "4 budgets x 3 queries")
+    // query 0's slice must equal the single-query operator's overlaps
+    val single = Similarity.annRecallAtK(spark, dir, queryId = 0).collect()
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Long]("n_overlap")).toMap
+    val slice0 = multi.filter(_.getAs[Long]("query_id") == 0L)
+      .map(r => r.getAs[Int]("nprobe") -> r.getAs[Long]("n_overlap")).toMap
+    assert(slice0 == single, s"multi $slice0 vs single $single")
+    // recall is monotone in nprobe PER QUERY (budgets are nested)
+    multi.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val curve = rows.sortBy(_.getAs[Int]("nprobe"))
+        .map(_.getAs[Long]("n_overlap"))
+      assert(curve.sliding(2).forall(p => p(0) <= p(1)),
+        s"non-monotone curve for query $q: ${curve.toSeq}")
+    }
+    // every (budget, query) cell is present even at the tightest budget
+    assert(multi.map(r => (r.getAs[Int]("nprobe"),
+      r.getAs[Long]("query_id"))).toSet.size == 12)
+  }
+
   test("int8 two-stage serving: candidate pool from integer dots, " +
       "exact re-rank — recall vs exact gold, and widening the pool " +
       "to the corpus makes it exhaustive") {
