@@ -197,26 +197,96 @@ object Joins {
       binDays: Int = 30): DataFrame = {
     require(binDays >= 1, s"binDays must be >= 1, got $binDays")
     val binMicros = binDays * 86400L * 1000000L
-    // unix_micros only accepts TIMESTAMP; testdata dates arrive as
-    // TIMESTAMP_NTZ. The cast reads NTZ in the session zone (pinned UTC
-    // by GraftSession), so binning is deterministic either way.
-    def micros(c: String): Column = unix_micros(col(c).cast("timestamp"))
-    val p = points.withColumn("_bin", floor(micros(pointTs) / binMicros))
-    // Last covered bin indexes the greatest micro strictly inside the
-    // interval (end is exclusive), so a boundary-aligned end adds no
-    // spurious replica. Empty/inverted intervals (end <= start) must
-    // contribute NOTHING: unguarded, sequence(a, b) with b < a counts
-    // DOWN, so malformed rows would replicate across the whole
-    // inverted span instead of vanishing.
-    val i = intervals.withColumn("_bin", explode(
-      when(col(endTs) > col(startTs), sequence(
-        floor(micros(startTs) / binMicros),
-        floor((micros(endTs) - 1) / binMicros)))
-        .otherwise(array().cast("array<bigint>"))))
+    val p = points.withColumn("_bin",
+      floor(tsMicros(pointTs) / binMicros))
+    val i = binExplodedIntervals(intervals, startTs, endTs, binMicros)
     p.join(i, p("_bin") === i("_bin")
         && col(pointTs) >= col(startTs) && col(pointTs) < col(endTs))
       .drop("_bin")
   }
+
+  /** unix_micros only accepts TIMESTAMP; testdata dates arrive as
+    * TIMESTAMP_NTZ. The cast reads NTZ in the session zone (pinned UTC
+    * by GraftSession), so binning is deterministic either way.
+    */
+  private def tsMicros(c: String): Column =
+    unix_micros(col(c).cast("timestamp"))
+
+  /** Each interval replicated to every `binMicros` bin it overlaps —
+    * the interval side both range-join forms share, so the pair form
+    * and the aggregate pushdown can never disagree on bin coverage.
+    * Last covered bin indexes the greatest micro strictly inside the
+    * interval (end is exclusive), so a boundary-aligned end adds no
+    * spurious replica. Empty/inverted intervals (end <= start) must
+    * contribute NOTHING: unguarded, sequence(a, b) with b < a counts
+    * DOWN, so malformed rows would replicate across the whole
+    * inverted span instead of vanishing.
+    */
+  private def binExplodedIntervals(intervals: DataFrame, startTs: String,
+      endTs: String, binMicros: Long): DataFrame =
+    intervals.withColumn("_bin", explode(
+      when(col(endTs) > col(startTs), sequence(
+        floor(tsMicros(startTs) / binMicros),
+        floor((tsMicros(endTs) - 1) / binMicros)))
+        .otherwise(array().cast("array<bigint>"))))
+
+  /** Aggregate-form range join — [[rangeJoinBinned]] with the count/sum
+    * pushed THROUGH the join, for the consumer who wants per-interval
+    * totals rather than the (point, interval) pairs themselves. The
+    * pair form is plan-optimal but its OUTPUT is quadratic when both
+    * sides grow (sf0.1→sf1 measured 71×, pure answer size — SCALING.md);
+    * at 100 TB nobody materializes those pairs to immediately collapse
+    * them. The fix is algebraic: count and decimal-sum are associative,
+    * so the point side first collapses per (bin, point INSTANT) — one
+    * map-side-combinable aggregation whose output is bounded by the
+    * TIMESTAMP DOMAIN per bin (for day-quantized facts, ≤ a few
+    * thousand rows total, independent of corpus row count), the
+    * residual `start <= pt < end` predicate still evaluates exactly on
+    * the collapsed instants, and the per-interval totals are sums of
+    * partials. Pair rows never exist; the join input shrinks from
+    * |points| to |distinct instants|, so the post-collapse join is
+    * AQE-broadcastable and the whole plan scales with data volume only
+    * through the one pre-aggregation scan. Row-for-row equal to
+    * aggregating the pair form (spec-pinned; both forms share
+    * [[binExplodedIntervals]]).
+    *
+    * Intervals with zero matching points are absent, matching
+    * `agg(pair form)` inner-join semantics. Worst case (every point a
+    * distinct instant) degrades to exactly the pair form's join size —
+    * the pushdown never loses, it just stops winning.
+    */
+  def rangeJoinAggBinned(points: DataFrame, intervals: DataFrame,
+      pointTs: String, valueCol: String, startTs: String, endTs: String,
+      binDays: Int = 30): DataFrame = {
+    require(binDays >= 1, s"binDays must be >= 1, got $binDays")
+    val binMicros = binDays * 86400L * 1000000L
+    val p = points
+      .groupBy(floor(tsMicros(pointTs) / binMicros).as("_bin"),
+        col(pointTs).as("_pt"))
+      .agg(count(lit(1)).as("_n"), sum(dec(col(valueCol))).as("_s"))
+    val i = binExplodedIntervals(intervals, startTs, endTs, binMicros)
+    val ikey = intervals.columns.map(col).toSeq
+    i.join(p, i("_bin") === p("_bin")
+        && col("_pt") >= col(startTs) && col("_pt") < col(endTs))
+      .groupBy(ikey: _*)
+      // sums of partials: decimal addition is associative, so the
+      // two-level sum is value-identical to dsum over the pair form
+      .agg(sum(col("_n")).as("n_points"),
+        sum(col("_s")).cast("double").as("sum_value"))
+  }
+
+  /** [[rangeJoinAudit]] in aggregate form: identical totals, no pair
+    * materialization — the sf1/sf0.1 wall ratio drops from the pair
+    * form's 71× (output-bound) to ~linear (scan-bound).
+    */
+  def rangeJoinAuditAgg(spark: SparkSession, dir: String): DataFrame =
+    rangeJoinAggBinned(
+      Tables.orders(spark, dir).select(col("o_orderdate"), col("o_totalprice")),
+      auditWindows(spark, dir),
+      "o_orderdate", "o_totalprice", "w_start", "w_end", binDays = 30)
+      .select(col("s_suppkey"), col("n_points").as("n_orders"),
+        col("sum_value").as("sum_price"))
+      .orderBy(col("s_suppkey"))
 
   /** Deterministic per-supplier audit windows over the order calendar:
     * window k starts `(k*37) mod 2200` days after 1995-01-01 and lasts

@@ -94,6 +94,46 @@ class RangeJoinSpec extends AnyFunSuite {
       s"binned plan must not nested-loop:\n$binnedPlan")
   }
 
+  test("aggregate-form range join: totals are bit-identical to " +
+    "aggregating the pair form, and the collapse sits BELOW the join") {
+    val pair = Joins.rangeJoinAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    val agg = Joins.rangeJoinAuditAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))).toSeq
+    assert(agg == pair, s"agg form diverges from agg(pair form): " +
+      s"${agg.diff(pair).take(3)} vs ${pair.diff(agg).take(3)}")
+    assert(agg.nonEmpty)
+    // plan pin: the point side pre-aggregates BEFORE the join — pair
+    // rows never exist in the aggregate form's plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Joins.rangeJoinAuditAgg(spark, sf)
+      .queryExecution.optimizedPlan
+    val join = plan.collectFirst { case j: Join => j }
+    assert(join.isDefined, "plan must contain the bin equi-join")
+    assert(join.get.collect { case a: Aggregate => a }.nonEmpty,
+      s"no pre-aggregation under the join:\n${plan.treeString}")
+  }
+
+  test("aggregate-form range join: multi-instant days collapse but " +
+    "sub-bin residual filtering still applies per instant") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 3 points share one instant, 1 sits at another; the interval
+    // covers only the shared instant
+    val points = Seq(
+      (t("2024-01-10 00:00:00"), 1.5), (t("2024-01-10 00:00:00"), 2.25),
+      (t("2024-01-10 00:00:00"), 3.0), (t("2024-01-20 00:00:00"), 100.0)
+    ).toDF("pt", "v")
+    val iv = Seq((7L, t("2024-01-09 00:00:00"), t("2024-01-11 00:00:00")))
+      .toDF("iid", "start", "end")
+    val got = Joins.rangeJoinAggBinned(points, iv, "pt", "v",
+      "start", "end", 30).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("n_points") == 3L)
+    assert(got(0).getAs[Double]("sum_value") == 6.75)
+  }
+
   test("interval overlap join equals the naive theta-join, once per pair, " +
     "across bin boundaries") {
     // intervals engineered around the 24h bin edges: same-bin overlap,
