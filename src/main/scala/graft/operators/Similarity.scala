@@ -998,6 +998,14 @@ object Similarity {
     val qs = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .cutLineage(eager = true) // read by cell ranking, scoring, spine
+    // loud-failure contract (matches int8TopKOn/annIvfInt8TopK): an id
+    // absent from the table must fail the eval, not silently shrink the
+    // report — qs is eagerly materialized, so this count is a cached read
+    val present = qs.select(col("query_id"))
+      .collect().map(_.getLong(0)).toSet
+    require(present.size == queryIds.size,
+      s"query ids absent from the embeddings table: " +
+        s"${queryIds.filterNot(present)}")
     // exact gold for every query in one batched corpus pass
     val gold = cosineTopKMultiOn(embRaw, queryIds, k)
       .select(col("query_id"), col("vec_id"))
@@ -1437,9 +1445,10 @@ object Similarity {
     * entries its codes select — the corpus scan does code→table lookups
     * only, no vector arithmetic. Here the lookup is a broadcast hash
     * join of the (sub, cid) assignment rows against the m·ksub-row
-    * table, followed by one map-side-combinable per-vector sum on the
-    * DECIMAL image (order-stable, so the output is golden-pinnable
-    * despite the float k-means codebook having no SQL twin).
+    * table, followed by one per-vector [[adcOrderedSum]] fold
+    * (order-stable AND cross-engine exact, so the served ranking is
+    * oracle-checkable — the twin unrolls the joint-Lloyd training as
+    * decimal CTEs, the q_pq_recall pattern).
     *
     * Scale shape: training and coding are linear broadcast passes; the
     * per-query cost is one narrow scan of the m·n code rows + a sum
@@ -1479,9 +1488,17 @@ object Similarity {
       .select(col("sub"), col("sv").as("qsv"))
     val lut = cb.join(q, "sub")
       .select(col("sub"), col("cid"), l2sq(col("cv"), col("qsv")).as("d"))
+    // ranking key = the order-stable [[adcOrderedSum]] fold (not dsum's
+    // decimal image of computed doubles): serving ranks on EXACTLY the
+    // value the recall eval scores and the DuckDB twin reproduces, which
+    // is what lets q_pq_search hash-match end to end. The fold's
+    // collect_list partial carries ≤ m doubles per vector through the
+    // one shuffle (vs one decimal for a plain sum) — noise next to the
+    // broadcast-LUT join that feeds it, and the exact re-rank dominates
+    // serving cost anyway.
     val adc = assigned.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
-      .agg(dsum(col("d")).as("adist"))
+      .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
     if (rerank <= 1)
       adc.orderBy(col("adist"), col("vec_id")).limit(k)
     else {
@@ -1632,10 +1649,13 @@ object Similarity {
       .select(col("cell"), col("sub"), col("cid"),
         l2sq(col("cv"), col("qsv")).as("d"))
 
+    // order-stable fold, same rationale as [[pqTopK]]: the serving
+    // shortlist is ranked on the exact value the eval and the DuckDB
+    // twin compute, so q_ivfpq is oracle-checkable
     val adc = codesFor(probeCells)
       .join(broadcast(lut), Seq("cell", "sub", "cid"))
       .groupBy(col("vec_id"))
-      .agg(dsum(col("d")).as("adist"))
+      .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
     val shortlist = adc.orderBy(col("adist"), col("vec_id"))
       .limit(k * rerank).select(col("vec_id"))
     emb.join(broadcast(shortlist), "vec_id")
@@ -1648,10 +1668,11 @@ object Similarity {
   /** Order-stable ADC sum: fold the m per-subspace lookup entries in
     * `sub` order, left-to-right in IEEE doubles (the [[l2sq]] fold
     * convention, bit-identical to DuckDB's `list_sum` over the same
-    * ordered list). [[pqTopK]]'s serving path uses [[dsum]]'s decimal
-    * image instead — fine for an engine-internal ranking key, but its
-    * decimal cast of COMPUTED doubles is exactly the conversion the
-    * oracle contract forbids, so the recall evals rank on this fold.
+    * ordered list). BOTH the serving paths ([[pqTopK]], [[ivfPqTopK]])
+    * and the recall evals rank on this fold — one ranking key, scored
+    * and served identically, and reproducible cross-engine (a [[dsum]]
+    * decimal image of these COMPUTED doubles would be exactly the
+    * conversion the oracle contract forbids).
     */
   private def adcOrderedSum(subC: org.apache.spark.sql.Column,
       dC: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -2236,7 +2257,11 @@ object Similarity {
     * fixed-iteration power method from the deterministic e₀ seed;
     * IEEE-deterministic given the exact moments, with the sign fixed by
     * making the largest-|loading| entry positive (ties → lowest pos).
-    * Golden-pinned: iterative float linear algebra has no SQL twin.
+    * Oracle-checked since round 13: the twin runs the SAME 100-step
+    * iteration as a DuckDB recursive CTE over the exact long-micro
+    * covariance, every fold index-ordered from 0.0 — the float
+    * loadings themselves hash-match (golden kept as the cheap sbt-test
+    * regression pin).
     *
     * At 100 TB the explode shape (d² generated rows per vector) trades
     * for per-partition Gram accumulation (`mapPartitions` + BLAS over
@@ -2247,6 +2272,16 @@ object Similarity {
   def pcaTopComponent(spark: SparkSession, dir: String,
       iters: Int = 100): DataFrame = {
     val (cov, meansArr) = covarianceArtifact(spark, dir)
+    powerIterationTop(spark, cov, meansArr, iters)
+  }
+
+  /** The driver tail [[pcaTopComponent]] and [[pcaFromArtifact]] share:
+    * one fixed-budget power iteration on an exact covariance, sign-fixed
+    * — bit-identical output whichever path produced (cov, means).
+    */
+  private def powerIterationTop(spark: SparkSession,
+      cov: Array[Array[Double]], meansArr: Array[Double],
+      iters: Int): DataFrame = {
     val d = cov.length
     var w = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
     for (_ <- 0 until iters) {
@@ -2265,6 +2300,78 @@ object Similarity {
       .map { case (m, i) => (i, m, signed(i), eig, eig / trace) }.toSeq
       .toDF("pos", "dim_mean", "loading", "eigenvalue", "explained_frac")
       .orderBy(col("pos"))
+  }
+
+  /** Per-dimension first-moment micro sums (long micro-units of the
+    * DECIMAL(18,6) image of RAW components) plus the row count — the
+    * first-moment sibling of [[triangleMicroMoments]], and the exact
+    * integer image of [[graft.functions.Stable.davg]]'s decimal sum:
+    * `BigDecimal.valueOf(Σ, 6).doubleValue / n` reproduces davg's
+    * Decimal→Double cast bit-for-bit (spec-pinned via the maintainer
+    * round-trip). Mergeable by element-wise long addition, which is
+    * what lets a streaming maintainer keep covariance state exact.
+    */
+  private[graft] def dimMicroSums(x: DataFrame): Array[Long] = {
+    import graft.functions.Stable.dec
+    val rows = x
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), (dec(col("xi")) * 1000000).cast("long").as("xm"))
+      .groupBy(col("i")).agg(sum(col("xm")).as("sm"))
+      .collect() // d rows — bounded artifact
+    val out = new Array[Long](rows.length)
+    rows.foreach(r => out(r.getAs[Int]("i")) = r.getAs[Long]("sm"))
+    out
+  }
+
+  /** Rebuild the (cov, means) driver artifact from maintained micro
+    * moments — the same centering chain as [[covarianceArtifact]]
+    * (`sxx/n − mᵢ·mⱼ`, two separate IEEE divisions), with the means
+    * reconstructed through the SAME Decimal→Double cast davg performs.
+    */
+  private[graft] def covFromMicros(tri: Array[Long], dims: Array[Long],
+      n: Long): (Array[Array[Double]], Array[Double]) = {
+    val d = dims.length
+    require(tri.length == d.toLong * (d + 1) / 2,
+      s"triangle length ${tri.length} does not match d=$d")
+    require(n > 0, "covariance needs at least one vector")
+    val meansArr = dims.map(s =>
+      java.math.BigDecimal.valueOf(s, 6).doubleValue / n)
+    val cov = Array.ofDim[Double](d, d)
+    var pos = 0
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val sxx = tri(pos).toDouble / 1e6
+        val c = sxx / n - meansArr(i) * meansArr(j)
+        cov(i)(j) = c
+        cov(j)(i) = c
+        pos += 1
+        j += 1
+      }
+      i += 1
+    }
+    (cov, meansArr)
+  }
+
+  /** PCA served from a maintained [[graft.streaming.EventStream
+    * .covMaintain]] artifact: read the one-row micro-moment state,
+    * rebuild the exact covariance, run the same power iteration —
+    * bit-identical to [[pcaTopComponent]] over the union of everything
+    * the maintainer ever absorbed (spec-pinned), at the cost of ONE
+    * artifact-row read instead of a corpus scan. The serve path a drift
+    * monitor polls between ingest batches.
+    */
+  def pcaFromArtifact(spark: SparkSession, artifactPath: String,
+      iters: Int = 100): DataFrame = {
+    val row = spark.read.parquet(artifactPath).head()
+    // collected Seqs are list-like in this Spark — materialize before
+    // positional loops (the triangleMicroMoments lesson)
+    val tri = row.getAs[Seq[Long]]("tri").toArray
+    val dims = row.getAs[Seq[Long]]("dims").toArray
+    val n = row.getAs[Long]("n")
+    val (cov, means) = covFromMicros(tri, dims, n)
+    powerIterationTop(spark, cov, means, iters)
   }
 
   /** The distributed part both PCA entries share: the exact-decimal
@@ -2403,7 +2510,15 @@ object Similarity {
       import graft.functions.VectorFunctions.triProds
       val rows = x
         .select(posexplode(triProds(col("v"))).as(Seq("pos", "p")))
-        .select(col("pos"), (dec(col("p")) * 1000000).cast("long").as("pm"))
+        // same loud failure mode as the Gram path's [[microImage]]: past
+        // the shared |p| bound the DECIMAL(18,6) cast would overflow to
+        // NULL and silently DROP the product from the sum — raise instead,
+        // so flipping spark.graft.pca.gram never trades a crash for a
+        // silently-wrong covariance
+        .select(col("pos"), when(abs(col("p")) >= lit(MicroBound),
+            raise_error(concat(lit("covariance product out of micro-unit " +
+              s"range (|p| >= $MicroBound): "), col("p").cast("string"))))
+          .otherwise((dec(col("p")) * 1000000).cast("long")).as("pm"))
         .groupBy(col("pos"))
         .agg(sum(col("pm")).as("sm"), count(lit(1)).as("n"))
         .collect()
@@ -2413,6 +2528,17 @@ object Similarity {
     }
   }
 
+  /** Shared |product| bound of the two [[triangleMicroMoments]] plan
+    * shapes: DECIMAL(18,6) holds 12 integer digits, so the explode
+    * path's cast NULLs (silently) at |p| ≥ 1e12 while the raw
+    * `longValueExact` would only throw near 9.2e12 — both paths now
+    * fail LOUDLY at this one threshold, the tighter of the two, so the
+    * `spark.graft.pca.gram` knob can never turn a crash into a
+    * silently-wrong covariance (or vice versa). Unit-scale embedding
+    * components (|x| ≲ 1e3) sit ~6 orders of magnitude under it.
+    */
+  private[graft] val MicroBound: Double = 1e12
+
   /** The long micro-unit image of one product — EXACTLY the value the
     * declarative path's `(dec(p) * 1000000).cast("long")` produces:
     * Spark's double→decimal cast goes through the double's SHORTEST
@@ -2420,12 +2546,18 @@ object Similarity {
     * then HALF_UP at scale 6; replicating that chain (not a naive
     * `math.round(p * 1e6)`, which rounds the BINARY expansion and
     * diverges on half-way cases) is what makes the Gram path
-    * bit-identical to the explode path.
+    * bit-identical to the explode path. Products at or past
+    * [[MicroBound]] raise (same failure mode as the explode path's
+    * guarded cast).
     */
-  @inline private def microImage(p: Double): Long =
+  @inline private def microImage(p: Double): Long = {
+    if (math.abs(p) >= MicroBound || p.isNaN)
+      throw new ArithmeticException(
+        s"covariance product out of micro-unit range (|p| >= $MicroBound): $p")
     java.math.BigDecimal.valueOf(p)
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
+  }
 
   /** Top-`r` principal components — [[pcaTopComponent]] generalized by
     * POWER ITERATION WITH DEFLATION on the same exact-decimal d×d

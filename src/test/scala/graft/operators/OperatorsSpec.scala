@@ -439,6 +439,28 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pca covariance: BOTH moment paths fail loudly at the shared " +
+    "micro-unit bound — the gram knob never trades a crash for a " +
+    "silently-dropped product") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one component past the bound: its self-product overflows the
+    // DECIMAL(18,6) image (explode path would otherwise NULL-and-drop it)
+    val x = Seq((0L, Seq(1.0, 2.0)), (1L, Seq(1e7, 0.5)))
+      .toDF("vec_id", "v")
+    Seq(true, false).foreach { gram =>
+      val ex = intercept[Exception] {
+        Similarity.triangleMicroMoments(x, useGram = gram)
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+      assert(causes(ex).exists(_.getMessage != null)
+        && causes(ex).exists(e => Option(e.getMessage)
+          .exists(_.contains("micro-unit range"))),
+        s"gram=$gram must raise the shared range error, got: $ex")
+    }
+  }
+
   test("pca top-r components: PC1 bit-identical to the single-component " +
     "entry, pairwise near-orthogonal, eigenvalues ordered, explained " +
     "fractions bounded") {

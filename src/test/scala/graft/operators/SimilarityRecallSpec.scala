@@ -69,6 +69,16 @@ class SimilarityRecallSpec extends AnyFunSuite {
       r.getAs[Long]("query_id"))).toSet.size == 12)
   }
 
+  test("annRecallMulti: an id absent from the embeddings table fails " +
+    "loudly instead of silently shrinking the report") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.annRecallMulti(spark, dir,
+        queryIds = Seq(0L, 999999999L))
+    }
+    assert(ex.getMessage.contains("999999999"),
+      s"message must name the missing id: ${ex.getMessage}")
+  }
+
   test("int8 two-stage serving: candidate pool from integer dots, " +
       "exact re-rank — recall vs exact gold, and widening the pool " +
       "to the corpus makes it exhaustive") {
