@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.Materialize.MatOps
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -499,6 +499,75 @@ object EventStream {
       .start()
   }
 
+  /** Incremental covariance maintenance — the SECOND-MOMENT member of
+    * the artifact-maintainer family (CMS counts, KMV order statistics,
+    * MG heavy hitters, quantile samples — and now the moment state a
+    * drift monitor's PCA reads): each micro-batch of (vec_id,
+    * v: array<double>) vectors is collapsed to its exact long-micro
+    * moment partials — the d(d+1)/2 second-moment triangle
+    * ([[graft.operators.Similarity.triangleMicroMoments]], Gram path)
+    * plus the d first-moment sums ([[Similarity.dimMicroSums]]) and the
+    * row count — and element-wise long addition merges them onto the
+    * stored one-row artifact. Integer adds are associative and
+    * commutative, so the maintained state is BIT-IDENTICAL to a
+    * from-scratch moment pass over everything ever streamed (the
+    * [[cmsMaintain]] contract, spec-pinned), and
+    * [[Similarity.pcaFromArtifact]] serves PCA from it without ever
+    * rescanning the corpus. Same replay discipline as cmsMaintain:
+    * moment addition is not idempotent, so the stored `batch_id` guard
+    * skips an already-applied redelivery, and restarts must reuse the
+    * checkpoint dir. State is one row of d(d+1)/2 + d longs —
+    * artifact-sized at any corpus size; the Σ|micro| < 2⁵³ bound is
+    * [[Similarity.triangleMicroMoments]]'s documented n-shaped bound.
+    */
+  def covMaintain(vectors: DataFrame, artifactPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val x = batch.select(col("v"))
+          val (tri, n) = graft.operators.Similarity
+            .triangleMicroMoments(x, useGram = true)
+          val dims = graft.operators.Similarity.dimMicroSums(x)
+          // head() drains the read before the overwrite below, so no
+          // lazy plan ever reads the files being replaced (the
+          // cutForOverwrite concern, discharged by eager collection of
+          // the one-row artifact)
+          val stored =
+            if (graft.sources.Sinks.hasPartFiles(spark, artifactPath))
+              Some(spark.read.parquet(artifactPath).head())
+            else None
+          val alreadyApplied =
+            stored.exists(_.getAs[Long]("batch_id") >= batchId)
+          if (!alreadyApplied) {
+            val (mTri, mDims, mN) = stored match {
+              case Some(s) =>
+                // collected Seqs are list-like — materialize before the
+                // positional merge loops (the triangleMicroMoments lesson)
+                val st = s.getAs[Seq[Long]]("tri").toArray
+                val sd = s.getAs[Seq[Long]]("dims").toArray
+                require(st.length == tri.length && sd.length == dims.length,
+                  s"artifact dimensionality (${sd.length}) does not match " +
+                    s"the batch (${dims.length}) — moments cannot merge")
+                var k = 0
+                while (k < st.length) { st(k) += tri(k); k += 1 }
+                k = 0
+                while (k < sd.length) { sd(k) += dims(k); k += 1 }
+                (st, sd, s.getAs[Long]("n") + n)
+              case None => (tri, dims, n)
+            }
+            Seq((batchId, mN, mTri.toSeq, mDims.toSeq))
+              .toDF("batch_id", "n", "tri", "dims")
+              .write.mode("overwrite").parquet(artifactPath)
+          }
+        }
+      }
+      .start()
+
   /** Incremental KMV vocabulary-sketch maintenance — the order-statistic
     * sibling of [[cmsMaintain]]: each micro-batch's per-source bottom-k
     * shingle hashes are unioned with the stored sketch and the bottom-k
@@ -678,6 +747,33 @@ object EventStream {
       .start()
   }
 
+  /** Ids a PRIOR ATTEMPT of this very batchId admitted — the gate's own
+    * `ingest_batch=<batchId>` output partition, which dynamic overwrite
+    * makes the authoritative per-batch admission record (the
+    * [[curationSink]] `batches/` sidecar contract without an extra
+    * write: survivors only ever exist in `outPath`, so anything the
+    * external index refresh could have appended between a crash and the
+    * replay is a subset of exactly this partition). Anti-joining these
+    * out of a probe's `corpus_id` side makes the gates' replay contract
+    * real: a same-batchId replay whose survivors were already indexed
+    * (by [[graft.operators.Dedup.appendToPpjoinIndex]] and friends —
+    * refreshes the gate does not control) reproduces its original
+    * decisions instead of self-matching every survivor to zero, while a
+    * doc REDELIVERED under a NEW batchId finds its own partition empty,
+    * still matches its earlier indexed copy, and drops. Eagerly
+    * materialized: the same partition is overwritten later in the
+    * batch, so the read must not stay lazy into the write.
+    */
+  private def ownAdmitted(spark: SparkSession, outPath: String,
+      batchId: Long, idCol: String): DataFrame = {
+    import spark.implicits._
+    scala.util.Try(spark.read.parquet(outPath)).toOption
+      .map(_.filter(col("ingest_batch") === batchId)
+        .select(col(idCol).cast("long").as("corpus_id"))
+        .cutLineage(eager = true))
+      .getOrElse(Seq.empty[Long].toDF("corpus_id"))
+  }
+
   /** Streaming fuzzy admission against a materialized
     * [[graft.operators.Dedup.writeMinhashIndex]] corpus index: each
     * micro-batch is MinHash-probed against the stored band keys, docs
@@ -687,7 +783,10 @@ object EventStream {
     * files, shared by every executor and refreshed by rewriting the
     * index, never by growing a state store (a state-store formulation
     * would pin the corpus's shingle sets in executor memory; the probe
-    * touches only colliding band buckets instead).
+    * touches only colliding band buckets instead). Replay-safe even
+    * when the index was refreshed with this batch's own survivors
+    * between attempts: matches against ids this batchId already
+    * admitted are exempt ([[ownAdmitted]]).
     */
   def nearDupGate(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, threshold: Double = 0.7)
@@ -698,8 +797,10 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val own = ownAdmitted(spark, outPath, batchId, "doc_id")
           val dups = graft.operators.Dedup
             .minhashJoinFromIndex(spark, batch, indexPath, threshold)
+            .join(broadcast(own), Seq("corpus_id"), "left_anti")
             .select(col("batch_id").as("doc_id")).distinct()
           // survivors land in an ingest_batch=<id> partition under
           // DYNAMIC overwrite, not a bare append: foreachBatch is
@@ -731,7 +832,10 @@ object EventStream {
     * .appendToPpjoinIndex]] between batches, never in a state store.
     * Survivors land in `ingest_batch=<id>` partitions under DYNAMIC
     * overwrite so an at-least-once replay rewrites its own partition
-    * instead of admitting duplicates twice.
+    * instead of admitting duplicates twice — including when the index
+    * refresh raced the checkpoint commit: matches against ids this
+    * batchId already admitted are exempt ([[ownAdmitted]]), so the
+    * replay reproduces its decisions instead of self-matching to zero.
     */
   def ppjoinGateSink(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, tNum: Long = 7L, tDen: Long = 10L)
@@ -742,8 +846,10 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val own = ownAdmitted(spark, outPath, batchId, "doc_id")
           val dups = graft.operators.Dedup
             .ppjoinJoinFromIndex(spark, batch, indexPath, tNum, tDen)
+            .join(broadcast(own), Seq("corpus_id"), "left_anti")
             .select(col("batch_id").as("doc_id")).distinct()
           batch.join(dups, Seq("doc_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
@@ -764,7 +870,9 @@ object EventStream {
     * .appendToPhashIndex]] between batches, never inside the query.
     * Survivors land in `ingest_batch=<id>` partitions under DYNAMIC
     * overwrite so an at-least-once replay rewrites its own partition
-    * instead of admitting duplicates twice.
+    * instead of admitting duplicates twice; matches against ids this
+    * batchId already admitted are exempt ([[ownAdmitted]]), so a replay
+    * racing the external index refresh reproduces its decisions.
     */
   def phashGateSink(media: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, maxHamming: Int = 16)
@@ -775,8 +883,10 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val own = ownAdmitted(spark, outPath, batchId, "doc_id")
           val dups = graft.operators.Multimodal
             .phashJoinFromIndex(spark, batch, indexPath, maxHamming)
+            .join(broadcast(own), Seq("corpus_id"), "left_anti")
             .select(col("batch_id").as("doc_id")).distinct()
           batch.join(dups, Seq("doc_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
@@ -814,7 +924,13 @@ object EventStream {
     * across cells) has the same geometry as the unprobed-cell corpus
     * miss. Survivors land in `ingest_batch=<id>` partitions under
     * DYNAMIC overwrite so an at-least-once replay rewrites its own
-    * partition instead of admitting duplicates twice.
+    * partition instead of admitting duplicates twice; matches against
+    * ids this batchId already admitted are exempt ([[ownAdmitted]]) —
+    * the probe runs at k = 2 so a replayed vector's own indexed copy
+    * (top-1 at cosine 1.0) cannot shadow a genuine corpus near-dup at
+    * rank 2 (assumes the external refresh appended this batch at most
+    * once, which one [[graft.operators.Similarity.appendToIvfIndex]]
+    * call per batch guarantees).
     */
   def embeddingGateSink(vectors: DataFrame, indexPath: String,
       outPath: String, checkpoint: String, minCos: Double = 0.95,
@@ -825,8 +941,11 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          val own = ownAdmitted(spark, outPath, batchId, "vec_id")
           val dups = graft.operators.Similarity
-            .ivfProbeBatchOn(spark, batch, indexPath, k = 1, nprobe)
+            .ivfProbeBatchOn(spark, batch, indexPath, k = 2, nprobe)
+            .join(broadcast(own.select(col("corpus_id").as("vec_id"))),
+              Seq("vec_id"), "left_anti")
             .filter(col("cos") >= minCos)
             .select(col("query_id").as("vec_id")).distinct()
           val survivors = batch.join(dups, Seq("vec_id"), "left_anti")

@@ -527,8 +527,15 @@ class EventStreamSpec extends AnyFunSuite {
     val kept = spark.read.parquet(outDir).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(kept == expected, s"streamed $kept vs batch $expected")
-    // replay: same batch under a fresh checkpoint (same batchId 0) must
-    // dynamic-overwrite its own partition, not append survivors twice
+    // replay RACING the external index refresh: the operational order is
+    // survivors land -> appendToPpjoinIndex(survivors) -> checkpoint
+    // commit; a crash before the commit replays batchId 0 against an
+    // index that now CONTAINS this batch's own survivors. Without the
+    // ownAdmitted exemption every survivor self-matches (jaccard 1.0)
+    // and the replay admits zero; with it, the replay must reproduce the
+    // original decisions exactly.
+    graft.operators.Dedup.appendToPpjoinIndex(
+      spark.read.parquet(outDir).select(col("doc_id"), col("text")), idxDir)
     val input2 = MemoryStream[(Long, String)]
     input2.addData(batchDocs: _*)
     val q2 = EventStream.ppjoinGateSink(
@@ -539,6 +546,32 @@ class EventStreamSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toList
     assert(keptAfter.toSet == expected && keptAfter.size == expected.size,
       s"replay must re-land identically: ${keptAfter.size} rows")
+    // cross-batch redelivery contract is unchanged: the same docs under
+    // a NEW batchId (after the operator appended batch 0's survivors to
+    // the index) find an empty own-partition, match their indexed
+    // copies, and drop — nothing double-lands in a second partition
+    val idx2 = base.resolve("idx2").toString
+    val out3 = base.resolve("out3").toString
+    graft.operators.Dedup.writePpjoinIndex(corpus, idx2)
+    val input3 = MemoryStream[(Long, String)]
+    val q3 = EventStream.ppjoinGateSink(
+      input3.toDF().toDF("doc_id", "text"), idx2, out3,
+      base.resolve("ck3").toString)
+    try {
+      input3.addData(batchDocs: _*)
+      q3.processAllAvailable()
+      graft.operators.Dedup.appendToPpjoinIndex(
+        spark.read.parquet(out3).select(col("doc_id"), col("text")), idx2)
+      input3.addData(batchDocs: _*)
+      q3.processAllAvailable()
+    } finally q3.stop()
+    val landed3 = spark.read.parquet(out3)
+      .select(col("doc_id"),
+        col("ingest_batch").cast("long").as("ingest_batch")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(landed3.forall(_._2 == 0L),
+      s"redelivered batchId must admit nothing: ${landed3.filter(_._2 != 0L).take(5).toList}")
+    assert(landed3.map(_._1).toSet == expected)
   }
 
   test("mgMaintain: the streamed summary keeps the planted heavy " +
@@ -1150,5 +1183,61 @@ class EventStreamSpec extends AnyFunSuite {
       assert(q.lastProgress == null
         || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
     } finally q.stop()
+  }
+
+  test("covMaintain: streamed moment state equals the from-scratch pass " +
+    "bit-for-bit, pcaFromArtifact equals pcaTopComponent, and a " +
+    "replayed batch is not double-added") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vecD
+    val dir = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Double]](1).toList))
+    val base = java.nio.file.Files.createTempDirectory("graft_cov")
+    val artDir = base.resolve("art").toString
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EventStream.covMaintain(
+      input.toDF().toDF("vec_id", "v"), artDir,
+      base.resolve("ckpt").toString)
+    try {
+      val (h1, h2) = rows.splitAt(rows.length / 2)
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "maintainer is stateless")
+    } finally q.stop()
+    // maintained micro state ≡ one from-scratch pass (integer adds
+    // commute — the maintainer's whole claim)
+    val art = spark.read.parquet(artDir).head()
+    val (triFull, nFull) = graft.operators.Similarity
+      .triangleMicroMoments(emb.select(col("v")), useGram = true)
+    assert(art.getAs[Long]("n") == nFull)
+    assert(art.getAs[Seq[Long]]("tri").toArray.toSeq == triFull.toSeq,
+      "maintained triangle diverges from the from-scratch pass")
+    // PCA served from the artifact ≡ the corpus-scanning entry, bitwise
+    def pins(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Int]("pos"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("dim_mean")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("loading")),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("eigenvalue"))))
+      .toSeq
+    assert(pins(graft.operators.Similarity.pcaFromArtifact(spark, artDir))
+      == pins(graft.operators.Similarity.pcaTopComponent(spark, dir)))
+    // replay: a fresh checkpoint restarts batch ids at 0; the stored
+    // batch_id guard must skip them instead of double-adding moments
+    val input2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = EventStream.covMaintain(
+      input2.toDF().toDF("vec_id", "v"), artDir,
+      base.resolve("ckpt2").toString)
+    try {
+      input2.addData(rows.take(5): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val after = spark.read.parquet(artDir).head()
+    assert(after.getAs[Long]("n") == nFull,
+      "replayed batch id must be ignored, not re-added")
   }
 }
