@@ -249,7 +249,105 @@ object Multimodal {
     * a truncated frame list, never a stuck walk.
     */
   private[operators] def frameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] =
-    gifFrameRanges(b).orElse(pngFrameRanges(b))
+    gifFrameRanges(b).orElse(pngFrameRanges(b)).orElse(mp4FrameRanges(b))
+
+  /** ISO-BMFF (MP4) box walk: the container is a length-prefixed box
+    * tree — each box is (size: BE32, type: 4cc, payload), with size 1
+    * meaning a 64-bit `largesize` follows and size 0 meaning
+    * to-end-of-file. Frame byte extents come from the sample tables
+    * under `moov/trak/mdia/minf/stbl`: `stsz` gives per-sample sizes
+    * (or one fixed size), `stco`/`co64` gives chunk offsets. Two layouts
+    * resolve without `stsc` interpretation: one chunk per sample
+    * (offsets.length == samples — each sample starts at its own offset)
+    * and the single-chunk file (one offset — samples are consecutive
+    * from it). Anything else returns the chunk extents' samples only if
+    * it matches one of those; a full stsc walk is not needed for the
+    * layouts this engine writes or commonly meets. Same hostile-length
+    * discipline as [[decodeWav]]/[[gifFrameRanges]]: offsets advance in
+    * LONG arithmetic, a declared size below the 8-byte header aborts
+    * the walk (a size-0-loop would otherwise never terminate), and
+    * every extent clamps to the bytes actually present.
+    */
+  private[operators] def mp4FrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (b.length < 12) return None
+    def beInt(off: Long): Long =
+      if (off + 4 > b.length) -1L
+      else (((b(off.toInt) & 0xff).toLong << 24)
+        | ((b(off.toInt + 1) & 0xff).toLong << 16)
+        | ((b(off.toInt + 2) & 0xff).toLong << 8)
+        | (b(off.toInt + 3) & 0xff).toLong)
+    def beLong(off: Long): Long =
+      if (off + 8 > b.length) -1L
+      else (beInt(off) << 32) | beInt(off + 4)
+    def tag(off: Long): String =
+      new String(b, off.toInt + 4, 4, "US-ASCII")
+    if (tag(0) != "ftyp") return None
+    val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var sizes: Option[Array[Long]] = None
+    var offsets: Option[Array[Long]] = None
+    // walk [from, until) at one nesting level, descending into the
+    // known container boxes; stops on truncation or malformed sizes
+    def walk(from: Long, until: Long): Unit = {
+      var i = from
+      while (i + 8 <= until && (sizes.isEmpty || offsets.isEmpty)) {
+        val declared = beInt(i)
+        val typ = tag(i)
+        val (sz, hdr) =
+          if (declared == 1L) (beLong(i + 8), 16L)
+          else if (declared == 0L) (until - i, 8L)
+          else (declared, 8L)
+        if (sz < hdr) return // malformed: a non-advancing size
+        val end = math.min(i + sz, until)
+        if (Containers(typ)) walk(i + hdr, end)
+        else if (typ == "stsz" && i + hdr + 12 <= until) {
+          val fixed = beInt(i + hdr + 4)
+          val n = beInt(i + hdr + 8)
+          if (n >= 0 && n <= (until - i - hdr - 12) / 4 + 1) {
+            if (fixed != 0) sizes = Some(Array.fill(n.toInt)(fixed))
+            else if (i + hdr + 12 + 4L * n <= until)
+              sizes = Some(Array.tabulate(n.toInt)(k =>
+                beInt(i + hdr + 12 + 4L * k)))
+          }
+        } else if (typ == "stco" && i + hdr + 8 <= until) {
+          val n = beInt(i + hdr + 4)
+          if (n >= 0 && i + hdr + 8 + 4L * n <= until)
+            offsets = Some(Array.tabulate(n.toInt)(k =>
+              beInt(i + hdr + 8 + 4L * k)))
+        } else if (typ == "co64" && i + hdr + 8 <= until) {
+          val n = beInt(i + hdr + 4)
+          if (n >= 0 && i + hdr + 8 + 8L * n <= until)
+            offsets = Some(Array.tabulate(n.toInt)(k =>
+              beLong(i + hdr + 8 + 8L * k)))
+        }
+        i += sz
+      }
+    }
+    walk(0L, b.length.toLong)
+    for (sz <- sizes; off <- offsets if sz.nonEmpty && off.nonEmpty) yield {
+      val frames = Vector.newBuilder[(Int, Int)]
+      if (off.length == sz.length) {
+        // one chunk per sample: each sample at its own stored offset
+        var k = 0
+        while (k < sz.length) {
+          val a = math.min(math.max(off(k), 0L), b.length.toLong)
+          val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
+          if (e > a) frames += ((a.toInt, e.toInt))
+          k += 1
+        }
+      } else if (off.length == 1) {
+        // single chunk: samples consecutive from its offset
+        var a = math.min(math.max(off(0), 0L), b.length.toLong)
+        var k = 0
+        while (k < sz.length) {
+          val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
+          if (e > a) frames += ((a.toInt, e.toInt))
+          a = e
+          k += 1
+        }
+      }
+      frames.result()
+    }
+  }
 
   /** GIF block walk: logical screen descriptor (+ global color table if
     * flagged), then extensions (0x21: label + sub-blocks) are skipped
@@ -356,6 +454,53 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** A REAL, deterministic ISO-BMFF (MP4) container around an arbitrary
+    * payload — the video sibling of [[gifWrap]]: `ftyp`, then a `moov`
+    * with the full `trak/mdia/minf/stbl` nesting holding a real `stsz`
+    * (per-sample sizes = consecutive payload slice lengths) and a real
+    * `stco` whose single chunk offset points into the `mdat` payload.
+    * Structure-level real — [[mp4FrameRanges]] walks the box tree and
+    * recovers exactly the slices this laid out; the mdat bytes are the
+    * raw payload rather than encoded video (the walk never runs a
+    * codec — the same documented stand-in boundary as gifWrap). Box
+    * sizes are computed bottom-up so every length field is exact.
+    */
+  private[graft] def mp4Wrap(payload: Array[Byte], frames: Int): Array[Byte] = {
+    val n = math.max(1, frames)
+    val per = math.max(1, (payload.length + n - 1) / n)
+    val sizes = (0 until n).map { f =>
+      val a = math.min(payload.length, f * per)
+      math.min(payload.length, a + per) - a
+    }.filter(_ > 0)
+    def box(typ: String, payloadBytes: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + payloadBytes.length)
+      out.putInt(8 + payloadBytes.length)
+      out.put(typ.getBytes("US-ASCII"))
+      out.put(payloadBytes)
+      out.array()
+    }
+    def beInts(vs: Seq[Int]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vs.length)
+      vs.foreach(bb.putInt)
+      bb.array()
+    }
+    // stsz: version/flags 0, sample_size 0 (per-sample table), count, sizes
+    val stsz = box("stsz", beInts(Seq(0, 0, sizes.length) ++ sizes))
+    // stco with ONE chunk — its offset is where mdat's data will start:
+    // ftyp(16) + moov + mdat header(8). moov size is deterministic:
+    // 5 nested box headers of 8 bytes around stsz + stco.
+    val stcoLen = 8 + 4 * 3 // header + version/flags + count + 1 offset
+    val moovLen = 8 * 4 + 8 + stsz.length + stcoLen // moov/trak/mdia/minf + stbl hdr
+    val ftyp = box("ftyp", "isomgrft".getBytes("US-ASCII"))
+    val mdatOff = ftyp.length + moovLen + 8
+    val stco = box("stco", beInts(Seq(0, 1, mdatOff)))
+    val stbl = box("stbl", stsz ++ stco)
+    val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
+    val mdat = box("mdat", payload)
+    assert(moov.length == moovLen, s"moov size drifted: ${moov.length} vs $moovLen")
+    ftyp ++ moov ++ mdat
+  }
+
   /** Raw media-file ingestion via Spark's built-in `binaryFile` source:
     * one row per file with (path, modificationTime, length, content),
     * mapped onto the engine's MediaRecord shape — doc_id from the path
@@ -448,26 +593,34 @@ object Multimodal {
         col("width"), col("height"), col("mean_byte"))
       .orderBy(col("doc_id"))
 
-  /** The media table with image/video payloads wrapped in REAL
-    * multi-frame GIF89a containers ([[gifWrap]]; frame count 1–7,
-    * deterministic from payload length) and audio payloads left raw —
-    * the fixture that lets [[mediaFrames]]' golden cover the actual
-    * container walk ([[gifFrameRanges]] offsets) AND the raw fallback
-    * in one query, in an environment with no encoded media on disk.
+  /** The media table with image payloads wrapped in REAL multi-frame
+    * GIF89a containers ([[gifWrap]]), video payloads in REAL ISO-BMFF
+    * boxes ([[mp4Wrap]] — since round 13, closing the "video rides a
+    * GIF" stand-in), and audio payloads left raw — frame counts 1–7
+    * deterministic from payload length. The fixture lets
+    * [[mediaFrames]]' golden cover BOTH container walks
+    * ([[gifFrameRanges]] descriptor chain, [[mp4FrameRanges]]
+    * stsz/stco sample extents) AND the raw fallback in one query, in an
+    * environment with no encoded media on disk.
     */
   def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     mediaTable(spark, dir).as[MediaRecord].map { r =>
-      if (r.media_type == "audio") r
-      else MediaRecord(r.doc_id, r.media_type,
-        gifWrap(r.blob, frames = 1 + (r.blob.length % 7)))
+      val frames = 1 + (r.blob.length % 7)
+      r.media_type match {
+        case "audio" => r
+        case "video" =>
+          MediaRecord(r.doc_id, r.media_type, mp4Wrap(r.blob, frames))
+        case _ =>
+          MediaRecord(r.doc_id, r.media_type, gifWrap(r.blob, frames))
+      }
     }
   }
 
   /** Frame-sample output over [[encodedMediaTable]] — per-frame rows
-    * from the REAL container frame offsets for the GIF-wrapped
-    * image/video payloads, spaced byte windows for the raw audio ones
-    * (hashes have no SQL equivalent — rows-only/golden).
+    * from the REAL container frame offsets for the GIF-wrapped image
+    * and MP4-boxed video payloads, spaced byte windows for the raw
+    * audio ones (hashes have no SQL equivalent — rows-only/golden).
     */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     extractFeaturesOn(encodedMediaTable(spark, dir))

@@ -280,6 +280,52 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.fnv1a(gif7, rs7(i)._1, rs7(i)._2)))
   }
 
+  test("MP4 frame walk: mp4Wrap round-trips through mp4FrameRanges at " +
+    "the exact laid-out sample extents, hostile lengths clamp, and the " +
+    "extractor hashes real extents end to end") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val mp4 = Multimodal.mp4Wrap(payload, frames = 3)
+    val rs = Multimodal.mp4FrameRanges(mp4).get
+    assert(rs.length == 3, s"frame extents: $rs")
+    // the walked extents recover exactly the consecutive payload slices
+    assert(rs.map { case (a, b) => b - a } == Vector(200, 200, 200))
+    assert(rs.flatMap { case (a, b) => mp4.slice(a, b) } == payload.toVector)
+    // extents are consecutive inside mdat (single-chunk layout)
+    rs.sliding(2).foreach { case Vector((_, e), (a2, _)) => assert(e == a2) }
+    // frameRanges dispatches mp4 after gif/png
+    assert(Multimodal.frameRanges(mp4).contains(rs))
+    // a payload shorter than the frame budget drops empty slices
+    val tiny = Multimodal.mp4Wrap(Array[Byte](1, 2), frames = 5)
+    val tinyRs = Multimodal.mp4FrameRanges(tiny).get
+    assert(tinyRs.map { case (a, b) => b - a }.sum == 2)
+    // truncation: declared mdat runs past EOF -> extents clamp, walk ends
+    val cut = mp4.take(mp4.length - 150)
+    val cutRs = Multimodal.mp4FrameRanges(cut).get
+    assert(cutRs.nonEmpty && cutRs.forall { case (a, b) =>
+      a >= 0 && b <= cut.length && b > a })
+    // malformed: a box size below its own header must abort, not loop
+    val bad = mp4.clone()
+    bad(16) = 0; bad(17) = 0; bad(18) = 0; bad(19) = 3 // moov "size 3"
+    Multimodal.mp4FrameRanges(bad) // must terminate
+    // not a container at all
+    assert(Multimodal.mp4FrameRanges("plain bytes".getBytes).isEmpty)
+    // ingest -> frames end to end through the video extension mapping
+    val d = java.nio.file.Files.createTempDirectory("graft_mp4")
+    java.nio.file.Files.write(d.resolve("clip.mp4"), mp4)
+    val feats = Multimodal.extractFeaturesOn(
+      Multimodal.fromBinaryFiles(spark, d.toString, "*.mp4")
+        .select(col("doc_id"), col("media_type"), col("blob"))
+        .as[Multimodal.MediaRecord], nFrames = 4).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.media_type == "video")
+    assert(f.n_frames == 3)
+    assert(f.frame_hashes ==
+      rs.map { case (a, b) => Multimodal.fnv1a(mp4, a, b) },
+      "hashes must cover the REAL sample extents")
+  }
+
   test("AHashKernel: hand-checked ramp, empty payload, and invariance " +
     "to a constant payload") {
     // bytes 0..63: block b is the single byte b; mean 31.5 -> bits 32..63
