@@ -47,6 +47,7 @@ object SparkEntry {
     "q_null_funs" -> ((s, dir) => Scalars.nullFuns(s, dir)),
     "q_asof_join" -> ((s, dir) => Joins.asofJoin(s, dir)),
     "q_range_join" -> ((s, dir) => Joins.rangeJoinAudit(s, dir)),
+    "q_range_join_agg" -> ((s, dir) => Joins.rangeJoinAuditAgg(s, dir)),
     "q_merge_upsert" -> ((s, dir) => Cdc.mergeOrders(s, dir)),
     "q_weighted_sample" -> ((s, dir) => Sampling.weightedSystematic(s, dir)),
     "q_text_normalize" -> ((s, dir) => TextAnalysis.normalizeText(s, dir)),
@@ -199,6 +200,7 @@ object SparkEntry {
     // golden-pinned: iterative driver-loop training has no SQL twin;
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
+    "q_bpe_train_small" -> ((s, dir) => Bpe.bpeTrain(s, dir, nMerges = 6)),
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
     "q_wordpiece_stats" -> ((s, dir) => Bpe.wordpieceSegmentStats(s, dir)),
     "q_wordpiece_tokens" -> ((s, dir) => Bpe.wordpieceTokenize(s, dir)),
@@ -376,6 +378,205 @@ object SparkEntry {
 
   private val retrievalCtes: String =
     retrievalSharedCtes + ",\n" + retrievalDenseCtesFor(0L, "")
+
+  /** The covariance + power-iteration prologue both PCA twins share.
+    *
+    * Covariance: the exact long-micro second-moment triangle — per
+    * product, DuckDB's `CAST(p AS DECIMAL(18,6))` must land on the same
+    * 6-dp image as Spark's shortest-repr HALF_UP cast (the documented
+    * dec()-of-computed exposure the q_ivfpq_recall twin already
+    * carries); sums of those BIGINT micros are exact, and the center
+    * step `(s/1e6)/n − mᵢ·mⱼ` replicates the driver's IEEE op chain
+    * division by division. Means are the proven davg twin (dec of RAW
+    * parquet doubles). The dense matrix is computed once on the
+    * triangle and mirrored, exactly like `covarianceArtifact`.
+    *
+    * Power iteration: DuckDB forbids aggregates over the recursive
+    * reference, so the matrix rides INSIDE the recursion as a
+    * list-of-lists and every matvec/norm/eigenvalue is a pure
+    * `list_sum(list_transform(range …))` — index-ascending left folds
+    * from 0.0, the same op chain as the driver's `Seq[Double].sum`
+    * (the adcOrderedSum law). Multiplication stays left-associative
+    * (`w[i] * c * w[j]` ≡ Scala's `w(i) * cov(i)(j) * w(j)`).
+    */
+  private val pcaCovCtes: String =
+    """WITH RECURSIVE v AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |nv AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |mm AS MATERIALIZED (
+      |  SELECT CAST(i - 1 AS INT) AS pos,
+      |         CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+      |           / count(*) AS m
+      |  FROM v, unnest(range(1, len(v) + 1)) AS t(i) GROUP BY i),
+      |ml AS MATERIALIZED (SELECT list(m ORDER BY pos) AS m FROM mm),
+      |pidx AS MATERIALIZED (
+      |  SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j
+      |  FROM (SELECT unnest(range(1, (SELECT len(v) FROM v LIMIT 1) + 1)) AS i) a,
+      |       (SELECT unnest(range(1, (SELECT len(v) FROM v LIMIT 1) + 1)) AS j) b
+      |  WHERE a.i <= b.j),
+      |micro AS MATERIALIZED (
+      |  SELECT p.i, p.j,
+      |         CAST(sum(CAST(CAST(v.v[p.i] * v.v[p.j] AS DECIMAL(18,6))
+      |           * 1000000 AS BIGINT)) AS BIGINT) AS s
+      |  FROM v, pidx p GROUP BY p.i, p.j),
+      |covt AS MATERIALIZED (
+      |  SELECT mi.i, mi.j,
+      |         CAST(mi.s AS DOUBLE) / CAST(1000000 AS DOUBLE)
+      |           / CAST(nv.n AS DOUBLE)
+      |           - ml.m[mi.i] * ml.m[mi.j] AS c
+      |  FROM micro mi, nv, ml),
+      |covd AS MATERIALIZED (
+      |  SELECT i, j, c FROM covt
+      |  UNION ALL SELECT j AS i, i AS j, c FROM covt WHERE i <> j),
+      |cl0 AS MATERIALIZED (
+      |  SELECT list(r ORDER BY i) AS m FROM (
+      |    SELECT i, list(c ORDER BY j) AS r FROM covd GROUP BY i)),
+      |tr AS MATERIALIZED (
+      |  SELECT list_sum(list(c ORDER BY i)) AS trace FROM covd WHERE i = j)""".stripMargin
+
+  /** One 100-step power iteration on the list-of-lists matrix CTE
+    * `clIn`, seeded with e_`comp`, producing CTEs `it_$tag` (the
+    * recursion), `wf_$tag` (terminal w), `ev_$tag` (eigenvalue), and
+    * `ws_$tag` (sign-fixed loadings) — mirror of the driver loop in
+    * `Similarity.pcaTopComponents` component by component.
+    */
+  private def pcaIterCtes(tag: String, clIn: String, comp: Int,
+      iters: Int = 100): String =
+    s"""it_$tag AS (
+       |  SELECT 0 AS step, list_transform(range(0,
+       |    (SELECT len(m) FROM $clIn)),
+       |    i -> CASE WHEN i = $comp THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END) AS w
+       |  UNION ALL
+       |  SELECT step + 1,
+       |         CASE WHEN nrm = CAST(0.0 AS DOUBLE) THEN cw
+       |              ELSE list_transform(cw, x -> x / nrm) END AS w
+       |  FROM (
+       |    SELECT step, cw,
+       |           sqrt(list_sum(list_transform(cw, x -> x * x))) AS nrm
+       |    FROM (
+       |      SELECT it_$tag.step AS step,
+       |             list_transform(range(0, len(it_$tag.w)), fi ->
+       |               list_sum(list_transform(range(0, len(it_$tag.w)), fj ->
+       |                 cl.m[CAST(fi AS INT) + 1][CAST(fj AS INT) + 1]
+       |                   * it_$tag.w[CAST(fj AS INT) + 1]))) AS cw
+       |      FROM it_$tag, $clIn cl))
+       |  WHERE step < $iters),
+       |wf_$tag AS MATERIALIZED (SELECT w FROM it_$tag WHERE step = $iters),
+       |ev_$tag AS MATERIALIZED (
+       |  SELECT list_sum(list_transform(range(0, len(wf.w)), fi ->
+       |           list_sum(list_transform(range(0, len(wf.w)), fj ->
+       |             wf.w[CAST(fi AS INT) + 1]
+       |               * cl.m[CAST(fi AS INT) + 1][CAST(fj AS INT) + 1]
+       |               * wf.w[CAST(fj AS INT) + 1])))) AS eig
+       |  FROM wf_$tag wf, $clIn cl),
+       |fl_$tag AS (
+       |  SELECT CAST(i AS INT) AS flip FROM wf_$tag wf,
+       |       unnest(range(0, len(wf.w))) AS t(i)
+       |  ORDER BY abs(wf.w[CAST(i AS INT) + 1]) DESC, i LIMIT 1),
+       |ws_$tag AS MATERIALIZED (
+       |  SELECT CASE WHEN wf.w[fl.flip + 1] < CAST(0.0 AS DOUBLE)
+       |              THEN list_transform(wf.w, x -> -x) ELSE wf.w END AS w
+       |  FROM wf_$tag wf, fl_$tag fl)""".stripMargin
+
+  /** Deflate `clIn` by component `tag`: m − eig·wᵢ·wⱼ element-wise,
+    * left-associative like the driver's `cov(i)(j) -= eig * s(i) * s(j)`.
+    */
+  private def pcaDeflateCte(outName: String, clIn: String,
+      tag: String): String =
+    s"""$outName AS MATERIALIZED (
+       |  SELECT list_transform(range(0, len(cl.m)), fi ->
+       |           list_transform(range(0, len(cl.m)), fj ->
+       |             cl.m[CAST(fi AS INT) + 1][CAST(fj AS INT) + 1]
+       |               - ev.eig * ws.w[CAST(fi AS INT) + 1]
+       |                 * ws.w[CAST(fj AS INT) + 1])) AS m
+       |  FROM $clIn cl, ev_$tag ev, ws_$tag ws)""".stripMargin
+
+  /** q_embed_pca twin: one power iteration on the original covariance,
+    * emitting (pos, dim_mean, loading, eigenvalue, explained_frac).
+    */
+  private def pcaTopComponentSql: String =
+    s"""$pcaCovCtes,
+       |${pcaIterCtes("a", "cl0", 0)}
+       |SELECT mm.pos, mm.m AS dim_mean, ws.w[mm.pos + 1] AS loading,
+       |       ev.eig AS eigenvalue, ev.eig / tr.trace AS explained_frac
+       |FROM mm, ws_a ws, ev_a ev, tr
+       |ORDER BY pos""".stripMargin
+
+  /** q_embed_pca_r twin: `r` components by power iteration WITH
+    * DEFLATION — each component's recursion runs on the previous
+    * residual matrix, then its (eig, w) rank-1 term is subtracted,
+    * exactly the driver loop. Emits (component, pos, loading,
+    * eigenvalue, explained_frac); component 0 ≡ the single-component
+    * twin by construction.
+    */
+  private def pcaTopComponentsSql(r: Int): String = {
+    val tags = (0 until r).map(c => s"c$c")
+    val parts = (0 until r).map { c =>
+      val in = if (c == 0) "cl0" else s"cl$c"
+      val iter = pcaIterCtes(tags(c), in, c)
+      if (c == r - 1) iter
+      else iter + ",\n" + pcaDeflateCte(s"cl${c + 1}", in, tags(c))
+    }
+    val unions = (0 until r).map { c =>
+      s"""SELECT CAST($c AS INT) AS component, t.pos,
+         |       ws.w[t.pos + 1] AS loading, ev.eig AS eigenvalue,
+         |       ev.eig / tr.trace AS explained_frac
+         |FROM (SELECT CAST(i AS INT) AS pos FROM ws_${tags(c)} w0,
+         |      unnest(range(0, len(w0.w))) AS u(i)) t,
+         |     ws_${tags(c)} ws, ev_${tags(c)} ev, tr""".stripMargin
+    }
+    s"""$pcaCovCtes,
+       |${parts.mkString(",\n")}
+       |SELECT * FROM (
+       |${unions.mkString("\nUNION ALL\n")})
+       |ORDER BY component, pos""".stripMargin
+  }
+
+  /** The small-budget BPE training twin: `nMerges` merge iterations
+    * unrolled as CTE levels — pair counts over the current dict, the
+    * (pc DESC, l, r) total-order argmax, and the greedy left-to-right
+    * merge fold replayed as a per-word RECURSIVE position walk (DuckDB
+    * has no list fold; the recursive CTE carries the accumulator list
+    * one symbol at a time, exactly `Bpe.mergeStep`'s aggregate lambda).
+    * Every quantity is an integer count or a string, so the learned
+    * merge table hash-matches — this oracles the merge RULE (tie order,
+    * overlap greediness, boundary handling) cross-engine even though
+    * the shipped 20-merge budget stays golden-pinned.
+    */
+  private def bpeTrainSmallSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH RECURSIVE
+      |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w),
+      |d0 AS (SELECT w, cnt, list_transform(range(1, length(w)+1),
+      |    i -> substr(w, CAST(i AS INT), 1)) AS syms FROM w0)""".stripMargin
+    for (k <- 1 to nMerges) {
+      val p = k - 1
+      sb ++= s""",
+      |pc$k AS (SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
+      |        CAST(sum(cnt) AS BIGINT) AS pc
+      |    FROM d$p, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
+      |m$k AS (SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1),
+      |f$k AS (SELECT d.w, d.cnt, d.syms, 1 AS pos,
+      |        CAST([] AS VARCHAR[]) AS acc, m.l AS ml, m.r AS mr
+      |    FROM d$p d, m$k m
+      |    UNION ALL
+      |    SELECT w, cnt, syms, pos+1,
+      |        CASE WHEN len(acc) > 0 AND acc[-1] = ml AND syms[pos] = mr
+      |             THEN list_append(acc[1:len(acc)-1], ml || mr)
+      |             ELSE list_append(acc, syms[pos]) END, ml, mr
+      |    FROM f$k WHERE pos <= len(syms)),
+      |d$k AS (SELECT w, cnt, acc AS syms FROM f$k WHERE pos = len(syms)+1)""".stripMargin
+    }
+    sb ++= (1 to nMerges).map(k =>
+      s"""SELECT CAST(${k - 1} AS INT) AS rank, l AS "left", r AS "right",
+         |       l || r AS merged, pc AS pair_count FROM m$k""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+    sb.toString
+  }
 
   /** One q_ann_recall CTE chain per sampled query id (the
     * q_retrieval_multi stamping pattern): shared v/c/dist/assigned/spine
@@ -703,6 +904,22 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.user_id, c.ts, c.event_id""".stripMargin,
     "q_range_join" ->
+      """WITH w AS (
+        |  SELECT s_suppkey,
+        |         TIMESTAMP '1995-01-01' + ((s_suppkey * 37) % 2200) * INTERVAL 1 DAY AS w_start,
+        |         TIMESTAMP '1995-01-01' + ((s_suppkey * 37) % 2200 + 7 + s_suppkey % 21) * INTERVAL 1 DAY AS w_end
+        |  FROM supplier)
+        |SELECT w.s_suppkey,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN w
+        |  ON o_orderdate >= w.w_start AND o_orderdate < w.w_end
+        |GROUP BY w.s_suppkey ORDER BY w.s_suppkey""".stripMargin,
+    // aggregate-form range join: the Spark side pushes count/sum through
+    // the binned join (pair rows never exist); decimal partial sums are
+    // associative, so the declarative agg-over-pairs SQL is the exact
+    // value twin of the two-level pushdown
+    "q_range_join_agg" ->
       """WITH w AS (
         |  SELECT s_suppkey,
         |         TIMESTAMP '1995-01-01' + ((s_suppkey * 37) % 2200) * INTERVAL 1 DAY AS w_start,
@@ -3649,6 +3866,20 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     // q_unigram_train / q_unigram_tokens: no oracle — iterative EM
     //                   training has no SQL twin; golden-pinned.
+    // the 6-merge BPE trainer IS oracled (integer counts + strings all
+    // the way): the recursive-CTE fold proves the merge rule
+    // cross-engine; the 20-merge production budget stays golden-pinned
+    // (q_bpe_train) purely to keep the oracle's CTE depth bounded
+    "q_bpe_train_small" -> bpeTrainSmallSql(6),
+    // PCA by CTE-unrolled power iteration: the covariance is the exact
+    // long-micro artifact, the 100-step recursion carries the matrix as
+    // a list-of-lists (no aggregates over the recursive ref), every
+    // fold is index-ordered from 0.0 (the adcOrderedSum law), sqrt and
+    // division are IEEE-exact — so the float loadings themselves
+    // hash-match. The one soft spot is the per-product
+    // dec()-of-computed cast (documented at pcaCovCtes)
+    "q_embed_pca" -> pcaTopComponentSql,
+    "q_embed_pca_r" -> pcaTopComponentsSql(4),
     // RRF = the q_bm25 and q_ann_ivf twins verbatim, re-ranked with
     // integer row_numbers and fused by one fixed-order two-term sum —
     // 1.0 is CAST to DOUBLE because DuckDB types the bare literal
@@ -4196,6 +4427,249 @@ object SparkEntry {
         |SELECT np AS nprobe, CAST(20 AS INTEGER) AS k, n_overlap,
         |       CAST(n_overlap AS DOUBLE) / 20.0 AS recall
         |FROM ov ORDER BY nprobe""".stripMargin,
+    // the SERVED k-means IVF probe itself (not just its recall eval):
+    // the q_kmeans_recall twin's 3 unrolled Lloyd CTEs, then the
+    // nprobe=4 probe — rank cells by query distance, keep the corpus
+    // rows assigned to the 4 nearest, top-20 by the index-order cosine
+    // fold. Every float on the way is the proven IEEE/decimal chain, so
+    // the emitted (vec_id, cid, cos) rows hash-match even though the
+    // codebook is iterative float training
+    "q_ann_kmeans" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c0 c) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a1, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a2 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c1 c) WHERE rn = 1),
+        |c2 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a2, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |a3 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c2 c) WHERE rn = 1),
+        |c3 AS (
+        |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(v[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS m
+        |    FROM a3, unnest(range(1, len(v) + 1)) AS t(i)
+        |    GROUP BY cid, i) GROUP BY cid),
+        |q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cid FROM (
+        |    SELECT cid, row_number() OVER (ORDER BY
+        |      list_sum(list_transform(range(1, len(cv)+1),
+        |        i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS rn
+        |    FROM c3, q) WHERE rn <= 4),
+        |assigned AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT v.vec_id, v.v, c.cid,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, c3 c) WHERE rn = 1)
+        |SELECT a.vec_id, a.cid,
+        |       list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*qv[i]))
+        |       / (sqrt(list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])))
+        |          * sqrt(list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])))) AS cos
+        |FROM assigned a JOIN probe USING (cid), q
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    // the SERVED two-stage PQ search (ADC shortlist at rerank=4, exact
+    // re-rank): the q_pq_recall twin minus the gold comparison — same 2
+    // unrolled joint-Lloyd CTEs, same order-stable ADC fold the Spark
+    // serving path now ranks on, then the exact top-20 of the 80-deep
+    // shortlist
+    "q_pq_search" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub,
+        |         list_slice(v, s*4 + 1, s*4 + 4) AS sv
+        |  FROM v, unnest(range(0, 16)) AS t(s)),
+        |cb0 AS (SELECT sub, vec_id AS cid, sv AS cv FROM subs WHERE vec_id < 16),
+        |a1 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb0 c USING (sub)) WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a1, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |a2 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb1 c USING (sub)) WHERE rn = 1),
+        |cb2 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a2, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT vec_id, sub, cid FROM (
+        |    SELECT s.vec_id, s.sub, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM subs s JOIN cb2 c USING (sub)) WHERE rn = 1),
+        |qs AS (SELECT sub, sv AS qsv FROM subs WHERE vec_id = 0),
+        |lut AS (
+        |  SELECT c.sub, c.cid,
+        |         list_sum(list_transform(range(1, len(c.cv)+1),
+        |           i -> (c.cv[i]-q.qsv[i])*(c.cv[i]-q.qsv[i]))) AS d
+        |  FROM cb2 c JOIN qs q USING (sub)),
+        |adc AS (
+        |  SELECT vec_id, list_sum(ds) AS adist FROM (
+        |    SELECT vec_id, list(d ORDER BY sub) AS ds
+        |    FROM codes JOIN lut USING (sub, cid) GROUP BY vec_id)),
+        |qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |ed AS (
+        |  SELECT v.vec_id,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-qv[i])*(v.v[i]-qv[i]))) AS dist
+        |  FROM v, qv),
+        |sl AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY adist, vec_id) AS rnk
+        |    FROM adc) WHERE rnk <= 80)
+        |SELECT sl.vec_id, ed.dist AS adist
+        |FROM sl JOIN ed USING (vec_id)
+        |ORDER BY adist, vec_id LIMIT 20""".stripMargin,
+    // the SERVED IVF-PQ probe (nprobe=4, rerank=4): the q_ivfpq_recall
+    // twin restricted to one probe budget, emitting the exact-re-ranked
+    // top-20 itself. Same dec()-of-computed-residual exposure as the
+    // recall twin (documented there), same order-stable ADC fold
+    "q_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |co AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |qv AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+        |asgc AS (
+        |  SELECT vec_id, v, cid, cv FROM (
+        |    SELECT v.vec_id, v.v, c.cid, c.cv,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             list_sum(list_transform(range(1, len(v.v)+1),
+        |               i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM v, co c) WHERE rn = 1),
+        |res AS (
+        |  SELECT vec_id, cid AS cell,
+        |         list_transform(range(1, len(v)+1), i -> v[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+        |  FROM asgc),
+        |rsubs AS (
+        |  SELECT vec_id, cell, CAST(s AS INT) AS sub,
+        |         list_slice(r, s*4 + 1, s*4 + 4) AS sv
+        |  FROM res, unnest(range(0, 16)) AS t(s)),
+        |cb0 AS (SELECT sub, vec_id - 16 AS cid, sv AS cv FROM rsubs
+        |        WHERE vec_id >= 16 AND vec_id < 32),
+        |a1 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb0 c USING (sub)) WHERE rn = 1),
+        |cb1 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a1, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |a2 AS (
+        |  SELECT vec_id, sub, sv, cid FROM (
+        |    SELECT s.vec_id, s.sub, s.sv, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb1 c USING (sub)) WHERE rn = 1),
+        |cb2 AS (
+        |  SELECT sub, cid, list(mu ORDER BY pos) AS cv FROM (
+        |    SELECT sub, cid, CAST(i - 1 AS INT) AS pos,
+        |           CAST(sum(CAST(sv[CAST(i AS INT)] AS DECIMAL(18,6))) AS DOUBLE)
+        |             / count(*) AS mu
+        |    FROM a2, unnest(range(1, len(sv) + 1)) AS t(i)
+        |    GROUP BY sub, cid, i) GROUP BY sub, cid),
+        |codes AS (
+        |  SELECT vec_id, cell, sub, cid FROM (
+        |    SELECT s.vec_id, s.cell, s.sub, c.cid,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub ORDER BY
+        |             list_sum(list_transform(range(1, len(s.sv)+1),
+        |               i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), c.cid) AS rn
+        |    FROM rsubs s JOIN cb2 c USING (sub)) WHERE rn = 1),
+        |rc AS (
+        |  SELECT cid AS cell, cv, CAST(row_number() OVER (ORDER BY
+        |    list_sum(list_transform(range(1, len(cv)+1),
+        |      i -> (cv[i]-qv[i])*(cv[i]-qv[i]))), cid) AS INTEGER) AS crank
+        |  FROM co, qv),
+        |rc4 AS (SELECT * FROM rc WHERE crank <= 4),
+        |qr AS (SELECT cell,
+        |              list_transform(range(1, len(cv)+1),
+        |                i -> qv[CAST(i AS INT)] - cv[CAST(i AS INT)]) AS r
+        |       FROM rc4, qv),
+        |qrs AS (SELECT cell, CAST(s AS INT) AS sub,
+        |               list_slice(r, s*4 + 1, s*4 + 4) AS qsv
+        |        FROM qr, unnest(range(0, 16)) AS t(s)),
+        |lut AS (SELECT q.cell, q.sub, c.cid,
+        |               list_sum(list_transform(range(1, len(c.cv)+1),
+        |                 i -> (c.cv[i]-q.qsv[i])*(c.cv[i]-q.qsv[i]))) AS d
+        |        FROM cb2 c JOIN qrs q USING (sub)),
+        |adc AS (
+        |  SELECT vec_id, list_sum(ds) AS adist FROM (
+        |    SELECT cd.vec_id, list(l.d ORDER BY cd.sub) AS ds
+        |    FROM codes cd JOIN lut l
+        |      ON cd.cell = l.cell AND cd.sub = l.sub AND cd.cid = l.cid
+        |    GROUP BY cd.vec_id)),
+        |ed AS (
+        |  SELECT v.vec_id,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-qv[i])*(v.v[i]-qv[i]))) AS dist
+        |  FROM v, qv),
+        |sl AS (
+        |  SELECT vec_id FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY adist, vec_id) AS rnk
+        |    FROM adc) WHERE rnk <= 80)
+        |SELECT sl.vec_id, ed.dist AS adist
+        |FROM sl JOIN ed USING (vec_id)
+        |ORDER BY adist, vec_id LIMIT 20""".stripMargin,
     // leakage probe over the CLUSTER-KEYED split: the q_split_leakfree
     // assignment CTEs + the q_split_leakage measurement CTEs, one graph
     "q_split_leakage_lf" ->
