@@ -638,6 +638,41 @@ object Profile {
       t("pca_mom_explode_d256")(momentSum(e256, gram = false))
       t("pca_mom_gram_d256")(momentSum(e256, gram = true))
     }
+
+    // Round-13 rows: the sf0.1→sf1 outlier family measured over a SECOND
+    // decade (run with /tmp/graft_sf10, the 100× ScaleGen replica) —
+    // SCALING.md's output-bounded adjudications rest on the rows below
+    // at three dirs. Volume rows prove WHERE the growth is without
+    // paying the quadratic wall:
+    //  - range_join_pairs_n: the pair count the PAIR form would
+    //    materialize, computed in LINEAR time through the aggregate
+    //    pushdown (sum of per-interval counts) — at 100× nobody should
+    //    run the pair form to learn it's quadratic;
+    //  - cand_pair_bound: Σ C(df,2) over blocked shingle keys — the
+    //    exact candidate-join output volume of the UNCAPPED n-gram /
+    //    containment / edit family, one cheap aggregation.
+    {
+      val ordersP = graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderdate"), col("o_totalprice"))
+      val winsP = graft.operators.Joins.auditWindows(spark, dir)
+      t("range_join_q")(
+        graft.operators.Joins.rangeJoinAudit(spark, dir).count())
+      t("range_join_agg_q")(
+        graft.operators.Joins.rangeJoinAuditAgg(spark, dir).count())
+      t("range_join_pairs_n")(graft.operators.Joins
+        .rangeJoinAggBinned(ordersP, winsP, "o_orderdate", "o_totalprice",
+          "w_start", "w_end", 30)
+        .agg(sum(col("n_points"))).scalarLong)
+      t("topk_per_key_q")(
+        graft.operators.Analytics.topKPerGroup(spark, dir).count())
+      t("cand_pair_bound")(Dedup.shingleProjection(base)
+        .select(col("lang"), col("len_bucket"),
+          explode(col("sh")).as("s"))
+        .groupBy(col("lang"), col("len_bucket"), xxhash64(col("s")).as("h"))
+        .agg(count(lit(1)).as("df"))
+        // DIV, not `/`: the DSL's `/` on longs is double division
+        .agg(expr("sum(df * (df - 1) DIV 2)")).scalarLong)
+    }
     spark.stop()
   }
 }
