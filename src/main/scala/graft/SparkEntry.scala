@@ -201,6 +201,12 @@ object SparkEntry {
     // determinism from integer pair counts + total-order argmax
     "q_bpe_train" -> ((s, dir) => Bpe.bpeTrain(s, dir)),
     "q_bpe_train_small" -> ((s, dir) => Bpe.bpeTrain(s, dir, nMerges = 6)),
+    "q_wordpiece_train_small" ->
+      ((s, dir) => Bpe.wordpieceTrain(s, dir, nMerges = 6)),
+    "q_bpe_stats_small" ->
+      ((s, dir) => Bpe.bpeSegmentStats(s, dir, nMerges = 6)),
+    "q_bpe_tokens_small" ->
+      ((s, dir) => Bpe.bpeTokenize(s, dir, nMerges = 6)),
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
     "q_wordpiece_stats" -> ((s, dir) => Bpe.wordpieceSegmentStats(s, dir)),
     "q_wordpiece_tokens" -> ((s, dir) => Bpe.wordpieceTokenize(s, dir)),
@@ -545,7 +551,7 @@ object SparkEntry {
     * overlap greediness, boundary handling) cross-engine even though
     * the shipped 20-merge budget stays golden-pinned.
     */
-  private def bpeTrainSmallSql(nMerges: Int): String = {
+  private def bpeChainCtes(nMerges: Int, scored: Boolean): String = {
     val sb = new StringBuilder
     sb ++= """WITH RECURSIVE
       |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
@@ -558,8 +564,19 @@ object SparkEntry {
       sb ++= s""",
       |pc$k AS (SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
       |        CAST(sum(cnt) AS BIGINT) AS pc
-      |    FROM d$p, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2),
-      |m$k AS (SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1),
+      |    FROM d$p, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2)""".stripMargin
+      // the one rule difference between the two trainers: the argmax key
+      if (scored) sb ++= s""",
+      |sc$k AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS sc FROM (
+      |    SELECT unnest(syms) AS s, cnt FROM d$p) GROUP BY s),
+      |m$k AS (SELECT l, r, pc,
+      |        CAST(pc AS DOUBLE) / (CAST(lc.sc AS DOUBLE) * CAST(rc.sc AS DOUBLE)) AS score
+      |    FROM pc$k JOIN sc$k lc ON pc$k.l = lc.s
+      |              JOIN sc$k rc ON pc$k.r = rc.s
+      |    ORDER BY score DESC, l, r LIMIT 1)""".stripMargin
+      else sb ++= s""",
+      |m$k AS (SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
+      sb ++= s""",
       |f$k AS (SELECT d.w, d.cnt, d.syms, 1 AS pos,
       |        CAST([] AS VARCHAR[]) AS acc, m.l AS ml, m.r AS mr
       |    FROM d$p d, m$k m
@@ -571,12 +588,61 @@ object SparkEntry {
       |    FROM f$k WHERE pos <= len(syms)),
       |d$k AS (SELECT w, cnt, acc AS syms FROM f$k WHERE pos = len(syms)+1)""".stripMargin
     }
-    sb ++= (1 to nMerges).map(k =>
-      s"""SELECT CAST(${k - 1} AS INT) AS rank, l AS "left", r AS "right",
-         |       l || r AS merged, pc AS pair_count FROM m$k""".stripMargin)
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
     sb.toString
   }
+
+  private def bpeTrainSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) +
+      (1 to nMerges).map(k =>
+        s"""SELECT CAST(${k - 1} AS INT) AS rank, l AS "left", r AS "right",
+           |       l || r AS merged, pc AS pair_count FROM m$k""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** The WordPiece sibling: same chain, the argmax keyed on the
+    * likelihood-gain score pc/(sc(l)·sc(r)) — a double computed from
+    * exact integer counts with the multiplication-first order the Spark
+    * trainer uses, so the score column itself hash-matches.
+    */
+  private def wordpieceTrainSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = true) +
+      (1 to nMerges).map(k =>
+        s"""SELECT CAST(${k - 1} AS INT) AS rank, l AS "left", r AS "right",
+           |       l || r AS merged, pc AS pair_count, score FROM m$k""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
+
+  /** Segmentation-compression stats of the small-budget BPE dict — the
+    * q_bpe_stats shape served from the oracle-able 6-merge chain.
+    */
+  private def bpeStatsSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) + s"""
+      |SELECT n_words, n_symbols,
+      |       CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+      |         AS symbols_per_word
+      |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_words,
+      |             CAST(sum(len(syms) * cnt) AS BIGINT) AS n_symbols
+      |      FROM d$nMerges)""".stripMargin
+
+  /** Per-document tokenization under the small-budget dict — the
+    * q_bpe_tokens serving join (word → subword count, char fallback,
+    * zero-word docs re-attached) against the chain's final dict.
+    */
+  private def bpeTokensSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) + s""",
+      |dict AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM d$nMerges),
+      |dw AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |    FROM documents) WHERE len(w) > 0),
+      |agg AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+      |               CAST(sum(coalesce(dict.n_sub, len(dw.w))) AS BIGINT)
+      |                 AS n_bpe_tokens
+      |        FROM dw LEFT JOIN dict ON dw.w = dict.w GROUP BY dw.doc_id)
+      |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+      |       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |       CASE WHEN coalesce(agg.n_words, 0) = 0 THEN NULL
+      |            ELSE CAST(coalesce(agg.n_bpe_tokens, 0) AS DOUBLE)
+      |                   / CAST(agg.n_words AS DOUBLE) END AS tokens_per_word
+      |FROM documents d LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   /** One q_ann_recall CTE chain per sampled query id (the
     * q_retrieval_multi stamping pattern): shared v/c/dist/assigned/spine
@@ -3871,6 +3937,14 @@ object SparkEntry {
     // cross-engine; the 20-merge production budget stays golden-pinned
     // (q_bpe_train) purely to keep the oracle's CTE depth bounded
     "q_bpe_train_small" -> bpeTrainSmallSql(6),
+    // the WordPiece rule at the same budget — the argmax keyed on the
+    // likelihood score instead of the raw count; the score is a double
+    // from exact integers, so it hash-matches alongside the merges
+    "q_wordpiece_train_small" -> wordpieceTrainSmallSql(6),
+    // the tokenizer SERVING surfaces at the small budget: compression
+    // stats of the trained dict, and the per-doc word->subwords join
+    "q_bpe_stats_small" -> bpeStatsSmallSql(6),
+    "q_bpe_tokens_small" -> bpeTokensSmallSql(6),
     // PCA by CTE-unrolled power iteration: the covariance is the exact
     // long-micro artifact, the 100-step recursion carries the matrix as
     // a list-of-lists (no aggregates over the recursive ref), every
