@@ -210,6 +210,11 @@ object SparkEntry {
     "q_wordpiece_train" -> ((s, dir) => Bpe.wordpieceTrain(s, dir)),
     "q_wordpiece_stats" -> ((s, dir) => Bpe.wordpieceSegmentStats(s, dir)),
     "q_wordpiece_tokens" -> ((s, dir) => Bpe.wordpieceTokenize(s, dir)),
+    "q_wordpiece_stats_small" ->
+      ((s, dir) => Bpe.wordpieceSegmentStats(s, dir, nMerges = 6)),
+    "q_wordpiece_tokens_small" ->
+      ((s, dir) => Bpe.wordpieceTokenize(s, dir, nMerges = 6)),
+    "q_bpe_ids_small" -> ((s, dir) => Bpe.bpeIds(s, dir, nMerges = 6)),
     // golden-pinned: iterative float linear algebra has no SQL twin
     "q_embed_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     "q_embed_pca_r" -> ((s, dir) => Similarity.pcaTopComponents(s, dir)),
@@ -223,6 +228,7 @@ object SparkEntry {
     "q_curriculum" -> ((s, dir) => Sampling.curriculumPack(s, dir)),
     "q_dedup_simhash" -> ((s, dir) => Dedup.simhash(s, dir)),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashNearDup(s, dir)),
+    "q_simhash_twin" -> ((s, dir) => Dedup.simhashTwin(s, dir)),
     "q_dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupPlanted(s, dir)),
     "q_cosine_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     "q_cosine_multi" -> ((s, dir) => Similarity.cosineTopKMulti(s, dir)),
@@ -610,11 +616,11 @@ object SparkEntry {
            |       l || r AS merged, pc AS pair_count, score FROM m$k""".stripMargin)
         .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank")
 
-  /** Segmentation-compression stats of the small-budget BPE dict — the
-    * q_bpe_stats shape served from the oracle-able 6-merge chain.
+  /** Segmentation-compression stats of a small-budget dict — the
+    * q_bpe_stats/q_wordpiece_stats shape served from an oracle-able
+    * 6-merge chain's final dict `d<n>`.
     */
-  private def bpeStatsSmallSql(nMerges: Int): String =
-    bpeChainCtes(nMerges, scored = false) + s"""
+  private def segStatsTailSql(nMerges: Int): String = s"""
       |SELECT n_words, n_symbols,
       |       CAST(n_symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
       |         AS symbols_per_word
@@ -622,27 +628,85 @@ object SparkEntry {
       |             CAST(sum(len(syms) * cnt) AS BIGINT) AS n_symbols
       |      FROM d$nMerges)""".stripMargin
 
-  /** Per-document tokenization under the small-budget dict — the
-    * q_bpe_tokens serving join (word → subword count, char fallback,
-    * zero-word docs re-attached) against the chain's final dict.
+  private def bpeStatsSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) + segStatsTailSql(nMerges)
+
+  private def wordpieceStatsSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = true) + segStatsTailSql(nMerges)
+
+  /** Per-document tokenization under a small-budget dict — the
+    * q_bpe_tokens/q_wordpiece_tokens serving join (word → subword
+    * count, char fallback, zero-word docs re-attached) against the
+    * chain's final dict; `tokCol` names the engine-specific count
+    * column (n_bpe_tokens / n_wp_tokens).
     */
-  private def bpeTokensSmallSql(nMerges: Int): String =
-    bpeChainCtes(nMerges, scored = false) + s""",
+  private def dictTokensTailSql(nMerges: Int, tokCol: String): String = s""",
       |dict AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_sub FROM d$nMerges),
       |dw AS (SELECT doc_id, w FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
       |    FROM documents) WHERE len(w) > 0),
       |agg AS (SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
       |               CAST(sum(coalesce(dict.n_sub, len(dw.w))) AS BIGINT)
-      |                 AS n_bpe_tokens
+      |                 AS $tokCol
       |        FROM dw LEFT JOIN dict ON dw.w = dict.w GROUP BY dw.doc_id)
       |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
-      |       coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+      |       coalesce(agg.$tokCol, 0) AS $tokCol,
       |       CASE WHEN coalesce(agg.n_words, 0) = 0 THEN NULL
-      |            ELSE CAST(coalesce(agg.n_bpe_tokens, 0) AS DOUBLE)
+      |            ELSE CAST(coalesce(agg.$tokCol, 0) AS DOUBLE)
       |                   / CAST(agg.n_words AS DOUBLE) END AS tokens_per_word
       |FROM documents d LEFT JOIN agg USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  private def bpeTokensSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) +
+      dictTokensTailSql(nMerges, "n_bpe_tokens")
+
+  /** The loader-artifact (input-id) twin at the small budget: vocab ids
+    * by the deterministic rule `Bpe.bpeVocab` pins (base = distinct
+    * chars of the ORIGINAL dict words, binary-sorted, ids 0..C−1;
+    * merged symbols C+rank, min-id on collision when a merge recreates
+    * a base symbol), per-word id lists in symbol order, and the per-doc
+    * word-order flatten into the comma-joined string `Bpe.idsWithVocab`
+    * emits. All ids are integers and the strings are exact, so the
+    * full input_ids column hash-matches. The OOV/-1 branch has no twin
+    * here — on the training corpus it is empty by construction (pinned
+    * in BpeSpec instead).
+    */
+  private def bpeIdsSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = false) + s""",
+      |chars AS (SELECT DISTINCT substr(w, CAST(i AS INT), 1) AS sym
+      |          FROM d$nMerges, unnest(range(1, length(w) + 1)) AS t(i)),
+      |base AS (SELECT sym,
+      |           CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+      |         FROM chars),
+      |nb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM base),
+      |vocab AS (SELECT sym, min(id) AS id FROM (
+      |    SELECT sym, id FROM base
+      |    UNION ALL
+      |    ${(1 to nMerges).map(k =>
+             s"SELECT l || r AS sym, nb.c + ${k - 1} AS id FROM m$k, nb")
+             .mkString("\n    UNION ALL\n    ")})
+      |  GROUP BY sym),
+      |wids AS (SELECT w, list(id ORDER BY i) AS ids FROM (
+      |    SELECT d.w, t.i, v.id
+      |    FROM d$nMerges d, unnest(range(1, len(d.syms) + 1)) AS t(i)
+      |    JOIN vocab v ON d.syms[CAST(t.i AS INT)] = v.sym)
+      |  GROUP BY w),
+      |dw AS (SELECT doc_id, i AS wpos,
+      |              string_split(text, ' ')[CAST(i AS INT)] AS w
+      |       FROM documents,
+      |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+      |di AS (SELECT d.doc_id, d.wpos, u.ids
+      |       FROM dw d JOIN wids u USING (w) WHERE len(d.w) > 0)
+      |SELECT doc_id, CAST(len(fl) AS INT) AS n_ids,
+      |       array_to_string(fl, ',') AS input_ids
+      |FROM (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS fl
+      |      FROM di GROUP BY doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  private def wordpieceTokensSmallSql(nMerges: Int): String =
+    bpeChainCtes(nMerges, scored = true) +
+      dictTokensTailSql(nMerges, "n_wp_tokens")
 
   /** One q_ann_recall CTE chain per sampled query id (the
     * q_retrieval_multi stamping pattern): shared v/c/dist/assigned/spine
@@ -3590,7 +3654,52 @@ object SparkEntry {
         |       (is_leader OR coalesce(cos_leader < 0.95, TRUE)) AS keep
         |FROM scored ORDER BY vec_id""".stripMargin,
     // q_dedup_simhash: no oracle — xxhash64 has no DuckDB equivalent
-    //                  (driver records rows-only check).
+    //                  (driver records rows-only check); q_simhash_twin
+    //                  below oracles the ALGORITHM (vote-sign-pack,
+    //                  block candidates, Hamming verify) over a
+    //                  cross-engine polynomial hash instead.
+    // The SimHash rule twin: per-word hashes by two recursive-CTE
+    // polynomial-mod-prime folds (the Spark side's index-ordered
+    // `aggregate`), ±1 votes per (doc, bit) with ties clearing the bit,
+    // quarter-block candidates (complete for hamming ≤ 3 by
+    // pigeonhole), pair dedup across colliding blocks, exact
+    // bit_count(xor) verify — integers end to end.
+    "q_simhash_twin" ->
+      """WITH RECURSIVE
+        |w0 AS (SELECT DISTINCT w FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0),
+        |hw AS (SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS h1,
+        |              CAST(0 AS BIGINT) AS h2 FROM w0
+        |  UNION ALL
+        |  SELECT w, pos + 1,
+        |         (h1 * 131 + ascii(substr(w, pos, 1))) % 1048573,
+        |         (h2 * 137 + ascii(substr(w, pos, 1))) % 999983
+        |  FROM hw WHERE pos <= length(w)),
+        |hv AS (SELECT w, h1, h2 FROM hw WHERE pos = length(w) + 1),
+        |tk AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) WHERE len(w) > 0),
+        |tv AS (SELECT doc_id, j,
+        |         sum(CASE WHEN ((CASE WHEN j < 16 THEN h1 ELSE h2 END)
+        |                        >> (j % 16)) & 1 = 1
+        |                  THEN 1 ELSE -1 END) AS vote
+        |       FROM tk JOIN hv USING (w), unnest(range(0, 32)) AS b(j)
+        |       GROUP BY doc_id, j),
+        |sh AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN vote > 0 THEN 1 << j ELSE 0 END)
+        |           AS BIGINT) AS simhash
+        |       FROM tv GROUP BY doc_id),
+        |bl AS (SELECT doc_id, simhash,
+        |              (simhash >> CAST(8 * q AS INT)) & 255 AS bk, q
+        |       FROM sh, unnest(range(0, 4)) AS t(q)),
+        |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |                a.simhash AS sa, b.simhash AS sb
+        |         FROM bl a JOIN bl b
+        |           ON a.q = b.q AND a.bk = b.bk AND a.doc_id < b.doc_id)
+        |SELECT da, db, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY da, db""".stripMargin,
     // q_dedup_embedding: Spark side is LSH-candidate-based, oracle is
     // exact all-pairs — a probabilistic oracle (see
     // Dedup.embeddingNearDupPlanted's caveat; per-planted-pair miss
@@ -3945,6 +4054,18 @@ object SparkEntry {
     // stats of the trained dict, and the per-doc word->subwords join
     "q_bpe_stats_small" -> bpeStatsSmallSql(6),
     "q_bpe_tokens_small" -> bpeTokensSmallSql(6),
+    // …and the same two serving surfaces over the WordPiece chain: the
+    // scored argmax changes WHICH merges land in the dict, so these pin
+    // that the serving join honors the likelihood-trained segmentation
+    "q_wordpiece_stats_small" -> wordpieceStatsSmallSql(6),
+    "q_wordpiece_tokens_small" -> wordpieceTokensSmallSql(6),
+    // the loader-artifact twin: pins the deterministic id assignment
+    // (base chars of the ORIGINAL dict words sorted ascending take
+    // 0..C−1, merged symbols take C+rank) and the per-doc
+    // word-order/sym-order reassembly into the comma-joined id string.
+    // The OOV branch is structurally empty here (the dict is trained on
+    // the corpus being served), so the inner word join is exact.
+    "q_bpe_ids_small" -> bpeIdsSmallSql(6),
     // PCA by CTE-unrolled power iteration: the covariance is the exact
     // long-micro artifact, the 100-step recursion carries the matrix as
     // a list-of-lists (no aggregates over the recursive ref), every

@@ -1624,6 +1624,75 @@ object Dedup {
       .orderBy(col("da"), col("db"))
   }
 
+  /** The SimHash ALGORITHM twin: the identical vote-sign-pack, block
+    * candidate generation, and Hamming verify as [[simhashNearDup]],
+    * but over a 32-bit signature whose per-token hash is a pair of
+    * polynomial-mod-prime folds (h·131 + code mod 1048573 / h·137 +
+    * code mod 999983) instead of the engine-private XXH64 — every step
+    * is exact integer arithmetic a second engine can replay, so this
+    * surface is DuckDB-oracled end to end (the production
+    * `q_dedup_simhash`/`q_simhash_pairs` keys stay on the codegen'd
+    * 64-bit kernel and their goldens; this key pins the RULES: vote
+    * ties clear the bit, quarter blocks are complete for hamming ≤ 3 by
+    * pigeonhole, pairs dedupe across colliding blocks).
+    *
+    * Scale shape is unchanged from the production path: the char folds
+    * run once per DISTINCT word (a Heaps-bounded vocab frame, joined
+    * back — at 100 TB the vocab is megabytes while tokens are
+    * terabytes), votes and the sign-pack are two map-side-combinable
+    * aggregations, and the only wide exchange carries (block-key, doc)
+    * rows — never documents, never all-pairs. The mod keeps the fold
+    * state < 2²⁰ so h·137 + 255 < 2²⁸: no overflow on either engine.
+    */
+  def simhashTwin(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashTwinOn(Tables.documents(spark, dir), maxHamming)
+
+  /** Same, over any (doc_id, text) frame. */
+  def simhashTwinOn(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val tk = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    // per-WORD hashes on the distinct vocab; the fold is index-ordered
+    // (sequence 1..len) so both engines walk the chars identically
+    val hv = tk.select(col("w")).distinct().selectExpr("w",
+      "aggregate(sequence(1, length(w)), 0L, (h, i) -> " +
+        "(h * 131L + ascii(substring(w, i, 1))) % 1048573L) AS h1",
+      "aggregate(sequence(1, length(w)), 0L, (h, i) -> " +
+        "(h * 137L + ascii(substring(w, i, 1))) % 999983L) AS h2")
+    // ±1 votes per (doc, bit): bits 0–15 from h1, 16–31 from h2
+    val tv = tk.join(hv, Seq("w"))
+      .select(col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .selectExpr("doc_id", "j",
+        """CASE WHEN ((CASE WHEN j < 16 THEN shiftright(h1, j)
+          |            ELSE shiftright(h2, j - 16) END) & 1) = 1
+          |     THEN 1 ELSE -1 END AS sign""".stripMargin)
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("sign")).as("vote"))
+    val sh = tv
+      .selectExpr("doc_id",
+        "CASE WHEN vote > 0 THEN shiftleft(1L, j) ELSE 0L END AS bit")
+      .groupBy(col("doc_id")).agg(sum(col("bit")).as("simhash"))
+    val bl = sh
+      .select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("q"))
+      .selectExpr("doc_id", "simhash", "q",
+        "shiftright(simhash, 8 * q) & 255 AS bk")
+    val a = bl.select(col("q"), col("bk"),
+      col("doc_id").as("da"), col("simhash").as("sa"))
+    val b = bl.select(col("q"), col("bk"),
+      col("doc_id").as("db"), col("simhash").as("sb"))
+    a.join(b, Seq("q", "bk"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
   /** Embedding-cosine near-duplicate detection: 64 sign bits from the
     * fixed [[graft.functions.Hyperplanes]] codebook, banded 4x16 for
     * candidates, exact cosine verify. The wide 16-bit bands matter on

@@ -42,6 +42,47 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("da") < r.getAs[Long]("db")))
   }
 
+  test("simhash twin: Scala replication of the polynomial fold pins pairs") {
+    // replicate the twin's whole math (two poly-mod hashes, ±1 votes,
+    // tie-clears-bit sign pack) independently of Spark
+    def twinHash(text: String): Long = {
+      def poly(w: String, m: Long, p: Long): Long =
+        w.foldLeft(0L)((h, c) => (h * m + c.toInt) % p)
+      val votes = new Array[Int](32)
+      for (w <- text.split(" ", -1) if w.nonEmpty) {
+        val h1 = poly(w, 131L, 1048573L)
+        val h2 = poly(w, 137L, 999983L)
+        for (j <- 0 until 16) {
+          if (((h1 >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          if (((h2 >> j) & 1L) == 1L) votes(16 + j) += 1
+          else votes(16 + j) -= 1
+        }
+      }
+      (0 until 32).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+    }
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val t1 = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val t2 = (1 to 80).map(i => if (i == 40) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val t3 = (200 to 280).map(i => s"other$i").mkString(" ")
+    val docs = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, t1), Row(2L, t2), Row(3L, t3), Row(4L, t1)), schema)
+    val pairs = Dedup.simhashTwinOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming"))
+      .toMap
+    // identical docs: hamming 0, found via every block
+    assert(pairs.get((1L, 4L)).contains(0))
+    // one-token edit: present iff the replicated hamming clears the
+    // threshold, with the exact replicated distance (pigeonhole makes
+    // candidates complete at hamming ≤ 3, so presence is deterministic)
+    val expHam = java.lang.Long.bitCount(twinHash(t1) ^ twinHash(t2))
+    if (expHam <= 3) assert(pairs.get((1L, 2L)).contains(expHam))
+    else assert(!pairs.contains((1L, 2L)))
+    // unrelated doc: far from everything on this fixture
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L))
+  }
+
   test("exact dedup keeps the smallest doc_id and total copies reconcile") {
     val out = Dedup.exact(spark, dir).collect()
     val total = out.map(_.getAs[Long]("n_copies")).sum
