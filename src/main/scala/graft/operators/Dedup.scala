@@ -1607,10 +1607,7 @@ object Dedup {
     */
   def simhashNearDup(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = simhashOn(Tables.documents(spark, dir))
-    val quarters = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
-        .as(Seq("q", "qh")))
+    val quarters = simhashQuarters(Tables.documents(spark, dir))
     val a = quarters.select(col("q"), col("qh"),
       col("doc_id").as("da"), col("simhash").as("sha"))
     val b = quarters.select(col("q"), col("qh"),
@@ -1622,6 +1619,65 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("da"), col("db"))
+  }
+
+  /** The (doc_id, simhash, q, qh) frame every SimHash consumer shares —
+    * one `simhash64` kernel call per doc, 4 quarter-block keys. ONE
+    * definition keeps the in-query pair join, the stored index layout,
+    * the append path, and the streaming gate on identical blocking
+    * (the [[graft.operators.Multimodal]] phashBands contract).
+    */
+  private[operators] def simhashQuarters(docs: DataFrame): DataFrame =
+    simhashOn(docs).select(col("doc_id"), col("simhash"),
+      posexplode(array(col("q0"), col("q1"), col("q2"), col("q3")))
+        .as(Seq("q", "qh")))
+
+  /** Materialize the SimHash admission index: the corpus's quarter-block
+    * keys written quarter-partitioned and sorted by `qh` within each
+    * file, so a probe's (q, qh) lookups ride parquet row-group min/max
+    * instead of scanning the quarter — the bit-signature sibling of
+    * [[writeMinhashIndex]] / [[graft.operators.Multimodal
+    * .writePhashIndex]]. Text is NOT stored; the 64-bit signature is the
+    * whole retained state per (doc, quarter) — ~40 B/doc, so the index
+    * for a 100 TB corpus is tens of GB and the probe side broadcasts.
+    */
+  def writeSimhashIndex(docs: DataFrame, path: String): Unit =
+    simhashQuarters(docs)
+      .repartition(col("q"))
+      .sortWithinPartitions(col("qh"))
+      .write.mode("overwrite").partitionBy("q").parquet(path)
+
+  /** Partition-scoped append of a batch into a [[writeSimhashIndex]]
+    * layout — new files land inside the existing quarter directories,
+    * no existing file is rewritten, nothing reads the prior corpus;
+    * append ≡ rebuild because the blocking is a pure function of the
+    * text (the [[appendToMinhashIndex]] admission contract).
+    */
+  def appendToSimhashIndex(batch: DataFrame, path: String): Unit =
+    simhashQuarters(batch)
+      .write.mode("append").partitionBy("q").parquet(path)
+
+  /** Probe a stored [[writeSimhashIndex]] layout with a batch of new
+    * documents: the batch's 4 quarter keys (computed fresh,
+    * broadcast-sized) join the index buckets, exact `bit_count` verify
+    * on candidates — (batch_id, corpus_id, hamming) pairs at or under
+    * the threshold. Candidates are COMPLETE for hamming ≤ 3 by
+    * pigeonhole over the 4 quarters. The batch never touches corpus
+    * text, only stored signatures.
+    */
+  def simhashJoinFromIndex(spark: SparkSession, batch: DataFrame,
+      indexPath: String, maxHamming: Int = 3): DataFrame = {
+    val b = simhashQuarters(batch).select(col("q"), col("qh"),
+      col("doc_id").as("batch_id"), col("simhash").as("hb"))
+    val idx = spark.read.parquet(indexPath)
+      .select(col("q"), col("qh"), col("doc_id").as("corpus_id"),
+        col("simhash").as("ha"))
+    idx.join(broadcast(b), Seq("q", "qh"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("hb").bitwiseXOR(col("ha"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("batch_id"), col("corpus_id"))
   }
 
   /** The SimHash ALGORITHM twin: the identical vote-sign-pack, block

@@ -897,6 +897,52 @@ object EventStream {
       }
       .start()
 
+  /** Streaming SimHash admission gate — the BIT-SIGNATURE text leg of
+    * the admission family ([[nearDupGate]] MinHash/Jaccard, this sink
+    * SimHash/Hamming, [[ppjoinGateSink]] exact, [[phashGateSink]]
+    * media, [[embeddingGateSink]] dense): each micro-batch of
+    * (doc_id, text) docs is signed (one `simhash64` kernel call per
+    * doc), its quarter-block keys probe the stored
+    * [[graft.operators.Dedup.writeSimhashIndex]] layout, and docs with
+    * an indexed signature at Hamming ≤ maxHamming are dropped —
+    * candidates COMPLETE at the default threshold by pigeonhole, so
+    * unlike the MinHash gate there is no banding miss probability.
+    * Where the MinHash gate prices admission by shingle-set Jaccard
+    * (order-insensitive, strong on splice edits), this one prices it by
+    * token-frequency profile at ~40 B/doc of index state — the cheap
+    * first gate of a layered admission stack. Stateless on the stream
+    * side: corpus state lives entirely in the index, refreshed by
+    * [[graft.operators.Dedup.appendToSimhashIndex]] between batches,
+    * never in a state store. Survivors land in `ingest_batch=<id>`
+    * partitions under DYNAMIC overwrite so an at-least-once replay
+    * rewrites its own partition instead of admitting duplicates twice;
+    * matches against ids this batchId already admitted are exempt
+    * ([[ownAdmitted]]), so a replay racing the external index refresh
+    * reproduces its decisions.
+    */
+  def simhashGateSink(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val own = ownAdmitted(spark, outPath, batchId, "doc_id")
+          val dups = graft.operators.Dedup
+            .simhashJoinFromIndex(spark, batch, indexPath, maxHamming)
+            .join(broadcast(own), Seq("corpus_id"), "left_anti")
+            .select(col("batch_id").as("doc_id")).distinct()
+          batch.join(dups, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Streaming embedding admission gate — the DENSE-vector leg of the
     * modality triptych ([[nearDupGate]] text/MinHash, [[phashGateSink]]
     * media/perceptual hash, this sink embeddings/cosine): each

@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Materialized SimHash admission index: the bit-signature sibling of
+  * [[MinhashIndexSpec]]'s layout. Because quarter-block candidates are
+  * COMPLETE for hamming ≤ 3 (pigeonhole), the probe must equal the
+  * brute-force batch×corpus Hamming join exactly — no banding-miss
+  * tolerance — and append must equal rebuild bit-for-bit.
+  */
+class SimhashIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.sources.Tables.documents(spark, dir)
+  private lazy val corpus = docs.filter(col("doc_id") % 10 =!= 7)
+  // the natural batch split plus exact copies of three corpus docs under
+  // shifted ids — hamming-0 matches make the equality check non-vacuous
+  private lazy val batch = docs.filter(col("doc_id") % 10 === 7)
+    .unionByName(corpus.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+
+  private lazy val indexPath: String = {
+    val p = Files.createTempDirectory("graft_shidx").toString
+    Dedup.writeSimhashIndex(corpus, p)
+    p
+  }
+
+  /** Brute-force reference: every (batch, corpus) pair at hamming ≤ 3,
+    * no blocking at all.
+    */
+  private def bruteForce(): Seq[String] = {
+    val b = Dedup.simhashOn(batch)
+      .select(col("doc_id").as("batch_id"), col("simhash").as("hb"))
+    val c = Dedup.simhashOn(corpus)
+      .select(col("doc_id").as("corpus_id"), col("simhash").as("ha"))
+    c.crossJoin(b)
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("hb").bitwiseXOR(col("ha"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("batch_id"), col("corpus_id"))
+      .collect().map(_.toString).toSeq
+  }
+
+  test("index probe equals brute-force Hamming join exactly (pigeonhole " +
+    "completeness), non-vacuously") {
+    val probed = Dedup.simhashJoinFromIndex(spark, batch, indexPath)
+      .collect().map(_.toString).toSeq
+    assert(probed == bruteForce())
+    assert(probed.size >= 3, "planted exact copies must match their sources")
+  }
+
+  test("append-to-index equals a full rebuild") {
+    val left = corpus.filter(col("doc_id") % 2 === 0)
+    val right = corpus.filter(col("doc_id") % 2 =!= 0)
+    val p = Files.createTempDirectory("graft_shidx_app").toString
+    Dedup.writeSimhashIndex(left, p)
+    Dedup.appendToSimhashIndex(right, p)
+    val appended = Dedup.simhashJoinFromIndex(spark, batch, p)
+      .collect().map(_.toString).toSeq
+    val rebuilt = Dedup.simhashJoinFromIndex(spark, batch, indexPath)
+      .collect().map(_.toString).toSeq
+    assert(appended == rebuilt)
+  }
+
+  test("probe plan reads the corpus from the index, never from documents") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scansOf(df: org.apache.spark.sql.DataFrame, frag: String): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation
+            if fs.location.rootPaths.exists(_.toString.contains(frag)) => 1
+          case _ => 0
+        }
+      }.sum
+    val probe = Dedup.simhashJoinFromIndex(spark, batch, indexPath)
+    val direct = {
+      val b = Dedup.simhashOn(batch)
+        .select(col("doc_id").as("batch_id"), col("simhash").as("hb"))
+      val c = Dedup.simhashOn(corpus)
+        .select(col("doc_id").as("corpus_id"), col("simhash").as("ha"))
+      c.crossJoin(b)
+    }
+    // the probe's documents scans are the live batch side only; the
+    // in-memory path additionally hashes the corpus from source, so
+    // swapping in the index must strictly reduce the count
+    assert(scansOf(probe, "documents") < scansOf(direct, "documents"),
+      s"probe ${scansOf(probe, "documents")} vs direct ${scansOf(direct, "documents")}")
+    assert(scansOf(probe, "graft_shidx") >= 1,
+      "corpus signatures must come off the stored index")
+  }
+}

@@ -642,6 +642,38 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming simhash gate drops docs hamming-near the index, " +
+    "admits novel docs, holds no stream state") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = ("alpha beta gamma delta epsilon zeta eta theta " * 6).trim
+    val corpus = (0L until 20L)
+      .map(i => (i, base + (0 until i.toInt).map(j => s" extra$j")
+        .mkString))
+    val root = java.nio.file.Files.createTempDirectory("graft_shgate")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    graft.operators.Dedup.writeSimhashIndex(
+      corpus.toDF("doc_id", "text"), idxDir)
+    val input = MemoryStream[(Long, String)]
+    input.addData(
+      (1000001L, corpus(3)._2), // exact copy of doc 3: hamming 0
+      (1000002L, "totally different payload zzz qqq www rrr sss " * 5))
+    val q = EventStream.simhashGateSink(
+      input.toDF().toDF("doc_id", "text"), idxDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+      val kept = spark.read.parquet(outDir).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1000002L),
+        "indexed near-dup doc gated out, novel doc admitted")
+      assert(q.lastProgress == null
+        || q.lastProgress.stateOperators.isEmpty, "gate must be stateless")
+    } finally q.stop()
+  }
+
   test("streaming embedding gate drops vectors cosine-near-dup to the " +
     "index, admits novel vectors, holds no stream state") {
     implicit val sql = spark.sqlContext
