@@ -56,6 +56,8 @@ object SparkEntry {
     "q_dedup_incremental" -> ((s, dir) => Dedup.incrementalExactDocs(s, dir)),
     "q_hll_rollup" -> ((s, dir) => Aggregates.hllRollup(s, dir)),
     "q_hll_exact" -> ((s, dir) => Aggregates.hllRollupExact(s, dir)),
+    "q_hll_twin_regs" -> ((s, dir) => Aggregates.hllTwinRegisters(s, dir)),
+    "q_hll_twin_est" -> ((s, dir) => Aggregates.hllTwinEstimate(s, dir)),
     "q_zvalue" -> ((s, dir) => Scalars.zvalues(s, dir)),
     "q_date_spine" -> ((s, dir) => Analytics.dateSpine(s, dir)),
     "q_table_diff" -> ((s, dir) => Cdc.diffOrders(s, dir)),
@@ -146,6 +148,10 @@ object SparkEntry {
     "q_topk_per_key" -> ((s, dir) => Analytics.topKPerGroup(s, dir)),
     "q_cms_topk" -> ((s, dir) => Aggregates.cmsTopkAudit(s, dir)),
     "q_cms_exact" -> ((s, dir) => Aggregates.cmsTopkExact(s, dir)),
+    "q_cms_twin" -> ((s, dir) => Aggregates.cmsTwin(s, dir)),
+    "q_cms_twin_topk" -> ((s, dir) => Aggregates.cmsTwinTopk(s, dir)),
+    "q_bloom_twin" -> ((s, dir) => Aggregates.bloomTwin(s, dir)),
+    "q_bloom_twin_probe" -> ((s, dir) => Aggregates.bloomTwinProbe(s, dir)),
     "q_mixture_sample" -> ((s, dir) => Sampling.mixtureSample(s, dir)),
     "q_temperature_mix" -> ((s, dir) => Sampling.temperatureCap(s, dir)),
     "q_token_pack" -> ((s, dir) => Sampling.tokenPack(s, dir)),
@@ -250,6 +256,8 @@ object SparkEntry {
     "q_unigram_tokens" -> ((s, dir) => Bpe.unigramTokenize(s, dir)),
     "q_unigram_ids" -> ((s, dir) => Bpe.unigramIds(s, dir)),
     "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
+    "q_tok_fertility_small" ->
+      ((s, dir) => Bpe.tokenizerFertilitySmall(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_kmeans_recall" -> ((s, dir) => Similarity.kmeansRecallAtK(s, dir)),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecallAtK(s, dir)),
@@ -257,6 +265,8 @@ object SparkEntry {
     "q_ann_recall_multi" -> ((s, dir) => Similarity.annRecallMulti(s, dir)),
     "q_ivf_health" -> ((s, dir) => Similarity.ivfCellStats(s, dir)),
     "q_ivf_rebalance" -> ((s, dir) => Similarity.ivfRebalanceReport(s, dir)),
+    "q_ivf_rebalance_twin" ->
+      ((s, dir) => Similarity.ivfRebalanceTwin(s, dir)),
     "q_ivfpq_rebalance" ->
       ((s, dir) => Similarity.ivfPqRebalanceReport(s, dir)),
     "q_lsh_planner" -> ((s, dir) => Dedup.bandingRecallCurve(s)),
@@ -557,44 +567,72 @@ object SparkEntry {
     * overlap greediness, boundary handling) cross-engine even though
     * the shipped 20-merge budget stays golden-pinned.
     */
-  private def bpeChainCtes(nMerges: Int, scored: Boolean): String = {
+  private def bpeChainCtes(nMerges: Int, scored: Boolean,
+      prefix: String = "", withHeader: Boolean = true): String = {
+    // d0 (the char-split word-count base) is family-independent and
+    // shared when two prefixed chains live in one statement
+    def d(k: Int): String = if (k == 0) "d0" else s"${prefix}d$k"
     val sb = new StringBuilder
-    sb ++= """WITH RECURSIVE
+    if (withHeader) sb ++= """WITH RECURSIVE
       |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       |  WHERE len(w) > 0 GROUP BY w),
-      |d0 AS (SELECT w, cnt, list_transform(range(1, length(w)+1),
+      |d0 AS MATERIALIZED (SELECT w, cnt, list_transform(range(1, length(w)+1),
       |    i -> substr(w, CAST(i AS INT), 1)) AS syms FROM w0)""".stripMargin
     for (k <- 1 to nMerges) {
       val p = k - 1
       sb ++= s""",
-      |pc$k AS (SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
+      |${prefix}pc$k AS (SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT)+1] AS r,
       |        CAST(sum(cnt) AS BIGINT) AS pc
-      |    FROM d$p, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2)""".stripMargin
+      |    FROM ${d(p)}, unnest(range(1, len(syms))) AS t(i) GROUP BY 1, 2)""".stripMargin
       // the one rule difference between the two trainers: the argmax key
       if (scored) sb ++= s""",
-      |sc$k AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS sc FROM (
-      |    SELECT unnest(syms) AS s, cnt FROM d$p) GROUP BY s),
-      |m$k AS (SELECT l, r, pc,
+      |${prefix}sc$k AS (SELECT s, CAST(sum(cnt) AS BIGINT) AS sc FROM (
+      |    SELECT unnest(syms) AS s, cnt FROM ${d(p)}) GROUP BY s),
+      |${prefix}m$k AS (SELECT l, r, pc,
       |        CAST(pc AS DOUBLE) / (CAST(lc.sc AS DOUBLE) * CAST(rc.sc AS DOUBLE)) AS score
-      |    FROM pc$k JOIN sc$k lc ON pc$k.l = lc.s
-      |              JOIN sc$k rc ON pc$k.r = rc.s
+      |    FROM ${prefix}pc$k JOIN ${prefix}sc$k lc ON ${prefix}pc$k.l = lc.s
+      |              JOIN ${prefix}sc$k rc ON ${prefix}pc$k.r = rc.s
       |    ORDER BY score DESC, l, r LIMIT 1)""".stripMargin
       else sb ++= s""",
-      |m$k AS (SELECT l, r, pc FROM pc$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
+      |${prefix}m$k AS (SELECT l, r, pc FROM ${prefix}pc$k ORDER BY pc DESC, l, r LIMIT 1)""".stripMargin
       sb ++= s""",
-      |f$k AS (SELECT d.w, d.cnt, d.syms, 1 AS pos,
+      |${prefix}f$k AS (SELECT d.w, d.cnt, d.syms, 1 AS pos,
       |        CAST([] AS VARCHAR[]) AS acc, m.l AS ml, m.r AS mr
-      |    FROM d$p d, m$k m
+      |    FROM ${d(p)} d, ${prefix}m$k m
       |    UNION ALL
       |    SELECT w, cnt, syms, pos+1,
       |        CASE WHEN len(acc) > 0 AND acc[-1] = ml AND syms[pos] = mr
       |             THEN list_append(acc[1:len(acc)-1], ml || mr)
       |             ELSE list_append(acc, syms[pos]) END, ml, mr
-      |    FROM f$k WHERE pos <= len(syms)),
-      |d$k AS (SELECT w, cnt, acc AS syms FROM f$k WHERE pos = len(syms)+1)""".stripMargin
+      |    FROM ${prefix}f$k WHERE pos <= len(syms)),
+      |${prefix}d$k AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM ${prefix}f$k WHERE pos = len(syms)+1)""".stripMargin
     }
     sb.toString
+  }
+
+  /** Two-family small-budget fertility twin: the unscored (BPE) and
+    * scored (WordPiece) 6-merge chains share d0 in one statement via
+    * CTE prefixes, then each final dict collapses to the
+    * `Bpe.tokenizerFertilitySmall` acceptance row.
+    */
+  private def tokFertilitySmallSql(nMerges: Int): String = {
+    // reference each chain tail exactly ONCE — DuckDB re-inlines the
+    // whole recursive chain per reference, so scalar subqueries over
+    // d<n> multiply the training cost; one scan computes all four stats
+    def statsRow(family: String, dk: String): String = s"""
+      |SELECT '$family' AS family,
+      |       CAST(sum(cnt) AS BIGINT) AS n_words,
+      |       CAST(sum(len(syms) * cnt) AS BIGINT) AS n_pieces,
+      |       CAST(len(list_distinct(flatten(list(syms)))) AS BIGINT)
+      |         AS n_vocab_used,
+      |       CAST(sum(len(syms) * cnt) AS DOUBLE)
+      |         / CAST(sum(cnt) AS DOUBLE) AS pieces_per_word
+      |FROM $dk""".stripMargin
+    bpeChainCtes(nMerges, scored = false, prefix = "b") +
+      bpeChainCtes(nMerges, scored = true, prefix = "p", withHeader = false) +
+      statsRow("bpe", s"bd$nMerges") + "\nUNION ALL" +
+      statsRow("wordpiece", s"pd$nMerges") + "\nORDER BY family"
   }
 
   private def bpeTrainSmallSql(nMerges: Int): String =
@@ -2932,18 +2970,139 @@ object SparkEntry {
     // q_cms_topk: no oracle — the wrapping 64-bit fmix hash has no
     //             DuckDB twin (BIGINT multiply overflow errors there);
     //             golden-pinned + CountMinSpec invariants instead.
-    //             Its exact-audit half IS oracle-checked as q_cms_exact.
+    //             Its exact-audit half IS oracle-checked as q_cms_exact,
+    //             and the ALGORITHM is oracle-checked end to end by the
+    //             md5-hash q_cms_twin/q_cms_twin_topk pair below.
     "q_cms_exact" ->
       """SELECT l_partkey, count(*) AS n_exact
         |FROM lineitem GROUP BY l_partkey
         |ORDER BY n_exact DESC, l_partkey LIMIT 10""".stripMargin,
+    // Count-Min twin: identical counters from the md5-integer hash
+    // family (hex52 of "r:key"), pure integer arithmetic both engines
+    "q_cms_twin" ->
+      """WITH kc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        |            FROM lineitem GROUP BY 1),
+        |hb AS (SELECT t.i AS r,
+        |              CAST(('0x' || substr(md5(t.i || ':' || key), 1, 13))
+        |                   AS BIGINT) % 512 AS bucket,
+        |              n
+        |       FROM kc CROSS JOIN range(0, 4) t(i))
+        |SELECT r, bucket, CAST(sum(n) AS BIGINT) AS counter
+        |FROM hb GROUP BY 1, 2 ORDER BY r, bucket""".stripMargin,
+    "q_cms_twin_topk" ->
+      """WITH kc AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS n
+        |            FROM lineitem GROUP BY 1),
+        |cnt AS (SELECT t.i AS r,
+        |               CAST(('0x' || substr(md5(t.i || ':' || key), 1, 13))
+        |                    AS BIGINT) % 512 AS bucket,
+        |               CAST(sum(n) AS BIGINT) AS counter
+        |        FROM kc CROSS JOIN range(0, 4) t(i) GROUP BY 1, 2),
+        |top AS (SELECT key, n AS n_exact FROM kc
+        |        ORDER BY n DESC, key LIMIT 10),
+        |pr AS (SELECT key, n_exact, t.i AS r,
+        |              CAST(('0x' || substr(md5(t.i || ':' || key), 1, 13))
+        |                   AS BIGINT) % 512 AS bucket
+        |       FROM top CROSS JOIN range(0, 4) t(i))
+        |SELECT pr.key AS l_partkey, pr.n_exact,
+        |       CAST(min(cnt.counter) AS BIGINT) AS n_est,
+        |       CAST(min(cnt.counter) - pr.n_exact AS BIGINT) AS overcount
+        |FROM pr JOIN cnt ON pr.r = cnt.r AND pr.bucket = cnt.bucket
+        |GROUP BY 1, 2 ORDER BY n_exact DESC, l_partkey""".stripMargin,
+    // Bloom twin: set bit positions bit_j(key) = hex52("j:key") mod 4096
+    // (production decontamination keeps Spark's BloomFilterAggregate
+    // binary; the twin pins the construction rules cross-engine)
+    "q_bloom_twin" ->
+      """WITH keys AS (SELECT DISTINCT l_partkey AS key FROM lineitem)
+        |SELECT DISTINCT
+        |       CAST(('0x' || substr(md5(t.j || ':' || key), 1, 13))
+        |            AS BIGINT) % 4096 AS bit
+        |FROM keys CROSS JOIN range(0, 3) t(j)
+        |ORDER BY bit""".stripMargin,
+    // membership audit: present probes must all be positive (no false
+    // negatives — by construction), absent probes measure realized FP
+    "q_bloom_twin_probe" ->
+      """WITH keys AS (SELECT DISTINCT l_partkey AS key FROM lineitem),
+        |bits AS (SELECT DISTINCT
+        |                CAST(('0x' || substr(md5(t.j || ':' || key), 1, 13))
+        |                     AS BIGINT) % 4096 AS bit
+        |         FROM keys CROSS JOIN range(0, 3) t(j)),
+        |present AS (SELECT key, TRUE AS in_set FROM keys
+        |            ORDER BY key LIMIT 25),
+        |mx AS (SELECT max(key) AS mx FROM keys),
+        |absent AS (SELECT mx + t.i AS key, FALSE AS in_set
+        |           FROM mx CROSS JOIN range(1, 26) t(i)),
+        |probes AS (SELECT * FROM present UNION ALL SELECT * FROM absent),
+        |ph AS (SELECT p.key, p.in_set,
+        |              CAST(('0x' || substr(md5(t.j || ':' || p.key), 1, 13))
+        |                   AS BIGINT) % 4096 AS bit
+        |       FROM probes p CROSS JOIN range(0, 3) t(j)),
+        |hits AS (SELECT ph.key, ph.in_set,
+        |                CAST(sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+        |                     AS BIGINT) AS n_hit
+        |         FROM ph LEFT JOIN bits b ON ph.bit = b.bit
+        |         GROUP BY 1, 2)
+        |SELECT key AS probe_key, in_set, n_hit, n_hit = 3 AS positive
+        |FROM hits ORDER BY probe_key""".stripMargin,
     // q_hll_rollup: no oracle — the DataSketches HLL binary has no DuckDB
     //               twin; golden-pinned. Its exact-distinct ground truth
-    //               IS oracle-checked as q_hll_exact.
+    //               IS oracle-checked as q_hll_exact, and the register
+    //               construction + raw harmonic estimate are
+    //               oracle-checked by the md5-hash q_hll_twin_* pair.
     "q_hll_exact" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       count(DISTINCT o_custkey) AS exact_customers
         |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // HLL twin: m=64 registers from hex52("h:custkey") — bucket = low
+    // 6 bits, rho = 1 + largest power of two dividing the high 46
+    "q_hll_twin_regs" ->
+      """WITH u AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+        |hh AS (SELECT o_orderstatus,
+        |              CAST(('0x' || substr(md5('h:' || o_custkey), 1, 13))
+        |                   AS BIGINT) AS h
+        |       FROM u),
+        |wb AS (SELECT o_orderstatus, h % 64 AS bucket, h // 64 AS w FROM hh)
+        |SELECT o_orderstatus, bucket, CAST(1 + max(t.i) AS BIGINT) AS register
+        |FROM wb CROSS JOIN range(0, 47) t(i)
+        |WHERE w % (1::BIGINT << t.i) = 0
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, bucket""".stripMargin,
+    // estimate half: every float is bit-stable by construction (exact
+    // power-of-two terms, mantissa-exact sums, one IEEE divide by the
+    // SAME interpolated alpha*m^2 literal the Spark side uses)
+    "q_hll_twin_est" ->
+      s"""WITH u AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+        |hh AS (SELECT o_orderstatus,
+        |              CAST(('0x' || substr(md5('h:' || o_custkey), 1, 13))
+        |                   AS BIGINT) AS h
+        |       FROM u),
+        |wb AS (SELECT o_orderstatus, h % 64 AS bucket, h // 64 AS w FROM hh),
+        |rr AS (SELECT o_orderstatus, bucket,
+        |              CAST(1 + max(t.i) AS BIGINT) AS register
+        |       FROM wb CROSS JOIN range(0, 47) t(i)
+        |       WHERE w % (1::BIGINT << t.i) = 0
+        |       GROUP BY 1, 2),
+        |st AS (SELECT DISTINCT o_orderstatus FROM orders),
+        |fl AS (SELECT st.o_orderstatus, coalesce(rr.register, 0) AS register
+        |       FROM st CROSS JOIN range(0, 64) t(i)
+        |       LEFT JOIN rr ON rr.o_orderstatus = st.o_orderstatus
+        |                   AND rr.bucket = t.i),
+        |ag AS (SELECT o_orderstatus,
+        |              CAST(sum(CASE WHEN register = 0 THEN 1 ELSE 0 END)
+        |                   AS BIGINT) AS n_zero,
+        |              sum(CAST(1.0 AS DOUBLE) / (1::BIGINT << register))
+        |                AS sum_inv
+        |       FROM fl GROUP BY 1),
+        |ex AS (SELECT o_orderstatus,
+        |              CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |                AS exact_customers
+        |       FROM orders GROUP BY 1)
+        |SELECT ag.o_orderstatus, n_zero, sum_inv,
+        |       CAST(${graft.operators.Aggregates.HllTwinAlphaM2} AS DOUBLE)
+        |         / sum_inv AS est_hll,
+        |       exact_customers,
+        |       (CAST(${graft.operators.Aggregates.HllTwinAlphaM2} AS DOUBLE)
+        |          / sum_inv - exact_customers) / exact_customers AS rel_err
+        |FROM ag JOIN ex USING (o_orderstatus)
         |ORDER BY o_orderstatus""".stripMargin,
     "q_quartile_bucket" ->
       """WITH cuts AS (
@@ -4066,6 +4225,10 @@ object SparkEntry {
     // The OOV branch is structurally empty here (the dict is trained on
     // the corpus being served), so the inner word join is exact.
     "q_bpe_ids_small" -> bpeIdsSmallSql(6),
+    // fertility METRIC at the small budget: both family chains (the
+    // proven unscored/scored recursive CTEs, prefixed to share d0)
+    // collapse to the corpus-weighted pieces-per-word acceptance rows
+    "q_tok_fertility_small" -> tokFertilitySmallSql(6),
     // PCA by CTE-unrolled power iteration: the covariance is the exact
     // long-micro artifact, the 100-step recursion carries the matrix as
     // a list-of-lists (no aggregates over the recursive ref), every
@@ -4222,6 +4385,81 @@ object SparkEntry {
         |       CAST(n_vectors AS DOUBLE) / n_total AS share,
         |       CAST(n_vectors AS DOUBLE) / n_total > 0.125 AS hot
         |FROM cells, tot ORDER BY cid""".stripMargin,
+    // q_ivf_rebalance: no oracle — the stored-layout lifecycle (decimal
+    //                  child means, dynamic partition rewrite) stays
+    //                  golden-pinned; the rebalance ALGORITHM (planted
+    //                  skew, hot decision, farthest-point split, child
+    //                  ids, audit) is oracle-checked by the twin below,
+    //                  and twin ≡ production report is spec-pinned.
+    "q_ivf_rebalance_twin" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16),
+        |d0 AS (
+        |  SELECT v.vec_id, v.v, c.cid,
+        |         list_sum(list_transform(range(1, len(v.v)+1),
+        |           i -> (v.v[i]-c.cv[i])*(v.v[i]-c.cv[i]))) AS dist
+        |  FROM v, c),
+        |a0 AS (SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d0) WHERE rn = 1),
+        |cl AS (SELECT a0.vec_id + 1000000 * t.i AS vec_id, a0.v
+        |       FROM a0 CROSS JOIN range(1, 4) t(i) WHERE a0.cid = 3),
+        |corpus AS (SELECT vec_id, v FROM v
+        |           UNION ALL SELECT vec_id, v FROM cl),
+        |d1 AS (
+        |  SELECT corpus.vec_id, corpus.v, c.cid,
+        |         list_sum(list_transform(range(1, len(corpus.v)+1),
+        |           i -> (corpus.v[i]-c.cv[i])*(corpus.v[i]-c.cv[i]))) AS dist
+        |  FROM corpus, c),
+        |asg AS (SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM asg),
+        |hot AS (SELECT cid,
+        |               CAST(row_number() OVER (ORDER BY cid) AS BIGINT) AS hrk
+        |        FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n
+        |              FROM asg GROUP BY 1), tot
+        |        WHERE n * 16 > 2.0 * total),
+        |mem AS (SELECT a.vec_id, a.v, a.cid, c.cv
+        |        FROM asg a JOIN hot USING (cid) JOIN c USING (cid)),
+        |dc AS (SELECT vec_id, cid, v,
+        |              list_sum(list_transform(range(1, len(v)+1),
+        |                i -> (v[i]-cv[i])*(v[i]-cv[i]))) AS d
+        |       FROM mem),
+        |sa AS (SELECT cid, v AS av FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id) AS rn
+        |    FROM dc) WHERE rn = 1),
+        |da AS (SELECT m.vec_id, m.cid, m.v,
+        |              list_sum(list_transform(range(1, len(m.v)+1),
+        |                i -> (m.v[i]-sa.av[i])*(m.v[i]-sa.av[i]))) AS d
+        |       FROM mem m JOIN sa USING (cid)),
+        |sb AS (SELECT cid, v AS bv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cid ORDER BY d DESC, vec_id) AS rn
+        |    FROM da) WHERE rn = 1),
+        |sided AS (SELECT m.vec_id, m.cid, h.hrk,
+        |                 CASE WHEN list_sum(list_transform(range(1, len(m.v)+1),
+        |                        i -> (m.v[i]-sa.av[i])*(m.v[i]-sa.av[i])))
+        |                      <= list_sum(list_transform(range(1, len(m.v)+1),
+        |                        i -> (m.v[i]-sb.bv[i])*(m.v[i]-sb.bv[i])))
+        |                      THEN 0 ELSE 1 END AS side
+        |          FROM mem m JOIN sa USING (cid) JOIN sb USING (cid)
+        |               JOIN hot h USING (cid)),
+        |mc AS (SELECT max(cid) AS mc FROM c),
+        |fin AS (SELECT a.vec_id,
+        |               CASE WHEN s.side = 1 THEN mc.mc + s.hrk
+        |                    ELSE a.cid END AS cid
+        |        FROM asg a LEFT JOIN sided s ON a.vec_id = s.vec_id, mc),
+        |np AS (SELECT CAST(16 + count(*) AS BIGINT) AS nc
+        |       FROM (SELECT DISTINCT cid FROM sided WHERE side = 1)),
+        |cells AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors
+        |          FROM fin GROUP BY 1)
+        |SELECT cells.cid, n_vectors,
+        |       CAST(n_vectors AS DOUBLE) / total AS share,
+        |       CAST(n_vectors AS DOUBLE) * nc > 2.0 * total AS hot
+        |FROM cells, tot, np
+        |ORDER BY cid""".stripMargin,
     // square-and-multiply chain mirrored operand-for-operand — no pow()
     "q_lsh_planner" ->
       """WITH sp AS (SELECT r.range AS id FROM range(50, 100, 5) r),

@@ -627,6 +627,247 @@ object Aggregates {
       .orderBy(col("sa"), col("sb"))
   }
 
+  /** 52-bit integer from the first 13 hex digits of the md5 of a string
+    * image — the integer face of the KMV family's [[hexFrac]]: DuckDB
+    * computes the identical value as `CAST('0x'||substr(md5(s),1,13) AS
+    * BIGINT)`, so any modular/shift arithmetic downstream replays
+    * exactly on both engines.
+    */
+  private[graft] def hex52(s: Column): Column =
+    conv(substring(md5(s.cast("binary")), 1, 13), 16, 10).cast("long")
+
+  /** Cross-engine Count-Min TWIN of [[cmsTopkAudit]]: the full non-zero
+    * counter matrix of a depth×width CM sketch over part keys, row
+    * hashes drawn from the md5-integer family ([[hex52]] of `"r:key"`)
+    * instead of the engine-private wrapping 64-bit mix — every counter
+    * is exact integer arithmetic DuckDB replays, so the sketch
+    * CONSTRUCTION itself sits under the hash gate. The production
+    * `q_cms_topk` keeps the codegen'd JVM kernel (and its golden +
+    * `CountMinSpec` laws); this key pins the RULES cross-engine:
+    * bucket = h(r,key) mod width per row, counters purely additive.
+    *
+    * Scale shape: ONE map-side-combinable aggregation collapses the
+    * fact table to (key, n) — key-cardinality-sized — before the
+    * depth-way explode and a second rollup of ≤ depth·width cells; the
+    * fact table is never replicated and the output is sketch-sized
+    * regardless of input rows.
+    */
+  def cmsTwin(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    cmsTwinCounters(Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n")),
+      depth, width)
+      .orderBy(col("r"), col("bucket"))
+
+  /** The (r, bucket, counter) cells of the [[cmsTwin]] sketch, from a
+    * pre-aggregated (key, n) frame.
+    */
+  private def cmsTwinCounters(kc: DataFrame, depth: Int,
+      width: Int): DataFrame =
+    kc.select(col("key"), col("n"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r").cast("long").as("r"),
+        (hex52(concat(col("r").cast("string"), lit(":"),
+          col("key").cast("string"))) % width).as("bucket"),
+        col("n"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("counter"))
+
+  /** Estimate half of [[cmsTwin]]: the top-k exact part keys with their
+    * min-over-rows sketch estimate and overcount — the
+    * [[cmsTopkAudit]] report shape with BOTH sides cross-engine exact,
+    * so the estimate and the (always ≥ 0) overcount hash-match the
+    * oracle. The probe side is k·depth rows joined against the
+    * broadcast sketch-sized counter frame — never a second fact scan
+    * beyond the shared exact-count aggregation.
+    */
+  def cmsTwinTopk(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 512, k: Int = 10): DataFrame = {
+    val kc = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n"))
+      .cutLineage() // read by the counter build AND the top-k probe
+    val counters = cmsTwinCounters(kc, depth, width)
+    val top = kc.select(col("key").as("l_partkey"), col("n").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_partkey")).limit(k)
+    val probes = top
+      .select(col("l_partkey"), col("n_exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("l_partkey"), col("n_exact"), col("r").cast("long").as("r"),
+        (hex52(concat(col("r").cast("string"), lit(":"),
+          col("l_partkey").cast("string"))) % width).as("bucket"))
+    probes.join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy(col("l_partkey"), col("n_exact"))
+      .agg(min(col("counter")).as("n_est"))
+      .select(col("l_partkey"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+      .orderBy(col("n_exact").desc, col("l_partkey"))
+  }
+
+  /** Cross-engine HyperLogLog TWIN of [[hllRollup]]: the m=64 register
+    * array per order status, hash from the md5-integer family — bucket
+    * is the low 6 bits of [[hex52]]`("h:custkey")`, rho is 1 + the
+    * largest power of two dividing the remaining 46 bits (so the
+    * all-zero remainder caps at register 47), register = max rho per
+    * bucket. Register-max is associative/commutative/idempotent, which
+    * is the whole reason HLL partials are storable artifacts; the twin
+    * puts that CONSTRUCTION under the DuckDB hash gate while the
+    * production `q_hll_rollup` keeps the DataSketches binary and its
+    * golden. Emits non-empty buckets only.
+    *
+    * Scale shape: the distinct (status, custkey) shuffle IS the
+    * dominant cost (same frame `hllRollupExact` audits); everything
+    * after is register-sized. The 47-way divisor explode runs on the
+    * distinct frame, not raw rows, and collapses map-side.
+    */
+  def hllTwinRegisters(spark: SparkSession, dir: String): DataFrame =
+    hllTwinRegistersOn(Tables.orders(spark, dir))
+      .orderBy(col("o_orderstatus"), col("bucket"))
+
+  /** [[hllTwinRegisters]] over any (o_orderstatus, o_custkey) frame. */
+  private[graft] def hllTwinRegistersOn(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderstatus"), col("o_custkey")).distinct()
+      .select(col("o_orderstatus"),
+        hex52(concat(lit("h:"), col("o_custkey").cast("string"))).as("h"))
+      .select(col("o_orderstatus"),
+        col("h").bitwiseAND(lit(63L)).as("bucket"),
+        shiftright(col("h"), 6).as("w"))
+      .select(col("o_orderstatus"), col("bucket"), col("w"),
+        explode(sequence(lit(0), lit(46))).as("i"))
+      .filter(col("w") % expr("shiftleft(1L, i)") === 0)
+      .groupBy(col("o_orderstatus"), col("bucket"))
+      .agg((max(col("i")) + lit(1)).cast("long").as("register"))
+
+  /** Estimate half of [[hllTwinRegisters]]: the raw HLL harmonic-mean
+    * estimate per status next to its exact audit — and every float in
+    * it is bit-stable cross-engine BY CONSTRUCTION: each 2^−register
+    * term is an exact power of two, partial sums of 2⁻⁴⁷-granular
+    * values below 2⁶ fit binary64's 53-bit mantissa exactly (so the
+    * sum is order-independent — retry/partitioning cannot flip a ulp),
+    * and the α·m²/S estimate is a single IEEE divide of shared-literal
+    * constants. No ln-based small-range correction on purpose: libm
+    * logs diverge across engines; n_zero is emitted so a consumer can
+    * apply their own correction.
+    */
+  def hllTwinEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val est = hllEstimateFromRegs(hllTwinRegistersOn(o))
+    val exact = o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    est.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_zero"), col("sum_inv"),
+        col("est_hll"), col("exact_customers"),
+        ((col("est_hll") - col("exact_customers"))
+          / col("exact_customers")).as("rel_err"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The estimate tail over any (o_orderstatus, bucket, register)
+    * register frame — non-empty buckets in, all-64-bucket harmonic sum
+    * out. Shared by the twin query and the streaming-maintained
+    * artifact serve path ([[hllEstimateFromArtifact]]); a status with
+    * any customer has a non-empty bucket, so the status spine comes
+    * from the registers themselves.
+    */
+  private[graft] def hllEstimateFromRegs(regs: DataFrame): DataFrame =
+    regs.select(col("o_orderstatus")).distinct()
+      .select(col("o_orderstatus"),
+        explode(sequence(lit(0L), lit(63L))).as("bucket"))
+      .join(regs, Seq("o_orderstatus", "bucket"), "left")
+      .select(col("o_orderstatus"),
+        coalesce(col("register"), lit(0L)).as("register"))
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(when(col("register") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        sum(lit(1.0) / expr("shiftleft(1L, cast(register as int))"))
+          .as("sum_inv"))
+      .select(col("o_orderstatus"), col("n_zero"), col("sum_inv"),
+        (lit(HllTwinAlphaM2) / col("sum_inv")).as("est_hll"))
+
+  /** Serve per-status distinct estimates from a stored
+    * [[graft.streaming.EventStream.hllRegMaintain]] register artifact —
+    * reads ≤ #statuses·64 rows, never the stream history. Identical
+    * estimator to [[hllTwinEstimate]] (shared tail), so estimates over
+    * an unbounded ingest stream cost one artifact-sized read.
+    */
+  def hllEstimateFromArtifact(spark: SparkSession, regPath: String): DataFrame =
+    hllEstimateFromRegs(
+      spark.read.parquet(regPath)
+        .select(col("o_orderstatus"), col("bucket"), col("register")))
+      .orderBy(col("o_orderstatus"))
+
+  /** Cross-engine Bloom-filter TWIN — the membership-sketch member of
+    * the twin family ([[cmsTwin]], [[hllTwinRegisters]]): the set bit
+    * positions of a bits-wide, k-hash Bloom filter over the distinct
+    * part-key universe, bit_j(key) = [[hex52]]("j:key") mod bits. The
+    * production membership gate ([[graft.operators.Dedup]]
+    * `.decontaminateBloomOn`) keeps Spark's own `BloomFilterAggregate`
+    * binary (executor-shippable, `might_contain`-codegen'd — no DuckDB
+    * twin); this key pins the construction RULES cross-engine: k
+    * independent positions per key, the filter is their union.
+    *
+    * Scale shape: one distinct on the key universe, a k-way explode of
+    * that (vocab-sized) frame, one distinct on positions — output ≤
+    * bits rows regardless of input. A real deployment sizes
+    * bits ≈ −n·ln(p)/ln(2)² and ships the filter as ONE artifact; the
+    * row-form here exists to be hash-checkable.
+    */
+  def bloomTwin(spark: SparkSession, dir: String, bits: Int = 4096,
+      k: Int = 3): DataFrame =
+    bloomTwinBits(
+      Tables.lineitem(spark, dir).select(col("l_partkey").as("key")).distinct(),
+      bits, k)
+      .orderBy(col("bit"))
+
+  /** bit_j(key) under the md5-integer hash family. */
+  private def bloomBit(j: Column, key: Column, bits: Int): Column =
+    hex52(concat(j.cast("string"), lit(":"), key.cast("string"))) % bits
+
+  /** Distinct set bit positions of the twin filter over a (key) frame. */
+  private def bloomTwinBits(keys: DataFrame, bits: Int, k: Int): DataFrame =
+    keys.select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(bloomBit(col("j"), col("key"), bits).as("bit"))
+      .distinct()
+
+  /** Membership audit of [[bloomTwin]]: probe the filter with keys
+    * known present (the nProbes smallest) and known absent (max+1..
+    * max+nProbes) — `positive` iff all k bits are set. Pins the safe
+    * error DIRECTION under the hash gate: no false negative is
+    * possible by construction (every in-set probe must land
+    * positive — the property that makes Bloom gating safe for
+    * decontamination, where a false positive only retires a clean
+    * document), while absent probes measure the realized FP rate.
+    */
+  def bloomTwinProbe(spark: SparkSession, dir: String, bits: Int = 4096,
+      k: Int = 3, nProbes: Int = 25): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("key")).distinct()
+      .cutLineage() // read by the filter build, the probe set, and max
+    val bitsDf = bloomTwinBits(keys, bits, k)
+    val present = keys.orderBy(col("key")).limit(nProbes)
+      .select(col("key"), lit(true).as("in_set"))
+    val absent = keys.agg(max(col("key")).as("mx"))
+      .select(explode(sequence(lit(1), lit(nProbes))).as("i"), col("mx"))
+      .select((col("mx") + col("i")).as("key"), lit(false).as("in_set"))
+    present.unionByName(absent)
+      .select(col("key"), col("in_set"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .select(col("key"), col("in_set"),
+        bloomBit(col("j"), col("key"), bits).as("bit"))
+      .join(bitsDf.withColumn("hit", lit(1L)), Seq("bit"), "left")
+      .groupBy(col("key"), col("in_set"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("key").as("probe_key"), col("in_set"), col("n_hit"),
+        (col("n_hit") === k).as("positive"))
+      .orderBy(col("probe_key"))
+  }
+
+  /** α₆₄·m² for the m=64 HLL estimator (Flajolet et al. 2007):
+    * 0.7213/(1+1.079/m)·m². Evaluated once here; the oracle SQL
+    * interpolates this exact double (shortest-roundtrip literal), so
+    * both engines divide the SAME constant.
+    */
+  private[graft] val HllTwinAlphaM2: Double =
+    0.7213 / (1.0 + 1.079 / 64.0) * 4096.0
+
   /** Recency-decayed revenue per customer: each order weighted by
     * 2^(−age/halfLife) relative to the newest order — the
     * exponential-decay aggregation every feature store and

@@ -716,26 +716,43 @@ object Bpe {
     * the corpus is not re-read.
     */
   def tokenizerFertility(spark: SparkSession, dir: String,
-      nMerges: Int = 20, vocabSize: Int = 40): DataFrame = {
-    def statsOf(family: String, dict: DataFrame): DataFrame = {
-      val agg = dict.agg(
-        sum(col("cnt")).as("n_words"),
-        sum(size(col("syms")).cast("long") * col("cnt")).as("n_pieces"))
-      val vocab = dict.select(explode(col("syms")).as("s"))
-        .agg(countDistinct(col("s")).as("n_vocab_used"))
-      agg.crossJoin(vocab)
-        .select(lit(family).as("family"), col("n_words"), col("n_pieces"),
-          col("n_vocab_used"),
-          (col("n_pieces").cast("double") / col("n_words"))
-            .as("pieces_per_word"))
-    }
-    statsOf("bpe", bpeArtifact(spark, dir, nMerges)._2)
-      .unionByName(statsOf("unigram",
+      nMerges: Int = 20, vocabSize: Int = 40): DataFrame =
+    fertilityStats("bpe", bpeArtifact(spark, dir, nMerges)._2)
+      .unionByName(fertilityStats("unigram",
         unigramArtifact(spark, dir, vocabSize)._2))
-      .unionByName(statsOf("wordpiece",
+      .unionByName(fertilityStats("wordpiece",
         wordpieceArtifact(spark, dir, nMerges)._2))
       .orderBy(col("family"))
+
+  /** One [[tokenizerFertility]] row from a (w, syms, cnt) dict frame. */
+  private def fertilityStats(family: String, dict: DataFrame): DataFrame = {
+    val agg = dict.agg(
+      sum(col("cnt")).as("n_words"),
+      sum(size(col("syms")).cast("long") * col("cnt")).as("n_pieces"))
+    val vocab = dict.select(explode(col("syms")).as("s"))
+      .agg(countDistinct(col("s")).as("n_vocab_used"))
+    agg.crossJoin(vocab)
+      .select(lit(family).as("family"), col("n_words"), col("n_pieces"),
+        col("n_vocab_used"),
+        (col("n_pieces").cast("double") / col("n_words"))
+          .as("pieces_per_word"))
   }
+
+  /** [[tokenizerFertility]] at the oracle-able small budget: the
+    * BPE-vs-WordPiece acceptance comparison from the 6-merge dicts —
+    * the two families whose full training chains already hash-match
+    * DuckDB's recursive-CTE twins, so the fertility METRIC itself
+    * (corpus-weighted pieces-per-word + used-vocab size) goes under
+    * the hash gate too (unigram stays out: EM training has no exact
+    * SQL twin). Same dict-frame-only scale shape as the full-budget
+    * report — the corpus is not re-read.
+    */
+  def tokenizerFertilitySmall(spark: SparkSession, dir: String,
+      nMerges: Int = 6): DataFrame =
+    fertilityStats("bpe", bpeArtifact(spark, dir, nMerges)._2)
+      .unionByName(fertilityStats("wordpiece",
+        wordpieceArtifact(spark, dir, nMerges)._2))
+      .orderBy(col("family"))
 
   /** Unigram twin of [[writeBpeDict]]: `pieces/` (rank, piece, cnt,
     * logp) + `dict/` (w, syms, cnt) in the shared dict layout.

@@ -853,6 +853,88 @@ object Similarity {
       rebalanceIvfCells(spark, dir, path).cutLineage(eager = true)
     }
 
+  /** Cross-engine TWIN of [[ivfRebalanceReport]]: the identical planted
+    * skew (cell-3 members cloned ×3 at vec_id + i·10⁶), hot-cell
+    * decision, farthest-point seed split, child-id assignment, and
+    * post-rebalance audit — expressed as ONE query over the raw
+    * embeddings table, no stored layout. The split's SEEDS and SIDES
+    * fully determine the audit (child centroids never feed back into
+    * cell sizes), which is what makes the rebalance ALGORITHM
+    * oracle-checkable even though the production path's DECIMAL child
+    * means stay golden-pinned: seed A = farthest member from the cell
+    * centroid (ties to smallest vec_id), seed B = farthest from A,
+    * members side to the nearer seed (ties to A), child B of the r-th
+    * hot cell (ascending cid, degenerate cells still consume their
+    * slot) takes id maxCid + r. Twin ≡ production report is
+    * spec-pinned, so the stored-layout lifecycle inherits the oracle's
+    * witness.
+    *
+    * Scale shape: same candidate algebra as the production path — one
+    * broadcast-C assignment pass, per-cell seed aggregations over hot
+    * members only, no all-pairs anywhere; the one twin-only liberty is
+    * the vec_id-keyed side join, which production avoids by rewriting
+    * partitions in place.
+    */
+  def ivfRebalanceTwin(spark: SparkSession, dir: String,
+      hotFactor: Double = 2.0): DataFrame = {
+    val nat = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v"))
+    val centroids = defaultCodebook(spark, dir)
+      .cutLineage(eager = true) // read by both assignment passes + maxCid
+    val cell3 = assignNearest(nat, centroids)
+      .filter(col("cid") === 3).select(col("vec_id"), col("v"))
+    val clones = cell3
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(1), lit(3))).as("i"))
+      .select((col("vec_id") + col("i") * lit(1000000L)).as("vec_id"),
+        col("v"))
+    val assigned = assignNearest(nat.unionByName(clones), centroids)
+      .cutLineage() // read by counts, members, and the final audit
+    val nCells = 16L
+    val totalDf = assigned.agg(count(lit(1)).as("total"))
+    val hot = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(totalDf))
+      .filter(col("n") * nCells > lit(hotFactor) * col("total"))
+      .select(col("cid"),
+        row_number().over(Window.orderBy(col("cid"))).as("hrk"))
+    val members = assigned.join(broadcast(hot), "cid")
+      .join(broadcast(centroids), "cid")
+      .cutLineage() // read by seed A, seed B, and the side pass
+    val seedA = members.groupBy(col("cid"))
+      .agg(min(struct((-l2sq(col("v"), col("cv"))).as("nd"),
+        col("vec_id"), col("v"))).as("a"))
+      .select(col("cid"), col("a.v").as("av"))
+    val seedB = members.join(broadcast(seedA), "cid")
+      .groupBy(col("cid"))
+      .agg(min(struct((-l2sq(col("v"), col("av"))).as("nd"),
+        col("vec_id"), col("v"))).as("b"))
+      .select(col("cid"), col("b.v").as("bv"))
+    val sided = members
+      .join(broadcast(seedA), "cid").join(broadcast(seedB), "cid")
+      .select(col("vec_id"), col("cid"), col("hrk"),
+        when(l2sq(col("v"), col("av")) <= l2sq(col("v"), col("bv")), 0)
+          .otherwise(1).as("side"))
+      .cutLineage() // read by the re-id pass and the post-cell count
+    val maxCidDf = centroids.agg(max(col("cid")).as("mc"))
+    val finalAssign = assigned
+      .join(sided.select(col("vec_id"), col("side"), col("hrk")),
+        Seq("vec_id"), "left")
+      .crossJoin(broadcast(maxCidDf))
+      .select(col("vec_id"),
+        when(col("side") === 1, col("mc") + col("hrk"))
+          .otherwise(col("cid")).as("cid"))
+    val nPostDf = sided.filter(col("side") === 1)
+      .select(col("cid")).distinct()
+      .agg((count(lit(1)) + nCells).as("nc"))
+    finalAssign.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(totalDf)).crossJoin(broadcast(nPostDf))
+      .select(col("cid"), col("n_vectors"),
+        (col("n_vectors").cast("double") / col("total")).as("share"),
+        (col("n_vectors").cast("double") * col("nc")
+          > lit(hotFactor) * col("total")).as("hot"))
+      .orderBy(col("cid"))
+  }
+
   /** [[ivfRebalanceReport]] for the CODED index family
     * (`q_ivfpq_rebalance`): the same planted cell-3 ×4 skew, landed
     * through the shipped lifecycle — [[writeIvfPqIndex]]'s natural

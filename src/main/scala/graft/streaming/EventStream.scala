@@ -620,6 +620,43 @@ object EventStream {
       .start()
   }
 
+  /** Incremental HLL register maintenance — the register-max member of
+    * the artifact-maintainer family and the only IDEMPOTENT one: each
+    * micro-batch of (o_orderstatus, o_custkey) rows is collapsed to its
+    * m=64 twin registers ([[graft.operators.Aggregates]]
+    * `.hllTwinRegistersOn` — the md5-hash construction the
+    * q_hll_twin_* oracles pin), and max-merged onto the stored
+    * artifact. Register max is associative, commutative AND
+    * idempotent, so the maintained state is bit-identical to a
+    * from-scratch build over everything ever streamed (spec-pinned)
+    * and — unlike the additive CMS/covariance maintainers — needs NO
+    * batch_id replay guard: re-delivering any batch is a no-op by
+    * algebra, not by bookkeeping. State is ≤ #statuses·64 rows at any
+    * corpus size; [[graft.operators.Aggregates.hllEstimateFromArtifact]]
+    * serves distinct estimates from it without rescanning the stream.
+    */
+  def hllRegMaintain(orders: DataFrame, regPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    orders.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchRegs = graft.operators.Aggregates.hllTwinRegistersOn(batch)
+          val merged =
+            if (graft.sources.Sinks.hasPartFiles(spark, regPath))
+              spark.read.parquet(regPath).cutForOverwrite()
+                .unionByName(batchRegs)
+                .groupBy(col("o_orderstatus"), col("bucket"))
+                .agg(max(col("register")).as("register"))
+            else batchRegs
+          merged.cutForOverwrite()
+            .write.mode("overwrite").parquet(regPath)
+        }
+      }
+      .start()
+
   /** Incremental Misra–Gries heavy-hitter maintenance — the
     * frequent-items sibling of [[kmvMaintain]]: each micro-batch is
     * compressed to its own ≤k-counter MG summary by the

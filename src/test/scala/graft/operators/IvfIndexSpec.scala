@@ -27,6 +27,19 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(cells.length == 16, cells.mkString(", "))
   }
 
+  test("ivfRebalanceTwin equals the stored-layout rebalance report") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("cid"), r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("share"), r.getAs[Boolean]("hot"))).toSeq
+    val twin = rows(Similarity.ivfRebalanceTwin(spark, dir))
+    val prod = rows(Similarity.ivfRebalanceReport(spark, dir))
+    assert(twin == prod,
+      s"twin audit must match the stored-layout lifecycle:\n$twin\n$prod")
+    // the planted skew must actually exercise a split: a child cell
+    // beyond the original 16 ids exists
+    assert(twin.exists(_._1 >= 16L), s"no split happened: $twin")
+  }
+
   test("probing the layout returns exactly the in-memory IVF results") {
     val fromIndex = Similarity.annIvfFromIndex(spark, indexPath, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

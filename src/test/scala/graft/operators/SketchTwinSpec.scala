@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Laws of the cross-engine sketch twins (`Aggregates.cmsTwin*`,
+  * `Aggregates.hllTwin*`, `Bpe.tokenizerFertilitySmall`) — the
+  * md5-integer-hash counterparts that put CM/HLL CONSTRUCTION under
+  * the DuckDB hash gate:
+  *   1. CM mass conservation — every sketch row holds each input row
+  *      exactly once, so per-row counter sums equal N;
+  *   2. CM overestimate — the twin estimate never undercounts;
+  *   3. HLL register-max merge law — per-status registers max-merged
+  *      equal the registers built directly over the union (the exact
+  *      identity that makes register artifacts storable/maintainable);
+  *   4. register cap — 52-bit hash, 6 bucket bits → register ≤ 47;
+  *   5. small-budget fertility consistency — n_words is the corpus
+  *      word count (family-independent) and fertility ≥ 1 only after
+  *      merges start from the char split (≤ chars-per-word).
+  */
+class SketchTwinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("CM twin: per-row counter sums equal the input row count") {
+    val n = graft.sources.Tables.lineitem(spark, dir).count()
+    val rows = Aggregates.cmsTwin(spark, dir)
+      .groupBy(col("r")).agg(sum(col("counter")).as("mass"))
+      .collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getLong(1) == n, s"row $r mass != $n"))
+  }
+
+  test("CM twin estimate never undercounts the top keys") {
+    val audit = Aggregates.cmsTwinTopk(spark, dir).collect()
+    assert(audit.length == 10)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L, s"undercount at $r")
+      assert(r.getAs[Long]("n_est") ==
+        r.getAs[Long]("n_exact") + r.getAs[Long]("overcount"))
+    }
+  }
+
+  test("HLL twin: max-merged per-status registers equal direct union registers") {
+    val o = graft.sources.Tables.orders(spark, dir)
+    val merged = Aggregates.hllTwinRegistersOn(o)
+      .groupBy(col("bucket")).agg(max(col("register")).as("register"))
+    val direct = Aggregates.hllTwinRegistersOn(
+      o.withColumn("o_orderstatus", lit("ALL")))
+      .select(col("bucket"), col("register"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("HLL twin: registers within the 52-bit cap, estimate in sane range") {
+    val regs = Aggregates.hllTwinRegisters(spark, dir).collect()
+    assert(regs.nonEmpty)
+    regs.foreach { r =>
+      val v = r.getAs[Long]("register")
+      assert(v >= 1L && v <= 47L, s"register out of range: $r")
+    }
+    val est = Aggregates.hllTwinEstimate(spark, dir).collect()
+    est.foreach { r =>
+      assert(r.getAs[Double]("est_hll") > 0.0)
+      val rel = r.getAs[Double]("rel_err")
+      // m=64 raw estimator: ~13% sigma; 0.75 is a loose sanity fence
+      assert(math.abs(rel) < 0.75, s"estimate wildly off: $r")
+    }
+  }
+
+  test("Bloom twin: no false negatives, bounded fill, in-range bits") {
+    val bits = Aggregates.bloomTwin(spark, dir).collect()
+    assert(bits.nonEmpty)
+    bits.foreach { r =>
+      val b = r.getAs[Long]("bit")
+      assert(b >= 0L && b < 4096L, s"bit out of range: $b")
+    }
+    // k·n distinct keys is the set-bit ceiling
+    val nKeys = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_partkey")).distinct().count()
+    assert(bits.length <= math.min(4096L, 3L * nKeys))
+    val probes = Aggregates.bloomTwinProbe(spark, dir).collect()
+    assert(probes.length == 50)
+    probes.filter(_.getAs[Boolean]("in_set")).foreach { r =>
+      assert(r.getAs[Boolean]("positive"),
+        s"false negative — structurally impossible unless the probe " +
+          s"hash diverged from the build hash: $r")
+      assert(r.getAs[Long]("n_hit") == 3L)
+    }
+  }
+
+  test("small-budget fertility: word mass is family-independent and bounded") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val nWords = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0).count()
+    val rows = Bpe.tokenizerFertilitySmall(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("family")).toSeq == Seq("bpe", "wordpiece"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_words") == nWords)
+      val ppw = r.getAs[Double]("pieces_per_word")
+      assert(ppw >= 1.0 &&
+        ppw == r.getAs[Long]("n_pieces").toDouble / r.getAs[Long]("n_words"))
+    }
+  }
+}

@@ -1002,6 +1002,52 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hllRegMaintain: maintained registers equal a from-scratch build, " +
+    "replay is a no-op by idempotence, and the artifact serve path agrees") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Aggregates
+    import org.apache.spark.sql.functions._
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft_hllreg").toString + "/regs"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_hllreg_ck").toString
+    val batch1 = (1 to 300).map(i => ("A", i.toLong)) ++
+      (1 to 200).map(i => ("B", i.toLong * 7))
+    val batch2 = (150 to 500).map(i => ("A", i.toLong))
+    def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("o_orderstatus"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("register"))).toSet
+    val input = MemoryStream[(String, Long)]
+    val q = EventStream.hllRegMaintain(
+      input.toDF().toDF("o_orderstatus", "o_custkey"), regDir, ckpt)
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val all = (batch1 ++ batch2).toDF("o_orderstatus", "o_custkey")
+      val maintained = regSet(spark.read.parquet(regDir))
+      val direct = regSet(Aggregates.hllTwinRegistersOn(all))
+      assert(maintained == direct,
+        "max-merged registers must equal the from-scratch registers")
+      // idempotence: re-delivering batch2's DATA (a fresh micro-batch
+      // with identical rows) must leave the artifact byte-identical —
+      // register max needs no batch_id bookkeeping
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(regSet(spark.read.parquet(regDir)) == maintained)
+      // estimate served from the artifact equals the twin tail over
+      // the direct registers
+      def estSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[String]("o_orderstatus"), r.getAs[Long]("n_zero"),
+          r.getAs[Double]("sum_inv"), r.getAs[Double]("est_hll"))).toSet
+      val estA = estSet(Aggregates.hllEstimateFromArtifact(spark, regDir))
+      val estD = estSet(Aggregates.hllEstimateFromRegs(
+        Aggregates.hllTwinRegistersOn(all)))
+      assert(estA == estD, s"$estA vs $estD")
+    } finally q.stop()
+  }
+
   test("quantileMaintain: the stored sample equals a from-scratch " +
     "bottom-k of everything streamed, trimmed to k per group") {
     implicit val sql = spark.sqlContext
