@@ -40,6 +40,19 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(twin.exists(_._1 >= 16L), s"no split happened: $twin")
   }
 
+  test("ivfPq rebalance audit equals the oracle twin's audit") {
+    // same planting, same shared fitCellSplits splitter, same hot rule —
+    // so the coded family's post-rebalance cell populations must equal
+    // the oracle-checked twin's exactly (codes are lossy but membership
+    // is not), giving the PQ lifecycle the oracle's witness too
+    def rows(df: org.apache.spark.sql.DataFrame, idCol: String) =
+      df.collect().map(r => (r.getAs[Long](idCol), r.getAs[Long]("n_vectors"),
+        r.getAs[Double]("share"), r.getAs[Boolean]("hot"))).toSeq
+    val twin = rows(Similarity.ivfRebalanceTwin(spark, dir), "cid")
+    val pq = rows(Similarity.ivfPqRebalanceReport(spark, dir), "cell")
+    assert(pq == twin, s"pq audit diverged from the twin:\n$pq\n$twin")
+  }
+
   test("probing the layout returns exactly the in-memory IVF results") {
     val fromIndex = Similarity.annIvfFromIndex(spark, indexPath, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
