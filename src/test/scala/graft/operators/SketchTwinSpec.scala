@@ -89,6 +89,35 @@ class SketchTwinSpec extends AnyFunSuite {
     }
   }
 
+  test("Bloom twin: realized FP rate on absent probes stays under a " +
+    "generous multiple of the fill-ratio bound") {
+    val nBits = Aggregates.bloomTwin(spark, dir).count().toDouble
+    val fill = nBits / 4096.0
+    // P[absent key positive] = fill^3 under the independent-hash model;
+    // 25 probes with a 10x-of-expectation + 1 fence keeps this
+    // deterministic-data test far from flakiness while still catching a
+    // broken hash (fill ~1 or systematic positives)
+    val falsePos = Aggregates.bloomTwinProbe(spark, dir).collect()
+      .filter(r => !r.getAs[Boolean]("in_set") && r.getAs[Boolean]("positive"))
+      .length
+    val bound = 10.0 * 25.0 * math.pow(fill, 3) + 1.0
+    assert(falsePos <= bound, s"$falsePos false positives at fill $fill")
+  }
+
+  test("CM twin rows are independent hash views: bucket profiles differ " +
+    "across rows but each carries identical mass") {
+    val counters = Aggregates.cmsTwin(spark, dir).collect()
+      .groupBy(_.getAs[Long]("r"))
+      .map { case (r, rows) =>
+        r -> rows.map(x => (x.getAs[Long]("bucket"), x.getAs[Long]("counter"))).toSet
+      }
+    assert(counters.size == 4)
+    // distinct per-row hash seeds must yield distinct bucket layouts —
+    // identical profiles would mean the row index never reached the hash
+    assert(counters.values.toSeq.distinct.size == 4,
+      "two sketch rows share an identical counter profile")
+  }
+
   test("small-budget fertility: word mass is family-independent and bounded") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val nWords = docs
