@@ -822,7 +822,7 @@ object Aggregates {
     hex52(concat(j.cast("string"), lit(":"), key.cast("string"))) % bits
 
   /** Distinct set bit positions of the twin filter over a (key) frame. */
-  private def bloomTwinBits(keys: DataFrame, bits: Int, k: Int): DataFrame =
+  private[graft] def bloomTwinBits(keys: DataFrame, bits: Int, k: Int): DataFrame =
     keys.select(col("key"), explode(sequence(lit(0), lit(k - 1))).as("j"))
       .select(bloomBit(col("j"), col("key"), bits).as("bit"))
       .distinct()
@@ -841,7 +841,32 @@ object Aggregates {
     val keys = Tables.lineitem(spark, dir)
       .select(col("l_partkey").as("key")).distinct()
       .cutLineage() // read by the filter build, the probe set, and max
-    val bitsDf = bloomTwinBits(keys, bits, k)
+    bloomProbeAgainst(keys, bloomTwinBits(keys, bits, k), bits, k, nProbes)
+  }
+
+  /** Membership probe of a STORED twin-filter artifact — the serve path
+    * of [[graft.streaming.EventStream.bloomBitsMaintain]]: probe keys
+    * (present/absent, derived from the corpus exactly as
+    * [[bloomTwinProbe]] does) are hashed fresh and checked against the
+    * ≤ bits-row artifact alone — the stream history is never re-read,
+    * and the no-false-negative direction holds for every key the
+    * maintainer ever ingested (set-bit union is monotone).
+    */
+  def bloomProbeFromArtifact(spark: SparkSession, bitsPath: String,
+      dir: String, bits: Int = 4096, k: Int = 3,
+      nProbes: Int = 25): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("key")).distinct()
+      .cutLineage() // read by the probe set and max
+    bloomProbeAgainst(keys,
+      spark.read.parquet(bitsPath).select(col("bit")), bits, k, nProbes)
+  }
+
+  /** The shared probe tail: nProbes present keys (smallest) + nProbes
+    * absent keys (max+1..) against any (bit) set-bit frame.
+    */
+  private def bloomProbeAgainst(keys: DataFrame, bitsDf: DataFrame,
+      bits: Int, k: Int, nProbes: Int): DataFrame = {
     val present = keys.orderBy(col("key")).limit(nProbes)
       .select(col("key"), lit(true).as("in_set"))
     val absent = keys.agg(max(col("key")).as("mx"))

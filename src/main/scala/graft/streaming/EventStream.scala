@@ -657,6 +657,45 @@ object EventStream {
       }
       .start()
 
+  /** Incremental Bloom set-bit maintenance — [[hllRegMaintain]]'s
+    * membership sibling and the second idempotent maintainer: each
+    * micro-batch of (key) rows is collapsed to its twin-filter set bit
+    * positions ([[graft.operators.Aggregates]] `.bloomTwinBits` — the
+    * md5-hash construction the q_bloom_twin oracle pins) and
+    * union-merged onto the stored ≤ bits-row artifact. Bit union is
+    * associative, commutative and idempotent, so the maintained
+    * artifact is bit-identical to a from-scratch build over everything
+    * ever streamed (spec-pinned) and replays need no batch_id
+    * bookkeeping. Because set bits only ever accumulate, the
+    * no-false-negative admission contract
+    * ([[graft.operators.Aggregates.bloomProbeFromArtifact]]) holds for
+    * every key any batch ever ingested — the streaming face of the
+    * decontamination gate's membership artifact, in oracle-checkable
+    * row form (production gates keep the driver-held
+    * `BloomFilterAggregate` binary).
+    */
+  def bloomBitsMaintain(keys: DataFrame, bitsPath: String,
+      checkpoint: String, bits: Int = 4096,
+      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val batchBits = graft.operators.Aggregates
+            .bloomTwinBits(batch.select(col("key")).distinct(), bits, k)
+          val merged =
+            if (graft.sources.Sinks.hasPartFiles(spark, bitsPath))
+              spark.read.parquet(bitsPath).cutForOverwrite()
+                .unionByName(batchBits).distinct()
+            else batchBits
+          merged.cutForOverwrite()
+            .write.mode("overwrite").parquet(bitsPath)
+        }
+      }
+      .start()
+
   /** Incremental Misra–Gries heavy-hitter maintenance — the
     * frequent-items sibling of [[kmvMaintain]]: each micro-batch is
     * compressed to its own ≤k-counter MG summary by the

@@ -1048,6 +1048,50 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomBitsMaintain: the streamed artifact equals the query twin's " +
+    "filter over the same keys, replay is a no-op, and the artifact " +
+    "probe matches the in-query probe") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Aggregates
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val bitsDir = java.nio.file.Files
+      .createTempDirectory("graft_bloombits").toString + "/bits"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_bloombits_ck").toString
+    // split the real distinct-key universe into two batches so the
+    // maintained union must reconstruct exactly the one-shot filter
+    val allKeys = graft.sources.Tables.lineitem(spark, dir)
+      .select(col("l_partkey").as("key")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cut = allKeys(allKeys.length / 2)
+    val input = MemoryStream[Long]
+    val q = EventStream.bloomBitsMaintain(
+      input.toDF().toDF("key"), bitsDir, ckpt)
+    try {
+      input.addData(allKeys.filter(_ <= cut).toSeq: _*)
+      q.processAllAvailable()
+      input.addData(allKeys.filter(_ > cut).toSeq: _*)
+      q.processAllAvailable()
+      def bitSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getAs[Long]("bit")).toSet
+      val maintained = bitSet(spark.read.parquet(bitsDir))
+      val direct = bitSet(Aggregates.bloomTwin(spark, dir))
+      assert(maintained == direct,
+        "union-merged bits must equal the one-shot twin filter")
+      // idempotence: re-delivering batch 2's data changes nothing
+      input.addData(allKeys.filter(_ > cut).toSeq: _*)
+      q.processAllAvailable()
+      assert(bitSet(spark.read.parquet(bitsDir)) == maintained)
+      // the artifact probe is the in-query probe, row for row
+      def probes(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("probe_key"), r.getAs[Boolean]("in_set"),
+          r.getAs[Long]("n_hit"), r.getAs[Boolean]("positive"))).toSeq
+      assert(probes(Aggregates.bloomProbeFromArtifact(spark, bitsDir, dir))
+        == probes(Aggregates.bloomTwinProbe(spark, dir)))
+    } finally q.stop()
+  }
+
   test("quantileMaintain: the stored sample equals a from-scratch " +
     "bottom-k of everything streamed, trimmed to k per group") {
     implicit val sql = spark.sqlContext
