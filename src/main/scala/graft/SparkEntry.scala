@@ -279,6 +279,8 @@ object SparkEntry {
     "q_quality_auc" -> ((s, dir) => TextAnalysis.qualityAuc(s, dir)),
     "q_kcenter" -> ((s, dir) => Similarity.kCenterCoreset(s, dir)),
     "q_kcenter_fast" -> ((s, dir) => Similarity.kCenterOversampled(s, dir)),
+    "q_kcenter_fast_twin" ->
+      ((s, dir) => Similarity.kCenterOversampledTwin(s, dir)),
     "q_length_buckets" -> ((s, dir) => Sampling.lengthBuckets(s, dir)),
     "q_rrf_fusion" -> ((s, dir) => Retrieval.rrfFusion(s, dir)),
     "q_quality_fit" -> ((s, dir) => TextAnalysis.qualityFit(s, dir)),
@@ -608,6 +610,65 @@ object SparkEntry {
       |    FROM ${prefix}f$k WHERE pos <= len(syms)),
       |${prefix}d$k AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM ${prefix}f$k WHERE pos = len(syms)+1)""".stripMargin
     }
+    sb.toString
+  }
+
+  /** Oversampled k-center twin (`Similarity.kCenterOversampledTwin`):
+    * 3 unrolled sampling rounds — order-stable Σd² fold, md5-prefix
+    * Bernoulli draw at p = l·d²/Σd², 4l-farthest cap, min-update —
+    * then the k−1 Gonzalez picks unrolled as CTEs over the bounded
+    * candidate set.
+    */
+  private def kcenterTwinSql(k: Int, rounds: Int, l: Int): String = {
+    def l2(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i])))"
+    val sb = new StringBuilder
+    sb ++= s"""WITH v AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |seed AS MATERIALIZED (SELECT v AS sv FROM v WHERE vec_id = 0),
+      |s0 AS MATERIALIZED (SELECT v.vec_id, v.v, ${l2("v.v", "sv")} AS d2 FROM v, seed)""".stripMargin
+    for (r <- 0 until rounds) {
+      sb ++= s""",
+      |t$r AS MATERIALIZED (SELECT list_sum(list(d2 ORDER BY vec_id)) AS sd FROM s$r),
+      |c$r AS MATERIALIZED (SELECT vec_id, v FROM s$r, t$r
+      |        WHERE CAST(CAST(('0x' || substr(md5(vec_id || ':$r'), 1, 8))
+      |                        AS BIGINT) AS DOUBLE) / 4294967296.0
+      |              < CAST($l.0 AS DOUBLE) * d2 / sd
+      |        ORDER BY d2 DESC, vec_id LIMIT ${4 * l}),
+      |n$r AS MATERIALIZED (SELECT s.vec_id, min(${l2("s.v", "c.v")}) AS dn
+      |        FROM s$r s, c$r c GROUP BY s.vec_id),
+      |s${r + 1} AS MATERIALIZED (SELECT s.vec_id, s.v, least(s.d2, n.dn) AS d2
+      |        FROM s$r s JOIN n$r n USING (vec_id))""".stripMargin
+    }
+    sb ++= s""",
+      |cand AS MATERIALIZED (SELECT vec_id, v FROM (
+      |    SELECT vec_id, v, row_number() OVER (PARTITION BY vec_id ORDER BY ord) AS rn
+      |    FROM (SELECT 0 AS ord, vec_id, v FROM v WHERE vec_id = 0
+      |          ${(0 until rounds).map(r =>
+             s"UNION ALL SELECT ${r + 1}, vec_id, v FROM c$r")
+             .mkString("\n      |          ")}))
+      |  WHERE rn = 1),
+      |g1 AS MATERIALIZED (SELECT c.vec_id, c.v, ${l2("c.v", "sv")} AS md FROM cand c, seed)""".stripMargin
+    for (j <- 2 to k) {
+      val prior = (2 until j).map(i => s"SELECT vec_id FROM p$i")
+      val excl = if (prior.isEmpty) ""
+        else s" AND vec_id NOT IN (${prior.mkString(" UNION ALL ")})"
+      sb ++= s""",
+      |p$j AS MATERIALIZED (SELECT vec_id, v, md FROM g${j - 1}
+      |        WHERE vec_id <> 0$excl ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      if (j < k) sb ++= s""",
+      |g$j AS MATERIALIZED (SELECT g.vec_id, g.v, least(g.md, ${l2("g.v", "p.v")}) AS md
+      |        FROM g${j - 1} g, p$j p)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS rank, CAST(0 AS BIGINT) AS vec_id,
+      |         CAST(0.0 AS DOUBLE) AS d2
+      |  ${(2 to k).map(j =>
+           s"UNION ALL SELECT $j, vec_id, md FROM p$j")
+           .mkString("\n      |  ")})
+      |ORDER BY rank""".stripMargin
     sb.toString
   }
 
@@ -4331,6 +4392,13 @@ object SparkEntry {
         |       CAST(1.0 AS DOUBLE) - CAST(n_tokens AS DOUBLE) / n_padded
         |         AS pad_waste
         |FROM agg ORDER BY seq_len""".stripMargin,
+    // q_kcenter_fast: no oracle — the production Σd² is a partial-
+    //                 aggregated float sum (order-free on a cluster but
+    //                 not replayable bit-exactly by a second engine);
+    //                 golden-pinned. The ALGORITHM — md5 Bernoulli draw,
+    //                 4l-farthest cap, min-updates, Gonzalez tail — is
+    //                 oracle-checked by the ordered-sum twin below.
+    "q_kcenter_fast_twin" -> kcenterTwinSql(8, 3, 16),
     // farthest-point traversal unrolled as a recursive CTE carrying the
     // selected-id and radius lists; min-to-set recomputed fresh per
     // round — same VALUE as Spark's incremental least() chain (min is

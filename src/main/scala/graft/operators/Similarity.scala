@@ -1291,9 +1291,32 @@ object Similarity {
       .select(col("vec_id"), vecD(col("embedding")).as("v")),
       k, rounds, oversample)
 
-  /** [[kCenterOversampled]] over any (vec_id, v: array<double>) frame. */
+  /** Cross-engine TWIN of [[kCenterOversampled]]: the identical
+    * algorithm with the ONE nondeterministic-across-engines step — the
+    * float Σd² each round's Bernoulli threshold divides by — replaced
+    * by the order-stable fold (Spark `aggregate` over
+    * `array_sort(collect_list(...))` ≡ DuckDB
+    * `list_sum(list(d2 ORDER BY vec_id))`, the adcOrderedSum law). The
+    * md5-prefix unit hash, the p = l·d²/Σd² draw, the 4l farthest cap,
+    * the per-round min-updates, and the driver Gonzalez tail are
+    * already exact given Σd², so this key puts the ENTIRE oversampled
+    * k-center++ pipeline under the DuckDB hash gate; the production
+    * `q_kcenter_fast` keeps the partial-aggregated sum (order-free on
+    * a cluster) and its golden.
+    */
+  def kCenterOversampledTwin(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 3, oversample: Double = 2.0): DataFrame =
+    kCenterOversampledOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), vecD(col("embedding")).as("v")),
+      k, rounds, oversample, orderedSum = true)
+
+  /** [[kCenterOversampled]] over any (vec_id, v: array<double>) frame.
+    * `orderedSum = true` is the twin's Σd² discipline (see
+    * [[kCenterOversampledTwin]]); the default keeps the
+    * map-side-combinable sum the cluster path wants.
+    */
   def kCenterOversampledOn(embIn: DataFrame, k: Int, rounds: Int = 3,
-      oversample: Double = 2.0): DataFrame = {
+      oversample: Double = 2.0, orderedSum: Boolean = false): DataFrame = {
     val spark = embIn.sparkSession
     import spark.implicits._
     require(k >= 1, s"k-center needs k >= 1, got $k")
@@ -1317,7 +1340,11 @@ object Similarity {
       val cut = state.cutLineage(eager = true)
       prevCut.foreach(graft.Materialize.release)
       prevCut = Some(cut)
-      val sumRow = cut.agg(sum(col("d2"))).head()
+      val sumRow =
+        if (orderedSum)
+          cut.agg(expr("aggregate(array_sort(collect_list(struct(vec_id, d2))), " +
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.d2)")).head()
+        else cut.agg(sum(col("d2"))).head()
       val sumd2 = if (sumRow.isNullAt(0)) 0.0 else sumRow.getDouble(0)
       if (sumd2 <= 0) exhausted = true // every vector already covered
       else {

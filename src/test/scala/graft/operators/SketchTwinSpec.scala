@@ -118,6 +118,26 @@ class SketchTwinSpec extends AnyFunSuite {
       "two sketch rows share an identical counter profile")
   }
 
+  test("kcenter oversampled twin: Gonzalez laws hold and the ordered-sum " +
+    "twin agrees with the production operator on this corpus") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("d2"))).toSeq
+    val twin = rows(Similarity.kCenterOversampledTwin(spark, dir))
+    assert(twin.length == 8)
+    assert(twin.head == ((1L, 0L, 0.0)))
+    assert(twin.map(_._2).distinct.length == 8, "picked ids must be distinct")
+    // Gonzalez radii are non-increasing after the seed
+    twin.drop(1).sliding(2).foreach { case Seq(a, b) =>
+      assert(b._3 <= a._3, s"radius grew: $a -> $b")
+    }
+    // the production path differs ONLY in Σd² summation order; on this
+    // corpus no Bernoulli threshold sits within an ulp of the draw, so
+    // the two must agree exactly (a data-level witness that the ordered
+    // fold changed nothing but replayability)
+    assert(twin == rows(Similarity.kCenterOversampled(spark, dir)))
+  }
+
   test("small-budget fertility: word mass is family-independent and bounded") {
     val docs = graft.sources.Tables.documents(spark, dir)
     val nWords = docs
