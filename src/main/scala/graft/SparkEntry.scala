@@ -247,6 +247,8 @@ object SparkEntry {
     "q_ann_kmeans" -> ((s, dir) => Similarity.annKmeansTopK(s, dir)),
     "q_media_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "q_media_frames" -> ((s, dir) => Multimodal.mediaFrames(s, dir)),
+    "q_media_frames_twin" ->
+      ((s, dir) => Multimodal.mediaFramesAudio(s, dir)),
     "q_media_resize" -> ((s, dir) => Multimodal.mediaResize(s, dir)),
     "q_media_patches" -> ((s, dir) => Multimodal.patchGrid(s, dir)),
     "q_media_phash" -> ((s, dir) => Multimodal.mediaPhashDup(s, dir)),
@@ -4185,6 +4187,34 @@ object SparkEntry {
         |       list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
         |         / strlen(text) AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_media_frames: no oracle — the GIF/PNG/MP4 container walks need
+    //                 byte-exact container emulation in SQL; golden.
+    //                 The raw-audio slice (fallback windows + the
+    //                 FNV-1a frame hash, folded in HUGEINT mod 2^64) IS
+    //                 oracle-checked by the twin below.
+    "q_media_frames_twin" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n,
+        |         list_transform(string_split(text, ''),
+        |                        c -> CAST(ascii(c) AS HUGEINT)) AS bl
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT doc_id, n, bl, t.f AS frame_idx,
+        |             (n * t.f) // 4 AS a0, (n * (t.f + 1)) // 4 AS b0
+        |      FROM a CROSS JOIN range(0, 4) t(f)),
+        |h AS (SELECT doc_id, frame_idx,
+        |             list_reduce(
+        |               list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        |                            bl[CAST(a0 + 1 AS INT):CAST(b0 AS INT)]),
+        |               (acc, x) -> (acc - acc % 256
+        |                   + xor(CAST(acc % 256 AS BIGINT), CAST(x AS BIGINT)))
+        |                 * CAST(1099511628211 AS HUGEINT)
+        |                 % CAST(18446744073709551616 AS HUGEINT)) AS hu
+        |      FROM w)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+        |                 THEN hu - CAST(18446744073709551616 AS HUGEINT)
+        |                 ELSE hu END AS BIGINT) AS frame_hash
+        |FROM h ORDER BY doc_id, frame_idx""".stripMargin,
     // aHash bits via the division-free comparison (blockSum*n >
     // totalSum*blockLen — pure integers); the twin mirrors the BANDED
     // candidate join (8 byte-bands), not an all-pairs scan, because at

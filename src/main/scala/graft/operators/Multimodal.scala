@@ -628,6 +628,20 @@ object Multimodal {
         .as(Seq("frame_idx", "frame_hash")))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Cross-engine TWIN slice of [[mediaFrames]]: the raw-audio family
+    * only (doc_id ≡ 1 mod 3 — payload = the ASCII text bytes, no
+    * container), where BOTH halves of the frame row are replayable by
+    * a second engine: the fallback window rule
+    * [len·f/4, len·(f+1)/4) is integer arithmetic, and the
+    * [[fnv1a]] frame hash is a 64-bit wrapping fold DuckDB replays in
+    * HUGEINT arithmetic mod 2⁶⁴ — the first byte-level hash kernel of
+    * the engine under the hash gate. The GIF/PNG/MP4 container walks
+    * keep their goldens (byte-exact container emulation in SQL is the
+    * remaining gap, not the hash or the windowing).
+    */
+  def mediaFramesAudio(spark: SparkSession, dir: String): DataFrame =
+    mediaFrames(spark, dir).filter(col("doc_id") % 3 === 1)
+
   /** The one extractFeatures→resizeMeta composition shared by
     * [[mediaResize]] and [[patchGrid]], so out_width/out_height can
     * never drift between the two query surfaces.
