@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregates, Analytics, Bpe, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, Privacy, Relational, Retrieval, Sampling, Scalars, Similarity, TextAnalysis}
+import graft.operators.{Aggregates, Analytics, Bpe, Cdc, Dedup, Expectations, Graph, Joins, Multimodal, NgramLm, Privacy, Relational, Retrieval, Sampling, Scalars, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -292,6 +292,13 @@ object SparkEntry {
           .select(org.apache.spark.sql.functions.col("doc_id"),
             org.apache.spark.sql.functions.col("split")),
         Dedup.nearDupPairs(s, dir, 0.7))),
+    "q_tar_manifest" -> ((s, dir) => Multimodal.tarManifest(s, dir)),
+    "q_tar_shards" -> ((s, dir) => Multimodal.tarShardSummary(s, dir)),
+    "q_sb_counts" -> ((s, dir) => NgramLm.lmCountsTop(s, dir)),
+    "q_sb_score" -> ((s, dir) => NgramLm.lmScore(s, dir)),
+    "q_sb_levels" -> ((s, dir) => NgramLm.lmLevels(s, dir)),
+    "q_sb_gate" -> ((s, dir) => NgramLm.lmGate(s, dir)),
+    "q_sb_served" -> ((s, dir) => NgramLm.lmScoreServed(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -959,7 +966,134 @@ object SparkEntry {
       |       CAST(min(anchor) AS BIGINT) AS first_pos
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for the n-gram LM oracles — tokenize, per-position
+    * gram structs (the [[graft.functions.LmGramKernel]] contract:
+    * 1-based positions over `string_split(text, ' ')`, contexts null
+    * where the window hangs off the document start), order-1/2/3 counts
+    * over the training slice (`modelFilter`, empty = self-model), token
+    * total N, and the Stupid-Backoff scored positions in exact integer
+    * micro-units — `(10⁶·αʲ·c) // c_pfx` with α = 2/5, mirroring
+    * `NgramLm.scoreOn`'s `div` arithmetic branch for branch.
+    */
+  private def lmCtes(modelFilter: String): String = {
+    val f1 = if (modelFilter.isEmpty) "" else s"WHERE $modelFilter "
+    val fN = if (modelFilter.isEmpty) "" else s"AND $modelFilter "
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, w, unnest(range(1, len(w) + 1)) AS i FROM toks),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |         w[i] AS g1,
+       |         CASE WHEN i >= 2 THEN w[i-1] END AS p2,
+       |         CASE WHEN i >= 2 THEN w[i-1] || ' ' || w[i] END AS g2,
+       |         CASE WHEN i >= 3 THEN w[i-2] || ' ' || w[i-1] END AS p3,
+       |         CASE WHEN i >= 3 THEN w[i-2] || ' ' || w[i-1] || ' ' || w[i] END AS g3
+       |  FROM pos),
+       |c1 AS (SELECT g1 AS gram, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM grams ${f1}GROUP BY 1),
+       |c2 AS (SELECT g2 AS gram, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM grams WHERE g2 IS NOT NULL ${fN}GROUP BY 1),
+       |c3 AS (SELECT g3 AS gram, CAST(count(*) AS BIGINT) AS cnt
+       |       FROM grams WHERE g3 IS NOT NULL ${fN}GROUP BY 1),
+       |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c1),
+       |scored AS (
+       |  SELECT g.doc_id,
+       |         CASE WHEN cc3.cnt IS NOT NULL THEN (1000000 * cc3.cnt) // cp3.cnt
+       |              WHEN cc2.cnt IS NOT NULL THEN (400000 * cc2.cnt) // cp2.cnt
+       |              WHEN cc1.cnt IS NOT NULL THEN (160000 * cc1.cnt) // n.n_total
+       |              ELSE CAST(0 AS BIGINT) END AS micro,
+       |         CASE WHEN cc3.cnt IS NOT NULL THEN 3
+       |              WHEN cc2.cnt IS NOT NULL THEN 2
+       |              WHEN cc1.cnt IS NOT NULL THEN 1 ELSE 0 END AS lvl
+       |  FROM grams g
+       |  LEFT JOIN c3 cc3 ON g.g3 = cc3.gram
+       |  LEFT JOIN c2 cp3 ON g.p3 = cp3.gram
+       |  LEFT JOIN c2 cc2 ON g.g2 = cc2.gram
+       |  LEFT JOIN c1 cp2 ON g.p2 = cp2.gram
+       |  LEFT JOIN c1 cc1 ON g.g1 = cc1.gram
+       |  CROSS JOIN n),
+       |agg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |         CAST(sum(micro) AS BIGINT) AS sum_micro,
+       |         CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_l3,
+       |         CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_l2,
+       |         CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_l1,
+       |         CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Per-document Stupid-Backoff scores under the self-model — shared
+    * by q_sb_score and q_sb_served (the served path is spec-equal to
+    * the in-query one, so one oracle covers both).
+    */
+  private val lmScoreSql: String =
+    s"""${lmCtes("")}
+       |SELECT doc_id, n_tokens, sum_micro,
+       |       sum_micro // n_tokens AS avg_micro,
+       |       n_l3, n_l2, n_l1, n_oov
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "q_tar_manifest" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id % 4 AS INT) AS shard,
+        |         CAST(doc_id AS VARCHAR) || '.' ||
+        |           CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |                WHEN doc_id % 3 = 1 THEN 'audio'
+        |                ELSE 'video' END AS name,
+        |         CAST(strlen(text) AS BIGINT) AS size,
+        |         ((CAST(strlen(text) AS BIGINT) + 511) // 512) * 512 AS padded
+        |  FROM documents),
+        |o AS (
+        |  SELECT shard, doc_id, name, size, padded,
+        |         CAST(coalesce(sum(512 + padded) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS BIGINT) AS hdr_offset
+        |  FROM m)
+        |SELECT shard, doc_id, name, size, padded, hdr_offset,
+        |       hdr_offset + 512 AS data_offset
+        |FROM o ORDER BY shard, doc_id""".stripMargin,
+    "q_tar_shards" ->
+      """WITH m AS (
+        |  SELECT CAST(doc_id % 4 AS INT) AS shard,
+        |         CAST(strlen(text) AS BIGINT) AS size,
+        |         ((CAST(strlen(text) AS BIGINT) + 511) // 512) * 512 AS padded
+        |  FROM documents)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(sum(size) AS BIGINT) AS data_bytes,
+        |       CAST(sum(512 + padded) + 1024 AS BIGINT) AS tar_bytes
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_sb_counts" ->
+      s"""${lmCtes("")},
+         |ac AS (SELECT 1 AS ord, gram, cnt FROM c1
+         |       UNION ALL SELECT 2 AS ord, gram, cnt FROM c2
+         |       UNION ALL SELECT 3 AS ord, gram, cnt FROM c3),
+         |rkd AS (SELECT ord, gram, cnt,
+         |               CAST(row_number() OVER (PARTITION BY ord
+         |                 ORDER BY cnt DESC, gram) AS INT) AS rk
+         |        FROM ac)
+         |SELECT ord, gram, cnt, rk FROM rkd WHERE rk <= 50
+         |ORDER BY ord, rk""".stripMargin,
+    "q_sb_score" -> lmScoreSql,
+    "q_sb_served" -> lmScoreSql,
+    "q_sb_levels" ->
+      s"""${lmCtes("")}
+         |SELECT CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS l3,
+         |       CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l2,
+         |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+         |       CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov
+         |FROM scored""".stripMargin,
+    "q_sb_gate" ->
+      s"""${lmCtes("lang = 'en'")}
+         |SELECT doc_id, n_tokens, sum_micro,
+         |       sum_micro // n_tokens AS avg_micro,
+         |       n_l3, n_l2, n_l1, n_oov
+         |FROM agg
+         |WHERE sum_micro // n_tokens >= 100000
+         |ORDER BY doc_id""".stripMargin,
     "q_agg_by_key" ->
       """WITH agg AS (
         |  SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Count-based n-gram language model with Stupid Backoff — the
+  * perplexity-style quality filter every web-scale curation pipeline
+  * runs (CCNet, Wenzek et al. 2019; RefinedWeb) expressed as pure
+  * count algebra so the whole family is oracle-exact.
+  *
+  * The order-3 BACKOFF sibling of
+  * [[TextAnalysis.bigramLm]] / [[TextAnalysis.lmGate]]: that family
+  * scores mean p(b|a) with unseen transitions pinned to 0; this one
+  * climbs the full trigram→bigram→unigram chain with α-discounting,
+  * so an unseen trigram degrades gracefully instead of zeroing, and
+  * the per-level hit counts expose WHERE the model's evidence came
+  * from — the diagnostic that separates "fluent but novel" from
+  * "out of domain".
+  *
+  * Training is ONE pass: the [[graft.functions.LmGramKernel]] walks
+  * each document once, the per-position structs explode, `stack`
+  * fans each position into its (order, gram) rows, and a single
+  * hash aggregation produces the model — a Heaps-law-bounded
+  * (order, gram, cnt) dictionary, the same "counts are the model"
+  * shape Brants et al. 2007 ("Large Language Models in Machine
+  * Translation") built distributed MapReduce LMs on. No smoothing
+  * state, no normalization pass: Stupid Backoff was designed so
+  * that distributed training IS counting.
+  *
+  * Scoring token `w_i` with context:
+  *
+  *   S(w_i) = c(w_{i−2} w_{i−1} w_i) / c(w_{i−2} w_{i−1})   if c₃ > 0
+  *          = α · c(w_{i−1} w_i) / c(w_{i−1})               elif c₂ > 0
+  *          = α² · c(w_i) / N                               elif c₁ > 0
+  *          = 0 (out-of-vocabulary)                         otherwise
+  *
+  * with α = 2/5. Every branch is a ratio of model counts, so scores
+  * are emitted in exact integer micro-units — `(10⁶·αʲ·c) div c_pfx`
+  * with 10⁶·α = 400000 and 10⁶·α² = 160000 exact — and per-document
+  * scores are BIGINT sums: no `ln`, no float accumulation order, and
+  * a DuckDB twin that reproduces them bit-for-bit. (The conventional
+  * log-space view is monotone in each per-token ratio; gates
+  * thresholding the micro mean rank documents the way a
+  * micro-quantized probability mean does, which is all a filter
+  * needs.)
+  *
+  * Backoff never divides by a missing prefix: if the model contains
+  * trigram `a b c`, it contains bigram `a b` (counted where the
+  * trigram was), and if it contains bigram `a b` it contains unigram
+  * `a` — so each branch's denominator is non-null whenever its
+  * numerator is. Holds for cross-corpus scoring too, because the
+  * prefix of a MATCHED gram is the model's own prefix.
+  *
+  * Scale shape (100 TB): training shuffles (order, gram) count rows
+  * once — map-side partial aggregation collapses repeats before the
+  * exchange, and the reduce side is model-sized, not corpus-sized.
+  * Scoring is corpus positions × five equi-joins against the model
+  * dictionary; each join's build side is the model (broadcast when
+  * small, shuffled hash join keyed on the gram otherwise — AQE
+  * picks), and the per-document rollup re-aggregates on doc_id.
+  * Nothing is ever collected; the stored layout
+  * ([[writeNgramLm]] / [[lmModelFromIndex]]) is gram-clustered
+  * parquet whose counts merge by sum, so incremental admission
+  * ([[appendToNgramLm]], [[graft.streaming.EventStream.lmMaintainSink]])
+  * appends batch partials and never rescans the corpus.
+  */
+object NgramLm {
+
+  /** See [[graft.functions.LmGramKernel]]. */
+  def grams(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.LmGrams(ColumnBridge.expression(text)))
+  }
+
+  /** Exploded per-position frame: (doc_id, g1, p2, g2, p3, g3) — one
+    * row per token position, nulls where the context window hangs off
+    * the document start.
+    */
+  private[operators] def positions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(grams(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.p2").as("p2"),
+        col("g.g2").as("g2"), col("g.p3").as("p3"), col("g.g3").as("g3"))
+
+  /** The model: (ord, gram, cnt) counts for orders 1–3, one shuffle.
+    * `stack` fans each position into its order rows BEFORE the
+    * aggregation so partial (map-side) aggregation sees the final
+    * grouping key — repeats collapse in the map stage.
+    */
+  def countsOn(docs: DataFrame): DataFrame =
+    positions(docs)
+      .selectExpr("stack(3, 1, g1, 2, g2, 3, g3) AS (ord, gram)")
+      .where(col("gram").isNotNull)
+      .groupBy(col("ord"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Stupid-Backoff per-document scores against `model` (an
+    * (ord, gram, cnt) frame): (doc_id, n_tokens, sum_micro, avg_micro,
+    * n_l3, n_l2, n_l1, n_oov) — every column BIGINT-exact. `n_l*`
+    * count which backoff level scored each position (the fluency
+    * diagnostic: a corpus-native document scores mostly at level 3,
+    * an out-of-domain one drains to levels 1/0).
+    */
+  def scoreOn(docs: DataFrame, model: DataFrame): DataFrame = {
+    import graft.Materialize.MatOps
+    // the model subtree feeds five join build sides plus the N
+    // aggregate — cut it once or the counts pass would run six times
+    val m = model.cutLineage()
+    val c1 = m.filter(col("ord") === 1).select(col("gram"), col("cnt"))
+    val c2 = m.filter(col("ord") === 2).select(col("gram"), col("cnt"))
+    val c3 = m.filter(col("ord") === 3).select(col("gram"), col("cnt"))
+    // corpus token total N — the unigram backstop's denominator; a
+    // 1-row aggregate broadcast onto every position (house ratio-to-
+    // report shape, never a collect)
+    val n = c1.agg(sum(col("cnt")).as("n_total"))
+
+    val joined = positions(docs)
+      .join(c3.select(col("gram").as("g3"), col("cnt").as("c3")),
+        Seq("g3"), "left")
+      .join(c2.select(col("gram").as("p3"), col("cnt").as("cp3")),
+        Seq("p3"), "left")
+      .join(c2.select(col("gram").as("g2"), col("cnt").as("c2")),
+        Seq("g2"), "left")
+      .join(c1.select(col("gram").as("p2"), col("cnt").as("cp2")),
+        Seq("p2"), "left")
+      .join(c1.select(col("gram").as("g1"), col("cnt").as("c1")),
+        Seq("g1"), "left")
+      .crossJoin(broadcast(n))
+
+    val scored = joined.select(
+      col("doc_id"),
+      when(col("c3").isNotNull,
+          expr("(1000000 * c3) div cp3"))
+        .when(col("c2").isNotNull,
+          expr("(400000 * c2) div cp2"))
+        .when(col("c1").isNotNull,
+          expr("(160000 * c1) div n_total"))
+        .otherwise(lit(0L)).as("micro"),
+      when(col("c3").isNotNull, lit(3))
+        .when(col("c2").isNotNull, lit(2))
+        .when(col("c1").isNotNull, lit(1))
+        .otherwise(lit(0)).as("lvl"))
+
+    scored.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      sum(col("micro")).as("sum_micro"),
+      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_l3"),
+      sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_l2"),
+      sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_l1"),
+      sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("avg_micro", expr("sum_micro div n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_micro"),
+        col("avg_micro"), col("n_l3"), col("n_l2"), col("n_l1"),
+        col("n_oov"))
+  }
+
+  /** Head of the self-trained model — the query a pipeline runs to
+    * eyeball what the LM learned: the most frequent grams per order
+    * under the deterministic (ord, cnt DESC, gram) total order.
+    */
+  def lmCountsTop(spark: SparkSession, dir: String,
+      perOrder: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    countsOn(Tables.documents(spark, dir))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("ord"))
+          .orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rk") <= perOrder)
+      .select(col("ord"), col("gram"), col("cnt"), col("rk"))
+      .orderBy(col("ord"), col("rk"))
+  }
+
+  /** Per-document Stupid-Backoff scores under the SELF-trained model
+    * (train and score on the same corpus — the "how native is each
+    * document to this corpus" probe).
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreOn(docs, countsOn(docs)).orderBy(col("doc_id"))
+  }
+
+  /** Backoff-level mix over the whole corpus under the self-model —
+    * a 4-row health report (how often scoring resolved at trigram /
+    * bigram / unigram / OOV).
+    */
+  def lmLevels(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    scoreOn(docs, countsOn(docs))
+      .select(col("n_l3"), col("n_l2"), col("n_l1"), col("n_oov"))
+      .agg(sum(col("n_l3")).as("l3"), sum(col("n_l2")).as("l2"),
+        sum(col("n_l1")).as("l1"), sum(col("n_oov")).as("oov"))
+  }
+
+  /** CCNet-style LM quality gate: train on the reference slice
+    * (`lang = refLang` — the "clean corpus" stand-in), score EVERY
+    * document, keep those whose mean micro-probability clears
+    * `minAvgMicro`. Cross-corpus scoring exercises the full backoff
+    * chain including OOV. Emits the scores with the survivors so the
+    * gate's decisions are auditable.
+    */
+  def lmGate(spark: SparkSession, dir: String, refLang: String = "en",
+      minAvgMicro: Long = 100000L): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val model = countsOn(docs.filter(col("lang") === refLang))
+    scoreOn(docs, model)
+      .filter(col("avg_micro") >= minAvgMicro)
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------
+  // Stored-model lifecycle — the index triad (write / append / serve)
+  // ---------------------------------------------------------------
+
+  /** Materialize the model for a corpus: gram-clustered counts (the
+    * scoring joins' key), so serving never re-tokenizes the training
+    * corpus. Everything the model serves — including the token total
+    * N — is a function of the counts, so the layout is this one
+    * directory of mergeable partials.
+    */
+  def writeNgramLm(spark: SparkSession, dir: String, path: String): Unit =
+    writeNgramLmOn(Tables.documents(spark, dir), path)
+
+  /** [[writeNgramLm]] over any (doc_id, text) frame. */
+  def writeNgramLmOn(docs: DataFrame, path: String): Unit =
+    countsOn(docs).repartition(col("gram"))
+      .sortWithinPartitions(col("ord"), col("gram"))
+      .write.mode("overwrite").parquet(path + "/counts")
+
+  /** Incrementally admit a document batch into a stored model —
+    * counts are mergeable sums, so admission appends the BATCH's
+    * partial counts; the corpus text is never rescanned. Serving
+    * after an append is identical to a full rebuild over the union
+    * corpus ([[lmModelFromIndex]] re-sums per gram; spec-proved in
+    * `NgramLmSpec`).
+    */
+  def appendToNgramLm(spark: SparkSession, batch: DataFrame,
+      path: String): Unit =
+    countsOn(batch).write.mode("append").parquet(path + "/counts")
+
+  /** The model a stored layout serves: per-gram count sums over the
+    * base write plus every appended partial — a dictionary-sized
+    * aggregation over the artifact files only.
+    */
+  def lmModelFromIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath + "/counts")
+      .groupBy(col("ord"), col("gram"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Per-document scores served from the stored model — identical to
+    * [[lmScore]] by construction (same corpus, same counts re-summed
+    * from the artifact), which is what the DuckDB oracle recomputes.
+    * The model is built at most once per (session, dir)
+    * ([[graft.ArtifactMemo]] train-once/serve discipline).
+    */
+  def lmScoreServed(spark: SparkSession, dir: String): DataFrame = {
+    val path = graft.ArtifactMemo.cached(spark, s"ngramlm:$dir") {
+      val p = graft.Materialize.artifactDir(spark, s"ngram_lm:$dir")
+      writeNgramLm(spark, dir, p)
+      p
+    }
+    scoreOn(Tables.documents(spark, dir), lmModelFromIndex(spark, path))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -568,6 +568,49 @@ object EventStream {
       }
       .start()
 
+  /** Incremental n-gram LM maintenance — the COUNT-DICTIONARY member of
+    * the artifact-maintainer family (CMS counts, KMV order statistics,
+    * MG heavy hitters, quantile samples, covariance moments — and now
+    * the language model a perplexity gate scores against): each
+    * micro-batch of (doc_id, text) documents is collapsed to its
+    * (ord, gram, cnt) partial counts
+    * ([[graft.operators.NgramLm.countsOn]] — model-sized, never
+    * corpus-sized) and lands as an `ingest_batch=<id>` partition under
+    * the model's `counts/` directory. Counts are mergeable sums, so
+    * serving ([[graft.operators.NgramLm.lmModelFromIndex]] re-sums per
+    * gram over the partials) is value-identical to a from-scratch
+    * [[graft.operators.NgramLm.countsOn]] build over everything ever
+    * streamed — the [[cmsMaintain]] contract, spec-pinned.
+    *
+    * Unlike the fixed-size sketch maintainers the stored state GROWS
+    * (a Heaps-law-bounded dictionary, not a 32 KB sketch), so this
+    * maintainer never rewrites it: each append is batch-sized, and
+    * replay safety needs no stored batch_id guard — DYNAMIC partition
+    * overwrite makes an at-least-once redelivery rewrite its own
+    * ingest_batch partition instead of double-counting, because
+    * partition identity IS the guard (the curation-sink discipline
+    * applied to model state). A maintained model owns its path:
+    * don't mix it with [[graft.operators.NgramLm.writeNgramLm]]'s
+    * unpartitioned layout in one directory, or parquet partition
+    * discovery rejects the union.
+    */
+  def lmMaintainSink(docs: DataFrame, modelPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.NgramLm.countsOn(batch.toDF())
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(modelPath + "/counts")
+        }
+      }
+      .start()
+
   /** Incremental KMV vocabulary-sketch maintenance — the order-statistic
     * sibling of [[cmsMaintain]]: each micro-batch's per-source bottom-k
     * shingle hashes are unioned with the stored sketch and the bottom-k

@@ -1362,4 +1362,40 @@ class EventStreamSpec extends AnyFunSuite {
     assert(after.getAs[Long]("n") == nFull,
       "replayed batch id must be ignored, not re-added")
   }
+
+  test("lmMaintainSink: the maintained n-gram model equals a from-scratch " +
+      "countsOn over everything streamed, and a replayed batch rewrites " +
+      "its own partition instead of double-counting") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_lmmaint")
+    val modelDir = base.resolve("model").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "a b c a b c"), (2L, "a b d"))
+    val q = EventStream.lmMaintainSink(
+      input.toDF().toDF("doc_id", "text"), modelDir, ckpt)
+    try {
+      q.processAllAvailable()          // batch 0
+      input.addData((3L, "b c a"))
+      q.processAllAvailable()          // batch 1
+    } finally q.stop()
+    val all = Seq((1L, "a b c a b c"), (2L, "a b d"), (3L, "b c a"))
+      .toDF("doc_id", "text")
+    val scratch = graft.operators.NgramLm.countsOn(all)
+    val maintained = graft.operators.NgramLm.lmModelFromIndex(spark, modelDir)
+    assert(maintained.exceptAll(scratch).isEmpty
+      && scratch.exceptAll(maintained).isEmpty)
+    // at-least-once replay of batch 1: same partials land in the same
+    // ingest_batch partition under dynamic overwrite -> model unchanged
+    graft.operators.NgramLm.countsOn(
+        Seq((3L, "b c a")).toDF("doc_id", "text"))
+      .withColumn("ingest_batch", org.apache.spark.sql.functions.lit(1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ingest_batch").parquet(modelDir + "/counts")
+    val after2 = graft.operators.NgramLm.lmModelFromIndex(spark, modelDir)
+    assert(after2.exceptAll(scratch).isEmpty
+      && scratch.exceptAll(after2).isEmpty,
+      "replayed batch partition must rewrite, not double-count")
+  }
 }
