@@ -299,6 +299,7 @@ object SparkEntry {
     "q_sb_levels" -> ((s, dir) => NgramLm.lmLevels(s, dir)),
     "q_sb_gate" -> ((s, dir) => NgramLm.lmGate(s, dir)),
     "q_sb_served" -> ((s, dir) => NgramLm.lmScoreServed(s, dir)),
+    "q_sb_buckets" -> ((s, dir) => NgramLm.lmBuckets(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1086,6 +1087,19 @@ object SparkEntry {
          |       CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
          |       CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS oov
          |FROM scored""".stripMargin,
+    "q_sb_buckets" ->
+      s"""${lmCtes("")},
+         |sc AS (SELECT doc_id, sum_micro // n_tokens AS avg_micro FROM agg),
+         |rkd AS (SELECT doc_id, avg_micro,
+         |               CAST(row_number() OVER (ORDER BY avg_micro DESC,
+         |                 doc_id) AS BIGINT) AS rk,
+         |               CAST(count(*) OVER () AS BIGINT) AS n
+         |        FROM sc)
+         |SELECT doc_id, avg_micro, rk,
+         |       CASE WHEN rk * 3 <= n THEN 'head'
+         |            WHEN rk * 3 <= n * 2 THEN 'middle'
+         |            ELSE 'tail' END AS bucket
+         |FROM rkd ORDER BY doc_id""".stripMargin,
     "q_sb_gate" ->
       s"""${lmCtes("lang = 'en'")}
          |SELECT doc_id, n_tokens, sum_micro,

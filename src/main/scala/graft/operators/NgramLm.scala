@@ -209,6 +209,45 @@ object NgramLm {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity terciles (Wenzek et al. 2019 split their
+    * corpus into head/middle/tail by reference-LM perplexity and
+    * weight the mixture by bucket): docs ranked by mean
+    * micro-probability DESC (doc_id breaks ties), bucket = head for
+    * the best third (3·rk ≤ n), tail for the worst, middle between.
+    *
+    * The global rank is WINDOWLESS (the `shardPlanOn` pattern):
+    * `avg_micro` lives on the bounded integer domain [0, 10⁶], so the
+    * strictly-better counts come from a histogram over that domain
+    * (broadcast back), and only the within-value tie-break runs a
+    * window — PARTITIONED by avg_micro, bounded by one value's doc
+    * count. A corpus-sized `row_number() OVER (ORDER BY ...)` window
+    * would serialize the whole corpus through one task.
+    */
+  def lmBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val scored = scoreOn(docs, countsOn(docs))
+      .select(col("doc_id"), col("avg_micro"))
+    val hist = scored.groupBy(col("avg_micro"))
+      .agg(count(lit(1)).as("cnt"))
+    val wh = Window.orderBy(col("avg_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val better = hist
+      .withColumn("better", coalesce(sum(col("cnt")).over(wh), lit(0L)))
+      .select(col("avg_micro"), col("better"))
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    val wt = Window.partitionBy(col("avg_micro")).orderBy(col("doc_id"))
+    scored.join(broadcast(better), Seq("avg_micro"))
+      .withColumn("rk", col("better") + row_number().over(wt))
+      .crossJoin(broadcast(n))
+      .withColumn("bucket",
+        when(col("rk") * 3 <= col("n_docs"), "head")
+          .when(col("rk") * 3 <= col("n_docs") * 2, "middle")
+          .otherwise("tail"))
+      .select(col("doc_id"), col("avg_micro"), col("rk"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---------------------------------------------------------------
   // Stored-model lifecycle — the index triad (write / append / serve)
   // ---------------------------------------------------------------

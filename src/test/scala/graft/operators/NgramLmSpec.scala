@@ -142,6 +142,25 @@ class NgramLmSpec extends AnyFunSuite {
       && expected.exceptAll(gate).isEmpty)
   }
 
+  test("lmBuckets splits the corpus into exact head/middle/tail thirds " +
+      "with (avg_micro DESC, doc_id) rank order, ties included") {
+    val b = NgramLm.lmBuckets(spark, dir).collect()
+    val n = b.length
+    val counts = b.groupBy(_.getAs[String]("bucket"))
+      .map { case (k, v) => k -> v.length }
+    assert(counts("head") == n / 3)
+    assert(counts("head") + counts("middle") == 2 * n / 3)
+    assert(counts.values.sum == n)
+    // rank is a permutation of 1..n and respects the score order
+    val byRank = b.sortBy(_.getAs[Long]("rk"))
+    assert(byRank.map(_.getAs[Long]("rk")).toSeq == (1L to n).toSeq)
+    byRank.sliding(2).foreach { case Array(a, c) =>
+      val (sa, sc) = (a.getAs[Long]("avg_micro"), c.getAs[Long]("avg_micro"))
+      assert(sa > sc ||
+        (sa == sc && a.getAs[Long]("doc_id") < c.getAs[Long]("doc_id")))
+    }
+  }
+
   // --- plan shape ---------------------------------------------------
 
   test("training is ONE shuffle: the stack fan-out happens before the " +
