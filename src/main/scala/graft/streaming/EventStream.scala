@@ -611,6 +611,55 @@ object EventStream {
       }
       .start()
 
+  /** Streaming Stupid-Backoff quality gate — the BACKOFF sibling of
+    * the bigram [[lmGateSink]] in the admission family's quality wing
+    * (the dedup wing — [[nearDupGate]], [[embeddingGateSink]],
+    * [[phashGateSink]], [[ppjoinGateSink]], [[simhashGateSink]] —
+    * guards against duplication; the quality wing guards against
+    * junk): each micro-batch of (doc_id, text) documents is
+    * Stupid-Backoff-scored against a STORED reference model
+    * ([[graft.operators.NgramLm.writeNgramLm]] layout, refreshed
+    * between batches by [[graft.operators.NgramLm.appendToNgramLm]]
+    * or maintained by [[lmMaintainSink]]), and only docs whose mean
+    * micro-probability clears `minAvgMicro` land — the streaming form
+    * of [[graft.operators.NgramLm.lmGate]]'s CCNet-style filter, with
+    * graceful degradation on unseen trigrams where the bigram gate
+    * pins them to p = 0.
+    *
+    * Stateless on the stream side: the model lives in its artifact,
+    * never a state store, and per-batch cost is batch positions × the
+    * model joins — corpus-size-independent. Unlike the dedup gates, a
+    * decision is a pure function of (batch, model): nothing this sink
+    * admits feeds back into what it scores, so no own-batch replay
+    * exemption is needed — dynamic overwrite of the `ingest_batch`
+    * partition alone makes an at-least-once redelivery rewrite its
+    * decisions (identical while the model artifact is unchanged; a
+    * refresh racing the replay changes scores, not admission
+    * double-counting).
+    */
+  def sbGateSink(docs: DataFrame, modelPath: String, outPath: String,
+      checkpoint: String, minAvgMicro: Long = 100000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val keep = graft.operators.NgramLm
+            .scoreOn(batch.toDF(),
+              graft.operators.NgramLm.lmModelFromIndex(spark, modelPath))
+            .filter(col("avg_micro") >= minAvgMicro)
+            .select(col("doc_id"))
+          batch.join(keep, Seq("doc_id"), "left_semi")
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Incremental KMV vocabulary-sketch maintenance — the order-statistic
     * sibling of [[cmsMaintain]]: each micro-batch's per-source bottom-k
     * shingle hashes are unioned with the stored sketch and the bottom-k

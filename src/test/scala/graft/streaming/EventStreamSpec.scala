@@ -1398,4 +1398,40 @@ class EventStreamSpec extends AnyFunSuite {
       && scratch.exceptAll(after2).isEmpty,
       "replayed batch partition must rewrite, not double-count")
   }
+
+  test("sbGateSink admits exactly the docs the batch LM gate would: " +
+      "corpus-fluent text lands, out-of-vocabulary junk is dropped") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_lmgate")
+    val modelDir = base.resolve("model").toString
+    val outDir = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.operators.NgramLm.writeNgramLm(spark, "/root/testdata/sf0.001",
+      modelDir)
+    val fluent = docs.filter(col("doc_id") === 0)
+      .head.getAs[String]("text")
+    val junk = "zxqv wvupt paqrr mmznn qqlpo rrtyu vvbnm kklhj"
+    val input = MemoryStream[(Long, String)]
+    input.addData((2000001L, fluent), (2000002L, junk))
+    val q = EventStream.sbGateSink(
+      input.toDF().toDF("doc_id", "text"), modelDir, outDir, ckpt)
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    // the batch-side equivalent decision over the same model
+    import spark.implicits._
+    val batch = Seq((2000001L, fluent), (2000002L, junk))
+      .toDF("doc_id", "text")
+    val expected = graft.operators.NgramLm
+      .scoreOn(batch, graft.operators.NgramLm.lmModelFromIndex(spark, modelDir))
+      .filter(col("avg_micro") >= 100000L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(landed == expected)
+    assert(landed.contains(2000001L) && !landed.contains(2000002L),
+      s"fluent doc must pass and OOV junk must drop, got $landed")
+  }
 }
