@@ -159,15 +159,27 @@ object NgramLm {
   /** Head of the self-trained model — the query a pipeline runs to
     * eyeball what the LM learned: the most frequent grams per order
     * under the deterministic (ord, cnt DESC, gram) total order.
+    *
+    * Per-order top-k is one `TakeOrderedAndProject` per FIXED order
+    * value (each map task keeps its own ≤k candidates before the
+    * single-row-set merge) — NOT a `row_number().over(partitionBy(
+    * ord))` window, which with only 3 distinct keys would funnel each
+    * order's ENTIRE Heaps-bounded dictionary through one task. The
+    * rank column's window runs after the limits, over ≤ 3·k rows.
     */
   def lmCountsTop(spark: SparkSession, dir: String,
       perOrder: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    countsOn(Tables.documents(spark, dir))
+    import graft.Materialize.MatOps
+    // one counts pass feeding three take-ordered branches
+    val counts = countsOn(Tables.documents(spark, dir)).cutLineage()
+    (1 to 3).map { o =>
+      counts.filter(col("ord") === o)
+        .orderBy(col("cnt").desc, col("gram")).limit(perOrder)
+    }.reduce(_ unionByName _)
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("ord"))
           .orderBy(col("cnt").desc, col("gram"))))
-      .filter(col("rk") <= perOrder)
       .select(col("ord"), col("gram"), col("cnt"), col("rk"))
       .orderBy(col("ord"), col("rk"))
   }

@@ -163,6 +163,14 @@ class NgramLmSpec extends AnyFunSuite {
 
   // --- plan shape ---------------------------------------------------
 
+  test("lmCountsTop plans per-order TakeOrderedAndProject (map-side " +
+      "partial top-k), never a 3-key rank window over the dictionary") {
+    val plan = NgramLm.lmCountsTop(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject branches:\n$plan")
+  }
+
   test("training is ONE shuffle: the stack fan-out happens before the " +
       "partial aggregation, so the plan has a single exchange") {
     val plan = NgramLm.countsOn(
