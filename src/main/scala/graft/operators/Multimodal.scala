@@ -864,7 +864,7 @@ object Multimodal {
       size: Long): Array[Byte] = {
     require(name.getBytes("UTF-8").length <= 100,
       s"tar member name exceeds the ustar 100-byte field: $name")
-    require(size >= 0 && size <= 0x1ffffffffL * 0x40L,
+    require(size >= 0 && size <= 0x1ffffffffL, // 8^11 - 1: 11 octal digits
       s"tar member size out of the 11-octal-digit range: $size")
     val h = new Array[Byte](512)
     def put(off: Int, s: String): Unit = {

@@ -98,4 +98,14 @@ class TarShardSpec extends AnyFunSuite {
       Multimodal.tarHeaderBytes("x" * 101, 1L)
     }
   }
+
+  test("tarHeaderBytes rejects sizes past the 11-octal-digit field and " +
+      "accepts the exact boundary") {
+    val max = 0x1ffffffffL // 8^11 - 1
+    val h = Multimodal.tarHeaderBytes("big.bin", max)
+    assert(new String(h, 124, 11, "US-ASCII") == "77777777777")
+    intercept[IllegalArgumentException] {
+      Multimodal.tarHeaderBytes("big.bin", max + 1)
+    }
+  }
 }
