@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
-import graft.functions.{AHash64, DeflateSize, DotProduct, L2Sq, SampleCdfPos, SignBands, SimHash64, SortedIntersectCount, TriProducts, WordShingles}
+import graft.functions.{AHash64, DeflateSize, DotProduct, L2Sq, LmGrams, SampleCdfPos, SignBands, SimHash64, SortedIntersectCount, TriProducts, WordShingles}
 
 /** Session plugin registering graft's native Catalyst expressions.
   *
@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("deflate_size", 1)(a => DeflateSize(a(0))))
     ext.injectFunction(fn("emb_sign_bands", 1)(a => SignBands(a(0))))
     ext.injectFunction(fn("vec_tri_prods", 1)(a => TriProducts(a(0))))
+    ext.injectFunction(fn("lm_grams", 1)(a => LmGrams(a(0))))
     ext.injectFunction(
       fn("sorted_intersect_count", 2)(a => SortedIntersectCount(a(0), a(1))))
     ext.injectFunction(fn("sample_cdf_pos", 2)(a => SampleCdfPos(a(0), a(1))))

@@ -904,18 +904,28 @@ object Multimodal {
     */
   def writeTarShards(spark: SparkSession, dir: String, outPath: String,
       nShards: Int = 4): Unit = {
-    val media = mediaTable(spark, dir)
-    val rows = media
-      .join(tarManifestOn(media, nShards)
-        .select(col("doc_id"), col("shard"), col("name"), col("size")),
-        Seq("doc_id"))
-      .select(col("shard"), col("doc_id"), col("name"), col("size"),
-        col("blob"))
+    // shard/name/size are row-local expressions — computing them inline
+    // (instead of joining the manifest back on doc_id) keeps the blob
+    // column to ONE shuffle; the manifest's window offsets are implied
+    // by the write order, not needed by the writer
+    val rows = mediaTable(spark, dir).select(
+      (col("doc_id") % nShards).cast("int").as("shard"),
+      col("doc_id"),
+      concat(col("doc_id").cast("string"), lit("."),
+        col("media_type")).as("name"),
+      length(col("blob")).cast("long").as("size"),
+      col("blob"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
+    // the session's Hadoop config (incl. spark.hadoop.* overrides:
+    // fs.defaultFS, object-store credentials), broadcast serializably —
+    // a fresh Configuration() on an executor would silently resolve
+    // scheme-less paths against file:/// with no credentials
+    val confB = org.apache.spark.graft.HadoopConfBridge
+      .broadcast(spark.sparkContext, spark.sparkContext.hadoopConfiguration)
     rows.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = org.apache.spark.graft.HadoopConfBridge.value(confB)
         var out: java.io.OutputStream = null
         var current = -1
         def close(): Unit = if (out != null) {

@@ -290,8 +290,7 @@ object NgramLm {
     * corpus ([[lmModelFromIndex]] re-sums per gram; spec-proved in
     * `NgramLmSpec`).
     */
-  def appendToNgramLm(spark: SparkSession, batch: DataFrame,
-      path: String): Unit =
+  def appendToNgramLm(batch: DataFrame, path: String): Unit =
     countsOn(batch).write.mode("append").parquet(path + "/counts")
 
   /** The model a stored layout serves: per-gram count sums over the

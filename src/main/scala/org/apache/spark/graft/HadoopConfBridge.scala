@@ -1,0 +1,31 @@
+package org.apache.spark.graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.SparkContext
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.util.SerializableConfiguration
+
+/** Serializable-Hadoop-configuration bridge for graft's direct-write
+  * sinks (the [[org.apache.spark.sql.graft.ColumnBridge]] pattern
+  * applied to `org.apache.spark.util`).
+  *
+  * `SerializableConfiguration` is `private[spark]`, but shipping the
+  * SESSION's Hadoop configuration to executors is exactly what a
+  * filesystem-writing task needs: a fresh `new Configuration()` on an
+  * executor sees only the classpath's core-site defaults — none of the
+  * session's `spark.hadoop.*` overrides (fs.defaultFS, object-store
+  * credentials) — so scheme-less paths would silently resolve against
+  * `file:///`. This one-file subpackage of `org.apache.spark` forwards
+  * to the internal broadcast helper, the same mechanism Spark's own
+  * file sources use to ship their configs.
+  */
+object HadoopConfBridge {
+  /** Broadcast the configuration; call `.value` per partition. */
+  def broadcast(sc: SparkContext,
+      conf: Configuration): Broadcast[SerializableConfiguration] =
+    SerializableConfiguration.broadcast(sc, conf)
+
+  /** Unwrap on the executor side. */
+  def value(b: Broadcast[SerializableConfiguration]): Configuration =
+    b.value.value
+}

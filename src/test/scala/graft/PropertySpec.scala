@@ -351,6 +351,14 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getDouble(1) == 25.0)
     assert(r.getInt(2) == 2)
     assert(r.getLong(3) == 0L) // constant payload: no block above mean
+    // lm_grams: array of per-position context structs; position 3 of
+    // "a b c" carries the full trigram
+    val g = spark.sql(
+      "SELECT lm_grams('a b c') AS g").collect().head
+      .getSeq[Row](0)
+    assert(g.length == 3)
+    assert(g(2).getAs[String]("g3") == "a b c")
+    assert(g(0).getAs[String]("p2") == null)
   }
 
   test("word_shingles matches the declarative array_distinct/transform " +

@@ -116,7 +116,7 @@ class NgramLmSpec extends AnyFunSuite {
     val half1 = docsDf(1L -> "a b c a", 2L -> "b c d")
     val half2 = docsDf(3L -> "a b c", 4L -> "d e")
     NgramLm.writeNgramLmOn(half1, p)
-    NgramLm.appendToNgramLm(spark, half2, p)
+    NgramLm.appendToNgramLm(half2, p)
     val served = NgramLm.lmModelFromIndex(spark, p)
     val rebuilt = NgramLm.countsOn(half1.unionByName(half2))
     assert(served.exceptAll(rebuilt).isEmpty
