@@ -133,14 +133,29 @@ object NgramLm {
         Seq("g1"), "left")
       .crossJoin(broadcast(n))
 
+    // Micro-unit arithmetic bound: the largest multiplier is 1e6, so a
+    // gram count above Long.MaxValue/1e6 (~9.2e12 — plausible for a
+    // stop-word trigram somewhere past the ~10 PB token mark) would
+    // WRAP under ANSI-off Spark while DuckDB errors, silently
+    // corrupting scores and breaking the cross-engine exactness claim.
+    // Fail loudly at the first out-of-range count instead — the fix is
+    // to rescale the micro unit, not to serve wrapped scores.
+    val countBound = Long.MaxValue / 1000000L
+    def guarded(c: Column): Column =
+      when(c > countBound, raise_error(concat(
+        lit("Stupid-Backoff gram count out of micro-unit range " +
+          s"(cnt > $countBound): "), c.cast("string"))))
+        .otherwise(c)
+    def microDiv(mult: Long, c: Column, denom: Column): Column =
+      call_function("div", lit(mult) * guarded(c), denom)
     val scored = joined.select(
       col("doc_id"),
       when(col("c3").isNotNull,
-          expr("(1000000 * c3) div cp3"))
+          microDiv(1000000L, col("c3"), col("cp3")))
         .when(col("c2").isNotNull,
-          expr("(400000 * c2) div cp2"))
+          microDiv(400000L, col("c2"), col("cp2")))
         .when(col("c1").isNotNull,
-          expr("(160000 * c1) div n_total"))
+          microDiv(160000L, col("c1"), col("n_total")))
         .otherwise(lit(0L)).as("micro"),
       when(col("c3").isNotNull, lit(3))
         .when(col("c2").isNotNull, lit(2))
