@@ -631,11 +631,14 @@ object EventStream {
     * model joins — corpus-size-independent. Unlike the dedup gates, a
     * decision is a pure function of (batch, model): nothing this sink
     * admits feeds back into what it scores, so no own-batch replay
-    * exemption is needed — dynamic overwrite of the `ingest_batch`
-    * partition alone makes an at-least-once redelivery rewrite its
-    * decisions (identical while the model artifact is unchanged; a
-    * refresh racing the replay changes scores, not admission
-    * double-counting).
+    * exemption is needed — the batch's `ingest_batch` partition is
+    * DELETED then rewritten from the current survivor set, so an
+    * at-least-once redelivery rewrites its decisions even when a model
+    * refresh racing the replay shrinks the survivors to zero (dynamic
+    * overwrite alone would write no partition and leave the stale
+    * admissions standing). Consumers should treat an `outPath` with no
+    * part files yet as "nothing admitted" rather than scanning it —
+    * parquet schema inference over an empty directory fails.
     */
   def sbGateSink(docs: DataFrame, modelPath: String, outPath: String,
       checkpoint: String, minAvgMicro: Long = 100000L)
@@ -646,6 +649,19 @@ object EventStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // Retract-then-write: dynamic partition overwrite only
+          // replaces partitions the NEW write touches, so a replayed
+          // batch that now admits ZERO docs (a model refresh racing an
+          // at-least-once redelivery) would write nothing and leave the
+          // stale previously-admitted partition standing — the one hole
+          // in "replay rewrites its decisions". Deleting this batch's
+          // partition path first makes the rewrite unconditional: the
+          // batch's on-disk state is exactly its current survivor set,
+          // empty included. One FS delete per batch, idempotent.
+          val part = new org.apache.hadoop.fs.Path(
+            s"$outPath/ingest_batch=$batchId")
+          part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(part, true)
           val keep = graft.operators.NgramLm
             .scoreOn(batch.toDF(),
               graft.operators.NgramLm.lmModelFromIndex(spark, modelPath))
@@ -1219,6 +1235,14 @@ object EventStream {
     *      dropped rather than double-landed (the replay contract; the
     *      re-append bloats the index harmlessly: probes `distinct()`
     *      candidates and jaccard is per-pair);
+    *   3½. (optional, `lmModelPath`) CCNet-style fluency: dedup
+    *      survivors are Stupid-Backoff-scored against the stored
+    *      reference model ([[graft.operators.NgramLm.writeNgramLm]]
+    *      layout) and docs under `lmMinAvgMicro` leave the stream —
+    *      [[sbGateSink]] inlined between dedup and the cap. Stateless
+    *      (the model lives in its artifact), so the replay contract
+    *      below is unchanged; the ledger gains a `5_lm` row and the
+    *      cap renumbers to `6_cap`;
     *   4. cap: per-source budget `capPerSource` net of what PRIOR
     *      batches already landed (read back from `outPath/docs`
     *      excluding this batch's partition — replay-consistent),
@@ -1233,7 +1257,9 @@ object EventStream {
   def curationSink(docs: DataFrame, evalSet: DataFrame, indexPath: String,
       outPath: String, checkpoint: String,
       cfg: graft.pipeline.TextCuration.Config =
-        graft.pipeline.TextCuration.Config())
+        graft.pipeline.TextCuration.Config(),
+      lmModelPath: Option[String] = None,
+      lmMinAvgMicro: Long = 100000L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     import graft.pipeline.TextCuration
@@ -1304,7 +1330,29 @@ object EventStream {
             intraKept.join(dups, Seq("doc_id"), "left_anti")
           } else intraKept).cutLineage(eager = true)
           val nDedup = admitted.count()
-          // 4. per-source cap net of PRIOR batches' landed docs
+          // 4. (optional) CCNet-style Stupid-Backoff fluency gate
+          // against a STORED reference model — the streaming LM stage
+          // between dedup and the cap, [[sbGateSink]]'s filter inlined
+          // into the unified chain. A decision is a pure function of
+          // (batch, model): the model lives in its artifact
+          // ([[graft.operators.NgramLm.writeNgramLm]] layout,
+          // refreshed out of band), so the stage adds zero state and
+          // the replay contract is untouched — the retract-then-write
+          // below already rewrites this batch's partitions whatever
+          // the survivor set.
+          val fluent = lmModelPath match {
+            case Some(mp) =>
+              val keep = graft.operators.NgramLm.scoreOn(
+                  admitted.select(col("doc_id"), col("text")),
+                  graft.operators.NgramLm.lmModelFromIndex(spark, mp))
+                .filter(col("avg_micro") >= lmMinAvgMicro)
+                .select(col("doc_id"))
+              admitted.join(keep, Seq("doc_id"), "left_semi")
+                .cutLineage(eager = true)
+            case None => admitted
+          }
+          val nLm = if (lmModelPath.isDefined) fluent.count() else nDedup
+          // 5. per-source cap net of PRIOR batches' landed docs
           val docsPath = s"$outPath/docs"
           // strictly EARLIER batches only: a replayed batch must see the
           // same prior state it saw originally, never its own partition
@@ -1313,8 +1361,8 @@ object EventStream {
             .map(_.filter(col("ingest_batch") < batchId)
               .groupBy(col("source")).agg(count(lit(1)).as("n_prior")))
           val withPrior = prior
-            .map(p => admitted.join(broadcast(p), Seq("source"), "left"))
-            .getOrElse(admitted.withColumn("n_prior",
+            .map(p => fluent.join(broadcast(p), Seq("source"), "left"))
+            .getOrElse(fluent.withColumn("n_prior",
               lit(null).cast("long")))
             .withColumn("n_prior", coalesce(col("n_prior"), lit(0L)))
           val w = org.apache.spark.sql.expressions.Window
@@ -1333,8 +1381,15 @@ object EventStream {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("ingest_batch").parquet(docsPath)
-          Seq(("1_input", nInput), ("2_quality", nQual),
-            ("3_decontam", nClean), ("4_dedup", nDedup), ("5_cap", nCap))
+          // stage names are stable when the LM stage is off (the
+          // streamed ≡ batch summary equality depends on them); with
+          // it on, "5_lm" lands between dedup and the cap and the cap
+          // renumbers — the ledger says what actually ran
+          (Seq(("1_input", nInput), ("2_quality", nQual),
+            ("3_decontam", nClean), ("4_dedup", nDedup)) ++
+            (if (lmModelPath.isDefined)
+              Seq(("5_lm", nLm), ("6_cap", nCap))
+            else Seq(("5_cap", nCap))))
             .toDF("stage", "n_docs")
             .withColumn("ingest_batch", lit(batchId))
             .coalesce(1)
@@ -1360,7 +1415,8 @@ object EventStream {
             if (idxExists) Dedup.appendToMinhashIndex(toIndex, indexPath)
             else Dedup.writeMinhashIndex(toIndex, indexPath)
           }
-          Seq(qual, clean, admitted, landed)
+          (Seq(qual, clean, admitted, landed) ++
+            (if (lmModelPath.isDefined) Seq(fluent) else Nil))
             .foreach(graft.Materialize.release)
         }
       }

@@ -829,6 +829,79 @@ class EventStreamSpec extends AnyFunSuite {
     assert(ledgerAfter == batchRef, "replay must not change the ledger")
   }
 
+  test("curationSink with the LM stage: streamed admissions equal the " +
+    "batch composition (stages 1-4 pass-through corpus, 5_lm = the " +
+    "batch Stupid-Backoff gate, cap renumbers to 6_cap)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_curlm")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val modelDir = root.resolve("lm").toString
+    // reference corpus: three DISJOINT fluent sentences (no shared
+    // words — the ingest docs must not MinHash-collapse into one
+    // cluster at the dedup stage) the model learns by repetition
+    val s1 = "the quick brown fox jumps over the lazy dog here"
+    val s2 = "some people like eating fresh bread with warm butter daily"
+    val s3 = "children play happy games outside during long summer evenings"
+    val ref = Seq(s1, s2, s3).zipWithIndex.flatMap { case (s, i) =>
+      (0 until 4).map(r => (100L + 10 * i + r, s"$s $s"))
+    }.toDF("doc_id", "text")
+    graft.operators.NgramLm.writeNgramLmOn(ref, modelDir)
+    // ingest corpus: all docs pass quality/decontam/dedup (disjoint
+    // texts, no eval overlap, ids off the eval modulus); the gibberish
+    // ones score 0 at every backoff level and only the LM stage can
+    // drop them
+    val fluent = Seq(
+      (1L, s"$s1 $s1", "s0", "en"),
+      (2L, s"$s2 $s2", "s0", "en"),
+      (3L, s"$s3 $s3", "s1", "en"))
+    val junk = Seq(
+      (4L, "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx", "s0", "en"),
+      (6L, "qq ww ee rr tt uu ii oo pp aa ss dd ff gg", "s1", "en"))
+    val all = fluent ++ junk
+    val allDf = all.toDF("doc_id", "text", "source", "lang")
+    val evalSet = Seq((20L, "e1 e2 e3 e4 e5 e6 e7 e8", "s0", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val cfg = graft.pipeline.TextCuration.Config(
+      minTokens = 5, capPerSource = 10)
+    val minMicro = 1000L
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = EventStream.curationSink(
+      input.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck").toString, cfg,
+      lmModelPath = Some(modelDir), lmMinAvgMicro = minMicro)
+    try {
+      input.addData(all.take(3): _*); q.processAllAvailable()
+      input.addData(all.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val ledger = spark.read.parquet(s"$outDir/ledger")
+      .groupBy(col("stage"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_docs")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch composition of the SAME stages: everything passes 1-4,
+    // then the batch Stupid-Backoff gate against the same stored model
+    val batchLmKeep = graft.operators.NgramLm.scoreOn(
+        allDf.select(col("doc_id"), col("text")),
+        graft.operators.NgramLm.lmModelFromIndex(spark, modelDir))
+      .filter(col("avg_micro") >= minMicro)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ledger == Map(
+      "1_input" -> all.size.toLong, "2_quality" -> all.size.toLong,
+      "3_decontam" -> all.size.toLong, "4_dedup" -> all.size.toLong,
+      "5_lm" -> batchLmKeep.size.toLong,
+      "6_cap" -> batchLmKeep.size.toLong),
+      s"streamed ledger $ledger")
+    val landed = spark.read.parquet(s"$outDir/docs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(landed == batchLmKeep,
+      s"streamed $landed vs batch LM gate $batchLmKeep")
+    assert(fluent.map(_._1).toSet.subsetOf(landed))
+    assert(junk.map(_._1).toSet.intersect(landed).isEmpty,
+      "gibberish must be dropped by the LM stage, not admitted")
+  }
+
   test("curationSink: a doc REDELIVERED under a NEW batchId self-matches " +
     "its earlier indexed copy and is dropped, not double-landed") {
     implicit val sql = spark.sqlContext
@@ -1433,5 +1506,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(landed == expected)
     assert(landed.contains(2000001L) && !landed.contains(2000002L),
       s"fluent doc must pass and OOV junk must drop, got $landed")
+  }
+
+  test("sbGateSink zero-survivor replay RETRACTS the stale partition: " +
+      "a redelivery that now admits nothing deletes the batch's prior " +
+      "admissions instead of leaving them standing") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_lmretract")
+    val modelDir = base.resolve("model").toString
+    val outDir = base.resolve("out").toString
+    graft.operators.NgramLm.writeNgramLm(spark, "/root/testdata/sf0.001",
+      modelDir)
+    val fluent = docs.filter(col("doc_id") === 0)
+      .head.getAs[String]("text")
+    // batch 0 admits the fluent doc under the normal threshold
+    val input = MemoryStream[(Long, String)]
+    input.addData((2000001L, fluent))
+    val q = EventStream.sbGateSink(
+      input.toDF().toDF("doc_id", "text"), modelDir, outDir,
+      base.resolve("ck1").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(outDir).count() == 1)
+    // the SAME batch replays (fresh checkpoint, batchId 0 again) after
+    // a "model refresh" — simulated by an unreachable threshold — and
+    // now admits zero docs: the batch's partition must be retracted
+    val input2 = MemoryStream[(Long, String)]
+    input2.addData((2000001L, fluent))
+    val q2 = EventStream.sbGateSink(
+      input2.toDF().toDF("doc_id", "text"), modelDir, outDir,
+      base.resolve("ck2").toString, minAvgMicro = Long.MaxValue)
+    try q2.processAllAvailable() finally q2.stop()
+    val part = new org.apache.hadoop.fs.Path(s"$outDir/ingest_batch=0")
+    assert(!part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(part),
+      "the zero-survivor replay must delete its stale partition")
   }
 }
