@@ -250,6 +250,88 @@ object Multimodal {
     */
   private[operators] def frameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] =
     gifFrameRanges(b).orElse(pngFrameRanges(b)).orElse(mp4FrameRanges(b))
+      .orElse(mkvFrameRanges(b))
+
+  /** EBML/Matroska walk (mkv AND webm — WebM is Matroska with a
+    * restricted codec set, so one walk serves both extensions
+    * [[fromBinaryFiles]] maps): the container is a varint
+    * length-prefixed tree — each element is (id: vint, marker bit
+    * kept; size: vint, marker masked; payload) — the fourth and last
+    * container family, closing the gif→png→mp4 fallthrough. Frame
+    * byte extents come from `Segment → Cluster → SimpleBlock` (and
+    * the `BlockGroup → Block` variant): a block's payload after its
+    * (track vint, 16-bit timestamp, flags byte) header is frame
+    * data. Laced blocks (flags & 0x06) contribute their post-header
+    * extent as ONE range — the walk reads length fields only, never
+    * codec or lace tables, the same structural boundary as the other
+    * walks. Hostile-length discipline as everywhere: Long offsets, a
+    * zero-leading-byte vint (invalid: width > 8) aborts, an
+    * unknown-size vint (all data bits set) extends a CONTAINER to its
+    * parent's end (the streaming-Matroska convention for Segment and
+    * Cluster) but aborts on a leaf, every extent clamps to the bytes
+    * present, and a non-advancing element terminates the walk.
+    */
+  private[operators] def mkvFrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
+        (b(2) & 0xff) != 0xdf || (b(3) & 0xff) != 0xa3) return None
+    // vint at `off`: (value, width, allDataBitsSet). IDs keep the
+    // marker bit (the spec's canonical id form); sizes mask it.
+    def vint(off: Long, keepMarker: Boolean): Option[(Long, Int, Boolean)] = {
+      if (off >= b.length) return None
+      val first = b(off.toInt) & 0xff
+      if (first == 0) return None // width > 8: not a valid vint
+      val width = java.lang.Integer.numberOfLeadingZeros(first) - 23
+      if (off + width > b.length) return None
+      val mask = if (keepMarker) 0xff else 0xff >>> width
+      var v = (first & mask).toLong
+      var dataMax = (mask & (0xff >>> width)).toLong
+      var k = 1
+      while (k < width) {
+        v = (v << 8) | (b(off.toInt + k) & 0xff)
+        dataMax = (dataMax << 8) | 0xff
+        k += 1
+      }
+      Some((v, width, !keepMarker && v == dataMax))
+    }
+    val Segment = 0x18538067L
+    val Cluster = 0x1f43b675L
+    val BlockGroup = 0xa0L
+    val SimpleBlock = 0xa3L
+    val Block = 0xa1L
+    val frames = Vector.newBuilder[(Int, Int)]
+    def walk(from: Long, until: Long): Boolean = { // false = desynced
+      var i = from
+      while (i < until) {
+        val id = vint(i, keepMarker = true) match {
+          case Some((v, w, _)) => (v, w)
+          case None => return false
+        }
+        val sz = vint(i + id._2, keepMarker = false) match {
+          case Some((v, w, unknown)) => (v, w, unknown)
+          case None => return false
+        }
+        val bodyStart = i + id._2 + sz._2
+        val container = id._1 == Segment || id._1 == Cluster ||
+          id._1 == BlockGroup
+        val end =
+          if (sz._3) { if (container) until else return false }
+          else math.min(bodyStart + sz._1, until)
+        if (container) {
+          if (!walk(bodyStart, end)) return false
+        } else if (id._1 == SimpleBlock || id._1 == Block) {
+          vint(bodyStart, keepMarker = false).foreach { case (_, tw, _) =>
+            val fs = bodyStart + tw + 3 // track vint + s16 timestamp + flags
+            if (fs < end) frames += ((fs.toInt, end.toInt))
+          }
+        }
+        if (end <= i) return false // non-advancing: malformed size
+        i = end
+      }
+      true
+    }
+    walk(0L, b.length.toLong)
+    Some(frames.result())
+  }
 
   /** ISO-BMFF (MP4) box walk: the container is a length-prefixed box
     * tree — each box is (size: BE32, type: 4cc, payload), with size 1
@@ -501,6 +583,48 @@ object Multimodal {
     ftyp ++ moov ++ mdat
   }
 
+  /** A REAL, deterministic EBML/Matroska container around an arbitrary
+    * payload — the mkv/webm sibling of [[gifWrap]]/[[mp4Wrap]]: an EBML
+    * header carrying a DocType, then a Segment holding one Cluster
+    * with a Timestamp element and `frames` SimpleBlocks whose
+    * post-header bytes are consecutive payload slices (track 1, block
+    * timestamp 0, flags 0 = no lacing). Every size is an 8-byte vint
+    * (always canonical, never the unknown-size pattern), so the tree
+    * is exact bottom-up like mp4Wrap's box sizes. Structure-level
+    * real — [[mkvFrameRanges]] recovers exactly the slices this lays
+    * out; the block bytes are raw payload rather than encoded video
+    * (the same documented codec boundary as the other wraps).
+    */
+  private[graft] def mkvWrap(payload: Array[Byte], frames: Int): Array[Byte] = {
+    def vint8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8)
+      a(0) = 0x01 // width-8 marker, zero data bits in the lead byte
+      var i = 7
+      var x = v
+      while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      a
+    }
+    def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+    def elem(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+      id ++ vint8(body.length.toLong) ++ body
+    val n = math.max(1, frames)
+    val per = math.max(1, (payload.length + n - 1) / n)
+    val blocks = (0 until n).flatMap { f =>
+      val a = math.min(payload.length, f * per)
+      val e = math.min(payload.length, a + per)
+      if (e <= a && f > 0) None
+      else Some(elem(bytes(0xa3), // SimpleBlock
+        bytes(0x81, 0x00, 0x00, 0x00) ++ // track 1, ts 0, no lacing
+          java.util.Arrays.copyOfRange(payload, a, e)))
+    }
+    val timestamp = elem(bytes(0xe7), bytes(0x00))
+    val cluster = elem(bytes(0x1f, 0x43, 0xb6, 0x75),
+      timestamp ++ blocks.flatten)
+    val segment = elem(bytes(0x18, 0x53, 0x80, 0x67), cluster)
+    val docType = elem(bytes(0x42, 0x82), "matroska".getBytes("US-ASCII"))
+    elem(bytes(0x1a, 0x45, 0xdf, 0xa3), docType) ++ segment
+  }
+
   /** Raw media-file ingestion via Spark's built-in `binaryFile` source:
     * one row per file with (path, modificationTime, length, content),
     * mapped onto the engine's MediaRecord shape — doc_id from the path
@@ -594,14 +718,16 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   /** The media table with image payloads wrapped in REAL multi-frame
-    * GIF89a containers ([[gifWrap]]), video payloads in REAL ISO-BMFF
-    * boxes ([[mp4Wrap]] — since round 13, closing the "video rides a
-    * GIF" stand-in), and audio payloads left raw — frame counts 1–7
-    * deterministic from payload length. The fixture lets
-    * [[mediaFrames]]' golden cover BOTH container walks
+    * GIF89a containers ([[gifWrap]]), video payloads alternating
+    * between REAL ISO-BMFF boxes ([[mp4Wrap]]) and REAL EBML/Matroska
+    * trees ([[mkvWrap]] — since round 14, closing the last container
+    * family without a walk), and audio payloads left raw — frame
+    * counts 1–7 deterministic from payload length. The fixture lets
+    * [[mediaFrames]]' golden cover all THREE container walks
     * ([[gifFrameRanges]] descriptor chain, [[mp4FrameRanges]]
-    * stsz/stco sample extents) AND the raw fallback in one query, in an
-    * environment with no encoded media on disk.
+    * stsz/stco sample extents, [[mkvFrameRanges]] Cluster/SimpleBlock
+    * extents) AND the raw fallback in one query, in an environment
+    * with no encoded media on disk.
     */
   def encodedMediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -610,7 +736,13 @@ object Multimodal {
       r.media_type match {
         case "audio" => r
         case "video" =>
-          MediaRecord(r.doc_id, r.media_type, mp4Wrap(r.blob, frames))
+          // alternate container within the video family: doc_id ≡ 2
+          // (mod 3) are video, so (doc_id div 3) parity splits them
+          // deterministically and evenly between the two walks
+          val wrapped =
+            if ((r.doc_id / 3) % 2 == 0) mp4Wrap(r.blob, frames)
+            else mkvWrap(r.blob, frames)
+          MediaRecord(r.doc_id, r.media_type, wrapped)
         case _ =>
           MediaRecord(r.doc_id, r.media_type, gifWrap(r.blob, frames))
       }
@@ -619,8 +751,9 @@ object Multimodal {
 
   /** Frame-sample output over [[encodedMediaTable]] — per-frame rows
     * from the REAL container frame offsets for the GIF-wrapped image
-    * and MP4-boxed video payloads, spaced byte windows for the raw
-    * audio ones (hashes have no SQL equivalent — rows-only/golden).
+    * and MP4-boxed / Matroska-wrapped video payloads, spaced byte
+    * windows for the raw audio ones (hashes have no SQL equivalent —
+    * rows-only/golden).
     */
   def mediaFrames(spark: SparkSession, dir: String): DataFrame =
     extractFeaturesOn(encodedMediaTable(spark, dir))
@@ -895,12 +1028,19 @@ object Multimodal {
     * shuffle ONCE to their shard writer — the minimum any export does
     * — and each task streams its shards member by member through the
     * Hadoop FileSystem API (object store / HDFS / local alike), never
-    * buffering more than one payload. A retried task rewrites its
-    * shard files from scratch (`create(..., overwrite)`) with
-    * byte-identical content, so the sink is idempotent under
-    * at-least-once task execution; run it with speculation off (two
-    * concurrent attempts interleaving writes to one object is the
-    * same hazard every direct-write sink has).
+    * buffering more than one payload. Task retries AND speculative
+    * duplicate attempts are both safe: each attempt streams to its own
+    * temp file under `outPath/_tmp/` (named by the task attempt id)
+    * and COMMITS by renaming onto the final shard path when the shard
+    * closes — rename is atomic on HDFS and local filesystems, and
+    * every attempt's bytes are identical by construction, so whichever
+    * attempt commits last leaves the same valid shard (spec-proved by
+    * running a simulated double attempt and re-walking the winner).
+    * Object-store caveat: stores whose rename is copy+delete (S3A
+    * without a committer) narrow but don't eliminate the overlap
+    * window — prefer an HDFS/consistent-rename target or single
+    * attempts there. The `_tmp/` staging dir is cleared before and
+    * after the job; a killed attempt can't leak a partial final shard.
     */
   def writeTarShards(spark: SparkSession, dir: String, outPath: String,
       nShards: Int = 4): Unit = {
@@ -923,22 +1063,41 @@ object Multimodal {
     // scheme-less paths against file:/// with no credentials
     val confB = org.apache.spark.graft.HadoopConfBridge
       .broadcast(spark.sparkContext, spark.sparkContext.hadoopConfiguration)
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$outPath/_tmp")
+    val driverFs =
+      tmpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    driverFs.delete(tmpDir, true) // stale staging from a crashed run
     rows.foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
         val conf = org.apache.spark.graft.HadoopConfBridge.value(confB)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId.toString).getOrElse("driver")
         var out: java.io.OutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        var dest: org.apache.hadoop.fs.Path = null
         var current = -1
         def close(): Unit = if (out != null) {
           out.write(new Array[Byte](1024)) // two zero end blocks
           out.close(); out = null
+          // commit: atomic rename onto the final shard path. A
+          // concurrent attempt may have committed already — its bytes
+          // are identical, so replacing it changes nothing; rename
+          // itself is atomic, so readers never see a partial shard.
+          val fs = dest.getFileSystem(conf)
+          if (fs.exists(dest)) fs.delete(dest, false)
+          if (!fs.rename(tmp, dest))
+            throw new java.io.IOException(
+              s"writeTarShards: commit rename failed: $tmp -> $dest")
         }
         it.foreach { r =>
           val shard = r.getAs[Int]("shard")
           if (shard != current) {
             close()
-            val p = new org.apache.hadoop.fs.Path(
+            dest = new org.apache.hadoop.fs.Path(
               f"$outPath/shard-$shard%05d.tar")
-            out = p.getFileSystem(conf).create(p, true)
+            tmp = new org.apache.hadoop.fs.Path(
+              f"$outPath/_tmp/shard-$shard%05d.tar.$attempt%s")
+            out = tmp.getFileSystem(conf).create(tmp, true)
             current = shard
           }
           val blob = r.getAs[Array[Byte]]("blob")
@@ -950,5 +1109,119 @@ object Multimodal {
         }
         close()
     }
+    // all attempts (speculative losers included) have exited by the
+    // time the action returns — the staging dir holds only orphans
+    driverFs.delete(tmpDir, true)
   }
+
+  /** Walk one tar archive's bytes to its members: (name, size,
+    * data_offset) per valid ustar header, in archive order. The READ
+    * half of the WebDataset lifecycle, shared by [[readTarShards]] and
+    * the shard specs. Same hostile-input discipline as the container
+    * walks ([[decodeWav]]/[[mp4FrameRanges]]): offsets advance in LONG
+    * arithmetic (a hostile 11-octal-digit size field maxes at 8^11−1 ≈
+    * 8.6e9, past Int range), the walk STOPS at the first block that is
+    * neither a valid checksummed ustar header nor the zero terminator
+    * (a desynced archive yields the members that parsed cleanly, never
+    * garbage extents), and a declared size past EOF clamps to the
+    * bytes present.
+    */
+  private[operators] def tarWalk(b: Array[Byte])
+      : Vector[(String, Long, Long)] = {
+    def octal(off: Int, len: Int): Long = {
+      var v = 0L
+      var i = off
+      val end = off + len
+      while (i < end && b(i) >= '0' && b(i) <= '7') {
+        v = v * 8 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val members = Vector.newBuilder[(String, Long, Long)]
+    var i = 0L
+    var done = false
+    while (!done && i + 512 <= b.length) {
+      val o = i.toInt
+      var zero = true
+      var k = o
+      while (zero && k < o + 512) { if (b(k) != 0) zero = false; k += 1 }
+      if (zero) done = true // first terminator block: end of archive
+      else {
+        // header validity: ustar magic + checksum over the block with
+        // the chksum field read as spaces
+        val magicOk = o + 262 < b.length &&
+          new String(b, o + 257, 5, "US-ASCII") == "ustar"
+        var sum = 0L
+        var j = o
+        while (j < o + 512) {
+          sum += (if (j >= o + 148 && j < o + 156) ' '.toInt
+            else b(j) & 0xff)
+          j += 1
+        }
+        if (!magicOk || sum != octal(o + 148, 8)) done = true
+        else {
+          var nameEnd = o
+          while (nameEnd < o + 100 && b(nameEnd) != 0) nameEnd += 1
+          val name = new String(b, o, nameEnd - o, "UTF-8")
+          val size = octal(o + 124, 12)
+          members += ((name, math.min(size, b.length - i - 512), i + 512))
+          i += 512L + ((size + 511) / 512) * 512
+        }
+      }
+    }
+    members.result()
+  }
+
+  /** Ingest WebDataset tar shards back to (shard, name, size, blob)
+    * rows — the read half [[writeTarShards]] writes, making the tar
+    * layout a real interchange surface rather than export-only. One
+    * `binaryFile` row per shard (shards are sized to be single-task
+    * units — the same whole-file contract encoded media needs), then a
+    * narrow per-partition walk slices each member's payload out of the
+    * shard bytes; nothing shuffles. `shard` parses from the
+    * `shard-NNNNN.tar` filename (−1 for foreign tar names, which still
+    * walk fine). Round-trip (write → read ≡ source media table, blob
+    * bytes included) is spec-proved, and the `q_tar_roundtrip` oracle
+    * hash-checks names, sizes, and payload digests against the source
+    * table cross-engine.
+    */
+  def readTarShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.tar")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(p)
+          .map(_.group(1).toInt).getOrElse(-1)
+        tarWalk(bytes).map { case (name, size, off) =>
+          (shard, name, size,
+            java.util.Arrays.copyOfRange(bytes, off.toInt,
+              (off + size).toInt))
+        }
+      }
+      .toDF("shard", "name", "size", "blob")
+  }
+
+  /** The full WebDataset lifecycle under the hash gate: write the
+    * media table to real tar shards ([[writeTarShards]]), walk the
+    * produced BYTES back ([[readTarShards]]), and emit each recovered
+    * member with its payload digest — which the oracle recomputes from
+    * the source table directly, so shard placement, member naming,
+    * size fields, and payload fidelity are all cross-engine-checked
+    * through an actual on-disk round trip. Session-memoized like the
+    * stored-index reports: the export runs once, re-reads are
+    * artifact-sized IO.
+    */
+  def tarRoundtrip(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"tar_rt:$dir") {
+      val path = graft.Materialize.artifactDir(spark, s"tar_rt:$dir")
+      writeTarShards(spark, dir, path, nShards)
+      readTarShards(spark, path)
+        .select(col("shard"), col("name"), col("size"),
+          md5(col("blob")).as("payload_md5"))
+        .orderBy(col("name"))
+    }
 }

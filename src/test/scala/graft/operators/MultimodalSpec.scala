@@ -326,6 +326,69 @@ class MultimodalSpec extends AnyFunSuite {
       "hashes must cover the REAL sample extents")
   }
 
+  test("Matroska frame walk: mkvWrap round-trips through mkvFrameRanges " +
+    "at the exact laid-out SimpleBlock extents, hostile vints abort " +
+    "cleanly, and the extractor hashes real extents end to end") {
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](600)(i => (i % 251).toByte)
+    val mkv = Multimodal.mkvWrap(payload, frames = 3)
+    val rs = Multimodal.mkvFrameRanges(mkv).get
+    assert(rs.length == 3, s"frame extents: $rs")
+    // the walked extents recover exactly the consecutive payload slices
+    assert(rs.map { case (a, b) => b - a } == Vector(200, 200, 200))
+    assert(rs.flatMap { case (a, b) => mkv.slice(a, b) } == payload.toVector)
+    // frameRanges dispatches mkv after gif/png/mp4
+    assert(Multimodal.frameRanges(mkv).contains(rs))
+    // a payload shorter than the frame budget still yields every byte
+    val tiny = Multimodal.mkvWrap(Array[Byte](1, 2), frames = 5)
+    val tinyRs = Multimodal.mkvFrameRanges(tiny).get
+    assert(tinyRs.map { case (a, b) => b - a }.sum == 2)
+    // truncation: a declared block size past EOF clamps, walk ends
+    val cut = mkv.take(mkv.length - 150)
+    val cutRs = Multimodal.mkvFrameRanges(cut).get
+    assert(cutRs.forall { case (a, b) =>
+      a >= 0 && b <= cut.length && b > a })
+    // malformed: a zero lead byte is an invalid vint (width > 8) —
+    // the walk must stop with the members that parsed, never loop
+    val bad = mkv.clone()
+    bad(12) = 0 // corrupt the segment body's first element id
+    Multimodal.mkvFrameRanges(bad) // must terminate
+    // not a container at all
+    assert(Multimodal.mkvFrameRanges("plain bytes".getBytes).isEmpty)
+    // BlockGroup/Block variant walks the same as SimpleBlock: rewrap
+    // one SimpleBlock (0xa3) as BlockGroup(0xa0){Block(0xa1){...}}
+    def vint8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8); a(0) = 0x01
+      var i = 7; var x = v
+      while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      a
+    }
+    val inner = Array(0xa1.toByte) ++ vint8(6) ++
+      Array[Byte](0x81.toByte, 0, 0, 0, 42, 43)
+    val group = Array(0xa0.toByte) ++ vint8(inner.length.toLong) ++ inner
+    val cluster = Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte) ++
+      vint8(group.length.toLong) ++ group
+    val seg = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      vint8(cluster.length.toLong) ++ cluster
+    val hdr = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ vint8(0)
+    val grouped = Multimodal.mkvFrameRanges(hdr ++ seg).get
+    assert(grouped.length == 1 && grouped.head._2 - grouped.head._1 == 2)
+    // ingest -> frames end to end through the webm extension mapping
+    val d = java.nio.file.Files.createTempDirectory("graft_mkv")
+    java.nio.file.Files.write(d.resolve("clip.webm"), mkv)
+    val feats = Multimodal.extractFeaturesOn(
+      Multimodal.fromBinaryFiles(spark, d.toString, "*.webm")
+        .select(col("doc_id"), col("media_type"), col("blob"))
+        .as[Multimodal.MediaRecord], nFrames = 4).collect()
+    assert(feats.length == 1)
+    val f = feats.head
+    assert(f.media_type == "video")
+    assert(f.n_frames == 3)
+    assert(f.frame_hashes ==
+      rs.map { case (a, b) => Multimodal.fnv1a(mkv, a, b) },
+      "hashes must cover the REAL SimpleBlock extents")
+  }
+
   test("AHashKernel: hand-checked ramp, empty payload, and invariance " +
     "to a constant payload") {
     // bytes 0..63: block b is the single byte b; mean 31.5 -> bits 32..63

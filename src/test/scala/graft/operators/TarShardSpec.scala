@@ -92,6 +92,72 @@ class TarShardSpec extends AnyFunSuite {
     }
   }
 
+  test("write -> read round-trips the media table exactly: every " +
+      "(doc_id, media_type, blob) recovered byte-for-byte, shard ids " +
+      "from the filename, nothing extra") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tar_rt").toString
+    Multimodal.writeTarShards(spark, dir, out)
+    val got = Multimodal.readTarShards(spark, out).collect()
+      .map(r => r.getAs[String]("name") ->
+        (r.getAs[Int]("shard"), r.getAs[Long]("size"),
+          r.getAs[Array[Byte]]("blob"))).toMap
+    val src = Multimodal.mediaTable(spark, dir).collect()
+    assert(got.size == src.length)
+    src.foreach { r =>
+      val docId = r.getLong(0)
+      val blob = r.getAs[Array[Byte]]("blob")
+      val (shard, size, gotBlob) = got(s"$docId.${r.getString(1)}")
+      assert(shard == (docId % 4).toInt)
+      assert(size == blob.length.toLong)
+      assert(java.util.Arrays.equals(gotBlob, blob),
+        s"payload mismatch for doc $docId")
+    }
+  }
+
+  test("a double attempt (speculation/retry) converges: a planted " +
+      "garbage 'previous attempt' final shard and stale staging files " +
+      "are replaced by a valid committed archive, staging dir cleared") {
+    val out = java.nio.file.Files.createTempDirectory("graft_tar_spec")
+    // a half-written final shard from a crashed direct writer
+    java.nio.file.Files.write(out.resolve("shard-00000.tar"),
+      Array.fill[Byte](700)(0x5a))
+    // a stale staging file from an attempt that never committed
+    java.nio.file.Files.createDirectory(out.resolve("_tmp"))
+    java.nio.file.Files.write(
+      out.resolve("_tmp").resolve("shard-00001.tar.9999"),
+      Array.fill[Byte](100)(0x5a))
+    Multimodal.writeTarShards(spark, dir, out.toString)
+    Multimodal.writeTarShards(spark, dir, out.toString) // retried job
+    assert(!java.nio.file.Files.exists(out.resolve("_tmp")),
+      "staging dir must be cleared after commit")
+    // the winner re-walks to exactly the media table
+    val got = Multimodal.readTarShards(spark, out.toString).count()
+    assert(got == Multimodal.mediaTable(spark, dir).count())
+    // the planted garbage shard was replaced by a valid archive whose
+    // members are exactly shard 0's docs in doc_id order
+    val walked = Multimodal.tarWalk(java.nio.file.Files.readAllBytes(
+      out.resolve("shard-00000.tar"))).map(_._1)
+    val expected = Multimodal.mediaTable(spark, dir)
+      .filter(col("doc_id") % 4 === 0).orderBy(col("doc_id")).collect()
+      .map(r => s"${r.getLong(0)}.${r.getString(1)}").toVector
+    assert(walked == expected)
+  }
+
+  test("tarWalk stops cleanly on hostile input: a desynced block after " +
+      "valid members yields only the members that parsed, and a " +
+      "declared size past EOF clamps") {
+    val good = Multimodal.tarHeaderBytes("a.bin", 4L) ++
+      Array[Byte](1, 2, 3, 4) ++ new Array[Byte](508)
+    val junk = Array.fill[Byte](512)(0x7f)
+    val walked = Multimodal.tarWalk(good ++ junk)
+    assert(walked == Vector(("a.bin", 4L, 512L)))
+    // size field claims more bytes than the archive holds
+    val lying = Multimodal.tarHeaderBytes("b.bin", 100000L) ++
+      Array[Byte](9, 9)
+    val clamped = Multimodal.tarWalk(lying)
+    assert(clamped == Vector(("b.bin", 2L, 512L)))
+  }
+
   test("tarHeaderBytes rejects oversize names instead of silently " +
       "truncating") {
     intercept[IllegalArgumentException] {
