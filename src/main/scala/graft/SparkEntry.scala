@@ -260,6 +260,13 @@ object SparkEntry {
     "q_tok_fertility" -> ((s, dir) => Bpe.tokenizerFertility(s, dir)),
     "q_tok_fertility_small" ->
       ((s, dir) => Bpe.tokenizerFertilitySmall(s, dir)),
+    // the unigram family's SERVING machinery under the hash gate: the
+    // integer micro-cost dict makes every Viterbi comparison exact, so
+    // the DP + both serving joins are cross-engine-checked even though
+    // the EM-trained budgets above stay golden-pinned
+    "q_unigram_tokens_small" ->
+      ((s, dir) => Bpe.unigramTokenizeSmall(s, dir)),
+    "q_unigram_ids_small" -> ((s, dir) => Bpe.unigramIdsSmall(s, dir)),
     "q_ann_recall" -> ((s, dir) => Similarity.annRecallAtK(s, dir)),
     "q_kmeans_recall" -> ((s, dir) => Similarity.kmeansRecallAtK(s, dir)),
     "q_pq_recall" -> ((s, dir) => Similarity.pqRecallAtK(s, dir)),
@@ -294,6 +301,7 @@ object SparkEntry {
         Dedup.nearDupPairs(s, dir, 0.7))),
     "q_tar_manifest" -> ((s, dir) => Multimodal.tarManifest(s, dir)),
     "q_tar_shards" -> ((s, dir) => Multimodal.tarShardSummary(s, dir)),
+    "q_tar_roundtrip" -> ((s, dir) => Multimodal.tarRoundtrip(s, dir)),
     "q_sb_counts" -> ((s, dir) => NgramLm.lmCountsTop(s, dir)),
     "q_sb_score" -> ((s, dir) => NgramLm.lmScore(s, dir)),
     "q_sb_levels" -> ((s, dir) => NgramLm.lmLevels(s, dir)),
@@ -817,6 +825,85 @@ object SparkEntry {
     bpeChainCtes(nMerges, scored = true) +
       dictTokensTailSql(nMerges, "n_wp_tokens")
 
+  /** The integer-cost unigram SERVING twin (`Bpe.unigramSmallModel`):
+    * vocab = chars ∪ top-16 multi-char substrings (≤ 4) by (count
+    * DESC, piece ASC), cost = (1e6·T) // c, and Viterbi replayed by
+    * enumerating every IN-VOCAB segmentation per dict word (the
+    * missing-piece penalty strictly dominates any ≤ 4-char in-vocab
+    * re-segmentation, so the optimal path provably never leaves the
+    * vocab — see `Bpe.UnigramSmallMaxTokens`) and taking the (cost,
+    * np, seg) argmin — exactly the struct order the Spark DP
+    * totalizes on. Path count is tetranacci(word length), dict-sized:
+    * bounded work at oracle scale. The final dict lands as `d90` so
+    * the two serving tails are the SAME SQL the BPE/WordPiece twins
+    * use.
+    */
+  private def unigramSmallCtes: String = """WITH RECURSIVE
+    |w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    |  WHERE len(w) > 0 GROUP BY w),
+    |subs AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS c
+    |  FROM (SELECT substr(w, CAST(s AS INT), CAST(l AS INT)) AS piece, cnt
+    |        FROM w0, unnest(range(1, length(w) + 1)) AS ts(s),
+    |             unnest(range(1, 5)) AS tl(l)
+    |        WHERE CAST(s AS INT) + CAST(l AS INT) - 1 <= length(w))
+    |  GROUP BY piece),
+    |vocab AS MATERIALIZED (
+    |  SELECT piece, c FROM subs WHERE len(piece) = 1
+    |  UNION ALL
+    |  SELECT piece, c FROM (SELECT piece, c FROM subs
+    |                        WHERE len(piece) > 1
+    |                        ORDER BY c DESC, piece LIMIT 16)),
+    |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM vocab),
+    |vc AS MATERIALIZED (SELECT piece, (1000000 * t) // c AS mc
+    |  FROM vocab, tot),
+    |paths AS (
+    |  SELECT w, cnt, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS cost,
+    |         CAST(0 AS INT) AS np, CAST([] AS VARCHAR[]) AS seg
+    |  FROM w0
+    |  UNION ALL
+    |  SELECT p.w, p.cnt, p.pos + len(v.piece), p.cost + v.mc, p.np + 1,
+    |         list_append(p.seg, v.piece)
+    |  FROM paths p JOIN vc v
+    |    ON substr(p.w, CAST(p.pos + 1 AS INT), CAST(len(v.piece) AS INT))
+    |       = v.piece
+    |  WHERE p.pos < len(p.w)),
+    |d90 AS MATERIALIZED (SELECT w, cnt, seg AS syms FROM (
+    |  SELECT w, cnt, seg,
+    |         row_number() OVER (PARTITION BY w
+    |           ORDER BY cost, np, seg) AS rn
+    |  FROM paths WHERE pos = len(w)) WHERE rn = 1)""".stripMargin
+
+  private def unigramTokensSmallSql: String =
+    unigramSmallCtes + dictTokensTailSql(90, "n_unigram_tokens")
+
+  /** Ids tail: rank over the vocab by the same (count DESC, piece ASC)
+    * order the Spark side zips — then the identical per-word id list +
+    * per-doc reassembly the BPE ids twin uses.
+    */
+  private def unigramIdsSmallSql: String =
+    unigramSmallCtes + """,
+    |uv AS (SELECT piece AS sym,
+    |         CAST(row_number() OVER (ORDER BY c DESC, piece) - 1
+    |           AS BIGINT) AS id
+    |       FROM vocab),
+    |wids AS (SELECT w, list(id ORDER BY i) AS ids FROM (
+    |    SELECT d.w, t.i, v.id
+    |    FROM d90 d, unnest(range(1, len(d.syms) + 1)) AS t(i)
+    |    JOIN uv v ON d.syms[CAST(t.i AS INT)] = v.sym)
+    |  GROUP BY w),
+    |dw AS (SELECT doc_id, i AS wpos,
+    |              string_split(text, ' ')[CAST(i AS INT)] AS w
+    |       FROM documents,
+    |            unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+    |di AS (SELECT d.doc_id, d.wpos, u.ids
+    |       FROM dw d JOIN wids u USING (w) WHERE len(d.w) > 0)
+    |SELECT doc_id, CAST(len(fl) AS INT) AS n_ids,
+    |       array_to_string(fl, ',') AS input_ids
+    |FROM (SELECT doc_id, flatten(list(ids ORDER BY wpos)) AS fl
+    |      FROM di GROUP BY doc_id)
+    |ORDER BY doc_id""".stripMargin
+
   /** One q_ann_recall CTE chain per sampled query id (the
     * q_retrieval_multi stamping pattern): shared v/c/dist/assigned/spine
     * CTEs, then per-id cell ranking, candidate cosines, exact gold,
@@ -1067,6 +1154,19 @@ object SparkEntry {
         |       CAST(sum(size) AS BIGINT) AS data_bytes,
         |       CAST(sum(512 + padded) + 1024 AS BIGINT) AS tar_bytes
         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+    // The round-trip key's Spark side went through REAL tar bytes on
+    // disk (write → walk back); the oracle recomputes the expected
+    // member rows straight from the source table, so a digest mismatch
+    // means the archive corrupted a payload somewhere in the lifecycle
+    "q_tar_roundtrip" ->
+      """SELECT CAST(doc_id % 4 AS INT) AS shard,
+        |       CAST(doc_id AS VARCHAR) || '.' ||
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS name,
+        |       CAST(strlen(text) AS BIGINT) AS size,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY name""".stripMargin,
     "q_sb_counts" ->
       s"""${lmCtes("")},
          |ac AS (SELECT 1 AS ord, gram, cnt FROM c1
@@ -4439,6 +4539,11 @@ object SparkEntry {
         |FROM g ORDER BY doc_id""".stripMargin,
     // q_unigram_train / q_unigram_tokens: no oracle — iterative EM
     //                   training has no SQL twin; golden-pinned.
+    // …but the unigram SERVING machinery is oracled at the small
+    // budget via the integer micro-cost dict: the Viterbi DP's tie
+    // order, boundary handling, and both serving joins hash-match
+    "q_unigram_tokens_small" -> unigramTokensSmallSql,
+    "q_unigram_ids_small" -> unigramIdsSmallSql,
     // the 6-merge BPE trainer IS oracled (integer counts + strings all
     // the way): the recursive-CTE fold proves the merge rule
     // cross-engine; the 20-merge production budget stays golden-pinned

@@ -500,9 +500,20 @@ object Bpe {
     * whole-stage-codegen'd higher-order functions.
     */
   private[operators] def viterbiSegCol(w: Column, costs: Column,
-      maxLen: Int): Column = {
+      maxLen: Int): Column =
+    viterbiSegColWith(w, costs, maxLen, lit(0.0), lit(1e9))
+
+  /** [[viterbiSegCol]] parameterized over the cost element type: the
+    * trained family runs it on DOUBLE −log p costs; the oracle-able
+    * small-budget family runs the identical DP on LONG micro-costs
+    * (`zero` = 0L, `missing` = an integer penalty), where every
+    * comparison the struct ordering makes is integer-exact — the same
+    * move that made Stupid-Backoff scoring hash-checkable.
+    */
+  private[operators] def viterbiSegColWith(w: Column, costs: Column,
+      maxLen: Int, zero: Column, missing: Column): Column = {
     val n = length(w)
-    val init = array(struct(lit(0.0).as("c"), lit(0).as("np"),
+    val init = array(struct(zero.as("c"), lit(0).as("np"),
       array().cast("array<string>").as("seg")))
     val stepped = aggregate(
       sequence(lit(1), n),
@@ -515,7 +526,7 @@ object Bpe {
             val prev = element_at(acc, s)
             struct(
               (prev.getField("c")
-                + coalesce(element_at(costs, piece), lit(1e9))).as("c"),
+                + coalesce(element_at(costs, piece), missing)).as("c"),
               (prev.getField("np") + 1).as("np"),
               concat(prev.getField("seg"), array(piece)).as("seg"))
           })
@@ -811,6 +822,108 @@ object Bpe {
       spark.read.parquet(indexPath + "/dict"),
       spark.read.parquet(indexPath + "/pieces")
         .select(col("piece").as("sym"), col("rank").cast("long").as("id")))
+
+  // -------------------------------------------------------------------
+  // Small-budget ORACLE-able unigram serving — the EM trainer's float
+  // Viterbi has no exact SQL twin (documented at
+  // [[tokenizerFertilitySmall]]), but SERVING only needs a piece-cost
+  // dict, and a dict whose costs are INTEGER micro-units makes every
+  // Viterbi comparison integer-exact — the same move that put
+  // Stupid-Backoff scoring under the DuckDB hash gate. The small
+  // family derives its dict deterministically with count algebra only:
+  //   vocab  = every single character ∪ the top `UnigramSmallExtra`
+  //            multi-char substrings (≤ maxLen) by corpus-weighted
+  //            (count DESC, piece ASC);
+  //   cost p = (1e6 · T) div c(p),  T = Σ c over the vocab
+  // (inverse-frequency micro-cost: order-isomorphic to −log p for the
+  // serving decisions that matter — frequent pieces cheap, rare ones
+  // dear — with zero float anywhere). Tokenization and input-id
+  // serving then reuse the EXACT production machinery
+  // ([[viterbiSegColWith]], [[tokenizeWithDict]], [[idsWithVocab]]),
+  // so the DP's boundary handling, (cost, fewer-pieces, lex-seg) tie
+  // order, and the per-doc reassembly joins are all cross-engine
+  // hash-checked even though the shipped EM budgets stay
+  // golden-pinned.
+  // -------------------------------------------------------------------
+
+  private val UnigramSmallExtra = 16
+
+  /** Exactness bounds of the integer cost model, enforced loudly: with
+    * T ≤ 4e9 every vocab cost is ≤ 4e15, so Viterbi path sums stay
+    * exact for words up to ~2000 chars and the missing-piece penalty
+    * (4e6·T + 1) strictly dominates any ≤ maxLen-char in-vocab
+    * re-segmentation — which is the local-exchange argument that the
+    * optimal path NEVER uses an out-of-vocab piece (single characters
+    * are always in the vocab), and therefore that the SQL twin may
+    * enumerate in-vocab segmentations only.
+    */
+  private val UnigramSmallMaxTokens = 4000000000L
+
+  /** The small family's (costs, ranked vocab): driver-held and
+    * artifact-sized by construction (charset + UnigramSmallExtra
+    * pieces), like the BPE merge table.
+    */
+  private def unigramSmallModel(dict: DataFrame,
+      maxLen: Int = UnigramMaxLen)
+      : (Map[String, Long], Long, Seq[(String, Long)]) = {
+    val subs = dict.select(explode(flatten(transform(
+        sequence(lit(1), length(col("w"))),
+        s => transform(
+          sequence(s, least(length(col("w")), s + lit(maxLen - 1))),
+          e => col("w").substr(s, e - s + lit(1))))))
+        .as("piece"), col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .cutLineage()
+    val chars = subs.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val multi = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(UnigramSmallExtra)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val vocab = (chars ++ multi).toSeq
+    val t = vocab.map(_._2).sum
+    require(t <= UnigramSmallMaxTokens,
+      s"unigram small-budget cost model out of integer range " +
+        s"(vocab count total $t > $UnigramSmallMaxTokens): use the " +
+        "full-budget trained family past this corpus size")
+    val costs = vocab.map { case (p, c) => p -> (1000000L * t) / c }.toMap
+    // ranked ids: (count DESC, piece ASC), 0-based — the same
+    // frequency-ordered id convention as the trained family
+    val ranked = vocab.sortBy { case (p, c) => (-c, p) }
+    (costs, 4000000L * t + 1, ranked)
+  }
+
+  private[operators] def unigramSmallArtifact(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) =
+    graft.ArtifactMemo.cached(spark, s"unigram_small:$dir") {
+      import spark.implicits._
+      // the corpus collapses to the Heaps-bounded dict ONCE; the model
+      // pass and the segmentation both read the cached frame
+      val dict = wordDict(Tables.documents(spark, dir))
+        .cutLineage(eager = true)
+      val (costs, penalty, ranked) = unigramSmallModel(dict)
+      val segDict = dict
+        .withColumn("syms", viterbiSegColWith(col("w"),
+          typedLit(costs), UnigramMaxLen, lit(0L), lit(penalty)))
+        .cutLineage(eager = true)
+      val vocab = ranked.zipWithIndex
+        .map { case ((p, _), id) => (p, id.toLong) }.toDF("sym", "id")
+      (segDict, vocab)
+    }
+
+  /** Per-document tokenization under the integer-cost small dict —
+    * `q_unigram_tokens_small`, hash-checked against the DuckDB twin.
+    */
+  def unigramTokenizeSmall(spark: SparkSession, dir: String): DataFrame =
+    tokenizeWithDict(Tables.documents(spark, dir),
+      unigramSmallArtifact(spark, dir)._1, "n_unigram_tokens")
+
+  /** Per-document input-id sequences under the integer-cost small
+    * dict — `q_unigram_ids_small`, hash-checked cross-engine.
+    */
+  def unigramIdsSmall(spark: SparkSession, dir: String): DataFrame = {
+    val (segDict, vocab) = unigramSmallArtifact(spark, dir)
+    idsWithVocab(Tables.documents(spark, dir), segDict, vocab)
+  }
 
   /** Per-document BPE tokenization — the serving half of the artifact:
     * the final segmented dict is a word → subwords LOOKUP TABLE, so

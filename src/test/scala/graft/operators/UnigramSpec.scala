@@ -191,6 +191,40 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("small-budget integer serving: the Viterbi dict never leaves " +
+    "the vocab, ids round-trip to text minus spaces, and token counts " +
+    "agree with the dict segmentation") {
+    val (segDict, vocabDf) = Bpe.unigramSmallArtifact(spark, dir)
+    val vocab = vocabDf.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every segment piece is an in-vocab piece (the penalty-dominance
+    // argument the SQL twin's in-vocab enumeration rests on)
+    segDict.collect().foreach { r =>
+      val w = r.getString(0)
+      val syms = r.getSeq[String](r.fieldIndex("syms"))
+      assert(syms.mkString == w, s"coverage broke on $w")
+      syms.foreach(p => assert(vocab.contains(p),
+        s"out-of-vocab piece '$p' in the optimal path for '$w'"))
+    }
+    val idToPiece = vocab.map(_.swap)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Bpe.unigramIdsSmall(spark, dir).collect()
+    val toks = Bpe.unigramTokenizeSmall(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ids.length == docs.size)
+    ids.foreach { r =>
+      val did = r.getLong(0)
+      val s = r.getString(2)
+      val pieces = if (s.isEmpty) Seq.empty[String]
+        else s.split(",").toSeq.map(i => idToPiece(i.toLong))
+      assert(pieces.mkString == docs(did).replace(" ", ""), s"doc $did")
+      assert(pieces.length.toLong == toks(did),
+        s"token count drifted from the id sequence on doc $did")
+    }
+  }
+
   test("stored pieces serve identical input-id sequences") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_uni3").toString
     Bpe.writeUnigramDict(spark, dir, tmp)
