@@ -673,6 +673,21 @@ object Profile {
         // DIV, not `/`: the DSL's `/` on longs is double division
         .agg(expr("sum(df * (df - 1) DIV 2)")).scalarLong)
     }
+
+    // Round-14 rows: second-decade coverage for the r13 families (run
+    // with /tmp/graft_sf1 and /tmp/graft_sf10) — the Stupid-Backoff
+    // 5-join scoring shape, the full CCNet-style gate it feeds, and
+    // the SimHash oracle twin whose per-(token, bit) explode is 32×
+    // token volume BY DESIGN (the production XXH64 kernel packs votes
+    // in one pass; this row tracks that the twin stays token-LINEAR,
+    // not that it is cheap). Query functions straight from SparkEntry
+    // so the measured plan is exactly the served one.
+    t("sb_score_q")(SparkEntry.queries("q_sb_score")(spark, dir).count())
+    t("sb_gate_q")(SparkEntry.queries("q_sb_gate")(spark, dir).count())
+    t("simhash_twin_q")(
+      SparkEntry.queries("q_simhash_twin")(spark, dir).count())
+    t("tar_roundtrip_q")(
+      SparkEntry.queries("q_tar_roundtrip")(spark, dir).count())
     spark.stop()
   }
 }
