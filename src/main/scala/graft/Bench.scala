@@ -140,9 +140,22 @@ object Bench {
     // sum: regression triage needs to know WHICH medians are
     // trustworthy — a 6 s median with a 9 s spread is noise, not a
     // regression
+    // Board mode: spread = max - min across the passes (the honest
+    // range of a full-board median — a big value says "this median
+    // inherited neighborhood pressure"). Isolated mode: spread = the
+    // CENTRAL range, i.e. max - min after dropping the single best and
+    // worst rep (runs >= 3; the full range otherwise). max - min of n
+    // independent reps estimates the EXTREME range — it grows with n
+    // and one outlier rep saturates it, which is the wrong statistic
+    // for "is this median trustworthy": the median of 5 is untouched
+    // by one outlier, so its dispersion estimate shouldn't be either.
+    // The trimmed range is the dispersion of the reps the median is
+    // actually made of.
     val spreads: Map[String, Double] = measured.keys.map { n =>
-      val vs = reps.map(_(n)).filter(_ >= 0)
-      n -> (if (vs.isEmpty) 0.0 else vs.max - vs.min)
+      val vs = reps.map(_(n)).filter(_ >= 0).sorted
+      val core = if (isolated && vs.size >= 3) vs.slice(1, vs.size - 1)
+        else vs
+      n -> (if (core.isEmpty) 0.0 else core.max - core.min)
     }.toMap
     val spread = spreads.values.sum
     // Millisecond resolution keeps the whole line under ~2.5 KB at ~100
