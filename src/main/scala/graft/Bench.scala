@@ -153,8 +153,10 @@ object Bench {
     // actually made of.
     val spreads: Map[String, Double] = measured.keys.map { n =>
       val vs = reps.map(_(n)).filter(_ >= 0).sorted
-      val core = if (isolated && vs.size >= 3) vs.slice(1, vs.size - 1)
-        else vs
+      // symmetric trim to the middle three reps (the median and its
+      // two neighbors — the values the reported median is made of)
+      val k = if (isolated) math.max(0, (vs.size - 3) / 2) else 0
+      val core = vs.slice(k, vs.size - k)
       n -> (if (core.isEmpty) 0.0 else core.max - core.min)
     }.toMap
     val spread = spreads.values.sum
