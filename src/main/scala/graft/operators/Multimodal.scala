@@ -261,15 +261,21 @@ object Multimodal {
     * byte extents come from `Segment → Cluster → SimpleBlock` (and
     * the `BlockGroup → Block` variant): a block's payload after its
     * (track vint, 16-bit timestamp, flags byte) header is frame
-    * data. Laced blocks (flags & 0x06) contribute their post-header
-    * extent as ONE range — the walk reads length fields only, never
-    * codec or lace tables, the same structural boundary as the other
-    * walks. Hostile-length discipline as everywhere: Long offsets, a
-    * zero-leading-byte vint (invalid: width > 8) aborts, an
-    * unknown-size vint (all data bits set) extends a CONTAINER to its
-    * parent's end (the streaming-Matroska convention for Segment and
-    * Cluster) but aborts on a leaf, every extent clamps to the bytes
-    * present, and a non-advancing element terminates the walk.
+    * data. Laced blocks (flags & 0x06) yield TRUE per-lace frame
+    * extents — all three lace table forms are length-prefix walks
+    * (Xiph 255-continuation sums, fixed-size equal split, EBML
+    * unsigned-first + signed-delta vints), the house specialty; a
+    * malformed lace table degrades that block to its merged
+    * post-header extent rather than aborting the file. Hostile-length
+    * discipline as everywhere: Long offsets, a zero-leading-byte vint
+    * (invalid: width > 8) aborts, an unknown-size vint (all data bits
+    * set) extends a CONTAINER to its parent's end (the
+    * streaming-Matroska convention for Segment and Cluster) but
+    * aborts on a leaf, every extent clamps to the bytes present, a
+    * non-advancing element terminates the walk, and nesting deeper
+    * than 64 containers aborts (a hostile file of 2-byte BlockGroup
+    * headers would otherwise drive recursion depth ~len/2 into a
+    * StackOverflowError; legitimate Matroska nests 4-5 deep).
     */
   private[operators] def mkvFrameRanges(b: Array[Byte]): Option[Vector[(Int, Int)]] = {
     if (b.length < 4 || (b(0) & 0xff) != 0x1a || (b(1) & 0xff) != 0x45 ||
@@ -299,7 +305,68 @@ object Multimodal {
     val SimpleBlock = 0xa3L
     val Block = 0xa1L
     val frames = Vector.newBuilder[(Int, Int)]
-    def walk(from: Long, until: Long): Boolean = { // false = desynced
+    // per-lace frame sizes for the first (count) frames of a laced
+    // block whose lace table starts at `hdr` (the lace-count byte);
+    // returns None on a malformed table → caller degrades to the
+    // merged extent. The last frame is always the remainder, so only
+    // count = (lace byte) sizes are read.
+    def laceExtents(hdr: Long, until: Long, mode: Int)
+        : Option[Vector[(Int, Int)]] = {
+      if (hdr >= until) return None
+      val count = b(hdr.toInt) & 0xff // frames - 1
+      var p = hdr + 1
+      val sizes = new Array[Long](count)
+      mode match {
+        case 1 => // Xiph: 255-continuation byte sums
+          var f = 0
+          while (f < count) {
+            var sz = 0L
+            var cont = true
+            while (cont) {
+              if (p >= until) return None
+              val v = b(p.toInt) & 0xff
+              sz += v; p += 1
+              cont = v == 255
+            }
+            sizes(f) = sz; f += 1
+          }
+        case 2 => // fixed-size: remainder must split evenly
+          val total = until - p
+          if (total < 0 || total % (count + 1) != 0) return None
+          val each = total / (count + 1)
+          var f = 0
+          while (f < count) { sizes(f) = each; f += 1 }
+        case 3 => // EBML: unsigned first size, signed vint deltas
+          var f = 0
+          var prev = 0L
+          while (f < count) {
+            vint(p, keepMarker = false) match {
+              // the vint itself must sit inside THIS block (`vint`
+              // only bounds against the file end)
+              case Some((v, w, _)) if p + w <= until =>
+                prev =
+                  if (f == 0) v
+                  else prev + (v - ((1L << (7 * w - 1)) - 1))
+                if (prev < 0) return None
+                sizes(f) = prev; p += w; f += 1
+              case _ => return None
+            }
+          }
+        case _ => return None
+      }
+      val out = Vector.newBuilder[(Int, Int)]
+      var a = p
+      var f = 0
+      while (f < count) {
+        val e = math.min(a + sizes(f), until)
+        if (e > a) out += ((a.toInt, e.toInt))
+        a = e; f += 1
+      }
+      if (a < until) out += ((a.toInt, until.toInt))
+      Some(out.result())
+    }
+    def walk(from: Long, until: Long, depth: Int): Boolean = {
+      if (depth > 64) return false // hostile nesting, not Matroska
       var i = from
       while (i < until) {
         val id = vint(i, keepMarker = true) match {
@@ -317,11 +384,21 @@ object Multimodal {
           if (sz._3) { if (container) until else return false }
           else math.min(bodyStart + sz._1, until)
         if (container) {
-          if (!walk(bodyStart, end)) return false
+          if (!walk(bodyStart, end, depth + 1)) return false
         } else if (id._1 == SimpleBlock || id._1 == Block) {
           vint(bodyStart, keepMarker = false).foreach { case (_, tw, _) =>
-            val fs = bodyStart + tw + 3 // track vint + s16 timestamp + flags
-            if (fs < end) frames += ((fs.toInt, end.toInt))
+            val flagsOff = bodyStart + tw + 2 // track vint + s16 ts
+            val fs = flagsOff + 1
+            if (flagsOff < end) {
+              val lacing = ((b(flagsOff.toInt) & 0xff) >> 1) & 0x3
+              val ext =
+                if (lacing == 0) None
+                else laceExtents(fs, end, lacing)
+              ext match {
+                case Some(rs) => frames ++= rs
+                case None => if (fs < end) frames += ((fs.toInt, end.toInt))
+              }
+            }
           }
         }
         if (end <= i) return false // non-advancing: malformed size
@@ -329,7 +406,7 @@ object Multimodal {
       }
       true
     }
-    walk(0L, b.length.toLong)
+    walk(0L, b.length.toLong, 0)
     Some(frames.result())
   }
 
@@ -338,14 +415,18 @@ object Multimodal {
     * meaning a 64-bit `largesize` follows and size 0 meaning
     * to-end-of-file. Frame byte extents come from the sample tables
     * under `moov/trak/mdia/minf/stbl`: `stsz` gives per-sample sizes
-    * (or one fixed size), `stco`/`co64` gives chunk offsets. Two layouts
-    * resolve without `stsc` interpretation: one chunk per sample
-    * (offsets.length == samples — each sample starts at its own offset)
-    * and the single-chunk file (one offset — samples are consecutive
-    * from it). Anything else returns the chunk extents' samples only if
-    * it matches one of those; a full stsc walk is not needed for the
-    * layouts this engine writes or commonly meets. Same hostile-length
-    * discipline as [[decodeWav]]/[[gifFrameRanges]]: offsets advance in
+    * (or one fixed size), `stco`/`co64` gives chunk offsets, and
+    * `stsc` maps samples onto chunks as (first_chunk,
+    * samples_per_chunk) runs — the full interpretation real encoder
+    * output needs (samples interleaved several per chunk): each
+    * chunk's samples are consecutive from its stored offset, with the
+    * run table resolved by a bounded prefix walk. A malformed stsc
+    * (first run not at chunk 1, non-increasing first_chunk, zero
+    * samples_per_chunk) is ignored, falling back to the two
+    * stsc-free layouts: one chunk per sample (offsets.length ==
+    * samples) and the single-chunk file (one offset — samples
+    * consecutive from it). Same hostile-length discipline as
+    * [[decodeWav]]/[[gifFrameRanges]]: offsets advance in
     * LONG arithmetic, a declared size below the 8-byte header aborts
     * the walk (a size-0-loop would otherwise never terminate), and
     * every extent clamps to the bytes actually present.
@@ -367,11 +448,14 @@ object Multimodal {
     val Containers = Set("moov", "trak", "mdia", "minf", "stbl")
     var sizes: Option[Array[Long]] = None
     var offsets: Option[Array[Long]] = None
+    // (first_chunk, samples_per_chunk) runs; description index unused
+    var chunkRuns: Option[Array[(Long, Long)]] = None
     // walk [from, until) at one nesting level, descending into the
     // known container boxes; stops on truncation or malformed sizes
     def walk(from: Long, until: Long): Unit = {
       var i = from
-      while (i + 8 <= until && (sizes.isEmpty || offsets.isEmpty)) {
+      while (i + 8 <= until &&
+          (sizes.isEmpty || offsets.isEmpty || chunkRuns.isEmpty)) {
         val declared = beInt(i)
         val typ = tag(i)
         val (sz, hdr) =
@@ -400,6 +484,21 @@ object Multimodal {
           if (n >= 0 && i + hdr + 8 + 8L * n <= until)
             offsets = Some(Array.tabulate(n.toInt)(k =>
               beLong(i + hdr + 8 + 8L * k)))
+        } else if (typ == "stsc" && i + hdr + 8 <= until) {
+          val n = beInt(i + hdr + 4)
+          if (n >= 0 && i + hdr + 8 + 12L * n <= until) {
+            val runs = Array.tabulate(n.toInt)(k =>
+              (beInt(i + hdr + 8 + 12L * k),
+                beInt(i + hdr + 8 + 12L * k + 4)))
+            // validity: first run at chunk 1, strictly increasing
+            // first_chunk, positive samples_per_chunk — anything else
+            // is ignored (fall back to the stsc-free layouts)
+            val ok = runs.nonEmpty && runs(0)._1 == 1L &&
+              runs.forall(_._2 > 0L) &&
+              runs.iterator.zip(runs.iterator.drop(1))
+                .forall { case (a, c) => a._1 < c._1 }
+            if (ok) chunkRuns = Some(runs)
+          }
         }
         i += sz
       }
@@ -407,25 +506,47 @@ object Multimodal {
     walk(0L, b.length.toLong)
     for (sz <- sizes; off <- offsets if sz.nonEmpty && off.nonEmpty) yield {
       val frames = Vector.newBuilder[(Int, Int)]
-      if (off.length == sz.length) {
-        // one chunk per sample: each sample at its own stored offset
-        var k = 0
-        while (k < sz.length) {
-          val a = math.min(math.max(off(k), 0L), b.length.toLong)
-          val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
-          if (e > a) frames += ((a.toInt, e.toInt))
-          k += 1
-        }
-      } else if (off.length == 1) {
-        // single chunk: samples consecutive from its offset
-        var a = math.min(math.max(off(0), 0L), b.length.toLong)
-        var k = 0
-        while (k < sz.length) {
-          val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
-          if (e > a) frames += ((a.toInt, e.toInt))
-          a = e
-          k += 1
-        }
+      chunkRuns match {
+        case Some(runs) =>
+          // full stsc interpretation: chunk c (1-based) holds
+          // samples_per_chunk consecutive samples from offsets(c-1),
+          // where samples_per_chunk comes from the run with the
+          // largest first_chunk <= c; sample indices advance globally
+          var s = 0 // next sample
+          var run = 0
+          var c = 1
+          while (c <= off.length && s < sz.length) {
+            while (run + 1 < runs.length && runs(run + 1)._1 <= c)
+              run += 1
+            var a = math.min(math.max(off(c - 1), 0L), b.length.toLong)
+            var j = 0L
+            while (j < runs(run)._2 && s < sz.length) {
+              val e = math.min(a + math.max(sz(s), 0L), b.length.toLong)
+              if (e > a) frames += ((a.toInt, e.toInt))
+              a = e; s += 1; j += 1
+            }
+            c += 1
+          }
+        case None if off.length == sz.length =>
+          // one chunk per sample: each sample at its own stored offset
+          var k = 0
+          while (k < sz.length) {
+            val a = math.min(math.max(off(k), 0L), b.length.toLong)
+            val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
+            if (e > a) frames += ((a.toInt, e.toInt))
+            k += 1
+          }
+        case None if off.length == 1 =>
+          // single chunk: samples consecutive from its offset
+          var a = math.min(math.max(off(0), 0L), b.length.toLong)
+          var k = 0
+          while (k < sz.length) {
+            val e = math.min(a + math.max(sz(k), 0L), b.length.toLong)
+            if (e > a) frames += ((a.toInt, e.toInt))
+            a = e
+            k += 1
+          }
+        case None => // ambiguous multi-chunk layout with no stsc
       }
       frames.result()
     }
@@ -547,7 +668,8 @@ object Multimodal {
     * codec — the same documented stand-in boundary as gifWrap). Box
     * sizes are computed bottom-up so every length field is exact.
     */
-  private[graft] def mp4Wrap(payload: Array[Byte], frames: Int): Array[Byte] = {
+  private[graft] def mp4Wrap(payload: Array[Byte], frames: Int,
+      chunks: Int = 1): Array[Byte] = {
     val n = math.max(1, frames)
     val per = math.max(1, (payload.length + n - 1) / n)
     val sizes = (0 until n).map { f =>
@@ -568,15 +690,38 @@ object Multimodal {
     }
     // stsz: version/flags 0, sample_size 0 (per-sample table), count, sizes
     val stsz = box("stsz", beInts(Seq(0, 0, sizes.length) ++ sizes))
-    // stco with ONE chunk — its offset is where mdat's data will start:
-    // ftyp(16) + moov + mdat header(8). moov size is deterministic:
-    // 5 nested box headers of 8 bytes around stsz + stco.
-    val stcoLen = 8 + 4 * 3 // header + version/flags + count + 1 offset
-    val moovLen = 8 * 4 + 8 + stsz.length + stcoLen // moov/trak/mdia/minf + stbl hdr
+    // sample→chunk grouping: chunks==1 reproduces the original
+    // single-chunk stsc-free layout byte-for-byte; chunks>1 spreads
+    // the samples over min(chunks, samples) chunks (first `rem`
+    // chunks hold one extra sample) and writes the REAL stsc run
+    // table such a layout needs — chunk payloads stay back-to-back in
+    // mdat, so frame extents are the same consecutive payload slices
+    // either way (container-invariance, like mp4-vs-mkv).
+    val nChunks = math.min(math.max(1, chunks), sizes.length)
+    val full = sizes.length / nChunks
+    val rem = sizes.length % nChunks
+    val perChunk = (0 until nChunks).map(c => if (c < rem) full + 1 else full)
+    // moov size is deterministic: 5 nested box headers of 8 bytes
+    // around stsz (+ stsc when chunked) + stco
+    val stscBody: Seq[Int] =
+      if (nChunks == 1) Seq.empty
+      else if (rem == 0) Seq(0, 1, 1, full, 1)
+      else Seq(0, 2, 1, full + 1, 1, rem + 1, full, 1)
+    val stscLen = if (nChunks == 1) 0 else 8 + 4 * stscBody.length
+    val stcoLen = 8 + 4 * (2 + nChunks)
+    val moovLen = 8 * 4 + 8 + stsz.length + stscLen + stcoLen
     val ftyp = box("ftyp", "isomgrft".getBytes("US-ASCII"))
     val mdatOff = ftyp.length + moovLen + 8
-    val stco = box("stco", beInts(Seq(0, 1, mdatOff)))
-    val stbl = box("stbl", stsz ++ stco)
+    // every sample is exactly `per` bytes except possibly the final
+    // one, which sits in the final chunk — so prior-chunk sums (the
+    // only ones an offset needs) are spc * per
+    val chunkOffsets = perChunk.scanLeft(mdatOff)(_ + _ * per)
+      .take(nChunks)
+    val stco = box("stco", beInts(Seq(0, nChunks) ++ chunkOffsets))
+    val stsc =
+      if (nChunks == 1) Array.emptyByteArray
+      else box("stsc", beInts(stscBody))
+    val stbl = box("stbl", stsz ++ stsc ++ stco)
     val moov = box("moov", box("trak", box("mdia", box("minf", stbl))))
     val mdat = box("mdat", payload)
     assert(moov.length == moovLen, s"moov size drifted: ${moov.length} vs $moovLen")
@@ -595,34 +740,93 @@ object Multimodal {
     * out; the block bytes are raw payload rather than encoded video
     * (the same documented codec boundary as the other wraps).
     */
+  // EBML building blocks shared by [[mkvWrap]]/[[mkvWrapLaced]]: every
+  // size is an 8-byte vint (always canonical, never unknown-size)
+  private def ebmlVint8(v: Long): Array[Byte] = {
+    val a = new Array[Byte](8)
+    a(0) = 0x01 // width-8 marker, zero data bits in the lead byte
+    var i = 7
+    var x = v
+    while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    a
+  }
+  private def ebmlBytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
+  private def ebmlElem(id: Array[Byte], body: Array[Byte]): Array[Byte] =
+    id ++ ebmlVint8(body.length.toLong) ++ body
+  // EBML header + Segment around pre-built Cluster contents
+  private def mkvShell(clusterBody: Array[Byte]): Array[Byte] = {
+    val timestamp = ebmlElem(ebmlBytes(0xe7), ebmlBytes(0x00))
+    val cluster = ebmlElem(ebmlBytes(0x1f, 0x43, 0xb6, 0x75),
+      timestamp ++ clusterBody)
+    val segment = ebmlElem(ebmlBytes(0x18, 0x53, 0x80, 0x67), cluster)
+    val docType = ebmlElem(ebmlBytes(0x42, 0x82),
+      "matroska".getBytes("US-ASCII"))
+    ebmlElem(ebmlBytes(0x1a, 0x45, 0xdf, 0xa3), docType) ++ segment
+  }
+  // the ceil-partition slice sizes both wraps lay out: all `per`
+  // except the final remainder, empties dropped
+  private def mkvSliceSizes(len: Int, frames: Int): Vector[Int] = {
+    val n = math.max(1, frames)
+    val per = math.max(1, (len + n - 1) / n)
+    (0 until n).map { f =>
+      val a = math.min(len, f * per)
+      math.min(len, a + per) - a
+    }.filter(_ > 0).toVector
+  }
+
   private[graft] def mkvWrap(payload: Array[Byte], frames: Int): Array[Byte] = {
-    def vint8(v: Long): Array[Byte] = {
-      val a = new Array[Byte](8)
-      a(0) = 0x01 // width-8 marker, zero data bits in the lead byte
-      var i = 7
-      var x = v
-      while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
-      a
-    }
-    def bytes(vs: Int*): Array[Byte] = vs.map(_.toByte).toArray
-    def elem(id: Array[Byte], body: Array[Byte]): Array[Byte] =
-      id ++ vint8(body.length.toLong) ++ body
     val n = math.max(1, frames)
     val per = math.max(1, (payload.length + n - 1) / n)
     val blocks = (0 until n).flatMap { f =>
       val a = math.min(payload.length, f * per)
       val e = math.min(payload.length, a + per)
       if (e <= a && f > 0) None
-      else Some(elem(bytes(0xa3), // SimpleBlock
-        bytes(0x81, 0x00, 0x00, 0x00) ++ // track 1, ts 0, no lacing
+      else Some(ebmlElem(ebmlBytes(0xa3), // SimpleBlock
+        ebmlBytes(0x81, 0x00, 0x00, 0x00) ++ // track 1, ts 0, no lacing
           java.util.Arrays.copyOfRange(payload, a, e)))
     }
-    val timestamp = elem(bytes(0xe7), bytes(0x00))
-    val cluster = elem(bytes(0x1f, 0x43, 0xb6, 0x75),
-      timestamp ++ blocks.flatten)
-    val segment = elem(bytes(0x18, 0x53, 0x80, 0x67), cluster)
-    val docType = elem(bytes(0x42, 0x82), "matroska".getBytes("US-ASCII"))
-    elem(bytes(0x1a, 0x45, 0xdf, 0xa3), docType) ++ segment
+    mkvShell(blocks.flatten.toArray)
+  }
+
+  /** [[mkvWrap]]'s laced sibling: the SAME ceil-partition payload
+    * slices, but packed as ONE SimpleBlock carrying a real lace table
+    * — Xiph (mode 1, 255-continuation sums), fixed-size (mode 2,
+    * equal split; the payload length must divide by the frame count
+    * since the format stores no sizes), or EBML (mode 3, unsigned
+    * first size then signed vint deltas). Because the slices are
+    * identical to mkvWrap's, [[mkvFrameRanges]] recovers the same
+    * frame extents from either container — the per-lace walk is what
+    * the invariance exercises.
+    */
+  private[graft] def mkvWrapLaced(payload: Array[Byte], frames: Int,
+      mode: Int): Array[Byte] = {
+    require(mode >= 1 && mode <= 3, s"lacing mode 1..3, got $mode")
+    val sizes = mkvSliceSizes(payload.length, frames)
+    if (sizes.isEmpty) return mkvWrap(payload, frames) // empty payload
+    if (mode == 2)
+      require(sizes.distinct.length <= 1,
+        "fixed-size lacing needs equal frames: payload length must " +
+          s"divide by the frame count (sizes: $sizes)")
+    // Xiph coding of one size: 255-continuation bytes then the final
+    // byte < 255 (v = 255q + r → q 0xFF bytes then r)
+    def xiph(v: Int): Array[Byte] =
+      Array.fill(v / 255)(0xff.toByte) :+ (v % 255).toByte
+    val laceTable: Array[Byte] = mode match {
+      case 1 => sizes.init.toArray.flatMap(xiph)
+      case 2 => Array.emptyByteArray // sizes implied by the count
+      case 3 => // first size unsigned; then deltas, signed with the
+        // width-8 bias 2^55 - 1 (all deltas are 0 here: equal slices
+        // until the final remainder, which is never in the table)
+        sizes.init.zipWithIndex.toArray.flatMap { case (s, i) =>
+          if (i == 0) ebmlVint8(s.toLong)
+          else ebmlVint8((s - sizes(i - 1)).toLong + ((1L << 55) - 1))
+        }
+    }
+    val flags = (mode << 1) & 0x06
+    val block = ebmlElem(ebmlBytes(0xa3),
+      ebmlBytes(0x81, 0x00, 0x00, flags) ++
+        ebmlBytes(sizes.length - 1) ++ laceTable ++ payload)
+    mkvShell(block)
   }
 
   /** Raw media-file ingestion via Spark's built-in `binaryFile` source:
@@ -738,10 +942,23 @@ object Multimodal {
         case "video" =>
           // alternate container within the video family: doc_id ≡ 2
           // (mod 3) are video, so (doc_id div 3) parity splits them
-          // deterministically and evenly between the two walks
+          // deterministically and evenly between the two walks.
+          // Within each family, (doc_id div 6) further cycles the
+          // layout variants — single-chunk vs stsc-chunked mp4,
+          // unlaced vs Xiph/EBML-laced mkv — all of which resolve to
+          // the SAME payload slices, so the mediaFrames golden pins
+          // container-invariance across every layout the walks read
+          // (fixed-size lacing is spec-only: it cannot represent the
+          // ceil-partition's short final slice)
           val wrapped =
-            if ((r.doc_id / 3) % 2 == 0) mp4Wrap(r.blob, frames)
-            else mkvWrap(r.blob, frames)
+            if ((r.doc_id / 3) % 2 == 0)
+              mp4Wrap(r.blob, frames,
+                chunks = 1 + ((r.doc_id / 6) % 2).toInt)
+            else ((r.doc_id / 6) % 3).toInt match {
+              case 0 => mkvWrap(r.blob, frames)
+              case 1 => mkvWrapLaced(r.blob, frames, 1) // Xiph
+              case _ => mkvWrapLaced(r.blob, frames, 3) // EBML
+            }
           MediaRecord(r.doc_id, r.media_type, wrapped)
         case _ =>
           MediaRecord(r.doc_id, r.media_type, gifWrap(r.blob, frames))
@@ -1109,20 +1326,44 @@ object Multimodal {
         }
         close()
     }
-    // all attempts (speculative losers included) have exited by the
-    // time the action returns — the staging dir holds only orphans
+    // best-effort cleanup: Spark kills speculative/zombie attempts
+    // asynchronously, so a still-running loser can in principle
+    // recreate files under _tmp/ after this delete. Harmless to
+    // readers (the glob excludes *.tar.<attempt>); the pre-job delete
+    // above clears any leftovers on the next write
     driverFs.delete(tmpDir, true)
   }
 
   /** Walk one tar archive's bytes to its members: (name, size,
-    * data_offset) per valid ustar header, in archive order. The READ
-    * half of the WebDataset lifecycle, shared by [[readTarShards]] and
-    * the shard specs. Same hostile-input discipline as the container
-    * walks ([[decodeWav]]/[[mp4FrameRanges]]): offsets advance in LONG
-    * arithmetic (a hostile 11-octal-digit size field maxes at 8^11−1 ≈
-    * 8.6e9, past Int range), the walk STOPS at the first block that is
-    * neither a valid checksummed ustar header nor the zero terminator
-    * (a desynced archive yields the members that parsed cleanly, never
+    * data_offset) per valid checksummed header, in archive order. The
+    * READ half of the WebDataset lifecycle, shared by
+    * [[readTarShards]] and the shard specs. Beyond plain ustar (what
+    * [[writeTarShards]] emits), the walk understands the two
+    * metadata-member conventions real-world WebDataset shards carry —
+    * WebDataset is an interchange format, and HuggingFace exports /
+    * GNU tar defaults routinely produce both:
+    *
+    *   - PAX extended headers (typeflag 'x' per-file, 'g' global):
+    *     the payload is `"%d %s=%s\n"` records; a `path` record
+    *     overrides the next regular member's name ('x') or the
+    *     default for all following members ('g'), and a `size` record
+    *     overrides the next member's size (how PAX stores >8 GiB
+    *     files whose size can't fit 11 octal digits);
+    *   - GNU longname/longlink (typeflag 'L'/'K'): the payload is the
+    *     NUL-terminated full name for the next member ('L'; 'K' is
+    *     the link-target variant, consumed and ignored).
+    *
+    * Non-regular members (directories '5', links '1'/'2', devices…)
+    * are consumed but not yielded — WebDataset members are regular
+    * files. The ustar `prefix` field (155 bytes at offset 345) is
+    * honored — plain ustar's own long-name mechanism for paths whose
+    * components split under 100/155. Octal fields accept leading
+    * spaces/NULs (common writer padding). Same hostile-input discipline as the container walks
+    * ([[decodeWav]]/[[mp4FrameRanges]]): offsets advance in LONG
+    * arithmetic (a hostile PAX size record or 11-octal-digit field
+    * can exceed Int range), the walk STOPS at the first block that is
+    * neither a valid checksummed header nor the zero terminator (a
+    * desynced archive yields the members that parsed cleanly, never
     * garbage extents), and a declared size past EOF clamps to the
     * bytes present.
     */
@@ -1132,14 +1373,55 @@ object Multimodal {
       var v = 0L
       var i = off
       val end = off + len
+      // leading space/NUL padding before the digits (GNU and BSD tar
+      // both space-pad numeric fields)
+      while (i < end && (b(i) == ' ' || b(i) == 0)) i += 1
       while (i < end && b(i) >= '0' && b(i) <= '7') {
         v = v * 8 + (b(i) - '0'); i += 1
       }
       v
     }
+    // parse PAX "%d %s=%s\n" records from a payload slice, returning
+    // the wanted keys that parse cleanly; a malformed record length
+    // (non-advancing, out of range) stops the record scan — the
+    // archive walk itself continues, treating the rest as opaque
+    def paxRecords(from: Long, len: Long): Map[String, String] = {
+      val out = Map.newBuilder[String, String]
+      var i = from
+      val end = math.min(from + len, b.length.toLong)
+      var ok = true
+      while (ok && i < end) {
+        var j = i
+        var recLen = 0L
+        while (j < end && b(j.toInt) >= '0' && b(j.toInt) <= '9') {
+          recLen = recLen * 10 + (b(j.toInt) - '0'); j += 1
+        }
+        val recEnd = i + recLen
+        if (recLen <= 0 || j >= end || b(j.toInt) != ' ' ||
+            recEnd > end || b((recEnd - 1).toInt) != '\n') ok = false
+        else {
+          var eq = j + 1
+          while (eq < recEnd - 1 && b(eq.toInt) != '=') eq += 1
+          if (eq < recEnd - 1) {
+            val key = new String(b, (j + 1).toInt, (eq - j - 1).toInt,
+              "UTF-8")
+            val value = new String(b, (eq + 1).toInt,
+              (recEnd - 1 - eq - 1).toInt, "UTF-8")
+            out += key -> value
+          }
+          i = recEnd
+        }
+      }
+      out.result()
+    }
     val members = Vector.newBuilder[(String, Long, Long)]
     var i = 0L
     var done = false
+    // pending per-member overrides from a preceding 'x'/'L' member,
+    // and archive-wide defaults from a 'g' member
+    var nextName: Option[String] = None
+    var nextSize: Option[Long] = None
+    var globalName: Option[String] = None
     while (!done && i + 512 <= b.length) {
       val o = i.toInt
       var zero = true
@@ -1147,8 +1429,9 @@ object Multimodal {
       while (zero && k < o + 512) { if (b(k) != 0) zero = false; k += 1 }
       if (zero) done = true // first terminator block: end of archive
       else {
-        // header validity: ustar magic + checksum over the block with
-        // the chksum field read as spaces
+        // header validity: ustar magic (POSIX "ustar" + NUL and GNU
+        // "ustar  " both carry "ustar" at 257) + checksum over the
+        // block with the chksum field read as spaces
         val magicOk = o + 262 < b.length &&
           new String(b, o + 257, 5, "US-ASCII") == "ustar"
         var sum = 0L
@@ -1162,9 +1445,55 @@ object Multimodal {
         else {
           var nameEnd = o
           while (nameEnd < o + 100 && b(nameEnd) != 0) nameEnd += 1
-          val name = new String(b, o, nameEnd - o, "UTF-8")
+          // the ustar prefix field (155 bytes at 345) prepends a path
+          // head — how plain ustar stores names over 100 chars whose
+          // components split under 100/155
+          var preEnd = o + 345
+          while (preEnd < o + 500 && b(preEnd) != 0) preEnd += 1
+          val headerName = {
+            val base = new String(b, o, nameEnd - o, "UTF-8")
+            if (preEnd > o + 345)
+              new String(b, o + 345, preEnd - (o + 345), "UTF-8") + "/" +
+                base
+            else base
+          }
           val size = octal(o + 124, 12)
-          members += ((name, math.min(size, b.length - i - 512), i + 512))
+          val typeflag = b(o + 156).toChar
+          val dataOff = i + 512
+          typeflag match {
+            case 'x' => // PAX per-file: overrides for the NEXT member
+              val recs = paxRecords(dataOff, size)
+              nextName = recs.get("path").orElse(nextName)
+              nextSize = recs.get("size")
+                .flatMap(s => scala.util.Try(s.toLong).toOption)
+                .filter(_ >= 0).orElse(nextSize)
+            case 'g' => // PAX global: defaults for ALL following
+              paxRecords(dataOff, size).get("path")
+                .foreach(p => globalName = Some(p))
+            case 'L' => // GNU longname: NUL-terminated next-member name
+              val nEnd0 = math.min(dataOff + size, b.length.toLong)
+              var nEnd = dataOff
+              while (nEnd < nEnd0 && b(nEnd.toInt) != 0) nEnd += 1
+              nextName =
+                Some(new String(b, dataOff.toInt, (nEnd - dataOff).toInt,
+                  "UTF-8"))
+            case 'K' => // GNU longlink: consumed, link targets unused
+            case '0' | '\u0000' => // regular file: a real member
+              val mName =
+                nextName.orElse(globalName).getOrElse(headerName)
+              val mSize = nextSize.getOrElse(size)
+              members += ((mName,
+                math.min(mSize, b.length - i - 512), dataOff))
+              nextName = None; nextSize = None
+            case _ => // dirs/links/devices: consumed, never yielded
+              nextName = None; nextSize = None
+          }
+          // advance by the HEADER's octal size field: PAX size
+          // overrides change the member's logical size, not how the
+          // writer padded this archive region (a >8 GiB PAX file
+          // stores 0 in the header size and its payload under the
+          // override — such a member's data extent clamps to the
+          // bytes present, as documented)
           i += 512L + ((size + 511) / 512) * 512
         }
       }
@@ -1193,6 +1522,13 @@ object Multimodal {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
+        // Invariant the Int slices below depend on: a shard arrives as
+        // ONE byte array (binaryFile contract, <= 2 GiB), so every
+        // member offset fits an Int. A future streaming-read refactor
+        // that lifts the single-array framing must widen the slicing.
+        require(bytes.length <= Int.MaxValue - 512,
+          s"readTarShards: shard $p exceeds the single-array framing " +
+            s"(${bytes.length} bytes); member offsets assume Int range")
         val shard = "shard-(\\d+)\\.tar$".r.findFirstMatchIn(p)
           .map(_.group(1).toInt).getOrElse(-1)
         tarWalk(bytes).map { case (name, size, off) =>

@@ -389,6 +389,116 @@ class MultimodalSpec extends AnyFunSuite {
       "hashes must cover the REAL SimpleBlock extents")
   }
 
+  test("MP4 stsc walk: chunked layouts resolve to the same sample " +
+    "extents as the single-chunk file, multi-run tables included, and " +
+    "a malformed stsc falls back instead of emitting garbage") {
+    val payload = Array.tabulate[Byte](601)(i => (i % 251).toByte)
+    val single = Multimodal.mp4FrameRanges(
+      Multimodal.mp4Wrap(payload, frames = 5)).get
+    // container-invariance: chunking regroups samples into chunks but
+    // the extents are the same consecutive payload slices
+    for (chunks <- 2 to 5) {
+      val boxed = Multimodal.mp4Wrap(payload, frames = 5, chunks = chunks)
+      val rs = Multimodal.mp4FrameRanges(boxed).get
+      assert(rs.length == single.length, s"chunks=$chunks: $rs")
+      assert(rs.map { case (a, b) => b - a } ==
+        single.map { case (a, b) => b - a })
+      assert(rs.flatMap { case (a, b) => boxed.slice(a, b) } ==
+        payload.toVector, s"chunks=$chunks must recover the payload")
+    }
+    // frames=5, chunks=3 → per-chunk [2,2,1]: a REAL two-run stsc
+    // ((1,2),(3,1)) — verify the run boundary lands where planned by
+    // walking the raw table
+    val threeChunk = Multimodal.mp4Wrap(payload, frames = 5, chunks = 3)
+    val idx = threeChunk.indexOfSlice("stsc".getBytes("US-ASCII"))
+    assert(idx > 0, "chunked wrap must carry an stsc box")
+    def be(o: Int) = ((threeChunk(o) & 0xff) << 24) |
+      ((threeChunk(o + 1) & 0xff) << 16) |
+      ((threeChunk(o + 2) & 0xff) << 8) | (threeChunk(o + 3) & 0xff)
+    assert(be(idx + 8) == 2, "entry count")
+    assert((be(idx + 12), be(idx + 16)) == ((1, 2)), "run 1")
+    assert((be(idx + 24), be(idx + 28)) == ((3, 1)), "run 2")
+    // malformed stsc (first run not at chunk 1) is ignored; with 3
+    // chunks and 5 samples neither fallback layout applies → no
+    // fantasy extents, an empty walk
+    val bad = threeChunk.clone()
+    bad(idx + 15) = 2 // first_chunk: 1 → 2
+    assert(Multimodal.mp4FrameRanges(bad).get.isEmpty,
+      "a bad stsc must fall back, never mis-slice")
+  }
+
+  test("Matroska lacing: Xiph/fixed/EBML lace tables yield true " +
+    "per-lace frame extents equal to the unlaced layout's, a malformed " +
+    "table degrades to the merged extent, and hostile nesting can't " +
+    "blow the stack") {
+    val payload = Array.tabulate[Byte](601)(i => (i % 251).toByte)
+    val plain = Multimodal.mkvFrameRanges(
+      Multimodal.mkvWrap(payload, frames = 4)).get
+    for (mode <- Seq(1, 3)) { // Xiph, EBML (uneven final slice is fine)
+      val laced = Multimodal.mkvWrapLaced(payload, frames = 4, mode)
+      val rs = Multimodal.mkvFrameRanges(laced).get
+      assert(rs.length == plain.length, s"mode=$mode: $rs")
+      assert(rs.map { case (a, b) => b - a } ==
+        plain.map { case (a, b) => b - a },
+        s"mode=$mode per-lace sizes must match the unlaced slices")
+      assert(rs.flatMap { case (a, b) => laced.slice(a, b) } ==
+        payload.toVector, s"mode=$mode must recover the payload")
+    }
+    // fixed-size lacing needs equal slices: 600 bytes over 4 frames
+    val even = payload.take(600)
+    val fixedLaced = Multimodal.mkvWrapLaced(even, frames = 4, mode = 2)
+    val fixedRs = Multimodal.mkvFrameRanges(fixedLaced).get
+    assert(fixedRs.map { case (a, b) => b - a } == Vector(150, 150, 150, 150))
+    assert(fixedRs.flatMap { case (a, b) => fixedLaced.slice(a, b) } ==
+      even.toVector)
+    // ...and rejects an uneven split instead of mis-slicing
+    intercept[IllegalArgumentException] {
+      Multimodal.mkvWrapLaced(payload, frames = 4, mode = 2)
+    }
+    // a malformed lace table (count byte with no table bytes left in
+    // the block) degrades that block to its merged post-header extent
+    // — hand-built so the failure is structural, not payload-dependent
+    def vint8pre(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8); a(0) = 0x01
+      var i = 7; var x = v
+      while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      a
+    }
+    val brokenBlock = Array(0xa3.toByte) ++ vint8pre(5L) ++
+      Array[Byte](0x81.toByte, 0, 0, 0x06, 200.toByte) // EBML-laced, no table
+    val brokenCluster = Array(0x1f, 0x43, 0xb6, 0x75).map(_.toByte) ++
+      vint8pre(brokenBlock.length.toLong) ++ brokenBlock
+    val brokenSeg = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      vint8pre(brokenCluster.length.toLong) ++ brokenCluster
+    val ebmlHdr = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ vint8pre(0)
+    val degraded = Multimodal.mkvFrameRanges(ebmlHdr ++ brokenSeg).get
+    assert(degraded.length == 1 &&
+      degraded.head._2 - degraded.head._1 == 1, // just the count byte
+      s"merged extent expected: $degraded")
+    // hostile nesting: 100k nested BlockGroup headers would recurse
+    // ~100k deep without the depth cap — must terminate, not
+    // StackOverflowError
+    def vint8(v: Long): Array[Byte] = {
+      val a = new Array[Byte](8); a(0) = 0x01
+      var i = 7; var x = v
+      while (i >= 1) { a(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+      a
+    }
+    val depth = 100000
+    val nested = new Array[Byte](depth * 9)
+    var p = 0
+    for (d <- 0 until depth) { // 0xa0 + vint8(remaining body) per level
+      nested(p) = 0xa0.toByte
+      System.arraycopy(vint8((depth - d - 1) * 9L), 0, nested, p + 1, 8)
+      p += 9
+    }
+    val seg = Array(0x18, 0x53, 0x80, 0x67).map(_.toByte) ++
+      vint8(nested.length.toLong) ++ nested
+    val hdr = Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ vint8(0)
+    val walked = Multimodal.mkvFrameRanges(hdr ++ seg)
+    assert(walked.isDefined && walked.get.isEmpty)
+  }
+
   test("AHashKernel: hand-checked ramp, empty payload, and invariance " +
     "to a constant payload") {
     // bytes 0..63: block b is the single byte b; mean 31.5 -> bits 32..63

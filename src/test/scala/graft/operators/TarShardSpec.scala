@@ -158,6 +158,127 @@ class TarShardSpec extends AnyFunSuite {
     assert(clamped == Vector(("b.bin", 2L, 512L)))
   }
 
+  test("foreign GNU-tar archive with a >100-char name ingests fully: " +
+      "the 'L' longname member names the next member, other members " +
+      "keep their header names, payloads slice at the right offsets") {
+    import scala.sys.process._
+    val d = java.nio.file.Files.createTempDirectory("graft_gnu")
+    // a single >100-char path COMPONENT: the ustar prefix split can't
+    // represent it, so GNU format must emit an 'L' longname member
+    val longName = "L" + "x" * 120 + ".txt" // 125 chars, no slash
+    val longPayload = "long-name payload".getBytes("UTF-8")
+    val shortPayload = "short".getBytes("UTF-8")
+    java.nio.file.Files.write(d.resolve(longName), longPayload)
+    java.nio.file.Files.write(d.resolve("short.txt"), shortPayload)
+    val tarPath = d.resolve("foreign.tar").toString
+    val rc = Seq("tar", "--format=gnu", "-cf", tarPath, "-C", d.toString,
+      longName, "short.txt").!
+    assert(rc == 0, "GNU tar must be available in this environment")
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tarPath))
+    val walked = Multimodal.tarWalk(bytes)
+    assert(walked.map(_._1) == Vector(longName, "short.txt"),
+      s"walked: ${walked.map(_._1)}")
+    val byName = walked.map(m => m._1 -> m).toMap
+    val (_, lSize, lOff) = byName(longName)
+    assert(lSize == longPayload.length.toLong)
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(bytes,
+      lOff.toInt, (lOff + lSize).toInt), longPayload))
+    val (_, sSize, sOff) = byName("short.txt")
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(bytes,
+      sOff.toInt, (sOff + sSize).toInt), shortPayload))
+    // the same archive flows through the Spark-side reader: foreign
+    // name → shard -1, every member recovered
+    val df = Multimodal.readTarShards(spark, d.toString).collect()
+    assert(df.map(r => (r.getAs[Int]("shard"), r.getAs[String]("name")))
+      .toSet == Set((-1, longName), (-1, "short.txt")))
+  }
+
+  test("foreign PAX-format archive ingests fully: 'x' extended headers " +
+      "override the next member's name, and the metadata members never " +
+      "surface as rows") {
+    import scala.sys.process._
+    val d = java.nio.file.Files.createTempDirectory("graft_pax")
+    // single >100-char component: not prefix-splittable, so the pax
+    // format must carry the name in an 'x' header's path record
+    val longName = "P" + "y" * 120 + ".bin"
+    val payload = Array.tabulate[Byte](700)(i => (i % 127).toByte)
+    java.nio.file.Files.write(d.resolve(longName), payload)
+    java.nio.file.Files.write(d.resolve("plain.bin"), Array[Byte](1, 2, 3))
+    val tarPath = d.resolve("pax.tar").toString
+    val rc = Seq("tar", "--format=pax", "-cf", tarPath, "-C", d.toString,
+      longName, "plain.bin").!
+    assert(rc == 0)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tarPath))
+    val walked = Multimodal.tarWalk(bytes)
+    assert(walked.map(_._1) == Vector(longName, "plain.bin"),
+      s"walked: ${walked.map(_._1)}")
+    val (_, size, off) = walked.head
+    assert(size == payload.length.toLong)
+    assert(java.util.Arrays.equals(java.util.Arrays.copyOfRange(bytes,
+      off.toInt, (off + size).toInt), payload))
+  }
+
+  test("ustar prefix field: a plain-ustar archive storing a long path " +
+      "as prefix+name walks to the joined path") {
+    import scala.sys.process._
+    val d = java.nio.file.Files.createTempDirectory("graft_ustar")
+    // path over 100 chars whose components split under 100/155: plain
+    // ustar stores it as (prefix, name) — GNU tar picks that split
+    val dirName = "u" * 120
+    val fullName = dirName + "/leaf.bin"
+    java.nio.file.Files.createDirectory(d.resolve(dirName))
+    val payload = Array[Byte](10, 20, 30)
+    java.nio.file.Files.write(d.resolve(fullName), payload)
+    val tarPath = d.resolve("ustar.tar").toString
+    val rc = Seq("tar", "--format=ustar", "-cf", tarPath,
+      "-C", d.toString, fullName).!
+    assert(rc == 0)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(tarPath))
+    val walked = Multimodal.tarWalk(bytes)
+    assert(walked.map(_._1) == Vector(fullName), s"walked: $walked")
+    val (_, size, off) = walked.head
+    assert(size == 3L && java.util.Arrays.equals(
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + 3),
+      payload))
+  }
+
+  test("space-padded octal fields (common foreign writer padding) " +
+      "parse: size and checksum prefixed with spaces still walk") {
+    val h = Multimodal.tarHeaderBytes("pad.bin", 4L)
+    // rewrite size as space-padded ("       4" + NUL + spaces), the
+    // way several BSD/old GNU writers pad numeric fields
+    val sizeField = ("       4\u0000   ").getBytes("US-ASCII")
+    System.arraycopy(sizeField, 0, h, 124, 12)
+    // recompute the checksum over the modified block, store it
+    // space-PREFIXED too
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    val sum = h.map(_ & 0xff).map(_.toLong).sum
+    val s = java.lang.Long.toOctalString(sum)
+    val chk = ((" " * (7 - s.length)) + s + "\u0000").getBytes("US-ASCII")
+    System.arraycopy(chk, 0, h, 148, 8)
+    val archive = h ++ Array[Byte](5, 6, 7, 8) ++ new Array[Byte](508)
+    assert(Multimodal.tarWalk(archive) == Vector(("pad.bin", 4L, 512L)))
+  }
+
+  test("non-regular members (directories, links) are consumed but " +
+      "never yielded; the walk continues to the regular files beyond") {
+    val dirHdr = Multimodal.tarHeaderBytes("somedir/", 0L)
+    dirHdr(156) = '5' // directory typeflag
+    // re-checksum after the typeflag change
+    java.util.Arrays.fill(dirHdr, 148, 156, ' '.toByte)
+    val sum = dirHdr.map(_ & 0xff).map(_.toLong).sum
+    System.arraycopy((f"$sum%06o" + "\u0000 ").getBytes("US-ASCII"), 0,
+      dirHdr, 148, 8)
+    val fileHdr = Multimodal.tarHeaderBytes("somedir/f.bin", 2L)
+    val archive = dirHdr ++ fileHdr ++ Array[Byte](8, 9) ++
+      new Array[Byte](510) ++ new Array[Byte](1024)
+    assert(Multimodal.tarWalk(archive) ==
+      Vector(("somedir/f.bin", 2L, 1024L)))
+  }
+
   test("tarHeaderBytes rejects oversize names instead of silently " +
       "truncating") {
     intercept[IllegalArgumentException] {
