@@ -1376,6 +1376,24 @@ object EventStream {
               col("n_tokens"), col("text"))
             .cutLineage(eager = true)
           val nCap = landed.count()
+          // Retract-then-write, same hole [[sbGateSink]] closes:
+          // dynamic overwrite only replaces partitions the NEW write
+          // touches, so a replay whose survivor set shrinks to ZERO
+          // (a model refresh racing an at-least-once redelivery with
+          // `lmModelPath` set) would write no docs partition and leave
+          // the stale previously-landed docs standing while the
+          // rewritten ledger reports a zero cap — silently
+          // inconsistent output. Deleting this batch's docs partition
+          // first makes the rewrite unconditional: on-disk state is
+          // exactly the current survivor set, empty included. One
+          // idempotent FS delete per batch; `landed` is already
+          // eagerly materialized (cutLineage above), so the delete
+          // cannot race the `prior` read of the same directory.
+          val docsBatchPart = new org.apache.hadoop.fs.Path(
+            s"$docsPath/ingest_batch=$batchId")
+          docsBatchPart
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(docsBatchPart, true)
           // data + ledger land first, index append after (see scaladoc)
           landed.withColumn("ingest_batch", lit(batchId))
             .write.mode("overwrite")

@@ -902,6 +902,57 @@ class EventStreamSpec extends AnyFunSuite {
       "gibberish must be dropped by the LM stage, not admitted")
   }
 
+  test("curationSink zero-survivor replay RETRACTS the stale docs " +
+    "partition: a redelivery whose LM stage now admits nothing deletes " +
+    "the batch's prior landings instead of leaving them beside a " +
+    "zero-cap ledger") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_curretract")
+    val idxDir = root.resolve("idx").toString
+    val outDir = root.resolve("out").toString
+    val modelDir = root.resolve("lm").toString
+    val s1 = "the quick brown fox jumps over the lazy dog here"
+    val ref = (0 until 4).map(r => (100L + r, s"$s1 $s1"))
+      .toDF("doc_id", "text")
+    graft.operators.NgramLm.writeNgramLmOn(ref, modelDir)
+    val doc = (1L, s"$s1 $s1", "s0", "en")
+    val evalSet = Seq((20L, "e1 e2 e3 e4 e5 e6 e7 e8", "s0", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val cfg = graft.pipeline.TextCuration.Config(
+      minTokens = 5, capPerSource = 10)
+    // batch 0 lands the fluent doc under the normal threshold
+    val input = MemoryStream[(Long, String, String, String)]
+    input.addData(doc)
+    val q = EventStream.curationSink(
+      input.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck1").toString, cfg,
+      lmModelPath = Some(modelDir), lmMinAvgMicro = 1000L)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$outDir/docs").count() == 1)
+    // the SAME batch replays (fresh checkpoint, batchId 0 again) after
+    // a "model refresh" — simulated by an unreachable threshold — and
+    // now admits zero docs: the stale docs partition must be retracted
+    // and the rewritten ledger must agree (6_cap = 0), not contradict
+    // standing docs
+    val input2 = MemoryStream[(Long, String, String, String)]
+    input2.addData(doc)
+    val q2 = EventStream.curationSink(
+      input2.toDF().toDF("doc_id", "text", "source", "lang"),
+      evalSet, idxDir, outDir, root.resolve("ck2").toString, cfg,
+      lmModelPath = Some(modelDir), lmMinAvgMicro = Long.MaxValue)
+    try q2.processAllAvailable() finally q2.stop()
+    val part = new org.apache.hadoop.fs.Path(s"$outDir/docs/ingest_batch=0")
+    assert(!part.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(part),
+      "the zero-survivor replay must delete its stale docs partition")
+    val ledger = spark.read.parquet(s"$outDir/ledger")
+      .filter(col("stage").isin("6_cap"))
+      .select("n_docs").as[Long].collect()
+    assert(ledger.toSeq == Seq(0L), s"ledger cap rows: ${ledger.toSeq}")
+  }
+
   test("curationSink: a doc REDELIVERED under a NEW batchId self-matches " +
     "its earlier indexed copy and is dropped, not double-landed") {
     implicit val sql = spark.sqlContext
