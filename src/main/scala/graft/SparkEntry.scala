@@ -302,6 +302,7 @@ object SparkEntry {
     "q_tar_manifest" -> ((s, dir) => Multimodal.tarManifest(s, dir)),
     "q_tar_shards" -> ((s, dir) => Multimodal.tarShardSummary(s, dir)),
     "q_tar_roundtrip" -> ((s, dir) => Multimodal.tarRoundtrip(s, dir)),
+    "q_wds_samples" -> ((s, dir) => Multimodal.wdsRoundtrip(s, dir)),
     "q_sb_counts" -> ((s, dir) => NgramLm.lmCountsTop(s, dir)),
     "q_sb_score" -> ((s, dir) => NgramLm.lmScore(s, dir)),
     "q_sb_levels" -> ((s, dir) => NgramLm.lmLevels(s, dir)),
@@ -1167,6 +1168,26 @@ object SparkEntry {
         |       CAST(strlen(text) AS BIGINT) AS size,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY name""".stripMargin,
+    // the WDS lifecycle twin re-derives every per-sample value from the
+    // source table: the payload digest is md5 over the same UTF-8
+    // bytes, the metadata digest is md5 over the byte-identical
+    // canonical JSON (field order and spacing fixed on both sides),
+    // and meta_size checks the json round-trips through the parse
+    "q_wds_samples" ->
+      """SELECT doc_id,
+        |       CAST(doc_id % 4 AS INT) AS shard,
+        |       CAST(2 AS INT) AS n_fields,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS media_ext,
+        |       md5(text) AS payload_md5,
+        |       md5('{"doc_id":' || doc_id || ',"media_type":"' ||
+        |           CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |                WHEN doc_id % 3 = 1 THEN 'audio'
+        |                ELSE 'video' END ||
+        |           '","size":' || strlen(text) || '}') AS meta_md5,
+        |       CAST(strlen(text) AS BIGINT) AS meta_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_sb_counts" ->
       s"""${lmCtes("")},
          |ac AS (SELECT 1 AS ord, gram, cnt FROM c1

@@ -1274,6 +1274,18 @@ object Multimodal {
       col("blob"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
+    streamTarMembers(spark, rows, outPath)
+  }
+
+  /** The streaming tar-writer core shared by [[writeTarShards]] and
+    * [[writeWdsShards]]: `rows` must carry (shard, name, size, blob),
+    * already repartitioned by shard and sorted into the exact member
+    * order to be written. Commit protocol and scale properties are
+    * documented on [[writeTarShards]] (per-attempt temp + atomic
+    * rename; one payload shuffle, paid by the CALLER's repartition).
+    */
+  private def streamTarMembers(spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame, outPath: String): Unit = {
     // the session's Hadoop config (incl. spark.hadoop.* overrides:
     // fs.defaultFS, object-store credentials), broadcast serializably —
     // a fresh Configuration() on an executor would silently resolve
@@ -1559,5 +1571,101 @@ object Multimodal {
         .select(col("shard"), col("name"), col("size"),
           md5(col("blob")).as("payload_md5"))
         .orderBy(col("name"))
+    }
+
+  /** Write WebDataset-convention SAMPLE shards: where
+    * [[writeTarShards]] exports one member per document, a real
+    * WebDataset sample is a GROUP of members sharing a basename key
+    * with one extension per field (`00042.jpg` + `00042.json`, stored
+    * adjacent so a sequential reader materializes a sample from
+    * consecutive members). Per document this writes two members under
+    * the `doc_id` key — `<doc_id>.<media_type>` (the payload) and
+    * `<doc_id>.json` (canonical metadata: doc_id, media_type, byte
+    * size; field order and spacing fixed so the same corpus always
+    * produces byte-identical shards) — payload first, metadata second,
+    * samples in doc_id order within their shard. Same single payload
+    * shuffle and speculation-safe commit as [[writeTarShards]]
+    * (shared [[streamTarMembers]] core).
+    */
+  def writeWdsShards(spark: SparkSession, dir: String, outPath: String,
+      nShards: Int = 4): Unit = {
+    val docs = mediaTable(spark, dir).select(
+      (col("doc_id") % nShards).cast("int").as("shard"),
+      col("doc_id"), col("media_type"), col("blob"))
+    val payload = docs.select(
+      col("shard"), col("doc_id"), lit(0).as("rank"),
+      concat(col("doc_id").cast("string"), lit("."),
+        col("media_type")).as("name"),
+      length(col("blob")).cast("long").as("size"),
+      col("blob"))
+    // metadata JSON from row-local expressions — byte length (not
+    // char count) so the declared size survives multi-byte text
+    val meta = docs.select(
+      col("shard"), col("doc_id"), lit(1).as("rank"),
+      concat(col("doc_id").cast("string"), lit(".json")).as("name"),
+      concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+        lit(",\"media_type\":\""), col("media_type"),
+        lit("\",\"size\":"), length(col("blob")).cast("string"),
+        lit("}")).cast("binary").as("blob"))
+      .withColumn("size", length(col("blob")).cast("long"))
+      .select(col("shard"), col("doc_id"), col("rank"), col("name"),
+        col("size"), col("blob"))
+    streamTarMembers(spark,
+      payload.unionByName(meta)
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("doc_id"), col("rank")),
+      outPath)
+  }
+
+  /** Group a shard directory's members back into WebDataset SAMPLES:
+    * key = the member basename up to its FIRST dot, extension = the
+    * remainder (the WebDataset convention — `00042.seg.png` is field
+    * `seg.png` of sample `00042`), one row per (shard, key) with an
+    * ext→bytes map of its fields. Foreign shards walk through the same
+    * path as engine-written ones ([[readTarShards]] handles PAX/GNU
+    * conventions), so a sample split across conventions still groups.
+    *
+    * Scale: ONE shuffle, keyed by (shard, key); each group is
+    * sample-sized (a handful of fields), so the aggregation state is
+    * bounded by the largest sample, never the corpus — the exact shape
+    * a 100 TB shard archive needs. The map is built from a sorted
+    * entry array so field order is deterministic under any task
+    * schedule.
+    */
+  def wdsSamples(spark: SparkSession, path: String): DataFrame =
+    readTarShards(spark, path)
+      .withColumn("key", substring_index(col("name"), ".", 1))
+      .withColumn("ext", expr(
+        "substring(name, length(substring_index(name, '.', 1)) + 2)"))
+      .groupBy(col("shard"), col("key"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("ext"), col("blob"))))).as("fields"))
+
+  /** The WDS lifecycle under the oracle gate: export the corpus as
+    * sample shards ([[writeWdsShards]]), group the bytes back into
+    * samples ([[wdsSamples]]), and emit one deterministic row per
+    * sample — field count, payload digest, metadata digest, and the
+    * size the metadata CLAIMS (parsed back out of the json field) —
+    * so the DuckDB twin re-deriving every value from the source table
+    * checks the whole write→walk→group→parse chain byte-for-byte.
+    */
+  def wdsRoundtrip(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame =
+    graft.ArtifactMemo.cached(spark, s"wds_rt:$dir") {
+      val path = graft.Materialize.artifactDir(spark, s"wds_rt:$dir")
+      writeWdsShards(spark, dir, path, nShards)
+      wdsSamples(spark, path)
+        .select(
+          col("key").cast("long").as("doc_id"),
+          col("shard"),
+          size(map_keys(col("fields"))).as("n_fields"),
+          expr("filter(map_keys(fields), k -> k != 'json')[0]")
+            .as("media_ext"),
+          expr("md5(fields[filter(map_keys(fields), " +
+            "k -> k != 'json')[0]])").as("payload_md5"),
+          expr("md5(fields['json'])").as("meta_md5"),
+          get_json_object(expr("cast(fields['json'] as string)"),
+            "$.size").cast("long").as("meta_size"))
+        .orderBy(col("doc_id"))
     }
 }

@@ -279,6 +279,65 @@ class TarShardSpec extends AnyFunSuite {
       Vector(("somedir/f.bin", 2L, 1024L)))
   }
 
+  test("WDS sample shards round-trip: every doc groups back to a " +
+      "2-field sample whose payload is the source bytes and whose json " +
+      "metadata parses to the right size, with sample members ADJACENT " +
+      "in the archive (payload first, json second)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_wds").toString
+    Multimodal.writeWdsShards(spark, dir, out)
+    val media = Multimodal.mediaTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getAs[Array[Byte]](2)))
+      .toMap
+    val samples = Multimodal.wdsSamples(spark, out).collect()
+    assert(samples.length == media.size)
+    samples.foreach { r =>
+      val key = r.getAs[String]("key")
+      val fields = r.getAs[Map[String, Array[Byte]]]("fields")
+      val (mt, blob) = media(key.toLong)
+      assert(fields.keySet == Set(mt, "json"), s"sample $key: ${fields.keySet}")
+      assert(java.util.Arrays.equals(fields(mt), blob))
+      val json = new String(fields("json"), "UTF-8")
+      assert(json ==
+        s"""{"doc_id":$key,"media_type":"$mt","size":${blob.length}}""")
+    }
+    // adjacency: walking the raw shard, members come in (payload, json)
+    // pairs per key — the property a sequential WebDataset reader needs
+    (0 until 4).foreach { shard =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$out/shard-$shard%05d.tar"))
+      val names = Multimodal.tarWalk(bytes).map(_._1)
+      assert(names.length % 2 == 0)
+      names.grouped(2).foreach { pair =>
+        val k = pair.head.takeWhile(_ != '.')
+        assert(pair(0) == s"$k.${media(k.toLong)._1}" &&
+          pair(1) == s"$k.json", s"non-adjacent sample members: $pair")
+      }
+    }
+  }
+
+  test("wdsSamples groups by the FIRST-dot key, so a multi-dot " +
+      "extension stays one field of its sample") {
+    val d = java.nio.file.Files.createTempDirectory("graft_wdsfirst")
+    def member(name: String, payload: Array[Byte]): Array[Byte] =
+      Multimodal.tarHeaderBytes(name, payload.length.toLong) ++ payload ++
+        new Array[Byte]((512 - payload.length % 512) % 512)
+    val archive = member("s1.txt", "alpha".getBytes("UTF-8")) ++
+      member("s1.seg.png", Array[Byte](9, 8, 7)) ++
+      member("s1.json", "{}".getBytes("UTF-8")) ++
+      member("s2.txt", "beta".getBytes("UTF-8")) ++
+      new Array[Byte](1024)
+    java.nio.file.Files.write(d.resolve("shard-00000.tar"), archive)
+    val got = Multimodal.wdsSamples(spark, d.toString).collect()
+      .map(r => r.getAs[String]("key") ->
+        r.getAs[Map[String, Array[Byte]]]("fields")).toMap
+    assert(got.keySet == Set("s1", "s2"))
+    assert(got("s1").keySet == Set("txt", "seg.png", "json"))
+    assert(new String(got("s1")("txt"), "UTF-8") == "alpha")
+    assert(java.util.Arrays.equals(got("s1")("seg.png"),
+      Array[Byte](9, 8, 7)))
+    assert(got("s2").keySet == Set("txt"))
+  }
+
   test("tarHeaderBytes rejects oversize names instead of silently " +
       "truncating") {
     intercept[IllegalArgumentException] {
