@@ -388,29 +388,45 @@ object Aggregates {
   /** Same, over any lineitem-shaped frame. Weights run in exact long
     * micro-units (the subsampleCI idiom): the cumulative/total window
     * sums codegen to integer adds instead of BigDecimal accumulation,
-    * and the crossing test `2·cw ≥ total` is scale-invariant, so the
-    * selected row — and the served `total_weight = double(Σmicros)/10⁶`
-    * — is identical to the decimal path while Σ < 2⁵³ micro-units.
+    * and the crossing test `2·cw ≥ total` is scale-invariant.
+    *
+    * The cumulative walk runs over each group's DISTINCT prices, not
+    * its rows: per-price weights pre-aggregate map-side (combinable
+    * long sums), so the window sorts the price domain, and the median
+    * is the smallest price whose through-price cumulative crosses
+    * half the total — identical to walking rows in (price, order,
+    * line) order and taking the first crossing ROW's price, because a
+    * row-level crossing inside price p's run implies p's full
+    * cumulative crosses and no smaller price's does. Same answer, but
+    * the per-group window volume is the value domain (bounded) instead
+    * of the corpus (unbounded) — the [[quantileSketchOn]] exact-audit
+    * shape, and the difference between a 3-task sort of the corpus and
+    * a 3-task sort of a dictionary at 100 TB.
     */
   def weightedMedianOn(li: DataFrame): DataFrame = {
+    val byPrice = li
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        (dec(col("l_quantity")) * 1000000).cast("long").as("qw"))
+      .groupBy(col("l_returnflag"), col("l_extendedprice"))
+      .agg(sum(col("qw")).as("w"))
     val ord = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_extendedprice"))
     val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = Window.partitionBy(col("l_returnflag"))
-    li
-      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"),
-        (dec(col("l_quantity")) * 1000000).cast("long").as("qw"))
-      .withColumn("cw", sum(col("qw")).over(cum))
-      .withColumn("total", sum(col("qw")).over(all))
-      .withColumn("rn", row_number().over(ord))
+    byPrice
+      .withColumn("cw", sum(col("w")).over(cum))
+      .withColumn("total", sum(col("w")).over(all))
       .filter(col("cw") * 2 >= col("total"))
       .groupBy(col("l_returnflag"))
-      .agg(min(struct(col("rn"), col("l_extendedprice"))).as("best"),
+      // nulls-first argmin (a bare min() would skip a null crossing
+      // price, where the row walk kept it): the null-price group sorts
+      // first in the window, so it wins the struct min iff it crossed
+      .agg(min(struct(when(col("l_extendedprice").isNull, 0).otherwise(1)
+          .as("nn"), col("l_extendedprice").as("p"))).as("best"),
         max(col("total")).as("tw"))
       .select(col("l_returnflag"),
         (col("tw").cast("double") / 1e6).as("total_weight"),
-        col("best.l_extendedprice").as("weighted_median_price"))
+        col("best.p").as("weighted_median_price"))
       .orderBy(col("l_returnflag"))
   }
 

@@ -967,10 +967,12 @@ object Dedup {
     * domain). Output: (doc_id, clean_text, n_kept, n_dropped).
     *
     * Scale shape: one narrow positional-gram explode, one map-side
-    * combinable (df, min_doc) aggregation on the 8-byte gram hash, one
-    * equi-join back, and a covered-position aggregation whose volume is
-    * bounded by DUPLICATED gram occurrences only — clean corpora shuffle
-    * almost nothing in the final stage. Reassembly is a narrow
+    * combinable min-doc aggregation on the 8-byte gram hash (the
+    * distinct-doc df test is implied by `mind < doc_id` at the default
+    * threshold — see [[losingOccurrences]]), one equi-join back, and a
+    * covered-position aggregation whose volume is bounded by DUPLICATED
+    * gram occurrences only — clean corpora shuffle almost nothing in
+    * the final stage. Reassembly is a narrow
     * higher-order filter over the original token array joined with its
     * doc's covered-position set; no global sort, no pair formation.
     * Keep-first is decided by min(doc_id) — deterministic under any
@@ -982,6 +984,29 @@ object Dedup {
       minDf: Int = 2): DataFrame =
     removeDupSpansOn(Tables.documents(spark, dir), k, minDf)
 
+  /** The losing occurrences of duplicated windows — the (doc_id, start)
+    * rows both span-removal operators drop positions for. For the
+    * default gate (minDf ≤ 2) the distinct-doc test is IMPLIED:
+    * `mind < doc_id` already witnesses an earlier DISTINCT holder, so
+    * the stats aggregation is a map-side-combinable `min` only — one
+    * keyed exchange whose payload collapses to one row per (gram,
+    * partition). The general gate (minDf > 2) needs the real distinct
+    * count, which plans as the two-exchange distinct-aggregate expansion
+    * over near-gram volume; it exists for callers that raise the
+    * threshold, never for the declared queries.
+    */
+  private def losingOccurrences(grams: DataFrame, minDf: Int): DataFrame =
+    if (minDf <= 2) {
+      val stats = grams.groupBy(col("h")).agg(min(col("doc_id")).as("mind"))
+      grams.join(stats, "h").filter(col("mind") < col("doc_id"))
+    } else {
+      val stats = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          min(col("doc_id")).as("mind"))
+      grams.join(stats, "h")
+        .filter(col("df") >= minDf && col("mind") < col("doc_id"))
+    }
+
   /** Same, over any (doc_id, text) frame. */
   def removeDupSpansOn(documents: DataFrame, k: Int = 3,
       minDf: Int = 2): DataFrame = {
@@ -989,19 +1014,17 @@ object Dedup {
       split(col("text"), " ").as("arr"))
     // positional k-grams (doc_id, start, h): docs shorter than k
     // contribute none and fall through the left join unchanged
+    // positional gram hashes via the generated [[graft.functions
+    // .HashLadder]] kernel (doublings = 0 ⇒ plain k-gram hashes) — same
+    // (start, h) rows as the interpreted transform+struct explode it
+    // replaces, one kernel call per row instead of per-gram lambda trips
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hk = ColumnBridge.column(graft.functions.HashLadder(
+      ColumnBridge.expression(col("arr")), k, 0))
     val grams = d.filter(size(col("arr")) >= k)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("arr")) - k),
-        i => struct(i.as("start"),
-          xxhash64(concat_ws(" ", slice(col("arr"), i + 1, lit(k))))
-            .as("h")))).as("g"))
-      .select(col("doc_id"), col("g.start"), col("g.h"))
-    val stats = grams.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        min(col("doc_id")).as("mind"))
+      .select(col("doc_id"), posexplode(hk).as(Seq("start", "h")))
     // covered positions, only for losing occurrences of duplicated grams
-    val cov = grams.join(stats, "h")
-      .filter(col("df") >= minDf && col("mind") < col("doc_id"))
+    val cov = losingOccurrences(grams, minDf)
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
       .groupBy(col("doc_id"))
@@ -1034,13 +1057,16 @@ object Dedup {
     * short organic phrase overlaps (< L tokens) are kept — exactly
     * the two cases the fixed-k operator gets wrong (spec-pinned).
     *
-    * Scale shape: each doubling is a self-equi-join on
-    * (doc_id, start) — n rows against n rows, co-partitioned after
-    * the first shuffle — so total work is n·log(L/base); stats,
-    * covered positions (bounded by duplicated occurrences only), and
-    * reassembly are the fixed-k operator's tail verbatim. Keyed on
-    * 8-byte hashes end to end; the oracle twin keys on the raw
-    * L-token window (same ~1e-9 deterministic collision caveat).
+    * Scale shape: the doubling ladder runs INSIDE each document's
+    * token array (h_{j+1}[i] = xxhash64(h_j[i], h_j[i+len_j]) as a
+    * per-row array transform) — n·log(L/base) hash combines with zero
+    * shuffles, where the former (doc_id, start) self-equi-join
+    * formulation shuffled full gram volume once per round; only the
+    * final level's windows explode. Stats, covered positions (bounded
+    * by duplicated occurrences only), and reassembly are the fixed-k
+    * operator's tail verbatim. Keyed on 8-byte hashes end to end; the
+    * oracle twin keys on the raw L-token window (same ~1e-9
+    * deterministic collision caveat).
     */
   def removeDupSpansMultiLength(spark: SparkSession, dir: String,
       base: Int = 4, doublings: Int = 2, minDf: Int = 2): DataFrame =
@@ -1055,27 +1081,23 @@ object Dedup {
     val winLen = base << doublings
     val d = documents.select(col("doc_id"),
       split(col("text"), " ").as("arr"))
-    var lvl = d.filter(size(col("arr")) >= base)
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(0), size(col("arr")) - base),
-        i => struct(i.as("start"),
-          xxhash64(concat_ws(" ", slice(col("arr"), i + 1, lit(base))))
-            .as("h")))).as("g"))
-      .select(col("doc_id"), col("g.start"), col("g.h"))
-    var len = base
-    for (_ <- 0 until doublings) {
-      val right = lvl.select(col("doc_id"),
-        (col("start") - len).as("start"), col("h").as("hr"))
-      lvl = lvl.join(right, Seq("doc_id", "start"))
-        .select(col("doc_id"), col("start"),
-          xxhash64(col("h"), col("hr")).as("h"))
-      len *= 2
-    }
-    val stats = lvl.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("df"),
-        min(col("doc_id")).as("mind"))
-    val cov = lvl.join(stats, "h")
-      .filter(col("df") >= minDf && col("mind") < col("doc_id"))
+    // The hash ladder runs entirely inside each document's token array
+    // ([[graft.functions.HashLadder]] — one generated kernel call per
+    // row): level 0 hashes the base-grams, and each doubling maps index
+    // i to xxhash64(h[i], h[i + len]) — the SAME combine the former
+    // (doc_id, start) self-equi-join computed, but as narrow per-row
+    // work, so the `doublings` rounds cost ZERO shuffles and the only
+    // explode emits the FINAL level's T − L + 1 windows (the join
+    // formulation shuffled full gram volume per round and exploded
+    // T − base + 1 rows up front). Docs shorter than winLen contribute
+    // no windows either way — the filter just says so before the ladder
+    // instead of letting the joins shrink them away.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val hs = ColumnBridge.column(graft.functions.HashLadder(
+      ColumnBridge.expression(col("arr")), base, doublings))
+    val lvl = d.filter(size(col("arr")) >= winLen)
+      .select(col("doc_id"), posexplode(hs).as(Seq("start", "h")))
+    val cov = losingOccurrences(lvl, minDf)
       .select(col("doc_id"),
         explode(sequence(col("start"), col("start") + (winLen - 1)))
           .as("pos"))

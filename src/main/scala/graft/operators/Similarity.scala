@@ -1020,6 +1020,8 @@ object Similarity {
     */
   private def recallCurve(emb: DataFrame, centroids: DataFrame,
       queryId: Long, k: Int, nprobes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import emb.sparkSession.implicits._
     val q = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     // every cell ranked by distance to the query (codebook-sized)
     val rankedCells = centroids.crossJoin(broadcast(q))
@@ -1031,20 +1033,40 @@ object Similarity {
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("crank"),
         cosine(col("v"), col("qv")).as("cos"))
-      .cutLineage() // read once per probe budget + the exact pass
     val exact = emb.crossJoin(broadcast(q))
       .select(col("vec_id"), cosine(col("v"), col("qv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id")).limit(k)
       .select(col("vec_id"))
-      .cutLineage() // read once per probe budget
-    nprobes.map { np =>
-      assigned.filter(col("crank") <= np)
-        .orderBy(col("cos").desc, col("vec_id")).limit(k)
-        .join(exact, "vec_id") // overlap with the true top-k
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_overlap"),
-          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    // ONE corpus pass serves every probe budget (the [[annRecallMulti]]
+    // batching applied to the budget axis): each scored row fans out to
+    // the budgets whose prefix admits its cell rank (< |nprobes|× rows,
+    // and most rows sit in deep cells and fan out once), and the
+    // mergeable [[graft.functions.TopKPairs]] collapses each budget's
+    // candidates to ≤ k entries map-side — bit-identical to the rank
+    // ordering of the per-budget `orderBy(cos DESC, vec_id).limit(k)`
+    // jobs this replaces (|nprobes| reads of the scored frame + one
+    // TakeOrdered job per budget become one aggregation).
+    val tk = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    val budgets = array(nprobes.map(lit(_)): _*)
+    val ov = assigned
+      .select(explode(filter(budgets, np => np >= col("crank")))
+        .as("nprobe"), col("vec_id"), col("cos"))
+      .groupBy(col("nprobe"))
+      .agg(tk(col("cos"), col("vec_id")).as("top"))
+      .select(col("nprobe"), explode(col("top")).as("c"))
+      .select(col("nprobe"), col("c._2").as("vec_id"))
+      .join(exact, "vec_id") // overlap with the true top-k
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_overlap"))
+    // left join from the budget spine: zero overlap (or an empty cell
+    // prefix) is a legitimate curve point, not a vanished budget
+    nprobes.toDF("nprobe")
+      .join(broadcast(ov), Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"))
+      .orderBy(col("nprobe"))
   }
 
   /** Multi-query recall@k curve of the IVF probe vs exact search — the
@@ -1102,27 +1124,36 @@ object Similarity {
       .join(broadcast(qs), "query_id")
       .select(col("query_id"), col("crank"), col("vec_id"),
         cosine(col("v"), col("qv")).as("cos"))
-      .cutLineage() // read once per probe budget
     val tk = udaf(new graft.functions.TopKPairs(k),
       ExpressionEncoder[(Double, Long)]())
-    nprobes.map { np =>
-      val ov = scored.filter(col("crank") <= np)
-        .groupBy(col("query_id"))
-        .agg(tk(col("cos"), col("vec_id")).as("top"))
-        .select(col("query_id"), explode(col("top")).as("c"))
-        .select(col("query_id"), col("c._2").as("vec_id"))
-        .join(gold, Seq("query_id", "vec_id"))
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-      // left join from the query spine: zero overlap at a tight budget
-      // is a legitimate row, not a vanished query
-      qs.select(col("query_id"))
-        .join(broadcast(ov), Seq("query_id"), "left")
-        .select(lit(np).as("nprobe"), col("query_id"), lit(k).as("k"),
-          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-          (coalesce(col("n_overlap"), lit(0L)).cast("double")
-            / lit(k.toDouble)).as("recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("nprobe"), col("query_id"))
+    // ONE pass over the scored candidates serves every probe budget:
+    // each row fans out to the budgets whose prefix admits its cell
+    // rank and the mergeable top-k collapses each (budget, query)
+    // group map-side — |nprobes| reads of a corpus-sized frame (one
+    // filtered aggregation job per budget) become one aggregation,
+    // bit-identically (prefix-nested budgets share the same ordering).
+    val budgets = array(nprobes.map(lit(_)): _*)
+    val ov = scored
+      .select(explode(filter(budgets, np => np >= col("crank")))
+        .as("nprobe"), col("query_id"), col("vec_id"), col("cos"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(tk(col("cos"), col("vec_id")).as("top"))
+      .select(col("nprobe"), col("query_id"), explode(col("top")).as("c"))
+      .select(col("nprobe"), col("query_id"), col("c._2").as("vec_id"))
+      .join(gold, Seq("query_id", "vec_id"))
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    // left join from the (budget × query) spine: zero overlap at a
+    // tight budget is a legitimate row, not a vanished query
+    import scored.sparkSession.implicits._
+    nprobes.toDF("nprobe")
+      .crossJoin(broadcast(qs.select(col("query_id"))))
+      .join(broadcast(ov), Seq("nprobe", "query_id"), "left")
+      .select(col("nprobe"), col("query_id"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"))
+      .orderBy(col("nprobe"), col("query_id"))
   }
 
   /** IVF index-health report: per-cell population and share under the
@@ -1823,26 +1854,54 @@ object Similarity {
     val adc = assigned.join(broadcast(lut), Seq("sub", "cid"))
       .groupBy(col("vec_id"))
       .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
-      .cutLineage() // read once per shortlist budget
     val qv = emb.filter(col("vec_id") === queryId).select(col("v").as("qv"))
       .cutLineage(eager = true)
     val exactDist = emb.crossJoin(broadcast(qv))
       .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
     val exact = exactDist.orderBy(col("dist"), col("vec_id")).limit(k)
       .select(col("vec_id"))
-      .cutLineage() // read once per shortlist budget
-    reranks.map { r =>
-      val shortlist = adc.orderBy(col("adist"), col("vec_id"))
-        .limit(k * r).select(col("vec_id"))
-      emb.join(broadcast(shortlist), "vec_id")
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
-        .orderBy(col("dist"), col("vec_id")).limit(k)
-        .join(exact, "vec_id")
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit(r).as("rerank"), lit(k).as("k"), col("n_overlap"),
-          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("rerank"))
+    // Budgets are nested prefixes of ONE shortlist ranking (adist ASC,
+    // vec_id ASC is a total order, so top k·r is a prefix of top
+    // k·r_max): one mergeable top-k pass over the ADC frame replaces
+    // one TakeOrdered job per budget, the k·r_max candidates join the
+    // raw vectors ONCE for exact rerank distances, and each budget's
+    // final top-k collapses map-side from the shared reranked frame —
+    // |reranks| reads of a corpus-sized frame become one.
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import emb.sparkSession.implicits._
+    val tkAll = udaf(new graft.functions.TopKPairs(k * reranks.max),
+      ExpressionEncoder[(Double, Long)]())
+    val tk = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    // TopKPairs orders (score DESC, id ASC); negating adist/dist gives
+    // exactly the (ASC, id ASC) order every per-budget TakeOrdered used:
+    // on finite doubles (these are sums of squares of parquet-born
+    // finite components) negation is a strict order reversal, and the
+    // aggregate's -0.0 == 0.0 normalization matches Spark's comparator
+    val shortAll = adc
+      .agg(tkAll(-col("adist"), col("vec_id")).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "c")))
+      .select((col("pos") + 1).as("srank"), col("c._2").as("vec_id"))
+    val budgets = array(reranks.map(lit(_)): _*)
+    val ov = emb.join(broadcast(shortAll), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select(col("srank"), col("vec_id"),
+        l2sq(col("v"), col("qv")).as("dist"))
+      .select(explode(filter(budgets, r => r * k >= col("srank")))
+        .as("rerank"), col("vec_id"), col("dist"))
+      .groupBy(col("rerank"))
+      .agg(tk(-col("dist"), col("vec_id")).as("top"))
+      .select(col("rerank"), explode(col("top")).as("c"))
+      .select(col("rerank"), col("c._2").as("vec_id"))
+      .join(exact, "vec_id")
+      .groupBy(col("rerank")).agg(count(lit(1)).as("n_overlap"))
+    reranks.toDF("rerank")
+      .join(broadcast(ov), Seq("rerank"), "left")
+      .select(col("rerank"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"))
+      .orderBy(col("rerank"))
   }
 
   /** Recall@k curve of [[ivfPqTopK]] against exact L2 search, per probe
@@ -1885,25 +1944,49 @@ object Similarity {
     val adc = codes.join(broadcast(lut), Seq("cell", "sub", "cid"))
       .groupBy(col("vec_id"), col("crank"))
       .agg(adcOrderedSum(col("sub"), col("d")).as("adist"))
-      .cutLineage() // read once per probe budget
     val exact = emb.crossJoin(broadcast(q))
       .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
       .orderBy(col("dist"), col("vec_id")).limit(k)
       .select(col("vec_id"))
-      .cutLineage() // read once per probe budget
-    nprobes.map { np =>
-      val shortlist = adc.filter(col("crank") <= np)
-        .orderBy(col("adist"), col("vec_id"))
-        .limit(k * rerank).select(col("vec_id"))
-      emb.join(broadcast(shortlist), "vec_id")
-        .crossJoin(broadcast(q))
-        .select(col("vec_id"), l2sq(col("v"), col("qv")).as("dist"))
-        .orderBy(col("dist"), col("vec_id")).limit(k)
-        .join(exact, "vec_id")
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit(np).as("nprobe"), lit(k).as("k"), col("n_overlap"),
-          (col("n_overlap").cast("double") / lit(k.toDouble)).as("recall"))
-    }.reduce(_.unionByName(_)).orderBy(col("nprobe"))
+    // ONE ADC pass serves every probe budget (each coded vector fans
+    // out to the budgets admitting its cell rank; the mergeable top-k
+    // collapses each budget's shortlist map-side), the ≤|nprobes|·k·r
+    // shortlist rows join the raw vectors ONCE for exact rerank
+    // distances, and each budget's final top-k collapses from that
+    // shared frame — |nprobes| reads of the ADC frame plus one
+    // TakeOrdered + rerank join per budget become one pass each. The
+    // negated-score ordering is the pqRecallAtK argument verbatim.
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import emb.sparkSession.implicits._
+    val tkShort = udaf(new graft.functions.TopKPairs(k * rerank),
+      ExpressionEncoder[(Double, Long)]())
+    val tkK = udaf(new graft.functions.TopKPairs(k),
+      ExpressionEncoder[(Double, Long)]())
+    val budgets = array(nprobes.map(lit(_)): _*)
+    val short = adc
+      .select(explode(filter(budgets, np => np >= col("crank")))
+        .as("nprobe"), col("vec_id"), col("adist"))
+      .groupBy(col("nprobe"))
+      .agg(tkShort(-col("adist"), col("vec_id")).as("top"))
+      .select(col("nprobe"), explode(col("top")).as("c"))
+      .select(col("nprobe"), col("c._2").as("vec_id"))
+    val ov = emb.join(broadcast(short), "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("nprobe"), col("vec_id"),
+        l2sq(col("v"), col("qv")).as("dist"))
+      .groupBy(col("nprobe"))
+      .agg(tkK(-col("dist"), col("vec_id")).as("top"))
+      .select(col("nprobe"), explode(col("top")).as("c"))
+      .select(col("nprobe"), col("c._2").as("vec_id"))
+      .join(exact, "vec_id")
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("n_overlap"))
+    nprobes.toDF("nprobe")
+      .join(broadcast(ov), Seq("nprobe"), "left")
+      .select(col("nprobe"), lit(k).as("k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double")
+          / lit(k.toDouble)).as("recall"))
+      .orderBy(col("nprobe"))
   }
 
   /** Materialize the IVF-PQ serving artifact: residual PQ codes for the

@@ -385,9 +385,26 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(Dedup.removeDupSpans(spark, dir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
-    // (df, min_doc) stats and the covered-position collect both partial
-    assert(p.contains("partial_count"), p)
+    // min-doc stats collapse map-side; the default gate must NOT plan
+    // the distinct-aggregate expansion (its second keyed exchange over
+    // near-gram volume) — mind < doc_id implies the distinct-doc test
     assert(p.contains("partial_min"), p)
+    assert(!p.contains("distinct"), p)
+  }
+
+  test("multi-length span removal: the hash-doubling ladder is a per-row " +
+      "array transform — no self-join rounds, no distinct expansion") {
+    val p = plan(Dedup.removeDupSpansMultiLength(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("distinct"), p)
+    // exactly the stats join and the two reassembly joins survive: a
+    // re-introduced per-doubling self-join would add SortMergeJoin
+    // rounds keyed on (doc_id, start)
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p).size
+    assert(joins <= 3, s"expected <= 3 joins, got $joins:\n$p")
   }
 
   test("triangle closure is pure equi-joins: no pair enumeration operator") {
