@@ -130,16 +130,28 @@ object Retrieval {
     // (and its oracle twin, which recomputes the in-query semantics)
     // are unchanged
     val base = rrfIndexBase(spark, dir)
-    val bm = TextAnalysis.bm25FromIndex(spark, base + "/bm25", query, k)
+    // Each served top-k list is PROBED ONCE and cut (a ≤k-row eager
+    // checkpoint): the bm25/ann branches and the RRF fusion consume the
+    // same two frames, where routing the fusion through [[rrfFusion]]
+    // re-served both indexes — two extra artifact probes per eval for
+    // lists the plan already holds. Fusion via [[rrfFuse]] over these
+    // frames is value-identical by construction (that is rrfFusion's
+    // own definition, minus the duplicate serving).
+    import graft.Materialize.MatOps
+    val bmRaw = TextAnalysis.bm25FromIndex(spark, base + "/bm25", query, k)
+      .cutLineage(eager = true)
+    val annRaw = Similarity.annIvfFromIndex(spark, base + "/ivf", dir,
+        queryId, k, nprobe)
+      .cutLineage(eager = true)
+    val bm = bmRaw
       .select(lit("bm25").as("system"), col("doc_id"),
         row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).as("rank"))
-    val ann = Similarity.annIvfFromIndex(spark, base + "/ivf", dir,
-        queryId, k, nprobe)
+    val ann = annRaw
       .select(lit("ann").as("system"), col("vec_id").as("doc_id"),
         row_number().over(
           Window.orderBy(col("cos").desc, col("vec_id"))).as("rank"))
-    val rrf = rrfFusion(spark, dir, query, queryId, k, nprobe, kRrf)
+    val rrf = rrfFuse(bmRaw, annRaw, kRrf)
       .select(lit("rrf").as("system"), col("doc_id"),
         row_number().over(
           Window.orderBy(col("rrf_score").desc, col("doc_id"))).as("rank"))
@@ -178,6 +190,10 @@ object Retrieval {
     import spark.implicits._
     val base = rrfIndexBase(spark, dir)
     val spine = queryIds.toDF("query_id")
+    // the fusion and the final union each re-derive these bounded
+    // artifact probes; measured (r15), cutting them costs more in
+    // checkpoint jobs than the re-probe saves — the probes are
+    // pushed-filter/DPP reads of index-sized data, not corpus passes
     val bmRanks = TextAnalysis.bm25FromIndex(spark, base + "/bm25",
         query, k)
       .select(col("doc_id"),
